@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text primitives shared by the inverted-index job, the
+  * dedup operators and the text-analysis queries. All are composed from
+  * `org.apache.spark.sql.functions` built-ins so they stay inside
+  * whole-stage codegen — no Scala UDFs on the hot path.
+  *
+  * Normalization semantics follow the reference engine
+  * (`/root/reference/src/main.cc:33-42,75`): byte-wise ASCII lowercase,
+  * then strip every character outside `[a-z]` (including word-internal
+  * punctuation/digits); tokens that normalize to "" are dropped
+  * (`src/main.cc:89,136-137` — bucketed under '\0', never written).
+  */
+object TextFunctions {
+
+  /** Reference word normalization: `tolower` + strip `[^a-z]`. */
+  def normalizeWord(c: Column): Column = regexp_replace(lower(c), "[^a-z]", "")
+
+  /** Whitespace tokenization, mirroring C++ `operator>>` on a stream
+    * (`src/main.cc:73`): any run of whitespace separates tokens. */
+  def whitespaceTokens(text: Column): Column = split(text, "\\s+")
+
+  /** Normalized, empty-filtered word array for a document. */
+  def normalizedWords(text: Column): Column =
+    filter(transform(whitespaceTokens(text), t => normalizeWord(t)), w => w =!= "")
+
+  /** Word n-gram shingles over a (already normalized) word array.
+    * Documents with fewer than `n` words produce an empty array. */
+  def wordShingles(words: Column, n: Int): Column =
+    when(size(words) >= n,
+      transform(sequence(lit(0), size(words) - n),
+        i => concat_ws(" ", (0 until n).map(k => element_at(words, i + k + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Engine-portable hash: md5 hex string. Chosen (over xxhash64 etc.)
+    * because the DuckDB oracle computes the identical digest, making
+    * MinHash/SimHash/fingerprint results exactly comparable across
+    * engines. For a pure-Spark production path, swap in xxhash64. */
+  def portableHash(c: Column): Column = md5(c)
+
+  /** MinHash signature component j: min over shingles of md5(j + "|" + s).
+    * The lexicographic min of the hex digest is a uniform min-hash. */
+  def minhashAgg(shingle: Column, j: Int): Column =
+    min(portableHash(concat(lit(s"$j|"), shingle)))
+
+  /** +1/-1 pseudo-random sign for SimHash / hyperplane LSH, derived from
+    * the first hex nibble of a portable hash ('0'-'7' → +1, else -1). */
+  def hashSign(c: Column): Column =
+    when(substring(portableHash(c), 1, 1) <= "7", lit(1)).otherwise(lit(-1))
+
+  /** BPE-ish token pattern: letter runs, digit runs, single other glyph.
+    * Kept to character classes shared verbatim by Java regex and RE2 so
+    * the oracle tokenizes identically. */
+  val bpeishPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  /** Tiny per-language stopword lists for the heuristic language-ID
+    * operator. Deliberately small and disjoint-ish; tie-break is by the
+    * fixed language order in `LangIdOrder`. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "on"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "den"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "que", "des", "une", "pour", "dans"),
+    "es" -> Seq("el", "los", "las", "y", "es", "un", "una", "por", "con", "para"),
+    "zh" -> Seq("de", "le", "shi", "bu", "wo", "you", "zai", "ta", "men", "zhe"))
+
+  /** Fixed language order for deterministic arg-max tie-breaking. */
+  val langIdOrder: Seq[String] = Seq("en", "de", "fr", "es", "zh")
+
+  /** Count of words present in a stopword list. */
+  def stopwordHits(words: Column, lang: String): Column =
+    size(filter(words, w => w.isInCollection(stopwords(lang))))
+}

@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level vector math over `ARRAY<FLOAT>` embedding columns, built
+  * on Spark's higher-order functions (`zip_with` / `aggregate` /
+  * `transform`) so everything is codegen-eligible and fully distributed —
+  * no UDF, no driver-side math.
+  *
+  * Precision contract: elements are widened FLOAT→DOUBLE before any
+  * multiply, and accumulation is sequential in array order. The DuckDB
+  * oracle does the identical widening + in-order `list_sum`, so dot
+  * products agree bit-for-bit across engines (f32 values are exactly
+  * representable in f64).
+  */
+object VectorFunctions {
+
+  /** Sequential in-order sum of a DOUBLE array. */
+  private def arraySum(c: Column): Column =
+    aggregate(c, lit(0.0), (acc, x) => acc + x)
+
+  /** dot(a, b) with DOUBLE accumulation. */
+  def dot(a: Column, b: Column): Column =
+    arraySum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+
+  /** L2 norm with DOUBLE accumulation. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity in [-1, 1]; null-safe only insofar as parquet
+    * vectors are non-null (guaranteed by the fixtures). */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Random-hyperplane LSH bucket for a vector: `planes` pseudo-random
+    * ±1 hyperplanes derived from a portable md5-based sign (see
+    * [[TextFunctions.hashSign]]), emitted as a bit-string like "01101…".
+    * Vectors with equal bit-strings land in the same bucket; at 100 TB
+    * this turns the O(n²) all-pairs similarity into an equi-join on the
+    * bucket key (hash-partitionable, AQE-skew-handled).
+    */
+  def hyperplaneBucket(vec: Column, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      // sign_p(v) = sum_i v[i] * r(p, i) with r(p,i) = ±1 from md5(p,i)
+      val proj = arraySum(zip_with(
+        vec,
+        sequence(lit(0), size(vec) - 1),
+        (x, i) => x.cast("double") *
+          TextFunctions.hashSign(concat(lit(s"plane$p,"), i)).cast("double")))
+      when(proj >= 0, lit("1")).otherwise(lit("0"))
+    }
+    concat(bits: _*)
+  }
+}

@@ -1,0 +1,37 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table catalog over the driver testdata layout (TESTDATA.md):
+  * a TPC-H-ish star schema (`region nation customer supplier part orders
+  * lineitem`) plus `events` (stream-shaped), `documents` (text corpus) and
+  * `embeddings` (ARRAY<FLOAT> vectors).
+  *
+  * Scale notes: each table is a single parquet path; on a real cluster these
+  * would be partitioned directories — all readers here go through
+  * `spark.read.parquet` so partition discovery, predicate pushdown and
+  * column pruning work unchanged at 100 TB. Never collect these to the
+  * driver; every downstream operator keeps them distributed.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** The small dimension tables — always safe to broadcast in joins. */
+  val broadcastable: Set[String] = Set("region", "nation", "supplier")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark 4 rejects
+      // at scan time. Read nanos as long, then normalize to TimestampType
+      // (microsecond precision, matching Spark semantics everywhere else).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every table as a temp view (for spark.sql entry points). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+}
