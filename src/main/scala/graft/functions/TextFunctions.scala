@@ -69,6 +69,16 @@ object TextFunctions {
   /** Fixed language order for deterministic arg-max tie-breaking. */
   val langIdOrder: Seq[String] = Seq("en", "de", "fr", "es", "zh")
 
+  /** Engine-portable 4-dp rounding: `floor(x*1e4 + 0.5)/1e4` uses only
+    * exact IEEE ops, so Spark and DuckDB produce bit-identical results —
+    * unlike round(), whose half-way tie handling differs across engines
+    * exactly when a ratio lands on a .00005 boundary. Non-negative
+    * inputs only. */
+  def round4(c: Column): Column = floor(c * 10000.0 + 0.5) / 10000.0
+
+  /** SQL twin of [[round4]] for DuckDB oracle strings. */
+  def round4Sql(expr: String): String = s"floor(($expr) * 10000 + 0.5) / 10000"
+
   /** Count of words present in a stopword list. */
   def stopwordHits(words: Column, lang: String): Column =
     size(filter(words, w => w.isInCollection(stopwords(lang))))

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Approximate-nearest-neighbor search over an `ARRAY<FLOAT>` embedding
+  * column.
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k. The (small) query set is
+  *    broadcast and streamed past the candidate corpus — no shuffle of
+  *    the big side, embarrassingly parallel, the right baseline even at
+  *    100 TB when the query set fits in a broadcast.
+  *  - [[lshTopK]]: random-hyperplane LSH — vectors are bucketed by the
+  *    sign pattern of `planes` pseudo-random projections, and search is
+  *    an equi-join on the bucket key. Trades recall for turning the
+  *    cross product into a hash join; bucket skew is AQE-handled.
+  *
+  * All ranking uses exact (unrounded) cosine with an id tie-break so
+  * results are deterministic; the reported score is rounded for stable
+  * cross-engine comparison.
+  */
+object Similarity {
+
+  /** Exact top-k: for each query vector, the k nearest candidates by
+    * cosine (excluding self-matches on id). */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"))
+    val c = candidates.select(col(idCol).as("c_id"), col(vecCol).as("cv"))
+    val cos = VectorFunctions.cosine(col("qv"), col("cv"))
+    val w = Window.partitionBy(col("q_id")).orderBy(cos.desc, col("c_id"))
+    broadcast(q).join(c, col("q_id") =!= col("c_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("c_id"), col("rn"), round(cos, 4).as("cos"))
+  }
+
+  /** LSH-bucketed top-k: identical contract to [[bruteForceTopK]] but
+    * only candidates sharing the query's hyperplane bucket are scored —
+    * queries whose bucket holds fewer than k neighbors return fewer
+    * rows, and true neighbors in other buckets are missed (recall<1). */
+  def lshTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      planes: Int, queryPred: org.apache.spark.sql.Column): DataFrame = {
+    val bucketed = emb.select(col(idCol), col(vecCol),
+      VectorFunctions.hyperplaneBucket(col(vecCol), planes).as("bucket"))
+    val q = bucketed.filter(queryPred).select(col(idCol).as("q_id"), col(vecCol).as("qv"), col("bucket"))
+    val c = bucketed.select(col(idCol).as("c_id"), col(vecCol).as("cv"), col("bucket"))
+    val cos = VectorFunctions.cosine(col("qv"), col("cv"))
+    val w = Window.partitionBy(col("q_id")).orderBy(cos.desc, col("c_id"))
+    q.join(c, Seq("bucket"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("c_id"), col("rn"), round(cos, 4).as("cos"))
+  }
+
+  /** Embedding near-duplicate pairs within a blocking bucket (e.g. a
+    * cluster/label column or an LSH bucket): all same-bucket pairs with
+    * cosine ≥ theta. Blocking keeps the pair space linear-ish; at scale
+    * feed an LSH bucket, never a constant. */
+  def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      bucketCol: String, theta: Double): DataFrame = {
+    val a = emb.select(col(bucketCol).as("bucket"), col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = emb.select(col(bucketCol).as("bucket"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(VectorFunctions.cosine(col("va"), col("vb")), 4))
+      .filter(col("cos") >= theta)
+      .select("id_a", "id_b", "cos")
+  }
+}

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Text-analysis operators for training-data curation: heuristic
+  * language ID, quality scoring, token counting, and rolling-hash
+  * document fingerprinting. All are per-row column expressions (narrow,
+  * no shuffle) except term frequency, which is one hash aggregation —
+  * everything stays inside whole-stage codegen.
+  */
+object TextAnalysis {
+
+  /** Heuristic language ID: per-language stopword-hit counts over the
+    * normalized word array; argmax with a fixed language-order
+    * tie-break (see [[TextFunctions.langIdOrder]]). */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val withWords = docs.withColumn("w", TextFunctions.normalizedWords(col(textCol)))
+    val scored = TextFunctions.langIdOrder.foldLeft(withWords) { (df, lang) =>
+      df.withColumn(s"s_$lang", TextFunctions.stopwordHits(col("w"), lang))
+    }
+    // argmax with ties resolved by langIdOrder position (>= keeps the
+    // earlier language on equal scores)
+    val pred = TextFunctions.langIdOrder.init.zipWithIndex.foldRight(
+        lit(TextFunctions.langIdOrder.last): Column) { case ((lang, i), elseCol) =>
+      val laterMax = TextFunctions.langIdOrder.drop(i + 1)
+        .map(l => col(s"s_$l")).reduce((a, b) => greatest(a, b))
+      when(col(s"s_$lang") >= laterMax, lit(lang)).otherwise(elseCol)
+    }
+    scored.select(Seq(col(idCol), pred.as("pred_lang")) ++
+      TextFunctions.langIdOrder.map(l => col(s"s_$l")): _*)
+  }
+
+  /** Document quality features + a composite score in [0,1]:
+    * 0.4·min(1, tokens/100) + 0.3·alpha-ratio + 0.3·en-stopword-ratio.
+    * Deliberately simple and fully SQL-expressible (oracle-checkable);
+    * the shape (feature columns → weighted score) is what matters. */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val w = TextFunctions.normalizedWords(t)
+    val nTok = size(w)
+    val alphaRatio = length(regexp_replace(lower(t), "[^a-z]", "")).cast("double") /
+      greatest(length(t), lit(1))
+    val stopRatio = TextFunctions.stopwordHits(w, "en").cast("double") /
+      greatest(nTok, lit(1))
+    val avgWordLen = length(concat_ws("", w)).cast("double") / greatest(nTok, lit(1))
+    val score = least(lit(1.0), nTok.cast("double") / 100.0) * 0.4 +
+      alphaRatio * 0.3 + stopRatio * 0.3
+    import TextFunctions.round4
+    docs.select(col(idCol), nTok.as("n_tok"),
+      round4(alphaRatio).as("alpha_ratio"), round4(stopRatio).as("stop_ratio"),
+      round4(avgWordLen).as("avg_word_len"), round4(score).as("score"))
+  }
+
+  /** Token counts: whitespace tokens and BPE-ish regex tokens (letter
+    * runs / digit runs / single other glyph), plus chars-per-token. */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nWs = size(filter(TextFunctions.whitespaceTokens(t), x => x =!= ""))
+    val nRe = size(regexp_extract_all(lower(t), lit(TextFunctions.bpeishPattern), lit(0)))
+    docs.select(col(idCol), nWs.as("n_ws_tok"), nRe.as("n_re_tok"),
+      TextFunctions.round4(length(t).cast("double") / greatest(nRe, lit(1))).as("chars_per_tok"))
+  }
+
+  /** Rolling-hash fingerprint: hash every char 8-gram of the lowercased
+    * text, keep the minimum ("winnowing-lite") and the concatenation of
+    * the bottom-4 hashes as a robust document fingerprint. */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = lower(col(textCol))
+    val grams = transform(sequence(lit(1), greatest(length(t) - 7, lit(1))),
+      i => TextFunctions.portableHash(t.substr(i, lit(8))))
+    docs.select(col(idCol),
+      array_min(grams).as("fp_min"),
+      concat_ws("", slice(array_sort(grams), 1, 4)).as("fp_bottom4"))
+  }
+
+  /** Corpus term frequency: raw token counts (no per-doc distinct). */
+  def termFrequency(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextFunctions.normalizedWords(col(textCol))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+}

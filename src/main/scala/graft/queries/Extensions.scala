@@ -1,0 +1,311 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.operators.{AsOfJoin, Dedup, Similarity, TextAnalysis}
+
+/** LLM-data-pipeline extension queries (SURVEY §2.3 Q24–Q26 plus the
+  * north-star additions): exact/MinHash/SimHash/n-gram dedup, embedding
+  * similarity search (brute-force + LSH), text analysis (language ID,
+  * quality, token counts, fingerprints), and the as-of join.
+  *
+  * Oracle strategy: every hash is the engine-portable md5 and every
+  * float accumulation is in array order with FLOAT→DOUBLE widening, so
+  * DuckDB reproduces results exactly; scores are rounded to 4 dp only
+  * at the output/threshold boundary (identical doubles on both sides).
+  */
+object Extensions {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  /** DuckDB CTE: documents → normalized word array `w` (mirror of
+    * [[TextFunctions.normalizedWords]]), keeping doc_id/text/lang. */
+  private val docwCte =
+    """docw AS (
+      |  SELECT doc_id, text, lang,
+      |         list_filter(list_transform(regexp_split_to_array(lower(text), '\s+'),
+      |                     x -> regexp_replace(x, '[^a-z]', '', 'g')),
+      |                     x -> x <> '') AS w
+      |  FROM documents
+      |)""".stripMargin
+
+  /** DuckDB fragments for cosine(a, b) with in-order DOUBLE accumulation. */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+  private def normSql(a: String): String =
+    s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+  // --------------------------------------------------------------- Q24
+  val q24 = QueryDef("q24_exact_dedup",
+    """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS dup_cnt
+      |FROM documents GROUP BY text ORDER BY h""") { (s, dir) =>
+    Dedup.exact(t(s, dir, "documents"), "doc_id", "text").orderBy("h")
+  }
+
+  // --------------------------------------------------------------- Q25
+  val q25 = QueryDef("q25_cosine_pairs",
+    s"""WITH p AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |         ${dotSql("a.embedding", "b.embedding")} AS dt,
+       |         ${normSql("a.embedding")} AS na, ${normSql("b.embedding")} AS nb
+       |  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+       |)
+       |SELECT id_a, id_b, round(dt/(na*nb), 4) AS cos FROM p ORDER BY id_a""") { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    a.join(b, col("id_b") === col("id_a") + 1)
+      .select(col("id_a"), col("id_b"),
+        round(VectorFunctions.cosine(col("va"), col("vb")), 4).as("cos"))
+      .orderBy("id_a")
+  }
+
+  // --------------------------------------------------------------- Q26
+  val q26 = QueryDef("q26_term_freq",
+    s"""WITH $docwCte, tok AS (SELECT doc_id, unnest(w) AS word FROM docw)
+       |SELECT word, count(*) AS cnt FROM tok GROUP BY word
+       |ORDER BY cnt DESC, word LIMIT 20""") { (s, dir) =>
+    TextAnalysis.termFrequency(t(s, dir, "documents"), "text")
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(20)
+  }
+
+  // --------------------------------------------------------------- Q27
+  private val mhK = 12; private val mhBands = 2
+  val q27 = {
+    val rows = mhK / mhBands
+    val mins = (0 until mhK).map(j => s"min(md5('$j|' || shingle)) AS h$j").mkString(",\n         ")
+    val bandSelects = (0 until mhBands).map { b =>
+      val cat = (0 until rows).map(r => s"h${b * rows + r}").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band_idx, md5($cat) AS bh FROM sig"
+    }.mkString("\n  UNION ALL ")
+    QueryDef("q27_minhash_lsh",
+      s"""WITH $docwCte, sh AS (
+         |  SELECT DISTINCT doc_id, shingle
+         |  FROM (SELECT doc_id, unnest(w) AS shingle FROM docw)
+         |), sig AS (
+         |  SELECT doc_id, $mins
+         |  FROM sh GROUP BY doc_id
+         |), bands AS (
+         |  $bandSelects
+         |)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         |  ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""") { (s, dir) =>
+      Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text",
+          n = 1, k = mhK, bands = mhBands)
+        .orderBy("doc_a", "doc_b")
+    }
+  }
+
+  // --------------------------------------------------------------- Q28
+  private val shBits = 16
+  val q28 = {
+    val bits = (0 until shBits).map { p =>
+      s"(CASE WHEN sum(CASE WHEN substring(md5('sh$p|' || word), 1, 1) <= '7' THEN 1 ELSE -1 END) >= 0 THEN '1' ELSE '0' END)"
+    }.mkString(" ||\n       ")
+    QueryDef("q28_simhash",
+      s"""WITH $docwCte, tok AS (SELECT doc_id, unnest(w) AS word FROM docw)
+         |SELECT doc_id,
+         |       $bits AS sig
+         |FROM tok GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
+      Dedup.simhashSignature(t(s, dir, "documents"), "doc_id", "text", shBits)
+        .orderBy("doc_id")
+    }
+  }
+
+  // --------------------------------------------------------------- Q29
+  val q29 = QueryDef("q29_ngram_jaccard",
+    s"""WITH $docwCte, sh AS (
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(w)),
+       |           i -> w[i] || ' ' || w[i+1])) AS shingle
+       |    FROM docw WHERE len(w) >= 2)
+       |), sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_a, doc_b,
+       |       floor(CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) * 10000 + 0.5) / 10000 AS jacc
+       |FROM pairs JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+       |WHERE floor(CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) * 10000 + 0.5) / 10000 >= 0.05
+       |ORDER BY doc_a, doc_b""") { (s, dir) =>
+    Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", n = 2, theta = 0.05)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // --------------------------------------------------------------- Q30
+  val q30 = {
+    val langs = TextFunctions.langIdOrder
+    val scoreCols = langs.map { l =>
+      val words = TextFunctions.stopwords(l).map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(w, x -> x IN ($words))) AS INT) AS s_$l"
+    }.mkString(",\n         ")
+    val pred = langs.init.zipWithIndex.map { case (l, i) =>
+      val later = langs.drop(i + 1).map(x => s"s_$x").mkString(", ")
+      s"WHEN s_$l >= greatest($later) THEN '$l'"
+    }.mkString("\n         ")
+    QueryDef("q30_langid",
+      s"""WITH $docwCte, scored AS (
+         |  SELECT doc_id, lang,
+         |         $scoreCols
+         |  FROM docw
+         |)
+         |SELECT doc_id,
+         |       CASE $pred ELSE '${langs.last}' END AS pred_lang,
+         |       ${langs.map(l => s"s_$l").mkString(", ")}, lang
+         |FROM scored ORDER BY doc_id""") { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      TextAnalysis.langId(docs, "doc_id", "text")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .orderBy("doc_id")
+    }
+  }
+
+  // --------------------------------------------------------------- Q31
+  val q31 = {
+    val en = TextFunctions.stopwords("en").map(w => s"'$w'").mkString(", ")
+    QueryDef("q31_quality_score",
+      s"""WITH $docwCte, f AS (
+         |  SELECT doc_id,
+         |    CAST(len(w) AS INT) AS n_tok,
+         |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+         |      / greatest(length(text), 1) AS alpha_ratio,
+         |    CAST(len(list_filter(w, x -> x IN ($en))) AS DOUBLE)
+         |      / greatest(len(w), 1) AS stop_ratio,
+         |    CAST(length(array_to_string(w, '')) AS DOUBLE)
+         |      / greatest(len(w), 1) AS avg_word_len
+         |  FROM docw
+         |)
+         |SELECT doc_id, n_tok,
+         |       ${TextFunctions.round4Sql("alpha_ratio")} AS alpha_ratio,
+         |       ${TextFunctions.round4Sql("stop_ratio")} AS stop_ratio,
+         |       ${TextFunctions.round4Sql("avg_word_len")} AS avg_word_len,
+         |       ${TextFunctions.round4Sql(
+                   "least(1.0, CAST(n_tok AS DOUBLE) / 100.0) * 0.4 + alpha_ratio * 0.3 + stop_ratio * 0.3")} AS score
+         |FROM f ORDER BY doc_id""") { (s, dir) =>
+      TextAnalysis.qualityScore(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")
+    }
+  }
+
+  // --------------------------------------------------------------- Q32
+  val q32 = QueryDef("q32_token_count",
+    s"""SELECT doc_id,
+       |  CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS INT) AS n_ws_tok,
+       |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INT) AS n_re_tok,
+       |  ${TextFunctions.round4Sql(
+            "CAST(length(text) AS DOUBLE) / greatest(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')), 1)")} AS chars_per_tok
+       |FROM documents ORDER BY doc_id""") { (s, dir) =>
+    TextAnalysis.tokenCounts(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------------- Q33
+  val q33 = QueryDef("q33_fingerprint",
+    """WITH g AS (
+      |  SELECT doc_id,
+      |         list_transform(range(1, greatest(length(lower(text)) - 7, 1) + 1),
+      |                        i -> md5(substring(lower(text), i, 8))) AS grams
+      |  FROM documents
+      |)
+      |SELECT doc_id, list_sort(grams)[1] AS fp_min,
+      |       array_to_string(list_sort(grams)[1:4], '') AS fp_bottom4
+      |FROM g ORDER BY doc_id""") { (s, dir) =>
+    TextAnalysis.fingerprint(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------------- Q34
+  val q34 = QueryDef("q34_asof_join",
+    """WITH j AS (
+      |  SELECT e.event_id, o.o_orderkey,
+      |         row_number() OVER (PARTITION BY e.event_id
+      |           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      |  FROM events e LEFT JOIN orders o
+      |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+      |)
+      |SELECT event_id, o_orderkey AS asof_orderkey FROM j WHERE rn = 1
+      |ORDER BY event_id""") { (s, dir) =>
+    AsOfJoin.byId(
+        t(s, dir, "events").select("event_id", "user_id", "ts"),
+        t(s, dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate"),
+        leftId = "event_id", leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate", tiebreak = "o_orderkey")
+      .select(col("event_id"), col("o_orderkey").as("asof_orderkey"))
+      .orderBy("event_id")
+  }
+
+  // --------------------------------------------------------------- Q35
+  val q35 = QueryDef("q35_ann_topk",
+    s"""WITH p AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |         ${dotSql("q.embedding", "c.embedding")} AS dt,
+       |         ${normSql("q.embedding")} AS na, ${normSql("c.embedding")} AS nb
+       |  FROM embeddings q JOIN embeddings c
+       |    ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+       |), r AS (
+       |  SELECT q_id, c_id, dt/(na*nb) AS cs,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY dt/(na*nb) DESC, c_id) AS rn
+       |  FROM p
+       |)
+       |SELECT q_id, c_id, rn, round(cs, 4) AS cos FROM r WHERE rn <= 3
+       |ORDER BY q_id, rn""") { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", 3)
+      .orderBy("q_id", "rn")
+  }
+
+  // --------------------------------------------------------------- Q36
+  private val lshPlanes = 4
+  val q36 = {
+    val bucketBits = (0 until lshPlanes).map { p =>
+      s"""(CASE WHEN list_sum(list_transform(range(1, len(embedding)+1),
+         |       i -> CAST(embedding[i] AS DOUBLE) *
+         |            (CASE WHEN substring(md5('plane$p,' || CAST(i-1 AS VARCHAR)), 1, 1) <= '7'
+         |             THEN 1.0 ELSE -1.0 END))) >= 0 THEN '1' ELSE '0' END)""".stripMargin
+    }.mkString(" ||\n    ")
+    QueryDef("q36_ann_lsh",
+      s"""WITH bk AS (
+         |  SELECT vec_id, embedding,
+         |    $bucketBits AS bucket
+         |  FROM embeddings
+         |), p AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |         ${dotSql("q.embedding", "c.embedding")} AS dt,
+         |         ${normSql("q.embedding")} AS na, ${normSql("c.embedding")} AS nb
+         |  FROM bk q JOIN bk c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 50
+         |), r AS (
+         |  SELECT q_id, c_id, dt/(na*nb) AS cs,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY dt/(na*nb) DESC, c_id) AS rn
+         |  FROM p
+         |)
+         |SELECT q_id, c_id, rn, round(cs, 4) AS cos FROM r WHERE rn <= 3
+         |ORDER BY q_id, rn""") { (s, dir) =>
+      Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 3, planes = lshPlanes, queryPred = col("vec_id") < 50)
+        .orderBy("q_id", "rn")
+    }
+  }
+
+  // --------------------------------------------------------------- Q37
+  val q37 = QueryDef("q37_embed_neardup",
+    s"""WITH p AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |         ${dotSql("a.embedding", "b.embedding")} AS dt,
+       |         ${normSql("a.embedding")} AS na, ${normSql("b.embedding")} AS nb
+       |  FROM embeddings a JOIN embeddings b
+       |    ON a.label = b.label AND a.vec_id < b.vec_id
+       |)
+       |SELECT id_a, id_b, round(dt/(na*nb), 4) AS cos FROM p
+       |WHERE round(dt/(na*nb), 4) >= 0.3 ORDER BY id_a, id_b""") { (s, dir) =>
+    Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", "label", 0.3)
+      .orderBy("id_a", "id_b")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37)
+}
