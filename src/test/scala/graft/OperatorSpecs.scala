@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.operators.{AsOfJoin, Dedup, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** Per-operator unit specs over the sf0.001 fixtures: shapes, invariants
+  * and spot values. (Cross-engine value parity is covered by the DuckDB
+  * oracle gate — tools/local_verify.py.) */
+class DedupSpec extends SparkSuite {
+  private lazy val docs = Tables(spark, sfDir, "documents")
+
+  test("exact dedup: one row per distinct text, counts sum to corpus size") {
+    val d = Dedup.exact(docs, "doc_id", "text").cache()
+    assert(d.count() === docs.select("text").distinct().count())
+    assert(d.agg(sum("dup_cnt")).head.getLong(0) === docs.count())
+  }
+
+  test("minhash candidates: symmetric-free ordered pairs, ids valid") {
+    val c = Dedup.minhashCandidates(docs, "doc_id", "text", n = 1, k = 12, bands = 2)
+    assert(c.filter(col("doc_a") >= col("doc_b")).count() === 0)
+    assert(c.count() === c.distinct().count())
+  }
+
+  test("simhash: fixed-width bit string per doc") {
+    val s = Dedup.simhashSignature(docs, "doc_id", "text", bits = 16)
+    assert(s.count() === docs.count())
+    assert(s.filter(not(col("sig").rlike("^[01]{16}$"))).count() === 0)
+  }
+
+  test("ngram jaccard: values within (0, 1]") {
+    val j = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 1, theta = 0.5)
+    assert(j.filter(col("jacc") > 1.0 || col("jacc") <= 0.0).count() === 0)
+    assert(j.count() > 0) // corpus has high word-set overlap by construction
+  }
+}
+
+class SimilaritySpec extends SparkSuite {
+  private lazy val emb = Tables(spark, sfDir, "embeddings")
+
+  test("brute-force top-k: k rows per query, cosine descending, no self") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val r = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 3).cache()
+    assert(r.groupBy("q_id").count().filter(col("count") =!= 3).count() === 0)
+    assert(r.filter(col("q_id") === col("c_id")).count() === 0)
+    val perQ = r.orderBy("q_id", "rn").collect().grouped(3)
+    perQ.foreach { rows =>
+      val cs = rows.map(_.getAs[Double]("cos"))
+      assert(cs.sameElements(cs.sortBy(-_)), "cos not descending within a query")
+    }
+  }
+
+  test("lsh top-k results are a subset of brute-force candidates in score") {
+    val l = Similarity.lshTopK(emb, "vec_id", "embedding", k = 3, planes = 4,
+      queryPred = col("vec_id") < 5)
+    // bucketing can only shrink the candidate set → lsh best score <= exact best
+    val exact = Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", 1)
+      .select(col("q_id"), col("cos").as("best"))
+    val joined = l.filter(col("rn") === 1).join(exact, "q_id")
+    assert(joined.filter(col("cos") > col("best")).count() === 0)
+  }
+
+  test("cosine of a vector with itself is 1") {
+    val self = emb.limit(10).select(
+      TextFunctions.round4(VectorFunctions.cosine(col("embedding"), col("embedding"))).as("c"))
+    assert(self.filter(col("c") =!= 1.0).count() === 0)
+  }
+}
+
+class TextAnalysisSpec extends SparkSuite {
+  private lazy val docs = Tables(spark, sfDir, "documents")
+
+  test("langid covers every doc with a known language code") {
+    val l = TextAnalysis.langId(docs, "doc_id", "text")
+    assert(l.count() === docs.count())
+    assert(l.filter(not(col("pred_lang").isin(TextFunctions.langIdOrder: _*))).count() === 0)
+  }
+
+  test("quality score within [0, 1]; ratios within [0, 1]") {
+    val q = TextAnalysis.qualityScore(docs, "doc_id", "text")
+    assert(q.filter(col("score") < 0 || col("score") > 1).count() === 0)
+    assert(q.filter(col("alpha_ratio") < 0 || col("alpha_ratio") > 1).count() === 0)
+  }
+
+  test("token counts: regex tokens >= whitespace tokens on alnum text") {
+    val c = TextAnalysis.tokenCounts(docs, "doc_id", "text")
+    assert(c.filter(col("n_re_tok") < col("n_ws_tok")).count() === 0)
+  }
+
+  test("fingerprint: stable hex outputs, bottom4 = 4 concatenated digests") {
+    val f = TextAnalysis.fingerprint(docs, "doc_id", "text")
+    assert(f.filter(length(col("fp_bottom4")) =!= 128).count() === 0)
+    assert(f.filter(not(col("fp_min").rlike("^[0-9a-f]{32}$"))).count() === 0)
+  }
+}
+
+class AsOfJoinSpec extends SparkSuite {
+  test("asof picks the latest right row at or before the left time") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 205L), (3L, 99L, 100L))
+      .toDF("id", "key", "t")
+    val right = Seq((10L, 90L, "a"), (10L, 100L, "b"), (10L, 200L, "c"))
+      .toDF("rkey", "rt", "v")
+    val r = AsOfJoin.byId(left, right, "id", "key", "rkey", "t", "rt", "rt")
+      .select("id", "v").collect().map(x => (x.getLong(0), x.getString(1))).toMap
+    assert(r(1L) === "b") // boundary: rt == t included
+    assert(r(2L) === "c")
+    assert(r.get(3L).contains(null)) // no match → kept with null
+  }
+}
+
+class RegistrySpec extends SparkSuite {
+  test("all registered queries run and return rows on sf0.001 (except known-empty)") {
+    val mayBeEmpty = Set("q10_anti_join")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sfDir).count()
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("every oracle name exists in queries; entry returns rows") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
