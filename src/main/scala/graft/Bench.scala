@@ -1,23 +1,57 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+import graft.operators.InvertedIndex
+
+/** Driver-run benchmark: times the headline queries at the given scale
+  * factor on a local[32] session and prints ONE JSON line
+  * `{"metric":…,"value":…,"unit":"sec","queries":{…},"sf":…}`.
+  *
+  * Headline set = the reference's own query (q01) + the relational
+  * core shapes (agg, joins, window, top-k) + the LLM-pipeline
+  * flagships (minhash dedup, ANN) — plus `ref_inverted_index`, the
+  * inverted index built over the reference's actual 355-file corpus,
+  * directly comparable to BASELINE.md's sequential-run budget.
+  */
 object Bench {
+  val headline: Seq[String] = Seq(
+    "q01_inverted_index", "q02_filter_project", "q03_agg_tpch1",
+    "q05_join_agg", "q06_broadcast_join", "q07_multiway_join",
+    "q11_range_join", "q14_window_rank", "q16_topk", "q22_tumbling_window",
+    "q24_exact_dedup", "q26_term_freq", "q27_minhash_lsh", "q28_simhash",
+    "q30_langid", "q32_token_count", "q33_fingerprint",
+    "q34_asof_join", "q35_ann_topk", "q36_ann_lsh")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def time(body: => Unit): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try body catch { case _: Throwable => return -1.0 }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+
+    // JVM/codegen warmup outside the timed region.
+    SparkEntry.queries("q03_agg_tpch1")(spark, sfDir).count()
+
+    val results: Seq[(String, Double)] = headline.map { name =>
+      name -> time(SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save())
+    } :+ ("ref_inverted_index" -> time {
+      val files = InvertedIndex.readManifest("/root/reference/checker/test.txt")
+      InvertedIndex.buildIndex(spark, files).write.format("noop").mode("overwrite").save()
+    })
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
