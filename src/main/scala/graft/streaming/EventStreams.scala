@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the `events` stream shape
+  * (`event_id, ts, user_id, event_type, value, props`).
+  *
+  * Every transform here takes a plain DataFrame, so the identical code
+  * runs in batch (for the DuckDB-oracle twins q22/q23) and under
+  * `readStream` (watermarks only bind on streaming plans). Batch
+  * equivalence is the test contract (SURVEY §7.2 M4): same input ⇒ same
+  * aggregate as the batch query.
+  *
+  * Scale notes: windowed aggregates shuffle on (window, key) and keep
+  * per-window state in the state store; the watermark bounds state so a
+  * 100 TB/day stream doesn't accumulate unbounded windows. Session
+  * windows use Spark's native `session_window` (state-store-merged
+  * gap sessions).
+  */
+object EventStreams {
+
+  /** Tumbling 1-hour windows per event type (streaming twin of q22).
+    * 10-minute watermark: late events beyond it are dropped, closed
+    * windows are evicted from state. */
+  def tumblingHourly(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding windows: 1-hour span every 15 minutes. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Native gap-based session windows per user (30-minute inactivity
+    * gap — the streaming twin of q23's lag-based sessionization). */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+
+  // ------------------------------------------------------------------
+  // Custom state: mapGroupsWithState session counting
+  // ------------------------------------------------------------------
+
+  case class Ev(user_id: Long, ts: java.sql.Timestamp)
+  case class SessState(lastTs: Long, sessions: Long, events: Long)
+  case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** Per-user session/event counters via explicit state
+    * (`mapGroupsWithState`) — the "custom stateful operator" surface.
+    * Equivalent to q23 when the whole input arrives in one batch. */
+  def statefulSessionCounts(events: Dataset[Ev], gapSeconds: Long = 1800): Dataset[UserSessions] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessState, UserSessions](GroupStateTimeout.NoTimeout) {
+        (user, evs, state: GroupState[SessState]) =>
+          val prior = state.getOption.getOrElse(SessState(Long.MinValue, 0L, 0L))
+          val next = evs.toSeq.sortBy(_.ts.getTime).foldLeft(prior) { (st, e) =>
+            val t = e.ts.getTime / 1000
+            val newSession = st.lastTs == Long.MinValue || t - st.lastTs > gapSeconds
+            SessState(t, st.sessions + (if (newSession) 1 else 0), st.events + 1)
+          }
+          state.update(next)
+          UserSessions(user, next.sessions, next.events)
+      }
+  }
+
+  /** Replay a batch DataFrame's rows through a real streaming source
+    * (file source over a temp parquet copy), apply `transform`, collect
+    * to a memory sink. Test/demo harness for batch equivalence. */
+  def replayThroughStream(spark: SparkSession, batch: DataFrame,
+      transform: DataFrame => DataFrame, queryName: String,
+      mode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory(s"stream_$queryName").toString
+    batch.write.mode("overwrite").parquet(s"$dir/in")
+    val src = spark.readStream.schema(batch.schema).parquet(s"$dir/in")
+    val q = transform(src).writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(queryName)
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+}
