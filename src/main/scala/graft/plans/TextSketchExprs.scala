@@ -1,0 +1,123 @@
+package graft.plans
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native sketch expressions over a (shingle/word) `array<string>`
+  * column. Each replaces an explode → shuffle → k-way aggregate
+  * pipeline with a single narrow per-row evaluation: at 100 TB that
+  * removes the sketch stage's shuffle entirely (signatures become a map
+  * over the corpus; only the tiny banded keys shuffle afterwards).
+  * Values are identical to the built-in formulations, so the DuckDB
+  * oracles are unchanged.
+  */
+object TextSketchExprs {
+
+  /** MinHash signature: element j is the hex-min over shingles of
+    * `md5("$j|" + shingle)` — exactly [[graft.functions.TextFunctions.minhashAgg]]
+    * computed with one reused digest and no row explosion. Null for an
+    * empty shingle array (mirrors groupBy-over-nothing semantics). */
+  case class MinHashSignatureExpr(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = true
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      if (n == 0) return null
+      val salts: Array[Array[Byte]] = Array.tabulate(k)(j => s"$j|".getBytes("UTF-8"))
+      val mins = new Array[Array[Byte]](k)
+      val md = MessageDigest.getInstance("MD5")
+      var i = 0
+      while (i < n) {
+        val bytes = arr.getUTF8String(i).getBytes
+        var j = 0
+        while (j < k) {
+          md.reset(); md.update(salts(j)); md.update(bytes)
+          val d = md.digest()
+          if (mins(j) == null || unsignedLess(d, mins(j))) mins(j) = d
+          j += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(mins.map(d => UTF8String.fromString(hex(d))))
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "minhash_signature"
+  }
+
+  /** SimHash bit-string: bit p is 1 iff the sum over words of
+    * ±1(md5("sh$p|" + word)) is ≥ 0, where the sign is + when the
+    * digest's first hex nibble is ≤ '7'. Token multiplicity counts
+    * (term-frequency weighting). Null for an empty word array. */
+  case class SimHashExpr(child: Expression, bits: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      if (n == 0) return null
+      val salts: Array[Array[Byte]] = Array.tabulate(bits)(p => s"sh$p|".getBytes("UTF-8"))
+      val sums = new Array[Int](bits)
+      val md = MessageDigest.getInstance("MD5")
+      var i = 0
+      while (i < n) {
+        val bytes = arr.getUTF8String(i).getBytes
+        var p = 0
+        while (p < bits) {
+          md.reset(); md.update(salts(p)); md.update(bytes)
+          // first hex nibble <= '7'  ⇔  signed first byte >= 0
+          sums(p) += (if (md.digest()(0) >= 0) 1 else -1)
+          p += 1
+        }
+        i += 1
+      }
+      val sb = new java.lang.StringBuilder(bits)
+      var p = 0
+      while (p < bits) { sb.append(if (sums(p) >= 0) '1' else '0'); p += 1 }
+      UTF8String.fromString(sb.toString)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "simhash"
+  }
+
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val x = a(i) & 0xff; val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  private def hex(d: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < d.length) {
+      sb.append(Character.forDigit((d(i) >> 4) & 0xf, 16))
+      sb.append(Character.forDigit(d(i) & 0xf, 16))
+      i += 1
+    }
+    sb.toString
+  }
+
+  def minhashSignature(shingles: Column, k: Int): Column =
+    GraftColumnBridge.toColumn(MinHashSignatureExpr(GraftColumnBridge.toExpression(shingles), k))
+
+  def simhash(words: Column, bits: Int): Column =
+    GraftColumnBridge.toColumn(SimHashExpr(GraftColumnBridge.toExpression(words), bits))
+}

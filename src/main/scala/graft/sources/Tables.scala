@@ -35,3 +35,17 @@ object Tables {
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
 }
+
+/** Parallelism hygiene for CPU-bound narrow maps (hashing, decode).
+  * A small parquet file arrives as one input split, which would pin a
+  * per-row sketch expression to one core; a 100 TB input already has
+  * thousands of splits and must NOT be reshuffled just to hash it. So:
+  * rebalance only when the scan's split count is below the session's
+  * parallelism — the shuffled payload in that case is small by
+  * definition. */
+object Balance {
+  def cpuBound(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+}
