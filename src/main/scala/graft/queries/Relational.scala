@@ -249,6 +249,29 @@ object Relational {
       .orderBy("g_prio", "g_status", "prio", "status")
   }
 
+  /** Explicit GROUPING SETS through the engine's SQL entry point
+    * (views registered via [[Tables.registerAll]], then `spark.sql` —
+    * the same text a DuckDB user would write). */
+  val q12b = QueryDef("q12b_grouping_sets",
+    """SELECT coalesce(o_orderpriority, '(all)') AS prio,
+      |       coalesce(o_orderstatus, '(all)') AS status,
+      |       CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+      |       CAST(grouping(o_orderstatus) AS INT) AS g_status,
+      |       count(*) AS n
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+      |ORDER BY g_prio, g_status, prio, status""") { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql("""SELECT coalesce(o_orderpriority, '(all)') AS prio,
+            |       coalesce(o_orderstatus, '(all)') AS status,
+            |       CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+            |       CAST(grouping(o_orderstatus) AS INT) AS g_status,
+            |       count(*) AS n
+            |FROM orders
+            |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+            |ORDER BY g_prio, g_status, prio, status""".stripMargin)
+  }
+
   // --------------------------------------------------------------- Q13
   val q13 = QueryDef("q13_cube",
     """SELECT coalesce(l_returnflag, '(all)') AS rf,
@@ -369,12 +392,14 @@ object Relational {
   val q19 = QueryDef("q19_date_fns",
     """SELECT strftime(o_orderdate, '%Y-%m') AS month,
       |       CAST(year(o_orderdate) AS INT) AS yr,
+      |       CAST(quarter(o_orderdate) AS INT) AS qtr,
       |       count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
-      |FROM orders GROUP BY month, yr ORDER BY month""") { (s, dir) =>
+      |FROM orders GROUP BY month, yr, qtr ORDER BY month""") { (s, dir) =>
     t(s, dir, "orders")
       .groupBy(
         date_format(col("o_orderdate"), "yyyy-MM").as("month"),
-        year(col("o_orderdate")).as("yr"))
+        year(col("o_orderdate")).as("yr"),
+        quarter(col("o_orderdate")).as("qtr"))
       .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
       .orderBy("month")
   }
@@ -409,11 +434,15 @@ object Relational {
 
   // --------------------------------------------------------------- Q21
   val q21 = QueryDef("q21_json_fns",
-    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k,
+      |       json_keys(props)[1] AS first_key
       |FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
       |ORDER BY event_id""") { (s, dir) =>
     t(s, dir, "events")
-      .select(col("event_id"), get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"),
+        element_at(map_keys(from_json(col("props"), "map<string,int>",
+          Map.empty[String, String])), 1).as("first_key"))
       .filter(col("k").isNotNull)
       .orderBy("event_id")
   }
@@ -465,6 +494,6 @@ object Relational {
 
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q04b, q05, q06, q07, q08, q09, q10,
-    q11, q11b, q12, q13, q14, q15, q16, q17, q18, q19, q20,
+    q11, q11b, q12, q12b, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23)
 }
