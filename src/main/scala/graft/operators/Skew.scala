@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Manual skew mitigation for the cases AQE can't fix alone.
+  *
+  * AQE's runtime skew-join split handles most shuffle-join skew; these
+  * helpers cover the two remaining shapes at 100 TB:
+  *  - a *hot aggregation key* ("the" appears in ~82% of the reference
+  *    corpus files): [[saltedAggregate]] splits each key across
+  *    `salts` reducers, then re-aggregates the partials;
+  *  - a *hot join key* against a replicable right side:
+  *    [[saltedJoin]] spreads the big side's hot key over `salts`
+  *    partitions by replicating the small side once per salt.
+  *
+  * Both are semantics-preserving (specs assert equality with the
+  * unsalted plans); salting costs one extra narrow stage + `salts`×
+  * replication of the small side, so apply only where skew is measured.
+  */
+object Skew {
+
+  /** Deterministic row salt in [0, salts). Hashes the given columns —
+    * pass high-cardinality columns (not the group key!) so one hot
+    * group key spreads evenly. */
+  def salt(salts: Int, cols: Column*): Column =
+    pmod(xxhash64(cols: _*), lit(salts.toLong)).cast("int")
+
+  /** Two-phase count/sum aggregation: partial by (key, salt), final by
+    * key. `sumCols` are summed; row counts come back as `n`. */
+  def saltedAggregate(df: DataFrame, keyCol: String, saltCol: Column,
+      salts: Int, sumCols: Seq[String]): DataFrame = {
+    val partial = df
+      .withColumn("_salt", saltCol)
+      .groupBy(col(keyCol), col("_salt"))
+      .agg(count(lit(1)).as("n"),
+        sumCols.map(c => sum(col(c)).as(s"sum_$c")): _*)
+    partial
+      .groupBy(col(keyCol))
+      .agg(sum(col("n")).as("n"),
+        sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c")): _*)
+  }
+
+  /** Salted equi-join: the big (skewed) side gets a deterministic salt;
+    * the small side is replicated once per salt value; the join runs on
+    * (key, salt). Inner-join semantics. */
+  def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
+      smallKey: String, salts: Int, bigSaltSource: Seq[String]): DataFrame = {
+    val saltedBig = big.withColumn("_salt", salt(salts, bigSaltSource.map(col): _*))
+    val replicatedSmall = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedBig
+      .join(replicatedSmall,
+        saltedBig(bigKey) === replicatedSmall(smallKey)
+          && saltedBig("_salt") === replicatedSmall("_salt"))
+      .drop("_salt")
+  }
+}

@@ -1,0 +1,27 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Source/sink helpers beyond the parquet catalog: the engine reads and
+  * writes parquet/csv/json, with partitioned layouts as the default for
+  * anything at scale (partition-column directories → partition pruning
+  * at read time, verified in SinksSpec via the plan's PartitionFilters).
+  */
+object Sinks {
+
+  /** Partitioned columnar write — the standard large-scale layout. */
+  def writePartitioned(df: DataFrame, outDir: String, partitionCols: Seq[String],
+      format: String = "parquet"): Unit = {
+    val w = df.write.mode("overwrite").format(format)
+    val p = if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w
+    (if (format == "csv") p.option("header", "true") else p).save(outDir)
+  }
+
+  def read(spark: SparkSession, dir: String, format: String = "parquet"): DataFrame = {
+    val r = spark.read.format(format)
+    (format match {
+      case "csv" => r.option("header", "true").option("inferSchema", "true")
+      case _ => r
+    }).load(dir)
+  }
+}

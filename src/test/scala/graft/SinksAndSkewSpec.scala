@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Skew
+import graft.sources.{Sinks, Tables}
+
+class SinksAndSkewSpec extends SparkSuite {
+
+  test("partitioned parquet round-trip with partition pruning") {
+    val li = Tables(spark, sfDir, "lineitem")
+    val dir = Files.createTempDirectory("sink_pq").toString
+    Sinks.writePartitioned(li, dir, Seq("l_returnflag"))
+    val back = Sinks.read(spark, dir)
+    assert(back.count() === li.count())
+    val pruned = back.filter(col("l_returnflag") === "R")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("l_returnflag"))
+    assert(pruned.count() === li.filter(col("l_returnflag") === "R").count())
+  }
+
+  test("csv and json round-trips preserve row counts and values") {
+    val docs = Tables(spark, sfDir, "documents").select("doc_id", "lang", "n_chars")
+    for (fmt <- Seq("csv", "json")) {
+      val dir = Files.createTempDirectory(s"sink_$fmt").toString
+      Sinks.writePartitioned(docs, dir, Seq("lang"), fmt)
+      val back = Sinks.read(spark, dir, fmt)
+        .select(col("doc_id").cast("long"), col("lang"), col("n_chars").cast("long"))
+      assert(back.count() === docs.count(), s"$fmt count")
+      assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty, s"$fmt values")
+    }
+  }
+
+  test("salted aggregate == direct aggregate on a skewed key") {
+    val li = Tables(spark, sfDir, "lineitem") // l_returnflag is low-cardinality/hot
+    val salted = Skew.saltedAggregate(li, "l_returnflag",
+      Skew.salt(8, col("l_orderkey"), col("l_linenumber")), 8, Seq("l_quantity"))
+      .select(col("l_returnflag"), col("n"), round(col("sum_l_quantity"), 2).as("s"))
+    val direct = li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("s"))
+    assert(salted.exceptAll(direct).isEmpty && direct.exceptAll(salted).isEmpty)
+  }
+
+  test("salted join == plain join") {
+    val li = Tables(spark, sfDir, "lineitem")
+    val part = Tables(spark, sfDir, "part")
+    val salted = Skew.saltedJoin(li, part, "l_partkey", "p_partkey",
+      salts = 8, bigSaltSource = Seq("l_orderkey", "l_linenumber"))
+      .select("l_orderkey", "l_linenumber", "p_brand")
+    val plain = li.join(part, col("l_partkey") === col("p_partkey"))
+      .select("l_orderkey", "l_linenumber", "p_brand")
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+}
