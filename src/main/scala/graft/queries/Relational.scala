@@ -75,6 +75,8 @@ object Relational {
       |  round(sum(l_quantity), 2) AS sum_qty,
       |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_rev,
       |  round(avg(l_quantity), 4) AS avg_qty,
+      |  round(min(l_extendedprice), 2) AS min_price,
+      |  round(max(l_extendedprice), 2) AS max_price,
       |  count(*) AS n
       |FROM lineitem GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""") { (s, dir) =>
@@ -84,6 +86,8 @@ object Relational {
         round(sum(col("l_quantity")), 2).as("sum_qty"),
         round(sum(revenue), 2).as("sum_rev"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(min(col("l_extendedprice")), 2).as("min_price"),
+        round(max(col("l_extendedprice")), 2).as("max_price"),
         count(lit(1)).as("n"))
       .orderBy("l_returnflag", "l_linestatus")
   }
@@ -324,14 +328,17 @@ object Relational {
       |         ORDER BY o_orderdate, o_orderkey
       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_sum,
       |       round(o_totalprice - lag(o_totalprice) OVER (PARTITION BY o_custkey
-      |         ORDER BY o_orderdate, o_orderkey), 2) AS delta
+      |         ORDER BY o_orderdate, o_orderkey), 2) AS delta,
+      |       round(lead(o_totalprice) OVER (PARTITION BY o_custkey
+      |         ORDER BY o_orderdate, o_orderkey), 2) AS next_price
       |FROM orders ORDER BY o_custkey, o_orderkey""") { (s, dir) =>
     val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
     t(s, dir, "orders")
       .withColumn("running_sum",
         round(sum(col("o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
       .withColumn("delta", round(col("o_totalprice") - lag(col("o_totalprice"), 1).over(w), 2))
-      .select("o_custkey", "o_orderkey", "running_sum", "delta")
+      .withColumn("next_price", round(lead(col("o_totalprice"), 1).over(w), 2))
+      .select("o_custkey", "o_orderkey", "running_sum", "delta", "next_price")
       .orderBy("o_custkey", "o_orderkey")
   }
 
@@ -376,7 +383,8 @@ object Relational {
     """SELECT p_partkey, lower(p_name) AS lname, substring(p_name, 1, 5) AS pfx,
       |       regexp_replace(p_name, '[aeiou]', '', 'g') AS novowel,
       |       concat_ws('-', p_brand, p_type) AS bt,
-      |       CAST(length(p_name) AS INT) AS len
+      |       CAST(length(p_name) AS INT) AS len,
+      |       CAST(abs(p_size - 25) AS INT) AS size_dev
       |FROM part ORDER BY p_partkey""") { (s, dir) =>
     t(s, dir, "part").select(
         col("p_partkey"),
@@ -384,7 +392,8 @@ object Relational {
         substring(col("p_name"), 1, 5).as("pfx"),
         regexp_replace(col("p_name"), "[aeiou]", "").as("novowel"),
         concat_ws("-", col("p_brand"), col("p_type")).as("bt"),
-        length(col("p_name")).as("len"))
+        length(col("p_name")).as("len"),
+        abs(col("p_size") - 25).as("size_dev"))
       .orderBy("p_partkey")
   }
 

@@ -42,6 +42,46 @@ class StreamingSpec extends SparkSuite {
     assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
   }
 
+  test("late data beyond the watermark is dropped (append mode)") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("late").toString
+    val onTime = events.filter(col("event_id") < 500)
+    val maxTs = onTime.agg(max("ts")).head.getTimestamp(0)
+    // one event 2 hours older than the stream's max — far beyond the
+    // 10-minute watermark once batch 1 advances it
+    val late = events.filter(col("event_id") === 999)
+      .withColumn("ts", lit(new java.sql.Timestamp(maxTs.getTime - 2 * 3600 * 1000)))
+
+    onTime.write.parquet(s"$dir/in/b1")
+    val src = spark.readStream.schema(events.schema).parquet(s"$dir/in/*")
+    val q = EventStreams.tumblingHourly(src).writeStream
+      .outputMode("append")
+      .format("memory").queryName("late_mem")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      q.processAllAvailable() // batch 1: watermark advances to maxTs - 10min
+      late.write.mode("append").parquet(s"$dir/in/b2")
+      q.processAllAvailable() // batch 2: the late event must be discarded
+      // a third empty-ish batch lets closed windows flush in append mode
+      events.filter(col("event_id") === 0).write.mode("append").parquet(s"$dir/in/b3")
+      q.processAllAvailable()
+    } finally q.stop()
+    val emitted = spark.table("late_mem")
+    val lateHour = new java.sql.Timestamp(
+      (maxTs.getTime - 2 * 3600 * 1000) / 3600000 * 3600000)
+    val lateType = late.select("event_type").head.getString(0)
+    // the late event's (hour, type) cell must not include its contribution:
+    // compare against batch-over-onTime (which excludes the late row)
+    val batchCell = EventStreams.tumblingHourly(onTime)
+      .filter(col("hour_start") === lateHour && col("event_type") === lateType)
+      .select("n").collect().map(_.getLong(0)).headOption.getOrElse(0L)
+    val streamCell = emitted
+      .filter(col("hour_start") === lateHour && col("event_type") === lateType)
+      .select("n").collect().map(_.getLong(0)).headOption.getOrElse(0L)
+    assert(streamCell <= batchCell, "late event leaked into a closed window")
+  }
+
   test("sliding windows: each event lands in 4 windows") {
     val total = EventStreams.slidingCounts(events).agg(sum("n")).head.getLong(0)
     assert(total === events.count() * 4)
