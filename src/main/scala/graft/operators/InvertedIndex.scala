@@ -54,15 +54,18 @@ object InvertedIndex {
     val scanned = spark.read.textFile(files.map(_._1): _*)
       .select(col("value"),
         regexp_replace(col("_metadata.file_path"), "^file:/+", "/").as("path"))
-    val pairs = scanned
+    scanned
       .join(broadcast(manifest), "path") // tiny dim: path → 1-based id
       .select(col("file_id"), explode(TextFunctions.whitespaceTokens(col("value"))).as("tok"))
       .select(col("file_id"), TextFunctions.normalizeWord(col("tok")).as("word"))
       .filter(length(col("word")) > 0)
-      .distinct()
-    pairs.groupBy("word")
-      .agg(sort_array(collect_set(col("file_id"))).as("ids"), count(lit(1)).as("cnt"))
-      .select(col("word"), substring(col("word"), 1, 1).as("letter"), col("ids"), col("cnt"),
+      // collect_set dedups (word, file) pairs in its partial aggregate:
+      // the reference's map-side combine (O6) and global dedup (O8) in
+      // one shuffle instead of distinct + regroup
+      .groupBy("word")
+      .agg(sort_array(collect_set(col("file_id"))).as("ids"))
+      .select(col("word"), substring(col("word"), 1, 1).as("letter"), col("ids"),
+        size(col("ids")).as("cnt"),
         concat(col("word"), lit(":["), concat_ws(" ", col("ids")), lit("]")).as("line"))
   }
 

@@ -44,17 +44,20 @@ object Relational {
       |SELECT substring(word, 1, 1) AS letter,
       |       word || ':[' || array_to_string(ids, ' ') || ']' AS line
       |FROM idx ORDER BY letter, cnt DESC, word""") { (s, dir) =>
-    val pairs = t(s, dir, "documents")
+    // No explicit distinct: collect_set dedups (word, doc) pairs inside
+    // its partial aggregation, so the whole index needs ONE shuffle —
+    // the reference's map-side combine (O6) and global dedup (O8) both
+    // happen in partial_collect_set before the exchange.
+    t(s, dir, "documents")
       .select(col("doc_id"), explode(TextFunctions.whitespaceTokens(col("text"))).as("tok"))
       .select(col("doc_id"), TextFunctions.normalizeWord(col("tok")).as("word"))
       .filter(length(col("word")) > 0)
-      .distinct() // map-side partial + final distinct == reference O6/O8
-    pairs.groupBy("word")
-      .agg(sort_array(collect_set(col("doc_id"))).as("ids"), count(lit(1)).as("cnt"))
+      .groupBy("word")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
       .select(
         substring(col("word"), 1, 1).as("letter"),
         concat(col("word"), lit(":["), concat_ws(" ", col("ids")), lit("]")).as("line"),
-        col("cnt"), col("word"))
+        size(col("ids")).as("cnt"), col("word"))
       .orderBy(col("letter"), col("cnt").desc, col("word"))
       .select("letter", "line")
   }
@@ -432,7 +435,6 @@ object Relational {
       .select(col("doc_id"), explode(TextFunctions.whitespaceTokens(col("text"))).as("tok"))
       .select(col("doc_id"), TextFunctions.normalizeWord(col("tok")).as("word"))
       .filter(length(col("word")) > 0)
-      .distinct()
       .groupBy("word")
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
       .select(col("word"), size(col("ids")).as("n_ids"),

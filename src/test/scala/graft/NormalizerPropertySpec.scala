@@ -1,0 +1,52 @@
+package graft
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** ScalaCheck properties for the reference-faithful normalizer
+  * (SURVEY §5: output ⊆ [a-z]*, idempotence, whitespace-split
+  * faithfulness) — evaluated through the real Catalyst expressions on a
+  * local session, not a Scala reimplementation. */
+object NormalizerPropertySpec extends Properties("normalizer") {
+
+  private lazy val spark = org.apache.spark.sql.SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def normalize(inputs: Seq[String]): Seq[String] = {
+    import spark.implicits._
+    inputs.toDF("s").select(TextFunctions.normalizeWord(col("s"))).as[String].collect().toSeq
+  }
+
+  private val weird: Gen[String] = Gen.listOf(Gen.oneOf(
+    Gen.alphaNumChar, Gen.oneOf(' ', '\t', '\'', '-', '.', 'É', 'ß', '漢', '0', '9'),
+    Gen.asciiPrintableChar)).map(_.mkString)
+
+  property("output contains only [a-z]") = forAll(Gen.listOfN(5, weird)) { ss =>
+    normalize(ss).forall(_.matches("[a-z]*"))
+  }
+
+  property("idempotent") = forAll(Gen.listOfN(5, weird)) { ss =>
+    val once = normalize(ss)
+    normalize(once) == once
+  }
+
+  property("pure [a-z] strings pass through unchanged") =
+    forAll(Gen.listOfN(5, Gen.listOf(Gen.choose('a', 'z')).map(_.mkString))) { ss =>
+      normalize(ss) == ss
+    }
+
+  property("tokenizer emits no whitespace-containing tokens") =
+    forAll(Gen.listOfN(3, weird)) { ss =>
+      import spark.implicits._
+      ss.toDF("s")
+        .select(explode(TextFunctions.normalizedWords(col("s"))).as("w")).as[String]
+        .collect().forall(w => w.nonEmpty && !w.exists(_.isWhitespace))
+    }
+}
