@@ -58,6 +58,44 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("rn"), round(cos, 4).as("cos"))
   }
 
+  /** IVF-style top-k: vectors are assigned to their nearest centroid
+    * (inverted file lists), and each query searches only the `nProbe`
+    * centroids nearest to it. Centroids here are a deterministic subset
+    * of the corpus (`centroidPred`) so the oracle can reproduce them; a
+    * production build would k-means them — the dataflow (assign via
+    * broadcast centroid join → probe-list equi-join → score within
+    * lists) is identical. Recall < 1 by design; candidates outside the
+    * probed lists are never scored. */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      nProbe: Int, centroidPred: org.apache.spark.sql.Column,
+      queryPred: org.apache.spark.sql.Column): DataFrame = {
+    val cent = emb.filter(centroidPred)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("centv"))
+    val cos = VectorFunctions.cosine(col("v"), col("centv"))
+    // inverted lists: every vector → its single nearest centroid
+    val wAssign = Window.partitionBy(col("vid")).orderBy(cos.desc, col("cent_id"))
+    val assigned = emb.select(col(idCol).as("vid"), col(vecCol).as("v"))
+      .join(broadcast(cent))
+      .withColumn("crn", row_number().over(wAssign))
+      .filter(col("crn") === 1)
+      .select(col("vid"), col("v"), col("cent_id"))
+    // probe lists: every query → its nProbe nearest centroids
+    val probes = emb.filter(queryPred).select(col(idCol).as("q_id"), col(vecCol).as("qv"))
+      .join(broadcast(cent))
+      .withColumn("prn", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(VectorFunctions.cosine(col("qv"), col("centv")).desc, col("cent_id"))))
+      .filter(col("prn") <= nProbe)
+      .select(col("q_id"), col("qv"), col("cent_id"))
+    val qcos = VectorFunctions.cosine(col("qv"), col("v"))
+    val wTop = Window.partitionBy(col("q_id")).orderBy(qcos.desc, col("vid"))
+    probes.join(assigned, Seq("cent_id"))
+      .filter(col("q_id") =!= col("vid"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vid").as("c_id"), col("rn"), round(qcos, 4).as("cos"))
+  }
+
   /** Embedding near-duplicate pairs within a blocking bucket (e.g. a
     * cluster/label column or an LSH bucket): all same-bucket pairs with
     * cosine ≥ theta. Blocking keeps the pair space linear-ish; at scale

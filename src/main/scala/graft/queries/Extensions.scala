@@ -306,6 +306,45 @@ object Extensions {
       .orderBy("id_a", "id_b")
   }
 
+  // --------------------------------------------------------------- Q38
+  val q38 = QueryDef("q38_ann_ivf",
+    s"""WITH cent AS (
+       |  SELECT vec_id AS cent_id, embedding AS centv FROM embeddings WHERE vec_id < 8
+       |), asn AS (
+       |  SELECT vid, cent_id FROM (
+       |    SELECT vid, cent_id, row_number() OVER (PARTITION BY vid ORDER BY cs DESC, cent_id) AS crn
+       |    FROM (SELECT v.vec_id AS vid, c.cent_id,
+       |                 ${dotSql("v.embedding", "c.centv")} / (${normSql("v.embedding")} * ${normSql("c.centv")}) AS cs
+       |          FROM embeddings v CROSS JOIN cent c)
+       |  ) WHERE crn = 1
+       |), probes AS (
+       |  SELECT q_id, cent_id FROM (
+       |    SELECT q_id, cent_id, row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, cent_id) AS prn
+       |    FROM (SELECT q.vec_id AS q_id, c.cent_id,
+       |                 ${dotSql("q.embedding", "c.centv")} / (${normSql("q.embedding")} * ${normSql("c.centv")}) AS cs
+       |          FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10)
+       |  ) WHERE prn <= 2
+       |), scored AS (
+       |  SELECT p.q_id, a.vid AS c_id,
+       |         ${dotSql("qe.embedding", "ve.embedding")} AS dt,
+       |         ${normSql("qe.embedding")} AS na, ${normSql("ve.embedding")} AS nb
+       |  FROM probes p
+       |  JOIN asn a ON a.cent_id = p.cent_id
+       |  JOIN embeddings qe ON qe.vec_id = p.q_id
+       |  JOIN embeddings ve ON ve.vec_id = a.vid
+       |  WHERE p.q_id <> a.vid
+       |), r AS (
+       |  SELECT q_id, c_id, dt/(na*nb) AS cs,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY dt/(na*nb) DESC, c_id) AS rn
+       |  FROM scored
+       |)
+       |SELECT q_id, c_id, rn, round(cs, 4) AS cos FROM r WHERE rn <= 3
+       |ORDER BY q_id, rn""") { (s, dir) =>
+    Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 3, nProbe = 2, centroidPred = col("vec_id") < 8, queryPred = col("vec_id") < 10)
+      .orderBy("q_id", "rn")
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37)
+    q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38)
 }
