@@ -117,6 +117,38 @@ object Extensions {
     }
   }
 
+  /** SimHash near-dup pairs: 4 bit-bands of the 16-bit signature as
+    * LSH keys, exact Hamming ≤ 2 as the verify step. */
+  val q28b = {
+    val bitsSql = (0 until shBits).map { p =>
+      s"(CASE WHEN sum(CASE WHEN substring(md5('sh$p|' || word), 1, 1) <= '7' THEN 1 ELSE -1 END) >= 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+    val hammingSql = (1 to shBits).map { i =>
+      s"(CASE WHEN substring(sig_a, $i, 1) = substring(sig_b, $i, 1) THEN 0 ELSE 1 END)"
+    }.mkString(" + ")
+    val bandSelects = (0 until 4).map { b =>
+      s"SELECT doc_id, sig, $b AS band_idx, substring(sig, ${b * 4 + 1}, 4) AS bh FROM sig"
+    }.mkString("\n  UNION ALL ")
+    QueryDef("q28b_simhash_pairs",
+      s"""WITH $docwCte, tok AS (SELECT doc_id, unnest(w) AS word FROM docw),
+         |sig AS (SELECT doc_id, $bitsSql AS sig FROM tok GROUP BY doc_id),
+         |bands AS (
+         |  $bandSelects
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         a.sig AS sig_a, b.sig AS sig_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id
+         |)
+         |SELECT doc_a, doc_b, $hammingSql AS hamming
+         |FROM cand WHERE $hammingSql <= 2
+         |ORDER BY doc_a, doc_b""") { (s, dir) =>
+      Dedup.simhashCandidates(t(s, dir, "documents"), "doc_id", "text",
+          bits = shBits, bands = 4, maxHamming = 2)
+        .orderBy("doc_a", "doc_b")
+    }
+  }
+
   // --------------------------------------------------------------- Q29
   val q29 = QueryDef("q29_ngram_jaccard",
     s"""WITH $docwCte, sh AS (
@@ -345,6 +377,40 @@ object Extensions {
       .orderBy("q_id", "rn")
   }
 
+  // --------------------------------------------------------------- Q39
+  /** Native session_window (batch mode) under the oracle gate: session
+    * bounds as epoch seconds (sub-second precision differs ns-vs-µs
+    * across engines; flooring to seconds is cross-engine stable).
+    * Spark opens a new session when the gap is ≥ the 30-minute gap
+    * duration (an event exactly at the previous window's end starts a
+    * new session), mirrored in the oracle's `>= 1800`. */
+  val q39 = QueryDef("q39_session_window",
+    """WITH x AS (
+      |  SELECT user_id, ts, event_id,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+      |              THEN 1 ELSE 0 END AS new_sess
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), s AS (
+      |  SELECT user_id, ts,
+      |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |           ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM x
+      |)
+      |SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS start_s,
+      |       CAST(floor(epoch(max(ts))) AS BIGINT) + 1800 AS end_s,
+      |       count(*) AS n_events
+      |FROM s GROUP BY user_id, sid ORDER BY user_id, start_s""") { (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_timestamp(col("w.start")).as("start_s"),
+        unix_timestamp(col("w.end")).as("end_s"),
+        col("n_events"))
+      .orderBy("user_id", "start_s")
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38)
+    q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39)
 }

@@ -485,7 +485,7 @@ object Relational {
       |  FROM events
       |), f AS (
       |  SELECT user_id, CASE WHEN prev_ts IS NULL
-      |           OR CAST(epoch(ts) AS BIGINT) - CAST(epoch(prev_ts) AS BIGINT) > 1800
+      |           OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
       |         THEN 1 ELSE 0 END AS new_sess
       |  FROM x)
       |SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
