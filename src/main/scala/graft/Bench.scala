@@ -21,7 +21,8 @@ object Bench {
     "q11_range_join", "q14_window_rank", "q16_topk", "q22_tumbling_window",
     "q24_exact_dedup", "q26_term_freq", "q27_minhash_lsh", "q28_simhash",
     "q30_langid", "q32_token_count", "q33_fingerprint",
-    "q34_asof_join", "q35_ann_topk", "q36_ann_lsh")
+    "q34_asof_join", "q35_ann_topk", "q36_ann_lsh", "q38_ann_ivf",
+    "q39_session_window")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
