@@ -411,6 +411,21 @@ object Extensions {
       .orderBy("user_id", "start_s")
   }
 
+  // --------------------------------------------------------------- Q40
+  /** Multimodal pipeline smoke (rows-only — the stub codec is not
+    * SQL-expressible): pack → batched decode → resize → per-kind
+    * feature aggregate. */
+  val q40 = QueryDef.noOracle("q40_multimodal") { (s, dir) =>
+    import graft.operators.Multimodal
+    val assets = Multimodal.packAssets(t(s, dir, "documents"), "doc_id", "text", "image")
+    Multimodal.resize(Multimodal.decodeFeatures(assets), maxDim = 256)
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("out_w")), 2).as("avg_w"), round(avg(col("out_h")), 2).as("avg_h"))
+      .orderBy("kind")
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39)
+    q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q35, q36,
+    q37, q38, q39, q40)
 }
