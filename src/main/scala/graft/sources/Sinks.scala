@@ -17,6 +17,17 @@ object Sinks {
     (if (format == "csv") p.option("header", "true") else p).save(outDir)
   }
 
+  /** Bucketed managed table: pre-hash-partitioned on the join/agg key
+    * so repeated joins and aggregations on that key plan with NO
+    * shuffle exchange (verified in BucketingSpec). At 100 TB this is
+    * the difference between re-shuffling the fact table per query and
+    * shuffling it once at ingest. */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int, key: String): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+
   def read(spark: SparkSession, dir: String, format: String = "parquet"): DataFrame = {
     val r = spark.read.format(format)
     (format match {

@@ -54,3 +54,29 @@ class SinksAndSkewSpec extends SparkSuite {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 }
+
+class BucketingSpec extends SparkSuite {
+  test("bucketed co-located join and aggregation plan without exchanges") {
+    import org.apache.spark.sql.functions._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Sinks.writeBucketed(Tables(spark, sfDir, "lineitem"), "li_b", 8, "l_orderkey")
+      Sinks.writeBucketed(Tables(spark, sfDir, "orders"), "o_b", 8, "o_orderkey")
+      val j = spark.table("li_b")
+        .join(spark.table("o_b"), col("l_orderkey") === col("o_orderkey"))
+      val jPlan = j.queryExecution.sparkPlan.toString
+      assert(jPlan.contains("SortMergeJoin") && !jPlan.contains("Exchange"),
+        s"bucketed join should not shuffle:\n$jPlan")
+      assert(j.count() === Tables(spark, sfDir, "lineitem")
+        .join(Tables(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey")).count())
+      val agg = spark.table("li_b").groupBy("l_orderkey").agg(sum("l_quantity"))
+      val aPlan = agg.queryExecution.sparkPlan.toString
+      assert(!aPlan.contains("Exchange"), s"bucketed agg should not shuffle:\n$aPlan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS o_b")
+    }
+  }
+}
