@@ -503,8 +503,51 @@ object Relational {
       .orderBy("user_id")
   }
 
+  // --------------------------------------------------------------- Q41
+  /** Pivot (wide aggregation): revenue by month × return flag. Fixed
+    * pivot values so both engines emit identical static columns. */
+  val q41 = QueryDef("q41_pivot",
+    """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+      |       round(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 0), 2) AS F,
+      |       round(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 0), 2) AS O,
+      |       round(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 0), 2) AS P
+      |FROM orders GROUP BY month ORDER BY month""") { (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(sum(col("o_totalprice")))
+      .select(col("month"),
+        round(coalesce(col("F"), lit(0)), 2).as("F"),
+        round(coalesce(col("O"), lit(0)), 2).as("O"),
+        round(coalesce(col("P"), lit(0)), 2).as("P"))
+      .orderBy("month")
+  }
+
+  // --------------------------------------------------------------- Q42
+  /** Statistical aggregates: stddev/variance (Welford-merged on both
+    * engines — agree well inside 4 dp), correlation, exact interpolated
+    * percentiles (Spark percentile == DuckDB quantile_cont). */
+  val q42 = QueryDef("q42_stats",
+    """SELECT l_returnflag,
+      |       round(stddev_samp(l_quantity), 4) AS sd_qty,
+      |       round(var_samp(l_discount), 4) AS var_disc,
+      |       round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+      |       round(quantile_cont(l_quantity, 0.5), 4) AS med_qty,
+      |       round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_discount")), 4).as("var_disc"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("med_qty"),
+        round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q04b, q05, q06, q07, q08, q09, q10,
     q11, q11b, q12, q12b, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23)
+    q21, q22, q23, q41, q42)
 }
