@@ -80,6 +80,18 @@ object TextAnalysis {
         concat_ws("", col("fp")).as("fp_bottom4"))
   }
 
+  /** Within-document repetition: fraction of duplicate word 3-grams —
+    * a standard low-quality/boilerplate signal in LLM data curation
+    * (near-1 means the document repeats itself). */
+  def repetitionRatio(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val g = TextFunctions.wordShingles(TextFunctions.normalizedWords(col(textCol)), 3)
+    docs.select(col(idCol), size(g).as("n_grams"), size(array_distinct(g)).as("n_distinct"))
+      .select(col(idCol), col("n_grams"), col("n_distinct"),
+        TextFunctions.round4(lit(1.0) -
+          col("n_distinct").cast("double") / greatest(col("n_grams"), lit(1)))
+          .as("rep_ratio"))
+  }
+
   /** Corpus term frequency: raw token counts (no per-doc distinct). */
   def termFrequency(docs: DataFrame, textCol: String): DataFrame =
     docs.select(explode(TextFunctions.normalizedWords(col(textCol))).as("word"))

@@ -425,7 +425,54 @@ object Extensions {
       .orderBy("kind")
   }
 
+  // --------------------------------------------------------------- Q43
+  val q43 = QueryDef("q43_repetition",
+    s"""WITH $docwCte, g AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(w) >= 3
+       |              THEN list_transform(range(1, len(w) - 1),
+       |                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+       |              ELSE [] END AS grams
+       |  FROM docw
+       |)
+       |SELECT doc_id, CAST(len(grams) AS INT) AS n_grams,
+       |       CAST(len(list_distinct(grams)) AS INT) AS n_distinct,
+       |       ${TextFunctions.round4Sql(
+                 "1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / greatest(len(grams), 1)")} AS rep_ratio
+       |FROM g ORDER BY doc_id""") { (s, dir) =>
+    TextAnalysis.repetitionRatio(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------------- Q44
+  /** Event funnel: first view → first click → first purchase, strictly
+    * ordered per user. Timestamps compared and emitted as exact epoch
+    * microseconds (Spark unix_micros == DuckDB epoch_us). */
+  val q44 = QueryDef("q44_funnel",
+    """WITH f AS (
+      |  SELECT user_id,
+      |         min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+      |         min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+      |         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+      |  FROM events GROUP BY user_id
+      |)
+      |SELECT user_id, t_view,
+      |       coalesce(t_view < t_click, false) AS reached_click,
+      |       coalesce(t_view < t_click AND t_click < t_purchase, false) AS reached_purchase
+      |FROM f ORDER BY user_id""") { (s, dir) =>
+    t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "view", unix_micros(col("ts")))).as("t_view"),
+        min(when(col("event_type") === "click", unix_micros(col("ts")))).as("t_click"),
+        min(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("t_purchase"))
+      .select(col("user_id"), col("t_view"),
+        coalesce(col("t_view") < col("t_click"), lit(false)).as("reached_click"),
+        coalesce(col("t_view") < col("t_click") && col("t_click") < col("t_purchase"),
+          lit(false)).as("reached_purchase"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q35, q36,
-    q37, q38, q39, q40)
+    q37, q38, q39, q40, q43, q44)
 }

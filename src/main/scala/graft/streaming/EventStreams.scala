@@ -49,6 +49,15 @@ object EventStreams {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"))
 
+  /** Streaming exact deduplication: drop repeated `idCols` rows, with
+    * the watermark bounding the dedup state (ids older than the
+    * watermark are evicted — the streaming twin of the batch exact-dedup
+    * operator, and the standard shape for at-least-once ingest). */
+  def streamingDedup(events: DataFrame, idCols: Seq[String]): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates(idCols :+ "ts")
+
   // ------------------------------------------------------------------
   // Custom state: mapGroupsWithState session counting
   // ------------------------------------------------------------------

@@ -82,6 +82,24 @@ class StreamingSpec extends SparkSuite {
     assert(streamCell <= batchCell, "late event leaked into a closed window")
   }
 
+  test("streaming dedup: replayed duplicates collapse to one row each") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("sdedup").toString
+    val batch = events.filter(col("event_id") < 200)
+    batch.write.parquet(s"$dir/in/b1")
+    batch.write.mode("append").parquet(s"$dir/in/b2") // full duplicate replay
+    val src = spark.readStream.schema(events.schema).parquet(s"$dir/in/*")
+    val q = EventStreams.streamingDedup(src, Seq("event_id")).writeStream
+      .outputMode("append")
+      .format("memory").queryName("sdedup_mem")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("sdedup_mem")
+    assert(out.count() === batch.count(), "each duplicated event must appear exactly once")
+    assert(out.select("event_id").distinct().count() === batch.count())
+  }
+
   test("sliding windows: each event lands in 4 windows") {
     val total = EventStreams.slidingCounts(events).agg(sum("n")).head.getLong(0)
     assert(total === events.count() * 4)
