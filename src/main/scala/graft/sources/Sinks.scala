@@ -28,6 +28,19 @@ object Sinks {
       .sortBy(key)
       .saveAsTable(table)
 
+  /** Small-file compaction: rewrite a directory into
+    * ceil(bytes / targetBytes) files. The small-files problem is the
+    * perennial failure mode of partitioned ingest at scale — thousands
+    * of KB-sized parquet files per partition destroy scan throughput. */
+  def compact(spark: SparkSession, dir: String, outDir: String,
+      targetBytes: Long = 128L << 20): Unit = {
+    val bytes = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+      .map(_.length).sum
+    val files = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(dir).repartition(files).write.mode("overwrite").parquet(outDir)
+  }
+
   def read(spark: SparkSession, dir: String, format: String = "parquet"): DataFrame = {
     val r = spark.read.format(format)
     (format match {

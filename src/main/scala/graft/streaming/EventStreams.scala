@@ -49,6 +49,22 @@ object EventStreams {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"))
 
+  /** Stream-stream interval join (attribution shape): each purchase
+    * joins the views of the same user within the preceding 30 minutes.
+    * Watermarks on both sides bound the join state; the interval
+    * condition gives Spark the eviction window. Works identically on
+    * batch DataFrames (the batch-equivalence spec contract). */
+  def viewPurchaseAttribution(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"), col("ts").as("v_ts"))
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    p.join(v, col("v_user") === col("p_user")
+        && col("v_ts") <= col("p_ts")
+        && col("v_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"))
+      .select(col("purchase_id"), col("view_id"), col("p_user").as("user_id"))
+  }
+
   /** Streaming exact deduplication: drop repeated `idCols` rows, with
     * the watermark bounding the dedup state (ids older than the
     * watermark are evicted — the streaming twin of the batch exact-dedup

@@ -33,6 +33,18 @@ class SinksAndSkewSpec extends SparkSuite {
     }
   }
 
+  test("compaction merges a many-file directory, preserving rows") {
+    val docs = Tables(spark, sfDir, "documents")
+    val scattered = Files.createTempDirectory("scatter").toString
+    docs.repartition(50).write.mode("overwrite").parquet(scattered)
+    val compacted = Files.createTempDirectory("compact").toString
+    Sinks.compact(spark, scattered, compacted)
+    val files = new java.io.File(compacted).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(files === 1, s"tiny table should compact to 1 file, got $files")
+    assert(spark.read.parquet(compacted).count() === docs.count())
+  }
+
   test("salted aggregate == direct aggregate on a skewed key") {
     val li = Tables(spark, sfDir, "lineitem") // l_returnflag is low-cardinality/hot
     val salted = Skew.saltedAggregate(li, "l_returnflag",

@@ -100,6 +100,26 @@ class StreamingSpec extends SparkSuite {
     assert(out.select("event_id").distinct().count() === batch.count())
   }
 
+  test("stream-stream interval join: replay == batch join") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("ssjoin").toString
+    val views = events.filter(col("event_type") === "view")
+    val purchases = events.filter(col("event_type") === "purchase")
+    views.write.parquet(s"$dir/v"); purchases.write.parquet(s"$dir/p")
+    val vs = spark.readStream.schema(events.schema).parquet(s"$dir/v")
+    val ps = spark.readStream.schema(events.schema).parquet(s"$dir/p")
+    val q = EventStreams.viewPurchaseAttribution(vs, ps).writeStream
+      .outputMode("append")
+      .format("memory").queryName("ssjoin_mem")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("ssjoin_mem")
+    val batch = EventStreams.viewPurchaseAttribution(views, purchases)
+    assert(streamed.count() > 0, "fixture should produce at least one attribution")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("sliding windows: each event lands in 4 windows") {
     val total = EventStreams.slidingCounts(events).agg(sum("n")).head.getLong(0)
     assert(total === events.count() * 4)
