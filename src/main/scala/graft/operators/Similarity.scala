@@ -96,6 +96,42 @@ object Similarity {
       .select(col("q_id"), col("vid").as("c_id"), col("rn"), round(qcos, 4).as("cos"))
   }
 
+  /** Production IVF: centroids learned with MLlib k-means (seeded),
+    * then the same assign → probe → score dataflow as [[ivfTopK]]. The
+    * model fit is one pass over the corpus; the centroid table is tiny
+    * and broadcast. Not oracle-checkable (k-means isn't reproducible in
+    * SQL), hence the rows-only query entry. */
+  def ivfKMeansTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      nProbe: Int, nCentroids: Int, queryPred: org.apache.spark.sql.Column,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val session = emb.sparkSession
+    import session.implicits._
+    val withVec = emb.select(col(idCol).as("vid"), col(vecCol).as("v"))
+      .withColumn("features", array_to_vector(col("v")))
+    val model = new KMeans().setK(nCentroids).setSeed(seed).fit(withVec)
+    val assigned = model.transform(withVec)
+      .select(col("vid"), col("v"), col("prediction").as("cent_id"))
+    val centDf = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }.toSeq
+      .toDF("cent_id", "centv")
+    val probes = emb.filter(queryPred).select(col(idCol).as("q_id"), col(vecCol).as("qv"))
+      .join(broadcast(centDf))
+      .withColumn("prn", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(VectorFunctions.cosine(col("qv"), col("centv")).desc, col("cent_id"))))
+      .filter(col("prn") <= nProbe)
+      .select("q_id", "qv", "cent_id")
+    val qcos = VectorFunctions.cosine(col("qv"), col("v"))
+    val wTop = Window.partitionBy(col("q_id")).orderBy(qcos.desc, col("vid"))
+    probes.join(assigned, Seq("cent_id"))
+      .filter(col("q_id") =!= col("vid"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vid").as("c_id"), col("rn"), round(qcos, 4).as("cos"))
+  }
+
   /** Embedding near-duplicate pairs within a blocking bucket (e.g. a
     * cluster/label column or an LSH bucket): all same-bucket pairs with
     * cosine ≥ theta. Blocking keeps the pair space linear-ish; at scale

@@ -472,7 +472,16 @@ object Extensions {
       .orderBy("user_id")
   }
 
+  // --------------------------------------------------------------- Q45
+  /** IVF with k-means-learned centroids (rows-only: the model isn't
+    * SQL-reproducible; recall quality is covered by SimilaritySpec). */
+  val q45 = QueryDef.noOracle("q45_ann_ivf_kmeans") { (s, dir) =>
+    Similarity.ivfKMeansTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 3, nProbe = 2, nCentroids = 8, queryPred = col("vec_id") < 10)
+      .orderBy("q_id", "rn")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q35, q36,
-    q37, q38, q39, q40, q43, q44)
+    q37, q38, q39, q40, q43, q44, q45)
 }
