@@ -63,6 +63,23 @@ class SimilaritySpec extends SparkSuite {
     assert(joined.filter(col("cos") > col("best")).count() === 0)
   }
 
+  test("ANN recall@3 vs brute force: IVF beats single-probe LSH on this corpus") {
+    val q = col("vec_id") < 50
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb.filter(q), emb, "vec_id", "embedding", 3))
+    val lsh = pairs(Similarity.lshTopK(emb, "vec_id", "embedding", 3, 4, q))
+    val ivf = pairs(Similarity.ivfTopK(emb, "vec_id", "embedding", 3, 2, col("vec_id") < 8, q))
+    def recall(s: Set[(Long, Long)]) = (s & exact).size / exact.size.toDouble
+    // embeddings are near-uniform (no planted clusters), so absolute
+    // recall is modest by construction; the floors pin the measured
+    // 0.14 / 0.53 and the IVF>LSH ordering. Multi-probe LSH (probing
+    // neighboring buckets) is the standard recall lever at scale.
+    assert(recall(lsh) >= 0.10, s"lsh recall ${recall(lsh)}")
+    assert(recall(ivf) >= 0.40, s"ivf recall ${recall(ivf)}")
+    assert(recall(ivf) > recall(lsh))
+  }
+
   test("cosine of a vector with itself is 1") {
     val self = emb.limit(10).select(
       TextFunctions.round4(VectorFunctions.cosine(col("embedding"), col("embedding"))).as("c"))
