@@ -116,6 +116,11 @@ object InvertedIndex {
   * counts are the session's business, not the job's). */
 object InvertedIndexJob {
   def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println("usage: InvertedIndexJob <manifest> <outDir>   " +
+        "(manifest: line 1 = N, then N file paths relative to the manifest)")
+      sys.exit(1)
+    }
     val Array(manifest, outDir) = args.take(2)
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
