@@ -26,8 +26,9 @@ object AsOfJoin {
       col(rightKey) === col(leftKey) && col(rightTime) <= col(leftTime), "left")
     val w = Window.partitionBy(col(leftId))
       .orderBy(col(rightTime).desc_nulls_last, col(tiebreak).desc)
-    j.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn")
+    val rn = "__graft_asof_rn" // collision-proof temp column
+    j.withColumn(rn, row_number().over(w))
+      .filter(col(rn) === 1)
+      .drop(rn)
   }
 }

@@ -49,11 +49,15 @@ object InvertedIndex {
     * `ids` ascending, `cnt` = number of containing files. */
   def buildIndex(spark: SparkSession, files: Seq[(String, Int)]): DataFrame = {
     val manifest = spark.createDataFrame(files).toDF("path", "file_id")
-    // Normalize scan-side file identity (a file:/// URI) and the
-    // manifest path to the same plain absolute-path form.
+    // Normalize scan-side file identity (a file:/// URI, percent-encoded)
+    // to the manifest's plain absolute path: strip the scheme, protect
+    // literal '+' (url_decode is form-decoding), then decode %XX escapes
+    // so e.g. "my docs/a.txt" round-trips (spec-covered).
     val scanned = spark.read.textFile(files.map(_._1): _*)
       .select(col("value"),
-        regexp_replace(col("_metadata.file_path"), "^file:/+", "/").as("path"))
+        url_decode(regexp_replace(
+          regexp_replace(col("_metadata.file_path"), "^file:/+", "/"),
+          "\\+", "%2B")).as("path"))
     scanned
       .join(broadcast(manifest), "path") // tiny dim: path → 1-based id
       .select(col("file_id"), explode(TextFunctions.whitespaceTokens(col("value"))).as("tok"))
@@ -82,6 +86,9 @@ object InvertedIndex {
     * unchanged. */
   def writeLetterFiles(index: DataFrame, outDir: String): Unit = {
     new File(outDir).mkdirs()
+    // clear previous letter files: a letter absent from THIS index must
+    // come out as a fresh 0-byte file, not stale prior contents
+    ('a' to 'z').foreach(c => new File(outDir, s"$c.txt").delete())
     index
       .repartition(26, col("letter"))
       .sortWithinPartitions(col("letter"), col("cnt").desc, col("word"))

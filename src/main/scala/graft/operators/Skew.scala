@@ -27,11 +27,13 @@ object Skew {
     pmod(xxhash64(cols: _*), lit(salts.toLong)).cast("int")
 
   /** Two-phase count/sum aggregation: partial by (key, salt), final by
-    * key. `sumCols` are summed; row counts come back as `n`. */
-  def saltedAggregate(df: DataFrame, keyCol: String, saltCol: Column,
-      salts: Int, sumCols: Seq[String]): DataFrame = {
+    * key. `sumCols` are summed; row counts come back as `n`. The salt
+    * is derived from `saltSource` (high-cardinality columns, NOT the
+    * group key) spread over `salts` buckets. */
+  def saltedAggregate(df: DataFrame, keyCol: String, salts: Int,
+      saltSource: Seq[String], sumCols: Seq[String]): DataFrame = {
     val partial = df
-      .withColumn("_salt", saltCol)
+      .withColumn("_salt", salt(salts, saltSource.map(col): _*))
       .groupBy(col(keyCol), col("_salt"))
       .agg(count(lit(1)).as("n"),
         sumCols.map(c => sum(col(c)).as(s"sum_$c")): _*)

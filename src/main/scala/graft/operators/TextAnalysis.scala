@@ -87,8 +87,11 @@ object TextAnalysis {
     val g = TextFunctions.wordShingles(TextFunctions.normalizedWords(col(textCol)), 3)
     docs.select(col(idCol), size(g).as("n_grams"), size(array_distinct(g)).as("n_distinct"))
       .select(col(idCol), col("n_grams"), col("n_distinct"),
-        TextFunctions.round4(lit(1.0) -
-          col("n_distinct").cast("double") / greatest(col("n_grams"), lit(1)))
+        // docs too short to have any 3-gram are NOT repetitive — 0, not
+        // the 1.0 the naive 1 - 0/1 formula would report
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise(TextFunctions.round4(lit(1.0) -
+            col("n_distinct").cast("double") / col("n_grams")))
           .as("rep_ratio"))
   }
 

@@ -1,7 +1,5 @@
 package graft.plans
 
-import java.security.MessageDigest
-
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -44,7 +42,7 @@ case class RollingFingerprintExpr(child: Expression, gramLen: Int, bottomK: Int)
     val nCp = starts.size - 1
     val nGrams = math.max(nCp - gramLen + 1, 1)
 
-    val md = MessageDigest.getInstance("MD5")
+    val md = TextSketchExprs.Md5Pool.get()
     // bounded selection: keep the bottomK hex digests in a small sorted array
     val top = new Array[String](bottomK)
     var filled = 0

@@ -19,6 +19,16 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextSketchExprs {
 
+  /** Per-thread reusable MD5 instance — MessageDigest is not
+    * thread-safe, and allocating one per row is measurable overhead in
+    * exactly the expressions whose point is per-row efficiency. */
+  private[plans] object Md5Pool {
+    private val local = new ThreadLocal[MessageDigest] {
+      override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+    }
+    def get(): MessageDigest = { val m = local.get(); m.reset(); m }
+  }
+
   /** MinHash signature: element j is the hex-min over shingles of
     * `md5("$j|" + shingle)` — exactly [[graft.functions.TextFunctions.minhashAgg]]
     * computed with one reused digest and no row explosion. Null for an
@@ -28,13 +38,15 @@ object TextSketchExprs {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def nullable: Boolean = true
 
+    @transient private lazy val salts: Array[Array[Byte]] =
+      Array.tabulate(k)(j => s"$j|".getBytes("UTF-8"))
+
     override protected def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
       val n = arr.numElements()
       if (n == 0) return null
-      val salts: Array[Array[Byte]] = Array.tabulate(k)(j => s"$j|".getBytes("UTF-8"))
       val mins = new Array[Array[Byte]](k)
-      val md = MessageDigest.getInstance("MD5")
+      val md = Md5Pool.get()
       var i = 0
       while (i < n) {
         val bytes = arr.getUTF8String(i).getBytes
@@ -64,13 +76,15 @@ object TextSketchExprs {
     override def dataType: DataType = StringType
     override def nullable: Boolean = true
 
+    @transient private lazy val salts: Array[Array[Byte]] =
+      Array.tabulate(bits)(p => s"sh$p|".getBytes("UTF-8"))
+
     override protected def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
       val n = arr.numElements()
       if (n == 0) return null
-      val salts: Array[Array[Byte]] = Array.tabulate(bits)(p => s"sh$p|".getBytes("UTF-8"))
       val sums = new Array[Int](bits)
-      val md = MessageDigest.getInstance("MD5")
+      val md = Md5Pool.get()
       var i = 0
       while (i < n) {
         val bytes = arr.getUTF8String(i).getBytes

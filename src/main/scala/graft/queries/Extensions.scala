@@ -437,8 +437,9 @@ object Extensions {
        |)
        |SELECT doc_id, CAST(len(grams) AS INT) AS n_grams,
        |       CAST(len(list_distinct(grams)) AS INT) AS n_distinct,
-       |       ${TextFunctions.round4Sql(
-                 "1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / greatest(len(grams), 1)")} AS rep_ratio
+       |       CASE WHEN len(grams) = 0 THEN 0.0
+       |            ELSE ${TextFunctions.round4Sql(
+                      "1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)")} END AS rep_ratio
        |FROM g ORDER BY doc_id""") { (s, dir) =>
     TextAnalysis.repetitionRatio(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")
   }

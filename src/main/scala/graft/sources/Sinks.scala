@@ -34,10 +34,17 @@ object Sinks {
     * of KB-sized parquet files per partition destroy scan throughput. */
   def compact(spark: SparkSession, dir: String, outDir: String,
       targetBytes: Long = 128L << 20): Unit = {
-    val bytes = new java.io.File(dir).listFiles()
-      .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
-      .map(_.length).sum
-    val files = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val root = new java.io.File(dir)
+    require(root.isDirectory, s"compact: $dir is not a directory")
+    // recursive walk so partitioned layouts size correctly; the output
+    // is a FLAT parquet directory (partition columns become data
+    // columns) — re-partition with writePartitioned afterwards if the
+    // directory layout must be preserved
+    def bytesOf(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles().map(bytesOf).sum
+      else if (f.getName.startsWith(".") || f.getName.startsWith("_")) 0L
+      else f.length
+    val files = math.max(1, math.ceil(bytesOf(root).toDouble / targetBytes).toInt)
     spark.read.parquet(dir).repartition(files).write.mode("overwrite").parquet(outDir)
   }
 

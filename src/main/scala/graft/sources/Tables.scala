@@ -46,6 +46,11 @@ object Tables {
 object Balance {
   def cpuBound(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // inputFiles is metadata-only (no physical planning, unlike df.rdd,
+    // which under AQE would execute upstream stages just to count
+    // partitions); file count is the right proxy for scan splits in
+    // the small-input regime this guard exists for
+    val splits = df.inputFiles.length
+    if (splits > 0 && splits < target) df.repartition(target) else df
   }
 }

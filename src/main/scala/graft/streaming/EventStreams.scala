@@ -72,7 +72,9 @@ object EventStreams {
   def streamingDedup(events: DataFrame, idCols: Seq[String]): DataFrame =
     events
       .withWatermark("ts", "10 minutes")
-      .dropDuplicates(idCols :+ "ts")
+      // dedup on the ids alone (a retried producer may re-stamp ts);
+      // the watermark still bounds the dedup state
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
 
   // ------------------------------------------------------------------
   // Custom state: mapGroupsWithState session counting

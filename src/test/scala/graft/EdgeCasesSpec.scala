@@ -42,6 +42,31 @@ class EdgeCasesSpec extends SparkSuite {
     assert(TextAnalysis.langId(emptyDocs, "doc_id", "text").count() === 0)
   }
 
+  test("inverted index handles filenames with spaces (URI-encoded scan paths)") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("spaced").toString
+    Files.writeString(Paths.get(s"$dir/my doc one.txt"), "alpha beta")
+    Files.writeString(Paths.get(s"$dir/plain.txt"), "beta gamma")
+    Files.writeString(Paths.get(s"$dir/manifest.txt"), "2\nmy doc one.txt\nplain.txt\n")
+    val idx = graft.operators.InvertedIndex.buildIndex(spark,
+      graft.operators.InvertedIndex.readManifest(s"$dir/manifest.txt"))
+    val lines = idx.select("line").collect().map(_.getString(0)).toSet
+    assert(lines === Set("alpha:[1]", "beta:[1 2]", "gamma:[2]"),
+      s"spaced-filename file must not be dropped by the path join: $lines")
+  }
+
+  test("rerunning into the same outDir clears stale letter files") {
+    import java.nio.file.{Files, Paths}
+    val out = Files.createTempDirectory("stale").toString
+    Files.writeString(Paths.get(s"$out/b.txt"), "bogus:[9]\n") // stale prior content
+    graft.operators.InvertedIndex.run(spark, "/root/reference/checker/test_small.txt", out)
+    // small corpus HAS b-words, so b.txt must now hold only fresh lines
+    val b = Files.readAllLines(Paths.get(s"$out/b.txt"))
+    assert(!b.contains("bogus:[9]") && b.size > 0)
+    // and the known-empty letter is a fresh 0-byte file
+    assert(Files.size(Paths.get(s"$out/d.txt")) === 0)
+  }
+
   test("inverted index on a corpus where a letter is empty still writes 26 files") {
     val out = java.nio.file.Files.createTempDirectory("idx_edge").toString
     // the small reference corpus has no 'd' words — re-verify the invariant here

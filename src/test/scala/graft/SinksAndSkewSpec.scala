@@ -47,8 +47,8 @@ class SinksAndSkewSpec extends SparkSuite {
 
   test("salted aggregate == direct aggregate on a skewed key") {
     val li = Tables(spark, sfDir, "lineitem") // l_returnflag is low-cardinality/hot
-    val salted = Skew.saltedAggregate(li, "l_returnflag",
-      Skew.salt(8, col("l_orderkey"), col("l_linenumber")), 8, Seq("l_quantity"))
+    val salted = Skew.saltedAggregate(li, "l_returnflag", 8,
+      Seq("l_orderkey", "l_linenumber"), Seq("l_quantity"))
       .select(col("l_returnflag"), col("n"), round(col("sum_l_quantity"), 2).as("s"))
     val direct = li.groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("s"))
