@@ -72,8 +72,9 @@ object TextFunctions {
   /** Engine-portable 4-dp rounding: `floor(x*1e4 + 0.5)/1e4` uses only
     * exact IEEE ops, so Spark and DuckDB produce bit-identical results —
     * unlike round(), whose half-way tie handling differs across engines
-    * exactly when a ratio lands on a .00005 boundary. Non-negative
-    * inputs only. */
+    * exactly when a ratio lands on a .00005 boundary. For negative
+    * inputs this is "round half toward +inf" — a fine definition, and
+    * still bit-identical across engines (what matters here). */
   def round4(c: Column): Column = floor(c * 10000.0 + 0.5) / 10000.0
 
   /** SQL twin of [[round4]] for DuckDB oracle strings. */

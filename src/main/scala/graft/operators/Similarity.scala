@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions
+import graft.functions.{TextFunctions, VectorFunctions}
 
 /** Approximate-nearest-neighbor search over an `ARRAY<FLOAT>` embedding
   * column.
@@ -36,7 +36,7 @@ object Similarity {
     broadcast(q).join(c, col("q_id") =!= col("c_id"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
-      .select(col("q_id"), col("c_id"), col("rn"), round(cos, 4).as("cos"))
+      .select(col("q_id"), col("c_id"), col("rn"), TextFunctions.round4(cos).as("cos"))
   }
 
   /** LSH-bucketed top-k: identical contract to [[bruteForceTopK]] but
@@ -55,7 +55,7 @@ object Similarity {
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
-      .select(col("q_id"), col("c_id"), col("rn"), round(cos, 4).as("cos"))
+      .select(col("q_id"), col("c_id"), col("rn"), TextFunctions.round4(cos).as("cos"))
   }
 
   /** IVF-style top-k: vectors are assigned to their nearest centroid
@@ -93,7 +93,7 @@ object Similarity {
       .filter(col("q_id") =!= col("vid"))
       .withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= k)
-      .select(col("q_id"), col("vid").as("c_id"), col("rn"), round(qcos, 4).as("cos"))
+      .select(col("q_id"), col("vid").as("c_id"), col("rn"), TextFunctions.round4(qcos).as("cos"))
   }
 
   /** Production IVF: centroids learned with MLlib k-means (seeded),
@@ -129,7 +129,7 @@ object Similarity {
       .filter(col("q_id") =!= col("vid"))
       .withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= k)
-      .select(col("q_id"), col("vid").as("c_id"), col("rn"), round(qcos, 4).as("cos"))
+      .select(col("q_id"), col("vid").as("c_id"), col("rn"), TextFunctions.round4(qcos).as("cos"))
   }
 
   /** Embedding near-duplicate pairs within a blocking bucket (e.g. a
@@ -142,7 +142,7 @@ object Similarity {
     val b = emb.select(col(bucketCol).as("bucket"), col(idCol).as("id_b"), col(vecCol).as("vb"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", round(VectorFunctions.cosine(col("va"), col("vb")), 4))
+      .withColumn("cos", TextFunctions.round4(VectorFunctions.cosine(col("va"), col("vb"))))
       .filter(col("cos") >= theta)
       .select("id_a", "id_b", "cos")
   }

@@ -52,13 +52,13 @@ object Extensions {
        |         ${normSql("a.embedding")} AS na, ${normSql("b.embedding")} AS nb
        |  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
        |)
-       |SELECT id_a, id_b, round(dt/(na*nb), 4) AS cos FROM p ORDER BY id_a""") { (s, dir) =>
+       |SELECT id_a, id_b, floor(dt/(na*nb) * 10000 + 0.5) / 10000 AS cos FROM p ORDER BY id_a""") { (s, dir) =>
     val emb = t(s, dir, "embeddings")
     val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
     val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
     a.join(b, col("id_b") === col("id_a") + 1)
       .select(col("id_a"), col("id_b"),
-        round(VectorFunctions.cosine(col("va"), col("vb")), 4).as("cos"))
+        TextFunctions.round4(VectorFunctions.cosine(col("va"), col("vb"))).as("cos"))
       .orderBy("id_a")
   }
 
@@ -103,10 +103,14 @@ object Extensions {
 
   // --------------------------------------------------------------- Q28
   private val shBits = 16
+  /** The 16 SimHash bit expressions — shared by q28 and q28b so the two
+    * oracles can never drift apart. */
+  private def simhashBitsSql(sep: String): String = (0 until shBits).map { p =>
+    s"(CASE WHEN sum(CASE WHEN substring(md5('sh$p|' || word), 1, 1) <= '7' THEN 1 ELSE -1 END) >= 0 THEN '1' ELSE '0' END)"
+  }.mkString(sep)
+
   val q28 = {
-    val bits = (0 until shBits).map { p =>
-      s"(CASE WHEN sum(CASE WHEN substring(md5('sh$p|' || word), 1, 1) <= '7' THEN 1 ELSE -1 END) >= 0 THEN '1' ELSE '0' END)"
-    }.mkString(" ||\n       ")
+    val bits = simhashBitsSql(" ||\n       ")
     QueryDef("q28_simhash",
       s"""WITH $docwCte, tok AS (SELECT doc_id, unnest(w) AS word FROM docw)
          |SELECT doc_id,
@@ -120,9 +124,7 @@ object Extensions {
   /** SimHash near-dup pairs: 4 bit-bands of the 16-bit signature as
     * LSH keys, exact Hamming ≤ 2 as the verify step. */
   val q28b = {
-    val bitsSql = (0 until shBits).map { p =>
-      s"(CASE WHEN sum(CASE WHEN substring(md5('sh$p|' || word), 1, 1) <= '7' THEN 1 ELSE -1 END) >= 0 THEN '1' ELSE '0' END)"
-    }.mkString(" || ")
+    val bitsSql = simhashBitsSql(" || ")
     val hammingSql = (1 to shBits).map { i =>
       s"(CASE WHEN substring(sig_a, $i, 1) = substring(sig_b, $i, 1) THEN 0 ELSE 1 END)"
     }.mkString(" + ")
@@ -283,7 +285,7 @@ object Extensions {
        |         row_number() OVER (PARTITION BY q_id ORDER BY dt/(na*nb) DESC, c_id) AS rn
        |  FROM p
        |)
-       |SELECT q_id, c_id, rn, round(cs, 4) AS cos FROM r WHERE rn <= 3
+       |SELECT q_id, c_id, rn, floor(cs * 10000 + 0.5) / 10000 AS cos FROM r WHERE rn <= 3
        |ORDER BY q_id, rn""") { (s, dir) =>
     val emb = t(s, dir, "embeddings")
     Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", 3)
@@ -315,7 +317,7 @@ object Extensions {
          |         row_number() OVER (PARTITION BY q_id ORDER BY dt/(na*nb) DESC, c_id) AS rn
          |  FROM p
          |)
-         |SELECT q_id, c_id, rn, round(cs, 4) AS cos FROM r WHERE rn <= 3
+         |SELECT q_id, c_id, rn, floor(cs * 10000 + 0.5) / 10000 AS cos FROM r WHERE rn <= 3
          |ORDER BY q_id, rn""") { (s, dir) =>
       Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
           k = 3, planes = lshPlanes, queryPred = col("vec_id") < 50)
@@ -332,8 +334,8 @@ object Extensions {
        |  FROM embeddings a JOIN embeddings b
        |    ON a.label = b.label AND a.vec_id < b.vec_id
        |)
-       |SELECT id_a, id_b, round(dt/(na*nb), 4) AS cos FROM p
-       |WHERE round(dt/(na*nb), 4) >= 0.3 ORDER BY id_a, id_b""") { (s, dir) =>
+       |SELECT id_a, id_b, floor(dt/(na*nb) * 10000 + 0.5) / 10000 AS cos FROM p
+       |WHERE floor(dt/(na*nb) * 10000 + 0.5) / 10000 >= 0.3 ORDER BY id_a, id_b""") { (s, dir) =>
     Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", "label", 0.3)
       .orderBy("id_a", "id_b")
   }
@@ -370,7 +372,7 @@ object Extensions {
        |         row_number() OVER (PARTITION BY q_id ORDER BY dt/(na*nb) DESC, c_id) AS rn
        |  FROM scored
        |)
-       |SELECT q_id, c_id, rn, round(cs, 4) AS cos FROM r WHERE rn <= 3
+       |SELECT q_id, c_id, rn, floor(cs * 10000 + 0.5) / 10000 AS cos FROM r WHERE rn <= 3
        |ORDER BY q_id, rn""") { (s, dir) =>
     Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         k = 3, nProbe = 2, centroidPred = col("vec_id") < 8, queryPred = col("vec_id") < 10)
@@ -388,7 +390,7 @@ object Extensions {
     """WITH x AS (
       |  SELECT user_id, ts, event_id,
       |         CASE WHEN lag(ts) OVER w IS NULL
-      |                OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+      |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
       |              THEN 1 ELSE 0 END AS new_sess
       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |), s AS (

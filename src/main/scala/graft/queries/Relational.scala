@@ -268,7 +268,7 @@ object Relational {
       |FROM orders
       |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
       |ORDER BY g_prio, g_status, prio, status""") { (s, dir) =>
-    Tables.registerAll(s, dir)
+    t(s, dir, "orders").createOrReplaceTempView("orders")
     s.sql("""SELECT coalesce(o_orderpriority, '(all)') AS prio,
             |       coalesce(o_orderstatus, '(all)') AS status,
             |       CAST(grouping(o_orderpriority) AS INT) AS g_prio,
@@ -452,7 +452,7 @@ object Relational {
     t(s, dir, "events")
       .select(col("event_id"),
         get_json_object(col("props"), "$.k").cast("int").as("k"),
-        element_at(map_keys(from_json(col("props"), "map<string,int>",
+        element_at(map_keys(from_json(col("props"), "map<string,string>",
           Map.empty[String, String])), 1).as("first_key"))
       .filter(col("k").isNotNull)
       .orderBy("event_id")
