@@ -21,9 +21,18 @@ import graft.functions.TextFunctions
 object Relational {
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
-  /** Revenue expression shared by several queries (exact double math —
-    * identical IEEE ops in DuckDB, so safe to compare after round(2)). */
+  /** Revenue expression shared by several queries (per-row double math —
+    * identical IEEE ops in DuckDB). */
   private def revenue: Column = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  /** Order-independent money sum: per-row doubles are bit-identical
+    * across engines, the DECIMAL(18,6) cast rounds them identically,
+    * and decimal addition is exact and associative — so the sum no
+    * longer depends on partition/merge order (double sums across a
+    * shuffle do, and can flip a round(,2) boundary between engines).
+    * Final cast back to DOUBLE keeps the output schema simple. */
+  private def moneySum(c: Column): Column =
+    round(sum(c.cast("decimal(18,6)")), 2).cast("double")
 
   // ---------------------------------------------------------------- Q1
   /** The reference's one true query (src/main.cc end-to-end): inverted
@@ -75,8 +84,8 @@ object Relational {
   // ---------------------------------------------------------------- Q3
   val q03 = QueryDef("q03_agg_tpch1",
     """SELECT l_returnflag, l_linestatus,
-      |  round(sum(l_quantity), 2) AS sum_qty,
-      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_rev,
+      |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
+      |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_rev,
       |  round(avg(l_quantity), 4) AS avg_qty,
       |  round(min(l_extendedprice), 2) AS min_price,
       |  round(max(l_extendedprice), 2) AS max_price,
@@ -86,8 +95,8 @@ object Relational {
     t(s, dir, "lineitem")
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(revenue), 2).as("sum_rev"),
+        moneySum(col("l_quantity")).as("sum_qty"),
+        moneySum(revenue).as("sum_rev"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
         round(min(col("l_extendedprice")), 2).as("min_price"),
         round(max(col("l_extendedprice")), 2).as("max_price"),
@@ -119,25 +128,25 @@ object Relational {
   // ---------------------------------------------------------------- Q5
   val q05 = QueryDef("q05_join_agg",
     """SELECT c_mktsegment, count(*) AS n_orders,
-      |       round(sum(o_totalprice), 2) AS sum_price
+      |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_price
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""") { (s, dir) =>
     t(s, dir, "orders")
       .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
       .groupBy("c_mktsegment")
-      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("sum_price"))
       .orderBy("c_mktsegment")
   }
 
   // ---------------------------------------------------------------- Q6
   val q06 = QueryDef("q06_broadcast_join",
-    """SELECT p_brand, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+    """SELECT p_brand, count(*) AS n, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_price
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY p_brand ORDER BY p_brand""") { (s, dir) =>
     t(s, dir, "lineitem")
       .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand")
-      .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .agg(count(lit(1)).as("n"), moneySum(col("l_extendedprice")).as("sum_price"))
       .orderBy("p_brand")
   }
 
@@ -146,7 +155,7 @@ object Relational {
     * keys; nation/region ride a broadcast hint (tiny at any SF). */
   val q07 = QueryDef("q07_multiway_join",
     """SELECT r_name, n_name,
-      |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |       CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
       |       count(*) AS n
       |FROM lineitem
       |JOIN orders   ON l_orderkey = o_orderkey
@@ -160,7 +169,7 @@ object Relational {
       .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name", "n_name")
-      .agg(round(sum(revenue), 2).as("revenue"), count(lit(1)).as("n"))
+      .agg(moneySum(revenue).as("revenue"), count(lit(1)).as("n"))
       .orderBy("r_name", "n_name")
   }
 
@@ -239,7 +248,7 @@ object Relational {
       |       coalesce(o_orderstatus, '(all)') AS status,
       |       CAST(grouping(o_orderpriority) AS INT) AS g_prio,
       |       CAST(grouping(o_orderstatus) AS INT) AS g_status,
-      |       count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+      |       count(*) AS n, CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
       |ORDER BY g_prio, g_status, prio, status""") { (s, dir) =>
     t(s, dir, "orders")
@@ -248,7 +257,7 @@ object Relational {
         grouping(col("o_orderpriority")).cast("int").as("g_prio"),
         grouping(col("o_orderstatus")).cast("int").as("g_status"),
         count(lit(1)).as("n"),
-        round(sum(col("o_totalprice")), 2).as("sum_price"))
+        moneySum(col("o_totalprice")).as("sum_price"))
       .select(
         coalesce(col("o_orderpriority"), lit("(all)")).as("prio"),
         coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
@@ -327,9 +336,9 @@ object Relational {
     * engines before rounding. */
   val q15 = QueryDef("q15_window_frame",
     """SELECT o_custkey, o_orderkey,
-      |       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+      |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER (PARTITION BY o_custkey
       |         ORDER BY o_orderdate, o_orderkey
-      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_sum,
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_sum,
       |       round(o_totalprice - lag(o_totalprice) OVER (PARTITION BY o_custkey
       |         ORDER BY o_orderdate, o_orderkey), 2) AS delta,
       |       round(lead(o_totalprice) OVER (PARTITION BY o_custkey
@@ -338,7 +347,7 @@ object Relational {
     val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
     t(s, dir, "orders")
       .withColumn("running_sum",
-        round(sum(col("o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+        round(sum(col("o_totalprice").cast("decimal(18,6)")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).cast("double"))
       .withColumn("delta", round(col("o_totalprice") - lag(col("o_totalprice"), 1).over(w), 2))
       .withColumn("next_price", round(lead(col("o_totalprice"), 1).over(w), 2))
       .select("o_custkey", "o_orderkey", "running_sum", "delta", "next_price")
@@ -405,14 +414,14 @@ object Relational {
     """SELECT strftime(o_orderdate, '%Y-%m') AS month,
       |       CAST(year(o_orderdate) AS INT) AS yr,
       |       CAST(quarter(o_orderdate) AS INT) AS qtr,
-      |       count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+      |       count(*) AS n, CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY month, yr, qtr ORDER BY month""") { (s, dir) =>
     t(s, dir, "orders")
       .groupBy(
         date_format(col("o_orderdate"), "yyyy-MM").as("month"),
         year(col("o_orderdate")).as("yr"),
         quarter(col("o_orderdate")).as("qtr"))
-      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("sum_price"))
       .orderBy("month")
   }
 
@@ -463,12 +472,12 @@ object Relational {
     * streaming twin lives in graft.streaming and is equivalence-tested). */
   val q22 = QueryDef("q22_tumbling_window",
     """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
-      |       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      |       event_type, count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
       |FROM events GROUP BY hour_start, event_type
       |ORDER BY hour_start, event_type""") { (s, dir) =>
     t(s, dir, "events")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
       .select(
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
         col("event_type"), col("n"), col("sum_value"))
@@ -508,18 +517,18 @@ object Relational {
     * pivot values so both engines emit identical static columns. */
   val q41 = QueryDef("q41_pivot",
     """SELECT strftime(o_orderdate, '%Y-%m') AS month,
-      |       round(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 0), 2) AS F,
-      |       round(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 0), 2) AS O,
-      |       round(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 0), 2) AS P
+      |       CAST(round(coalesce(sum(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END AS DECIMAL(18,6))), 0), 2) AS DOUBLE) AS F,
+      |       CAST(round(coalesce(sum(CAST(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END AS DECIMAL(18,6))), 0), 2) AS DOUBLE) AS O,
+      |       CAST(round(coalesce(sum(CAST(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END AS DECIMAL(18,6))), 0), 2) AS DOUBLE) AS P
       |FROM orders GROUP BY month ORDER BY month""") { (s, dir) =>
     t(s, dir, "orders")
       .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
       .pivot("o_orderstatus", Seq("F", "O", "P"))
-      .agg(sum(col("o_totalprice")))
+      .agg(sum(col("o_totalprice").cast("decimal(18,6)")))
       .select(col("month"),
-        round(coalesce(col("F"), lit(0)), 2).as("F"),
-        round(coalesce(col("O"), lit(0)), 2).as("O"),
-        round(coalesce(col("P"), lit(0)), 2).as("P"))
+        round(coalesce(col("F"), lit(0)), 2).cast("double").as("F"),
+        round(coalesce(col("O"), lit(0)), 2).cast("double").as("O"),
+        round(coalesce(col("P"), lit(0)), 2).cast("double").as("P"))
       .orderBy("month")
   }
 
