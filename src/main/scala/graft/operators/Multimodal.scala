@@ -87,9 +87,11 @@ object Multimodal {
 
   /** Frame sampling for video-kind assets: every `everyN`-th frame
     * index, exploded to (asset_id, frame_idx) rows. */
-  def sampleFrames(features: Dataset[Features], everyN: Int): DataFrame =
+  def sampleFrames(features: Dataset[Features], everyN: Int): DataFrame = {
+    require(everyN >= 1, s"everyN must be >= 1, got $everyN")
     features.toDF()
       .filter(col("kind") === "video")
       .select(col("asset_id"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(everyN))).as("frame_idx"))
+  }
 }

@@ -29,13 +29,26 @@ object Similarity {
     * cosine (excluding self-matches on id). */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"))
-    val c = candidates.select(col(idCol).as("c_id"), col(vecCol).as("cv"))
+    // zero-magnitude vectors have undefined cosine (0/0 = NaN, which
+    // both engines sort above every real score) — exclude them
+    val q = queries.filter(VectorFunctions.norm(col(vecCol)) > 0)
+      .select(col(idCol).as("q_id"), col(vecCol).as("qv"))
+    val c = candidates.filter(VectorFunctions.norm(col(vecCol)) > 0)
+      .select(col(idCol).as("c_id"), col(vecCol).as("cv"))
     val cos = VectorFunctions.cosine(col("qv"), col("cv"))
-    val w = Window.partitionBy(col("q_id")).orderBy(cos.desc, col("c_id"))
-    broadcast(q).join(c, col("q_id") =!= col("c_id"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+    // two-phase top-k: a single window over q_id would funnel each
+    // query's entire corpus-sized candidate list into one task. Phase 1
+    // keeps k per (query, input partition) — balanced across the
+    // cluster; phase 2 merges the <= k * numPartitions survivors per
+    // query. The union of per-partition winners always contains the
+    // global top k, so results are exact.
+    val scored = broadcast(q).join(c, col("q_id") =!= col("c_id"))
+      .withColumn("pid", spark_partition_id())
+    val w1 = Window.partitionBy(col("q_id"), col("pid")).orderBy(cos.desc, col("c_id"))
+    val w2 = Window.partitionBy(col("q_id")).orderBy(cos.desc, col("c_id"))
+    scored
+      .withColumn("prn", row_number().over(w1)).filter(col("prn") <= k)
+      .withColumn("rn", row_number().over(w2)).filter(col("rn") <= k)
       .select(col("q_id"), col("c_id"), col("rn"), TextFunctions.round4(cos).as("cos"))
   }
 
@@ -45,8 +58,9 @@ object Similarity {
     * rows, and true neighbors in other buckets are missed (recall<1). */
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int,
       planes: Int, queryPred: org.apache.spark.sql.Column): DataFrame = {
-    val bucketed = emb.select(col(idCol), col(vecCol),
-      VectorFunctions.hyperplaneBucket(col(vecCol), planes).as("bucket"))
+    val bucketed = emb.filter(VectorFunctions.norm(col(vecCol)) > 0)
+      .select(col(idCol), col(vecCol),
+        VectorFunctions.hyperplaneBucket(col(vecCol), planes).as("bucket"))
     val q = bucketed.filter(queryPred).select(col(idCol).as("q_id"), col(vecCol).as("qv"), col("bucket"))
     val c = bucketed.select(col(idCol).as("c_id"), col(vecCol).as("cv"), col("bucket"))
     val cos = VectorFunctions.cosine(col("qv"), col("cv"))
@@ -69,18 +83,19 @@ object Similarity {
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int,
       nProbe: Int, centroidPred: org.apache.spark.sql.Column,
       queryPred: org.apache.spark.sql.Column): DataFrame = {
-    val cent = emb.filter(centroidPred)
+    val nonZero = emb.filter(VectorFunctions.norm(col(vecCol)) > 0)
+    val cent = nonZero.filter(centroidPred)
       .select(col(idCol).as("cent_id"), col(vecCol).as("centv"))
     val cos = VectorFunctions.cosine(col("v"), col("centv"))
     // inverted lists: every vector → its single nearest centroid
     val wAssign = Window.partitionBy(col("vid")).orderBy(cos.desc, col("cent_id"))
-    val assigned = emb.select(col(idCol).as("vid"), col(vecCol).as("v"))
+    val assigned = nonZero.select(col(idCol).as("vid"), col(vecCol).as("v"))
       .join(broadcast(cent))
       .withColumn("crn", row_number().over(wAssign))
       .filter(col("crn") === 1)
       .select(col("vid"), col("v"), col("cent_id"))
     // probe lists: every query → its nProbe nearest centroids
-    val probes = emb.filter(queryPred).select(col(idCol).as("q_id"), col(vecCol).as("qv"))
+    val probes = nonZero.filter(queryPred).select(col(idCol).as("q_id"), col(vecCol).as("qv"))
       .join(broadcast(cent))
       .withColumn("prn", row_number().over(
         Window.partitionBy(col("q_id"))
@@ -108,19 +123,29 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val session = emb.sparkSession
     import session.implicits._
-    val withVec = emb.select(col(idCol).as("vid"), col(vecCol).as("v"))
-      .withColumn("features", array_to_vector(col("v")))
+    // cluster on UNIT vectors so Euclidean k-means ordering agrees with
+    // cosine (spherical k-means); probe with the same Euclidean metric
+    // the assignment used — a cosine probe against non-unit centroids
+    // would rank different lists than transform() assigned to
+    def unit(c: org.apache.spark.sql.Column) =
+      transform(c, x => x.cast("double") / VectorFunctions.norm(c))
+    val withVec = emb.filter(VectorFunctions.norm(col(vecCol)) > 0)
+      .select(col(idCol).as("vid"), col(vecCol).as("v"))
+      .withColumn("features", array_to_vector(unit(col("v"))))
     val model = new KMeans().setK(nCentroids).setSeed(seed).fit(withVec)
     val assigned = model.transform(withVec)
       .select(col("vid"), col("v"), col("prediction").as("cent_id"))
     val centDf = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }.toSeq
+      .map { case (c, i) => (i, c.toArray) }.toSeq
       .toDF("cent_id", "centv")
-    val probes = emb.filter(queryPred).select(col(idCol).as("q_id"), col(vecCol).as("qv"))
+    val dist2 = aggregate(
+      zip_with(unit(col("qv")), col("centv"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+    val probes = emb.filter(queryPred && VectorFunctions.norm(col(vecCol)) > 0)
+      .select(col(idCol).as("q_id"), col(vecCol).as("qv"))
       .join(broadcast(centDf))
       .withColumn("prn", row_number().over(
-        Window.partitionBy(col("q_id"))
-          .orderBy(VectorFunctions.cosine(col("qv"), col("centv")).desc, col("cent_id"))))
+        Window.partitionBy(col("q_id")).orderBy(dist2.asc, col("cent_id"))))
       .filter(col("prn") <= nProbe)
       .select("q_id", "qv", "cent_id")
     val qcos = VectorFunctions.cosine(col("qv"), col("v"))
@@ -138,8 +163,9 @@ object Similarity {
     * feed an LSH bucket, never a constant. */
   def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
       bucketCol: String, theta: Double): DataFrame = {
-    val a = emb.select(col(bucketCol).as("bucket"), col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = emb.select(col(bucketCol).as("bucket"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+    val nz = emb.filter(VectorFunctions.norm(col(vecCol)) > 0)
+    val a = nz.select(col(bucketCol).as("bucket"), col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = nz.select(col(bucketCol).as("bucket"), col(idCol).as("id_b"), col(vecCol).as("vb"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos", TextFunctions.round4(VectorFunctions.cosine(col("va"), col("vb"))))

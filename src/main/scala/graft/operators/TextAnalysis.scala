@@ -29,7 +29,10 @@ object TextAnalysis {
         .map(l => col(s"s_$l")).reduce((a, b) => greatest(a, b))
       when(col(s"s_$lang") >= laterMax, lit(lang)).otherwise(elseCol)
     }
-    scored.select(Seq(col(idCol), pred.as("pred_lang")) ++
+    // null text must yield a null prediction, not fall through every
+    // null-scored when() into the last language
+    val safePred = when(col(textCol).isNull, lit(null)).otherwise(pred)
+    scored.select(Seq(col(idCol), safePred.as("pred_lang")) ++
       TextFunctions.langIdOrder.map(l => col(s"s_$l")): _*)
   }
 

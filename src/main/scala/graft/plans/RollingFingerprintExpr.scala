@@ -28,6 +28,8 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class RollingFingerprintExpr(child: Expression, gramLen: Int, bottomK: Int)
     extends UnaryExpression with CodegenFallback {
+  require(gramLen >= 1, s"gram_len must be >= 1, got $gramLen")
+  require(bottomK >= 1, s"bottom_k must be >= 1, got $bottomK")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = child.nullable

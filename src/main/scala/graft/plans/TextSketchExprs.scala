@@ -49,9 +49,10 @@ object TextSketchExprs {
       val md = Md5Pool.get()
       var i = 0
       while (i < n) {
-        val bytes = arr.getUTF8String(i).getBytes
+        val elem = arr.getUTF8String(i) // skip null elements (SQL-surface input)
+        val bytes = if (elem == null) null else elem.getBytes
         var j = 0
-        while (j < k) {
+        while (bytes != null && j < k) {
           md.reset(); md.update(salts(j)); md.update(bytes)
           val d = md.digest()
           if (mins(j) == null || unsignedLess(d, mins(j))) mins(j) = d
@@ -87,9 +88,10 @@ object TextSketchExprs {
       val md = Md5Pool.get()
       var i = 0
       while (i < n) {
-        val bytes = arr.getUTF8String(i).getBytes
+        val elem = arr.getUTF8String(i) // skip null elements (SQL-surface input)
+        val bytes = if (elem == null) null else elem.getBytes
         var p = 0
-        while (p < bits) {
+        while (bytes != null && p < bits) {
           md.reset(); md.update(salts(p)); md.update(bytes)
           // first hex nibble <= '7'  ⇔  signed first byte >= 0
           sums(p) += (if (md.digest()(0) >= 0) 1 else -1)

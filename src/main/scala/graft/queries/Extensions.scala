@@ -40,7 +40,7 @@ object Extensions {
   // --------------------------------------------------------------- Q24
   val q24 = QueryDef("q24_exact_dedup",
     """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS dup_cnt
-      |FROM documents GROUP BY text ORDER BY h""") { (s, dir) =>
+      |FROM documents GROUP BY md5(text) ORDER BY h""") { (s, dir) =>
     Dedup.exact(t(s, dir, "documents"), "doc_id", "text").orderBy("h")
   }
 
@@ -280,6 +280,7 @@ object Extensions {
        |         ${normSql("q.embedding")} AS na, ${normSql("c.embedding")} AS nb
        |  FROM embeddings q JOIN embeddings c
        |    ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+       |  WHERE ${normSql("q.embedding")} > 0 AND ${normSql("c.embedding")} > 0
        |), r AS (
        |  SELECT q_id, c_id, dt/(na*nb) AS cs,
        |         row_number() OVER (PARTITION BY q_id ORDER BY dt/(na*nb) DESC, c_id) AS rn
@@ -305,7 +306,7 @@ object Extensions {
       s"""WITH bk AS (
          |  SELECT vec_id, embedding,
          |    $bucketBits AS bucket
-         |  FROM embeddings
+         |  FROM embeddings WHERE ${normSql("embedding")} > 0
          |), p AS (
          |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
          |         ${dotSql("q.embedding", "c.embedding")} AS dt,
@@ -335,7 +336,8 @@ object Extensions {
        |    ON a.label = b.label AND a.vec_id < b.vec_id
        |)
        |SELECT id_a, id_b, floor(dt/(na*nb) * 10000 + 0.5) / 10000 AS cos FROM p
-       |WHERE floor(dt/(na*nb) * 10000 + 0.5) / 10000 >= 0.3 ORDER BY id_a, id_b""") { (s, dir) =>
+       |WHERE na > 0 AND nb > 0
+       |  AND floor(dt/(na*nb) * 10000 + 0.5) / 10000 >= 0.3 ORDER BY id_a, id_b""") { (s, dir) =>
     Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", "label", 0.3)
       .orderBy("id_a", "id_b")
   }
@@ -343,20 +345,23 @@ object Extensions {
   // --------------------------------------------------------------- Q38
   val q38 = QueryDef("q38_ann_ivf",
     s"""WITH cent AS (
-       |  SELECT vec_id AS cent_id, embedding AS centv FROM embeddings WHERE vec_id < 8
+       |  SELECT vec_id AS cent_id, embedding AS centv FROM embeddings
+       |  WHERE vec_id < 8 AND ${normSql("embedding")} > 0
        |), asn AS (
        |  SELECT vid, cent_id FROM (
        |    SELECT vid, cent_id, row_number() OVER (PARTITION BY vid ORDER BY cs DESC, cent_id) AS crn
        |    FROM (SELECT v.vec_id AS vid, c.cent_id,
        |                 ${dotSql("v.embedding", "c.centv")} / (${normSql("v.embedding")} * ${normSql("c.centv")}) AS cs
-       |          FROM embeddings v CROSS JOIN cent c)
+       |          FROM embeddings v CROSS JOIN cent c
+       |          WHERE ${normSql("v.embedding")} > 0)
        |  ) WHERE crn = 1
        |), probes AS (
        |  SELECT q_id, cent_id FROM (
        |    SELECT q_id, cent_id, row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, cent_id) AS prn
        |    FROM (SELECT q.vec_id AS q_id, c.cent_id,
        |                 ${dotSql("q.embedding", "c.centv")} / (${normSql("q.embedding")} * ${normSql("c.centv")}) AS cs
-       |          FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10)
+       |          FROM embeddings q CROSS JOIN cent c
+       |          WHERE q.vec_id < 10 AND ${normSql("q.embedding")} > 0)
        |  ) WHERE prn <= 2
        |), scored AS (
        |  SELECT p.q_id, a.vid AS c_id,

@@ -28,7 +28,8 @@ object EventStreams {
     events
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,6)")), 2).cast("double").as("sum_value"))
       .select(col("w.start").as("hour_start"), col("event_type"), col("n"), col("sum_value"))
 
   /** Sliding windows: 1-hour span every 15 minutes. */
