@@ -30,11 +30,15 @@ object Skew {
     * key. `sumCols` are summed; row counts come back as `n`. The salt
     * is derived from `saltSource` (high-cardinality columns, NOT the
     * group key) spread over `salts` buckets. */
+  // collision-proof internal column name (a user column literally named
+  // "_salt" would otherwise be silently overwritten and dropped)
+  private val SaltCol = "__graft_salt"
+
   def saltedAggregate(df: DataFrame, keyCol: String, salts: Int,
       saltSource: Seq[String], sumCols: Seq[String]): DataFrame = {
     val partial = df
-      .withColumn("_salt", salt(salts, saltSource.map(col): _*))
-      .groupBy(col(keyCol), col("_salt"))
+      .withColumn(SaltCol, salt(salts, saltSource.map(col): _*))
+      .groupBy(col(keyCol), col(SaltCol))
       .agg(count(lit(1)).as("n"),
         sumCols.map(c => sum(col(c)).as(s"sum_$c")): _*)
     partial
@@ -48,13 +52,13 @@ object Skew {
     * (key, salt). Inner-join semantics. */
   def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
       smallKey: String, salts: Int, bigSaltSource: Seq[String]): DataFrame = {
-    val saltedBig = big.withColumn("_salt", salt(salts, bigSaltSource.map(col): _*))
-    val replicatedSmall = small.withColumn("_salt",
+    val saltedBig = big.withColumn(SaltCol, salt(salts, bigSaltSource.map(col): _*))
+    val replicatedSmall = small.withColumn(SaltCol,
       explode(sequence(lit(0), lit(salts - 1))))
     saltedBig
       .join(replicatedSmall,
         saltedBig(bigKey) === replicatedSmall(smallKey)
-          && saltedBig("_salt") === replicatedSmall("_salt"))
-      .drop("_salt")
+          && saltedBig(SaltCol) === replicatedSmall(SaltCol))
+      .drop(SaltCol)
   }
 }

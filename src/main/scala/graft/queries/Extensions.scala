@@ -39,8 +39,8 @@ object Extensions {
 
   // --------------------------------------------------------------- Q24
   val q24 = QueryDef("q24_exact_dedup",
-    """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS dup_cnt
-      |FROM documents GROUP BY md5(text) ORDER BY h""") { (s, dir) =>
+    """SELECT coalesce(md5(text), '') AS h, min(doc_id) AS keep_id, count(*) AS dup_cnt
+      |FROM documents GROUP BY coalesce(md5(text), '') ORDER BY h""") { (s, dir) =>
     Dedup.exact(t(s, dir, "documents"), "doc_id", "text").orderBy("h")
   }
 
@@ -186,12 +186,13 @@ object Extensions {
     }.mkString("\n         ")
     QueryDef("q30_langid",
       s"""WITH $docwCte, scored AS (
-         |  SELECT doc_id, lang,
+         |  SELECT doc_id, text, lang,
          |         $scoreCols
          |  FROM docw
          |)
          |SELECT doc_id,
-         |       CASE $pred ELSE '${langs.last}' END AS pred_lang,
+         |       CASE WHEN text IS NULL THEN NULL
+         |         $pred ELSE '${langs.last}' END AS pred_lang,
          |       ${langs.map(l => s"s_$l").mkString(", ")}, lang
          |FROM scored ORDER BY doc_id""") { (s, dir) =>
       val docs = t(s, dir, "documents")

@@ -21,12 +21,23 @@ object Tables {
   /** The small dimension tables — always safe to broadcast in joins. */
   val broadcastable: Set[String] = Set("region", "nation", "supplier")
 
+  /** events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark 4 rejects at
+    * scan time unless this legacy conf is on. Session builders we own
+    * (Verify/Bench/PlanDump/SparkSuite) set it at construction; this is a
+    * defensive fallback for externally-built sessions. It only ever sets
+    * the value when the key is UNSET — it never flips an explicit choice,
+    * so there is no hidden ordering dependency (the effective value is
+    * constant for the session's lifetime either way). */
+  private def ensureNanosAsLong(spark: SparkSession): Unit = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    if (spark.conf.getOption(key).isEmpty) spark.conf.set(key, "true")
+  }
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark 4 rejects
-      // at scan time. Read nanos as long, then normalize to TimestampType
-      // (microsecond precision, matching Spark semantics everywhere else).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Read nanos as long, then normalize to TimestampType (microsecond
+      // precision, matching Spark semantics everywhere else).
+      ensureNanosAsLong(spark)
       spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
     } else spark.read.parquet(s"$dir/$name.parquet")
