@@ -23,8 +23,17 @@ object TextFunctions {
     * (`src/main.cc:73`): any run of whitespace separates tokens. */
   def whitespaceTokens(text: Column): Column = split(text, "\\s+")
 
-  /** Normalized, empty-filtered word array for a document. */
+  /** Normalized, empty-filtered word array for a document — native
+    * single-pass scan (see [[graft.plans.TextNormExprs]]); byte-identical
+    * to [[normalizedWordsReference]], which NormalizerPropertySpec
+    * asserts on arbitrary strings. */
   def normalizedWords(text: Column): Column =
+    graft.plans.TextNormExprs.normalizedWords(text)
+
+  /** The composed formulation (split → per-token regex strip → filter):
+    * the direct mapping of the reference semantics, kept as the
+    * executable spec the native tokenizer is asserted against. */
+  def normalizedWordsReference(text: Column): Column =
     filter(transform(whitespaceTokens(text), t => normalizeWord(t)), w => w =!= "")
 
   /** Word n-gram shingles over a (already normalized) word array.

@@ -20,8 +20,14 @@ object VectorFunctions {
   private def arraySum(c: Column): Column =
     aggregate(c, lit(0.0), (acc, x) => acc + x)
 
-  /** dot(a, b) with DOUBLE accumulation. */
-  def dot(a: Column, b: Column): Column =
+  /** dot(a, b) with DOUBLE accumulation — native single-loop expression
+    * (see [[graft.plans.VectorExprs.DotProductDExpr]]); bit-identical to
+    * [[dotReference]], which VectorMathSpec asserts. */
+  def dot(a: Column, b: Column): Column = graft.plans.VectorExprs.dotD(a, b)
+
+  /** The composed higher-order-function formulation of [[dot]] — kept as
+    * the executable spec of the accumulation order/widening contract. */
+  def dotReference(a: Column, b: Column): Column =
     arraySum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
 
   /** L2 norm with DOUBLE accumulation. */
@@ -38,7 +44,13 @@ object VectorFunctions {
     * this turns the O(n²) all-pairs similarity into an equi-join on the
     * bucket key (hash-partitionable, AQE-skew-handled).
     */
-  def hyperplaneBucket(vec: Column, planes: Int): Column = {
+  def hyperplaneBucket(vec: Column, planes: Int): Column =
+    graft.plans.VectorExprs.hyperplaneBucket(vec, planes)
+
+  /** The composed formulation of [[hyperplaneBucket]] — recomputes the
+    * per-(plane, index) md5 sign for every row, so it is only used as
+    * the executable spec the native expression is asserted against. */
+  def hyperplaneBucketReference(vec: Column, planes: Int): Column = {
     val bits = (0 until planes).map { p =>
       // sign_p(v) = sum_i v[i] * r(p, i) with r(p,i) = ±1 from md5(p,i)
       val proj = arraySum(zip_with(

@@ -3,32 +3,73 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
 
 /** As-of join: for each left row, the single most recent right row with
   * a matching key and right-time ≤ left-time (ties broken by the
   * right-side tiebreak column, descending). Left rows with no match are
   * kept with nulls — left-outer semantics.
   *
-  * Implementation is compose-built-ins (SURVEY §7.5 preference (a)):
-  * an equi-key left join with the time bound as residual condition,
-  * then a `row_number` window keeping the latest match. The join and
-  * the window both shuffle on hashable keys, so the plan scales — the
-  * caveat is key skew when one key holds many right rows; salt the key
-  * or pre-aggregate the right side per (key, time-bucket) if measured.
+  * Implementation is the union-merge formulation (compose-built-ins,
+  * SURVEY §7.5 preference (a)): tag right rows 0 and left rows 1, union
+  * on (key, time), sort each key's rows by (time, tag, tiebreak), and
+  * carry the latest right payload forward with a running
+  * `last(ignoreNulls)` window. Right rows at the exact left time sort
+  * first (tag 0), so the ≤ bound is inclusive; among equal-time right
+  * rows the greatest tiebreak sorts last and wins.
+  *
+  * Scale: ONE shuffle of |L|+|R| rows hash-partitioned by key and one
+  * sort-based window — the intermediate the naive equi-join + filter +
+  * row_number plan materializes (every left row × all earlier right
+  * rows for its key, quadratic per hot key) never exists. This is the
+  * standard point-in-time-join shape for 100 TB event/state tables; key
+  * skew degrades to a single fat sort partition, mitigated by
+  * range-partitioning inside the key via time-bucket pre-aggregation of
+  * the right side if measured.
   */
 object AsOfJoin {
 
   /** As-of join keyed by a unique left-row id (the usual shape: events
-    * joined to the latest prior state). */
+    * joined to the latest prior state). Output columns: all left
+    * columns, then all right columns (null when no match) — left and
+    * right column names must be disjoint. */
   def byId(left: DataFrame, right: DataFrame, leftId: String, leftKey: String,
       rightKey: String, leftTime: String, rightTime: String, tiebreak: String): DataFrame = {
-    val j = left.join(right,
-      col(rightKey) === col(leftKey) && col(rightTime) <= col(leftTime), "left")
-    val w = Window.partitionBy(col(leftId))
-      .orderBy(col(rightTime).desc_nulls_last, col(tiebreak).desc)
-    val rn = "__graft_asof_rn" // collision-proof temp column
-    j.withColumn(rn, row_number().over(w))
-      .filter(col(rn) === 1)
-      .drop(rn)
+    val k = "__graft_asof_k"; val t = "__graft_asof_t"; val tag = "__graft_asof_tag"
+    val tb = "__graft_asof_tb"; val lp = "__graft_asof_l"; val rp = "__graft_asof_r"
+    val m = "__graft_asof_m"
+
+    val keyType = left.schema(leftKey).dataType
+    // heterogeneous time types (e.g. DATE right vs TIMESTAMP left) meet
+    // at TIMESTAMP — the same implicit cast the <= comparison would use
+    val sameTimeType = left.schema(leftTime).dataType == right.schema(rightTime).dataType
+    def asTime(c: Column): Column = if (sameTimeType) c else c.cast(TimestampType)
+
+    val leftStruct = struct(left.columns.map(left(_)): _*)
+    val rightStruct = struct(right.columns.map(right(_)): _*)
+    val rightStructType = right.select(rightStruct).schema.head.dataType
+    val leftStructType = left.select(leftStruct).schema.head.dataType
+    val tbType = right.schema(tiebreak).dataType
+
+    val l = left.select(
+      left(leftKey).cast(keyType).as(k), asTime(left(leftTime)).as(t),
+      lit(1).as(tag), lit(null).cast(tbType).as(tb),
+      leftStruct.as(lp), lit(null).cast(rightStructType).as(rp))
+    // a null right time can never satisfy rightTime <= leftTime — drop it
+    // here (it would otherwise sort nulls-first and pollute the carry)
+    val r = right.filter(right(rightTime).isNotNull).select(
+      right(rightKey).cast(keyType).as(k), asTime(right(rightTime)).as(t),
+      lit(0).as(tag), right(tiebreak).as(tb),
+      lit(null).cast(leftStructType).as(lp), rightStruct.as(rp))
+
+    val w = Window.partitionBy(col(k))
+      .orderBy(col(t).asc_nulls_first, col(tag).asc, col(tb).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    l.unionByName(r)
+      .withColumn(m, last(col(rp), ignoreNulls = true).over(w))
+      .filter(col(tag) === 1)
+      .select(left.columns.map(c => col(s"$lp.$c").as(c)) ++
+        right.columns.map(c => col(s"$m.$c").as(c)): _*)
   }
 }

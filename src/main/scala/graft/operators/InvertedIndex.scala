@@ -60,9 +60,10 @@ object InvertedIndex {
           "\\+", "%2B")).as("path"))
     scanned
       .join(broadcast(manifest), "path") // tiny dim: path → 1-based id
-      .select(col("file_id"), explode(TextFunctions.whitespaceTokens(col("value"))).as("tok"))
-      .select(col("file_id"), TextFunctions.normalizeWord(col("tok")).as("word"))
-      .filter(length(col("word")) > 0)
+      // tokenize+normalize+empty-filter in ONE native pass per line
+      // (graft.plans.TextNormExprs), then explode — identical rows to
+      // explode(split) → per-token regex strip → filter
+      .select(col("file_id"), explode(TextFunctions.normalizedWords(col("value"))).as("word"))
       // collect_set dedups (word, file) pairs in its partial aggregate:
       // the reference's map-side combine (O6) and global dedup (O8) in
       // one shuffle instead of distinct + regroup

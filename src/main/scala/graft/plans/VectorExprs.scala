@@ -1,0 +1,138 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native vector math over `ARRAY<FLOAT>` / `ARRAY<DOUBLE>` embedding
+  * columns. Each expression replaces an interpreted higher-order-function
+  * chain (`aggregate(zip_with(...))`) — which allocates an intermediate
+  * array and boxes every element through the lambda — with one tight
+  * primitive loop per row. The accumulation order and FLOAT→DOUBLE
+  * widening are identical to the HOF formulation (in array order, each
+  * element widened before the multiply), so results are bit-identical
+  * and the DuckDB oracles are unchanged (VectorMathSpec asserts exact
+  * equality against the HOF forms).
+  *
+  * On the ANN paths (brute-force / LSH / IVF top-k) the dot product is
+  * evaluated once per candidate pair — at 100 TB this loop IS the
+  * workload, which is why it must not box.
+  */
+object VectorExprs {
+
+  private def elemIsFloat(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  /** dot(a, b) with in-order DOUBLE accumulation. Null if either array
+    * is null, if lengths differ, or any touched element is null —
+    * exactly the HOF chain's semantics (zip_with pads the shorter array
+    * with nulls; null poisons the running sum). */
+  case class DotProductDExpr(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+
+    // deferred: child dataType is only queryable once resolved
+    @transient private lazy val leftFloat = elemIsFloat(left.dataType)
+    @transient private lazy val rightFloat = elemIsFloat(right.dataType)
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val aa = a.asInstanceOf[ArrayData]; val bb = b.asInstanceOf[ArrayData]
+      val n = aa.numElements()
+      if (bb.numElements() != n) return null
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        if (aa.isNullAt(i) || bb.isNullAt(i)) return null
+        val x = if (leftFloat) aa.getFloat(i).toDouble else aa.getDouble(i)
+        val y = if (rightFloat) bb.getFloat(i).toDouble else bb.getDouble(i)
+        s += x * y
+        i += 1
+      }
+      s
+    }
+
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+    override def prettyName: String = "dot_d"
+  }
+
+  /** Random-hyperplane LSH bucket bit-string ("0"/"1" × planes): bit p
+    * is the sign of Σᵢ v[i]·r(p,i) with r(p,i) = ±1 from the first
+    * byte of md5("plane<p>,<i>") — the identical pseudo-random signs the
+    * composed [[graft.functions.TextFunctions.hashSign]] form and the
+    * DuckDB oracle derive. The HOF form recomputes those md5s for every
+    * ROW; the sign matrix only depends on (plane, index), so here it is
+    * computed once per (dimension) and cached for the task's lifetime.
+    * A null element or empty vector yields an all-'0' bucket (null
+    * projection falls through `when(proj >= 0, ...)` to the otherwise
+    * branch), matching the composed form. */
+  case class HyperplaneBucketExpr(child: Expression, planes: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+
+    // deferred: child dataType is only queryable once resolved
+    @transient private lazy val childFloat = elemIsFloat(child.dataType)
+
+    // dim -> signs[plane][i]; ConcurrentHashMap so a shared instance is
+    // safe even if tasks race on first use
+    @transient private lazy val signCache =
+      new java.util.concurrent.ConcurrentHashMap[Integer, Array[Array[Double]]]()
+
+    private def signs(dim: Int): Array[Array[Double]] =
+      signCache.computeIfAbsent(dim, _ => {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        Array.tabulate(planes) { p =>
+          Array.tabulate(dim) { i =>
+            md.reset()
+            val d = md.digest(s"plane$p,$i".getBytes("UTF-8"))
+            if (d(0) >= 0) 1.0 else -1.0 // first hex nibble <= '7'
+          }
+        }
+      })
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val sb = new java.lang.StringBuilder(planes)
+      var hasNullElem = n == 0
+      var i = 0
+      while (!hasNullElem && i < n) { hasNullElem = arr.isNullAt(i); i += 1 }
+      if (hasNullElem) {
+        var p = 0
+        while (p < planes) { sb.append('0'); p += 1 }
+      } else {
+        val r = signs(n)
+        var p = 0
+        while (p < planes) {
+          var s = 0.0
+          var j = 0
+          while (j < n) {
+            val x = if (childFloat) arr.getFloat(j).toDouble else arr.getDouble(j)
+            s += x * r(p)(j)
+            j += 1
+          }
+          sb.append(if (s >= 0) '1' else '0')
+          p += 1
+        }
+      }
+      UTF8String.fromString(sb.toString)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "hyperplane_bucket"
+  }
+
+  def dotD(a: Column, b: Column): Column =
+    GraftColumnBridge.toColumn(DotProductDExpr(
+      GraftColumnBridge.toExpression(a), GraftColumnBridge.toExpression(b)))
+
+  def hyperplaneBucket(vec: Column, planes: Int): Column =
+    GraftColumnBridge.toColumn(HyperplaneBucketExpr(GraftColumnBridge.toExpression(vec), planes))
+}

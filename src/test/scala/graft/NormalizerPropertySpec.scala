@@ -25,7 +25,8 @@ object NormalizerPropertySpec extends Properties("normalizer") {
   }
 
   private val weird: Gen[String] = Gen.listOf(Gen.oneOf(
-    Gen.alphaNumChar, Gen.oneOf(' ', '\t', '\'', '-', '.', 'É', 'ß', '漢', '0', '9'),
+    Gen.alphaNumChar, Gen.oneOf(' ', '\t', '\n', '\r', '\f', '', '\''),
+    Gen.oneOf('-', '.', 'É', 'ß', '漢', '0', '9', 'K', ' ', 'Σ', 'İ'),
     Gen.asciiPrintableChar)).map(_.mkString)
 
   property("output contains only [a-z]") = forAll(Gen.listOfN(5, weird)) { ss =>
@@ -40,6 +41,15 @@ object NormalizerPropertySpec extends Properties("normalizer") {
   property("pure [a-z] strings pass through unchanged") =
     forAll(Gen.listOfN(5, Gen.listOf(Gen.choose('a', 'z')).map(_.mkString))) { ss =>
       normalize(ss) == ss
+    }
+
+  property("native tokenizer == composed reference formulation") =
+    forAll(Gen.listOfN(5, weird)) { ss =>
+      import spark.implicits._
+      val df = ss.toDF("s")
+      val native = df.select(TextFunctions.normalizedWords(col("s"))).as[Seq[String]].collect().toSeq
+      val ref = df.select(TextFunctions.normalizedWordsReference(col("s"))).as[Seq[String]].collect().toSeq
+      native == ref
     }
 
   property("tokenizer emits no whitespace-containing tokens") =

@@ -85,6 +85,25 @@ class SimilaritySpec extends SparkSuite {
       TextFunctions.round4(VectorFunctions.cosine(col("embedding"), col("embedding"))).as("c"))
     assert(self.filter(col("c") =!= 1.0).count() === 0)
   }
+
+  test("native dot product is bit-identical to the HOF reference formulation") {
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val pairs = a.join(b, col("id_b") === col("id_a") + 1)
+    val diff = pairs.select(
+        VectorFunctions.dot(col("va"), col("vb")).as("n"),
+        VectorFunctions.dotReference(col("va"), col("vb")).as("r"))
+      .filter(not(col("n") <=> col("r")))
+    assert(diff.count() === 0)
+  }
+
+  test("native hyperplane bucket is identical to the per-row md5 reference formulation") {
+    val diff = emb.select(
+        VectorFunctions.hyperplaneBucket(col("embedding"), 4).as("n"),
+        VectorFunctions.hyperplaneBucketReference(col("embedding"), 4).as("r"))
+      .filter(not(col("n") <=> col("r")))
+    assert(diff.count() === 0)
+  }
 }
 
 class TextAnalysisSpec extends SparkSuite {
