@@ -15,11 +15,23 @@ object TextAnalysis {
 
   /** Heuristic language ID: per-language stopword-hit counts over the
     * normalized word array; argmax with a fixed language-order
-    * tie-break (see [[TextFunctions.langIdOrder]]). */
-  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val withWords = docs.withColumn("w", TextFunctions.normalizedWords(col(textCol)))
-    val scored = TextFunctions.langIdOrder.foldLeft(withWords) { (df, lang) =>
-      df.withColumn(s"s_$lang", TextFunctions.stopwordHits(col("w"), lang))
+    * tie-break (see [[TextFunctions.langIdOrder]]). `keep` columns are
+    * passed through (appended after the score columns) so callers
+    * needing input attributes alongside the prediction avoid a
+    * re-scan + self-join. */
+  def langId(docs: DataFrame, idCol: String, textCol: String,
+      keep: Seq[String] = Nil): DataFrame = {
+    // all languages scored in ONE pass over the word array (native
+    // expression; equality with the per-language composed filters is
+    // spec-asserted)
+    val scoresCol = "__graft_langid_scores"
+    val scored0 = docs
+      .withColumn("w", TextFunctions.normalizedWords(col(textCol)))
+      .withColumn(scoresCol, graft.plans.TextNormExprs.stopwordScores(
+        col("w"), TextFunctions.langIdOrder.map(TextFunctions.stopwords)))
+    val scored = TextFunctions.langIdOrder.zipWithIndex.foldLeft(scored0) {
+      case (df, (lang, i)) =>
+        df.withColumn(s"s_$lang", element_at(col(scoresCol), i + 1))
     }
     // argmax with ties resolved by langIdOrder position (>= keeps the
     // earlier language on equal scores)
@@ -33,7 +45,7 @@ object TextAnalysis {
     // null-scored when() into the last language
     val safePred = when(col(textCol).isNull, lit(null)).otherwise(pred)
     scored.select(Seq(col(idCol), safePred.as("pred_lang")) ++
-      TextFunctions.langIdOrder.map(l => col(s"s_$l")): _*)
+      TextFunctions.langIdOrder.map(l => col(s"s_$l")) ++ keep.map(col): _*)
   }
 
   /** Document quality features + a composite score in [0,1]:

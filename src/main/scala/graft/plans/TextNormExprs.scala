@@ -64,4 +64,59 @@ object TextNormExprs {
 
   def normalizedWords(text: Column): Column =
     GraftColumnBridge.toColumn(NormalizedWordsExpr(GraftColumnBridge.toExpression(text)))
+
+  /** Per-language stopword-hit counts over a word array, all languages
+    * in ONE pass: one hash lookup per token against a word →
+    * per-language increment table, replacing an interpreted
+    * `size(filter(words, isInCollection(...)))` per language (each a
+    * full scan of the array with a linear literal-list compare per
+    * element). Output element i = hit count for `langWords(i)`,
+    * counting token multiplicity — exactly the composed form's result
+    * (null elements contribute nothing there: `isInCollection(null)`
+    * is null, which `filter` drops). */
+  case class StopwordScoresExpr(child: Expression, langWords: Seq[Seq[String]])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+    @transient private lazy val nLangs = langWords.size
+    @transient private lazy val table: java.util.HashMap[UTF8String, Array[Int]] = {
+      val m = new java.util.HashMap[UTF8String, Array[Int]]()
+      langWords.zipWithIndex.foreach { case (ws, li) =>
+        ws.foreach { w =>
+          val k = UTF8String.fromString(w)
+          var inc = m.get(k)
+          if (inc == null) { inc = new Array[Int](nLangs); m.put(k, inc) }
+          inc(li) += 1
+        }
+      }
+      m
+    }
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val counts = new Array[Int](nLangs)
+      val n = arr.numElements()
+      var i = 0
+      while (i < n) {
+        val w = arr.getUTF8String(i)
+        if (w != null) {
+          val inc = table.get(w)
+          if (inc != null) {
+            var l = 0
+            while (l < nLangs) { counts(l) += inc(l); l += 1 }
+          }
+        }
+        i += 1
+      }
+      new GenericArrayData(counts.map(Integer.valueOf(_): Any))
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "stopword_scores"
+  }
+
+  def stopwordScores(words: Column, langWords: Seq[Seq[String]]): Column =
+    GraftColumnBridge.toColumn(
+      StopwordScoresExpr(GraftColumnBridge.toExpression(words), langWords))
 }

@@ -29,6 +29,34 @@ object TextSketchExprs {
     def get(): MessageDigest = { val m = local.get(); m.reset(); m }
   }
 
+  /** Per-thread bounded memo table for per-token digest work. Corpus
+    * vocabulary is Zipfian: the same few thousand words dominate every
+    * document, so caching token → precomputed digest material turns the
+    * k-hashes-per-occurrence cost into k-hashes-per-distinct-word-per-
+    * task. Bounded LRU (access-order LinkedHashMap) so an adversarial
+    * vocabulary can't OOM an executor; per-thread so there is no lock
+    * on the hot path. */
+  private[plans] final class TokenMemo[V](maxEntries: Int) {
+    private val local = new ThreadLocal[java.util.LinkedHashMap[String, V]] {
+      override def initialValue() =
+        new java.util.LinkedHashMap[String, V](1024, 0.75f, true) {
+          override def removeEldestEntry(e: java.util.Map.Entry[String, V]): Boolean =
+            size() > maxEntries
+        }
+    }
+    def getOrCompute(key: UTF8String, f: Array[Byte] => V): V = {
+      val m = local.get()
+      val k = key.toString
+      val got = m.get(k)
+      if (got != null) got
+      else {
+        val v = f(key.getBytes)
+        m.put(k, v)
+        v
+      }
+    }
+  }
+
   /** MinHash signature: element j is the hex-min over shingles of
     * `md5("$j|" + shingle)` — exactly [[graft.functions.TextFunctions.minhashAgg]]
     * computed with one reused digest and no row explosion. Null for an
@@ -40,23 +68,30 @@ object TextSketchExprs {
 
     @transient private lazy val salts: Array[Array[Byte]] =
       Array.tabulate(k)(j => s"$j|".getBytes("UTF-8"))
+    // shingle → its k digests, memoized per thread (Zipfian vocabulary)
+    @transient private lazy val memo = new TokenMemo[Array[Array[Byte]]](100000)
 
     override protected def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
       val n = arr.numElements()
       if (n == 0) return null
       val mins = new Array[Array[Byte]](k)
-      val md = Md5Pool.get()
       var i = 0
       while (i < n) {
         val elem = arr.getUTF8String(i) // skip null elements (SQL-surface input)
-        val bytes = if (elem == null) null else elem.getBytes
-        var j = 0
-        while (bytes != null && j < k) {
-          md.reset(); md.update(salts(j)); md.update(bytes)
-          val d = md.digest()
-          if (mins(j) == null || unsignedLess(d, mins(j))) mins(j) = d
-          j += 1
+        if (elem != null) {
+          val ds = memo.getOrCompute(elem, bytes => {
+            val md = Md5Pool.get()
+            Array.tabulate(k) { j =>
+              md.reset(); md.update(salts(j)); md.update(bytes); md.digest()
+            }
+          })
+          var j = 0
+          while (j < k) {
+            val d = ds(j)
+            if (mins(j) == null || unsignedLess(d, mins(j))) mins(j) = d
+            j += 1
+          }
         }
         i += 1
       }
@@ -77,25 +112,39 @@ object TextSketchExprs {
     override def dataType: DataType = StringType
     override def nullable: Boolean = true
 
+    require(bits <= 64, s"bits=$bits exceeds the 64-bit sign-mask memo")
+
     @transient private lazy val salts: Array[Array[Byte]] =
       Array.tabulate(bits)(p => s"sh$p|".getBytes("UTF-8"))
+    // word → sign bitmask (bit p set ⇔ +1), memoized per thread
+    @transient private lazy val memo = new TokenMemo[java.lang.Long](100000)
 
     override protected def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
       val n = arr.numElements()
       if (n == 0) return null
       val sums = new Array[Int](bits)
-      val md = Md5Pool.get()
       var i = 0
       while (i < n) {
         val elem = arr.getUTF8String(i) // skip null elements (SQL-surface input)
-        val bytes = if (elem == null) null else elem.getBytes
-        var p = 0
-        while (bytes != null && p < bits) {
-          md.reset(); md.update(salts(p)); md.update(bytes)
-          // first hex nibble <= '7'  ⇔  signed first byte >= 0
-          sums(p) += (if (md.digest()(0) >= 0) 1 else -1)
-          p += 1
+        if (elem != null) {
+          val mask = memo.getOrCompute(elem, bytes => {
+            val md = Md5Pool.get()
+            var m = 0L
+            var p = 0
+            while (p < bits) {
+              md.reset(); md.update(salts(p)); md.update(bytes)
+              // first hex nibble <= '7'  ⇔  signed first byte >= 0
+              if (md.digest()(0) >= 0) m |= (1L << p)
+              p += 1
+            }
+            java.lang.Long.valueOf(m)
+          }).longValue()
+          var p = 0
+          while (p < bits) {
+            sums(p) += (if (((mask >> p) & 1L) == 1L) 1 else -1)
+            p += 1
+          }
         }
         i += 1
       }

@@ -195,9 +195,7 @@ object Extensions {
          |         $pred ELSE '${langs.last}' END AS pred_lang,
          |       ${langs.map(l => s"s_$l").mkString(", ")}, lang
          |FROM scored ORDER BY doc_id""") { (s, dir) =>
-      val docs = t(s, dir, "documents")
-      TextAnalysis.langId(docs, "doc_id", "text")
-        .join(docs.select("doc_id", "lang"), "doc_id")
+      TextAnalysis.langId(t(s, dir, "documents"), "doc_id", "text", keep = Seq("lang"))
         .orderBy("doc_id")
     }
   }

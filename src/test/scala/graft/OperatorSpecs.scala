@@ -115,6 +115,17 @@ class TextAnalysisSpec extends SparkSuite {
     assert(l.filter(not(col("pred_lang").isin(TextFunctions.langIdOrder: _*))).count() === 0)
   }
 
+  test("single-pass stopword scores == per-language composed filters") {
+    val w = TextFunctions.normalizedWords(col("text"))
+    val native = graft.plans.TextNormExprs.stopwordScores(
+      w, TextFunctions.langIdOrder.map(TextFunctions.stopwords))
+    val composed = array(
+      TextFunctions.langIdOrder.map(l => TextFunctions.stopwordHits(w, l)): _*)
+    val diff = docs.select(native.as("n"), composed.as("r"))
+      .filter(not(col("n") <=> col("r")))
+    assert(diff.count() === 0)
+  }
+
   test("quality score within [0, 1]; ratios within [0, 1]") {
     val q = TextAnalysis.qualityScore(docs, "doc_id", "text")
     assert(q.filter(col("score") < 0 || col("score") > 1).count() === 0)
