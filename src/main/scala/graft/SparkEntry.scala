@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Extensions, QueryDef, Relational}
+import graft.queries.{Advanced, Extensions, QueryDef, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Each entry pairs a Spark implementation with (where SQL-expressible)
@@ -11,7 +11,7 @@ import graft.queries.{Extensions, QueryDef, Relational}
   */
 object SparkEntry {
   /** Every declared query (SURVEY.md §2.3 + extensions). */
-  def registry: Seq[QueryDef] = Relational.all ++ Extensions.all
+  def registry: Seq[QueryDef] = Relational.all ++ Extensions.all ++ Advanced.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

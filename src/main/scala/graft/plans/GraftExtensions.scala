@@ -44,7 +44,34 @@ object GraftFunctions {
     ("simhash",
       new ExpressionInfo(classOf[TextSketchExprs.SimHashExpr].getName, "simhash"),
       (exprs: Seq[Expression]) => TextSketchExprs.SimHashExpr(
-        exprs.head, intLit(exprs(1), "bits"))))
+        exprs.head, intLit(exprs(1), "bits"))),
+    // Spark's own runtime-filter machinery (InjectRuntimeFilter builds
+    // these internally but does not expose them in the function
+    // registry): a user-declared bloom semi-join prefilter — aggregate
+    // the build side's keys into a bloom sketch, probe it as a scalar
+    // subquery on the big side. False positives are removed by the
+    // exact join that follows; false negatives are impossible.
+    ("bloom_filter_agg",
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_filter_agg"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c)
+        case Seq(c, items) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, items)
+        case Seq(c, items, bits) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, items, bits)
+        case _ => throw new IllegalArgumentException(
+          "bloom_filter_agg(child[, estimatedNumItems[, numBits]])")
+      }),
+    ("might_contain",
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "might_contain"),
+      (exprs: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs.head, exprs(1))))
 
   /** Register on a live session (temp functions). */
   def register(spark: SparkSession): Unit =

@@ -1,0 +1,287 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.functions.TextFunctions
+
+/** Round-2 coverage additions: window analytics beyond rank/frames
+  * (ntile / percent_rank / cume_dist / nth_value), correlated and
+  * scalar subqueries through the SQL entry point (Catalyst decorrelates
+  * to semi joins), TF-IDF, sliding windows (batch twin of the streaming
+  * shape), deterministic hash sampling, a user-declared bloom-filter
+  * semi-join prefilter, struct-ordered max/min (max_by semantics with a
+  * total tie-break), generator-style date sequences, and ordered string
+  * aggregation. All oracle-checked; cross-engine rules follow
+  * SNIPPETS-era gotchas (floor-form rounding, DECIMAL money sums,
+  * integer epochs).
+  */
+object Advanced {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  // --------------------------------------------------------------- Q46
+  /** Distribution-style window functions. ntile is cast to INT on the
+    * oracle side (DuckDB emits BIGINT); percent_rank/cume_dist are
+    * exact small-integer ratios — identical doubles — rounded with the
+    * engine-portable floor form anyway. */
+  val q46 = QueryDef("q46_window_extras",
+    """SELECT o_custkey, o_orderkey, rn,
+      |       CAST(nt AS INT) AS nt,
+      |       floor(pr * 10000 + 0.5) / 10000 AS pct_rank,
+      |       floor(cd * 10000 + 0.5) / 10000 AS cume,
+      |       first_ok, nth_ok
+      |FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |         row_number() OVER w AS rn,
+      |         ntile(4) OVER w AS nt,
+      |         percent_rank() OVER w AS pr,
+      |         cume_dist() OVER w AS cd,
+      |         first_value(o_orderkey) OVER w AS first_ok,
+      |         nth_value(o_orderkey, 2) OVER w AS nth_ok
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+      |)
+      |WHERE rn <= 5 ORDER BY o_custkey, rn""") { (s, dir) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("nt", ntile(4).over(w))
+      .withColumn("pct_rank", TextFunctions.round4(percent_rank().over(w)))
+      .withColumn("cume", TextFunctions.round4(cume_dist().over(w)))
+      .withColumn("first_ok", first(col("o_orderkey")).over(w))
+      .withColumn("nth_ok", nth_value(col("o_orderkey"), 2).over(w))
+      .filter(col("rn") <= 5)
+      .select("o_custkey", "o_orderkey", "rn", "nt", "pct_rank", "cume",
+        "first_ok", "nth_ok")
+      .orderBy("o_custkey", "rn")
+  }
+
+  // --------------------------------------------------------------- Q47
+  /** Correlated EXISTS + uncorrelated IN through the engine's SQL entry
+    * point — the identical text runs on DuckDB; Catalyst decorrelates
+    * both predicates into semi joins (plan-asserted in QuerySpecs). */
+  val q47 = {
+    val sql =
+      """SELECT c_custkey FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |  AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin
+    QueryDef("q47_subqueries", sql) { (s, dir) =>
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(sql)
+    }
+  }
+
+  // --------------------------------------------------------------- Q48
+  /** TF-IDF: top-3 terms per document by tf·ln(N/df). The rounded score
+    * is used for BOTH ranking and output so a last-ulp ln() divergence
+    * between engines cannot reorder rows (ties then break on word). */
+  val q48 = QueryDef("q48_tfidf",
+    """WITH docw AS (
+      |  SELECT doc_id,
+      |         list_filter(list_transform(regexp_split_to_array(lower(text), '\s+'),
+      |                     x -> regexp_replace(x, '[^a-z]', '', 'g')),
+      |                     x -> x <> '') AS w
+      |  FROM documents
+      |), tok AS (SELECT doc_id, unnest(w) AS word FROM docw),
+      |tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY doc_id, word),
+      |df AS (SELECT word, count(DISTINCT doc_id) AS df FROM tok GROUP BY word),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.word, tf.tf,
+      |         floor(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) * 10000 + 0.5) / 10000 AS tfidf
+      |  FROM tf JOIN df USING (word) CROSS JOIN n
+      |), r AS (
+      |  SELECT doc_id, word, tf, tfidf,
+      |         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rn
+      |  FROM scored
+      |)
+      |SELECT doc_id, word, tf, tfidf, rn FROM r WHERE rn <= 3
+      |ORDER BY doc_id, rn""") { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val tok = docs.select(col("doc_id"),
+      explode(TextFunctions.normalizedWords(col("text"))).as("word"))
+    val tf = tok.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfreq = tok.groupBy("word").agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.join(dfreq, "word")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        TextFunctions.round4(col("tf") * log(col("n").cast("double") / col("df"))))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("word"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("doc_id", "word", "tf", "tfidf", "rn")
+      .orderBy("doc_id", "rn")
+  }
+
+  // --------------------------------------------------------------- Q49
+  /** Sliding (hopping) time window, batch twin of the streaming shape:
+    * 1-hour windows every 30 minutes — each event lands in exactly two
+    * windows. Oracle mirrors Spark's µs window arithmetic with integer
+    * epoch slots. */
+  val q49 = QueryDef("q49_sliding_window",
+    """WITH e AS (SELECT epoch_us(ts) AS eu, event_type FROM events),
+      |w AS (
+      |  SELECT unnest([eu // 1800000000, eu // 1800000000 - 1]) AS slot, event_type
+      |  FROM e
+      |)
+      |SELECT slot * 1800 AS start_s, event_type, count(*) AS n
+      |FROM w GROUP BY slot, event_type ORDER BY start_s, event_type""") { (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("w.start")).as("start_s"), col("event_type"), col("n"))
+      .orderBy("start_s", "event_type")
+  }
+
+  // --------------------------------------------------------------- Q50
+  /** Deterministic hash-based sampling: the md5-prefix predicate selects
+    * the same ~12.5% of rows on every engine and at every scale — the
+    * reproducible-sample primitive a training-data pipeline needs
+    * (TABLESAMPLE is engine-nondeterministic). */
+  val q50 = QueryDef("q50_hash_sample",
+    """SELECT o_orderstatus, count(*) AS n,
+      |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_price
+      |FROM orders
+      |WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '20'
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""") { (s, dir) =>
+    t(s, dir, "orders")
+      .filter(substring(md5(col("o_orderkey").cast("string")), 1, 2) < "20")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice").cast("decimal(18,6)")), 2).cast("double").as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  // --------------------------------------------------------------- Q51
+  /** Scalar subquery: revenue share per priority against the global
+    * total. Both sums are exact DECIMAL accumulations, so the double
+    * division is bit-identical across engines. */
+  val q51 = {
+    val sql =
+      """SELECT o_orderpriority,
+        |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS rev,
+        |       floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |         / (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) FROM orders)
+        |         * 10000 + 0.5) / 10000 AS share
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+    QueryDef("q51_scalar_subquery", sql) { (s, dir) =>
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(sql)
+    }
+  }
+
+  // --------------------------------------------------------------- Q52
+  /** Ordered string aggregation. Spark has no ORDER BY inside an
+    * aggregate, so the deterministic formulation is
+    * array_join(sort_array(collect_list)) — same string DuckDB's
+    * ordered string_agg produces. */
+  val q52 = QueryDef("q52_string_agg",
+    """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""") { (s, dir) =>
+    t(s, dir, "nation")
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"))
+      .orderBy("r_name")
+  }
+
+  // --------------------------------------------------------------- Q53
+  /** User-declared bloom semi-join prefilter, via Spark's own
+    * runtime-filter expressions surfaced through GraftFunctions: the
+    * build side's keys are aggregated into a bloom sketch (scalar
+    * subquery), probed on the big side BEFORE the exact semi join.
+    * Bloom false positives are removed by the exact join; false
+    * negatives are impossible — so the oracle is the plain semi join.
+    * At 100 TB this is the shape that cuts the probe-side shuffle to
+    * ~the matching keys (what AQE's InjectRuntimeFilter does when
+    * statistics justify it; here it is declared explicitly). */
+  val q53 = QueryDef("q53_bloom_join",
+    """SELECT c_custkey FROM customer
+      |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""") { (s, dir) =>
+    graft.plans.GraftFunctions.register(s)
+    t(s, dir, "customer").createOrReplaceTempView("customer")
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT c_custkey FROM customer
+        |WHERE might_contain(
+        |        (SELECT bloom_filter_agg(xxhash64(o_custkey))
+        |         FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |        xxhash64(c_custkey))
+        |  AND c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  // --------------------------------------------------------------- Q54
+  /** max_by/min_by semantics with a total tie-break: Spark's
+    * lexicographic struct min/max picks (extreme price, then extreme
+    * orderkey) — the oracle states the same row via rank-1 windows.
+    * Price output uses the floor-form 2-dp rounding (round() half-tie
+    * handling differs across engines on ~2-dp doubles). */
+  val q54 = QueryDef("q54_minmax_by",
+    """WITH mx AS (
+      |  SELECT l_returnflag, l_orderkey,
+      |         row_number() OVER (PARTITION BY l_returnflag
+      |           ORDER BY l_extendedprice DESC, l_orderkey DESC) AS rn
+      |  FROM lineitem
+      |), mn AS (
+      |  SELECT l_returnflag, l_orderkey,
+      |         row_number() OVER (PARTITION BY l_returnflag
+      |           ORDER BY l_extendedprice ASC, l_orderkey ASC) AS rn
+      |  FROM lineitem
+      |), mp AS (
+      |  SELECT l_returnflag,
+      |         floor(max(l_extendedprice) * 100 + 0.5) / 100 AS max_price
+      |  FROM lineitem GROUP BY l_returnflag
+      |)
+      |SELECT mx.l_returnflag, mx.l_orderkey AS top_order,
+      |       mn.l_orderkey AS bottom_order, mp.max_price
+      |FROM mx
+      |JOIN mn ON mn.l_returnflag = mx.l_returnflag AND mn.rn = 1
+      |JOIN mp ON mp.l_returnflag = mx.l_returnflag
+      |WHERE mx.rn = 1 ORDER BY mx.l_returnflag""") { (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        max(struct(col("l_extendedprice"), col("l_orderkey")))
+          .getField("l_orderkey").as("top_order"),
+        min(struct(col("l_extendedprice"), col("l_orderkey")))
+          .getField("l_orderkey").as("bottom_order"),
+        (floor(max(col("l_extendedprice")) * 100 + 0.5) / 100).as("max_price"))
+      .orderBy("l_returnflag")
+  }
+
+  // --------------------------------------------------------------- Q55
+  /** Generator over computed data: each order expands to a 3-month
+    * date sequence (sequence + explode ≅ a table function), then a
+    * per-month count — the "explode a generated range" shape used for
+    * calendar densification. */
+  val q55 = QueryDef("q55_date_sequence",
+    """WITH m AS (
+      |  SELECT unnest(generate_series(date_trunc('month', o_orderdate),
+      |                date_trunc('month', o_orderdate) + INTERVAL 2 MONTH,
+      |                INTERVAL 1 MONTH)) AS m
+      |  FROM orders
+      |)
+      |SELECT strftime(m, '%Y-%m') AS month, count(*) AS n_open
+      |FROM m GROUP BY month ORDER BY month""") { (s, dir) =>
+    t(s, dir, "orders")
+      .select(explode(sequence(
+        trunc(col("o_orderdate"), "month"),
+        add_months(trunc(col("o_orderdate"), "month"), 2),
+        expr("INTERVAL 1 MONTH"))).as("m"))
+      .groupBy(date_format(col("m"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_open"))
+      .orderBy("month")
+  }
+
+  val all: Seq[QueryDef] = Seq(q46, q47, q48, q49, q50, q51, q52, q53, q54, q55)
+}

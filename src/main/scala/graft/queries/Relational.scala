@@ -58,9 +58,9 @@ object Relational {
     // the reference's map-side combine (O6) and global dedup (O8) both
     // happen in partial_collect_set before the exchange.
     t(s, dir, "documents")
-      .select(col("doc_id"), explode(TextFunctions.whitespaceTokens(col("text"))).as("tok"))
-      .select(col("doc_id"), TextFunctions.normalizeWord(col("tok")).as("word"))
-      .filter(length(col("word")) > 0)
+      // native single-pass tokenizer (tokenize+normalize+filter), then
+      // explode — identical rows to the split→regex→filter pipeline
+      .select(col("doc_id"), explode(TextFunctions.normalizedWords(col("text"))).as("word"))
       .groupBy("word")
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
       .select(
@@ -441,9 +441,7 @@ object Relational {
       |       list_contains(ids, 1) AS has_doc1
       |FROM idx ORDER BY word""") { (s, dir) =>
     t(s, dir, "documents")
-      .select(col("doc_id"), explode(TextFunctions.whitespaceTokens(col("text"))).as("tok"))
-      .select(col("doc_id"), TextFunctions.normalizeWord(col("tok")).as("word"))
-      .filter(length(col("word")) > 0)
+      .select(col("doc_id"), explode(TextFunctions.normalizedWords(col("text"))).as("word"))
       .groupBy("word")
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
       .select(col("word"), size(col("ids")).as("n_ids"),
