@@ -22,7 +22,7 @@ object Bench {
     "q24_exact_dedup", "q26_term_freq", "q27_minhash_lsh", "q28_simhash",
     "q30_langid", "q32_token_count", "q33_fingerprint",
     "q34_asof_join", "q35_ann_topk", "q36_ann_lsh", "q38_ann_ivf",
-    "q39_session_window")
+    "q39_session_window", "q48_tfidf", "q49_sliding_window", "q53_bloom_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

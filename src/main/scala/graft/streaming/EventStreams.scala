@@ -105,6 +105,51 @@ object EventStreams {
       }
   }
 
+  case class ClosedSession(user_id: Long, start_s: Long, end_s: Long, n_events: Long)
+  case class OpenSession(start: Long, last: Long, n: Long)
+
+  /** Closed-session emission via `flatMapGroupsWithState`: sessions are
+    * held in state and EMITTED AS ROWS when a later event closes them
+    * (gap exceeded) — zero or many output rows per invocation, which is
+    * the flatMap (not map) state contract. The still-open session stays
+    * in state; on a real stream a timeout would flush it, in the batch
+    * twin the final open session remains unemitted by design. */
+  def closedSessions(events: Dataset[Ev], gapSeconds: Long = 1800): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (user, evs, state: GroupState[OpenSession]) =>
+          val sorted = evs.toSeq.map(_.ts.getTime / 1000).sorted
+          val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+          var open = state.getOption
+          sorted.foreach { t =>
+            open match {
+              case Some(o) if t - o.last <= gapSeconds =>
+                open = Some(o.copy(last = t, n = o.n + 1))
+              case Some(o) =>
+                closed += ClosedSession(user, o.start, o.last, o.n)
+                open = Some(OpenSession(t, t, 1))
+              case None =>
+                open = Some(OpenSession(t, t, 1))
+            }
+          }
+          open.foreach(state.update)
+          closed.iterator
+      }
+  }
+
+  /** Stream-static enrichment join: the streaming fact side joins a
+    * static (batch) dimension — Spark broadcasts/rereads the static
+    * side per micro-batch with no state. The standard shape for
+    * attaching slowly-changing reference data to a 100 TB/day stream. */
+  def enrichWithCustomer(events: DataFrame, customer: DataFrame): DataFrame =
+    events.join(broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"), "left")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("c_mktsegment").as("segment"))
+
   /** Replay a batch DataFrame's rows through a real streaming source
     * (file source over a temp parquet copy), apply `transform`, collect
     * to a memory sink. Test/demo harness for batch equivalence. */

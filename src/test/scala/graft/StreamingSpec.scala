@@ -124,4 +124,28 @@ class StreamingSpec extends SparkSuite {
     val total = EventStreams.slidingCounts(events).agg(sum("n")).head.getLong(0)
     assert(total === events.count() * 4)
   }
+
+  test("flatMapGroupsWithState emits exactly the non-final sessions") {
+    import spark.implicits._
+    val evs = events.select(col("user_id"), col("ts")).as[EventStreams.Ev]
+    val closed = EventStreams.closedSessions(evs)
+      .groupByKey(_.user_id).count().toDF("user_id", "n_closed")
+    // every session except the still-open last one is emitted, so
+    // n_closed == q23's n_sessions - 1 for every user
+    val expect = SparkEntry.queries("q23_sessionize")(spark, sfDir)
+      .select(col("user_id"), (col("n_sessions") - 1).as("n_closed"))
+      .filter(col("n_closed") > 0)
+    assert(closed.exceptAll(expect).isEmpty && expect.exceptAll(closed).isEmpty)
+  }
+
+  test("stream-static broadcast enrichment: replay == batch, dimension rows attach") {
+    val customer = Tables(spark, sfDir, "customer")
+    val streamed = EventStreams.replayThroughStream(
+      spark, events, EventStreams.enrichWithCustomer(_, customer), "enrich_mem",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val batch = EventStreams.enrichWithCustomer(events, customer)
+    assert(streamed.count() === events.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    assert(batch.filter(col("segment").isNotNull).count() > 0)
+  }
 }
