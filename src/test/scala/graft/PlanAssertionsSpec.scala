@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan assertions: the shapes we rely on at 100 TB must
+  * actually appear in the optimized plans — filter pushdown reaching
+  * the parquet scan, broadcast joins on small dims, subquery
+  * decorrelation into (semi) joins, the bloom runtime-prefilter, and
+  * the as-of join's no-join single-window formulation. Guards against
+  * silent plan regressions as queries evolve.
+  */
+class PlanAssertionsSpec extends SparkSuite {
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q02: quantity filter is pushed to the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters"), p)
+    assert(p.matches("(?s).*PushedFilters.*l_quantity.*"), p)
+  }
+
+  test("q02: scan reads only the three projected columns") {
+    val p = plan("q02_filter_project")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity")
+      && !readSchema.contains("l_extendedprice"), readSchema)
+  }
+
+  test("q06/q07: dimension joins broadcast") {
+    assert(plan("q06_broadcast_join").contains("BroadcastHashJoin"))
+    val p7 = plan("q07_multiway_join")
+    assert(p7.contains("BroadcastHashJoin"), p7)
+  }
+
+  test("q47: both subqueries decorrelate to semi joins (no subquery at runtime)") {
+    val p = plan("q47_subqueries")
+    assert("LeftSemi".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q53: bloom prefilter survives optimization and feeds the semi join") {
+    val p = plan("q53_bloom_join")
+    assert(p.contains("might_contain") || p.contains("BloomFilter"), p)
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("q34: as-of join plans as one window over a union — no join operator") {
+    val p = plan("q34_asof_join")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    // exactly one exchange hash-partitioned by the as-of key feeds the window
+    assert(p.contains("Union"), p)
+  }
+
+  test("q16: global top-k runs as TakeOrderedAndProject, not a global sort") {
+    val p = plan("q16_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q01: inverted index needs exactly one exchange (single-shuffle agg)") {
+    val p = plan("q01_inverted_index")
+    // count node-detail headers ("(4) Exchange") — the tree section
+    // repeats each name, so a raw substring count double-counts
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    // one shuffle for the groupBy; the final orderBy adds a range
+    // exchange — anything beyond those two is a regression
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges\n$p")
+  }
+}
