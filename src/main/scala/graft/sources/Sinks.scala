@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Source/sink helpers beyond the parquet catalog: the engine reads and
-  * writes parquet/csv/json, with partitioned layouts as the default for
+  * writes parquet/orc/csv/json, with partitioned layouts as the default for
   * anything at scale (partition-column directories → partition pruning
   * at read time, verified in SinksSpec via the plan's PartitionFilters).
   */

@@ -21,9 +21,9 @@ class SinksAndSkewSpec extends SparkSuite {
     assert(pruned.count() === li.filter(col("l_returnflag") === "R").count())
   }
 
-  test("csv and json round-trips preserve row counts and values") {
+  test("csv, json and orc round-trips preserve row counts and values") {
     val docs = Tables(spark, sfDir, "documents").select("doc_id", "lang", "n_chars")
-    for (fmt <- Seq("csv", "json")) {
+    for (fmt <- Seq("csv", "json", "orc")) {
       val dir = Files.createTempDirectory(s"sink_$fmt").toString
       Sinks.writePartitioned(docs, dir, Seq("lang"), fmt)
       val back = Sinks.read(spark, dir, fmt)
