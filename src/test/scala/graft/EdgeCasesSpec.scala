@@ -42,6 +42,39 @@ class EdgeCasesSpec extends SparkSuite {
     assert(TextAnalysis.langId(emptyDocs, "doc_id", "text").count() === 0)
   }
 
+  test("null text: dedup groups under '' and langId predicts null") {
+    val docs = Seq((1L, "the quick fox"), (2L, null.asInstanceOf[String]),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val d = Dedup.exact(docs, "doc_id", "text").orderBy("h").collect()
+    // both null-text docs group under the coalesced '' key
+    assert(d.head.getString(0) === "" && d.head.getLong(2) === 2L)
+    val l = TextAnalysis.langId(docs, "doc_id", "text").orderBy("doc_id").collect()
+    assert(l(0).getString(1) === "en" || l(0).getString(1) != null)
+    assert(l(1).isNullAt(1) && l(2).isNullAt(1), "null text must predict null language")
+  }
+
+  test("as-of join: null right times never match; null left time joins nothing") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000)
+    val left = Seq((1L, 10L, ts(100)), (2L, 10L, null.asInstanceOf[Timestamp]))
+      .toDF("id", "key", "t")
+    val right = Seq((10L, null.asInstanceOf[Timestamp], "ghost"), (10L, ts(50), "real"))
+      .toDF("rkey", "rt", "v")
+    val r = graft.operators.AsOfJoin.byId(left, right, "id", "key", "rkey", "t", "rt", "rt")
+      .select("id", "v").collect().map(x => (x.getLong(0), x.getString(1))).toMap
+    assert(r(1L) === "real", "null-timed right row must not be carried")
+    assert(r(2L) === null, "null left time matches nothing (left-outer kept)")
+  }
+
+  test("as-of join: equal-time right rows break ties by greatest tiebreak") {
+    val left = Seq((1L, 7L, 100L)).toDF("id", "key", "t")
+    val right = Seq((7L, 100L, 1L, "low"), (7L, 100L, 9L, "high"), (7L, 90L, 5L, "old"))
+      .toDF("rkey", "rt", "tb", "v")
+    val r = graft.operators.AsOfJoin.byId(left, right, "id", "key", "rkey", "t", "rt", "tb")
+      .select("v").head.getString(0)
+    assert(r === "high")
+  }
+
   test("inverted index handles filenames with spaces (URI-encoded scan paths)") {
     import java.nio.file.{Files, Paths}
     val dir = Files.createTempDirectory("spaced").toString
