@@ -107,7 +107,10 @@ object Advanced {
     val tok = docs.select(col("doc_id"),
       explode(TextFunctions.normalizedWords(col("text"))).as("word"))
     val tf = tok.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val dfreq = tok.groupBy("word").agg(countDistinct(col("doc_id")).as("df"))
+    // document frequency derives from tf (one row per (doc, word)), so
+    // the corpus is scanned+tokenized ONCE and the expensive
+    // count(DISTINCT doc_id) re-shuffle never happens
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     val scored = tf.join(dfreq, "word")
       .crossJoin(broadcast(n))
