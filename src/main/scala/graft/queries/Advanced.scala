@@ -107,12 +107,14 @@ object Advanced {
     val tok = docs.select(col("doc_id"),
       explode(TextFunctions.normalizedWords(col("text"))).as("word"))
     val tf = tok.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    // document frequency derives from tf (one row per (doc, word)), so
-    // the corpus is scanned+tokenized ONCE and the expensive
-    // count(DISTINCT doc_id) re-shuffle never happens
-    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    // document frequency = row count per word over tf (tf has one row
+    // per (doc, word)) — computed as a WINDOW so the tf subtree is not
+    // duplicated into a self-join: the corpus is scanned and tokenized
+    // exactly once, and the count(DISTINCT doc_id) re-shuffle never
+    // happens
     val n = docs.agg(count(lit(1)).as("n"))
-    val scored = tf.join(dfreq, "word")
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("word"))))
       .crossJoin(broadcast(n))
       .withColumn("tfidf",
         TextFunctions.round4(col("tf") * log(col("n").cast("double") / col("df"))))
