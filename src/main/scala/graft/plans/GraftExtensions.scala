@@ -19,10 +19,13 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *   simhash(array<string>, bits)                 → string
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  def apply(e: SparkSessionExtensions): Unit =
+  def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, info, builder) =>
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // composed-tokenizer → native single-pass expression rewrite
+    e.injectOptimizerRule(_ => CanonicalizeTokenizer)
+  }
 }
 
 object GraftFunctions {
