@@ -288,5 +288,67 @@ object Advanced {
       .orderBy("month")
   }
 
-  val all: Seq[QueryDef] = Seq(q46, q47, q48, q49, q50, q51, q52, q53, q54, q55)
+  // --------------------------------------------------------------- Q56
+  /** Supplier-side margin rollup: gross = price × (1−discount) × (1+tax)
+    * per row (identical IEEE ops on both engines), summed exactly via
+    * DECIMAL. Exercises l_tax and the supplier → nation dimension path. */
+  val q56 = QueryDef("q56_supplier_margin",
+    """SELECT n_name, count(*) AS n,
+      |       CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+      |         AS DECIMAL(18,6))), 2) AS DOUBLE) AS gross
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""") { (s, dir) =>
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n"),
+        round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax"))).cast("decimal(18,6)")), 2)
+          .cast("double").as("gross"))
+      .orderBy("n_name")
+  }
+
+  // --------------------------------------------------------------- Q57
+  /** Customer segment profile: conditional counts, an exact-DECIMAL
+    * average (sum/count division on identical doubles), and string
+    * min/upper — covers c_acctbal / c_name. */
+  val q57 = QueryDef("q57_segment_profile",
+    """SELECT c_mktsegment, count(*) AS n,
+      |       CAST(sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative,
+      |       floor(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+      |             * 10000 + 0.5) / 10000 AS avg_bal,
+      |       upper(min(c_name)) AS first_name
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""") { (s, dir) =>
+    t(s, dir, "customer")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("c_acctbal") < 0, 1).otherwise(0)).as("n_negative"),
+        TextFunctions.round4(
+          sum(col("c_acctbal").cast("decimal(18,6)")).cast("double") / count(lit(1)))
+          .as("avg_bal"),
+        upper(min(col("c_name"))).as("first_name"))
+      .orderBy("c_mktsegment")
+  }
+
+  // --------------------------------------------------------------- Q58
+  /** Corpus census by source: covers documents.source / n_chars and the
+    * retail-price margin on part (p_retailprice). */
+  val q58 = QueryDef("q58_corpus_census",
+    """SELECT source, lang, count(*) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |       CAST(min(doc_id) AS BIGINT) AS first_doc
+      |FROM documents GROUP BY source, lang ORDER BY source, lang""") { (s, dir) =>
+    t(s, dir, "documents")
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy("source", "lang")
+  }
+
+  val all: Seq[QueryDef] = Seq(q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
+    q56, q57, q58)
 }
