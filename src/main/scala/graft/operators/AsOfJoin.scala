@@ -29,17 +29,26 @@ import org.apache.spark.sql.types.TimestampType
   */
 object AsOfJoin {
 
-  /** As-of join keyed by a unique left-row id (the usual shape: events
-    * joined to the latest prior state). Output columns: all left
-    * columns, then all right columns (null when no match) — left and
-    * right column names must be disjoint. */
-  def byId(left: DataFrame, right: DataFrame, leftId: String, leftKey: String,
+  /** As-of join (the usual shape: events joined to the latest prior
+    * state). Output columns: all left columns, then all right columns
+    * (null when no match) — left and right column names must be
+    * disjoint. Duplicate left ids/keys are fine (each row joins
+    * independently); a NULL key matches nothing, like the equi-join
+    * it replaces. */
+  def byId(left: DataFrame, right: DataFrame, leftKey: String,
       rightKey: String, leftTime: String, rightTime: String, tiebreak: String): DataFrame = {
     val k = "__graft_asof_k"; val t = "__graft_asof_t"; val tag = "__graft_asof_tag"
     val tb = "__graft_asof_tb"; val lp = "__graft_asof_l"; val rp = "__graft_asof_r"
     val m = "__graft_asof_m"
 
-    val keyType = left.schema(leftKey).dataType
+    // key sides meet at the same widened type an EqualTo coercion would
+    // pick — casting right to the LEFT type could truncate/wrap wider
+    // right keys into spurious matches
+    val keyType = org.apache.spark.sql.catalyst.analysis.TypeCoercion
+      .findTightestCommonType(left.schema(leftKey).dataType, right.schema(rightKey).dataType)
+      .getOrElse(throw new IllegalArgumentException(
+        s"as-of join keys have incompatible types: " +
+          s"${left.schema(leftKey).dataType} vs ${right.schema(rightKey).dataType}"))
     // heterogeneous time types (e.g. DATE right vs TIMESTAMP left) meet
     // at TIMESTAMP — the same implicit cast the <= comparison would use
     val sameTimeType = left.schema(leftTime).dataType == right.schema(rightTime).dataType
@@ -55,9 +64,12 @@ object AsOfJoin {
       left(leftKey).cast(keyType).as(k), asTime(left(leftTime)).as(t),
       lit(1).as(tag), lit(null).cast(tbType).as(tb),
       leftStruct.as(lp), lit(null).cast(rightStructType).as(rp))
-    // a null right time can never satisfy rightTime <= leftTime — drop it
-    // here (it would otherwise sort nulls-first and pollute the carry)
-    val r = right.filter(right(rightTime).isNotNull).select(
+    // a null right time can never satisfy rightTime <= leftTime, and a
+    // null right KEY can never equal any left key (SQL join semantics:
+    // NULL = NULL is not a match) — drop both here; a null-key LEFT row
+    // then shares its window partition only with other left rows and
+    // correctly carries no payload (left-outer kept with nulls)
+    val r = right.filter(right(rightTime).isNotNull && right(rightKey).isNotNull).select(
       right(rightKey).cast(keyType).as(k), asTime(right(rightTime)).as(t),
       lit(0).as(tag), right(tiebreak).as(tb),
       lit(null).cast(leftStructType).as(lp), rightStruct.as(rp))

@@ -33,9 +33,9 @@ object TextSketchExprs {
     * vocabulary is Zipfian: the same few thousand words dominate every
     * document, so caching token → precomputed digest material turns the
     * k-hashes-per-occurrence cost into k-hashes-per-distinct-word-per-
-    * task. Bounded LRU (access-order LinkedHashMap) so an adversarial
-    * vocabulary can't OOM an executor; per-thread so there is no lock
-    * on the hot path. */
+    * executor-thread. Bounded LRU (access-order LinkedHashMap) so an
+    * adversarial vocabulary can't OOM an executor; per-thread so there
+    * is no lock on the hot path. */
   private[plans] final class TokenMemo[V](maxEntries: Int) {
     private val local = new ThreadLocal[java.util.LinkedHashMap[String, V]] {
       override def initialValue() =
@@ -57,6 +57,19 @@ object TextSketchExprs {
     }
   }
 
+  /** Process-wide memo pool keyed by sketch configuration. Expression
+    * instances are deserialized once per TASK — a memo owned by the
+    * instance would reset its hit-rate every task and strand stale
+    * per-thread maps on the executor's pool threads. One shared memo
+    * per (kind, width) keeps the cache warm across tasks and bounds
+    * total retention to #configs × #threads × maxEntries. */
+  private[plans] object TokenMemos {
+    private val pool = new java.util.concurrent.ConcurrentHashMap[String, TokenMemo[AnyRef]]()
+    def forKey[V <: AnyRef](key: String, maxEntries: Int): TokenMemo[V] =
+      pool.computeIfAbsent(key, _ => new TokenMemo[AnyRef](maxEntries))
+        .asInstanceOf[TokenMemo[V]]
+  }
+
   /** MinHash signature: element j is the hex-min over shingles of
     * `md5("$j|" + shingle)` — exactly [[graft.functions.TextFunctions.minhashAgg]]
     * computed with one reused digest and no row explosion. Null for an
@@ -68,8 +81,9 @@ object TextSketchExprs {
 
     @transient private lazy val salts: Array[Array[Byte]] =
       Array.tabulate(k)(j => s"$j|".getBytes("UTF-8"))
-    // shingle → its k digests, memoized per thread (Zipfian vocabulary)
-    @transient private lazy val memo = new TokenMemo[Array[Array[Byte]]](100000)
+    // shingle → its k digests, memoized process-wide per config
+    @transient private lazy val memo =
+      TokenMemos.forKey[Array[Array[Byte]]](s"minhash:$k", 100000)
 
     override protected def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
@@ -95,6 +109,10 @@ object TextSketchExprs {
         }
         i += 1
       }
+      // every element was null → no shingle contributed; the groupBy
+      // formulation would produce no row, so the signature is null (a
+      // bare mins.map would NPE in hex)
+      if (mins(0) == null) return null
       new GenericArrayData(mins.map(d => UTF8String.fromString(hex(d))))
     }
 
@@ -112,12 +130,14 @@ object TextSketchExprs {
     override def dataType: DataType = StringType
     override def nullable: Boolean = true
 
-    require(bits <= 64, s"bits=$bits exceeds the 64-bit sign-mask memo")
-
     @transient private lazy val salts: Array[Array[Byte]] =
       Array.tabulate(bits)(p => s"sh$p|".getBytes("UTF-8"))
-    // word → sign bitmask (bit p set ⇔ +1), memoized per thread
-    @transient private lazy val memo = new TokenMemo[java.lang.Long](100000)
+    // word → sign bitmasks packed into ceil(bits/64) longs (bit p set
+    // ⇔ +1), memoized process-wide per width — arbitrary bit widths
+    // keep working (the registered SQL simhash(array, bits) has no
+    // width bound)
+    @transient private lazy val memo =
+      TokenMemos.forKey[Array[Long]](s"simhash:$bits", 100000)
 
     override protected def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
@@ -128,21 +148,21 @@ object TextSketchExprs {
       while (i < n) {
         val elem = arr.getUTF8String(i) // skip null elements (SQL-surface input)
         if (elem != null) {
-          val mask = memo.getOrCompute(elem, bytes => {
+          val masks = memo.getOrCompute(elem, bytes => {
             val md = Md5Pool.get()
-            var m = 0L
+            val m = new Array[Long]((bits + 63) / 64)
             var p = 0
             while (p < bits) {
               md.reset(); md.update(salts(p)); md.update(bytes)
               // first hex nibble <= '7'  ⇔  signed first byte >= 0
-              if (md.digest()(0) >= 0) m |= (1L << p)
+              if (md.digest()(0) >= 0) m(p >> 6) |= (1L << (p & 63))
               p += 1
             }
-            java.lang.Long.valueOf(m)
-          }).longValue()
+            m
+          })
           var p = 0
           while (p < bits) {
-            sums(p) += (if (((mask >> p) & 1L) == 1L) 1 else -1)
+            sums(p) += (if (((masks(p >> 6) >> (p & 63)) & 1L) == 1L) 1 else -1)
             p += 1
           }
         }

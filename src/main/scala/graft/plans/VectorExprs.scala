@@ -37,6 +37,21 @@ object VectorExprs {
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = true
 
+    // reject anything but ARRAY<FLOAT>/ARRAY<DOUBLE> at analysis time:
+    // getDouble on (say) an int-backed UnsafeArrayData would silently
+    // reinterpret raw bytes as doubles
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      def ok(t: DataType) = t match {
+        case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+        case _ => false
+      }
+      if (ok(left.dataType) && ok(right.dataType))
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"dot_d requires ARRAY<FLOAT> or ARRAY<DOUBLE> inputs, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+
     // deferred: child dataType is only queryable once resolved
     @transient private lazy val leftFloat = elemIsFloat(left.dataType)
     @transient private lazy val rightFloat = elemIsFloat(right.dataType)
@@ -69,12 +84,27 @@ object VectorExprs {
     * DuckDB oracle derive. The HOF form recomputes those md5s for every
     * ROW; the sign matrix only depends on (plane, index), so here it is
     * computed once per (dimension) and cached for the task's lifetime.
-    * A null element or empty vector yields an all-'0' bucket (null
-    * projection falls through `when(proj >= 0, ...)` to the otherwise
-    * branch), matching the composed form. */
+    * A NULL vector, null element or empty vector yields an all-'0'
+    * bucket (in the composed form the null projection falls through
+    * `when(proj >= 0, ...)` to the otherwise branch — including for a
+    * NULL input array), matching the composed form exactly. */
   case class HyperplaneBucketExpr(child: Expression, planes: Int)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = StringType
+    override def nullable: Boolean = false
+
+    // the composed form emits "00…0" for a NULL vector (when(null>=0)
+    // → otherwise '0' per plane), so null input must NOT short-circuit
+    // to null — bypass UnaryExpression's null handling
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val v = child.eval(input)
+      if (v == null) {
+        val sb = new java.lang.StringBuilder(planes)
+        var p = 0
+        while (p < planes) { sb.append('0'); p += 1 }
+        UTF8String.fromString(sb.toString)
+      } else nullSafeEval(v)
+    }
 
     // deferred: child dataType is only queryable once resolved
     @transient private lazy val childFloat = elemIsFloat(child.dataType)

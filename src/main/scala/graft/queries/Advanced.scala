@@ -27,10 +27,10 @@ object Advanced {
     * exact small-integer ratios — identical doubles — rounded with the
     * engine-portable floor form anyway. */
   val q46 = QueryDef("q46_window_extras",
-    """SELECT o_custkey, o_orderkey, rn,
+    s"""SELECT o_custkey, o_orderkey, rn,
       |       CAST(nt AS INT) AS nt,
-      |       floor(pr * 10000 + 0.5) / 10000 AS pct_rank,
-      |       floor(cd * 10000 + 0.5) / 10000 AS cume,
+      |       ${TextFunctions.round4Sql("pr")} AS pct_rank,
+      |       ${TextFunctions.round4Sql("cd")} AS cume,
       |       first_ok, nth_ok
       |FROM (
       |  SELECT o_custkey, o_orderkey,
@@ -82,9 +82,9 @@ object Advanced {
     * is used for BOTH ranking and output so a last-ulp ln() divergence
     * between engines cannot reorder rows (ties then break on word). */
   val q48 = QueryDef("q48_tfidf",
-    """WITH docw AS (
+    s"""WITH docw AS (
       |  SELECT doc_id,
-      |         list_filter(list_transform(regexp_split_to_array(lower(text), '\s+'),
+      |         list_filter(list_transform(regexp_split_to_array(lower(text), '\\s+'),
       |                     x -> regexp_replace(x, '[^a-z]', '', 'g')),
       |                     x -> x <> '') AS w
       |  FROM documents
@@ -94,7 +94,7 @@ object Advanced {
       |n AS (SELECT count(*) AS n FROM documents),
       |scored AS (
       |  SELECT tf.doc_id, tf.word, tf.tf,
-      |         floor(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) * 10000 + 0.5) / 10000 AS tfidf
+      |         ${TextFunctions.round4Sql("tf.tf * ln(CAST(n.n AS DOUBLE) / df.df)")} AS tfidf
       |  FROM tf JOIN df USING (word) CROSS JOIN n
       |), r AS (
       |  SELECT doc_id, word, tf, tfidf,
@@ -170,11 +170,11 @@ object Advanced {
     * division is bit-identical across engines. */
   val q51 = {
     val sql =
-      """SELECT o_orderpriority,
+      s"""SELECT o_orderpriority,
         |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS rev,
-        |       floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
-        |         / (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) FROM orders)
-        |         * 10000 + 0.5) / 10000 AS share
+        |       ${TextFunctions.round4Sql(
+                  """CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        | / (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) FROM orders)""".stripMargin)} AS share
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
     QueryDef("q51_scalar_subquery", sql) { (s, dir) =>
       t(s, dir, "orders").createOrReplaceTempView("orders")
@@ -316,10 +316,10 @@ object Advanced {
     * average (sum/count division on identical doubles), and string
     * min/upper — covers c_acctbal / c_name. */
   val q57 = QueryDef("q57_segment_profile",
-    """SELECT c_mktsegment, count(*) AS n,
+    s"""SELECT c_mktsegment, count(*) AS n,
       |       CAST(sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative,
-      |       floor(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / count(*)
-      |             * 10000 + 0.5) / 10000 AS avg_bal,
+      |       ${TextFunctions.round4Sql(
+                "CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / count(*)")} AS avg_bal,
       |       upper(min(c_name)) AS first_name
       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""") { (s, dir) =>
     t(s, dir, "customer")

@@ -265,7 +265,7 @@ object Extensions {
     AsOfJoin.byId(
         t(s, dir, "events").select("event_id", "user_id", "ts"),
         t(s, dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate"),
-        leftId = "event_id", leftKey = "user_id", rightKey = "o_custkey",
+        leftKey = "user_id", rightKey = "o_custkey",
         leftTime = "ts", rightTime = "o_orderdate", tiebreak = "o_orderkey")
       .select(col("event_id"), col("o_orderkey").as("asof_orderkey"))
       .orderBy("event_id")

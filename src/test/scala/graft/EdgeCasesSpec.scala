@@ -60,7 +60,7 @@ class EdgeCasesSpec extends SparkSuite {
       .toDF("id", "key", "t")
     val right = Seq((10L, null.asInstanceOf[Timestamp], "ghost"), (10L, ts(50), "real"))
       .toDF("rkey", "rt", "v")
-    val r = graft.operators.AsOfJoin.byId(left, right, "id", "key", "rkey", "t", "rt", "rt")
+    val r = graft.operators.AsOfJoin.byId(left, right, "key", "rkey", "t", "rt", "rt")
       .select("id", "v").collect().map(x => (x.getLong(0), x.getString(1))).toMap
     assert(r(1L) === "real", "null-timed right row must not be carried")
     assert(r(2L) === null, "null left time matches nothing (left-outer kept)")
@@ -70,9 +70,51 @@ class EdgeCasesSpec extends SparkSuite {
     val left = Seq((1L, 7L, 100L)).toDF("id", "key", "t")
     val right = Seq((7L, 100L, 1L, "low"), (7L, 100L, 9L, "high"), (7L, 90L, 5L, "old"))
       .toDF("rkey", "rt", "tb", "v")
-    val r = graft.operators.AsOfJoin.byId(left, right, "id", "key", "rkey", "t", "rt", "tb")
+    val r = graft.operators.AsOfJoin.byId(left, right, "key", "rkey", "t", "rt", "tb")
       .select("v").head.getString(0)
     assert(r === "high")
+  }
+
+  test("as-of join: null keys never match (either side)") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000)
+    val left = Seq((1L, Option(10L), ts(100)), (2L, Option.empty[Long], ts(100)))
+      .toDF("id", "key", "t")
+    val right = Seq((Option.empty[Long], ts(50), "ghost"), (Option(10L), ts(50), "real"))
+      .toDF("rkey", "rt", "v")
+    val r = graft.operators.AsOfJoin.byId(left, right, "key", "rkey", "t", "rt", "rt")
+      .select("id", "v").collect().map(x => (x.getLong(0), x.getString(1))).toMap
+    assert(r(1L) === "real", "null-key right row must not be carried into real keys")
+    assert(r(2L) === null, "null-key left row must match nothing")
+  }
+
+  test("native vector exprs match composed forms on null vectors; dot rejects bad types") {
+    import graft.functions.VectorFunctions
+    val df = Seq((1L, Option(Array(1.0f, 2.0f, 3.0f))), (2L, Option.empty[Array[Float]]))
+      .toDF("id", "v")
+    val diff = df.select(
+        VectorFunctions.hyperplaneBucket(col("v"), 4).as("n"),
+        VectorFunctions.hyperplaneBucketReference(col("v"), 4).as("r"))
+      .filter(not(col("n") <=> col("r")))
+    assert(diff.count() === 0, "null vector must bucket to all-zeros like the composed form")
+    val dotNull = df.filter(col("id") === 2L)
+      .select(VectorFunctions.dot(col("v"), col("v"))).head
+    assert(dotNull.isNullAt(0))
+    // int arrays were never valid input — must fail analysis, not read garbage
+    val ints = Seq((1L, Array(1, 2, 3))).toDF("id", "v")
+    intercept[Exception] {
+      ints.select(VectorFunctions.dot(col("v"), col("v"))).collect()
+    }
+  }
+
+  test("sketch exprs survive all-null element arrays from the SQL surface") {
+    val df = spark.sql(
+      "SELECT array(CAST(NULL AS STRING)) AS a UNION ALL SELECT array('word')")
+    val mh = df.select(graft.plans.TextSketchExprs.minhashSignature(col("a"), 4).as("s"))
+    assert(mh.filter(col("s").isNull).count() === 1) // all-null array → null signature
+    assert(mh.filter(col("s").isNotNull).count() === 1)
+    val sh = df.select(graft.plans.TextSketchExprs.simhash(col("a"), 80).as("s"))
+    assert(sh.filter(length(col("s")) === 80).count() === 2, "wide bit-widths still supported")
   }
 
   test("inverted index handles filenames with spaces (URI-encoded scan paths)") {

@@ -151,7 +151,7 @@ class AsOfJoinSpec extends SparkSuite {
       .toDF("id", "key", "t")
     val right = Seq((10L, 90L, "a"), (10L, 100L, "b"), (10L, 200L, "c"))
       .toDF("rkey", "rt", "v")
-    val r = AsOfJoin.byId(left, right, "id", "key", "rkey", "t", "rt", "rt")
+    val r = AsOfJoin.byId(left, right, "key", "rkey", "t", "rt", "rt")
       .select("id", "v").collect().map(x => (x.getLong(0), x.getString(1))).toMap
     assert(r(1L) === "b") // boundary: rt == t included
     assert(r(2L) === "c")
