@@ -41,11 +41,12 @@ object AsOfJoin {
     val tb = "__graft_asof_tb"; val lp = "__graft_asof_l"; val rp = "__graft_asof_r"
     val m = "__graft_asof_m"
 
-    // key sides meet at the same widened type an EqualTo coercion would
-    // pick — casting right to the LEFT type could truncate/wrap wider
-    // right keys into spurious matches
+    // key sides meet at a widened common type — casting right to the
+    // LEFT type could truncate/wrap wider right keys into spurious
+    // matches. findWiderTypeForTwo covers the numeric/decimal/string
+    // promotions binary comparison accepts (wider than tightest)
     val keyType = org.apache.spark.sql.catalyst.analysis.TypeCoercion
-      .findTightestCommonType(left.schema(leftKey).dataType, right.schema(rightKey).dataType)
+      .findWiderTypeForTwo(left.schema(leftKey).dataType, right.schema(rightKey).dataType)
       .getOrElse(throw new IllegalArgumentException(
         s"as-of join keys have incompatible types: " +
           s"${left.schema(leftKey).dataType} vs ${right.schema(rightKey).dataType}"))
@@ -68,11 +69,15 @@ object AsOfJoin {
     // null right KEY can never equal any left key (SQL join semantics:
     // NULL = NULL is not a match) — drop both here; a null-key LEFT row
     // then shares its window partition only with other left rows and
-    // correctly carries no payload (left-outer kept with nulls)
-    val r = right.filter(right(rightTime).isNotNull && right(rightKey).isNotNull).select(
-      right(rightKey).cast(keyType).as(k), asTime(right(rightTime)).as(t),
-      lit(0).as(tag), right(tiebreak).as(tb),
-      lit(null).cast(leftStructType).as(lp), rightStruct.as(rp))
+    // correctly carries no payload (left-outer kept with nulls). The
+    // null checks run on the CASTED values: a value the time/key cast
+    // nulls out (e.g. a malformed string timestamp) would otherwise
+    // sort nulls-first and pollute the carry
+    val r = right.select(
+        right(rightKey).cast(keyType).as(k), asTime(right(rightTime)).as(t),
+        lit(0).as(tag), right(tiebreak).as(tb),
+        lit(null).cast(leftStructType).as(lp), rightStruct.as(rp))
+      .filter(col(t).isNotNull && col(k).isNotNull)
 
     val w = Window.partitionBy(col(k))
       .orderBy(col(t).asc_nulls_first, col(tag).asc, col(tb).asc)

@@ -83,12 +83,13 @@ object TextSketchExprs {
       Array.tabulate(k)(j => s"$j|".getBytes("UTF-8"))
     // shingle → its k digests, memoized process-wide per config
     @transient private lazy val memo =
-      TokenMemos.forKey[Array[Array[Byte]]](s"minhash:$k", 100000)
+      TokenMemos.forKey[Array[Array[Byte]]](s"minhash:$k", 20000)
 
     override protected def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
       val n = arr.numElements()
       if (n == 0) return null
+      if (k == 0) return new GenericArrayData(new Array[Any](0))
       val mins = new Array[Array[Byte]](k)
       var i = 0
       while (i < n) {
@@ -137,7 +138,7 @@ object TextSketchExprs {
     // keep working (the registered SQL simhash(array, bits) has no
     // width bound)
     @transient private lazy val memo =
-      TokenMemos.forKey[Array[Long]](s"simhash:$bits", 100000)
+      TokenMemos.forKey[Array[Long]](s"simhash:$bits", 20000)
 
     override protected def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]

@@ -93,6 +93,17 @@ object VectorExprs {
     override def dataType: DataType = StringType
     override def nullable: Boolean = false
 
+    // same guard as DotProductDExpr: getFloat/getDouble on an array
+    // backed by another element type silently reinterprets raw bytes
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"hyperplane_bucket requires an ARRAY<FLOAT> or ARRAY<DOUBLE> input, got ${other.simpleString}")
+      }
+
     // the composed form emits "00…0" for a NULL vector (when(null>=0)
     // → otherwise '0' per plane), so null input must NOT short-circuit
     // to null — bypass UnaryExpression's null handling
@@ -147,7 +158,10 @@ object VectorExprs {
             s += x * r(p)(j)
             j += 1
           }
-          sb.append(if (s >= 0) '1' else '0')
+          // Spark SQL ordering treats NaN as greater than any double, so
+          // when(proj >= 0, ...) is TRUE for NaN — mirror that (plain
+          // Java `>=` is false for NaN)
+          sb.append(if (s >= 0 || java.lang.Double.isNaN(s)) '1' else '0')
           p += 1
         }
       }

@@ -30,7 +30,10 @@ object Tables {
     * constant for the session's lifetime either way). */
   private def ensureNanosAsLong(spark: SparkSession): Unit = {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
-    if (spark.conf.getOption(key).isEmpty) spark.conf.set(key, "true")
+    // conf.getOption reports the REGISTERED DEFAULT for a known SQLConf
+    // entry, so it cannot distinguish "user chose false" from "unset";
+    // sessionState.conf.contains checks the explicitly-set map only
+    if (!spark.sessionState.conf.contains(key)) spark.conf.set(key, "true")
   }
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =

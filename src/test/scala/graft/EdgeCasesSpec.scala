@@ -49,7 +49,7 @@ class EdgeCasesSpec extends SparkSuite {
     // both null-text docs group under the coalesced '' key
     assert(d.head.getString(0) === "" && d.head.getLong(2) === 2L)
     val l = TextAnalysis.langId(docs, "doc_id", "text").orderBy("doc_id").collect()
-    assert(l(0).getString(1) === "en" || l(0).getString(1) != null)
+    assert(l(0).getString(1) === "en")
     assert(l(1).isNullAt(1) && l(2).isNullAt(1), "null text must predict null language")
   }
 
