@@ -34,7 +34,10 @@ object AsOfJoin {
     * (null when no match) — left and right column names must be
     * disjoint. Duplicate left ids/keys are fine (each row joins
     * independently); a NULL key matches nothing, like the equi-join
-    * it replaces. */
+    * it replaces. Key sides should be same-family types (both numeric,
+    * both string, …): a mixed string/numeric pair widens to STRING and
+    * compares lexically, unlike SQL's numeric comparison — pre-cast
+    * such keys explicitly. */
   def byId(left: DataFrame, right: DataFrame, leftKey: String,
       rightKey: String, leftTime: String, rightTime: String, tiebreak: String): DataFrame = {
     val k = "__graft_asof_k"; val t = "__graft_asof_t"; val tag = "__graft_asof_tag"

@@ -22,14 +22,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * I/O-bound one.
   *
   * Equivalence notes:
-  *  - lowercasing uses `UTF8String.toLowerCase` — the same call Spark's
-  *    `lower()` makes under the default collation — applied to the whole
-  *    document; Unicode lowercasing never produces an ASCII whitespace
-  *    byte, so lowering before splitting cannot change token boundaries.
-  *  - Java regex `\s` is exactly {0x20, 0x09–0x0D}; those bytes split
-  *    tokens. Every other non-[a-z] byte (digits, punctuation, any
-  *    UTF-8 lead/continuation byte ≥ 0x80) is dropped *without* ending
-  *    the word — matching `regexp_replace(tok, "[^a-z]", "")`, where
+  *  - the raw text is split FIRST (Java regex `\s` is exactly
+  *    {0x20, 0x09–0x0D}), then each token is lowercased independently —
+  *    the same order as the composed form. Per-token lowering matters:
+  *    `UTF8String.toLowerCase` takes a locale-independent bytewise path
+  *    only for fully-ASCII input, so a pure-ASCII token must be lowered
+  *    on that path even when the surrounding document contains
+  *    non-ASCII bytes (a whole-document lower would route the ASCII
+  *    token through the locale-sensitive slow path — wrong under e.g. a
+  *    Turkish default locale, where "IS" would lower to dotless-ı "ıs").
+  *  - every non-[a-z] post-lower byte (digits, punctuation, any UTF-8
+  *    lead/continuation byte ≥ 0x80) is dropped *without* ending the
+  *    word — matching `regexp_replace(tok, "[^a-z]", "")`, where
   *    "don't" → "dont" and "x1y" → "xy".
   */
 object TextNormExprs {
@@ -38,22 +42,67 @@ object TextNormExprs {
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"normalized_words requires a STRING input, got ${other.simpleString}")
+      }
+
+    private def isWs(b: Byte): Boolean = b == 0x20 || (b >= 0x09 && b <= 0x0d)
+
+    /** Lower + strip one raw token (bytes [from, until)) into buf,
+      * returning the normalized length. ASCII tokens take the manual
+      * bytewise path; tokens with any non-ASCII byte route through the
+      * same `UTF8String.toLowerCase` the composed form's `lower()` uses. */
+    private def normalizeToken(bytes: Array[Byte], from: Int, until: Int,
+        buf: Array[Byte]): Int = {
+      var ascii = true
+      var i = from
+      while (ascii && i < until) { if (bytes(i) < 0) ascii = false; i += 1 }
+      var w = 0
+      if (ascii) {
+        i = from
+        while (i < until) {
+          var b = bytes(i)
+          if (b >= 'A' && b <= 'Z') b = (b + 32).toByte
+          if (b >= 'a' && b <= 'z') { buf(w) = b; w += 1 }
+          i += 1
+        }
+        w
+      } else {
+        val lowered = UTF8String.fromBytes(bytes, from, until - from).toLowerCase.getBytes
+        i = 0
+        while (i < lowered.length) {
+          val b = lowered(i)
+          if (b >= 'a' && b <= 'z') { buf(w) = b; w += 1 }
+          i += 1
+        }
+        w
+      }
+    }
+
     override protected def nullSafeEval(input: Any): Any = {
-      val bytes = input.asInstanceOf[UTF8String].toLowerCase.getBytes
+      val bytes = input.asInstanceOf[UTF8String].getBytes
       val out = new java.util.ArrayList[UTF8String]()
-      val buf = new Array[Byte](bytes.length)
-      var w = 0 // current word length in buf
+      // lowering can lengthen a token (e.g. İ → i + combining dot); the
+      // kept [a-z] bytes are bounded by the lowered byte length, which
+      // Unicode bounds at 3× the input — size the shared buffer to that
+      val buf = new Array[Byte](math.max(16, bytes.length * 3))
+      var start = 0
       var i = 0
-      while (i < bytes.length) {
-        val b = bytes(i)
-        if (b == 0x20 || (b >= 0x09 && b <= 0x0d)) {
-          if (w > 0) { out.add(UTF8String.fromBytes(java.util.Arrays.copyOfRange(buf, 0, w))); w = 0 }
-        } else if (b >= 'a' && b <= 'z') {
-          buf(w) = b; w += 1
-        } // else: non-letter, non-whitespace byte — stripped, word continues
+      while (i <= bytes.length) {
+        if (i == bytes.length || isWs(bytes(i))) {
+          if (i > start) {
+            val w = normalizeToken(bytes, start, i, buf)
+            if (w > 0) out.add(UTF8String.fromBytes(java.util.Arrays.copyOfRange(buf, 0, w)))
+          }
+          start = i + 1
+        }
         i += 1
       }
-      if (w > 0) out.add(UTF8String.fromBytes(java.util.Arrays.copyOfRange(buf, 0, w)))
       new GenericArrayData(out.toArray)
     }
 
@@ -76,7 +125,19 @@ object TextNormExprs {
     * is null, which `filter` drops). */
   case class StopwordScoresExpr(child: Expression, langWords: Seq[Seq[String]])
       extends UnaryExpression with CodegenFallback {
-    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    // a NULL word array yields array(null, …) — size(filter(NULL)) per
+    // language in the composed form, whose outer array() is non-null
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = true)
+    override def nullable: Boolean = false
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StringType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"stopword_scores requires an ARRAY<STRING> input, got ${other.simpleString}")
+      }
 
     @transient private lazy val nLangs = langWords.size
     @transient private lazy val table: java.util.HashMap[UTF8String, Array[Int]] = {
@@ -86,10 +147,18 @@ object TextNormExprs {
           val k = UTF8String.fromString(w)
           var inc = m.get(k)
           if (inc == null) { inc = new Array[Int](nLangs); m.put(k, inc) }
-          inc(li) += 1
+          // set semantics: a duplicate list entry must not double-count
+          // a matching token (isInCollection matches each token once)
+          inc(li) = 1
         }
       }
       m
+    }
+
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val v = child.eval(input)
+      if (v == null) new GenericArrayData(Array.fill[Any](nLangs)(null))
+      else nullSafeEval(v)
     }
 
     override protected def nullSafeEval(input: Any): Any = {

@@ -79,8 +79,12 @@ object Advanced {
 
   // --------------------------------------------------------------- Q48
   /** TF-IDF: top-3 terms per document by tf·ln(N/df). The rounded score
-    * is used for BOTH ranking and output so a last-ulp ln() divergence
-    * between engines cannot reorder rows (ties then break on word). */
+    * is used for BOTH ranking and output so rows can only reorder if
+    * the ROUNDED scores diverge. Residual risk, accepted deliberately:
+    * ln() is a transcendental (1-ulp across JVM Math.log vs libm), so
+    * on hypothetical data a last-ulp difference could straddle a
+    * 0.00005 boundary; validated hash-identical against DuckDB on the
+    * actual gate fixtures (sf0.001 and sf0.01). */
   val q48 = QueryDef("q48_tfidf",
     s"""WITH docw AS (
       |  SELECT doc_id,

@@ -52,6 +52,21 @@ object NormalizerPropertySpec extends Properties("normalizer") {
       native == ref
     }
 
+  property("native == reference under a Turkish default locale (dotless-ı hazard)") =
+    forAll(Gen.listOfN(5, weird)) { ss =>
+      val prev = java.util.Locale.getDefault
+      try {
+        // tr_TR lowercases 'I' to dotless ı on the locale-sensitive
+        // path; ASCII tokens must stay on the locale-independent path
+        java.util.Locale.setDefault(java.util.Locale.forLanguageTag("tr-TR"))
+        import spark.implicits._
+        val df = (ss :+ "IS café İSTANBUL MIX").toDF("s")
+        val native = df.select(TextFunctions.normalizedWords(col("s"))).as[Seq[String]].collect().toSeq
+        val ref = df.select(TextFunctions.normalizedWordsReference(col("s"))).as[Seq[String]].collect().toSeq
+        native == ref && native.last.take(2) == Seq("is", "caf")
+      } finally java.util.Locale.setDefault(prev)
+    }
+
   property("tokenizer emits no whitespace-containing tokens") =
     forAll(Gen.listOfN(3, weird)) { ss =>
       import spark.implicits._
