@@ -87,13 +87,19 @@ object Similarity {
     val cent = nonZero.filter(centroidPred)
       .select(col(idCol).as("cent_id"), col(vecCol).as("centv"))
     val cos = VectorFunctions.cosine(col("v"), col("centv"))
-    // inverted lists: every vector → its single nearest centroid
-    val wAssign = Window.partitionBy(col("vid")).orderBy(cos.desc, col("cent_id"))
+    // inverted lists: every vector → its single nearest centroid.
+    // argmax as a struct-max AGGREGATE, not a window: partial
+    // aggregation combines the |V|×|C| scored rows map-side, so only
+    // one row per vector reaches the shuffle (a window would sort and
+    // shuffle the full cross product). max(struct(cs, -cent_id)) picks
+    // the highest score, ties to the LOWEST centroid id — identical to
+    // row_number over (cs DESC, cent_id ASC) = 1.
     val assigned = nonZero.select(col(idCol).as("vid"), col(vecCol).as("v"))
       .join(broadcast(cent))
-      .withColumn("crn", row_number().over(wAssign))
-      .filter(col("crn") === 1)
-      .select(col("vid"), col("v"), col("cent_id"))
+      .select(col("vid"), col("v"), struct(cos.as("cs"), (-col("cent_id")).as("neg")).as("sc"))
+      .groupBy("vid")
+      .agg(first(col("v")).as("v"), max(col("sc")).as("m"))
+      .select(col("vid"), col("v"), (-col("m.neg")).as("cent_id"))
     // probe lists: every query → its nProbe nearest centroids
     val probes = nonZero.filter(queryPred).select(col(idCol).as("q_id"), col(vecCol).as("qv"))
       .join(broadcast(cent))
