@@ -353,6 +353,43 @@ object Advanced {
       .orderBy("source", "lang")
   }
 
+  // --------------------------------------------------------------- Q59
+  /** Time-interval RANGE window frame: running 90-day order total per
+    * customer. A RANGE frame's membership depends only on the ORDER
+    * column's values (date ties aggregate together), so the exact
+    * DECIMAL sum is well-defined regardless of tie order. Distinct
+    * capability from q15's ROWS frame. */
+  val q59 = {
+    val body =
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderdate
+        |         RANGE BETWEEN INTERVAL %s PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS sum90
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+    QueryDef("q59_range_frame", body.format("90 DAY")) { (s, dir) =>
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(body.format("'90' DAY"))
+    }
+  }
+
+  // --------------------------------------------------------------- Q60
+  /** Boolean / conditional aggregates: count_if, bool_and, bool_or —
+    * identical function names and semantics on both engines. */
+  val q60 = QueryDef("q60_bool_aggs",
+    """SELECT l_returnflag,
+      |       count_if(l_discount > 0.05) AS n_discounted,
+      |       bool_and(l_quantity > 0) AS all_positive,
+      |       bool_or(l_tax > 0.07) AS any_high_tax
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count_if(col("l_discount") > 0.05).as("n_discounted"),
+        bool_and(col("l_quantity") > 0).as("all_positive"),
+        bool_or(col("l_tax") > 0.07).as("any_high_tax"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[QueryDef] = Seq(q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
-    q56, q57, q58)
+    q56, q57, q58, q59, q60)
 }
