@@ -89,6 +89,20 @@ object TextFunctions {
   /** SQL twin of [[round4]] for DuckDB oracle strings. */
   def round4Sql(expr: String): String = s"floor(($expr) * 10000 + 0.5) / 10000"
 
+  /** DuckDB CTE mirroring [[normalizedWords]] over `documents` — the
+    * ONE shared oracle-side tokenizer (documents → doc_id/text/lang +
+    * normalized word array `w`). Every text-query oracle must reference
+    * this, never re-inline the regex pipeline: a normalization change
+    * edited in one copy but not another would silently diverge oracles. */
+  val docwCteSql: String =
+    """docw AS (
+      |  SELECT doc_id, text, lang,
+      |         list_filter(list_transform(regexp_split_to_array(lower(text), '\s+'),
+      |                     x -> regexp_replace(x, '[^a-z]', '', 'g')),
+      |                     x -> x <> '') AS w
+      |  FROM documents
+      |)""".stripMargin
+
   /** Count of words present in a stopword list. */
   def stopwordHits(words: Column, lang: String): Column =
     size(filter(words, w => w.isInCollection(stopwords(lang))))

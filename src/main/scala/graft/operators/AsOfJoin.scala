@@ -53,10 +53,18 @@ object AsOfJoin {
       .getOrElse(throw new IllegalArgumentException(
         s"as-of join keys have incompatible types: " +
           s"${left.schema(leftKey).dataType} vs ${right.schema(rightKey).dataType}"))
-    // heterogeneous time types (e.g. DATE right vs TIMESTAMP left) meet
-    // at TIMESTAMP — the same implicit cast the <= comparison would use
-    val sameTimeType = left.schema(leftTime).dataType == right.schema(rightTime).dataType
-    def asTime(c: Column): Column = if (sameTimeType) c else c.cast(TimestampType)
+    // heterogeneous time types meet at their widened common type — DATE
+    // vs TIMESTAMP widens to TIMESTAMP, INT vs BIGINT to BIGINT (an
+    // unconditional timestamp cast would reinterpret epoch numbers as
+    // seconds and overflow)
+    val timeType = {
+      val lt = left.schema(leftTime).dataType; val rt = right.schema(rightTime).dataType
+      if (lt == rt) lt
+      else org.apache.spark.sql.catalyst.analysis.TypeCoercion.findWiderTypeForTwo(lt, rt)
+        .getOrElse(throw new IllegalArgumentException(
+          s"as-of join time columns have incompatible types: $lt vs $rt"))
+    }
+    def asTime(c: Column): Column = c.cast(timeType)
 
     val leftStruct = struct(left.columns.map(left(_)): _*)
     val rightStruct = struct(right.columns.map(right(_)): _*)
@@ -89,7 +97,9 @@ object AsOfJoin {
     l.unionByName(r)
       .withColumn(m, last(col(rp), ignoreNulls = true).over(w))
       .filter(col(tag) === 1)
-      .select(left.columns.map(c => col(s"$lp.$c").as(c)) ++
-        right.columns.map(c => col(s"$m.$c").as(c)): _*)
+      // getField (not a dotted path string) so column names containing
+      // '.' or other special characters resolve correctly
+      .select(left.columns.map(c => col(lp).getField(c).as(c)) ++
+        right.columns.map(c => col(m).getField(c).as(c)): _*)
   }
 }

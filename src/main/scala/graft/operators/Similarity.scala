@@ -88,18 +88,21 @@ object Similarity {
       .select(col(idCol).as("cent_id"), col(vecCol).as("centv"))
     val cos = VectorFunctions.cosine(col("v"), col("centv"))
     // inverted lists: every vector → its single nearest centroid.
-    // argmax as a struct-max AGGREGATE, not a window: partial
+    // argmax as a struct-min AGGREGATE, not a window: partial
     // aggregation combines the |V|×|C| scored rows map-side, so only
     // one row per vector reaches the shuffle (a window would sort and
-    // shuffle the full cross product). max(struct(cs, -cent_id)) picks
+    // shuffle the full cross product). min(struct(-cs, cent_id)) picks
     // the highest score, ties to the LOWEST centroid id — identical to
-    // row_number over (cs DESC, cent_id ASC) = 1.
+    // row_number over (cs DESC, cent_id ASC) = 1 — negating the DOUBLE
+    // score, so cent_id may be any orderable type. Requires unique ids
+    // (like every idCol contract here): duplicate vids would pair one
+    // row's vector with another's argmax centroid.
     val assigned = nonZero.select(col(idCol).as("vid"), col(vecCol).as("v"))
       .join(broadcast(cent))
-      .select(col("vid"), col("v"), struct(cos.as("cs"), (-col("cent_id")).as("neg")).as("sc"))
+      .select(col("vid"), col("v"), struct((-cos).as("negcs"), col("cent_id")).as("sc"))
       .groupBy("vid")
-      .agg(first(col("v")).as("v"), max(col("sc")).as("m"))
-      .select(col("vid"), col("v"), (-col("m.neg")).as("cent_id"))
+      .agg(first(col("v")).as("v"), min(col("sc")).as("m"))
+      .select(col("vid"), col("v"), col("m").getField("cent_id").as("cent_id"))
     // probe lists: every query → its nProbe nearest centroids
     val probes = nonZero.filter(queryPred).select(col(idCol).as("q_id"), col(vecCol).as("qv"))
       .join(broadcast(cent))

@@ -86,13 +86,7 @@ object Advanced {
     * 0.00005 boundary; validated hash-identical against DuckDB on the
     * actual gate fixtures (sf0.001 and sf0.01). */
   val q48 = QueryDef("q48_tfidf",
-    s"""WITH docw AS (
-      |  SELECT doc_id,
-      |         list_filter(list_transform(regexp_split_to_array(lower(text), '\\s+'),
-      |                     x -> regexp_replace(x, '[^a-z]', '', 'g')),
-      |                     x -> x <> '') AS w
-      |  FROM documents
-      |), tok AS (SELECT doc_id, unnest(w) AS word FROM docw),
+    s"""WITH ${TextFunctions.docwCteSql}, tok AS (SELECT doc_id, unnest(w) AS word FROM docw),
       |tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY doc_id, word),
       |df AS (SELECT word, count(DISTINCT doc_id) AS df FROM tok GROUP BY word),
       |n AS (SELECT count(*) AS n FROM documents),

@@ -20,16 +20,9 @@ import graft.operators.{AsOfJoin, Dedup, Similarity, TextAnalysis}
 object Extensions {
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
-  /** DuckDB CTE: documents → normalized word array `w` (mirror of
-    * [[TextFunctions.normalizedWords]]), keeping doc_id/text/lang. */
-  private val docwCte =
-    """docw AS (
-      |  SELECT doc_id, text, lang,
-      |         list_filter(list_transform(regexp_split_to_array(lower(text), '\s+'),
-      |                     x -> regexp_replace(x, '[^a-z]', '', 'g')),
-      |                     x -> x <> '') AS w
-      |  FROM documents
-      |)""".stripMargin
+  /** DuckDB CTE: documents → normalized word array `w` (the shared
+    * oracle-side tokenizer, see [[TextFunctions.docwCteSql]]). */
+  private val docwCte = TextFunctions.docwCteSql
 
   /** DuckDB fragments for cosine(a, b) with in-order DOUBLE accumulation. */
   private def dotSql(a: String, b: String): String =
