@@ -45,6 +45,19 @@ class SinksAndSkewSpec extends SparkSuite {
     assert(spark.read.parquet(compacted).count() === docs.count())
   }
 
+  test("observed metrics ride along with the action (no second scan)") {
+    val docs = Tables(spark, sfDir, "documents")
+    val sink = graft.sources.Observe.attach(spark)
+    try {
+      val observed = graft.sources.Observe.health(docs, "docs_health", "text")
+      val n = observed.count()
+      val m = sink.await("docs_health")
+      assert(m.getAs[Long]("n_rows") === n)
+      assert(m.getAs[Long]("n_null") === docs.filter(col("text").isNull).count())
+      assert(m.getAs[Long]("total_len") > 0)
+    } finally spark.listenerManager.unregister(sink)
+  }
+
   test("salted aggregate == direct aggregate on a skewed key") {
     val li = Tables(spark, sfDir, "lineitem") // l_returnflag is low-cardinality/hot
     val salted = Skew.saltedAggregate(li, "l_returnflag", 8,
