@@ -25,6 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     // composed-tokenizer → native single-pass expression rewrite
     e.injectOptimizerRule(_ => CanonicalizeTokenizer)
+    // row_number-top-k → bounded-heap whole-operator rewrite
+    e.injectOptimizerRule(_ => TopKPerKeyRule)
+    e.injectPlannerStrategy(_ => TopKPerKeyStrategy)
   }
 }
 

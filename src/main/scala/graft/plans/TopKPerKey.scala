@@ -1,0 +1,152 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode, Window}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.types.IntegerType
+
+/** Whole-operator Catalyst extension (SURVEY §7.5 route (c), the full
+  * stack: logical node → optimizer rule → strategy → physical plan):
+  * per-key top-k via bounded heaps.
+  *
+  * Spark plans `row_number() OVER (PARTITION BY g ORDER BY o) <= k` as
+  * a full sort of every key group (WindowExec sorts the whole partition
+  * on (g, o)), even though only k rows per key survive the filter. The
+  * same asymmetry Spark already fixes globally with
+  * TakeOrderedAndProject applies per key: a bounded heap per group
+  * needs O(keys·k) memory and no sort of the discarded rows. At 100 TB
+  * "top 3 orders per customer" touches billions of rows per key group;
+  * sorting them to keep 3 is the single largest avoidable cost of the
+  * pattern.
+  *
+  * [[TopKPerKeyRule]] rewrites exactly `Filter(rn <= k, Window(Seq(rn
+  * := row_number() over (g, o)), ...))` — the window must compute ONLY
+  * the row number (other window functions need the full frame) — into
+  * the logical [[TopKPerKey]]; [[TopKPerKeyStrategy]] plans it as
+  * [[TopKPerKeyExec]]. Results are identical to the window formulation
+  * whenever the per-key order is total (the determinism contract every
+  * query here follows anyway); with ties, both formulations are
+  * nondeterministic. Enable per session via
+  * `spark.experimental.extraOptimizations :+= TopKPerKeyRule` and
+  * `spark.experimental.extraStrategies :+= TopKPerKeyStrategy` (or a
+  * SparkSessionExtensions install).
+  */
+case class TopKPerKey(
+    groupExprs: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    rnAttr: Attribute,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output :+ rnAttr
+  // rnAttr is born here, not consumed from below — required for the
+  // analyzer/optimizer missing-attribute integrity checks
+  override def producedAttributes: AttributeSet = AttributeSet(rnAttr)
+  override protected def withNewChildInternal(newChild: LogicalPlan): LogicalPlan =
+    copy(child = newChild)
+}
+
+object TopKPerKeyRule extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ org.apache.spark.sql.catalyst.plans.logical.Filter(cond,
+        Window(Seq(alias @ Alias(WindowExpression(RowNumber(), spec), _)),
+          parts, order, child, _)) =>
+      val kOpt = cond match {
+        case LessThanOrEqual(a: AttributeReference, Literal(k: Int, IntegerType))
+            if a.exprId == alias.exprId => Some(k)
+        case LessThan(a: AttributeReference, Literal(k: Int, IntegerType))
+            if a.exprId == alias.exprId => Some(k - 1)
+        case _ => None
+      }
+      kOpt match {
+        case Some(k) if k > 0 && spec.partitionSpec == parts && spec.orderSpec == order =>
+          // Spark's InsertWindowGroupLimit (3.5+) has usually placed a
+          // WindowGroupLimit below the Window by the time this rule
+          // runs. It pre-limits groups but forces a SORT on each side
+          // of the exchange; the bounded-heap exec needs only the hash
+          // exchange, so strip a matching group limit and skip both
+          // sorts entirely.
+          val input = child match {
+            case org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit(
+                p2, o2, RowNumber(), limit, grandchild)
+                if p2 == parts && o2 == order && limit >= k => grandchild
+            case other => other
+          }
+          TopKPerKey(parts, order, k, alias.toAttribute, input)
+        case _ => f
+      }
+  }
+}
+
+object TopKPerKeyStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKey(parts, order, k, rnAttr, child) =>
+      TopKPerKeyExec(parts, order, k, rnAttr, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class TopKPerKeyExec(
+    groupExprs: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    rnAttr: Attribute,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output :+ rnAttr
+  // rnAttr is a constructor field, so it lands in this node's
+  // `references`; declaring it produced keeps missingInput empty
+  override def producedAttributes: AttributeSet = AttributeSet(rnAttr)
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  // every row of a key must land in one task (the shuffle this demands
+  // is the same one WindowExec demands — no extra exchange)
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (groupExprs.isEmpty) AllTuples :: Nil
+    else ClusteredDistribution(groupExprs) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val kLocal = k
+    val childOutput = child.output
+    val groupExprsLocal = groupExprs
+    val orderLocal = order
+    child.execute().mapPartitions ({ iter =>
+      val groupProj = UnsafeProjection.create(groupExprsLocal, childOutput)
+      val ordering = GenerateOrdering.generate(orderLocal, childOutput)
+      // per key: a worst-first heap of at most k rows — O(keys·k)
+      // memory, no sort of evicted rows
+      val worstFirst = ordering.reverse.asInstanceOf[java.util.Comparator[InternalRow]]
+      val heaps = new java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+      while (iter.hasNext) {
+        val row = iter.next()
+        val key = groupProj(row)
+        var q = heaps.get(key)
+        if (q == null) {
+          q = new java.util.PriorityQueue[InternalRow](kLocal + 1, worstFirst)
+          heaps.put(key.copy(), q)
+        }
+        if (q.size() < kLocal) q.add(row.copy())
+        else if (ordering.compare(row, q.peek()) < 0) { q.poll(); q.add(row.copy()) }
+      }
+      val outProj = UnsafeProjection.create(output, output)
+      val rnRow = new GenericInternalRow(1)
+      val joined = new JoinedRow
+      import scala.jdk.CollectionConverters._
+      heaps.values().iterator().asScala.flatMap { q =>
+        val rows = q.toArray(new Array[InternalRow](q.size()))
+        java.util.Arrays.sort(rows, ordering.asInstanceOf[java.util.Comparator[InternalRow]])
+        rows.iterator.zipWithIndex.map { case (r, i) =>
+          rnRow.update(0, i + 1)
+          outProj(joined(r, rnRow))
+        }
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
+    copy(child = newChild)
+}
