@@ -60,8 +60,8 @@ object Bench {
     val refEntry: Seq[(String, Double)] =
       if (java.nio.file.Files.isReadable(java.nio.file.Paths.get(refManifest)))
         Seq("ref_inverted_index" -> time {
-          val files = InvertedIndex.readManifest(refManifest)
-          InvertedIndex.buildIndex(spark, files).write.format("noop").mode("overwrite").save()
+          InvertedIndex.buildIndexFromManifest(spark, refManifest)
+            .write.format("noop").mode("overwrite").save()
         })
       else Seq.empty
 

@@ -45,21 +45,11 @@ object InvertedIndex {
     } finally src.close()
   }
 
-  /** Distributed index build: returns (word, letter, ids, cnt, line).
-    * `ids` ascending, `cnt` = number of containing files. */
-  def buildIndex(spark: SparkSession, files: Seq[(String, Int)]): DataFrame = {
-    val manifest = spark.createDataFrame(files).toDF("path", "file_id")
-    // Normalize scan-side file identity (a file:/// URI, percent-encoded)
-    // to the manifest's plain absolute path: strip the scheme, protect
-    // literal '+' (url_decode is form-decoding), then decode %XX escapes
-    // so e.g. "my docs/a.txt" round-trips (spec-covered).
-    val scanned = spark.read.textFile(files.map(_._1): _*)
-      .select(col("value"),
-        url_decode(regexp_replace(
-          regexp_replace(col("_metadata.file_path"), "^file:/+", "/"),
-          "\\+", "%2B")).as("path"))
-    scanned
-      .join(broadcast(manifest), "path") // tiny dim: path → 1-based id
+  /** Index core from a scanned corpus `(file_id, value)`: returns
+    * (word, letter, ids, cnt, line). `ids` ascending, `cnt` = number of
+    * containing files. */
+  def buildIndexFrom(corpus: DataFrame): DataFrame =
+    corpus
       // tokenize+normalize+empty-filter in ONE native pass per line
       // (graft.plans.TextNormExprs), then explode — identical rows to
       // explode(split) → per-token regex strip → filter
@@ -72,6 +62,29 @@ object InvertedIndex {
       .select(col("word"), substring(col("word"), 1, 1).as("letter"), col("ids"),
         size(col("ids")).as("cnt"),
         concat(col("word"), lit(":["), concat_ws(" ", col("ids")), lit("]")).as("line"))
+
+  /** Index build straight from a manifest through the DataSource V2
+    * connector ([[graft.sources.ManifestCorpusSource]]): the reader
+    * stamps file ids itself (no scan-path decode + broadcast join) and
+    * size-packs the corpus files into input partitions. */
+  def buildIndexFromManifest(spark: SparkSession, manifestPath: String): DataFrame =
+    buildIndexFrom(spark.read.format("manifest-corpus").load(manifestPath)
+      .select("file_id", "value"))
+
+  /** Index build from an explicit (path, 1-based id) list — the
+    * built-in-text-source formulation. Normalizes scan-side file
+    * identity (a file:/// URI, percent-encoded) back to the plain path:
+    * strip the scheme, protect literal '+' (url_decode is
+    * form-decoding), then decode %XX escapes so e.g. "my docs/a.txt"
+    * round-trips (spec-covered). */
+  def buildIndex(spark: SparkSession, files: Seq[(String, Int)]): DataFrame = {
+    val manifest = spark.createDataFrame(files).toDF("path", "file_id")
+    val scanned = spark.read.textFile(files.map(_._1): _*)
+      .select(col("value"),
+        url_decode(regexp_replace(
+          regexp_replace(col("_metadata.file_path"), "^file:/+", "/"),
+          "\\+", "%2B")).as("path"))
+    buildIndexFrom(scanned.join(broadcast(manifest), "path"))
   }
 
   /** Reference-exact sink: one `<letter>.txt` per letter a–z under
@@ -114,9 +127,10 @@ object InvertedIndex {
     }
   }
 
-  /** End-to-end job: manifest in, 26 letter files out. */
+  /** End-to-end job: manifest in (via the V2 connector), 26 letter
+    * files out. */
   def run(spark: SparkSession, manifestPath: String, outDir: String): Unit =
-    writeLetterFiles(buildIndex(spark, readManifest(manifestPath)), outDir)
+    writeLetterFiles(buildIndexFromManifest(spark, manifestPath), outDir)
 }
 
 /** CLI parity runner: `graft.operators.InvertedIndexJob <manifest> <outDir>`

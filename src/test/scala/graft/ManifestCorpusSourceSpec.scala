@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.InvertedIndex
+
+/** The manifest-corpus DataSource V2 connector: row parity with the
+  * built-in text source, partition packing, and column pruning. */
+class ManifestCorpusSourceSpec extends SparkSuite {
+  private val manifest = "/root/reference/checker/test_small.txt"
+
+  test("V2 scan rows match the built-in text source formulation") {
+    val v2 = spark.read.format("manifest-corpus").load(manifest)
+      .select("file_id", "value")
+    val files = InvertedIndex.readManifest(manifest)
+    val legacy = spark.read.textFile(files.map(_._1): _*)
+      .select(col("value"),
+        url_decode(regexp_replace(
+          regexp_replace(col("_metadata.file_path"), "^file:/+", "/"),
+          "\\+", "%2B")).as("path"))
+      .join(broadcast(spark.createDataFrame(files).toDF("path", "file_id")), "path")
+      .select("file_id", "value")
+    assert(v2.exceptAll(legacy).isEmpty && legacy.exceptAll(v2).isEmpty)
+    assert(v2.count() > 0)
+  }
+
+  test("partition packing follows maxPartitionBytes") {
+    val packed = spark.read.format("manifest-corpus").load(manifest)
+    assert(packed.rdd.getNumPartitions === 1) // 3 tiny files pack into one
+    val scattered = spark.read.format("manifest-corpus")
+      .option("maxPartitionBytes", "1").load(manifest)
+    assert(scattered.rdd.getNumPartitions === 3) // one per file
+    assert(scattered.count() === packed.count())
+  }
+
+  test("column pruning reaches the scan") {
+    val pruned = spark.read.format("manifest-corpus").load(manifest).select("value")
+    val desc = pruned.queryExecution.executedPlan.toString
+    assert(desc.contains("cols=value"), desc)
+    assert(pruned.count() > 0)
+  }
+
+  test("index built through the connector matches the legacy formulation") {
+    val viaV2 = InvertedIndex.buildIndexFromManifest(spark, manifest).select("line")
+    val legacy = InvertedIndex.buildIndex(spark, InvertedIndex.readManifest(manifest))
+      .select("line")
+    assert(viaV2.exceptAll(legacy).isEmpty && legacy.exceptAll(viaV2).isEmpty)
+  }
+}
