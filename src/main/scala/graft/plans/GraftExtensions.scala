@@ -25,9 +25,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     // composed-tokenizer → native single-pass expression rewrite
     e.injectOptimizerRule(_ => CanonicalizeTokenizer)
-    // row_number-top-k → bounded-heap whole-operator rewrite
-    e.injectOptimizerRule(_ => TopKPerKeyRule)
-    e.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+    // NOTE: the bounded-heap top-k rewrite (TopKPerKeyRule/-Strategy) is
+    // deliberately NOT default-installed: TopKPerKeyExec trades Spark's
+    // spill-capable sort for O(keys·k) pinned heap memory — the right
+    // trade when keys-per-partition is bounded, the wrong one on
+    // unbounded-cardinality keys. Opt in per session via
+    // `spark.experimental.extraOptimizations :+= TopKPerKeyRule` and
+    // `spark.experimental.extraStrategies :+= TopKPerKeyStrategy`.
   }
 }
 
@@ -75,9 +79,12 @@ object GraftFunctions {
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
         "might_contain"),
-      (exprs: Seq[Expression]) =>
-        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-          exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(bloom, value) =>
+          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(bloom, value)
+        case _ => throw new IllegalArgumentException(
+          "might_contain(bloomFilter, value)")
+      }))
 
   /** Register on a live session (temp functions). */
   def register(spark: SparkSession): Unit =

@@ -37,21 +37,26 @@ object TextSketchExprs {
     * adversarial vocabulary can't OOM an executor; per-thread so there
     * is no lock on the hot path. */
   private[plans] final class TokenMemo[V](maxEntries: Int) {
-    private val local = new ThreadLocal[java.util.LinkedHashMap[String, V]] {
+    private val local = new ThreadLocal[java.util.LinkedHashMap[UTF8String, V]] {
       override def initialValue() =
-        new java.util.LinkedHashMap[String, V](1024, 0.75f, true) {
-          override def removeEldestEntry(e: java.util.Map.Entry[String, V]): Boolean =
+        new java.util.LinkedHashMap[UTF8String, V](1024, 0.75f, true) {
+          override def removeEldestEntry(e: java.util.Map.Entry[UTF8String, V]): Boolean =
             size() > maxEntries
         }
     }
     def getOrCompute(key: UTF8String, f: Array[Byte] => V): V = {
       val m = local.get()
-      val k = key.toString
-      val got = m.get(k)
+      // probe with the incoming UTF8String directly (it has proper
+      // equals/hashCode) — decoding to java String per lookup would
+      // allocate on every token occurrence, the exact cost the memo
+      // exists to remove
+      val got = m.get(key)
       if (got != null) got
       else {
         val v = f(key.getBytes)
-        m.put(k, v)
+        // the incoming key may point into a reused row buffer — store a
+        // stable copy
+        m.put(key.clone(), v)
         v
       }
     }

@@ -114,6 +114,9 @@ case class TopKPerKeyExec(
     val childOutput = child.output
     val groupExprsLocal = groupExprs
     val orderLocal = order
+    // localized so the closure ships four values, not `this` (capturing
+    // the node's `output` method would serialize the whole plan subtree)
+    val outputLocal = output
     child.execute().mapPartitions ({ iter =>
       val groupProj = UnsafeProjection.create(groupExprsLocal, childOutput)
       val ordering = GenerateOrdering.generate(orderLocal, childOutput)
@@ -132,7 +135,7 @@ case class TopKPerKeyExec(
         if (q.size() < kLocal) q.add(row.copy())
         else if (ordering.compare(row, q.peek()) < 0) { q.poll(); q.add(row.copy()) }
       }
-      val outProj = UnsafeProjection.create(output, output)
+      val outProj = UnsafeProjection.create(outputLocal, outputLocal)
       val rnRow = new GenericInternalRow(1)
       val joined = new JoinedRow
       import scala.jdk.CollectionConverters._

@@ -129,7 +129,7 @@ object Advanced {
     * windows. Oracle mirrors Spark's µs window arithmetic with integer
     * epoch slots. */
   val q49 = QueryDef("q49_sliding_window",
-    """WITH e AS (SELECT epoch_us(ts) AS eu, event_type FROM events),
+    """WITH e AS (SELECT epoch_us(ts) AS eu, event_type FROM events WHERE ts IS NOT NULL),
       |w AS (
       |  SELECT unnest([eu // 1800000000, eu // 1800000000 - 1]) AS slot, event_type
       |  FROM e

@@ -1,6 +1,7 @@
 package graft.sources
 
-import java.io.{BufferedReader, File, FileReader}
+import java.io.{BufferedReader, File, FileInputStream, InputStreamReader}
+import java.nio.charset.StandardCharsets
 import java.util.{Map => JMap}
 
 import scala.jdk.CollectionConverters._
@@ -132,7 +133,11 @@ class ManifestCorpusReaderFactory(required: StructType)
           }
           if (!fileIter.hasNext) return false
           val (p, id) = fileIter.next()
-          reader = new BufferedReader(new FileReader(p))
+          // explicit UTF-8: FileReader would use the JVM default charset
+          // (US-ASCII under a POSIX locale), mangling non-ASCII corpus
+          // bytes that spark.read.textFile decodes correctly
+          reader = new BufferedReader(
+            new InputStreamReader(new FileInputStream(p), StandardCharsets.UTF_8))
           curPath = UTF8String.fromString(p)
           curId = id
         }

@@ -49,7 +49,7 @@ object Observe {
   def health(df: DataFrame, name: String, watched: String): DataFrame =
     df.observe(name,
       count(lit(1)).as("n_rows"),
-      sum(when(col(watched).isNull, 1).otherwise(0)).as("n_null"),
+      coalesce(sum(when(col(watched).isNull, 1L).otherwise(0L)), lit(0L)).as("n_null"),
       coalesce(sum(length(col(watched)).cast("long")), lit(0L)).as("total_len"))
 
   /** Arbitrary observed aggregates (must be observe-legal: no distinct,

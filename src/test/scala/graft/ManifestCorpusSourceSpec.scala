@@ -40,6 +40,17 @@ class ManifestCorpusSourceSpec extends SparkSuite {
     assert(pruned.count() > 0)
   }
 
+  test("non-ASCII corpus bytes decode as UTF-8 regardless of JVM default charset") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.charset.StandardCharsets
+    val dir = Files.createTempDirectory("mc_utf8")
+    Files.write(dir.resolve("f1.txt"), "café 漢字 naïve\n".getBytes(StandardCharsets.UTF_8))
+    Files.write(dir.resolve("m.txt"), "1\nf1.txt\n".getBytes(StandardCharsets.UTF_8))
+    val v2 = spark.read.format("manifest-corpus").load(dir.resolve("m.txt").toString)
+      .select("value").as[String](org.apache.spark.sql.Encoders.STRING).collect()
+    assert(v2.toSeq === Seq("café 漢字 naïve"))
+  }
+
   test("index built through the connector matches the legacy formulation") {
     val viaV2 = InvertedIndex.buildIndexFromManifest(spark, manifest).select("line")
     val legacy = InvertedIndex.buildIndex(spark, InvertedIndex.readManifest(manifest))
