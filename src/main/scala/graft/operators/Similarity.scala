@@ -97,9 +97,13 @@ object Similarity {
     // score, so cent_id may be any orderable type. Requires unique ids
     // (like every idCol contract here): duplicate vids would pair one
     // row's vector with another's argmax centroid.
+    // negation is not order-reversing for NaN (both engines sort NaN as
+    // GREATEST, so under cs DESC a NaN score wins); map it to -Inf so
+    // the struct-min picks it first, exactly like the row_number form
+    val negcs = when(isnan(cos), lit(Double.NegativeInfinity)).otherwise(-cos)
     val assigned = nonZero.select(col(idCol).as("vid"), col(vecCol).as("v"))
       .join(broadcast(cent))
-      .select(col("vid"), col("v"), struct((-cos).as("negcs"), col("cent_id")).as("sc"))
+      .select(col("vid"), col("v"), struct(negcs.as("negcs"), col("cent_id")).as("sc"))
       .groupBy("vid")
       .agg(first(col("v")).as("v"), min(col("sc")).as("m"))
       .select(col("vid"), col("v"), col("m").getField("cent_id").as("cent_id"))

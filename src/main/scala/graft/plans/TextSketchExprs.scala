@@ -86,9 +86,13 @@ object TextSketchExprs {
 
     @transient private lazy val salts: Array[Array[Byte]] =
       Array.tabulate(k)(j => s"$j|".getBytes("UTF-8"))
-    // shingle → its k digests, memoized process-wide per config
+    // shingle → its k digests, memoized process-wide per config. Entry
+    // cost scales with k (k × 16-byte digests), so the bound is a BYTE
+    // budget (~5 MiB/thread), not a fixed count — minhash(words, 1024)
+    // must not pin 50× the memory of k=12
     @transient private lazy val memo =
-      TokenMemos.forKey[Array[Array[Byte]]](s"minhash:$k", 20000)
+      TokenMemos.forKey[Array[Array[Byte]]](s"minhash:$k",
+        math.max(1024, (5 << 20) / (math.max(1, k) * 16)))
 
     override protected def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]

@@ -59,7 +59,9 @@ object TopKPerKeyRule extends Rule[LogicalPlan] {
         case LessThanOrEqual(a: AttributeReference, Literal(k: Int, IntegerType))
             if a.exprId == alias.exprId => Some(k)
         case LessThan(a: AttributeReference, Literal(k: Int, IntegerType))
-            if a.exprId == alias.exprId => Some(k - 1)
+            // k - 1 must not wrap: rn < Int.MinValue is always-false and
+            // must stay with the window formulation, not become MaxValue
+            if a.exprId == alias.exprId && k != Int.MinValue => Some(k - 1)
         case _ => None
       }
       kOpt match {
@@ -129,7 +131,10 @@ case class TopKPerKeyExec(
         val key = groupProj(row)
         var q = heaps.get(key)
         if (q == null) {
-          q = new java.util.PriorityQueue[InternalRow](kLocal + 1, worstFirst)
+          // initial capacity stays small — PriorityQueue grows on
+          // demand, and an eager k+1 array per key would explode for a
+          // large (effectively no-op) k
+          q = new java.util.PriorityQueue[InternalRow](math.min(kLocal, 16) + 1, worstFirst)
           heaps.put(key.copy(), q)
         }
         if (q.size() < kLocal) q.add(row.copy())

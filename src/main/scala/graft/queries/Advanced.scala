@@ -21,6 +21,18 @@ import graft.functions.TextFunctions
 object Advanced {
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
+  /** SQL-entry query: registers the named tables as temp views and runs
+    * `sparkSql` (defaults to the oracle text — the identical statement
+    * on both engines) through `spark.sql`. One place for the view-setup
+    * pattern instead of a copy per query. */
+  private def sqlEntry(name: String, oracleSql: String, views: Seq[String],
+      sparkSql: Option[String] = None, withGraftFns: Boolean = false): QueryDef =
+    QueryDef(name, oracleSql) { (s, dir) =>
+      if (withGraftFns) graft.plans.GraftFunctions.register(s)
+      views.foreach(v => t(s, dir, v).createOrReplaceTempView(v))
+      s.sql(sparkSql.getOrElse(oracleSql).stripMargin)
+    }
+
   // --------------------------------------------------------------- Q46
   /** Distribution-style window functions. ntile is cast to INT on the
     * oracle side (DuckDB emits BIGINT); percent_rank/cume_dist are
@@ -64,18 +76,12 @@ object Advanced {
   /** Correlated EXISTS + uncorrelated IN through the engine's SQL entry
     * point — the identical text runs on DuckDB; Catalyst decorrelates
     * both predicates into semi joins (plan-asserted in QuerySpecs). */
-  val q47 = {
-    val sql =
-      """SELECT c_custkey FROM customer
-        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
-        |  AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
-        |ORDER BY c_custkey""".stripMargin
-    QueryDef("q47_subqueries", sql) { (s, dir) =>
-      t(s, dir, "customer").createOrReplaceTempView("customer")
-      t(s, dir, "orders").createOrReplaceTempView("orders")
-      s.sql(sql)
-    }
-  }
+  val q47 = sqlEntry("q47_subqueries",
+    """SELECT c_custkey FROM customer
+      |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |  AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin,
+    views = Seq("customer", "orders"))
 
   // --------------------------------------------------------------- Q48
   /** TF-IDF: top-3 terms per document by tf·ln(N/df). The rounded score
@@ -166,19 +172,14 @@ object Advanced {
   /** Scalar subquery: revenue share per priority against the global
     * total. Both sums are exact DECIMAL accumulations, so the double
     * division is bit-identical across engines. */
-  val q51 = {
-    val sql =
-      s"""SELECT o_orderpriority,
-        |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS rev,
-        |       ${TextFunctions.round4Sql(
-                  """CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
-        | / (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) FROM orders)""".stripMargin)} AS share
-        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
-    QueryDef("q51_scalar_subquery", sql) { (s, dir) =>
-      t(s, dir, "orders").createOrReplaceTempView("orders")
-      s.sql(sql)
-    }
-  }
+  val q51 = sqlEntry("q51_scalar_subquery",
+    s"""SELECT o_orderpriority,
+      |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS rev,
+      |       ${TextFunctions.round4Sql(
+                """CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+      | / (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) FROM orders)""".stripMargin)} AS share
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    views = Seq("orders"))
 
   // --------------------------------------------------------------- Q52
   /** Ordered string aggregation. Spark has no ORDER BY inside an
@@ -206,22 +207,20 @@ object Advanced {
     * At 100 TB this is the shape that cuts the probe-side shuffle to
     * ~the matching keys (what AQE's InjectRuntimeFilter does when
     * statistics justify it; here it is declared explicitly). */
-  val q53 = QueryDef("q53_bloom_join",
+  val q53 = sqlEntry("q53_bloom_join",
     """SELECT c_custkey FROM customer
       |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
-      |ORDER BY c_custkey""") { (s, dir) =>
-    graft.plans.GraftFunctions.register(s)
-    t(s, dir, "customer").createOrReplaceTempView("customer")
-    t(s, dir, "orders").createOrReplaceTempView("orders")
-    s.sql(
+      |ORDER BY c_custkey""".stripMargin,
+    views = Seq("customer", "orders"),
+    sparkSql = Some(
       """SELECT c_custkey FROM customer
         |WHERE might_contain(
         |        (SELECT bloom_filter_agg(xxhash64(o_custkey))
         |         FROM orders WHERE o_orderpriority = '1-URGENT'),
         |        xxhash64(c_custkey))
         |  AND c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
-        |ORDER BY c_custkey""".stripMargin)
-  }
+        |ORDER BY c_custkey"""),
+    withGraftFns = true)
 
   // --------------------------------------------------------------- Q54
   /** max_by/min_by semantics with a total tie-break: Spark's
@@ -360,10 +359,10 @@ object Advanced {
         |         PARTITION BY o_custkey ORDER BY o_orderdate
         |         RANGE BETWEEN INTERVAL %s PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS sum90
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
-    QueryDef("q59_range_frame", body.format("90 DAY")) { (s, dir) =>
-      t(s, dir, "orders").createOrReplaceTempView("orders")
-      s.sql(body.format("'90' DAY"))
-    }
+    sqlEntry("q59_range_frame", body.format("90 DAY"),
+      views = Seq("orders"),
+      // interval literal spelling differs: Spark wants '90' DAY
+      sparkSql = Some(body.format("'90' DAY")))
   }
 
   // --------------------------------------------------------------- Q60

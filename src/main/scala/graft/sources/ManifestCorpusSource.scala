@@ -144,8 +144,12 @@ class ManifestCorpusReaderFactory(required: StructType)
         false
       }
 
+      // reused across get() calls — Spark copies rows it retains, so a
+      // fresh allocation per corpus line would be pure garbage
+      private val row =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(fields.length)
+
       override def get(): InternalRow = {
-        val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(fields.length)
         var i = 0
         while (i < fields.length) {
           fields(i) match {
