@@ -3,8 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.TimestampType
-
 /** As-of join: for each left row, the single most recent right row with
   * a matching key and right-time ≤ left-time (ties broken by the
   * right-side tiebreak column, descending). Left rows with no match are

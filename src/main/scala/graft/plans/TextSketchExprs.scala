@@ -154,10 +154,12 @@ object TextSketchExprs {
       val n = arr.numElements()
       if (n == 0) return null
       val sums = new Array[Int](bits)
+      var contributed = false
       var i = 0
       while (i < n) {
         val elem = arr.getUTF8String(i) // skip null elements (SQL-surface input)
         if (elem != null) {
+          contributed = true
           val masks = memo.getOrCompute(elem, bytes => {
             val md = Md5Pool.get()
             val m = new Array[Long]((bits + 63) / 64)
@@ -178,6 +180,10 @@ object TextSketchExprs {
         }
         i += 1
       }
+      // no element contributed (all-null array) → null signature, same
+      // degenerate-input semantics as MinHashSignatureExpr — an all-'1'
+      // fallthrough would collide every such doc on one signature
+      if (!contributed) return null
       val sb = new java.lang.StringBuilder(bits)
       var p = 0
       while (p < bits) { sb.append(if (sums(p) >= 0) '1' else '0'); p += 1 }

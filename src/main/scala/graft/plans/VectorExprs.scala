@@ -120,22 +120,8 @@ object VectorExprs {
     // deferred: child dataType is only queryable once resolved
     @transient private lazy val childFloat = elemIsFloat(child.dataType)
 
-    // dim -> signs[plane][i]; ConcurrentHashMap so a shared instance is
-    // safe even if tasks race on first use
-    @transient private lazy val signCache =
-      new java.util.concurrent.ConcurrentHashMap[Integer, Array[Array[Double]]]()
-
     private def signs(dim: Int): Array[Array[Double]] =
-      signCache.computeIfAbsent(dim, _ => {
-        val md = java.security.MessageDigest.getInstance("MD5")
-        Array.tabulate(planes) { p =>
-          Array.tabulate(dim) { i =>
-            md.reset()
-            val d = md.digest(s"plane$p,$i".getBytes("UTF-8"))
-            if (d(0) >= 0) 1.0 else -1.0 // first hex nibble <= '7'
-          }
-        }
-      })
+      HyperplaneBucketExpr.signs(planes, dim)
 
     override protected def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
@@ -171,6 +157,26 @@ object VectorExprs {
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
     override def prettyName: String = "hyperplane_bucket"
+  }
+
+  object HyperplaneBucketExpr {
+    // process-wide sign-matrix cache keyed by (planes, dim): expression
+    // instances deserialize once per TASK, so an instance-owned cache
+    // would recompute the planes×dim md5 matrix for every task (same
+    // rationale as TextSketchExprs.TokenMemos)
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+    private[plans] def signs(planes: Int, dim: Int): Array[Array[Double]] =
+      cache.computeIfAbsent((planes, dim), { case (p0, d0) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        Array.tabulate(p0) { p =>
+          Array.tabulate(d0) { i =>
+            md.reset()
+            val d = md.digest(s"plane$p,$i".getBytes("UTF-8"))
+            if (d(0) >= 0) 1.0 else -1.0 // first hex nibble <= '7'
+          }
+        }
+      })
   }
 
   def dotD(a: Column, b: Column): Column =

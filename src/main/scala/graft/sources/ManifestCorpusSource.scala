@@ -1,7 +1,6 @@
 package graft.sources
 
-import java.io.{BufferedReader, File, FileInputStream, InputStreamReader}
-import java.nio.charset.StandardCharsets
+import java.io.{BufferedInputStream, ByteArrayOutputStream, File, FileInputStream}
 import java.util.{Map => JMap}
 
 import scala.jdk.CollectionConverters._
@@ -119,25 +118,36 @@ class ManifestCorpusReaderFactory(required: StructType)
       private val fields: Array[Int] =
         required.fieldNames.map(ManifestCorpusSource.Schema.fieldIndex)
       private val fileIter = files.iterator
-      private var reader: BufferedReader = _
+      private var in: BufferedInputStream = _
       private var curPath: UTF8String = _
       private var curId: Int = _
-      private var line: String = _
+      private var line: Array[Byte] = _
+
+      /** Raw byte line (terminator \n, \r\n or lone \r, like Hadoop's
+        * LineRecordReader), or null at EOF. Bytes pass through to the
+        * UTF8String untouched — a String round-trip would replace
+        * invalid UTF-8 with U+FFFD, breaking byte parity with
+        * spark.read.textFile (and charset-independence: the JVM default
+        * here is US-ASCII under a POSIX locale). */
+      private def readLineBytes(): Array[Byte] = {
+        var b = in.read()
+        if (b == -1) return null
+        val buf = new ByteArrayOutputStream(128)
+        while (b != -1 && b != '\n' && b != '\r') { buf.write(b); b = in.read() }
+        if (b == '\r') { in.mark(1); if (in.read() != '\n') in.reset() }
+        buf.toByteArray
+      }
 
       override def next(): Boolean = {
         while (true) {
-          if (reader != null) {
-            line = reader.readLine()
+          if (in != null) {
+            line = readLineBytes()
             if (line != null) return true
-            reader.close(); reader = null
+            in.close(); in = null
           }
           if (!fileIter.hasNext) return false
           val (p, id) = fileIter.next()
-          // explicit UTF-8: FileReader would use the JVM default charset
-          // (US-ASCII under a POSIX locale), mangling non-ASCII corpus
-          // bytes that spark.read.textFile decodes correctly
-          reader = new BufferedReader(
-            new InputStreamReader(new FileInputStream(p), StandardCharsets.UTF_8))
+          in = new BufferedInputStream(new FileInputStream(p))
           curPath = UTF8String.fromString(p)
           curId = id
         }
@@ -155,14 +165,14 @@ class ManifestCorpusReaderFactory(required: StructType)
           fields(i) match {
             case 0 => row.update(i, curId)
             case 1 => row.update(i, curPath)
-            case 2 => row.update(i, UTF8String.fromString(line))
+            case 2 => row.update(i, UTF8String.fromBytes(line))
           }
           i += 1
         }
         row
       }
 
-      override def close(): Unit = if (reader != null) { reader.close(); reader = null }
+      override def close(): Unit = if (in != null) { in.close(); in = null }
     }
   }
 }

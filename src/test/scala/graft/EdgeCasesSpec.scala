@@ -114,7 +114,10 @@ class EdgeCasesSpec extends SparkSuite {
     assert(mh.filter(col("s").isNull).count() === 1) // all-null array → null signature
     assert(mh.filter(col("s").isNotNull).count() === 1)
     val sh = df.select(graft.plans.TextSketchExprs.simhash(col("a"), 80).as("s"))
-    assert(sh.filter(length(col("s")) === 80).count() === 2, "wide bit-widths still supported")
+    // all-null array → null signature (consistent with minhash); the
+    // real row still gets the full wide signature
+    assert(sh.filter(col("s").isNull).count() === 1)
+    assert(sh.filter(length(col("s")) === 80).count() === 1, "wide bit-widths still supported")
   }
 
   test("inverted index handles filenames with spaces (URI-encoded scan paths)") {
