@@ -383,6 +383,58 @@ object Advanced {
       .orderBy("l_returnflag")
   }
 
+  // --------------------------------------------------------------- Q61
+  /** Multiset set operations (EXCEPT ALL / INTERSECT ALL): duplicates
+    * count — orders carries repeated custkeys, so the result differs
+    * from q17's distinct set ops. */
+  val q61 = QueryDef("q61_setops_all",
+    """SELECT 'except_all' AS op, c_custkey FROM (
+      |  SELECT o_custkey AS c_custkey FROM orders
+      |  EXCEPT ALL SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      |UNION ALL
+      |SELECT 'intersect_all' AS op, c_custkey FROM (
+      |  SELECT o_custkey AS c_custkey FROM orders
+      |  INTERSECT ALL SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      |ORDER BY op, c_custkey""") { (s, dir) =>
+    val ordersKeys = t(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
+    val building = t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    ordersKeys.exceptAll(building).withColumn("op", lit("except_all"))
+      .unionByName(ordersKeys.intersectAll(building).withColumn("op", lit("intersect_all")))
+      .select("op", "c_custkey")
+      .orderBy("op", "c_custkey")
+  }
+
+  // --------------------------------------------------------------- Q62
+  /** Unpivot (melt): q41's wide month × status revenue back to long
+    * form. Spark uses the native `unpivot` operator; the oracle states
+    * the same relation as a portable UNION ALL. */
+  val q62 = QueryDef("q62_unpivot",
+    """WITH w AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+      |         CAST(round(coalesce(sum(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END AS DECIMAL(18,6))), 0), 2) AS DOUBLE) AS F,
+      |         CAST(round(coalesce(sum(CAST(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END AS DECIMAL(18,6))), 0), 2) AS DOUBLE) AS O,
+      |         CAST(round(coalesce(sum(CAST(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END AS DECIMAL(18,6))), 0), 2) AS DOUBLE) AS P
+      |  FROM orders GROUP BY month
+      |)
+      |SELECT month, status, sum_price FROM (
+      |  SELECT month, 'F' AS status, F AS sum_price FROM w
+      |  UNION ALL SELECT month, 'O', O FROM w
+      |  UNION ALL SELECT month, 'P', P FROM w
+      |) ORDER BY month, status""") { (s, dir) =>
+    val wide = t(s, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,6)")))
+      .select(col("month"),
+        round(coalesce(col("F"), lit(0)), 2).cast("double").as("F"),
+        round(coalesce(col("O"), lit(0)), 2).cast("double").as("O"),
+        round(coalesce(col("P"), lit(0)), 2).cast("double").as("P"))
+    wide.unpivot(Array(col("month")), Array(col("F"), col("O"), col("P")),
+        "status", "sum_price")
+      .orderBy("month", "status")
+  }
+
   val all: Seq[QueryDef] = Seq(q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
-    q56, q57, q58, q59, q60)
+    q56, q57, q58, q59, q60, q61, q62)
 }
