@@ -64,14 +64,17 @@ object AsOfJoin {
     }
     def asTime(c: Column): Column = c.cast(timeType)
 
-    val leftStruct = struct(left.columns.map(left(_)): _*)
-    val rightStruct = struct(right.columns.map(right(_)): _*)
+    // backtick-quote input column resolution so names containing '.'
+    // resolve as plain columns, matching the getField output extraction
+    def q(c: String): String = s"`${c}`"
+    val leftStruct = struct(left.columns.map(c => left(q(c))): _*)
+    val rightStruct = struct(right.columns.map(c => right(q(c))): _*)
     val rightStructType = right.select(rightStruct).schema.head.dataType
     val leftStructType = left.select(leftStruct).schema.head.dataType
     val tbType = right.schema(tiebreak).dataType
 
     val l = left.select(
-      left(leftKey).cast(keyType).as(k), asTime(left(leftTime)).as(t),
+      left(q(leftKey)).cast(keyType).as(k), asTime(left(q(leftTime))).as(t),
       lit(1).as(tag), lit(null).cast(tbType).as(tb),
       leftStruct.as(lp), lit(null).cast(rightStructType).as(rp))
     // a null right time can never satisfy rightTime <= leftTime, and a
@@ -83,8 +86,8 @@ object AsOfJoin {
     // nulls out (e.g. a malformed string timestamp) would otherwise
     // sort nulls-first and pollute the carry
     val r = right.select(
-        right(rightKey).cast(keyType).as(k), asTime(right(rightTime)).as(t),
-        lit(0).as(tag), right(tiebreak).as(tb),
+        right(q(rightKey)).cast(keyType).as(k), asTime(right(q(rightTime))).as(t),
+        lit(0).as(tag), right(q(tiebreak)).as(tb),
         lit(null).cast(leftStructType).as(lp), rightStruct.as(rp))
       .filter(col(t).isNotNull && col(k).isNotNull)
 

@@ -163,20 +163,29 @@ object VectorExprs {
     // process-wide sign-matrix cache keyed by (planes, dim): expression
     // instances deserialize once per TASK, so an instance-owned cache
     // would recompute the planes×dim md5 matrix for every task (same
-    // rationale as TextSketchExprs.TokenMemos)
+    // rationale as TextSketchExprs.TokenMemos). Entry count is capped —
+    // dim comes from per-ROW array lengths, so a ragged adversarial
+    // column must not pin unbounded matrices; beyond the cap we compute
+    // without caching (correct, just uncached).
+    private val MaxEntries = 64
     private val cache =
       new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
-    private[plans] def signs(planes: Int, dim: Int): Array[Array[Double]] =
-      cache.computeIfAbsent((planes, dim), { case (p0, d0) =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        Array.tabulate(p0) { p =>
-          Array.tabulate(d0) { i =>
-            md.reset()
-            val d = md.digest(s"plane$p,$i".getBytes("UTF-8"))
-            if (d(0) >= 0) 1.0 else -1.0 // first hex nibble <= '7'
-          }
+    private def compute(p0: Int, d0: Int): Array[Array[Double]] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(p0) { p =>
+        Array.tabulate(d0) { i =>
+          md.reset()
+          val d = md.digest(s"plane$p,$i".getBytes("UTF-8"))
+          if (d(0) >= 0) 1.0 else -1.0 // first hex nibble <= '7'
         }
-      })
+      }
+    }
+    private[plans] def signs(planes: Int, dim: Int): Array[Array[Double]] = {
+      val got = cache.get((planes, dim))
+      if (got != null) got
+      else if (cache.size >= MaxEntries) compute(planes, dim)
+      else cache.computeIfAbsent((planes, dim), { case (p0, d0) => compute(p0, d0) })
+    }
   }
 
   def dotD(a: Column, b: Column): Column =

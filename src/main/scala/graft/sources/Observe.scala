@@ -54,6 +54,8 @@ object Observe {
 
   /** Arbitrary observed aggregates (must be observe-legal: no distinct,
     * no reference to other observations). */
-  def metrics(df: DataFrame, name: String, aggs: Seq[Column]): DataFrame =
+  def metrics(df: DataFrame, name: String, aggs: Seq[Column]): DataFrame = {
+    require(aggs.nonEmpty, "Observe.metrics requires at least one aggregate")
     df.observe(name, aggs.head, aggs.tail: _*)
+  }
 }

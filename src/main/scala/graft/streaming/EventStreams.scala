@@ -121,7 +121,10 @@ object EventStreams {
       .flatMapGroupsWithState[OpenSession, ClosedSession](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         (user, evs, state: GroupState[OpenSession]) =>
-          val sorted = evs.toSeq.map(_.ts.getTime / 1000).sorted
+          // null timestamps can't belong to any session — drop them like
+          // window()/session_window do, instead of NPEing the job
+          val sorted = evs.toSeq.iterator.filter(_.ts != null)
+            .map(_.ts.getTime / 1000).toSeq.sorted
           val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
           var open = state.getOption
           sorted.foreach { t =>
