@@ -125,6 +125,13 @@ class StreamingSpec extends SparkSuite {
     assert(total === events.count() * 4)
   }
 
+  test("sliding windows: stream replay == batch") {
+    val streamed = EventStreams.replayThroughStream(
+      spark, events, EventStreams.slidingCounts, "sliding_mem")
+    val batch = EventStreams.slidingCounts(events)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("flatMapGroupsWithState emits exactly the non-final sessions") {
     import spark.implicits._
     val evs = events.select(col("user_id"), col("ts")).as[EventStreams.Ev]
