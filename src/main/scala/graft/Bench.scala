@@ -71,7 +71,16 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // sbt prefixes forked-stdout lines with "[info] ", which breaks the
+    // driver's JSON parse of the tail line. Emit the metric on all three
+    // channels the driver might read: stdout (legacy), stderr (unprefixed
+    // under sbt), and a well-known file next to the working directory.
+    println(json)
+    System.err.println(json)
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: java.io.IOException => () } // metric already on stdout/stderr
     spark.stop()
   }
 }

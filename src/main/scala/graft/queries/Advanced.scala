@@ -367,10 +367,13 @@ object Advanced {
 
   // --------------------------------------------------------------- Q60
   /** Boolean / conditional aggregates: count_if, bool_and, bool_or —
-    * identical function names and semantics on both engines. */
+    * identical function names and semantics on both engines.
+    * DuckDB's count_if returns HUGEINT (not BIGINT like Spark's), and the
+    * gate canonicalizes HUGEINT as float → hash mismatch; cast in the
+    * oracle only. */
   val q60 = QueryDef("q60_bool_aggs",
     """SELECT l_returnflag,
-      |       count_if(l_discount > 0.05) AS n_discounted,
+      |       CAST(count_if(l_discount > 0.05) AS BIGINT) AS n_discounted,
       |       bool_and(l_quantity > 0) AS all_positive,
       |       bool_or(l_tax > 0.07) AS any_high_tax
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, dir) =>

@@ -412,15 +412,38 @@ object Extensions {
 
   // --------------------------------------------------------------- Q40
   /** Multimodal pipeline smoke (rows-only — the stub codec is not
-    * SQL-expressible): pack → batched decode → resize → per-kind
-    * feature aggregate. */
+    * SQL-expressible): pack two asset kinds (image + video stand-ins
+    * with distinct payload bytes) → batched decode → resize → frame
+    * sample → per-kind aggregate. The output is one row per kind with a
+    * deterministic md5 checksum over every asset's (id, embedding)
+    * pair — any change in the decode pipeline, batch shape, or float
+    * math flips the checksum, so the rows-only gate actually pins the
+    * pipeline, not just its row count. */
   val q40 = QueryDef.noOracle("q40_multimodal") { (s, dir) =>
     import graft.operators.Multimodal
-    val assets = Multimodal.packAssets(t(s, dir, "documents"), "doc_id", "text", "image")
-    Multimodal.resize(Multimodal.decodeFeatures(assets), maxDim = 256)
-      .groupBy("kind")
+    val docs = t(s, dir, "documents")
+    val images = Multimodal.packAssets(docs, "doc_id", "text", "image")
+    val videos = Multimodal.packAssets(
+      docs.withColumn("vtext", reverse(col("text"))), "doc_id", "vtext", "video")
+    val feat = Multimodal.resize(
+      Multimodal.decodeFeatures(images.unionAll(videos)), maxDim = 256)
+    // frames sampled per video asset (every 10th frame index)
+    val frames = Multimodal.sampleFrames(
+        Multimodal.decodeFeatures(videos), everyN = 10)
+      .groupBy(lit("video").as("kind"))
+      .agg(count(lit(1)).as("n_sampled_frames"))
+    // per-asset digest line, collected + sorted so the corpus checksum
+    // is order-independent and deterministic across partitionings
+    val assetDigest = concat_ws(":", col("asset_id").cast("string"),
+      md5(encode(concat_ws(",", transform(col("embedding"),
+        x => x.cast("string"))), "UTF-8")))
+    feat.groupBy("kind")
       .agg(count(lit(1)).as("n"),
-        round(avg(col("out_w")), 2).as("avg_w"), round(avg(col("out_h")), 2).as("avg_h"))
+        round(avg(col("out_w")), 2).as("avg_w"), round(avg(col("out_h")), 2).as("avg_h"),
+        sum(col("n_frames")).as("total_frames"),
+        md5(encode(concat_ws("|",
+          sort_array(collect_list(assetDigest))), "UTF-8")).as("embed_checksum"))
+      .join(frames, Seq("kind"), "left")
       .orderBy("kind")
   }
 
@@ -474,10 +497,32 @@ object Extensions {
 
   // --------------------------------------------------------------- Q45
   /** IVF with k-means-learned centroids (rows-only: the model isn't
-    * SQL-reproducible; recall quality is covered by SimilaritySpec). */
+    * SQL-reproducible). The gate row is made quantitative by computing
+    * recall@3 against the exact brute-force result in-query: every row
+    * carries its query's recall, the corpus-mean recall, and a
+    * `recall_ok` flag (mean ≥ 0.25 floor). Deterministic: the k-means
+    * seed is fixed and both rankings tie-break on id. */
   val q45 = QueryDef.noOracle("q45_ann_ivf_kmeans") { (s, dir) =>
-    Similarity.ivfKMeansTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
-        k = 3, nProbe = 2, nCentroids = 8, queryPred = col("vec_id") < 10)
+    val emb = t(s, dir, "embeddings")
+    val qPred = col("vec_id") < 10
+    val ivf = Similarity.ivfKMeansTopK(emb, "vec_id", "embedding",
+      k = 3, nProbe = 2, nCentroids = 8, queryPred = qPred)
+    val exact = Similarity.bruteForceTopK(emb.filter(qPred), emb,
+        "vec_id", "embedding", k = 3)
+      .groupBy("q_id").agg(collect_set(col("c_id")).as("exact_ids"))
+    val perQ = ivf.groupBy("q_id").agg(collect_set(col("c_id")).as("ivf_ids"))
+      .join(exact, Seq("q_id"))
+      .select(col("q_id"),
+        (size(array_intersect(col("ivf_ids"), col("exact_ids")))
+          .cast("double") / 3.0).as("recall_q"))
+    // the 10-query recall table is tiny — broadcast both the per-query
+    // join and the scalar mean (a 1-row cross join, same shape as q12b)
+    val mean = perQ.agg(round(avg(col("recall_q")), 4).as("mean_recall"))
+    ivf.join(broadcast(perQ), Seq("q_id"))
+      .crossJoin(broadcast(mean))
+      .select(col("q_id"), col("c_id"), col("rn"), col("cos"),
+        TextFunctions.round4(col("recall_q")).as("recall_q"),
+        col("mean_recall"), (col("mean_recall") >= 0.25).as("recall_ok"))
       .orderBy("q_id", "rn")
   }
 

@@ -117,11 +117,24 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
-  /** HLL sketch variant — sketches differ across engines, so rows-only. */
+  /** HLL sketch variant — sketches differ across engines, so rows-only;
+    * but the gate row is made quantitative by emitting the exact count
+    * alongside the sketch and asserting the relative error in-query:
+    * `within_5pct` must be true on every row (HLL at default rsd=0.05
+    * over these cardinalities sits well inside the bound, and both
+    * aggregates are deterministic, so the row values are stable). */
   val q04b = QueryDef.noOracle("q04b_approx_distinct") { (s, dir) =>
     t(s, dir, "lineitem")
       .groupBy("l_returnflag")
-      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(
+        col("l_returnflag"), col("approx_parts"), col("exact_parts"),
+        round(abs(col("approx_parts") - col("exact_parts"))
+          .cast("double") / col("exact_parts"), 4).as("rel_err"),
+        (abs(col("approx_parts") - col("exact_parts"))
+          .cast("double") / col("exact_parts") <= 0.05).as("within_5pct"))
       .orderBy("l_returnflag")
   }
 
