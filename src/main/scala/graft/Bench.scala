@@ -71,7 +71,14 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // q27's wall-time is dominated by its OUTPUT size (the synthetic
+    // corpus is near-dup-heavy: ~2.8M candidate pairs at sf0.1, ~570×
+    // the 5k input docs) — report the count, outside the timed region,
+    // so a pair-volume change is distinguishable from a plan change.
+    val q27Pairs =
+      try SparkEntry.queries("q27_minhash_lsh")(spark, sfDir).count()
+      catch { case _: Throwable => -1L }
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","q27_pairs":$q27Pairs}"""
     // sbt prefixes forked-stdout lines with "[info] ", which breaks the
     // driver's JSON parse of the tail line. Emit the metric on all three
     // channels the driver might read: stdout (legacy), stderr (unprefixed

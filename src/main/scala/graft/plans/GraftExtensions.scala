@@ -25,13 +25,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     // composed-tokenizer → native single-pass expression rewrite
     e.injectOptimizerRule(_ => CanonicalizeTokenizer)
-    // NOTE: the bounded-heap top-k rewrite (TopKPerKeyRule/-Strategy) is
-    // deliberately NOT default-installed: TopKPerKeyExec trades Spark's
-    // spill-capable sort for O(keys·k) pinned heap memory — the right
-    // trade when keys-per-partition is bounded, the wrong one on
-    // unbounded-cardinality keys. Opt in per session via
-    // `spark.experimental.extraOptimizations :+= TopKPerKeyRule` and
-    // `spark.experimental.extraStrategies :+= TopKPerKeyStrategy`.
+    // bounded-heap per-key top-k (Filter(rn<=k, Window(row_number)) →
+    // TopKPerKeyExec). Default-installed since the exec grew a size
+    // guard: heap memory is capped at `spark.graft.topk.maxKeysPerTask`
+    // tracked keys per pass, with overflow keys spilled to local disk
+    // and resolved in follow-up passes — unbounded key cardinality now
+    // degrades to extra spill passes instead of an OOM.
+    e.injectOptimizerRule(_ => TopKPerKeyRule)
+    e.injectPlannerStrategy(_ => TopKPerKeyStrategy)
   }
 }
 

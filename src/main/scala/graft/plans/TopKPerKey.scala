@@ -31,10 +31,16 @@ import org.apache.spark.sql.types.IntegerType
   * [[TopKPerKeyExec]]. Results are identical to the window formulation
   * whenever the per-key order is total (the determinism contract every
   * query here follows anyway); with ties, both formulations are
-  * nondeterministic. Enable per session via
+  * nondeterministic.
+  *
+  * Memory safety: heap-tracked distinct keys per task are capped at
+  * `spark.graft.topk.maxKeysPerTask` (default 131072); rows of keys
+  * beyond the cap spill to local disk and resolve in follow-up passes,
+  * so unbounded key cardinality costs extra passes, never an OOM —
+  * which is why [[GraftExtensions]] installs the stack by default.
+  * Per-session enablement without extensions:
   * `spark.experimental.extraOptimizations :+= TopKPerKeyRule` and
-  * `spark.experimental.extraStrategies :+= TopKPerKeyStrategy` (or a
-  * SparkSessionExtensions install).
+  * `spark.experimental.extraStrategies :+= TopKPerKeyStrategy`.
   */
 case class TopKPerKey(
     groupExprs: Seq[Expression],
@@ -116,45 +122,126 @@ case class TopKPerKeyExec(
     val childOutput = child.output
     val groupExprsLocal = groupExprs
     val orderLocal = order
-    // localized so the closure ships four values, not `this` (capturing
+    // localized so the closure ships plain values, not `this` (capturing
     // the node's `output` method would serialize the whole plan subtree)
     val outputLocal = output
+    // size guard: at most this many distinct keys are heap-tracked per
+    // pass; rows of further keys spill to local disk and are resolved in
+    // follow-up passes (distinct keys shrink by the cap every pass, so
+    // the recursion terminates). Memory is O(cap · k · rowSize) instead
+    // of O(distinctKeys · k · rowSize) — the unbounded-cardinality OOM
+    // the pre-guard operator had — at the cost of rewriting overflow
+    // rows once per extra pass, the same spill trade WindowExec makes.
+    val maxKeys = math.max(1,
+      conf.getConfString(TopKPerKeyExec.maxKeysConfKey, "131072").toInt)
     child.execute().mapPartitions ({ iter =>
       val groupProj = UnsafeProjection.create(groupExprsLocal, childOutput)
       val ordering = GenerateOrdering.generate(orderLocal, childOutput)
-      // per key: a worst-first heap of at most k rows — O(keys·k)
-      // memory, no sort of evicted rows
+      // per key: a worst-first heap of at most k rows — no sort of
+      // evicted rows
       val worstFirst = ordering.reverse.asInstanceOf[java.util.Comparator[InternalRow]]
-      val heaps = new java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
-        val key = groupProj(row)
-        var q = heaps.get(key)
-        if (q == null) {
-          // initial capacity stays small — PriorityQueue grows on
-          // demand, and an eager k+1 array per key would explode for a
-          // large (effectively no-op) k
-          q = new java.util.PriorityQueue[InternalRow](math.min(kLocal, 16) + 1, worstFirst)
-          heaps.put(key.copy(), q)
-        }
-        if (q.size() < kLocal) q.add(row.copy())
-        else if (ordering.compare(row, q.peek()) < 0) { q.poll(); q.add(row.copy()) }
-      }
+      val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
       val outProj = UnsafeProjection.create(outputLocal, outputLocal)
-      val rnRow = new GenericInternalRow(1)
-      val joined = new JoinedRow
-      import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap { q =>
-        val rows = q.toArray(new Array[InternalRow](q.size()))
-        java.util.Arrays.sort(rows, ordering.asInstanceOf[java.util.Comparator[InternalRow]])
-        rows.iterator.zipWithIndex.map { case (r, i) =>
-          rnRow.update(0, i + 1)
-          outProj(joined(r, rnRow))
+      val nFields = childOutput.length
+
+      def topkPass(input: Iterator[InternalRow]): Iterator[InternalRow] = {
+        val heaps = new java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+        var spillFile: java.io.File = null
+        var out: java.io.DataOutputStream = null
+        val writeBuf = new Array[Byte](4096)
+        while (input.hasNext) {
+          val row = input.next()
+          val key = groupProj(row)
+          var q = heaps.get(key)
+          if (q == null && heaps.size() >= maxKeys) {
+            // over budget: defer every row of this untracked key to the
+            // next pass (length-prefixed UnsafeRow bytes on local disk)
+            if (out == null) {
+              spillFile = java.io.File.createTempFile("graft-topk-spill-", ".bin")
+              val ctx = org.apache.spark.TaskContext.get()
+              if (ctx != null) {
+                val f = spillFile
+                ctx.addTaskCompletionListener[Unit](_ => f.delete())
+              } else spillFile.deleteOnExit()
+              out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+                new java.io.FileOutputStream(spillFile), 1 << 18))
+            }
+            val u = row match {
+              case u: UnsafeRow => u
+              case r => toUnsafe(r)
+            }
+            out.writeInt(u.getSizeInBytes)
+            u.writeToStream(out, writeBuf)
+          } else {
+            if (q == null) {
+              // initial capacity stays small — PriorityQueue grows on
+              // demand, and an eager k+1 array per key would explode
+              // for a large (effectively no-op) k
+              q = new java.util.PriorityQueue[InternalRow](math.min(kLocal, 16) + 1, worstFirst)
+              heaps.put(key.copy(), q)
+            }
+            if (q.size() < kLocal) q.add(row.copy())
+            else if (ordering.compare(row, q.peek()) < 0) { q.poll(); q.add(row.copy()) }
+          }
         }
+        if (out != null) out.close()
+        val rnRow = new GenericInternalRow(1)
+        val joined = new JoinedRow
+        import scala.jdk.CollectionConverters._
+        val heapRows = heaps.values().iterator().asScala.flatMap { q =>
+          val rows = q.toArray(new Array[InternalRow](q.size()))
+          java.util.Arrays.sort(rows, ordering.asInstanceOf[java.util.Comparator[InternalRow]])
+          rows.iterator.zipWithIndex.map { case (r, i) =>
+            rnRow.update(0, i + 1)
+            outProj(joined(r, rnRow))
+          }
+        }
+        if (spillFile == null) heapRows
+        // ++ takes its operand by name: the spill is re-read (and the
+        // next pass's heaps built) only after this pass's rows drain
+        else heapRows ++ topkPass(TopKPerKeyExec.readSpill(spillFile, nFields))
       }
+
+      topkPass(iter)
     }, preservesPartitioning = true)
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
     copy(child = newChild)
+}
+
+object TopKPerKeyExec {
+  /** Per-task cap on heap-tracked distinct keys before rows spill to a
+    * local follow-up pass. Default 131072: at k=3 and ~100-byte rows
+    * that pins ~40 MB per task, well inside executor memory at 32
+    * tasks/executor; raise it when keys-per-partition is known-small. */
+  val maxKeysConfKey = "spark.graft.topk.maxKeysPerTask"
+
+  /** Read back a spill file of length-prefixed UnsafeRow images. The
+    * iterator owns the stream and closes it at EOF; each row gets its
+    * own byte array (heap inserts above copy again only via row.copy(),
+    * which for UnsafeRow is a buffer copy — safe). */
+  private[plans] def readSpill(file: java.io.File, nFields: Int): Iterator[InternalRow] =
+    new Iterator[InternalRow] {
+      private val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+        new java.io.FileInputStream(file), 1 << 18))
+      private var nextRow: UnsafeRow = advance()
+      private def advance(): UnsafeRow = {
+        val lenOrEof = try in.readInt() catch {
+          case _: java.io.EOFException => -1
+        }
+        if (lenOrEof < 0) { in.close(); file.delete(); null }
+        else {
+          val bytes = new Array[Byte](lenOrEof)
+          in.readFully(bytes)
+          val r = new UnsafeRow(nFields)
+          r.pointTo(bytes, lenOrEof)
+          r
+        }
+      }
+      override def hasNext: Boolean = nextRow != null
+      override def next(): InternalRow = {
+        val r = nextRow; nextRow = advance(); r
+      }
+    }
 }

@@ -48,6 +48,48 @@ class TopKPerKeySpec extends SparkSuite {
     assert(accelerated.nonEmpty)
   }
 
+  test("spill guard: adversarial key cardinality under a tiny key budget stays exact") {
+    // every o_orderkey is its own group — distinct keys (1500 at
+    // sf0.001) vastly exceed the 64-key budget, forcing ~24 spill
+    // passes per task; the result must still match the window
+    // formulation row-for-row
+    val orders = Tables(spark, sfDir, "orders")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val wUnique = Window.partitionBy(col("o_orderkey"))
+      .orderBy(col("o_totalprice").desc)
+    def grouped = orders.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+    def unique = orders.withColumn("rn", row_number().over(wUnique)).filter(col("rn") <= 1)
+
+    val groupedBaseline = grouped.collect().toSet
+    val uniqueBaseline = unique.collect().toSet
+    val prev = install()
+    spark.conf.set(graft.plans.TopKPerKeyExec.maxKeysConfKey, "64")
+    try {
+      assert(grouped.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+      assert(grouped.collect().toSet === groupedBaseline)
+      assert(unique.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+      assert(unique.collect().toSet === uniqueBaseline)
+    } finally {
+      spark.conf.unset(graft.plans.TopKPerKeyExec.maxKeysConfKey)
+      spark.experimental.extraOptimizations = prev._1
+      spark.experimental.extraStrategies = prev._2
+    }
+  }
+
+  test("GraftExtensions installs the top-k stack by default") {
+    // a shared-JVM suite can't construct a fresh session per extensions
+    // object, so assert the injection list itself (via the sql-package
+    // bridge over the private[sql] builders)
+    val exts = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.plans.GraftExtensions().apply(exts)
+    val rules = org.apache.spark.sql.GraftColumnBridge.builtOptimizerRules(exts, spark)
+    val strategies = org.apache.spark.sql.GraftColumnBridge.builtStrategies(exts, spark)
+    assert(rules.contains(TopKPerKeyRule))
+    assert(rules.contains(graft.plans.CanonicalizeTokenizer))
+    assert(strategies.contains(TopKPerKeyStrategy))
+  }
+
   test("rule leaves multi-function windows and rank() untouched") {
     val orders = Tables(spark, sfDir, "orders")
     val w = Window.partitionBy(col("o_custkey"))
