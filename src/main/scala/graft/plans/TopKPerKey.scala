@@ -24,13 +24,19 @@ import org.apache.spark.sql.types.IntegerType
   * sorting them to keep 3 is the single largest avoidable cost of the
   * pattern.
   *
-  * [[TopKPerKeyRule]] rewrites exactly `Filter(rn <= k, Window(Seq(rn
-  * := row_number() over (g, o)), ...))` — the window must compute ONLY
-  * the row number (other window functions need the full frame) — into
-  * the logical [[TopKPerKey]]; [[TopKPerKeyStrategy]] plans it as
-  * [[TopKPerKeyExec]]. Results are identical to the window formulation
-  * whenever the per-key order is total (the determinism contract every
-  * query here follows anyway); with ties, both formulations are
+  * [[TopKPerKeyRule]] rewrites `Filter(rn <= k, Window(exprs, ...))`
+  * where the filtered `rn` is a `row_number()` and every other window
+  * expression over the same (partition, order) spec is a ranking
+  * companion — `rank()` or `dense_rank()` — into the logical
+  * [[TopKPerKey]]; [[TopKPerKeyStrategy]] plans it as
+  * [[TopKPerKeyExec]]. The companions are sound to compute from the
+  * heap output alone: every row strictly earlier in the order than a
+  * kept row has a smaller row_number and is therefore also kept, so a
+  * kept row's rank/dense_rank depends only on kept rows. Window
+  * functions that need the full frame (sum, lag, ntile, …) block the
+  * rewrite. Results are identical to the window formulation whenever
+  * the per-key order is total (the determinism contract every query
+  * here follows anyway); with ties, both formulations are
   * nondeterministic.
   *
   * Memory safety: heap-tracked distinct keys per task are capped at
@@ -42,36 +48,67 @@ import org.apache.spark.sql.types.IntegerType
   * `spark.experimental.extraOptimizations :+= TopKPerKeyRule` and
   * `spark.experimental.extraStrategies :+= TopKPerKeyStrategy`.
   */
+/** Ranking companions the bounded-heap exec can emit alongside the
+  * filtered row_number (all computable from the kept rows alone). */
+sealed trait RankingKind extends Serializable
+object RankingKind {
+  case object RowNum extends RankingKind
+  case object Rnk extends RankingKind
+  case object DenseRnk extends RankingKind
+}
+
 case class TopKPerKey(
     groupExprs: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
-    rnAttr: Attribute,
+    winAttrs: Seq[(Attribute, RankingKind)],
     child: LogicalPlan) extends UnaryNode {
-  override def output: Seq[Attribute] = child.output :+ rnAttr
-  // rnAttr is born here, not consumed from below — required for the
-  // analyzer/optimizer missing-attribute integrity checks
-  override def producedAttributes: AttributeSet = AttributeSet(rnAttr)
+  override def output: Seq[Attribute] = child.output ++ winAttrs.map(_._1)
+  // the ranking attrs are born here, not consumed from below — required
+  // for the analyzer/optimizer missing-attribute integrity checks
+  override def producedAttributes: AttributeSet = AttributeSet(winAttrs.map(_._1))
   override protected def withNewChildInternal(newChild: LogicalPlan): LogicalPlan =
     copy(child = newChild)
 }
 
 object TopKPerKeyRule extends Rule[LogicalPlan] {
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+  override def apply(plan: LogicalPlan): LogicalPlan = if (!conf.getConfString(
+      TopKPerKeyExec.enabledConfKey, "true").toBoolean) plan else plan.transform {
     case f @ org.apache.spark.sql.catalyst.plans.logical.Filter(cond,
-        Window(Seq(alias @ Alias(WindowExpression(RowNumber(), spec), _)),
-          parts, order, child, _)) =>
+        Window(winExprs, parts, order, child, _)) if winExprs.nonEmpty =>
+      // every window expression must be a ranking function over the SAME
+      // (partition, order) spec — anything needing the full frame
+      // (sum, lag, ntile, percent_rank, …) blocks the rewrite
+      val classified: Option[Seq[(Alias, RankingKind)]] =
+        winExprs.foldLeft(Option(Vector.empty[(Alias, RankingKind)])) {
+          case (Some(acc), alias @ Alias(WindowExpression(fn, spec), _))
+              if spec.partitionSpec == parts && spec.orderSpec == order =>
+            fn match {
+              case RowNumber()  => Some(acc :+ (alias -> RankingKind.RowNum))
+              case _: Rank      => Some(acc :+ (alias -> RankingKind.Rnk))
+              case _: DenseRank => Some(acc :+ (alias -> RankingKind.DenseRnk))
+              case _ => None
+            }
+          case _ => None
+        }
+      // the filter must bound a row_number companion: `rank <= k` keeps
+      // ALL ties at rank k (possibly more than k rows) and must stay
+      // with the window formulation
+      def rowNumK(a: AttributeReference): Boolean = classified.exists(_.exists {
+        case (alias, RankingKind.RowNum) => alias.exprId == a.exprId
+        case _ => false
+      })
       val kOpt = cond match {
         case LessThanOrEqual(a: AttributeReference, Literal(k: Int, IntegerType))
-            if a.exprId == alias.exprId => Some(k)
+            if rowNumK(a) => Some(k)
         case LessThan(a: AttributeReference, Literal(k: Int, IntegerType))
             // k - 1 must not wrap: rn < Int.MinValue is always-false and
             // must stay with the window formulation, not become MaxValue
-            if a.exprId == alias.exprId && k != Int.MinValue => Some(k - 1)
+            if rowNumK(a) && k != Int.MinValue => Some(k - 1)
         case _ => None
       }
-      kOpt match {
-        case Some(k) if k > 0 && spec.partitionSpec == parts && spec.orderSpec == order =>
+      (kOpt, classified) match {
+        case (Some(k), Some(kinds)) if k > 0 =>
           // Spark's InsertWindowGroupLimit (3.5+) has usually placed a
           // WindowGroupLimit below the Window by the time this rule
           // runs. It pre-limits groups but forces a SORT on each side
@@ -84,7 +121,8 @@ object TopKPerKeyRule extends Rule[LogicalPlan] {
                 if p2 == parts && o2 == order && limit >= k => grandchild
             case other => other
           }
-          TopKPerKey(parts, order, k, alias.toAttribute, input)
+          TopKPerKey(parts, order, k,
+            kinds.map { case (alias, kind) => alias.toAttribute -> kind }, input)
         case _ => f
       }
   }
@@ -92,8 +130,8 @@ object TopKPerKeyRule extends Rule[LogicalPlan] {
 
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKey(parts, order, k, rnAttr, child) =>
-      TopKPerKeyExec(parts, order, k, rnAttr, planLater(child)) :: Nil
+    case TopKPerKey(parts, order, k, winAttrs, child) =>
+      TopKPerKeyExec(parts, order, k, winAttrs, planLater(child)) :: Nil
     case _ => Nil
   }
 }
@@ -102,13 +140,13 @@ case class TopKPerKeyExec(
     groupExprs: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
-    rnAttr: Attribute,
+    winAttrs: Seq[(Attribute, RankingKind)],
     child: SparkPlan) extends UnaryExecNode {
 
-  override def output: Seq[Attribute] = child.output :+ rnAttr
-  // rnAttr is a constructor field, so it lands in this node's
-  // `references`; declaring it produced keeps missingInput empty
-  override def producedAttributes: AttributeSet = AttributeSet(rnAttr)
+  override def output: Seq[Attribute] = child.output ++ winAttrs.map(_._1)
+  // the ranking attrs are constructor fields, so they land in this
+  // node's `references`; declaring them produced keeps missingInput empty
+  override def producedAttributes: AttributeSet = AttributeSet(winAttrs.map(_._1))
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
   // every row of a key must land in one task (the shuffle this demands
@@ -122,6 +160,7 @@ case class TopKPerKeyExec(
     val childOutput = child.output
     val groupExprsLocal = groupExprs
     val orderLocal = order
+    val kinds: Array[RankingKind] = winAttrs.map(_._2).toArray
     // localized so the closure ships plain values, not `this` (capturing
     // the node's `output` method would serialize the whole plan subtree)
     val outputLocal = output
@@ -157,7 +196,7 @@ case class TopKPerKeyExec(
             // over budget: defer every row of this untracked key to the
             // next pass (length-prefixed UnsafeRow bytes on local disk)
             if (out == null) {
-              spillFile = java.io.File.createTempFile("graft-topk-spill-", ".bin")
+              spillFile = TopKPerKeyExec.newSpillFile()
               val ctx = org.apache.spark.TaskContext.get()
               if (ctx != null) {
                 val f = spillFile
@@ -185,15 +224,30 @@ case class TopKPerKeyExec(
           }
         }
         if (out != null) out.close()
-        val rnRow = new GenericInternalRow(1)
+        val winRow = new GenericInternalRow(kinds.length)
         val joined = new JoinedRow
         import scala.jdk.CollectionConverters._
         val heapRows = heaps.values().iterator().asScala.flatMap { q =>
           val rows = q.toArray(new Array[InternalRow](q.size()))
           java.util.Arrays.sort(rows, ordering.asInstanceOf[java.util.Comparator[InternalRow]])
+          // rank/dense_rank of a kept row depend only on kept rows:
+          // anything strictly earlier in the order has a smaller
+          // row_number, hence is also in the heap — walk adjacent pairs
+          var rnk = 0
+          var dense = 0
           rows.iterator.zipWithIndex.map { case (r, i) =>
-            rnRow.update(0, i + 1)
-            outProj(joined(r, rnRow))
+            val tied = i > 0 && ordering.compare(rows(i - 1), r) == 0
+            if (!tied) { rnk = i + 1; dense += 1 }
+            var c = 0
+            while (c < kinds.length) {
+              winRow.update(c, kinds(c) match {
+                case RankingKind.RowNum   => i + 1
+                case RankingKind.Rnk      => rnk
+                case RankingKind.DenseRnk => dense
+              })
+              c += 1
+            }
+            outProj(joined(r, winRow))
           }
         }
         if (spillFile == null) heapRows
@@ -216,6 +270,23 @@ object TopKPerKeyExec {
     * that pins ~40 MB per task, well inside executor memory at 32
     * tasks/executor; raise it when keys-per-partition is known-small. */
   val maxKeysConfKey = "spark.graft.topk.maxKeysPerTask"
+
+  /** Session kill switch for the rewrite (`spark.graft.topk.enabled`,
+    * default true): lets a user fall back to Spark's window plan
+    * without rebuilding the session, and lets specs compute
+    * window-formulation baselines in an extensions-installed session. */
+  val enabledConfKey = "spark.graft.topk.enabled"
+
+  /** Spill file on Spark's configured local dirs (`spark.local.dir`),
+    * task-scoped via the executor's DiskBlockManager — on a cluster,
+    * `java.io.tmpdir` is often a small root partition, and a spill
+    * there is invisible to Spark's local-dir cleanup. Falls back to a
+    * plain temp file only when no SparkEnv exists (bare unit tests). */
+  private[plans] def newSpillFile(): java.io.File = {
+    val env = org.apache.spark.SparkEnv.get
+    if (env != null) env.blockManager.diskBlockManager.createTempLocalBlock()._2
+    else java.io.File.createTempFile("graft-topk-spill-", ".bin")
+  }
 
   /** Read back a spill file of length-prefixed UnsafeRow images. The
     * iterator owns the stream and closes it at EOF; each row gets its

@@ -16,6 +16,9 @@ object NormalizerPropertySpec extends Properties("normalizer") {
   private lazy val spark = org.apache.spark.sql.SparkSession.builder()
     .master("local[2]")
     .config("spark.sql.shuffle.partitions", "2")
+    // same engine as the gate sessions (shared-JVM getOrCreate may
+    // land on a SparkSuite session — keep the configs compatible)
+    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 

@@ -55,6 +55,14 @@ class PlanAssertionsSpec extends SparkSuite {
     assert(p.contains("Union"), p)
   }
 
+  test("q14: gate plan uses the bounded-heap TopKPerKey, no WindowGroupLimit sorts") {
+    // the suite session installs GraftExtensions exactly like Bench and
+    // Verify, so this is the plan the driver gates actually run
+    val p = plan("q14_window_rank")
+    assert(p.contains("TopKPerKey"), p)
+    assert(!p.contains("WindowGroupLimit"), p)
+  }
+
   test("q16: global top-k runs as TakeOrderedAndProject, not a global sort") {
     val p = plan("q16_topk")
     assert(p.contains("TakeOrderedAndProject"), p)

@@ -3,49 +3,93 @@ package graft
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.plans.{TopKPerKeyRule, TopKPerKeyStrategy}
+import graft.plans.{TopKPerKeyExec, TopKPerKeyRule, TopKPerKeyStrategy}
 import graft.sources.Tables
 
-/** The custom whole-operator stack: Filter(rn <= k, Window(row_number))
-  * must plan as the bounded-heap TopKPerKeyExec and produce exactly the
-  * rows the window formulation produces; window plans the rule cannot
-  * accelerate must be left untouched. */
+/** The custom whole-operator stack: Filter(rn <= k, Window(row_number
+  * [+ rank/dense_rank])) must plan as the bounded-heap TopKPerKeyExec
+  * and produce exactly the rows the window formulation produces; window
+  * plans the rule cannot accelerate must be left untouched.
+  *
+  * The suite session installs GraftExtensions (like the gate sessions),
+  * so the stack is active by default; window-formulation baselines are
+  * computed under the `spark.graft.topk.enabled=false` kill switch. */
 class TopKPerKeySpec extends SparkSuite {
 
-  private def install(): (Seq[org.apache.spark.sql.catalyst.rules.Rule[
-      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]],
-      Seq[org.apache.spark.sql.execution.SparkStrategy]) = {
-    val prev = (spark.experimental.extraOptimizations, spark.experimental.extraStrategies)
-    spark.experimental.extraOptimizations = prev._1 :+ TopKPerKeyRule
-    spark.experimental.extraStrategies = prev._2 :+ TopKPerKeyStrategy
-    prev
+  private def withTopKDisabled[T](body: => T): T = {
+    spark.conf.set(TopKPerKeyExec.enabledConfKey, "false")
+    try body finally spark.conf.unset(TopKPerKeyExec.enabledConfKey)
   }
 
-  test("plans as TopKPerKeyExec and matches the window formulation exactly") {
+  test("plans as TopKPerKeyExec by default and matches the window formulation exactly") {
     val orders = Tables(spark, sfDir, "orders")
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     def topk = orders.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
 
-    val prev = install()
-    val accelerated =
-      try {
-        val df = topk
-        val plan = df.queryExecution.executedPlan.toString
-        // SparkPlan.nodeName strips the Exec suffix — the node prints
-        // as "TopKPerKey". The WindowGroupLimit (and its sorts) must be
-        // gone: the bounded heap needs only the hash exchange.
-        assert(plan.contains("TopKPerKey"), plan)
-        assert(!plan.contains("WindowGroupLimit") && !plan.contains("Sort "), plan)
-        df.collect().toSet
-      } finally {
-        spark.experimental.extraOptimizations = prev._1
-        spark.experimental.extraStrategies = prev._2
-      }
-    val baseline = topk
-    assert(!baseline.queryExecution.executedPlan.toString.contains("TopKPerKey "))
-    assert(accelerated === baseline.collect().toSet)
+    val df = topk
+    val plan = df.queryExecution.executedPlan.toString
+    // SparkPlan.nodeName strips the Exec suffix — the node prints
+    // as "TopKPerKey". The WindowGroupLimit (and its sorts) must be
+    // gone: the bounded heap needs only the hash exchange.
+    assert(plan.contains("TopKPerKey"), plan)
+    assert(!plan.contains("WindowGroupLimit") && !plan.contains("Sort "), plan)
+    val accelerated = df.collect().toSet
+
+    val baseline = withTopKDisabled {
+      val b = topk
+      assert(!b.queryExecution.executedPlan.toString.contains("TopKPerKey"), "kill switch ignored")
+      b.collect().toSet
+    }
+    assert(accelerated === baseline)
     assert(accelerated.nonEmpty)
+  }
+
+  test("rank and dense_rank companions ride the heap and match the window formulation") {
+    val orders = Tables(spark, sfDir, "orders")
+    // o_orderdate ties WITHIN a customer are common at sf0.001, so rank
+    // genuinely diverges from row_number and dense_rank from rank —
+    // o_orderkey tiebreak in row_number keeps the kept-set total-ordered
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wTie = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"))
+    def topk = orders
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .filter(col("rn") <= 4)
+
+    val df = topk
+    assert(df.queryExecution.executedPlan.toString.contains("TopKPerKey"),
+      df.queryExecution.executedPlan.toString)
+    val accelerated = df.collect().toSet
+    val baseline = withTopKDisabled(topk.collect().toSet)
+    assert(accelerated === baseline)
+    assert(accelerated.nonEmpty)
+
+    // ties on a NON-total order: both formulations are nondeterministic
+    // in which tied rows they keep, but rank/dense_rank values within
+    // the kept set must still be window-consistent; compare against the
+    // window functions recomputed over the SAME kept rows
+    def tied = orders
+      .withColumn("rn", row_number().over(wTie))
+      .withColumn("rnk", rank().over(wTie))
+      .filter(col("rn") <= 3)
+    val t = tied
+    assert(t.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    val kept = t.collect()
+    kept.groupBy(_.getAs[Long]("o_custkey")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rn"))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getAs[Int]("rn") == i + 1)
+        val expectRnk =
+          if (i == 0) 1
+          else if (sorted(i - 1).getAs[java.sql.Timestamp]("o_orderdate") == r.getAs[java.sql.Timestamp]("o_orderdate"))
+            sorted(i - 1).getAs[Int]("rnk")
+          else i + 1
+        assert(r.getAs[Int]("rnk") == expectRnk, sorted.mkString("\n"))
+      }
+    }
   }
 
   test("spill guard: adversarial key cardinality under a tiny key budget stays exact") {
@@ -61,26 +105,22 @@ class TopKPerKeySpec extends SparkSuite {
     def grouped = orders.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
     def unique = orders.withColumn("rn", row_number().over(wUnique)).filter(col("rn") <= 1)
 
-    val groupedBaseline = grouped.collect().toSet
-    val uniqueBaseline = unique.collect().toSet
-    val prev = install()
-    spark.conf.set(graft.plans.TopKPerKeyExec.maxKeysConfKey, "64")
+    val groupedBaseline = withTopKDisabled(grouped.collect().toSet)
+    val uniqueBaseline = withTopKDisabled(unique.collect().toSet)
+    spark.conf.set(TopKPerKeyExec.maxKeysConfKey, "64")
     try {
       assert(grouped.queryExecution.executedPlan.toString.contains("TopKPerKey"))
       assert(grouped.collect().toSet === groupedBaseline)
       assert(unique.queryExecution.executedPlan.toString.contains("TopKPerKey"))
       assert(unique.collect().toSet === uniqueBaseline)
     } finally {
-      spark.conf.unset(graft.plans.TopKPerKeyExec.maxKeysConfKey)
-      spark.experimental.extraOptimizations = prev._1
-      spark.experimental.extraStrategies = prev._2
+      spark.conf.unset(TopKPerKeyExec.maxKeysConfKey)
     }
   }
 
   test("GraftExtensions installs the top-k stack by default") {
-    // a shared-JVM suite can't construct a fresh session per extensions
-    // object, so assert the injection list itself (via the sql-package
-    // bridge over the private[sql] builders)
+    // assert the injection list itself (via the sql-package bridge over
+    // the private[sql] builders) — independent of suite session state
     val exts = new org.apache.spark.sql.SparkSessionExtensions
     new graft.plans.GraftExtensions().apply(exts)
     val rules = org.apache.spark.sql.GraftColumnBridge.builtOptimizerRules(exts, spark)
@@ -90,24 +130,19 @@ class TopKPerKeySpec extends SparkSuite {
     assert(strategies.contains(TopKPerKeyStrategy))
   }
 
-  test("rule leaves multi-function windows and rank() untouched") {
+  test("rule leaves rank-only filters and full-frame windows untouched") {
     val orders = Tables(spark, sfDir, "orders")
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-    val prev = install()
-    try {
-      // q14 shape: row_number AND rank in the window — full frame needed
-      val multi = orders
-        .withColumn("rn", row_number().over(w))
-        .withColumn("rnk", rank().over(w))
-        .filter(col("rn") <= 3)
-      assert(!multi.queryExecution.executedPlan.toString.contains("TopKPerKey "))
-      // rank-only filter: not row_number semantics
-      val ranked = orders.withColumn("rnk", rank().over(w)).filter(col("rnk") <= 3)
-      assert(!ranked.queryExecution.executedPlan.toString.contains("TopKPerKey "))
-    } finally {
-      spark.experimental.extraOptimizations = prev._1
-      spark.experimental.extraStrategies = prev._2
-    }
+    // rank-only filter: `rank <= k` keeps ALL ties at rank k — not
+    // row_number top-k semantics
+    val ranked = orders.withColumn("rnk", rank().over(w)).filter(col("rnk") <= 3)
+    assert(!ranked.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    // a companion needing the full frame (sum) blocks the rewrite
+    val framed = orders
+      .withColumn("rn", row_number().over(w))
+      .withColumn("s", sum(col("o_totalprice")).over(w))
+      .filter(col("rn") <= 3)
+    assert(!framed.queryExecution.executedPlan.toString.contains("TopKPerKey"))
   }
 }
