@@ -66,7 +66,9 @@ object Extensions {
   }
 
   // --------------------------------------------------------------- Q27
-  private val mhK = 12; private val mhBands = 2
+  // exposed so Bench's q27_pairs instrumentation counts the SAME
+  // candidate stage the declared query runs
+  val mhK = 12; val mhBands = 2
   val q27 = {
     val rows = mhK / mhBands
     val mins = (0 until mhK).map(j => s"min(md5('$j|' || shingle)) AS h$j").mkString(",\n         ")
