@@ -166,11 +166,14 @@ case class TopKPerKeyExec(
     val outputLocal = output
     // size guard: at most this many distinct keys are heap-tracked per
     // pass; rows of further keys spill to local disk and are resolved in
-    // follow-up passes (distinct keys shrink by the cap every pass, so
-    // the recursion terminates). Memory is O(cap · k · rowSize) instead
-    // of O(distinctKeys · k · rowSize) — the unbounded-cardinality OOM
-    // the pre-guard operator had — at the cost of rewriting overflow
-    // rows once per extra pass, the same spill trade WindowExec makes.
+    // follow-up passes (every pass tracks up to `cap` NEW keys, so the
+    // recursion terminates). Memory is O(cap · k · rowSize) instead of
+    // O(distinctKeys · k · rowSize) — the unbounded-cardinality OOM the
+    // pre-guard operator had. Overflow fans out across `spillFanOut`
+    // bucket files by key hash, so a heavy spill costs O(log_F(D/cap))
+    // rewrites per row instead of the O(D/cap) a single sequential
+    // spill chain would (the same recursive-partitioning trade Spark's
+    // own hash aggregate makes when it falls back to sort-based spill).
     val maxKeys = math.max(1,
       conf.getConfString(TopKPerKeyExec.maxKeysConfKey, "131072").toInt)
     child.execute().mapPartitions ({ iter =>
@@ -183,28 +186,46 @@ case class TopKPerKeyExec(
       val outProj = UnsafeProjection.create(outputLocal, outputLocal)
       val nFields = childOutput.length
 
-      def topkPass(input: Iterator[InternalRow]): Iterator[InternalRow] = {
+      // level-salted bucket: a bucket's keys all share hash%fanOut, so
+      // the NEXT level must re-mix the hash or the bucket would never
+      // split again (degrading back to one-cap-of-keys-per-pass)
+      def bucketOf(hash: Int, level: Int): Int = {
+        var h = hash ^ (level * 0x9E3779B9)
+        h ^= h >>> 16; h *= 0x85EBCA6B; h ^= h >>> 13
+        (h & 0x7fffffff) % TopKPerKeyExec.spillFanOut
+      }
+
+      def topkPass(input: Iterator[InternalRow], level: Int): Iterator[InternalRow] = {
         val heaps = new java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-        var spillFile: java.io.File = null
-        var out: java.io.DataOutputStream = null
+        // overflow fans out across bucket files by key hash; each bucket
+        // resolves independently, so recursion depth is logarithmic in
+        // distinct-keys/cap. All rows of one key share a bucket (hash is
+        // deterministic); a tracked key never spills (heap check first).
+        val fanOut = TopKPerKeyExec.spillFanOut
+        val spillFiles = new Array[java.io.File](fanOut)
+        val outs = new Array[java.io.DataOutputStream](fanOut)
+        var spilled = false
         val writeBuf = new Array[Byte](4096)
         while (input.hasNext) {
           val row = input.next()
           val key = groupProj(row)
           var q = heaps.get(key)
           if (q == null && heaps.size() >= maxKeys) {
-            // over budget: defer every row of this untracked key to the
-            // next pass (length-prefixed UnsafeRow bytes on local disk)
-            if (out == null) {
-              spillFile = TopKPerKeyExec.newSpillFile()
+            // over budget: defer every row of this untracked key to a
+            // follow-up pass (length-prefixed UnsafeRow bytes on local
+            // disk, bucketed by key hash)
+            val b = bucketOf(key.hashCode(), level)
+            if (outs(b) == null) {
+              val f = TopKPerKeyExec.newSpillFile()
+              spillFiles(b) = f
+              spilled = true
               val ctx = org.apache.spark.TaskContext.get()
-              if (ctx != null) {
-                val f = spillFile
-                ctx.addTaskCompletionListener[Unit](_ => f.delete())
-              } else spillFile.deleteOnExit()
-              out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
-                new java.io.FileOutputStream(spillFile), 1 << 18))
+              if (ctx != null) ctx.addTaskCompletionListener[Unit](_ => f.delete())
+              else f.deleteOnExit()
+              outs(b) = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+                new java.io.FileOutputStream(f), 1 << 16))
             }
+            val out = outs(b)
             val u = row match {
               case u: UnsafeRow => u
               case r => toUnsafe(r)
@@ -223,7 +244,7 @@ case class TopKPerKeyExec(
             else if (ordering.compare(row, q.peek()) < 0) { q.poll(); q.add(row.copy()) }
           }
         }
-        if (out != null) out.close()
+        outs.foreach(o => if (o != null) o.close())
         val winRow = new GenericInternalRow(kinds.length)
         val joined = new JoinedRow
         import scala.jdk.CollectionConverters._
@@ -250,13 +271,15 @@ case class TopKPerKeyExec(
             outProj(joined(r, winRow))
           }
         }
-        if (spillFile == null) heapRows
-        // ++ takes its operand by name: the spill is re-read (and the
-        // next pass's heaps built) only after this pass's rows drain
-        else heapRows ++ topkPass(TopKPerKeyExec.readSpill(spillFile, nFields))
+        if (!spilled) heapRows
+        // ++/flatMap take operands by name: each bucket is re-read (and
+        // its pass's heaps built) only after the preceding rows drain,
+        // so at most one pass's heaps are live at a time
+        else heapRows ++ spillFiles.iterator.filter(_ != null).flatMap(f =>
+          topkPass(TopKPerKeyExec.readSpill(f, nFields), level + 1))
       }
 
-      topkPass(iter)
+      topkPass(iter, 0)
     }, preservesPartitioning = true)
   }
 
@@ -276,6 +299,12 @@ object TopKPerKeyExec {
     * without rebuilding the session, and lets specs compute
     * window-formulation baselines in an extensions-installed session. */
   val enabledConfKey = "spark.graft.topk.enabled"
+
+  /** Spill fan-out: overflow buckets per pass. 16 keeps open-stream
+    * buffer memory ~1 MB per spilling task while giving log₁₆ recursion
+    * depth (two levels already cover 131072 · 16² ≈ 33 M distinct keys
+    * per task). */
+  val spillFanOut = 16
 
   /** Spill file on Spark's configured local dirs (`spark.local.dir`),
     * task-scoped via the executor's DiskBlockManager — on a cluster,

@@ -118,6 +118,42 @@ class TopKPerKeySpec extends SparkSuite {
     }
   }
 
+  test("spill path performance: heavy fan-out spill stays within 4x of no-spill") {
+    // 200k distinct keys, top-1 per key — at the default cap nothing
+    // spills; at cap=4096 each task overflows ~10x its budget, forcing
+    // the full bucket-fan-out machinery (~2 levels at fanOut=16).
+    // The fan-out design bounds rewrite amplification at O(log) per
+    // row; the pre-fan-out sequential chain was O(passes) and failed
+    // this bound by an order of magnitude.
+    import spark.implicits._
+    val n = 200000L
+    def topk = spark.range(n).select(
+        col("id").as("k"),
+        (col("id") * 2654435761L % 97).as("v"),
+        concat(lit("payload-"), col("id")).as("pay"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("k")).orderBy(col("v").desc)))
+      .filter(col("rn") <= 1)
+    def run(): Long = topk.rdd.count() // rdd.count defeats the optimizer's count-only pruning
+    assert(topk.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+
+    def timed(body: => Unit): Double = {
+      body // warm
+      val samples = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }
+      samples.min
+    }
+    val noSpill = timed(assert(run() === n))
+    spark.conf.set(TopKPerKeyExec.maxKeysConfKey, "4096")
+    val spilly =
+      try timed(assert(run() === n))
+      finally spark.conf.unset(TopKPerKeyExec.maxKeysConfKey)
+    info(f"no-spill $noSpill%.3f s, spill(cap=4096) $spilly%.3f s, ratio ${spilly / noSpill}%.2f")
+    assert(spilly <= noSpill * 4.0 + 0.5,
+      f"spill path too slow: $spilly%.3f s vs no-spill $noSpill%.3f s")
+  }
+
   test("GraftExtensions installs the top-k stack by default") {
     // assert the injection list itself (via the sql-package bridge over
     // the private[sql] builders) — independent of suite session state
