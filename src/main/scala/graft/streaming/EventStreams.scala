@@ -153,6 +153,37 @@ object EventStreams {
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("c_mktsegment").as("segment"))
 
+  // ------------------------------------------------------------------
+  // Observability: per-batch row accounting (Dataset.observe) + exact
+  // watermark-drop counters from the state-store progress metrics
+  // ------------------------------------------------------------------
+
+  /** Attach a named per-micro-batch input-row counter (`Dataset
+    * .observe`) ahead of a streaming transform. Observed metrics ride
+    * the StreamingQueryProgress events, so a production monitor can
+    * reconcile rows-fed vs rows-aggregated per batch without a second
+    * count job — at 100 TB/day the counter is a side-output of work
+    * already done, not a new scan. */
+  def withInputCounter(df: DataFrame, name: String): DataFrame =
+    df.observe(name, count(lit(1)).as("rows"))
+
+  /** Sum a named observed metric's `rows` across a query's recent
+    * progress events (the replay harness runs few micro-batches, well
+    * inside the progress retention window). */
+  def observedRowCount(q: org.apache.spark.sql.streaming.StreamingQuery, name: String): Long =
+    q.recentProgress.iterator.flatMap(p =>
+      Option(p.observedMetrics.get(name))).map(_.getLong(0)).sum
+
+  /** Exact count of input rows DISCARDED for arriving behind the
+    * watermark, summed over the query's state operators and recent
+    * micro-batches (`numRowsDroppedByWatermark`). This is the number
+    * the late-data contract is stated in: fed K late rows, a correct
+    * watermark pipeline reports exactly K here and leaks none into
+    * closed windows. */
+  def droppedByWatermark(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    q.recentProgress.iterator.flatMap(_.stateOperators.iterator)
+      .map(_.numRowsDroppedByWatermark).sum
+
   /** Replay a batch DataFrame's rows through a real streaming source
     * (file source over a temp parquet copy), apply `transform`, collect
     * to a memory sink. Test/demo harness for batch equivalence. */

@@ -82,6 +82,47 @@ class StreamingSpec extends SparkSuite {
     assert(streamCell <= batchCell, "late event leaked into a closed window")
   }
 
+  test("observe counters: fed rows are accounted and exactly K late rows are dropped") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("obs").toString
+    val onTime = events.filter(col("event_id") < 500)
+    val onTimeCount = onTime.count()
+    val maxTs = onTime.agg(max("ts")).head.getTimestamp(0)
+    val lateK = 7
+    // K events, the i-th one (2+i) hours older than the stream's max —
+    // all far beyond the 10-minute watermark once batch 1 advances it.
+    // Each gets its OWN tumbling window: numRowsDroppedByWatermark
+    // counts state-operator input rows, which sit downstream of the
+    // map-side partial aggregate — co-windowed late rows would merge
+    // before the counter. One window per row makes the group-level
+    // metric equal the fed row count exactly.
+    val lateW = org.apache.spark.sql.expressions.Window.orderBy("event_id")
+    val late = events.filter(col("event_id") >= 500).orderBy("event_id").limit(lateK)
+      .withColumn("i", row_number().over(lateW))
+      .withColumn("ts", expr(s"timestamp_millis(${maxTs.getTime} - (2 + i) * 3600000L)"))
+      .drop("i")
+    assert(late.count() === lateK)
+
+    onTime.write.parquet(s"$dir/in/b1")
+    val src = spark.readStream.schema(events.schema).parquet(s"$dir/in/*")
+    val q = EventStreams.tumblingHourly(
+        EventStreams.withInputCounter(src, "obs_input")).writeStream
+      .outputMode("append")
+      .format("memory").queryName("obs_mem")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      q.processAllAvailable() // batch 1: watermark advances to maxTs - 10min
+      late.write.mode("append").parquet(s"$dir/in/b2")
+      q.processAllAvailable() // batch 2: all K late rows must be discarded
+      // every fed row is visible to the observe counter (drops happen
+      // downstream of it, at the stateful operator)
+      assert(EventStreams.observedRowCount(q, "obs_input") === onTimeCount + lateK)
+      // and the state operator reports EXACTLY the K late rows dropped
+      assert(EventStreams.droppedByWatermark(q) === lateK)
+    } finally q.stop()
+  }
+
   test("streaming dedup: replayed duplicates collapse to one row each") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("sdedup").toString
