@@ -10,17 +10,22 @@ import org.apache.spark.sql.functions._
   * feature-extraction runs as a batched per-partition transform (the
   * Scala analogue of a Pandas-UDF-over-`mapInPandas` pipeline stage).
   *
-  * The actual codec step is a STUB — this container ships no
-  * image/audio libraries, so [[FakeCodec]] derives deterministic
-  * pseudo-features from the payload bytes. Everything around it — the
-  * schema, the binary packing, the batch shape (fixed-size chunks per
-  * partition), the partition-balance repartition, the typed Encoders —
-  * is the real production plumbing: swapping FakeCodec for a JNI/FFM
-  * decoder changes no dataflow.
+  * The codec is REAL: payloads are PNG images (and length-prefixed
+  * PNG-frame containers for the video kind), decoded with
+  * `javax.imageio` — JDK-only, no external dependency. Because the
+  * test fixtures carry no media, [[ImageSynth]] synthesizes the
+  * payloads deterministically from document text at ingest; everything
+  * downstream of the payload bytes — schema, batch shape, the
+  * ImageIO decode, pixel feature math, partitioning — is the
+  * production path. A real ingest replaces synthesis with
+  * `spark.read.format("binaryFile")` and changes no dataflow.
   *
   * Scale notes: payloads stay distributed end-to-end (never collected);
   * `decodeBatchSize` bounds per-task memory for large assets; decode is
-  * a narrow transformation so it pipelines with the scan.
+  * a narrow transformation so it pipelines with the scan. Video decode
+  * parses the container header for the frame count and decodes only
+  * the first frame for features — per-frame work happens downstream on
+  * the sampled (asset_id, frame_idx) rows, not in the metadata pass.
   */
 object Multimodal {
 
@@ -31,40 +36,139 @@ object Multimodal {
 
   val decodeBatchSize = 64
 
-  /** STUB codec: deterministic pseudo-decode from payload bytes. A real
-    * implementation calls the native decoder here — per batch, so any
-    * native context (decoder handle, GPU stream) amortizes across
-    * `decodeBatchSize` assets exactly like a Pandas UDF batch. */
-  object FakeCodec {
-    def decodeBatch(batch: Seq[Asset]): Seq[Features] = {
-      val md = MessageDigest.getInstance("MD5") // one handle per batch
-      batch.map { a =>
-        md.reset()
-        val d = md.digest(a.payload)
-        def u(i: Int): Int = d(i) & 0xff
-        Features(
-          asset_id = a.asset_id,
-          kind = a.kind,
-          width = 16 * (1 + u(0) % 64), // 16..1024, deterministic in payload
-          height = 16 * (1 + u(1) % 64),
-          n_frames = if (a.kind == "video") 1 + u(2) % 120 else 1,
-          embedding = (0 until 8).map(i => (u(i * 2) * 256 + u(i * 2 + 1)) / 65535.0f).toArray)
+  /** Deterministic payload synthesis (test-fixture ingest only): a
+    * real PNG whose dimensions and pixels derive from an iterated MD5
+    * stream over the seed bytes, so the corpus checksum in q40 pins
+    * the full synthesize→encode→decode→feature path. */
+  object ImageSynth {
+    private def hashStream(seed: Array[Byte]): Iterator[Int] = {
+      val md = MessageDigest.getInstance("MD5")
+      val first = md.digest(seed)
+      var block = first
+      var counter = 0
+      new Iterator[Int] {
+        private var idx = 0
+        override def hasNext = true
+        override def next(): Int = {
+          if (idx >= block.length) {
+            md.reset(); md.update(first); counter += 1
+            md.update((counter & 0xff).toByte); md.update(((counter >> 8) & 0xff).toByte)
+            block = md.digest(); idx = 0
+          }
+          val b = block(idx) & 0xff; idx += 1; b
+        }
       }
+    }
+
+    private def renderPng(h: Iterator[Int], w: Int, ht: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, ht, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < ht) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y, (h.next() << 16) | (h.next() << 8) | h.next())
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** One PNG, 16..63 px per side. */
+    def pngBytes(seed: Array[Byte]): Array[Byte] = {
+      val h = hashStream(seed)
+      renderPng(h, 16 + h.next() % 48, 16 + h.next() % 48)
+    }
+
+    /** Frame container: "GVID" magic, int32 frame count, then per
+      * frame int32 length + PNG bytes. 1..24 frames of 8..31 px. */
+    def videoBytes(seed: Array[Byte]): Array[Byte] = {
+      val h = hashStream(seed)
+      val nFrames = 1 + h.next() % 24
+      val w = 8 + h.next() % 24
+      val ht = 8 + h.next() % 24
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      out.writeInt(0x47564944) // "GVID"
+      out.writeInt(nFrames)
+      (0 until nFrames).foreach { _ =>
+        val png = renderPng(h, w, ht)
+        out.writeInt(png.length)
+        out.write(png)
+      }
+      out.close()
+      bos.toByteArray
     }
   }
 
-  /** Pack a string payload column into the binary asset schema (the
-    * fixtures carry no real media, so `documents.text` stands in as the
-    * payload bytes; a real ingest reads `spark.read.format("binaryFile")`). */
-  def packAssets(df: DataFrame, idCol: String, payloadCol: String, kind: String): Dataset[Asset] = {
+  /** Real codec: `javax.imageio` PNG decode per asset, batched so any
+    * per-batch context (here the shared gray-grid buffer; in a native
+    * decoder a JNI handle or GPU stream) amortizes across
+    * `decodeBatchSize` assets exactly like a Pandas UDF batch. */
+  object ImageCodec {
+    javax.imageio.ImageIO.setUseCache(false) // no disk-backed stream cache in executors
+
+    /** 8-dim embedding: mean gray over a 2x4 grid of the frame. */
+    private def gridEmbedding(img: java.awt.image.BufferedImage): Array[Float] = {
+      val w = img.getWidth; val h = img.getHeight
+      val sums = new Array[Double](8)
+      val counts = new Array[Long](8)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val gray = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0 / 255.0
+          val cell = math.min(1, y * 2 / h) * 4 + math.min(3, x * 4 / w)
+          sums(cell) += gray; counts(cell) += 1
+          x += 1
+        }
+        y += 1
+      }
+      Array.tabulate(8)(i => if (counts(i) == 0) 0f else (sums(i) / counts(i)).toFloat)
+    }
+
+    private def decodeOne(a: Asset): Features = a.kind match {
+      case "video" =>
+        val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(a.payload))
+        val magic = in.readInt()
+        require(magic == 0x47564944, f"asset ${a.asset_id}: bad video magic 0x$magic%08x")
+        val nFrames = in.readInt()
+        val firstLen = in.readInt()
+        val firstPng = new Array[Byte](firstLen)
+        in.readFully(firstPng)
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(firstPng))
+        require(img != null, s"asset ${a.asset_id}: undecodable first frame")
+        Features(a.asset_id, a.kind, img.getWidth, img.getHeight, nFrames, gridEmbedding(img))
+      case _ =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.payload))
+        require(img != null, s"asset ${a.asset_id}: undecodable image payload")
+        Features(a.asset_id, a.kind, img.getWidth, img.getHeight, 1, gridEmbedding(img))
+    }
+
+    def decodeBatch(batch: Seq[Asset]): Seq[Features] = batch.map(decodeOne)
+  }
+
+  /** Synthesize real binary assets from a string column (the fixtures
+    * carry no media, so `documents.text` seeds the pixels; a real
+    * ingest reads `spark.read.format("binaryFile")` instead). */
+  def synthesizeAssets(df: DataFrame, idCol: String, payloadCol: String,
+      kind: String): Dataset[Asset] = {
     import df.sparkSession.implicits._
-    df.select(
-        col(idCol).cast("long").as("asset_id"),
-        lit(kind).as("kind"),
-        encode(col(payloadCol), "UTF-8").as("payload"),
-        lit(s"application/x-fake-$kind").as("mime"),
-        length(encode(col(payloadCol), "UTF-8")).cast("long").as("n_bytes"))
-      .as[Asset]
+    val mime = if (kind == "video") "video/x-graft-frames" else "image/png"
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val seed = (if (text == null) "" else text).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val payload =
+            if (kind == "video") ImageSynth.videoBytes(seed) else ImageSynth.pngBytes(seed)
+          Asset(id, kind, payload, mime, payload.length.toLong)
+        }
+      }
   }
 
   /** Batched decode: chunks each partition into `decodeBatchSize`
@@ -72,11 +176,11 @@ object Multimodal {
   def decodeFeatures(assets: Dataset[Asset]): Dataset[Features] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
-      it.grouped(decodeBatchSize).flatMap(batch => FakeCodec.decodeBatch(batch))
+      it.grouped(decodeBatchSize).flatMap(batch => ImageCodec.decodeBatch(batch))
     }
   }
 
-  /** "Resize": scale the fake spatial dims — the shape of a per-asset
+  /** Resize: scale the decoded spatial dims — the shape of a per-asset
     * post-decode transform (pure column math, codegen-eligible). */
   def resize(features: Dataset[Features], maxDim: Int): DataFrame =
     features.toDF().withColumn("scale",

@@ -413,19 +413,21 @@ object Extensions {
   }
 
   // --------------------------------------------------------------- Q40
-  /** Multimodal pipeline smoke (rows-only — the stub codec is not
-    * SQL-expressible): pack two asset kinds (image + video stand-ins
-    * with distinct payload bytes) → batched decode → resize → frame
-    * sample → per-kind aggregate. The output is one row per kind with a
+  /** Multimodal pipeline smoke (rows-only — a pixel decode is not
+    * SQL-expressible): synthesize two asset kinds (real PNGs + real
+    * PNG-frame video containers, pixels seeded by distinct payload
+    * bytes) → batched javax.imageio decode → resize → frame sample →
+    * per-kind aggregate. The output is one row per kind with a
     * deterministic md5 checksum over every asset's (id, embedding)
-    * pair — any change in the decode pipeline, batch shape, or float
+    * pair, where the embedding is grid-averaged from DECODED pixels —
+    * any change in synthesis, PNG encode/decode, batch shape, or float
     * math flips the checksum, so the rows-only gate actually pins the
     * pipeline, not just its row count. */
   val q40 = QueryDef.noOracle("q40_multimodal") { (s, dir) =>
     import graft.operators.Multimodal
     val docs = t(s, dir, "documents")
-    val images = Multimodal.packAssets(docs, "doc_id", "text", "image")
-    val videos = Multimodal.packAssets(
+    val images = Multimodal.synthesizeAssets(docs, "doc_id", "text", "image")
+    val videos = Multimodal.synthesizeAssets(
       docs.withColumn("vtext", reverse(col("text"))), "doc_id", "vtext", "video")
     val feat = Multimodal.resize(
       Multimodal.decodeFeatures(images.unionAll(videos)), maxDim = 256)
