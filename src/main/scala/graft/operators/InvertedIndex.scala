@@ -32,18 +32,38 @@ object InvertedIndex {
 
   /** Manifest format (`src/main.cc:178-197`): line 1 = N, then N file
     * paths relative to the manifest's directory; 1-based position is the
-    * file ID. Driver-side read — the manifest is metadata. */
-  def readManifest(manifestPath: String): Seq[(String, Int)] = {
-    val src = scala.io.Source.fromFile(manifestPath)
+    * file ID. Driver-side read — the manifest is metadata. Reads
+    * through the Hadoop FileSystem API (explicit UTF-8), so a manifest
+    * on HDFS/S3 works the same as a local one; scheme-less local paths
+    * keep their `java.io` canonical form, which the legacy text-source
+    * formulation's scan-path join relies on. */
+  def readManifest(manifestPath: String,
+      conf: org.apache.hadoop.conf.Configuration = InvertedIndex.activeHadoopConf()): Seq[(String, Int)] = {
+    val mPath = new org.apache.hadoop.fs.Path(manifestPath)
+    val fs = mPath.getFileSystem(conf)
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+      fs.open(mPath), java.nio.charset.StandardCharsets.UTF_8))
     try {
-      val lines = src.getLines().toVector
+      val lines = Iterator.continually(in.readLine()).takeWhile(_ != null).toVector
       val n = lines.head.trim.toInt
-      val base = new File(manifestPath).getAbsoluteFile.getParent
+      val localBase = new File(manifestPath).getAbsoluteFile.getParent
+      val hadoopBase = mPath.getParent
       lines.slice(1, n + 1).zipWithIndex.map { case (rel, i) =>
-        (new File(base, rel.trim).getCanonicalPath, i + 1)
+        val p = new org.apache.hadoop.fs.Path(hadoopBase, rel.trim)
+        val resolved =
+          if (p.toUri.getScheme == null) new File(localBase, rel.trim).getCanonicalPath
+          else p.toString
+        (resolved, i + 1)
       }
-    } finally src.close()
+    } finally in.close()
   }
+
+  /** The active session's Hadoop conf (credentials, FS settings) when
+    * one exists; a default conf otherwise (bare tooling contexts). */
+  private[graft] def activeHadoopConf(): org.apache.hadoop.conf.Configuration =
+    SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
 
   /** Index core from a scanned corpus `(file_id, value)`: returns
     * (word, letter, ids, cnt, line). `ids` ascending, `cnt` = number of
