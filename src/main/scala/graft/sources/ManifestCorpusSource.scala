@@ -1,10 +1,11 @@
 package graft.sources
 
-import java.io.{BufferedInputStream, ByteArrayOutputStream, File, FileInputStream}
+import java.io.{BufferedInputStream, ByteArrayOutputStream, FileNotFoundException, InputStream}
 import java.util.{Map => JMap}
 
 import scala.jdk.CollectionConverters._
 
+import org.apache.hadoop.fs.{ChecksumFileSystem, FileSystem, Path => HPath}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -28,7 +29,18 @@ import org.apache.spark.unsafe.types.UTF8String
   *    thousands of tasks — the same small-files discipline a 100 TB
   *    ingest needs;
   *  - **column pruning** (SupportsPushDownRequiredColumns): a query
-  *    projecting only `value` never materializes the other columns.
+  *    projecting only `value` never materializes the other columns;
+  *  - **fail-fast planning**: every corpus file is stat'ed through the
+  *    Hadoop FileSystem API at `planInputPartitions` — a manifest entry
+  *    that doesn't exist aborts the query at planning with the path in
+  *    the error, instead of surfacing as a task failure minutes into a
+  *    large job;
+  *  - **Hadoop FS IO end-to-end**: both planning (sizing) and the
+  *    `PartitionReader` route through `FileSystem`, so a manifest on
+  *    HDFS/S3 works the same as a local one. For `ChecksumFileSystem`
+  *    schemes (plain local files) the reader unwraps to the raw FS —
+  *    the corpus has no `.crc` sidecars, and skipping the per-open
+  *    checksum probe keeps the local read path as fast as `java.io`.
   *
   * This replaces the driver-side manifest read + scan-path decode +
   * broadcast join of the original formulation: file ids are stamped by
@@ -55,6 +67,16 @@ object ManifestCorpusSource {
     StructField("file_id", IntegerType, nullable = false),
     StructField("path", StringType, nullable = false),
     StructField("value", StringType, nullable = false)))
+
+  /** Open `p` for read, bypassing the checksum layer on local-style
+    * filesystems: corpus files have no `.crc` sidecars, and
+    * `ChecksumFileSystem.open` pays an extra existence probe per file
+    * to discover that. Non-checksum filesystems (HDFS, object stores)
+    * open directly. */
+  private[sources] def openRaw(fs: FileSystem, p: HPath): InputStream = fs match {
+    case cfs: ChecksumFileSystem => cfs.getRawFileSystem.open(p)
+    case other => other.open(p)
+  }
 }
 
 class ManifestCorpusTable(manifestPath: String, maxBytes: Long)
@@ -78,6 +100,11 @@ case class CorpusFilesPartition(files: Seq[(String, Int)]) extends InputPartitio
 
 class ManifestCorpusScan(manifestPath: String, maxBytes: Long, required: StructType)
     extends Scan with Batch {
+  // captured at planning on the driver: session FS settings/credentials
+  // ride along to executors for the reader's FileSystem lookups
+  private val confCarrier =
+    new SerializableHadoopConf(graft.operators.InvertedIndex.activeHadoopConf())
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -85,14 +112,26 @@ class ManifestCorpusScan(manifestPath: String, maxBytes: Long, required: StructT
 
   /** Size-binned file groups: greedy packing in manifest order keeps
     * partition count ≈ totalBytes / maxBytes instead of one task per
-    * (typically tiny) corpus file. */
+    * (typically tiny) corpus file. Sizes come from Hadoop
+    * `getFileStatus`, which doubles as the existence check: a manifest
+    * entry with no file behind it fails HERE, at planning, with the
+    * offending path — not at task time. */
   override def planInputPartitions(): Array[InputPartition] = {
-    val files = graft.operators.InvertedIndex.readManifest(manifestPath)
+    val conf = confCarrier.value
+    val files = graft.operators.InvertedIndex.readManifest(manifestPath, conf)
     val partitions = scala.collection.mutable.ArrayBuffer.empty[CorpusFilesPartition]
     var current = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
     var bytes = 0L
     files.foreach { case (path, id) =>
-      val sz = math.max(1L, new File(path).length())
+      val hPath = new HPath(path)
+      val status =
+        try hPath.getFileSystem(conf).getFileStatus(hPath)
+        catch {
+          case _: FileNotFoundException => throw new FileNotFoundException(
+            s"manifest-corpus: file #$id listed in manifest '$manifestPath' does not exist: $path")
+        }
+      // 0-byte files still occupy one slot so they are assigned a reader
+      val sz = math.max(1L, status.getLen)
       if (bytes > 0 && bytes + sz > maxBytes) {
         partitions += CorpusFilesPartition(current.toSeq)
         current = scala.collection.mutable.ArrayBuffer.empty
@@ -106,10 +145,10 @@ class ManifestCorpusScan(manifestPath: String, maxBytes: Long, required: StructT
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ManifestCorpusReaderFactory(required)
+    new ManifestCorpusReaderFactory(required, confCarrier)
 }
 
-class ManifestCorpusReaderFactory(required: StructType)
+class ManifestCorpusReaderFactory(required: StructType, confCarrier: SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val files = partition.asInstanceOf[CorpusFilesPartition].files
@@ -147,7 +186,9 @@ class ManifestCorpusReaderFactory(required: StructType)
           }
           if (!fileIter.hasNext) return false
           val (p, id) = fileIter.next()
-          in = new BufferedInputStream(new FileInputStream(p))
+          val hPath = new HPath(p)
+          val fs = hPath.getFileSystem(confCarrier.value)
+          in = new BufferedInputStream(ManifestCorpusSource.openRaw(fs, hPath))
           curPath = UTF8String.fromString(p)
           curId = id
         }

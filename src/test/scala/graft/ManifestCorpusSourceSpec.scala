@@ -51,6 +51,25 @@ class ManifestCorpusSourceSpec extends SparkSuite {
     assert(v2.toSeq === Seq("café 漢字 naïve"))
   }
 
+  test("missing corpus file fails at planning with the path in the error") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.charset.StandardCharsets
+    val dir = Files.createTempDirectory("mc_missing")
+    Files.write(dir.resolve("present.txt"), "hello\n".getBytes(StandardCharsets.UTF_8))
+    Files.write(dir.resolve("m.txt"),
+      "2\npresent.txt\nno_such_file.txt\n".getBytes(StandardCharsets.UTF_8))
+    val df = spark.read.format("manifest-corpus").load(dir.resolve("m.txt").toString)
+    // planInputPartitions runs when the scan is planned — the failure
+    // must carry the missing path, and fire before any task launches
+    val e = intercept[Exception](df.rdd.getNumPartitions)
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+    val fnf = chain(e).find(_.isInstanceOf[java.io.FileNotFoundException])
+    assert(fnf.isDefined, s"expected FileNotFoundException in cause chain, got: $e")
+    assert(fnf.get.getMessage.contains("no_such_file.txt"), fnf.get.getMessage)
+    assert(fnf.get.getMessage.contains("file #2"), fnf.get.getMessage)
+  }
+
   test("index built through the connector matches the legacy formulation") {
     val viaV2 = InvertedIndex.buildIndexFromManifest(spark, manifest).select("line")
     val legacy = InvertedIndex.buildIndex(spark, InvertedIndex.readManifest(manifest))
