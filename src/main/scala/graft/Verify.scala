@@ -9,6 +9,9 @@ object Verify {
     // dump to that subset (local iteration); no names = full inventory.
     val Array(sfDir, outDir) = args.take(2)
     val only = args.drop(2).toSet
+    only.diff(SparkEntry.queries.keySet).foreach(n =>
+      System.err.println(s"[verify] WARNING: no such query '$n' — known names: " +
+        SparkEntry.queries.keys.toSeq.sorted.mkString(", ")))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -41,7 +44,10 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // subset runs dump a matching oracle subset: a comparator pointed at
+    // this outDir must not see oracle entries whose parquet is absent
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

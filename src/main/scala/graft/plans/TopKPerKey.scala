@@ -25,19 +25,24 @@ import org.apache.spark.sql.types.IntegerType
   * pattern.
   *
   * [[TopKPerKeyRule]] rewrites `Filter(rn <= k, Window(exprs, ...))`
-  * where the filtered `rn` is a `row_number()` and every other window
-  * expression over the same (partition, order) spec is a ranking
-  * companion — `rank()` or `dense_rank()` — into the logical
-  * [[TopKPerKey]]; [[TopKPerKeyStrategy]] plans it as
-  * [[TopKPerKeyExec]]. The companions are sound to compute from the
-  * heap output alone: every row strictly earlier in the order than a
-  * kept row has a smaller row_number and is therefore also kept, so a
-  * kept row's rank/dense_rank depends only on kept rows. Window
+  * where the filtered `rn` is a `row_number()` — or a `rank()`, the
+  * WITH-TIES idiom that also keeps every row tied at the boundary —
+  * and every other window expression over the same (partition, order)
+  * spec is a ranking companion (`row_number()`, `rank()`,
+  * `dense_rank()`) into the logical [[TopKPerKey]];
+  * [[TopKPerKeyStrategy]] plans it as [[TopKPerKeyExec]]. The
+  * companions are sound to compute from the kept rows alone: in both
+  * flavors the kept set is a downward-closed prefix of the per-key
+  * order (for `rank <= k`, complete tie-groups), so every row strictly
+  * earlier in the order than a kept row is also kept, and a kept row's
+  * row_number/rank/dense_rank depends only on kept rows. Window
   * functions that need the full frame (sum, lag, ntile, …) block the
-  * rewrite. Results are identical to the window formulation whenever
-  * the per-key order is total (the determinism contract every query
-  * here follows anyway); with ties, both formulations are
-  * nondeterministic.
+  * rewrite, as does a `dense_rank <= k` bound. Results are identical
+  * to the window formulation whenever the per-key order is total (the
+  * determinism contract every query here follows anyway); with ties,
+  * the row_number flavor is nondeterministic in both formulations
+  * while the rank flavor is deterministic by construction (ties are
+  * kept together).
   *
   * Memory safety: heap-tracked distinct keys per task are capped at
   * `spark.graft.topk.maxKeysPerTask` (default 131072); rows of keys
@@ -62,6 +67,7 @@ case class TopKPerKey(
     order: Seq[SortOrder],
     k: Int,
     winAttrs: Seq[(Attribute, RankingKind)],
+    withTies: Boolean,
     child: LogicalPlan) extends UnaryNode {
   override def output: Seq[Attribute] = child.output ++ winAttrs.map(_._1)
   // the ranking attrs are born here, not consumed from below — required
@@ -91,38 +97,45 @@ object TopKPerKeyRule extends Rule[LogicalPlan] {
             }
           case _ => None
         }
-      // the filter must bound a row_number companion: `rank <= k` keeps
-      // ALL ties at rank k (possibly more than k rows) and must stay
-      // with the window formulation
-      def rowNumK(a: AttributeReference): Boolean = classified.exists(_.exists {
-        case (alias, RankingKind.RowNum) => alias.exprId == a.exprId
-        case _ => false
-      })
-      val kOpt = cond match {
-        case LessThanOrEqual(a: AttributeReference, Literal(k: Int, IntegerType))
-            if rowNumK(a) => Some(k)
+      // the filter may bound either companion: a row_number bound keeps
+      // exactly k rows per key; a rank bound (`rank <= k`) additionally
+      // keeps ALL ties at the boundary — the with-ties exec variant
+      def kindOf(a: AttributeReference): Option[RankingKind] =
+        classified.flatMap(_.collectFirst {
+          case (alias, kind @ (RankingKind.RowNum | RankingKind.Rnk))
+              if alias.exprId == a.exprId => kind
+        })
+      val kOpt: Option[(Int, Boolean)] = cond match {
+        case LessThanOrEqual(a: AttributeReference, Literal(k: Int, IntegerType)) =>
+          kindOf(a).map(kind => (k, kind == RankingKind.Rnk))
         case LessThan(a: AttributeReference, Literal(k: Int, IntegerType))
             // k - 1 must not wrap: rn < Int.MinValue is always-false and
             // must stay with the window formulation, not become MaxValue
-            if rowNumK(a) && k != Int.MinValue => Some(k - 1)
+            if k != Int.MinValue =>
+          kindOf(a).map(kind => (k - 1, kind == RankingKind.Rnk))
         case _ => None
       }
       (kOpt, classified) match {
-        case (Some(k), Some(kinds)) if k > 0 =>
+        case (Some((k, withTies)), Some(kinds)) if k > 0 =>
           // Spark's InsertWindowGroupLimit (3.5+) has usually placed a
           // WindowGroupLimit below the Window by the time this rule
           // runs. It pre-limits groups but forces a SORT on each side
           // of the exchange; the bounded-heap exec needs only the hash
           // exchange, so strip a matching group limit and skip both
-          // sorts entirely.
+          // sorts entirely. A RowNumber-mode limit keeps exactly
+          // `limit` rows per key (would drop boundary ties), so only a
+          // Rank-mode limit is strippable for the with-ties variant.
           val input = child match {
             case org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit(
                 p2, o2, RowNumber(), limit, grandchild)
-                if p2 == parts && o2 == order && limit >= k => grandchild
+                if !withTies && p2 == parts && o2 == order && limit >= k => grandchild
+            case org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit(
+                p2, o2, _: Rank, limit, grandchild)
+                if withTies && p2 == parts && o2 == order && limit >= k => grandchild
             case other => other
           }
           TopKPerKey(parts, order, k,
-            kinds.map { case (alias, kind) => alias.toAttribute -> kind }, input)
+            kinds.map { case (alias, kind) => alias.toAttribute -> kind }, withTies, input)
         case _ => f
       }
   }
@@ -130,8 +143,8 @@ object TopKPerKeyRule extends Rule[LogicalPlan] {
 
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKey(parts, order, k, winAttrs, child) =>
-      TopKPerKeyExec(parts, order, k, winAttrs, planLater(child)) :: Nil
+    case TopKPerKey(parts, order, k, winAttrs, withTies, child) =>
+      TopKPerKeyExec(parts, order, k, winAttrs, withTies, planLater(child)) :: Nil
     case _ => Nil
   }
 }
@@ -141,6 +154,7 @@ case class TopKPerKeyExec(
     order: Seq[SortOrder],
     k: Int,
     winAttrs: Seq[(Attribute, RankingKind)],
+    withTies: Boolean,
     child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output ++ winAttrs.map(_._1)
@@ -176,15 +190,82 @@ case class TopKPerKeyExec(
     // own hash aggregate makes when it falls back to sort-based spill).
     val maxKeys = math.max(1,
       conf.getConfString(TopKPerKeyExec.maxKeysConfKey, "131072").toInt)
+    val withTiesLocal = withTies
     child.execute().mapPartitions ({ iter =>
       val groupProj = UnsafeProjection.create(groupExprsLocal, childOutput)
       val ordering = GenerateOrdering.generate(orderLocal, childOutput)
       // per key: a worst-first heap of at most k rows — no sort of
       // evicted rows
       val worstFirst = ordering.reverse.asInstanceOf[java.util.Comparator[InternalRow]]
+      val ascending = ordering.asInstanceOf[java.util.Comparator[InternalRow]]
       val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
       val outProj = UnsafeProjection.create(outputLocal, outputLocal)
       val nFields = childOutput.length
+
+      // per-key kept-set container; one impl per rewrite flavor
+      abstract class Keeper {
+        def insert(row: InternalRow): Unit
+        def sortedRows(): Array[InternalRow] // ascending in `order`
+      }
+      // row_number <= k: exactly k rows — worst-first bounded heap
+      final class HeapKeeper extends Keeper {
+        // initial capacity stays small — PriorityQueue grows on demand,
+        // and an eager k+1 array per key would explode for a large
+        // (effectively no-op) k
+        private val q =
+          new java.util.PriorityQueue[InternalRow](math.min(kLocal, 16) + 1, worstFirst)
+        override def insert(row: InternalRow): Unit =
+          if (q.size() < kLocal) q.add(row.copy())
+          else if (ordering.compare(row, q.peek()) < 0) { q.poll(); q.add(row.copy()) }
+        override def sortedRows(): Array[InternalRow] = {
+          val rows = q.toArray(new Array[InternalRow](q.size()))
+          java.util.Arrays.sort(rows, ascending)
+          rows
+        }
+      }
+      // rank() <= k: k rows PLUS all ties at the boundary. Kept rows are
+      // complete tie-groups forming a downward-closed prefix of the
+      // order, and group ranks are distinct values ≤ k, so at most k
+      // groups are live (+1 transiently before eviction). Keyed by the
+      // order value itself: rows comparing 0 collapse into one group.
+      // Memory is O(k + boundaryTies) per key — a pathological key where
+      // ALL rows tie holds them all, the price of `<= k WITH TIES`
+      // semantics in any engine that must emit the full boundary group.
+      final class TiesKeeper extends Keeper {
+        private val groups =
+          new java.util.TreeMap[InternalRow, scala.collection.mutable.ArrayBuffer[InternalRow]](ascending)
+        private var total = 0
+        override def insert(row: InternalRow): Unit = {
+          // full and strictly worse than the worst kept group: every kept
+          // row is strictly better, so rank ≥ total+1 > k — reject
+          if (total >= kLocal && ordering.compare(row, groups.lastKey()) > 0) return
+          val cp = row.copy()
+          val existing = groups.get(cp)
+          if (existing != null) existing += cp
+          else groups.put(cp, scala.collection.mutable.ArrayBuffer(cp))
+          total += 1
+          // evict whole boundary groups whose rank slipped past k
+          // (rank of the last group = total - lastSize + 1)
+          var last = groups.lastEntry()
+          while (total - last.getValue.size >= kLocal) {
+            total -= last.getValue.size
+            groups.remove(last.getKey)
+            last = groups.lastEntry()
+          }
+        }
+        override def sortedRows(): Array[InternalRow] = {
+          val out = new Array[InternalRow](total)
+          var i = 0
+          val it = groups.values().iterator()
+          while (it.hasNext) {
+            val g = it.next()
+            var j = 0
+            while (j < g.length) { out(i) = g(j); i += 1; j += 1 }
+          }
+          out
+        }
+      }
+      def newKeeper(): Keeper = if (withTiesLocal) new TiesKeeper else new HeapKeeper
 
       // level-salted bucket: a bucket's keys all share hash%fanOut, so
       // the NEXT level must re-mix the hash or the bucket would never
@@ -196,7 +277,7 @@ case class TopKPerKeyExec(
       }
 
       def topkPass(input: Iterator[InternalRow], level: Int): Iterator[InternalRow] = {
-        val heaps = new java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+        val heaps = new java.util.LinkedHashMap[UnsafeRow, Keeper]()
         // overflow fans out across bucket files by key hash; each bucket
         // resolves independently, so recursion depth is logarithmic in
         // distinct-keys/cap. All rows of one key share a bucket (hash is
@@ -234,14 +315,10 @@ case class TopKPerKeyExec(
             u.writeToStream(out, writeBuf)
           } else {
             if (q == null) {
-              // initial capacity stays small — PriorityQueue grows on
-              // demand, and an eager k+1 array per key would explode
-              // for a large (effectively no-op) k
-              q = new java.util.PriorityQueue[InternalRow](math.min(kLocal, 16) + 1, worstFirst)
+              q = newKeeper()
               heaps.put(key.copy(), q)
             }
-            if (q.size() < kLocal) q.add(row.copy())
-            else if (ordering.compare(row, q.peek()) < 0) { q.poll(); q.add(row.copy()) }
+            q.insert(row)
           }
         }
         outs.foreach(o => if (o != null) o.close())
@@ -249,8 +326,7 @@ case class TopKPerKeyExec(
         val joined = new JoinedRow
         import scala.jdk.CollectionConverters._
         val heapRows = heaps.values().iterator().asScala.flatMap { q =>
-          val rows = q.toArray(new Array[InternalRow](q.size()))
-          java.util.Arrays.sort(rows, ordering.asInstanceOf[java.util.Comparator[InternalRow]])
+          val rows = q.sortedRows()
           // rank/dense_rank of a kept row depend only on kept rows:
           // anything strictly earlier in the order has a smaller
           // row_number, hence is also in the heap — walk adjacent pairs

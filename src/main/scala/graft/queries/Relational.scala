@@ -343,6 +343,30 @@ object Relational {
       .orderBy("o_custkey", "rn")
   }
 
+  // --------------------------------------------------------------- Q14b
+  /** `rank() <= k` — the WITH-TIES top-k idiom: boundary ties are kept,
+    * so the result is deterministic even though o_orderdate ties within
+    * a customer (unlike a row_number bound, which would need a
+    * tiebreak). Plans as the with-ties TopKPerKeyExec flavor under
+    * GraftExtensions (plan-asserted in PlanAssertionsSpec). */
+  val q14b = QueryDef("q14b_window_rank_ties",
+    """SELECT * FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |         CAST(rank() OVER w AS INT) AS rnk,
+      |         CAST(dense_rank() OVER w AS INT) AS drnk
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)
+      |) WHERE rnk <= 3 ORDER BY o_custkey, rnk, o_orderkey""") { (s, dir) =>
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"))
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("rnk"), col("drnk"))
+      .orderBy("o_custkey", "rnk", "o_orderkey")
+  }
+
   // --------------------------------------------------------------- Q15
   /** Running-frame sum + lag delta. Accumulation order is fixed by the
     * (o_orderdate, o_orderkey) total order, so doubles agree across
@@ -568,6 +592,6 @@ object Relational {
 
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q04b, q05, q06, q07, q08, q09, q10,
-    q11, q11b, q12, q12b, q13, q14, q15, q16, q17, q18, q19, q20,
+    q11, q11b, q12, q12b, q13, q14, q14b, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q41, q42)
 }

@@ -63,6 +63,12 @@ class PlanAssertionsSpec extends SparkSuite {
     assert(!p.contains("WindowGroupLimit"), p)
   }
 
+  test("q14b: rank<=k gate plan uses the with-ties TopKPerKey flavor") {
+    val p = plan("q14b_window_rank_ties")
+    assert(p.contains("TopKPerKey"), p)
+    assert(!p.contains("WindowGroupLimit"), p)
+  }
+
   test("q16: global top-k runs as TakeOrderedAndProject, not a global sort") {
     val p = plan("q16_topk")
     assert(p.contains("TakeOrderedAndProject"), p)

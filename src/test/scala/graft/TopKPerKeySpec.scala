@@ -166,14 +166,62 @@ class TopKPerKeySpec extends SparkSuite {
     assert(strategies.contains(TopKPerKeyStrategy))
   }
 
-  test("rule leaves rank-only filters and full-frame windows untouched") {
+  test("rank <= k plans as the with-ties variant and keeps boundary ties") {
+    // crafted boundary ties: key "a" has order values 1,2,2,9 — rank<=2
+    // must keep THREE rows (1 and both 2s); key "b" is tie-free
+    import spark.implicits._
+    val df = Seq(("a", 1, "r1"), ("a", 2, "r2"), ("a", 2, "r3"), ("a", 9, "r4"),
+      ("b", 5, "s1"), ("b", 6, "s2"), ("b", 7, "s3")).toDF("k", "v", "tag")
+    val w = Window.partitionBy(col("k")).orderBy(col("v"))
+    def topk = df
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .filter(col("rnk") <= 2)
+    val t = topk
+    val plan = t.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan)
+    // Spark's Rank-mode WindowGroupLimit (and its sorts) must be
+    // stripped, same as the row_number flavor
+    assert(!plan.contains("WindowGroupLimit") && !plan.contains("Sort "), plan)
+    val accelerated = t.collect().toSet
+    val baseline = withTopKDisabled(topk.collect().toSet)
+    assert(accelerated === baseline)
+    assert(accelerated.count(_.getAs[String]("k") == "a") === 3,
+      accelerated.mkString("\n")) // boundary tie kept
+    assert(accelerated.count(_.getAs[String]("k") == "b") === 2)
+  }
+
+  test("with-ties variant matches the window formulation on real data, incl. spill") {
+    // o_orderdate within a customer ties often at sf0.001, so boundary
+    // groups genuinely exceed k; the kept set under `rank <= k` is
+    // complete tie-groups — deterministic, so exact set-compare is valid
+    // (unlike the row_number flavor on a non-total order)
+    val orders = Tables(spark, sfDir, "orders")
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"))
+    def topk = orders
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .filter(col("rnk") <= 3)
+    assert(topk.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    val baseline = withTopKDisabled(topk.collect().toSet)
+    assert(topk.collect().toSet === baseline)
+    assert(baseline.nonEmpty)
+    // and through the spill path: tiny key budget forces follow-up
+    // passes with the TiesKeeper
+    spark.conf.set(TopKPerKeyExec.maxKeysConfKey, "64")
+    try assert(topk.collect().toSet === baseline)
+    finally spark.conf.unset(TopKPerKeyExec.maxKeysConfKey)
+  }
+
+  test("rule leaves dense_rank filters and full-frame windows untouched") {
     val orders = Tables(spark, sfDir, "orders")
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-    // rank-only filter: `rank <= k` keeps ALL ties at rank k — not
-    // row_number top-k semantics
-    val ranked = orders.withColumn("rnk", rank().over(w)).filter(col("rnk") <= 3)
-    assert(!ranked.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    // dense_rank filter: `dense_rank <= k` keeps the first k DISTINCT
+    // order values however many rows carry them — not covered by either
+    // exec flavor, must stay with the window formulation
+    val densed = orders.withColumn("drnk", dense_rank().over(w)).filter(col("drnk") <= 3)
+    assert(!densed.queryExecution.executedPlan.toString.contains("TopKPerKey"))
     // a companion needing the full frame (sum) blocks the rewrite
     val framed = orders
       .withColumn("rn", row_number().over(w))
