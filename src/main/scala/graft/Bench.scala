@@ -45,14 +45,18 @@ object Bench {
     // run is self-identifying instead of reading as a code regression.
     val reps = math.max(3, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     case class Timing(min: Double, median: Double, spread: Double)
-    def time(body: => Unit): Timing = {
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try body catch { case _: Throwable => return -1.0 }
-        (System.nanoTime() - t0) / 1e9
+    // a broken query must read as a diagnostic on stderr, not a bare -1
+    def timeOnce(name: String)(body: => Unit): Double = {
+      val t0 = System.nanoTime()
+      try body catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getClass.getName}: ${e.getMessage}")
+        return -1.0
       }
-      if (once() < 0) return Timing(-1.0, -1.0, -1.0) // warmup, untimed
-      val samples = Iterator.continually(once()).take(reps).takeWhile(_ >= 0).toVector
+      (System.nanoTime() - t0) / 1e9
+    }
+    def time(name: String)(body: => Unit): Timing = {
+      if (timeOnce(name)(body) < 0) return Timing(-1.0, -1.0, -1.0) // warmup, untimed
+      val samples = Iterator.continually(timeOnce(name)(body)).take(reps).takeWhile(_ >= 0).toVector
       if (samples.length < reps) Timing(-1.0, -1.0, -1.0)
       else {
         val sorted = samples.sorted
@@ -78,15 +82,31 @@ object Bench {
       "/root/reference/checker/test.txt")
     val refEntry: Seq[(String, Timing)] =
       if (java.nio.file.Files.isReadable(java.nio.file.Paths.get(refManifest)))
-        Seq("ref_inverted_index" -> time {
+        Seq("ref_inverted_index" -> time("ref_inverted_index") {
           InvertedIndex.buildIndexFromManifest(spark, refManifest)
             .write.format("noop").mode("overwrite").save()
         })
       else Seq.empty
 
     val results: Seq[(String, Timing)] = headline.map { name =>
-      name -> time(SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save())
+      name -> time(name)(SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save())
     } ++ refEntry
+
+    // Full-inventory sweep (`"full"` in the JSON): one timed run of EVERY
+    // declared query, so a regression in a non-headline query (pivot,
+    // stats, subqueries, range frames, set-ops-all, unpivot, …) is
+    // visible in every round's bench record instead of never appearing.
+    // Headline queries reuse their min-of-reps sample; the rest get a
+    // single warm-session run (coverage, not a steady-state headline).
+    // Disable with SPARK_GRAFT_BENCH_FULL=0 for quick local loops.
+    val headlineMins = results.toMap
+    val fullResults: Seq[(String, Double)] =
+      if (sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "1") == "0") Seq.empty
+      else SparkEntry.queries.keys.toSeq.sorted.map { name =>
+        name -> headlineMins.get(name).map(_.min).getOrElse(
+          timeOnce(name)(SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()))
+      }
     val loadEnd = loadavg()
 
     def jmap(f: Timing => Double, fmt: Double => String = _.toString): String =
@@ -102,12 +122,19 @@ object Bench {
     // Counted from the candidate stage (no total ORDER BY): same
     // distinct-pair cardinality as the declared query, without paying
     // the oracle-mandated global sort a third time per bench run.
+    // Skippable (SPARK_GRAFT_BENCH_PAIRS=0): the candidate stage is
+    // cheaper than the declared query but still a full minhash pass.
     val q27Pairs =
-      try graft.operators.Dedup.minhashCandidates(
+      if (sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS", "1") == "0") -1L
+      else try graft.operators.Dedup.minhashCandidates(
         graft.sources.Tables(spark, sfDir, "documents"), "doc_id", "text",
         n = 1, k = graft.queries.Extensions.mhK, bands = graft.queries.Extensions.mhBands).count()
       catch { case _: Throwable => -1L }
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","q27_pairs":$q27Pairs,"reps":$reps,"median":$medians,"spread":$spreads,"loadavg_start":$loadStart,"loadavg_end":$loadEnd}"""
+    val fullJson =
+      if (fullResults.isEmpty) ""
+      else fullResults.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString(""","full":{""", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","q27_pairs":$q27Pairs,"reps":$reps,"median":$medians,"spread":$spreads$fullJson,"loadavg_start":$loadStart,"loadavg_end":$loadEnd}"""
     // sbt prefixes forked-stdout lines with "[info] ", which breaks the
     // driver's JSON parse of the tail line. Emit the metric on all three
     // channels the driver might read: stdout (legacy), stderr (unprefixed
