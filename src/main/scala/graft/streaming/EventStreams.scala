@@ -143,6 +143,59 @@ object EventStreams {
       }
   }
 
+  /** Production-shape closed-session emission: [[closedSessions]] plus
+    * `GroupStateTimeout.EventTimeTimeout`. When the watermark passes a
+    * session's expiry (`last + gap`), no event that could still extend
+    * it can ever arrive (it would be late beyond the watermark and
+    * dropped), so the open session is flushed as a row and its state
+    * removed — on a live stream every session is eventually emitted,
+    * where the NoTimeout variant holds the final open session of a
+    * quiet user forever. State per user is one [[OpenSession]];
+    * expired state is removed by the timeout, so total state is
+    * bounded by concurrently-active users — the property that matters
+    * on a 100 TB/day stream. */
+  def closedSessionsStreaming(events: Dataset[Ev], gapSeconds: Long = 1800,
+      lateness: String = "10 minutes"): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (user, evs, state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            // watermark ≥ last + gap: the session can never be extended
+            val o = state.get
+            state.remove()
+            Iterator.single(ClosedSession(user, o.start, o.last, o.n))
+          } else {
+            val sorted = evs.toSeq.iterator.filter(_.ts != null)
+              .map(_.ts.getTime / 1000).toSeq.sorted
+            val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+            var open = state.getOption
+            sorted.foreach { t =>
+              open match {
+                case Some(o) if t - o.last <= gapSeconds =>
+                  open = Some(o.copy(last = t, n = o.n + 1))
+                case Some(o) =>
+                  closed += ClosedSession(user, o.start, o.last, o.n)
+                  open = Some(OpenSession(t, t, 1))
+                case None =>
+                  open = Some(OpenSession(t, t, 1))
+              }
+            }
+            open.foreach { o =>
+              state.update(o)
+              // fires once the watermark passes the session expiry; the
+              // timestamp is always ahead of the current watermark
+              // because `last` is an event time this batch accepted
+              state.setTimeoutTimestamp((o.last + gapSeconds) * 1000)
+            }
+            closed.iterator
+          }
+      }
+  }
+
   /** Stream-static enrichment join: the streaming fact side joins a
     * static (batch) dimension — Spark broadcasts/rereads the static
     * side per micro-batch with no state. The standard shape for

@@ -186,6 +186,85 @@ class StreamingSpec extends SparkSuite {
     assert(closed.exceptAll(expect).isEmpty && expect.exceptAll(closed).isEmpty)
   }
 
+  test("EventTimeTimeout flushes the final open session of a quiet user on watermark advance") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("sessflush").toString
+    def ev(user: Long, sec: Long) = EventStreams.Ev(user, new java.sql.Timestamp(sec * 1000))
+    // phase 1: user 1 has one session (t=1000..1200), then goes quiet —
+    // under the NoTimeout variant this session would never be emitted
+    Seq(ev(1, 1000), ev(1, 1200)).toDS().toDF().write.mode("append").parquet(s"$dir/in")
+    val src = spark.readStream.schema(
+      org.apache.spark.sql.Encoders.product[EventStreams.Ev].schema).parquet(s"$dir/in")
+    val q = EventStreams.closedSessionsStreaming(src.as[EventStreams.Ev]).writeStream
+      .outputMode("append").format("memory").queryName("sessflush_mem")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("sessflush_mem").isEmpty,
+        "session must stay open while the watermark is behind its expiry")
+      // phase 2: an unrelated user far in the future advances the
+      // watermark (100000-600s) past user 1's expiry (1200+1800) —
+      // user 1's session must flush WITHOUT any further user-1 event
+      Seq(ev(2, 100000)).toDS().toDF().write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+      val afterP2 = spark.table("sessflush_mem").as[EventStreams.ClosedSession].collect()
+      assert(afterP2.toSet === Set(EventStreams.ClosedSession(1, 1000, 1200, 2)),
+        afterP2.mkString(", "))
+      // phase 3: watermark passes user 2's expiry too — its singleton
+      // session flushes; every session is eventually emitted exactly once
+      Seq(ev(3, 300000)).toDS().toDF().write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+      val afterP3 = spark.table("sessflush_mem").as[EventStreams.ClosedSession].collect()
+      assert(afterP3.toSet === Set(
+        EventStreams.ClosedSession(1, 1000, 1200, 2),
+        EventStreams.ClosedSession(2, 100000, 100000, 1)), afterP3.mkString(", "))
+    } finally q.stop()
+  }
+
+  test("closedSessionsStreaming agrees with the batch twin on sessions closed by data") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("sessbatcheq").toString
+    val evs = events.select(col("user_id"), col("ts")).as[EventStreams.Ev]
+    evs.toDF().write.parquet(s"$dir/in")
+    val src = spark.readStream.schema(
+      org.apache.spark.sql.Encoders.product[EventStreams.Ev].schema).parquet(s"$dir/in")
+    val q = EventStreams.closedSessionsStreaming(src.as[EventStreams.Ev]).writeStream
+      .outputMode("append").format("memory").queryName("sessbatcheq_mem")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try q.processAllAvailable() finally q.stop()
+    // after the data batch, the watermark advances to max(ts)-10min and a
+    // no-data batch flushes every open session already past its expiry —
+    // so streamed = (sessions closed by data) ∪ (expired open sessions):
+    // a superset of the batch twin, a subset of full sessionization
+    val streamed = spark.table("sessbatcheq_mem")
+    val batch = EventStreams.closedSessions(evs).toDF()
+    assert(streamed.count() > 0)
+    assert(batch.exceptAll(streamed).isEmpty,
+      "every data-closed session must be streamed")
+    // full sessionization (final open sessions included), lag-based
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy("t")
+    val full = evs.toDF()
+      .withColumn("t", col("ts").cast("long"))
+      .withColumn("prev", lag("t", 1).over(w))
+      .withColumn("new_sess", (col("prev").isNull || col("t") - col("prev") > 1800).cast("int"))
+      .withColumn("sid", sum("new_sess").over(w))
+      .groupBy("user_id", "sid")
+      .agg(min("t").as("start_s"), max("t").as("end_s"), count(lit(1)).as("n_events"))
+      .select("user_id", "start_s", "end_s", "n_events")
+    assert(streamed.exceptAll(full).isEmpty,
+      "streamed sessions must all be real sessions")
+    val wmSec = evs.agg(max(col("ts").cast("long"))).head.getLong(0) - 600
+    val extras = streamed.exceptAll(batch)
+    assert(extras.count() > 0, "fixture should flush at least one open session")
+    assert(extras.filter(col("end_s") + 1800 > wmSec).count() === 0,
+      "only sessions past their expiry may be timeout-flushed")
+    // completeness: every session safely past expiry was emitted
+    assert(full.filter(col("end_s") + 1800 < wmSec - 1).exceptAll(streamed).isEmpty,
+      "expired sessions must not linger in state")
+  }
+
   test("stream-static broadcast enrichment: replay == batch, dimension rows attach") {
     val customer = Tables(spark, sfDir, "customer")
     val streamed = EventStreams.replayThroughStream(
