@@ -509,16 +509,21 @@ object Extensions {
   val q45 = QueryDef.noOracle("q45_ann_ivf_kmeans") { (s, dir) =>
     val emb = t(s, dir, "embeddings")
     val qPred = col("vec_id") < 10
+    val k = 3
     val ivf = Similarity.ivfKMeansTopK(emb, "vec_id", "embedding",
-      k = 3, nProbe = 2, nCentroids = 8, queryPred = qPred)
+      k = k, nProbe = 2, nCentroids = 8, queryPred = qPred)
     val exact = Similarity.bruteForceTopK(emb.filter(qPred), emb,
-        "vec_id", "embedding", k = 3)
+        "vec_id", "embedding", k = k)
       .groupBy("q_id").agg(collect_set(col("c_id")).as("exact_ids"))
-    val perQ = ivf.groupBy("q_id").agg(collect_set(col("c_id")).as("ivf_ids"))
-      .join(exact, Seq("q_id"))
+    // LEFT join from exact: a query whose IVF probe returns nothing must
+    // count as recall 0 in the mean — an inner join would silently drop
+    // it, overstating recall exactly when IVF fails worst
+    val perQ = exact
+      .join(ivf.groupBy("q_id").agg(collect_set(col("c_id")).as("ivf_ids")),
+        Seq("q_id"), "left")
       .select(col("q_id"),
-        (size(array_intersect(col("ivf_ids"), col("exact_ids")))
-          .cast("double") / 3.0).as("recall_q"))
+        (coalesce(size(array_intersect(col("ivf_ids"), col("exact_ids"))), lit(0))
+          .cast("double") / k).as("recall_q"))
     // the 10-query recall table is tiny — broadcast both the per-query
     // join and the scalar mean (a 1-row cross join, same shape as q12b)
     val mean = perQ.agg(round(avg(col("recall_q")), 4).as("mean_recall"))

@@ -119,10 +119,11 @@ object Relational {
 
   /** HLL sketch variant — sketches differ across engines, so rows-only;
     * but the gate row is made quantitative by emitting the exact count
-    * alongside the sketch and asserting the relative error in-query:
-    * `within_5pct` must be true on every row (HLL at default rsd=0.05
-    * over these cardinalities sits well inside the bound, and both
-    * aggregates are deterministic, so the row values are stable). */
+    * alongside the sketch and asserting the relative error in-query.
+    * The bound is 3× the sketch's rsd (0.05 is a standard DEVIATION,
+    * not a hard bound — a different scale factor or sketch revision can
+    * legitimately exceed 1σ, so the gate asserts the 3σ envelope and
+    * reports the raw rel_err for anyone applying a tighter tolerance). */
   val q04b = QueryDef.noOracle("q04b_approx_distinct") { (s, dir) =>
     t(s, dir, "lineitem")
       .groupBy("l_returnflag")
@@ -134,7 +135,7 @@ object Relational {
         round(abs(col("approx_parts") - col("exact_parts"))
           .cast("double") / col("exact_parts"), 4).as("rel_err"),
         (abs(col("approx_parts") - col("exact_parts"))
-          .cast("double") / col("exact_parts") <= 0.05).as("within_5pct"))
+          .cast("double") / col("exact_parts") <= 0.15).as("within_3rsd"))
       .orderBy("l_returnflag")
   }
 
