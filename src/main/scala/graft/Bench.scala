@@ -43,7 +43,10 @@ object Bench {
     // headline — closest to uncontended cost), median, and relative
     // spread ((max-min)/min over the warm samples) so a box-contended
     // run is self-identifying instead of reading as a code regression.
-    val reps = math.max(3, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    // default 3 warm samples (what the driver gets); an explicit env
+    // value below 3 is honored for one-off scale dry-runs where a
+    // single sample of a very heavy query is all the budget allows
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     case class Timing(min: Double, median: Double, spread: Double)
     // a broken query must read as a diagnostic on stderr, not a bare -1
     def timeOnce(name: String)(body: => Unit): Double = {

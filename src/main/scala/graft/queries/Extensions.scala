@@ -535,7 +535,49 @@ object Extensions {
       .orderBy("q_id", "rn")
   }
 
+  // --------------------------------------------------------------- Q63
+  /** Near-dup CLUSTER RESOLUTION: exact-Jaccard-verified pairs
+    * (θ=0.3 — the verified-duplicate regime on this corpus) →
+    * connected components ([[Dedup.dedupClusters]], iterative min-label
+    * propagation) → every doc labeled with its cluster's canonical
+    * (minimum) id and the cluster size. This is the step that turns
+    * pairwise "A≈B, B≈C" verdicts into "keep A, drop B and C" — the
+    * final stage of a production dedup pipeline. Oracle: the same
+    * reachability closure as a DuckDB recursive CTE. */
+  val q63 = QueryDef("q63_dedup_clusters",
+    s"""WITH RECURSIVE $docwCte, sh AS (
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(w)),
+       |           i -> w[i] || ' ' || w[i+1])) AS shingle
+       |    FROM docw WHERE len(w) >= 2)
+       |), sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |p0 AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), e AS (
+       |  SELECT doc_a AS a, doc_b AS b
+       |  FROM p0 JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+       |  WHERE floor(CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) * 10000 + 0.5) / 10000 >= 0.3
+       |), ee AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+       |reach(node, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT ee.b, reach.lbl FROM reach JOIN ee ON reach.node = ee.a
+       |), cc AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node)
+       |SELECT doc_id, cluster_id,
+       |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |FROM cc ORDER BY doc_id""") { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 2, theta = 0.3)
+    Dedup.dedupClusters(pairs.select("doc_a", "doc_b"), docs.select("doc_id"))
+      .select(col("doc_id"), col("cluster_id"),
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("cluster_id")).as("cluster_size"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q35, q36,
-    q37, q38, q39, q40, q43, q44, q45)
+    q37, q38, q39, q40, q43, q44, q45, q63)
 }

@@ -160,6 +160,20 @@ class AsOfJoinSpec extends SparkSuite {
 }
 
 class RegistrySpec extends SparkSuite {
+  test("dedupClusters: chain, triangle, and singleton resolve to min-id components") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3: forces multi-round propagation),
+    // triangle 10-11-12, isolated edge 20-21, singleton 30
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L, 21L, 30L).toDF("doc_id")
+    val got = graft.operators.Dedup.dedupClusters(pairs, nodes)
+      .as[(Long, Long)].collect().toMap
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L, 30L -> 30L)
+    assert(got === expect)
+  }
+
   test("all registered queries run and return rows on sf0.001 (except known-empty)") {
     val mayBeEmpty = Set("q10_anti_join")
     SparkEntry.queries.foreach { case (name, fn) =>
