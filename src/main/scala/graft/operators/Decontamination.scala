@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Benchmark decontamination for training corpora: flag training
+  * documents that share word n-grams with a held-out benchmark / test
+  * set, so evaluation data can be excised from the training mix (the
+  * standard n-gram-overlap protocol of the GPT-3 / PaLM / Llama data
+  * cards, here with the engine-portable tokenizer the whole repo
+  * shares with its oracle).
+  *
+  * Scale shape (100 TB corpus, benchmark ≪ corpus): the benchmark's
+  * distinct-gram set is tiny relative to the corpus (benchmarks are
+  * thousands-to-millions of docs, not billions) — broadcast it and the
+  * corpus is NEVER shuffled on content: one narrow explode, a map-side
+  * broadcast hash join, then a single shuffle on doc_id carrying only
+  * (doc_id, count). With `broadcastBenchmark = false` the join falls
+  * back to a hash-partitioned equi-join on the gram — the right plan
+  * when the "benchmark" is itself corpus-sized (e.g. cross-corpus
+  * leakage checks).
+  */
+object Decontamination {
+
+  /** Per-document contamination report over `corpus`:
+    * (doc_id, n_grams, n_hit, hit_ratio, contaminated) where `n_hit`
+    * counts the document's DISTINCT word n-grams that appear anywhere
+    * in `benchmark`, and `contaminated` = n_hit ≥ minOverlap.
+    * Documents with fewer than `n` words have zero grams and are
+    * reported (never flagged), not dropped.
+    */
+  def report(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+      textCol: String, n: Int, minOverlap: Int,
+      broadcastBenchmark: Boolean = true): DataFrame = {
+    def grams = // distinct word n-grams, computed narrow per row
+      array_distinct(TextFunctions.wordShingles(
+        TextFunctions.normalizedWords(col(textCol)), n))
+    val corpusGrams = corpus.select(col(idCol).as("doc_id"), explode(grams).as("g"))
+    val benchGrams0 = benchmark.select(explode(grams).as("g")).distinct()
+    val benchGrams = if (broadcastBenchmark) broadcast(benchGrams0) else benchGrams0
+    // inner join (not semi): per-doc hit COUNT is the signal; grams are
+    // already distinct per doc so count(*) is the distinct-hit count
+    val hits = corpusGrams.join(benchGrams, "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    corpus.select(col(idCol).as("doc_id"), size(grams).as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        TextFunctions.round4(coalesce(col("n_hit"), lit(0L)).cast("double") /
+          greatest(col("n_grams"), lit(1))).as("hit_ratio"),
+        (coalesce(col("n_hit"), lit(0L)) >= minOverlap).as("contaminated"))
+  }
+}

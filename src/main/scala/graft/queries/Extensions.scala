@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{AsOfJoin, Dedup, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Decontamination, Dedup, Similarity, TextAnalysis}
 
 /** LLM-data-pipeline extension queries (SURVEY §2.3 Q24–Q26 plus the
   * north-star additions): exact/MinHash/SimHash/n-gram dedup, embedding
@@ -543,8 +543,15 @@ object Extensions {
     * (minimum) id and the cluster size. This is the step that turns
     * pairwise "A≈B, B≈C" verdicts into "keep A, drop B and C" — the
     * final stage of a production dedup pipeline. Oracle: the same
-    * reachability closure as a DuckDB recursive CTE. */
-  val q63 = QueryDef("q63_dedup_clusters",
+    * reachability closure as a DuckDB recursive CTE.
+    *
+    * Two declared flavors over the SAME oracle — the algorithms must
+    * agree exactly:
+    *  - q63: [[Dedup.dedupClusters]], min-label propagation (O(diameter)
+    *    rounds; the cheap path for clique-ish near-dup blobs)
+    *  - q63b: [[Dedup.dedupClustersStar]], large-star/small-star
+    *    contraction (O(log n) rounds; the adversarial-diameter path) */
+  private val dedupClustersOracle =
     s"""WITH RECURSIVE $docwCte, sh AS (
        |  SELECT DISTINCT doc_id, shingle FROM (
        |    SELECT doc_id, unnest(list_transform(range(1, len(w)),
@@ -567,17 +574,64 @@ object Extensions {
        |), cc AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node)
        |SELECT doc_id, cluster_id,
        |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
-       |FROM cc ORDER BY doc_id""") { (s, dir) =>
+       |FROM cc ORDER BY doc_id""".stripMargin
+
+  private def clusterQuery(s: org.apache.spark.sql.SparkSession, dir: String,
+      cc: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val docs = t(s, dir, "documents")
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 2, theta = 0.3)
-    Dedup.dedupClusters(pairs.select("doc_a", "doc_b"), docs.select("doc_id"))
+    cc(pairs.select("doc_a", "doc_b"), docs.select("doc_id"))
       .select(col("doc_id"), col("cluster_id"),
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy("cluster_id")).as("cluster_size"))
       .orderBy("doc_id")
   }
 
+  val q63 = QueryDef("q63_dedup_clusters", dedupClustersOracle) { (s, dir) =>
+    clusterQuery(s, dir, Dedup.dedupClusters)
+  }
+
+  val q63b = QueryDef("q63b_dedup_clusters_star", dedupClustersOracle) { (s, dir) =>
+    clusterQuery(s, dir, Dedup.dedupClustersStar)
+  }
+
+  // --------------------------------------------------------------- Q64
+  /** Benchmark DECONTAMINATION ([[Decontamination.report]]): the corpus
+    * docs (doc_id % 20 ≠ 0) are scored by how many of their distinct
+    * word 3-grams appear anywhere in the held-out "benchmark" split
+    * (doc_id % 20 = 0); ≥3 shared grams flags the doc. The benchmark
+    * gram set is broadcast — the corpus is never shuffled on content. */
+  val q64 = QueryDef("q64_decontaminate",
+    s"""WITH $docwCte, g3 AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+       |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gs
+       |  FROM docw
+       |), bench AS (
+       |  SELECT DISTINCT unnest(gs) AS g FROM g3 WHERE doc_id % 20 = 0
+       |), cg AS (
+       |  SELECT doc_id, unnest(gs) AS g FROM g3 WHERE doc_id % 20 <> 0
+       |), hits AS (
+       |  SELECT cg.doc_id, count(*) AS n_hit FROM cg JOIN bench USING (g)
+       |  GROUP BY cg.doc_id
+       |)
+       |SELECT c.doc_id,
+       |       CAST(coalesce(len(c.gs), 0) AS INT) AS n_grams,
+       |       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+       |       ${TextFunctions.round4Sql(
+              "CAST(coalesce(h.n_hit, 0) AS DOUBLE) / greatest(coalesce(len(c.gs), 0), 1)")} AS hit_ratio,
+       |       coalesce(h.n_hit, 0) >= 3 AS contaminated
+       |FROM g3 c LEFT JOIN hits h ON c.doc_id = h.doc_id
+       |WHERE c.doc_id % 20 <> 0
+       |ORDER BY c.doc_id""") { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    Decontamination.report(
+      corpus = docs.filter(col("doc_id") % 20 =!= 0),
+      benchmark = docs.filter(col("doc_id") % 20 === 0),
+      idCol = "doc_id", textCol = "text", n = 3, minOverlap = 3)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q35, q36,
-    q37, q38, q39, q40, q43, q44, q45, q63)
+    q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64)
 }

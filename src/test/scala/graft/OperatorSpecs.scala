@@ -174,6 +174,47 @@ class RegistrySpec extends SparkSuite {
     assert(got === expect)
   }
 
+  test("dedupClustersStar: agrees with propagation, and resolves a 200-node chain " +
+      "whose diameter exceeds the propagation round bound") {
+    import spark.implicits._
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L, 21L, 30L).toDF("doc_id")
+    val star = graft.operators.Dedup.dedupClustersStar(pairs, nodes)
+      .as[(Long, Long)].collect().toMap
+    val prop = graft.operators.Dedup.dedupClusters(pairs, nodes)
+      .as[(Long, Long)].collect().toMap
+    assert(star === prop)
+
+    // path graph 0-1-…-200: diameter 200 > propagation's 64-round bound,
+    // but star contraction collapses it in O(log n) rounds
+    val chainPairs = (0L until 200L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val chainNodes = (0L to 200L).toDF("doc_id")
+    val chain = graft.operators.Dedup.dedupClustersStar(chainPairs, chainNodes)
+      .as[(Long, Long)].collect().toMap
+    assert(chain === (0L to 200L).map(_ -> 0L).toMap)
+  }
+
+  test("Decontamination.report: overlap counting, boundary threshold, gram-less doc") {
+    import spark.implicits._
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // 4 shared 3-grams with the benchmark doc -> contaminated
+      (1L, "the quick brown fox jumps over a cat"),
+      // shares words but no 3-gram -> clean
+      (2L, "quick the fox brown dog lazy"),
+      // exactly minOverlap-1 = 2 shared grams -> clean (boundary)
+      (3L, "the quick brown fox sleeps"),
+      // under 3 words: zero grams, reported not flagged
+      (4L, "hi there")).toDF("doc_id", "text")
+    val got = graft.operators.Decontamination
+      .report(corpus, bench, "doc_id", "text", n = 3, minOverlap = 3)
+      .select("doc_id", "n_hit", "contaminated")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(got === Array((1L, 4L, true), (2L, 0L, false), (3L, 2L, false), (4L, 0L, false)))
+  }
+
   test("all registered queries run and return rows on sf0.001 (except known-empty)") {
     val mayBeEmpty = Set("q10_anti_join")
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -74,6 +74,18 @@ class PlanAssertionsSpec extends SparkSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q64: benchmark gram set broadcasts — corpus is never shuffled on content") {
+    val p = plan("q64_decontaminate")
+    // both joins broadcast: gram join (corpus ⋈ bench grams) and the
+    // report's doc_id left join against the small hits aggregate
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    // exactly three exchanges: the BENCHMARK side's distinct (tiny,
+    // pre-broadcast), the doc_id hit-count agg, and the final sort.
+    // A fourth would mean the corpus got shuffled on content.
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges <= 3, s"expected <=3 exchanges, got $exchanges\n$p")
+  }
+
   test("q01: inverted index needs exactly one exchange (single-shuffle agg)") {
     val p = plan("q01_inverted_index")
     // count node-detail headers ("(4) Exchange") — the tree section
