@@ -51,8 +51,11 @@ object TextAnalysis {
   /** Document quality features + a composite score in [0,1]:
     * 0.4·min(1, tokens/100) + 0.3·alpha-ratio + 0.3·en-stopword-ratio.
     * Deliberately simple and fully SQL-expressible (oracle-checkable);
-    * the shape (feature columns → weighted score) is what matters. */
-  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * the shape (feature columns → weighted score) is what matters.
+    * `keep` columns pass through (appended) so feature stages chain
+    * without a re-scan + self-join — see the q65 curation pipeline. */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String,
+      keep: Seq[String] = Nil): DataFrame = {
     val t = col(textCol)
     val w = TextFunctions.normalizedWords(t)
     val nTok = size(w)
@@ -64,9 +67,10 @@ object TextAnalysis {
     val score = least(lit(1.0), nTok.cast("double") / 100.0) * 0.4 +
       alphaRatio * 0.3 + stopRatio * 0.3
     import TextFunctions.round4
-    docs.select(col(idCol), nTok.as("n_tok"),
+    docs.select(Seq(col(idCol), nTok.as("n_tok"),
       round4(alphaRatio).as("alpha_ratio"), round4(stopRatio).as("stop_ratio"),
-      round4(avgWordLen).as("avg_word_len"), round4(score).as("score"))
+      round4(avgWordLen).as("avg_word_len"), round4(score).as("score")) ++
+      keep.map(col): _*)
   }
 
   /** Token counts: whitespace tokens and BPE-ish regex tokens (letter

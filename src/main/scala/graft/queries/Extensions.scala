@@ -631,7 +631,99 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------------------------------- Q65
+  /** The CURATION PIPELINE flagship: the full LLM data-prep flow as ONE
+    * declarative plan — language ID → quality filter → exact dedup →
+    * benchmark decontamination → deterministic hash sample — composed
+    * from the repo's operators and oracle-checked end to end.
+    *
+    * Shape notes (100 TB): langId + qualityScore chain NARROW via their
+    * `keep` passthroughs (one scan, zero self-joins); dedup is one
+    * shuffle on the 32-byte content hash + a doc_id semi-join;
+    * decontamination broadcasts the benchmark gram set (corpus never
+    * shuffled on content); the final sample is a deterministic md5
+    * prefix predicate — same 25% on every engine at every scale. */
+  val q65 = {
+    val langs = TextFunctions.langIdOrder
+    val scoreCols = langs.map { l =>
+      val words = TextFunctions.stopwords(l).map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(w, x -> x IN ($words))) AS INT) AS s_$l"
+    }.mkString(",\n         ")
+    val pred = langs.init.zipWithIndex.map { case (l, i) =>
+      val later = langs.drop(i + 1).map(x => s"s_$x").mkString(", ")
+      s"WHEN s_$l >= greatest($later) THEN '$l'"
+    }.mkString("\n           ")
+    val en = TextFunctions.stopwords("en").map(w => s"'$w'").mkString(", ")
+    val scoreSql = TextFunctions.round4Sql(
+      "least(1.0, CAST(len(w) AS DOUBLE) / 100.0) * 0.4 " +
+        "+ CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / greatest(length(text), 1) * 0.3 " +
+        s"+ CAST(len(list_filter(w, x -> x IN ($en))) AS DOUBLE) / greatest(len(w), 1) * 0.3")
+    QueryDef("q65_curation_pipeline",
+      s"""WITH $docwCte, scored AS (
+         |  SELECT doc_id, text, w,
+         |         $scoreCols
+         |  FROM docw WHERE doc_id % 20 <> 0
+         |), feat AS (
+         |  SELECT doc_id, text,
+         |         CASE WHEN text IS NULL THEN NULL
+         |           $pred ELSE '${langs.last}' END AS pred_lang,
+         |         CAST(len(w) AS INT) AS n_tok,
+         |         $scoreSql AS score
+         |  FROM scored
+         |), filt AS (
+         |  SELECT * FROM feat WHERE pred_lang = 'en' AND score >= 0.45
+         |), keep AS (
+         |  SELECT coalesce(md5(text), '') AS h, min(doc_id) AS keep_id
+         |  FROM filt GROUP BY 1
+         |), ded AS (
+         |  SELECT f.doc_id, f.pred_lang, f.n_tok, f.score
+         |  FROM filt f JOIN keep k ON f.doc_id = k.keep_id
+         |), g3 AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+         |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gs
+         |  FROM docw
+         |), bench AS (
+         |  SELECT DISTINCT unnest(gs) AS g FROM g3 WHERE doc_id % 20 = 0
+         |), cg AS (
+         |  SELECT g3.doc_id, unnest(g3.gs) AS g
+         |  FROM g3 JOIN ded ON g3.doc_id = ded.doc_id
+         |), hits AS (
+         |  SELECT cg.doc_id, count(*) AS n_hit FROM cg JOIN bench USING (g)
+         |  GROUP BY cg.doc_id
+         |), dec AS (
+         |  SELECT d.doc_id, d.pred_lang, d.n_tok, d.score,
+         |         CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit
+         |  FROM ded d LEFT JOIN hits h ON d.doc_id = h.doc_id
+         |  WHERE coalesce(h.n_hit, 0) < 3
+         |)
+         |SELECT doc_id, pred_lang, n_tok, score, n_hit
+         |FROM dec
+         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'
+         |ORDER BY doc_id""") { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+      val benchmark = docs.filter(col("doc_id") % 20 === 0)
+      // ONE narrow pass computes language + quality features (keep
+      // passthroughs chain the stages without re-scan/self-join)
+      val feat = TextAnalysis.qualityScore(
+        TextAnalysis.langId(corpus, "doc_id", "text", keep = Seq("text")),
+        "doc_id", "text", keep = Seq("pred_lang", "text"))
+      val filt = feat.filter(col("pred_lang") === "en" && col("score") >= 0.45)
+      val keepIds = Dedup.exact(filt, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val deduped = filt.join(keepIds, Seq("doc_id"), "left_semi")
+      val clean = Decontamination.report(deduped, benchmark, "doc_id", "text",
+          n = 3, minOverlap = 3)
+        .filter(!col("contaminated"))
+        .select("doc_id", "n_hit")
+      deduped.join(clean, "doc_id")
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 1) < "4")
+        .select("doc_id", "pred_lang", "n_tok", "score", "n_hit")
+        .orderBy("doc_id")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q35, q36,
-    q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64)
+    q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65)
 }
