@@ -1,10 +1,13 @@
 // Scratch profiler for the minhash-dedup pipeline (the q27 bench shape):
-//   sbt "runMain graft.tools.ProfileDedup <sfDir> [stages|query|all] [reps]"
+//   sbt "runMain graft.tools.ProfileDedup <sfDir> [stages|query|bands|all] [reps]"
 // `stages` times each pipeline stage (scan+tokenize, signatures,
 // candidates) by count; `query` times the declared q27 exactly as Bench
 // does (noop write) plus the orderBy-free candidate stage, so the
 // sort/exchange cost of the oracle-mandated total order is visible;
-// `all` (default) runs both.
+// `bands` sweeps the LSH banding config (the precision knob that bounds
+// candidate-pair volume on near-dup-dense corpora: fewer bands → more
+// rows per band → a pair must agree on a longer signature slice to
+// become a candidate); `all` (default) runs stages+query.
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
@@ -43,6 +46,17 @@ object ProfileDedup {
         graft.operators.Dedup.minhashSignatures(docs, "doc_id", "text", 1, 12).count())
       time("candidates e2e")(
         graft.operators.Dedup.minhashCandidates(docs, "doc_id", "text", 1, 12, 2).count())
+    }
+    if (mode == "bands") {
+      // k divides into 12/6/4/3/2/1 bands; bands=k is one hash per
+      // band (max recall, max candidates), bands=1 demands the full
+      // signature match (max precision, min candidates)
+      val k = graft.queries.Extensions.mhK
+      Seq(12, 6, 4, 3, 2, 1).filter(k % _ == 0).foreach { b =>
+        val t0 = System.nanoTime()
+        val n = graft.operators.Dedup.minhashCandidates(docs, "doc_id", "text", 1, k, b).count()
+        println(f"bands=$b%-3d rows/band=${k / b}%-3d candidates=$n%10d  ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+      }
     }
     if (mode == "query" || mode == "all") {
       val cands = graft.operators.Dedup.minhashCandidates(docs, "doc_id", "text", 1, 12, 2)
