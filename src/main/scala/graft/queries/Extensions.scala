@@ -69,13 +69,17 @@ object Extensions {
   // exposed so Bench's q27_pairs instrumentation counts the SAME
   // candidate stage the declared query runs
   val mhK = 12; val mhBands = 2
-  val q27 = {
+  // q27's oracle-side minhash fragments, shared with q66's pipeline oracle
+  private val mhMinsSql =
+    (0 until mhK).map(j => s"min(md5('$j|' || shingle)) AS h$j").mkString(",\n         ")
+  private val mhBandSelectsSql = (0 until mhBands).map { b =>
     val rows = mhK / mhBands
-    val mins = (0 until mhK).map(j => s"min(md5('$j|' || shingle)) AS h$j").mkString(",\n         ")
-    val bandSelects = (0 until mhBands).map { b =>
-      val cat = (0 until rows).map(r => s"h${b * rows + r}").mkString(" || '|' || ")
-      s"SELECT doc_id, $b AS band_idx, md5($cat) AS bh FROM sig"
-    }.mkString("\n  UNION ALL ")
+    val cat = (0 until rows).map(r => s"h${b * rows + r}").mkString(" || '|' || ")
+    s"SELECT doc_id, $b AS band_idx, md5($cat) AS bh FROM sig"
+  }.mkString("\n  UNION ALL ")
+  val q27 = {
+    val mins = mhMinsSql
+    val bandSelects = mhBandSelectsSql
     QueryDef("q27_minhash_lsh",
       s"""WITH $docwCte, sh AS (
          |  SELECT DISTINCT doc_id, shingle
@@ -723,7 +727,64 @@ object Extensions {
     }
   }
 
+  // --------------------------------------------------------------- Q66
+  /** The PRODUCTION-SHAPE dedup pipeline: MinHash LSH candidates (q27
+    * config) → exact-Jaccard refine on the candidate pairs ONLY
+    * ([[Dedup.jaccardRefine]], O(|pairs|)) → star-contraction connected
+    * components → canonical cluster ids. Where q63 generates verified
+    * pairs by the precise-but-quadratic shared-shingle join, every
+    * stage here is a bucketed equi-join or narrow map — this is the
+    * composition that runs at 100 TB, and the oracle checks the whole
+    * chain (sketch → refine → closure) exactly. */
+  val q66 = QueryDef("q66_dedup_pipeline",
+    s"""WITH RECURSIVE $docwCte, sh AS (
+       |  SELECT DISTINCT doc_id, shingle
+       |  FROM (SELECT doc_id, unnest(w) AS shingle FROM docw)
+       |), sig AS (
+       |  SELECT doc_id, $mhMinsSql
+       |  FROM sh GROUP BY doc_id
+       |), bands AS (
+       |  $mhBandSelectsSql
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id
+       |), sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+       |  GROUP BY 1, 2
+       |), e AS (
+       |  SELECT c.doc_a AS a, c.doc_b AS b
+       |  FROM cand c
+       |  JOIN sz za ON za.doc_id = c.doc_a JOIN sz zb ON zb.doc_id = c.doc_b
+       |  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+       |  WHERE floor(CAST(coalesce(i.n_common, 0) AS DOUBLE)
+       |        / (za.sz + zb.sz - coalesce(i.n_common, 0)) * 10000 + 0.5) / 10000 >= 0.5
+       |), ee AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+       |reach(node, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT ee.b, reach.lbl FROM reach JOIN ee ON reach.node = ee.a
+       |), cc AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node)
+       |SELECT doc_id, cluster_id,
+       |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |FROM cc ORDER BY doc_id""") { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val cands = Dedup.minhashCandidates(docs, "doc_id", "text",
+      n = 1, k = mhK, bands = mhBands)
+    val verified = Dedup.jaccardRefine(cands, docs, "doc_id", "text",
+      n = 1, theta = 0.5)
+    Dedup.dedupClustersStar(verified.select("doc_a", "doc_b"), docs.select("doc_id"))
+      .select(col("doc_id"), col("cluster_id"),
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("cluster_id")).as("cluster_size"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q35, q36,
-    q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65)
+    q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66)
 }

@@ -195,6 +195,22 @@ class RegistrySpec extends SparkSuite {
     assert(chain === (0L to 200L).map(_ -> 0L).toMap)
   }
 
+  test("jaccardRefine over the complete pair set equals ngramJaccardPairs") {
+    import spark.implicits._
+    val docs = graft.sources.Tables(spark, sfDir, "documents").limit(80).cache()
+    val ids = docs.select("doc_id").as[Long].collect().sorted
+    val allPairs = (for { a <- ids; b <- ids if a < b } yield (a, b))
+      .toSeq.toDF("doc_a", "doc_b")
+    val refined = graft.operators.Dedup
+      .jaccardRefine(allPairs, docs, "doc_id", "text", n = 2, theta = 0.05)
+      .as[(Long, Long, Double)].collect().toSet
+    val generated = graft.operators.Dedup
+      .ngramJaccardPairs(docs, "doc_id", "text", n = 2, theta = 0.05)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(refined === generated)
+    assert(refined.nonEmpty)
+  }
+
   test("Decontamination.report: overlap counting, boundary threshold, gram-less doc") {
     import spark.implicits._
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
