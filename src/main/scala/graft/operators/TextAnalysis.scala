@@ -74,13 +74,21 @@ object TextAnalysis {
   }
 
   /** Token counts: whitespace tokens and BPE-ish regex tokens (letter
-    * runs / digit runs / single other glyph), plus chars-per-token. */
+    * runs / digit runs / single other glyph), plus chars-per-token.
+    * Counts run through the native single-pass expressions
+    * ([[graft.plans.TextNormExprs.WsTokenCountExpr]] /
+    * [[graft.plans.TextNormExprs.BpeishCountExpr]]) — no regex, no
+    * match-array materialization; equality with the composed
+    * split/regexp_extract_all forms is property-asserted. */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
-    val nWs = size(filter(TextFunctions.whitespaceTokens(t), x => x =!= ""))
-    val nRe = size(regexp_extract_all(lower(t), lit(TextFunctions.bpeishPattern), lit(0)))
-    docs.select(col(idCol), nWs.as("n_ws_tok"), nRe.as("n_re_tok"),
-      TextFunctions.round4(length(t).cast("double") / greatest(nRe, lit(1))).as("chars_per_tok"))
+    docs.select(col(idCol),
+        graft.plans.TextNormExprs.wsTokenCount(t).as("n_ws_tok"),
+        graft.plans.TextNormExprs.bpeishCount(lower(t)).as("n_re_tok"),
+        length(t).as("__len"))
+      .select(col(idCol), col("n_ws_tok"), col("n_re_tok"),
+        TextFunctions.round4(col("__len").cast("double") /
+          greatest(col("n_re_tok"), lit(1))).as("chars_per_tok"))
   }
 
   /** Rolling-hash fingerprint: hash every char 8-gram of the lowercased

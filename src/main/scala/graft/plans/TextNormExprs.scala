@@ -114,6 +114,94 @@ object TextNormExprs {
   def normalizedWords(text: Column): Column =
     GraftColumnBridge.toColumn(NormalizedWordsExpr(GraftColumnBridge.toExpression(text)))
 
+  /** Count of whitespace-delimited tokens — the COUNT-ONLY twin of
+    * `size(filter(split(text, "\\s+"), _ =!= ""))`: one byte scan, no
+    * array materialization, no regex. Java regex `\s` is exactly
+    * {0x20, 0x09–0x0D}, all ASCII, so maximal non-ws byte runs are
+    * countable bytewise (UTF-8 continuation bytes are never ws). */
+  case class WsTokenCountExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"ws_token_count requires a STRING input, got ${other.simpleString}")
+      }
+    private def isWs(b: Byte): Boolean = b == 0x20 || (b >= 0x09 && b <= 0x0d)
+    override def nullSafeEval(input: Any): Any = {
+      val bytes = input.asInstanceOf[UTF8String].getBytes
+      var cnt = 0
+      var inTok = false
+      var i = 0
+      while (i < bytes.length) {
+        val ws = isWs(bytes(i))
+        if (!ws && !inTok) cnt += 1
+        inTok = !ws
+        i += 1
+      }
+      cnt
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "ws_token_count"
+  }
+
+  def wsTokenCount(text: Column): Column =
+    GraftColumnBridge.toColumn(WsTokenCountExpr(GraftColumnBridge.toExpression(text)))
+
+  /** Count of BPE-ish tokens — the COUNT-ONLY twin of
+    * `size(regexp_extract_all(s, "[a-z]+|[0-9]+|[^a-z0-9\\s]", 0))`:
+    * one byte scan, no match-list materialization. The caller passes
+    * the ALREADY-LOWERED string (keep `lower()` outside, exactly like
+    * the composed form) so locale/lowering semantics stay Spark's own.
+    *
+    * Byte rules mirror the regex's per-CODEPOINT semantics: [a-z] and
+    * [0-9] runs count once; ASCII `\s` separates; any other ASCII byte
+    * is a single-glyph match; a non-ASCII codepoint (UTF-8 lead byte,
+    * continuation bytes skipped) is a single-glyph match — including
+    * non-ASCII whitespace, which Java regex `\s` does NOT match. */
+  case class BpeishCountExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"bpeish_count requires a STRING input, got ${other.simpleString}")
+      }
+    private def isWs(b: Byte): Boolean = b == 0x20 || (b >= 0x09 && b <= 0x0d)
+    override def nullSafeEval(input: Any): Any = {
+      val bytes = input.asInstanceOf[UTF8String].getBytes
+      var cnt = 0
+      var run = 0 // 0 = none, 1 = letter run, 2 = digit run
+      var i = 0
+      while (i < bytes.length) {
+        val b = bytes(i)
+        if (b >= 'a' && b <= 'z') { if (run != 1) cnt += 1; run = 1 }
+        else if (b >= '0' && b <= '9') { if (run != 2) cnt += 1; run = 2 }
+        else if (b >= 0 && isWs(b)) run = 0
+        else if (b >= 0) { cnt += 1; run = 0 } // other ASCII glyph
+        else { // non-ASCII: count one per lead byte, skip continuations
+          if ((b & 0xc0) != 0x80) cnt += 1
+          run = 0
+        }
+        i += 1
+      }
+      cnt
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "bpeish_count"
+  }
+
+  def bpeishCount(loweredText: Column): Column =
+    GraftColumnBridge.toColumn(BpeishCountExpr(GraftColumnBridge.toExpression(loweredText)))
+
   /** Per-language stopword-hit counts over a word array, all languages
     * in ONE pass: one hash lookup per token against a word →
     * per-language increment table, replacing an interpreted

@@ -77,4 +77,30 @@ object NormalizerPropertySpec extends Properties("normalizer") {
         .select(explode(TextFunctions.normalizedWords(col("s"))).as("w")).as[String]
         .collect().forall(w => w.nonEmpty && !w.exists(_.isWhitespace))
     }
+
+  property("native ws_token_count == size(filter(split))") =
+    forAll(Gen.listOfN(5, weird)) { ss =>
+      import spark.implicits._
+      val df = ss.toDF("s")
+      val native = df.select(graft.plans.TextNormExprs.wsTokenCount(col("s")))
+        .as[Int].collect().toSeq
+      val composed = df.select(
+        size(filter(TextFunctions.whitespaceTokens(col("s")), x => x =!= "")))
+        .as[Int].collect().toSeq
+      native == composed
+    }
+
+  property("native bpeish_count == size(regexp_extract_all) on lowered text") =
+    forAll(Gen.listOfN(5, weird)) { ss =>
+      import spark.implicits._
+      // the fixed row pins non-BMP codepoints (4-byte UTF-8, surrogate
+      // pairs in UTF-16): the regex counts each as ONE glyph match
+      val df = (ss :+ "a😀b 😀😀 x1  y").toDF("s")
+      val native = df.select(graft.plans.TextNormExprs.bpeishCount(lower(col("s"))))
+        .as[Int].collect().toSeq
+      val composed = df.select(size(regexp_extract_all(
+          lower(col("s")), lit(TextFunctions.bpeishPattern), lit(0))))
+        .as[Int].collect().toSeq
+      native == composed
+    }
 }
