@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{AsOfJoin, Decontamination, Dedup, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Decontamination, Dedup, SequencePacking, Similarity, TextAnalysis}
 
 /** LLM-data-pipeline extension queries (SURVEY §2.3 Q24–Q26 plus the
   * north-star additions): exact/MinHash/SimHash/n-gram dedup, embedding
@@ -784,7 +784,33 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------------------------------- Q67
+  /** SEQUENCE PACKING ([[SequencePacking.pack]]): documents → BPE-ish
+    * token counts → 32 parallel packers (id-hash groups) → greedy
+    * fixed-budget bins (512 tokens) via an in-group windowed cumsum.
+    * Deterministic on every engine; the oracle reproduces the group
+    * assignment, in-group order, and bin arithmetic exactly. */
+  val q67 = QueryDef("q67_sequence_pack",
+    s"""WITH tc AS (
+       |  SELECT doc_id,
+       |         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INT) AS n_tok
+       |  FROM documents
+       |), packed AS (
+       |  SELECT doc_id, n_tok, doc_id % 32 AS pack_group,
+       |         sum(n_tok) OVER (PARTITION BY doc_id % 32 ORDER BY doc_id) AS cum
+       |  FROM tc
+       |)
+       |SELECT doc_id, n_tok, CAST(pack_group AS BIGINT) AS pack_group,
+       |       CAST(floor(CAST(cum - n_tok AS DOUBLE) / 512) AS BIGINT) AS bin
+       |FROM packed ORDER BY doc_id""") { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val withTok = docs.select(col("doc_id"),
+      graft.plans.TextNormExprs.bpeishCount(lower(col("text"))).as("n_tok"))
+    SequencePacking.pack(withTok, "doc_id", "n_tok", numGroups = 32, budget = 512)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q35, q36,
-    q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66)
+    q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67)
 }

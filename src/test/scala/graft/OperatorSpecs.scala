@@ -195,6 +195,22 @@ class RegistrySpec extends SparkSuite {
     assert(chain === (0L to 200L).map(_ -> 0L).toMap)
   }
 
+  test("SequencePacking.pack: bin rollover, exact-boundary start, oversized straddle") {
+    import spark.implicits._
+    // groups of 2, budget 10. Group 0 (ids 0,2,4,6): tok 4,5,12,1 —
+    // doc 4 (12 tok) straddles bin 0 past two boundaries, so doc 6
+    // starts at bin 2 (bin 1 is skipped). Group 1 (ids 1,3): doc 1
+    // fills bin 0 exactly (10 tok); doc 3 starts bin 1.
+    val docs = Seq((0L, 4), (1L, 10), (2L, 5), (3L, 1), (4L, 12), (6L, 1))
+      .toDF("doc_id", "n_tok")
+    val got = graft.operators.SequencePacking
+      .pack(docs, "doc_id", "n_tok", numGroups = 2, budget = 10)
+      .select("doc_id", "pack_group", "bin")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got === Array((0L, 0L, 0L), (1L, 1L, 0L), (2L, 0L, 0L),
+      (3L, 1L, 1L), (4L, 0L, 0L), (6L, 0L, 2L)))
+  }
+
   test("jaccardRefine over the complete pair set equals ngramJaccardPairs") {
     import spark.implicits._
     val docs = graft.sources.Tables(spark, sfDir, "documents").limit(80).cache()
