@@ -112,7 +112,10 @@ object Bench {
     val headlineMins = results.toMap
     val fullResults: Seq[(String, Double)] =
       if (sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "1") == "0") Seq.empty
-      else SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      else SparkEntry.queries.keys.toSeq.sorted.filterNot(skip).map { name =>
+        // skip applies here too: a whale excluded from the headline must
+        // not run in the full sweep either, or its same-JVM GC aftermath
+        // pollutes every sample after it anyway
         name -> headlineMins.get(name).map(_.min).getOrElse(
           timeOnce(name)(SparkEntry.queries(name)(spark, sfDir)
             .write.format("noop").mode("overwrite").save()))

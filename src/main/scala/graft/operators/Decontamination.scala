@@ -44,7 +44,10 @@ object Decontamination {
     // already distinct per doc so count(*) is the distinct-hit count
     val hits = corpusGrams.join(benchGrams, "g")
       .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
-    corpus.select(col(idCol).as("doc_id"), size(grams).as("n_grams"))
+    // coalesce: a NULL-text doc has NULL grams (size(null) is null) but
+    // the contract — and the q64 oracle — reports it with 0 grams
+    corpus.select(col(idCol).as("doc_id"),
+        coalesce(size(grams), lit(0)).as("n_grams"))
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_grams"),
         coalesce(col("n_hit"), lit(0L)).as("n_hit"),

@@ -605,19 +605,28 @@ object Extensions {
     * word 3-grams appear anywhere in the held-out "benchmark" split
     * (doc_id % 20 = 0); ≥3 shared grams flags the doc. The benchmark
     * gram set is broadcast — the corpus is never shuffled on content. */
-  val q64 = QueryDef("q64_decontaminate",
-    s"""WITH $docwCte, g3 AS (
+  /** Shared oracle fragment for q64/q65: 3-gram sets per doc (`g3`),
+    * the benchmark split's distinct grams (`bench`), and per-corpus-doc
+    * hit counts (`hits`) over a caller-chosen corpus selection `cg` —
+    * ONE copy, so a gram/threshold change cannot silently desynchronize
+    * the two oracles from [[Decontamination.report]]. */
+  private def deconHitsCteSql(cgSelect: String): String =
+    s"""g3 AS (
        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gs
        |  FROM docw
        |), bench AS (
        |  SELECT DISTINCT unnest(gs) AS g FROM g3 WHERE doc_id % 20 = 0
        |), cg AS (
-       |  SELECT doc_id, unnest(gs) AS g FROM g3 WHERE doc_id % 20 <> 0
+       |  $cgSelect
        |), hits AS (
        |  SELECT cg.doc_id, count(*) AS n_hit FROM cg JOIN bench USING (g)
        |  GROUP BY cg.doc_id
-       |)
+       |)""".stripMargin
+
+  val q64 = QueryDef("q64_decontaminate",
+    s"""WITH $docwCte, ${deconHitsCteSql(
+         "SELECT doc_id, unnest(gs) AS g FROM g3 WHERE doc_id % 20 <> 0")}
        |SELECT c.doc_id,
        |       CAST(coalesce(len(c.gs), 0) AS INT) AS n_grams,
        |       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
@@ -682,19 +691,9 @@ object Extensions {
          |), ded AS (
          |  SELECT f.doc_id, f.pred_lang, f.n_tok, f.score
          |  FROM filt f JOIN keep k ON f.doc_id = k.keep_id
-         |), g3 AS (
-         |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
-         |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gs
-         |  FROM docw
-         |), bench AS (
-         |  SELECT DISTINCT unnest(gs) AS g FROM g3 WHERE doc_id % 20 = 0
-         |), cg AS (
-         |  SELECT g3.doc_id, unnest(g3.gs) AS g
-         |  FROM g3 JOIN ded ON g3.doc_id = ded.doc_id
-         |), hits AS (
-         |  SELECT cg.doc_id, count(*) AS n_hit FROM cg JOIN bench USING (g)
-         |  GROUP BY cg.doc_id
-         |), dec AS (
+         |), ${deconHitsCteSql(
+              """SELECT g3.doc_id, unnest(g3.gs) AS g
+                |  FROM g3 JOIN ded ON g3.doc_id = ded.doc_id""".stripMargin)}, dec AS (
          |  SELECT d.doc_id, d.pred_lang, d.n_tok, d.score,
          |         CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit
          |  FROM ded d LEFT JOIN hits h ON d.doc_id = h.doc_id

@@ -119,19 +119,39 @@ class ManifestCorpusScan(manifestPath: String, maxBytes: Long, required: StructT
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = confCarrier.value
     val files = graft.operators.InvertedIndex.readManifest(manifestPath, conf)
+    // stat the manifest entries with a bounded thread pool (the same
+    // trick as Spark's InMemoryFileIndex listing): one SERIAL blocking
+    // getFileStatus per entry would make planning O(files) round-trips —
+    // hours for a 200k-file manifest on an object store with ~10-50 ms
+    // per HEAD. Order is preserved so binning stays manifest-ordered.
+    val threads = math.min(32, math.max(1, files.length))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val sizes: Seq[Long] =
+      try {
+        val futures = files.map { case (path, id) =>
+          pool.submit(new java.util.concurrent.Callable[Long] {
+            override def call(): Long = {
+              val hPath = new HPath(path)
+              try math.max(1L, hPath.getFileSystem(conf).getFileStatus(hPath).getLen)
+              catch {
+                case _: FileNotFoundException => throw new FileNotFoundException(
+                  s"manifest-corpus: file #$id listed in manifest '$manifestPath' does not exist: $path")
+              }
+            }
+          })
+        }
+        futures.map { f =>
+          try f.get()
+          catch { // unwrap so the caller sees the FileNotFoundException itself
+            case e: java.util.concurrent.ExecutionException => throw e.getCause
+          }
+        }
+      } finally pool.shutdown()
     val partitions = scala.collection.mutable.ArrayBuffer.empty[CorpusFilesPartition]
     var current = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
     var bytes = 0L
-    files.foreach { case (path, id) =>
-      val hPath = new HPath(path)
-      val status =
-        try hPath.getFileSystem(conf).getFileStatus(hPath)
-        catch {
-          case _: FileNotFoundException => throw new FileNotFoundException(
-            s"manifest-corpus: file #$id listed in manifest '$manifestPath' does not exist: $path")
-        }
+    files.zip(sizes).foreach { case ((path, id), sz) =>
       // 0-byte files still occupy one slot so they are assigned a reader
-      val sz = math.max(1L, status.getLen)
       if (bytes > 0 && bytes + sz > maxBytes) {
         partitions += CorpusFilesPartition(current.toSeq)
         current = scala.collection.mutable.ArrayBuffer.empty

@@ -175,21 +175,41 @@ object EventStreams {
             var open = state.getOption
             sorted.foreach { t =>
               open match {
-                case Some(o) if t - o.last <= gapSeconds =>
-                  open = Some(o.copy(last = t, n = o.n + 1))
-                case Some(o) =>
+                // within gap of the open interval on either side: merge.
+                // min/max, never overwrite — an in-watermark out-of-order
+                // event from a later micro-batch must not REGRESS `last`
+                // (that would split the session and emit end < a
+                // contained event's time)
+                case Some(o) if t >= o.start - gapSeconds && t - o.last <= gapSeconds =>
+                  open = Some(OpenSession(math.min(o.start, t), math.max(o.last, t), o.n + 1))
+                case Some(o) if t > o.last =>
                   closed += ClosedSession(user, o.start, o.last, o.n)
                   open = Some(OpenSession(t, t, 1))
+                case Some(_) =>
+                  // older than the open session by more than the gap: a
+                  // separate earlier session. Single-interval state can't
+                  // hold two open sessions, so it is emitted immediately —
+                  // a documented approximation (an even-later straggler
+                  // inside ITS gap would extend it in the exact batch
+                  // semantics; the watermark bounds how late that can be)
+                  closed += ClosedSession(user, t, t, 1)
                 case None =>
                   open = Some(OpenSession(t, t, 1))
               }
             }
-            open.foreach { o =>
+            // no accepted events (e.g. all-null timestamps): leave state
+            // AND the armed timeout untouched — re-arming from stale
+            // state could set a timestamp at/behind the current
+            // watermark, which GroupState rejects, killing the query
+            if (sorted.nonEmpty) open.foreach { o =>
               state.update(o)
-              // fires once the watermark passes the session expiry; the
-              // timestamp is always ahead of the current watermark
-              // because `last` is an event time this batch accepted
-              state.setTimeoutTimestamp((o.last + gapSeconds) * 1000)
+              // fires once the watermark passes the session expiry.
+              // Clamped ahead of the current watermark: with gap <
+              // lateness an accepted event's expiry can already be
+              // behind the watermark, and GroupState rejects a
+              // non-future timeout; the clamp flushes next batch instead
+              state.setTimeoutTimestamp(math.max(
+                (o.last + gapSeconds) * 1000, state.getCurrentWatermarkMs + 1))
             }
             closed.iterator
           }

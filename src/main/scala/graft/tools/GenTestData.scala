@@ -158,10 +158,11 @@ object GenTestData {
           s - lit(3.0)
         }).as("raw"),
         pmod(hash(col("id"), lit(97)), lit(10)).cast("int").as("label"))
+      // hoist the norm: inside the transform it would re-run the
+      // dim-term aggregate once PER ELEMENT (dim× overhead per row)
+      .withColumn("__nrm", sqrt(aggregate(col("raw"), lit(0.0d), (acc, v) => acc + v * v)))
       .select(col("vec_id"),
-        transform(col("raw"), x =>
-          (x / sqrt(aggregate(col("raw"), lit(0.0d), (acc, v) => acc + v * v)))
-            .cast("float")).as("embedding"),
+        transform(col("raw"), x => (x / col("__nrm")).cast("float")).as("embedding"),
         col("label")))
 
     spark.stop()

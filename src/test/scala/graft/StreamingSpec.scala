@@ -222,6 +222,35 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("in-watermark out-of-order event in a later batch must not regress the session end") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("sessooo").toString
+    def ev(user: Long, sec: Long) = EventStreams.Ev(user, new java.sql.Timestamp(sec * 1000))
+    // batch 1: session spans 100000..100100 (written before the stream
+    // starts — the parquet source needs an existing path)
+    Seq(ev(1, 100000), ev(1, 100100)).toDS().toDF().write.mode("append").parquet(s"$dir/in")
+    val src = spark.readStream.schema(
+      org.apache.spark.sql.Encoders.product[EventStreams.Ev].schema).parquet(s"$dir/in")
+    val q = EventStreams.closedSessionsStreaming(src.as[EventStreams.Ev]).writeStream
+      .outputMode("append").format("memory").queryName("sessooo_mem")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: out-of-order event INSIDE the session, within the
+      // 10-min lateness (watermark = 100100-600 = 99500 < 100050).
+      // A last = t overwrite here would regress the session end.
+      Seq(ev(1, 100050)).toDS().toDF().write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+      // batch 3: gap exceeded — the session closes with its TRUE bounds
+      Seq(ev(1, 103000)).toDS().toDF().write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+      val got = spark.table("sessooo_mem").as[EventStreams.ClosedSession].collect()
+      assert(got.toSet === Set(EventStreams.ClosedSession(1, 100000, 100100, 3)),
+        got.mkString(", "))
+    } finally q.stop()
+  }
+
   test("closedSessionsStreaming agrees with the batch twin on sessions closed by data") {
     import spark.implicits._
     import java.nio.file.Files
