@@ -143,7 +143,13 @@ class ManifestCorpusScan(manifestPath: String, maxBytes: Long, required: StructT
         futures.map { f =>
           try f.get()
           catch { // unwrap so the caller sees the FileNotFoundException itself
-            case e: java.util.concurrent.ExecutionException => throw e.getCause
+            case e: java.util.concurrent.ExecutionException =>
+              // fail-fast for real: plain shutdown() would let every
+              // queued stat run to completion in the background (O(files)
+              // HEADs against the store, non-daemon threads pinning a
+              // short-lived driver)
+              pool.shutdownNow()
+              throw e.getCause
           }
         }
       } finally pool.shutdown()

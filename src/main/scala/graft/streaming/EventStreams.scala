@@ -169,49 +169,45 @@ object EventStreams {
             state.remove()
             Iterator.single(ClosedSession(user, o.start, o.last, o.n))
           } else {
+            // Full interval-merge sessionization of (existing open
+            // session ∪ this batch's events), sorted by start: exact
+            // batch-twin semantics for everything in hand — in-watermark
+            // out-of-order events extend the open interval on EITHER
+            // side (never regress it), and stragglers older than the
+            // open session sessionize among themselves instead of
+            // splitting into singletons. All intervals except the
+            // latest are emitted; only the latest stays open (the one
+            // approximation single-interval state forces: an emitted
+            // older interval could in principle still be extended by an
+            // even-later straggler — the watermark bounds how late).
             val sorted = evs.toSeq.iterator.filter(_.ts != null)
               .map(_.ts.getTime / 1000).toSeq.sorted
-            val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
-            var open = state.getOption
-            sorted.foreach { t =>
-              open match {
-                // within gap of the open interval on either side: merge.
-                // min/max, never overwrite — an in-watermark out-of-order
-                // event from a later micro-batch must not REGRESS `last`
-                // (that would split the session and emit end < a
-                // contained event's time)
-                case Some(o) if t >= o.start - gapSeconds && t - o.last <= gapSeconds =>
-                  open = Some(OpenSession(math.min(o.start, t), math.max(o.last, t), o.n + 1))
-                case Some(o) if t > o.last =>
-                  closed += ClosedSession(user, o.start, o.last, o.n)
-                  open = Some(OpenSession(t, t, 1))
-                case Some(_) =>
-                  // older than the open session by more than the gap: a
-                  // separate earlier session. Single-interval state can't
-                  // hold two open sessions, so it is emitted immediately —
-                  // a documented approximation (an even-later straggler
-                  // inside ITS gap would extend it in the exact batch
-                  // semantics; the watermark bounds how late that can be)
-                  closed += ClosedSession(user, t, t, 1)
-                case None =>
-                  open = Some(OpenSession(t, t, 1))
+            val intervals = (sorted.map(t => OpenSession(t, t, 1)) ++ state.getOption.toSeq)
+              .sortBy(o => (o.start, o.last))
+            // fold prepends, so the head is always the latest interval
+            val merged = intervals.foldLeft(List.empty[OpenSession]) { (acc, iv) =>
+              acc match {
+                case head :: tail if iv.start - head.last <= gapSeconds =>
+                  OpenSession(head.start, math.max(head.last, iv.last), head.n + iv.n) :: tail
+                case _ => iv :: acc
               }
             }
-            // no accepted events (e.g. all-null timestamps): leave state
-            // AND the armed timeout untouched — re-arming from stale
-            // state could set a timestamp at/behind the current
-            // watermark, which GroupState rejects, killing the query
-            if (sorted.nonEmpty) open.foreach { o =>
-              state.update(o)
-              // fires once the watermark passes the session expiry.
-              // Clamped ahead of the current watermark: with gap <
-              // lateness an accepted event's expiry can already be
-              // behind the watermark, and GroupState rejects a
-              // non-future timeout; the clamp flushes next batch instead
-              state.setTimeoutTimestamp(math.max(
-                (o.last + gapSeconds) * 1000, state.getCurrentWatermarkMs + 1))
+            merged match {
+              case Nil => Iterator.empty // only null-ts events, no state
+              case keepOpen :: toClose =>
+                state.update(keepOpen)
+                // Re-arm EVERY invocation: Spark clears a group's timeout
+                // on each call unless setTimeoutTimestamp is called again
+                // — skipping it (e.g. on a null-ts-only batch) silently
+                // disarms the flush and leaks the session + its state.
+                // Clamped ahead of the current watermark: a stale or
+                // gap<lateness expiry can lie at/behind the watermark,
+                // which GroupState rejects; the clamp flushes next batch.
+                state.setTimeoutTimestamp(math.max(
+                  (keepOpen.last + gapSeconds) * 1000, state.getCurrentWatermarkMs + 1))
+                toClose.reverse.iterator
+                  .map(o => ClosedSession(user, o.start, o.last, o.n))
             }
-            closed.iterator
           }
       }
   }

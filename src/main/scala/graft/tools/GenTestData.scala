@@ -158,11 +158,15 @@ object GenTestData {
           s - lit(3.0)
         }).as("raw"),
         pmod(hash(col("id"), lit(97)), lit(10)).cast("int").as("label"))
-      // hoist the norm: inside the transform it would re-run the
-      // dim-term aggregate once PER ELEMENT (dim× overhead per row)
-      .withColumn("__nrm", sqrt(aggregate(col("raw"), lit(0.0d), (acc, v) => acc + v * v)))
+      // NOTE: the norm aggregate evaluates once per element (dim× per
+      // row) — a withColumn hoist does NOT fix it, CollapseProject
+      // inlines a used-once alias straight back into the lambda.
+      // Accepted for this offline generator; a real fix needs an
+      // optimizer barrier or a native expression.
       .select(col("vec_id"),
-        transform(col("raw"), x => (x / col("__nrm")).cast("float")).as("embedding"),
+        transform(col("raw"), x =>
+          (x / sqrt(aggregate(col("raw"), lit(0.0d), (acc, v) => acc + v * v)))
+            .cast("float")).as("embedding"),
         col("label")))
 
     spark.stop()

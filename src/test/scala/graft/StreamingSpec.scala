@@ -251,6 +251,60 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("a null-timestamp-only batch must not disarm the pending session flush") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("sessnull").toString
+    def ev(user: Long, sec: Long) = EventStreams.Ev(user, new java.sql.Timestamp(sec * 1000))
+    Seq(ev(1, 1000), ev(1, 1200)).toDS().toDF().write.mode("append").parquet(s"$dir/in")
+    val src = spark.readStream.schema(
+      org.apache.spark.sql.Encoders.product[EventStreams.Ev].schema).parquet(s"$dir/in")
+    val q = EventStreams.closedSessionsStreaming(src.as[EventStreams.Ev]).writeStream
+      .outputMode("append").format("memory").queryName("sessnull_mem")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      q.processAllAvailable()
+      // a batch with ONLY a null-ts event for user 1: Spark clears the
+      // group's timeout unless the function re-arms it — failing to do
+      // so leaks the session forever
+      Seq(EventStreams.Ev(1, null)).toDS().toDF().write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+      // unrelated user far ahead advances the watermark past expiry
+      Seq(ev(2, 100000)).toDS().toDF().write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+      val got = spark.table("sessnull_mem").as[EventStreams.ClosedSession].collect()
+      assert(got.toSet === Set(EventStreams.ClosedSession(1, 1000, 1200, 2)),
+        got.mkString(", "))
+    } finally q.stop()
+  }
+
+  test("same-batch stragglers sessionize together instead of splitting into singletons") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("sessstrag").toString
+    def ev(user: Long, sec: Long) = EventStreams.Ev(user, new java.sql.Timestamp(sec * 1000))
+    // gap 300s, lateness 30 min: batch 1 opens (10000,10000); batch 2
+    // carries in-watermark stragglers 8300+8400 (one session, >gap from
+    // 10000) and 9800 (within gap of 10000 -> merges backward)
+    Seq(ev(1, 10000)).toDS().toDF().write.mode("append").parquet(s"$dir/in")
+    val src = spark.readStream.schema(
+      org.apache.spark.sql.Encoders.product[EventStreams.Ev].schema).parquet(s"$dir/in")
+    val q = EventStreams.closedSessionsStreaming(src.as[EventStreams.Ev],
+        gapSeconds = 300, lateness = "30 minutes").writeStream
+      .outputMode("append").format("memory").queryName("sessstrag_mem")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      q.processAllAvailable()
+      Seq(ev(1, 8300), ev(1, 8400), ev(1, 9800)).toDS().toDF()
+        .write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+      val got = spark.table("sessstrag_mem").as[EventStreams.ClosedSession].collect()
+      // the straggler pair closes as ONE session; (9800,10000,2) stays open
+      assert(got.toSet === Set(EventStreams.ClosedSession(1, 8300, 8400, 2)),
+        got.mkString(", "))
+    } finally q.stop()
+  }
+
   test("closedSessionsStreaming agrees with the batch twin on sessions closed by data") {
     import spark.implicits._
     import java.nio.file.Files
