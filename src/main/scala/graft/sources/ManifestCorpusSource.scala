@@ -142,14 +142,17 @@ class ManifestCorpusScan(manifestPath: String, maxBytes: Long, required: StructT
         }
         futures.map { f =>
           try f.get()
-          catch { // unwrap so the caller sees the FileNotFoundException itself
+          catch {
+            // fail-fast for real on ANY abort (stat failure, interrupt,
+            // cancellation): plain shutdown() would let every queued stat
+            // run to completion in the background (O(files) HEADs against
+            // the store, non-daemon threads pinning a short-lived driver)
             case e: java.util.concurrent.ExecutionException =>
-              // fail-fast for real: plain shutdown() would let every
-              // queued stat run to completion in the background (O(files)
-              // HEADs against the store, non-daemon threads pinning a
-              // short-lived driver)
               pool.shutdownNow()
-              throw e.getCause
+              throw e.getCause // the FileNotFoundException itself
+            case e: Throwable =>
+              pool.shutdownNow()
+              throw e
           }
         }
       } finally pool.shutdown()

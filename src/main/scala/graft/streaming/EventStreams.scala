@@ -180,10 +180,10 @@ object EventStreams {
             // approximation single-interval state forces: an emitted
             // older interval could in principle still be extended by an
             // even-later straggler — the watermark bounds how late).
-            val sorted = evs.toSeq.iterator.filter(_.ts != null)
-              .map(_.ts.getTime / 1000).toSeq.sorted
-            val intervals = (sorted.map(t => OpenSession(t, t, 1)) ++ state.getOption.toSeq)
-              .sortBy(o => (o.start, o.last))
+            val times = evs.toSeq.iterator.filter(_.ts != null)
+              .map(_.ts.getTime / 1000).toSeq
+            val intervals = (times.map(t => OpenSession(t, t, 1)) ++ state.getOption.toSeq)
+              .sortBy(o => (o.start, o.last)) // the one sort this path needs
             // fold prepends, so the head is always the latest interval
             val merged = intervals.foldLeft(List.empty[OpenSession]) { (acc, iv) =>
               acc match {
