@@ -37,8 +37,16 @@ object TextFunctions {
     filter(transform(whitespaceTokens(text), t => normalizeWord(t)), w => w =!= "")
 
   /** Word n-gram shingles over a (already normalized) word array.
-    * Documents with fewer than `n` words produce an empty array. */
+    * Documents with fewer than `n` words produce an empty array.
+    * Native single-pass expression (see
+    * [[graft.plans.TextNormExprs.WordShinglesExpr]]); byte-identical to
+    * [[wordShinglesReference]], which NormalizerPropertySpec asserts. */
   def wordShingles(words: Column, n: Int): Column =
+    graft.plans.TextNormExprs.wordShingles(words, n)
+
+  /** The composed formulation — the executable spec the native shingle
+    * expression is asserted against. */
+  def wordShinglesReference(words: Column, n: Int): Column =
     when(size(words) >= n,
       transform(sequence(lit(0), size(words) - n),
         i => concat_ws(" ", (0 until n).map(k => element_at(words, i + k + 1)): _*)))

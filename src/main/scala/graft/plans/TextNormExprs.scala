@@ -202,6 +202,57 @@ object TextNormExprs {
   def bpeishCount(loweredText: Column): Column =
     GraftColumnBridge.toColumn(BpeishCountExpr(GraftColumnBridge.toExpression(loweredText)))
 
+  /** Native word n-gram shingling over a word array — the COMPOSED form
+    * (`when(size(w) >= n, transform(sequence(0, size(w)-n), i =>
+    * concat_ws(" ", element_at…)))`) pays an interpreted lambda +
+    * per-gram Column-tree eval per element; this is one pass with
+    * `UTF8String.concatWs`. It is the hot inner loop of every shingle
+    * consumer (Jaccard pairs, dedup clustering, decontamination,
+    * repetition ratio).
+    *
+    * Mirrors the composed form's null contract exactly: a NULL word
+    * array (null text upstream) and an array shorter than `n` both
+    * yield an EMPTY array (the `when` falls through to `otherwise` on
+    * null), so the expression is non-nullable. */
+  case class WordShinglesExpr(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(n >= 1, s"shingle width n=$n must be >= 1")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = false
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StringType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"word_shingles requires ARRAY<STRING> input, got ${other.simpleString}")
+      }
+    private val space = UTF8String.fromString(" ")
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val v = child.eval(input)
+      if (v == null) return new GenericArrayData(Array.empty[Any])
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val sz = arr.numElements()
+      if (sz < n) return new GenericArrayData(Array.empty[Any])
+      val out = new Array[Any](sz - n + 1)
+      val parts = new Array[UTF8String](n)
+      var i = 0
+      while (i <= sz - n) {
+        var k = 0
+        while (k < n) { parts(k) = arr.getUTF8String(i + k); k += 1 }
+        out(i) = UTF8String.concatWs(space, parts: _*)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "word_shingles"
+  }
+
+  def wordShingles(words: Column, n: Int): Column =
+    GraftColumnBridge.toColumn(WordShinglesExpr(GraftColumnBridge.toExpression(words), n))
+
   /** Per-language stopword-hit counts over a word array, all languages
     * in ONE pass: one hash lookup per token against a word →
     * per-language increment table, replacing an interpreted

@@ -78,6 +78,27 @@ object NormalizerPropertySpec extends Properties("normalizer") {
         .collect().forall(w => w.nonEmpty && !w.exists(_.isWhitespace))
     }
 
+  property("native word_shingles == composed formulation for n in 1..4") =
+    forAll(Gen.listOfN(5, weird), Gen.choose(1, 4)) { (ss, n) =>
+      import spark.implicits._
+      val df = ss.toDF("s")
+        .select(TextFunctions.normalizedWords(col("s")).as("w"))
+      val native = df.select(TextFunctions.wordShingles(col("w"), n))
+        .as[Seq[String]].collect().toSeq
+      val composed = df.select(TextFunctions.wordShinglesReference(col("w"), n))
+        .as[Seq[String]].collect().toSeq
+      native == composed
+    }
+
+  property("native word_shingles on NULL word array yields empty, like the composed when()") =
+    forAll(Gen.const(())) { _ =>
+      import spark.implicits._
+      val df = Seq(Option.empty[Seq[String]]).toDF("w")
+      val native = df.select(TextFunctions.wordShingles(col("w"), 2)).as[Seq[String]].head
+      val composed = df.select(TextFunctions.wordShinglesReference(col("w"), 2)).as[Seq[String]].head
+      native == Seq.empty && composed == Seq.empty
+    }
+
   property("native ws_token_count == size(filter(split))") =
     forAll(Gen.listOfN(5, weird)) { ss =>
       import spark.implicits._
