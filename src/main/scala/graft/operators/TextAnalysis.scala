@@ -115,9 +115,9 @@ object TextAnalysis {
     // alias the gram array first: referenced twice below, and an alias
     // used twice is not inlined (CollapseProject duplicates only cheap
     // or used-once expressions) — one shingle pass per row, not two
-    docs.select(col(idCol), g.as("__g"))
-      .select(col(idCol), size(col("__g")).as("n_grams"),
-        size(array_distinct(col("__g"))).as("n_distinct"))
+    docs.select(col(idCol), g.as("__graft_grams"))
+      .select(col(idCol), size(col("__graft_grams")).as("n_grams"),
+        size(array_distinct(col("__graft_grams"))).as("n_distinct"))
       .select(col(idCol), col("n_grams"), col("n_distinct"),
         // docs too short to have any 3-gram are NOT repetitive — 0, not
         // the 1.0 the naive 1 - 0/1 formula would report

@@ -228,12 +228,15 @@ object TextNormExprs {
             s"word_shingles requires ARRAY<STRING> input, got ${other.simpleString}")
       }
     private val space = UTF8String.fromString(" ")
+    // shared: expression outputs are immutable, and short/null-input
+    // rows are common in the corpora this is the hot loop for
+    private val empty = new GenericArrayData(Array.empty[Any])
     override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
       val v = child.eval(input)
-      if (v == null) return new GenericArrayData(Array.empty[Any])
+      if (v == null) return empty
       val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
       val sz = arr.numElements()
-      if (sz < n) return new GenericArrayData(Array.empty[Any])
+      if (sz < n) return empty
       val out = new Array[Any](sz - n + 1)
       val parts = new Array[UTF8String](n)
       var i = 0

@@ -90,8 +90,22 @@ object NormalizerPropertySpec extends Properties("normalizer") {
       native == composed
     }
 
+  // arrays WITH null elements (containsNull=true, which the expression
+  // admits): concatWs must skip them exactly like concat_ws
+  property("native word_shingles == composed on arrays containing null elements") =
+    forAll(Gen.listOfN(6, Gen.option(Gen.listOf(Gen.choose('a', 'z')).map(_.mkString))),
+        Gen.choose(1, 3)) { (words, n) =>
+      import spark.implicits._
+      val df = Seq(Tuple1(words)).toDF("w")
+      val native = df.select(TextFunctions.wordShingles(col("w"), n))
+        .as[Seq[String]].head
+      val composed = df.select(TextFunctions.wordShinglesReference(col("w"), n))
+        .as[Seq[String]].head
+      native == composed
+    }
+
   property("native word_shingles on NULL word array yields empty, like the composed when()") =
-    forAll(Gen.const(())) { _ =>
+    org.scalacheck.Prop.secure {
       import spark.implicits._
       val df = Seq(Option.empty[Seq[String]]).toDF("w")
       val native = df.select(TextFunctions.wordShingles(col("w"), 2)).as[Seq[String]].head
