@@ -63,15 +63,15 @@ object Multimodal {
     private def renderPng(h: Iterator[Int], w: Int, ht: Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(
         w, ht, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      var y = 0
-      while (y < ht) {
-        var x = 0
-        while (x < w) {
-          img.setRGB(x, y, (h.next() << 16) | (h.next() << 8) | h.next())
-          x += 1
-        }
-        y += 1
+      // one bulk setRGB per image (identical pixel values and hash-stream
+      // order as the per-pixel form, ~3x less per-pixel call overhead)
+      val px = new Array[Int](w * ht)
+      var i = 0
+      while (i < px.length) {
+        px(i) = (h.next() << 16) | (h.next() << 8) | h.next()
+        i += 1
       }
+      img.setRGB(0, 0, w, ht, px, 0, w)
       val bos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, "png", bos)
       bos.toByteArray
@@ -116,11 +116,13 @@ object Multimodal {
       val w = img.getWidth; val h = img.getHeight
       val sums = new Array[Double](8)
       val counts = new Array[Long](8)
+      // bulk getRGB (same ARGB ints as per-pixel getRGB, one JNI-ish call)
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
       var y = 0
       while (y < h) {
         var x = 0
         while (x < w) {
-          val rgb = img.getRGB(x, y)
+          val rgb = px(y * w + x)
           val gray = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0 / 255.0
           val cell = math.min(1, y * 2 / h) * 4 + math.min(3, x * 4 / w)
           sums(cell) += gray; counts(cell) += 1
@@ -159,7 +161,12 @@ object Multimodal {
       kind: String): Dataset[Asset] = {
     import df.sparkSession.implicits._
     val mime = if (kind == "video") "video/x-graft-frames" else "image/png"
-    df.select(col(idCol).cast("long"), col(payloadCol).cast("string"))
+    // PNG synthesis is the CPU-heaviest narrow map in the engine; a small
+    // parquet input arrives as 1-2 splits and would pin it to 1-2 cores
+    // (cpuBound rebalances only below the session parallelism — a real
+    // binaryFile ingest with thousands of splits passes through untouched)
+    graft.sources.Balance.cpuBound(df)
+      .select(col(idCol).cast("long"), col(payloadCol).cast("string"))
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>

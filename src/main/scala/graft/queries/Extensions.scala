@@ -435,11 +435,13 @@ object Extensions {
       docs.withColumn("vtext", reverse(col("text"))), "doc_id", "vtext", "video")
     val feat = Multimodal.resize(
       Multimodal.decodeFeatures(images.unionAll(videos)), maxDim = 256)
-    // frames sampled per video asset (every 10th frame index)
-    val frames = Multimodal.sampleFrames(
-        Multimodal.decodeFeatures(videos), everyN = 10)
-      .groupBy(lit("video").as("kind"))
-      .agg(count(lit(1)).as("n_sampled_frames"))
+    // frames sampled per video asset: every 10th frame index, counted from
+    // the container frame count the metadata decode pass already parsed —
+    // size(sequence(0, n-1, 10)) is exactly [[Multimodal.sampleFrames]]'s
+    // explode+count (spec'd equivalent in MultimodalSpec), computed in the
+    // SAME pass so the CPU-heavy video decode subtree runs once, not twice
+    val sampledPerAsset = when(col("kind") === "video",
+      size(sequence(lit(0), col("n_frames") - 1, lit(10))))
     // per-asset digest line, collected + sorted so the corpus checksum
     // is order-independent and deterministic across partitionings
     val assetDigest = concat_ws(":", col("asset_id").cast("string"),
@@ -450,8 +452,8 @@ object Extensions {
         round(avg(col("out_w")), 2).as("avg_w"), round(avg(col("out_h")), 2).as("avg_h"),
         sum(col("n_frames")).as("total_frames"),
         md5(encode(concat_ws("|",
-          sort_array(collect_list(assetDigest))), "UTF-8")).as("embed_checksum"))
-      .join(frames, Seq("kind"), "left")
+          sort_array(collect_list(assetDigest))), "UTF-8")).as("embed_checksum"),
+        sum(sampledPerAsset).as("n_sampled_frames"))
       .orderBy("kind")
   }
 

@@ -56,5 +56,11 @@ class MultimodalSpec extends SparkSuite {
     val expect = feats.collect().map(f => (f.n_frames + 9) / 10).sum
     assert(sampled.count() === expect)
     assert(sampled.filter(col("frame_idx") % 10 =!= 0).count() === 0)
+    // q40 counts sampled frames in-pass as size(sequence(0, n_frames-1, N))
+    // instead of re-decoding the videos for an explode+count — assert that
+    // closed form is exactly sampleFrames' cardinality
+    val inPass = feats.toDF()
+      .agg(sum(size(sequence(lit(0), col("n_frames") - 1, lit(10))))).head.getLong(0)
+    assert(inPass === expect)
   }
 }
