@@ -125,13 +125,21 @@ object Similarity {
   }
 
   /** Production IVF: centroids learned with MLlib k-means (seeded),
-    * then the same assign → probe → score dataflow as [[ivfTopK]]. The
-    * model fit is one pass over the corpus; the centroid table is tiny
-    * and broadcast. Not oracle-checkable (k-means isn't reproducible in
-    * SQL), hence the rows-only query entry. */
+    * then the same assign → probe → score dataflow as [[ivfTopK]]. Not
+    * oracle-checkable (k-means isn't reproducible in SQL), hence the
+    * rows-only query entry.
+    *
+    * The fit is bounded by design: centroids train on at most
+    * `trainCap` vectors (`limit` short-circuits the scan; at 100 TB the
+    * index quality of a few-hundred-centroid codebook saturates long
+    * before 100k training points), the training set is cached so the
+    * `maxIter` Lloyd passes don't rescan parquet, and init is `random`
+    * rather than k-means|| (whose init alone is ~5 more distributed
+    * passes — pointless for a codebook this small). Only the single
+    * `transform` assignment pass touches the full corpus. */
   def ivfKMeansTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int,
       nProbe: Int, nCentroids: Int, queryPred: org.apache.spark.sql.Column,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, trainCap: Int = 100000, maxIter: Int = 10): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val session = emb.sparkSession
@@ -145,7 +153,11 @@ object Similarity {
     val withVec = emb.filter(VectorFunctions.norm(col(vecCol)) > 0)
       .select(col(idCol).as("vid"), col(vecCol).as("v"))
       .withColumn("features", array_to_vector(unit(col("v"))))
-    val model = new KMeans().setK(nCentroids).setSeed(seed).fit(withVec)
+    val train = withVec.select("features").limit(trainCap).persist()
+    val model =
+      try new KMeans().setK(nCentroids).setSeed(seed)
+        .setInitMode("random").setMaxIter(maxIter).fit(train)
+      finally train.unpersist() // fit is eager; nothing downstream reads it
     val assigned = model.transform(withVec)
       .select(col("vid"), col("v"), col("prediction").as("cent_id"))
     val centDf = model.clusterCenters.zipWithIndex

@@ -132,4 +132,33 @@ object TextAnalysis {
     docs.select(explode(TextFunctions.normalizedWords(col(textCol))).as("word"))
       .groupBy("word")
       .agg(count(lit(1)).as("cnt"))
+
+  /** PII patterns, ordered as they are scrubbed (emails before URLs —
+    * neither can contain the other under these charsets — then phones,
+    * then bare IPv4s, so an address inside an already-redacted span is
+    * never double-counted). Restricted to regex syntax that Java regex
+    * (Spark) and RE2 (DuckDB) interpret identically: explicit character
+    * classes, bounded repetition, no lookaround, no `\S`/`\w`
+    * shorthand — the SQL oracle interpolates these exact strings. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""",
+    "url"   -> """https?://[A-Za-z0-9./_-]+""",
+    "phone" -> """\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}""",
+    "ipv4"  -> """[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}""")
+
+  /** PII scrubbing — the redaction stage of a training-data pipeline:
+    * emails, URLs, phone numbers, and IPv4 addresses are replaced with
+    * `<EMAIL>`/`<URL>`/`<PHONE>`/`<IPV4>` placeholders, with per-kind
+    * match counts (counted on the original text). A narrow per-row map —
+    * codegen'd `regexp_replace`/`regexp_extract_all`, no shuffle, scales
+    * with the scan. */
+  def scrubPii(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = piiPatterns.map { case (kind, p) =>
+      size(regexp_extract_all(col(textCol), lit(p), lit(0))).as(s"n_$kind")
+    }
+    val scrubbed = piiPatterns.foldLeft(col(textCol)) { case (c, (kind, p)) =>
+      regexp_replace(c, lit(p), lit(s"<${kind.toUpperCase}>"))
+    }
+    docs.select(col(idCol) +: counts :+ scrubbed.as("clean_text"): _*)
+  }
 }

@@ -811,7 +811,89 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------------------------------- Q68
+  /** PII SCRUBBING ([[TextAnalysis.scrubPii]]): redact emails / URLs /
+    * phone numbers / IPv4s with placeholder tokens + per-kind counts —
+    * the redaction stage every production curation pipeline runs before
+    * training. The synthetic corpus carries no PII, so the fixture
+    * deterministically plants one of each kind per document (derived
+    * from doc_id on BOTH engines); the operator itself is generic. The
+    * regex strings are interpolated from [[TextAnalysis.piiPatterns]] —
+    * one source of truth for Spark and the oracle. */
+  val q68 = {
+    val p = TextAnalysis.piiPatterns.toMap
+    QueryDef("q68_pii_scrub",
+      s"""WITH fx AS (
+         |  SELECT doc_id,
+         |         coalesce(text, '') || ' contact user' || CAST(doc_id AS VARCHAR)
+         |           || '@mail.example.com via https://data.example.org/doc/'
+         |           || CAST(doc_id AS VARCHAR)
+         |           || ' call +1-555-' || lpad(CAST(doc_id * 7919 % 10000 AS VARCHAR), 4, '0')
+         |           || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS t
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |       CAST(len(regexp_extract_all(t, '${p("email")}')) AS INT) AS n_email,
+         |       CAST(len(regexp_extract_all(t, '${p("url")}')) AS INT) AS n_url,
+         |       CAST(len(regexp_extract_all(t, '${p("phone")}')) AS INT) AS n_phone,
+         |       CAST(len(regexp_extract_all(t, '${p("ipv4")}')) AS INT) AS n_ipv4,
+         |       regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+         |         '${p("email")}', '<EMAIL>', 'g'), '${p("url")}', '<URL>', 'g'),
+         |         '${p("phone")}', '<PHONE>', 'g'), '${p("ipv4")}', '<IPV4>', 'g') AS clean_text
+         |FROM fx ORDER BY doc_id""") { (s, dir) =>
+      val d = col("doc_id").cast("string")
+      val planted = t(s, dir, "documents").select(col("doc_id"), concat(
+        coalesce(col("text"), lit("")),
+        lit(" contact user"), d,
+        lit("@mail.example.com via https://data.example.org/doc/"), d,
+        lit(" call +1-555-"), lpad((col("doc_id") * 7919 % 10000).cast("string"), 4, "0"),
+        lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".7")).as("text"))
+      TextAnalysis.scrubPii(planted, "doc_id", "text").orderBy("doc_id")
+    }
+  }
+
+  // --------------------------------------------------------------- Q69
+  /** LANGUAGE-BALANCED CURATION SAMPLE: top 20 documents per language
+    * by quality score — the stratified "cap each language's share,
+    * keep the best" selection step of a multilingual training-data
+    * pipeline. The per-key top-k is the [[graft.plans.TopKPerKey]]
+    * rewrite target (bounded heaps, no full sort per language). */
+  val q69 = {
+    val en = TextFunctions.stopwords("en").map(w => s"'$w'").mkString(", ")
+    QueryDef("q69_lang_balance",
+      s"""WITH $docwCte, f AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(w) AS INT) AS n_tok,
+         |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+         |      / greatest(length(text), 1) AS alpha_ratio,
+         |    CAST(len(list_filter(w, x -> x IN ($en))) AS DOUBLE)
+         |      / greatest(len(w), 1) AS stop_ratio
+         |  FROM docw
+         |), s AS (
+         |  SELECT doc_id, lang,
+         |         ${TextFunctions.round4Sql(
+                     "least(1.0, CAST(n_tok AS DOUBLE) / 100.0) * 0.4 + alpha_ratio * 0.3 + stop_ratio * 0.3")} AS score
+         |  FROM f
+         |), r AS (
+         |  SELECT lang, doc_id, score,
+         |         CAST(row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS INT) AS rn
+         |  FROM s WHERE score IS NOT NULL
+         |)
+         |SELECT lang, doc_id, score, rn FROM r WHERE rn <= 20
+         |ORDER BY lang, rn""") { (s, dir) =>
+      val scored = TextAnalysis.qualityScore(
+        t(s, dir, "documents"), "doc_id", "text", keep = Seq("lang"))
+      scored.filter(col("score").isNotNull)
+        .select(col("lang"), col("doc_id"), col("score"),
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("lang"))
+            .orderBy(col("score").desc, col("doc_id"))).as("rn"))
+        .filter(col("rn") <= 20)
+        .orderBy("lang", "rn")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q35, q36,
-    q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67)
+    q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69)
 }

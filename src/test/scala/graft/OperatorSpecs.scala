@@ -142,6 +142,29 @@ class TextAnalysisSpec extends SparkSuite {
     assert(f.filter(length(col("fp_bottom4")) =!= 128).count() === 0)
     assert(f.filter(not(col("fp_min").rlike("^[0-9a-f]{32}$"))).count() === 0)
   }
+
+  test("scrubPii: redacts each kind, counts on original text, clean text PII-free") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "mail a@b.org and c.d+x@sub.example.co.uk now"),
+      (2L, "see https://ex.org/p_1 and http://a.b/c"),
+      (3L, "call +1-555-0100 or +44-201-333"),
+      (4L, "hosts 10.0.0.1 192.168.255.3"),
+      (5L, "clean text, no pii at all"),
+      (6L, "mixed x@y.io https://z.dev/q +1-222-3333 127.0.0.1"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.scrubPii(rows, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(r.map(x => (x.getInt(1), x.getInt(2), x.getInt(3), x.getInt(4))) ===
+      Array((2, 0, 0, 0), (0, 2, 0, 0), (0, 0, 2, 0), (0, 0, 0, 2), (0, 0, 0, 0), (1, 1, 1, 1)))
+    val clean = r.map(_.getString(5))
+    assert(clean(0) === "mail <EMAIL> and <EMAIL> now")
+    assert(clean(1) === "see <URL> and <URL>")
+    assert(clean(2) === "call <PHONE> or <PHONE>")
+    assert(clean(3) === "hosts <IPV4> <IPV4>")
+    assert(clean(4) === "clean text, no pii at all")
+    assert(clean(5) === "mixed <EMAIL> <URL> <PHONE> <IPV4>")
+  }
 }
 
 class AsOfJoinSpec extends SparkSuite {
