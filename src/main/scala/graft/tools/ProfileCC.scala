@@ -30,6 +30,14 @@ object ProfileCC {
     val docs = graft.sources.Tables(spark, sfDir, "documents")
     docs.count() // warm scan
 
+    // naive vs prefix-filtered exact jaccard pair generation
+    for ((n, th) <- Seq((2, 0.3), (3, 0.5))) {
+      time(f"naive pairgen n=$n th=$th count")(
+        graft.operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text", n, th).count())
+      time(f"prefix pairgen n=$n th=$th count")(
+        graft.operators.Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", n, th).count())
+    }
+
     // q63 stages
     val pairs = graft.operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 2, theta = 0.3)
     time("q63 pairgen (theta .3) count")(pairs.count())
