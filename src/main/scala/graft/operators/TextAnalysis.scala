@@ -146,6 +146,50 @@ object TextAnalysis {
     "phone" -> """\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}""",
     "ipv4"  -> """[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}""")
 
+  /** Fixed-size token chunking with overlap — the context-window
+    * splitting stage of a training-data pipeline (each document becomes
+    * ceil((n_tok - chunkSize)/stride) + 1 chunks; the last chunk may be
+    * short; empty/null documents produce no chunks). A narrow per-row
+    * map followed by one explode over the bounded chunk-index sequence —
+    * no shuffle, no join; output size is input tokens × (chunkSize /
+    * stride) and scales with the scan. Chunk text is returned as an md5
+    * digest (the downstream join key for dedup-after-chunking) plus the
+    * actual token count, so rows stay narrow even for large chunks. */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
+    val w = TextFunctions.normalizedWords(col(textCol))
+    // ceil((n - chunkSize) / stride) via floor((n - chunkSize + stride - 1) /
+    // stride); docs with n <= chunkSize get exactly one chunk (index 0)
+    val lastIdx = floor((greatest(col("n") - chunkSize, lit(0)) + (stride - 1))
+      .cast("double") / stride)
+    docs.select(col(idCol), w.as("w"))
+      .select(col(idCol), col("w"), size(col("w")).as("n"))
+      // empty (and null-text) docs emit no chunks; the filter also keeps
+      // the sequence() below well-formed (start <= stop)
+      .filter(col("n") > 0)
+      .select(col(idCol), col("w"), col("n"),
+        explode(sequence(lit(0), lastIdx.cast("int"))).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        least(lit(chunkSize), col("n") - col("chunk_idx") * stride).cast("int").as("chunk_tok"),
+        md5(concat_ws(" ", slice(col("w"), col("chunk_idx") * stride + 1, lit(chunkSize))))
+          .as("chunk_hash"))
+  }
+
+  /** URL → registrable-domain extraction over documents: every URL in
+    * the text (pattern shared with [[piiPatterns]] so the oracle
+    * interpolates the same regex) exploded to (id, url, domain) rows.
+    * Narrow map + explode, no shuffle — callers aggregate or blocklist-
+    * join downstream. */
+  def extractDomains(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val urlPat = piiPatterns.toMap.apply("url")
+    docs.select(col(idCol),
+        explode(regexp_extract_all(col(textCol), lit(urlPat), lit(0))).as("url"))
+      .select(col(idCol), col("url"),
+        regexp_extract(col("url"), "https?://([A-Za-z0-9.-]+)", 1).as("domain"))
+  }
+
   /** PII scrubbing — the redaction stage of a training-data pipeline:
     * emails, URLs, phone numbers, and IPv4 addresses are replaced with
     * `<EMAIL>`/`<URL>`/`<PHONE>`/`<IPV4>` placeholders, with per-kind

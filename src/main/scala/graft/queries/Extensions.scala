@@ -893,7 +893,95 @@ object Extensions {
     }
   }
 
+  // --------------------------------------------------------------- Q70
+  /** CONTEXT-WINDOW CHUNKING ([[TextAnalysis.chunkTokens]]): every
+    * document split into 16-token chunks with stride 12 (4-token
+    * overlap) — the window-splitting stage that precedes tokenize-and-
+    * pack in a training-data pipeline. Chunk content is carried as an
+    * md5 digest (the downstream dedup-after-chunking join key). The
+    * oracle reproduces the chunk-count arithmetic, slicing, and digest
+    * exactly. */
+  val q70 = QueryDef("q70_doc_chunking",
+    s"""WITH $docwCte, d AS (
+       |  SELECT doc_id, w, len(w) AS n FROM docw WHERE len(w) > 0
+       |), c AS (
+       |  SELECT doc_id, w, n,
+       |         unnest(range(((greatest(n - 16, 0) + 11) // 12) + 1)) AS chunk_idx
+       |  FROM d
+       |)
+       |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       |       CAST(least(16, n - chunk_idx * 12) AS INT) AS chunk_tok,
+       |       md5(array_to_string(w[(chunk_idx * 12 + 1):least(chunk_idx * 12 + 16, CAST(n AS INT))], ' ')) AS chunk_hash
+       |FROM c ORDER BY doc_id, chunk_idx""") { (s, dir) =>
+    TextAnalysis.chunkTokens(t(s, dir, "documents"), "doc_id", "text",
+        chunkSize = 16, stride = 12)
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  // --------------------------------------------------------------- Q71
+  /** URL → DOMAIN EXTRACTION + BLOCKLIST ([[TextAnalysis.extractDomains]]):
+    * per-domain URL/document counts with a suffix-blocklist flag — the
+    * source-filtering stage of a web-scrape curation pipeline. The
+    * synthetic corpus carries no URLs, so (as q68 does for PII) each doc
+    * deterministically plants one CDN URL and — every fifth doc — one
+    * ad-tracker URL, on both engines identically. */
+  val q71 = {
+    val urlPat = TextAnalysis.piiPatterns.toMap.apply("url")
+    QueryDef("q71_url_domains",
+      s"""WITH fx AS (
+         |  SELECT doc_id,
+         |         coalesce(text, '') || ' see https://cdn' || CAST(doc_id % 7 AS VARCHAR)
+         |           || '.example-media.net/a/' || CAST(doc_id AS VARCHAR)
+         |           || CASE WHEN doc_id % 5 = 0
+         |              THEN ' via http://track' || CAST(doc_id % 3 AS VARCHAR)
+         |                   || '.example-ads.com/c/' || CAST(doc_id AS VARCHAR)
+         |              ELSE '' END AS t
+         |  FROM documents
+         |), u AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(t, '$urlPat')) AS url FROM fx
+         |), d AS (
+         |  SELECT doc_id, url, regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1) AS domain FROM u
+         |)
+         |SELECT domain, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs,
+         |       ends_with(domain, '.example-ads.com') AS blocked
+         |FROM d GROUP BY domain ORDER BY n_urls DESC, domain""") { (s, dir) =>
+      val d = col("doc_id").cast("string")
+      val planted = t(s, dir, "documents").select(col("doc_id"), concat(
+        coalesce(col("text"), lit("")),
+        lit(" see https://cdn"), (col("doc_id") % 7).cast("string"),
+        lit(".example-media.net/a/"), d,
+        when(col("doc_id") % 5 === 0, concat(
+          lit(" via http://track"), (col("doc_id") % 3).cast("string"),
+          lit(".example-ads.com/c/"), d)).otherwise(lit(""))).as("text"))
+      TextAnalysis.extractDomains(planted, "doc_id", "text")
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_urls"), countDistinct("doc_id").as("n_docs"))
+        .withColumn("blocked", col("domain").endsWith(".example-ads.com"))
+        .orderBy(col("n_urls").desc, col("domain"))
+    }
+  }
+
+  // --------------------------------------------------------------- Q72
+  /** HEAVY HITTERS, sketch-first ([[HeavyHitters.frequentTokens]]):
+    * Misra–Gries candidate pass (one bounded row) → exact refine pass
+    * over candidates only. k=127 with φ=0.02 > 1/(k+1) makes the output
+    * PROVABLY identical to the oracle's full groupBy-count formulation
+    * — the hash check verifies the sketch guarantee end-to-end. */
+  val q72 = QueryDef("q72_heavy_hitters",
+    s"""WITH $docwCte, tok AS (SELECT unnest(w) AS word FROM docw),
+       |tot AS (SELECT count(*) AS n FROM tok),
+       |c AS (SELECT word, count(*) AS cnt FROM tok GROUP BY word)
+       |SELECT word, cnt,
+       |       ${TextFunctions.round4Sql("CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)")} AS freq
+       |FROM c, tot WHERE cnt >= ceil(n * 0.02)
+       |ORDER BY cnt DESC, word""") { (s, dir) =>
+    graft.operators.HeavyHitters.frequentTokens(
+        t(s, dir, "documents"), "text", k = 127, minFreq = 0.02)
+      .orderBy(col("cnt").desc, col("word"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q35, q36,
-    q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69)
+    q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
+    q70, q71, q72)
 }

@@ -295,3 +295,105 @@ class RegistrySpec extends SparkSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 }
+
+class ChunkingSpec extends SparkSuite {
+  import org.apache.spark.sql.functions._
+
+  test("chunkTokens: counts, overlap arithmetic, digests, degenerate docs") {
+    import spark.implicits._
+    // letter-only tokens: the normalizer strips digits, so "w13" would
+    // collapse to "w" and the digest expectation below would be wrong
+    val tok = (i: Int) => s"${('a' + (i - 1) / 26).toChar}${('a' + (i - 1) % 26).toChar}"
+    val mk = (n: Int) => (1 to n).map(tok).mkString(" ")
+    val docs = Seq(
+      (1L, mk(20)),          // ceil((20-8)/6)+1 = 3 chunks
+      (2L, mk(5)),           // single short chunk
+      (3L, mk(8)),           // exactly one full chunk
+      (4L, ""),              // no tokens -> no chunks
+      (5L, null: String)     // null text -> no chunks
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .chunkTokens(docs, "doc_id", "text", chunkSize = 8, stride = 6)
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Int, Int, String)].collect()
+    assert(got.map(r => (r._1, r._2, r._3)) ===
+      Array((1L, 0, 8), (1L, 1, 8), (1L, 2, 8), (2L, 0, 5), (3L, 0, 8)))
+    // digest = md5 of the space-joined slice; spot-check the last chunk
+    // of doc 1 (tokens 13..20)
+    val expect = java.security.MessageDigest.getInstance("MD5")
+      .digest((13 to 20).map(tok).mkString(" ").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(got.find(r => r._1 == 1L && r._2 == 2).get._4 === expect)
+  }
+
+  test("chunkTokens: every token position is covered by some chunk") {
+    val docs = Tables(spark, sfDir, "documents")
+    val chunks = graft.operators.TextAnalysis
+      .chunkTokens(docs, "doc_id", "text", chunkSize = 16, stride = 12)
+    // last chunk of each doc must reach the doc's token count:
+    // lastIdx*stride + chunk_tok == n_tok
+    val bad = chunks
+      .groupBy("doc_id")
+      .agg(max(col("chunk_idx") * 12 + col("chunk_tok")).as("covered"))
+      .join(docs.select(col("doc_id"),
+        size(graft.functions.TextFunctions.normalizedWords(col("text"))).as("n")), "doc_id")
+      .filter(col("covered") =!= col("n"))
+    assert(bad.isEmpty)
+  }
+
+  test("extractDomains: one row per URL with its host") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x https://a.example.com/p?z=1 then http://b.example.org/q y"),
+      (2L, "no urls here")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.extractDomains(docs, "doc_id", "text")
+      .select("doc_id", "domain").as[(Long, String)].collect().sorted
+    // the shared PII url pattern stops at '?' (query strings are not in
+    // its charset) — the host extraction is what matters here
+    assert(got === Array((1L, "a.example.com"), (1L, "b.example.org")))
+  }
+}
+
+class HeavyHittersSpec extends SparkSuite {
+  import graft.operators.HeavyHitters
+  import org.apache.spark.sql.functions._
+
+  test("Misra-Gries invariants on a skewed stream, via reduce and merge") {
+    val k = 9
+    val agg = new HeavyHitters.MisraGries(k)
+    val rnd = new scala.util.Random(42)
+    // zipf-ish: token i gets ~ 4000/i occurrences over a 40-token alphabet
+    val stream = rnd.shuffle((1 to 40).flatMap(i => Seq.fill(4000 / i)(s"t$i")))
+    val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // fold in 7 unequal partitions, then merge pairwise (exercises both paths)
+    val parts = stream.grouped(math.max(1, stream.size / 7)).toSeq
+      .map(_.foldLeft(agg.zero)(agg.reduce))
+    val sk = parts.reduce(agg.merge)
+    assert(sk.total === stream.size)
+    assert(sk.counters.size <= k)
+    val maxErr = sk.total.toDouble / (k + 1)
+    sk.counters.foreach { case (t, c) =>
+      assert(c <= truth(t), s"overcount for $t")
+      assert(truth(t) - c <= maxErr, s"undercount beyond total/(k+1) for $t")
+    }
+    truth.foreach { case (t, n) =>
+      if (n > maxErr) assert(sk.counters.contains(t), s"frequent $t missing")
+    }
+  }
+
+  test("frequentTokens == exact full groupBy-count formulation") {
+    import spark.implicits._
+    val docs = Tables(spark, sfDir, "documents")
+    val got = HeavyHitters.frequentTokens(docs, "text", k = 127, minFreq = 0.02)
+      .select("word", "cnt").as[(String, Long)].collect().toSet
+    val tokens = docs.select(explode(
+      graft.functions.TextFunctions.normalizedWords(col("text"))).as("word"))
+    val total = tokens.count()
+    val thr = math.ceil(total * 0.02).toLong
+    val exact = tokens.groupBy("word").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= thr)
+      .as[(String, Long)].collect().toSet
+    assert(got === exact)
+    assert(got.nonEmpty)
+  }
+}
