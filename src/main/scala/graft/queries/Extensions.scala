@@ -729,18 +729,29 @@ object Extensions {
   }
 
   // --------------------------------------------------------------- Q66
-  /** The PRODUCTION-SHAPE dedup pipeline: MinHash LSH candidates (q27
-    * config) → exact-Jaccard refine on the candidate pairs ONLY
-    * ([[Dedup.jaccardRefine]], O(|pairs|)) → star-contraction connected
-    * components → canonical cluster ids. Where q63 generates verified
-    * pairs by the precise-but-quadratic shared-shingle join, every
-    * stage here is a bucketed equi-join or narrow map — this is the
-    * composition that runs at 100 TB, and the oracle checks the whole
-    * chain (sketch → refine → closure) exactly. */
+  /** The PRODUCTION-SHAPE dedup pipeline: MinHash LSH candidates over
+    * word 2-gram shingles (q27's k/bands config) → exact-Jaccard refine
+    * on the candidate pairs ONLY ([[Dedup.jaccardRefine]], O(|pairs|))
+    * → star-contraction connected components → canonical cluster ids.
+    * Where q63 generates verified pairs by the precise-but-quadratic
+    * shared-shingle join, every stage here is a bucketed equi-join or
+    * narrow map — this is the composition that runs at 100 TB, and the
+    * oracle checks the whole chain (sketch → refine → closure) exactly.
+    *
+    * 2-gram shingles, not unigrams: on this corpus (≈30-word shared
+    * vocabulary) word SETS are nearly identical across all documents —
+    * unigram refine at θ=0.5 kept 2.82M of 2.84M candidates, feeding a
+    * 2.8M-edge near-complete graph into the closure, which is neither a
+    * realistic dedup signal nor a useful benchmark of the pipeline
+    * shape. Bigram sets discriminate (the same reason q63's exact pass
+    * uses them), so candidates/edges collapse to the genuinely-similar
+    * pairs and each stage's cost reflects its 100 TB shape. */
   val q66 = QueryDef("q66_dedup_pipeline",
     s"""WITH RECURSIVE $docwCte, sh AS (
-       |  SELECT DISTINCT doc_id, shingle
-       |  FROM (SELECT doc_id, unnest(w) AS shingle FROM docw)
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(w)),
+       |           i -> w[i] || ' ' || w[i+1])) AS shingle
+       |    FROM docw WHERE len(w) >= 2)
        |), sig AS (
        |  SELECT doc_id, $mhMinsSql
        |  FROM sh GROUP BY doc_id
@@ -775,9 +786,9 @@ object Extensions {
        |FROM cc ORDER BY doc_id""") { (s, dir) =>
     val docs = t(s, dir, "documents")
     val cands = Dedup.minhashCandidates(docs, "doc_id", "text",
-      n = 1, k = mhK, bands = mhBands)
+      n = 2, k = mhK, bands = mhBands)
     val verified = Dedup.jaccardRefine(cands, docs, "doc_id", "text",
-      n = 1, theta = 0.5)
+      n = 2, theta = 0.5)
     Dedup.dedupClustersStar(verified.select("doc_a", "doc_b"), docs.select("doc_id"))
       .select(col("doc_id"), col("cluster_id"),
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
