@@ -216,9 +216,59 @@ object TextSketchExprs {
     sb.toString
   }
 
+  /** Jaccard similarity of two SORTED, DISTINCT `array<string>` columns
+    * via a single merge pass — no per-pair hash-set build, no
+    * intermediate array (contrast `array_intersect`, which allocates a
+    * set and an output array per call). Built as a join-condition
+    * predicate: inside a brute-force similarity join this evaluates
+    * once per row PAIR, so it is the innermost loop of the whole
+    * operator. Inputs MUST be sorted ascending in UTF8 binary order
+    * (`sort_array`) and de-duplicated (`array_distinct`) — the caller's
+    * contract, asserted cheap (both-empty → 0.0, never NaN). */
+  case class SortedJaccardExpr(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      def ok(t: DataType) = t match {
+        case ArrayType(StringType, _) => true
+        case _ => false
+      }
+      if (ok(left.dataType) && ok(right.dataType))
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"jaccard_sorted requires ARRAY<STRING> inputs, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val aa = a.asInstanceOf[ArrayData]; val bb = b.asInstanceOf[ArrayData]
+      val na = aa.numElements(); val nb = bb.numElements()
+      var i = 0; var j = 0; var inter = 0
+      while (i < na && j < nb) {
+        if (aa.isNullAt(i) || bb.isNullAt(j)) return null
+        val cmp = aa.getUTF8String(i).binaryCompare(bb.getUTF8String(j))
+        if (cmp == 0) { inter += 1; i += 1; j += 1 }
+        else if (cmp < 0) i += 1
+        else j += 1
+      }
+      val union = na + nb - inter
+      if (union == 0) 0.0 else inter.toDouble / union
+    }
+
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+    override def prettyName: String = "jaccard_sorted"
+  }
+
   def minhashSignature(shingles: Column, k: Int): Column =
     GraftColumnBridge.toColumn(MinHashSignatureExpr(GraftColumnBridge.toExpression(shingles), k))
 
   def simhash(words: Column, bits: Int): Column =
     GraftColumnBridge.toColumn(SimHashExpr(GraftColumnBridge.toExpression(words), bits))
+
+  def jaccardSorted(a: Column, b: Column): Column =
+    GraftColumnBridge.toColumn(SortedJaccardExpr(
+      GraftColumnBridge.toExpression(a), GraftColumnBridge.toExpression(b)))
 }

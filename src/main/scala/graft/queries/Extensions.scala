@@ -585,7 +585,12 @@ object Extensions {
   private def clusterQuery(s: org.apache.spark.sql.SparkSession, dir: String,
       cc: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val docs = t(s, dir, "documents")
-    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 2, theta = 0.3)
+    // brute-force pair generation: on this dense small-vocabulary corpus
+    // the self-join's Σdf² fanout is the most expensive stage of the
+    // whole query (~8.5 s of shuffle at sf0.1 vs ~1 s for the
+    // broadcast-NL merge-pass join — see ngramJaccardPairsBrute's
+    // decision table; all three variants are spec-asserted equal)
+    val pairs = Dedup.ngramJaccardPairsBrute(docs, "doc_id", "text", n = 2, theta = 0.3)
     cc(pairs.select("doc_a", "doc_b"), docs.select("doc_id"))
       .select(col("doc_id"), col("cluster_id"),
         count(lit(1)).over(org.apache.spark.sql.expressions.Window

@@ -36,6 +36,8 @@ object ProfileCC {
         graft.operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text", n, th).count())
       time(f"prefix pairgen n=$n th=$th count")(
         graft.operators.Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", n, th).count())
+      time(f"brute pairgen n=$n th=$th count")(
+        graft.operators.Dedup.ngramJaccardPairsBrute(docs, "doc_id", "text", n, th).count())
     }
 
     // q63 stages

@@ -36,15 +36,18 @@ class DedupSpec extends SparkSuite {
     assert(j.count() > 0) // corpus has high word-set overlap by construction
   }
 
-  test("prefix-filtered jaccard pairs == naive self-join pairs, exactly") {
+  test("prefix-filtered and brute-force jaccard pairs == naive self-join pairs, exactly") {
     for ((n, th) <- Seq((1, 0.5), (2, 0.3), (3, 0.7))) {
       val naive = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n, th)
         .select("doc_a", "doc_b", "jacc")
-      val pref = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", n, th)
-        .select("doc_a", "doc_b", "jacc")
-      assert(naive.exceptAll(pref).isEmpty && pref.exceptAll(naive).isEmpty,
-        s"prefix-filter mismatch at n=$n theta=$th")
-      assert(pref.count() > 0, s"degenerate empty result at n=$n theta=$th")
+      for ((tag, alt) <- Seq(
+          "prefix" -> Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", n, th),
+          "brute" -> Dedup.ngramJaccardPairsBrute(docs, "doc_id", "text", n, th))) {
+        val got = alt.select("doc_a", "doc_b", "jacc")
+        assert(naive.exceptAll(got).isEmpty && got.exceptAll(naive).isEmpty,
+          s"$tag mismatch at n=$n theta=$th")
+        assert(got.count() > 0, s"degenerate empty $tag result at n=$n theta=$th")
+      }
     }
   }
 }
