@@ -164,7 +164,9 @@ object TextAnalysis {
     // stride); docs with n <= chunkSize get exactly one chunk (index 0)
     val lastIdx = floor((greatest(col("n") - chunkSize, lit(0)) + (stride - 1))
       .cast("double") / stride)
-    docs.select(col(idCol), w.as("w"))
+    // tokenize + per-chunk md5 is CPU-bound narrow work: a small parquet
+    // input's 1-2 scan splits would pin it to as many cores
+    graft.sources.Balance.cpuBound(docs).select(col(idCol), w.as("w"))
       .select(col(idCol), col("w"), size(col("w")).as("n"))
       // empty (and null-text) docs emit no chunks; the filter also keeps
       // the sequence() below well-formed (start <= stop)

@@ -438,6 +438,36 @@ object Advanced {
       .orderBy("month", "status")
   }
 
+  // --------------------------------------------------------------- Q73
+  /** LEFT-OUTER ATTRIBUTION — batch twin of
+    * [[graft.streaming.EventStreams.viewPurchaseAttributionOuter]]:
+    * every purchase joined to same-user views in the preceding 30
+    * minutes, emitting a null `view_id` when none exists ("direct
+    * purchase"). The oracle compares at epoch-microseconds because
+    * events.ts is nanosecond parquet: Spark's TimestampType is µs
+    * (floored from ns by the Tables rebuild), so a raw ns-precision
+    * DuckDB comparison could disagree exactly at an interval boundary;
+    * epoch_us() floors identically. Nulls are coalesce-ordered, never
+    * null-ordered (engine default null order differs). */
+  val q73 = QueryDef("q73_attribution_outer",
+    """WITH v AS (
+      |  SELECT event_id AS view_id, user_id, epoch_us(ts) AS v_eu
+      |  FROM events WHERE event_type = 'view'
+      |), p AS (
+      |  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_eu
+      |  FROM events WHERE event_type = 'purchase'
+      |)
+      |SELECT p.purchase_id, v.view_id, p.user_id
+      |FROM p LEFT JOIN v ON v.user_id = p.user_id
+      |  AND v.v_eu <= p.p_eu AND v.v_eu >= p.p_eu - 1800000000
+      |ORDER BY purchase_id, coalesce(view_id, -1)""") { (s, dir) =>
+    val events = t(s, dir, "events")
+    graft.streaming.EventStreams.viewPurchaseAttributionOuter(
+        events.filter(col("event_type") === "view"),
+        events.filter(col("event_type") === "purchase"))
+      .orderBy(col("purchase_id"), coalesce(col("view_id"), lit(-1)))
+  }
+
   val all: Seq[QueryDef] = Seq(q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
-    q56, q57, q58, q59, q60, q61, q62)
+    q56, q57, q58, q59, q60, q61, q62, q73)
 }

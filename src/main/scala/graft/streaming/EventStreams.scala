@@ -66,6 +66,28 @@ object EventStreams {
       .select(col("purchase_id"), col("view_id"), col("p_user").as("user_id"))
   }
 
+  /** LEFT-OUTER stream-stream interval join: like
+    * [[viewPurchaseAttribution]], but purchases with NO qualifying view
+    * in the preceding 30 minutes still emit one row with a null
+    * `view_id` — the "direct purchase" detection shape. In streaming,
+    * the unmatched row for a purchase is emitted exactly once, when the
+    * watermark passes the end of its join interval (until then a
+    * matching view could still arrive); state stays watermark-bounded
+    * exactly as in the inner variant. Works identically on batch
+    * DataFrames (the batch-equivalence spec contract and the q73 batch
+    * twin). */
+  def viewPurchaseAttributionOuter(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"), col("ts").as("v_ts"))
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    p.join(v, col("v_user") === col("p_user")
+        && col("v_ts") <= col("p_ts")
+        && col("v_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+      .select(col("purchase_id"), col("view_id"), col("p_user").as("user_id"))
+  }
+
   /** Streaming exact deduplication: drop repeated `idCols` rows, with
     * the watermark bounding the dedup state (ids older than the
     * watermark are evicted — the streaming twin of the batch exact-dedup

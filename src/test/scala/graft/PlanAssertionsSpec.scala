@@ -95,4 +95,40 @@ class PlanAssertionsSpec extends SparkSuite {
     // exchange — anything beyond those two is a regression
     assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges\n$p")
   }
+
+  test("brute pair stage (q63's) is a broadcast nested-loop with the native " +
+      "jaccard predicate in the condition") {
+    // q63's own returned plan starts AFTER the eager CC loop (its input
+    // is the final labels localCheckpoint), so assert on the pair stage
+    // it is built from
+    val pairs = graft.operators.Dedup.ngramJaccardPairsBrute(
+      graft.sources.Tables(spark, sfDir, "documents"), "doc_id", "text",
+      n = 2, theta = 0.3)
+    val p = pairs.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // the merge-pass expression must evaluate INSIDE the join (as its
+    // condition), not as a post-join filter over materialized pairs
+    assert(p.matches("(?s).*Join condition:[^\\n]*jaccard_sorted.*"), p)
+    // no exchange anywhere: broadcast + narrow maps only (the rebalance
+    // repartition is an exchange only when the scan is under-split;
+    // allow exactly that one)
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges <= 1, s"expected at most the rebalance exchange, got $exchanges\n$p")
+  }
+
+  test("q70: chunking is scan -> narrow ops -> one final sort (no join, no agg)") {
+    val p = plan("q70_doc_chunking")
+    // two exchanges allowed: the CPU-rebalance repartition and the final
+    // ORDER BY range exchange — anything more means a shuffle crept in
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges <= 2, s"expected rebalance + ORDER BY exchanges only, got $exchanges\n$p")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Generate"), p) // the chunk-index explode
+  }
+
+  test("q73: stream-twin attribution join broadcasts nothing oversized and " +
+      "keeps the interval as a join-level condition") {
+    val p = plan("q73_attribution_outer")
+    assert(p.contains("Join") && p.contains("LeftOuter"), p)
+  }
 }

@@ -161,6 +161,40 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("stream-stream LEFT OUTER interval join: unmatched purchases emit " +
+      "null view_id once the watermark passes") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("ssouter").toString
+    val views = events.filter(col("event_type") === "view")
+    val purchases = events.filter(col("event_type") === "purchase")
+    views.write.parquet(s"$dir/v"); purchases.write.parquet(s"$dir/p")
+    val vs = spark.readStream.schema(events.schema).parquet(s"$dir/v")
+    val ps = spark.readStream.schema(events.schema).parquet(s"$dir/p")
+    val q = EventStreams.viewPurchaseAttributionOuter(vs, ps).writeStream
+      .outputMode("append")
+      .format("memory").queryName("ssouter_mem")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      // outer rows for the tail of the fixture can only emit once the
+      // watermark moves past their join interval: append one far-future
+      // sentinel event (excluded from the comparison) to BOTH sources
+      val maxTs = events.agg(max("ts")).head.getTimestamp(0)
+      val sentinel = events.limit(1)
+        .withColumn("user_id", lit(-1L))
+        .withColumn("ts", lit(new java.sql.Timestamp(maxTs.getTime + 4 * 3600 * 1000)))
+      sentinel.write.mode("append").parquet(s"$dir/v")
+      sentinel.write.mode("append").parquet(s"$dir/p")
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ssouter_mem").filter(col("user_id") =!= -1L)
+    val batch = EventStreams.viewPurchaseAttributionOuter(views, purchases)
+    assert(streamed.filter(col("view_id").isNull).count() > 0,
+      "fixture should contain at least one direct purchase")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("sliding windows: each event lands in 4 windows") {
     val total = EventStreams.slidingCounts(events).agg(sum("n")).head.getLong(0)
     assert(total === events.count() * 4)
