@@ -996,8 +996,31 @@ object Extensions {
       .orderBy(col("cnt").desc, col("word"))
   }
 
+  // --------------------------------------------------------------- Q74
+  /** INCREMENTAL DEDUP ([[Dedup.exactIncremental]]): the new crawl
+    * (doc_id % 3 ≠ 0) deduplicated against the prior corpus snapshot
+    * (doc_id % 3 = 0) by content hash — drop anything the prior crawl
+    * already has, keep the first copy within the new batch. Both
+    * stages shuffle hashes only. */
+  val q74 = QueryDef("q74_incremental_dedup",
+    """WITH prior AS (
+      |  SELECT DISTINCT coalesce(md5(text), '') AS h FROM documents WHERE doc_id % 3 = 0
+      |), fresh AS (
+      |  SELECT doc_id, coalesce(md5(text), '') AS h FROM documents WHERE doc_id % 3 <> 0
+      |)
+      |SELECT h, min(doc_id) AS keep_id
+      |FROM fresh WHERE h NOT IN (SELECT h FROM prior)
+      |GROUP BY h ORDER BY keep_id""") { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    Dedup.exactIncremental(
+        docs.filter(col("doc_id") % 3 =!= 0),
+        docs.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text")
+      .orderBy("keep_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
-    q70, q71, q72)
+    q70, q71, q72, q74)
 }

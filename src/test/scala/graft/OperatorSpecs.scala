@@ -36,6 +36,42 @@ class DedupSpec extends SparkSuite {
     assert(j.count() > 0) // corpus has high word-set overlap by construction
   }
 
+  test("incremental dedup: prior hashes excluded, one keeper per surviving hash") {
+    val fresh = docs.filter(col("doc_id") % 3 =!= 0)
+    val prior = docs.filter(col("doc_id") % 3 === 0)
+    val kept = Dedup.exactIncremental(fresh, prior, "doc_id", "text").cache()
+    val priorH = prior.select(md5(col("text")).as("h")).distinct()
+    assert(kept.join(priorH, "h").count() === 0,
+      "a hash present in the prior snapshot must never survive")
+    val expect = fresh.select(md5(col("text")).as("h")).distinct()
+      .join(priorH, Seq("h"), "left_anti").count()
+    assert(kept.count() === expect)
+    // every keeper is the minimum doc_id carrying its hash in the batch
+    val firsts = fresh.select(md5(col("text")).as("h"), col("doc_id"))
+      .groupBy("h").agg(min("doc_id").as("m"))
+    assert(kept.join(firsts, "h").filter(col("keep_id") =!= col("m")).count() === 0)
+  }
+
+  test("jaccardSorted == builtin intersect/union formulation on random arrays") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // ASCII tokens: Scala string sort order == UTF8 binary order, the
+    // expression's input contract
+    val rows = Seq.fill(300) {
+      val a = Seq.fill(rnd.nextInt(20))(s"t${rnd.nextInt(30)}").distinct.sorted
+      val b = Seq.fill(rnd.nextInt(20))(s"t${rnd.nextInt(30)}").distinct.sorted
+      (a, b)
+    } :+ ((Seq.empty[String], Seq.empty[String]))
+    val got = rows.toDF("a", "b").select(
+      graft.plans.TextSketchExprs.jaccardSorted(col("a"), col("b")).as("j"),
+      when(size(array_union(col("a"), col("b"))) > 0,
+        size(array_intersect(col("a"), col("b"))).cast("double") /
+          size(array_union(col("a"), col("b")))).as("ref"))
+    // the guarded builtin form is null on the both-empty row; ours defines 0.0
+    assert(got.filter(col("ref").isNotNull && abs(col("j") - col("ref")) > 1e-12).count() === 0)
+    assert(got.filter(col("ref").isNull && col("j") =!= 0.0).count() === 0)
+  }
+
   test("prefix-filtered and brute-force jaccard pairs == naive self-join pairs, exactly") {
     for ((n, th) <- Seq((1, 0.5), (2, 0.3), (3, 0.7))) {
       val naive = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n, th)
