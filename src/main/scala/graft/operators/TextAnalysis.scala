@@ -67,7 +67,7 @@ object TextAnalysis {
     val score = least(lit(1.0), nTok.cast("double") / 100.0) * 0.4 +
       alphaRatio * 0.3 + stopRatio * 0.3
     import TextFunctions.round4
-    docs.select(Seq(col(idCol), nTok.as("n_tok"),
+    graft.sources.Balance.cpuBound(docs).select(Seq(col(idCol), nTok.as("n_tok"),
       round4(alphaRatio).as("alpha_ratio"), round4(stopRatio).as("stop_ratio"),
       round4(avgWordLen).as("avg_word_len"), round4(score).as("score")) ++
       keep.map(col): _*)
@@ -82,7 +82,7 @@ object TextAnalysis {
     * split/regexp_extract_all forms is property-asserted. */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
-    docs.select(col(idCol),
+    graft.sources.Balance.cpuBound(docs).select(col(idCol),
         graft.plans.TextNormExprs.wsTokenCount(t).as("n_ws_tok"),
         graft.plans.TextNormExprs.bpeishCount(lower(t)).as("n_re_tok"),
         length(t).as("__len"))
@@ -115,7 +115,7 @@ object TextAnalysis {
     // alias the gram array first: referenced twice below, and an alias
     // used twice is not inlined (CollapseProject duplicates only cheap
     // or used-once expressions) — one shingle pass per row, not two
-    docs.select(col(idCol), g.as("__graft_grams"))
+    graft.sources.Balance.cpuBound(docs).select(col(idCol), g.as("__graft_grams"))
       .select(col(idCol), size(col("__graft_grams")).as("n_grams"),
         size(array_distinct(col("__graft_grams"))).as("n_distinct"))
       .select(col(idCol), col("n_grams"), col("n_distinct"),
@@ -129,7 +129,8 @@ object TextAnalysis {
 
   /** Corpus term frequency: raw token counts (no per-doc distinct). */
   def termFrequency(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(explode(TextFunctions.normalizedWords(col(textCol))).as("word"))
+    graft.sources.Balance.cpuBound(docs)
+      .select(explode(TextFunctions.normalizedWords(col(textCol))).as("word"))
       .groupBy("word")
       .agg(count(lit(1)).as("cnt"))
 
@@ -186,7 +187,7 @@ object TextAnalysis {
     * join downstream. */
   def extractDomains(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val urlPat = piiPatterns.toMap.apply("url")
-    docs.select(col(idCol),
+    graft.sources.Balance.cpuBound(docs).select(col(idCol),
         explode(regexp_extract_all(col(textCol), lit(urlPat), lit(0))).as("url"))
       .select(col(idCol), col("url"),
         regexp_extract(col("url"), "https?://([A-Za-z0-9.-]+)", 1).as("domain"))
@@ -205,6 +206,7 @@ object TextAnalysis {
     val scrubbed = piiPatterns.foldLeft(col(textCol)) { case (c, (kind, p)) =>
       regexp_replace(c, lit(p), lit(s"<${kind.toUpperCase}>"))
     }
-    docs.select(col(idCol) +: counts :+ scrubbed.as("clean_text"): _*)
+    graft.sources.Balance.cpuBound(docs)
+      .select(col(idCol) +: counts :+ scrubbed.as("clean_text"): _*)
   }
 }
