@@ -193,6 +193,26 @@ object TextAnalysis {
         regexp_extract(col("url"), "https?://([A-Za-z0-9.-]+)", 1).as("domain"))
   }
 
+  /** Compression-ratio quality signal (Gopher-style): DEFLATE size over
+    * UTF-8 size per document ([[graft.plans.CompressionExprs]] — a real
+    * zlib codec, per-thread stream reuse, narrow map, no shuffle).
+    * Boilerplate/repetitive text lands far below natural language;
+    * `flag_repetitive` marks documents under `flagBelow` — long natural
+    * prose deflates to roughly 0.3–0.45, template spam to well under
+    * 0.1, so the default cut sits between the two regimes. Empty and
+    * null texts yield a null ratio (no evidence either way). */
+  def compressionQuality(docs: DataFrame, idCol: String, textCol: String,
+      flagBelow: Double = 0.2): DataFrame = {
+    val rawLen = octet_length(col(textCol))
+    val ratio = when(rawLen > 0,
+      graft.plans.CompressionExprs.deflateSize(col(textCol)).cast("double") / rawLen)
+    graft.sources.Balance.cpuBound(docs)
+      .select(col(idCol), rawLen.as("n_bytes"),
+        TextFunctions.round4(ratio).as("deflate_ratio"))
+      .withColumn("flag_repetitive",
+        coalesce(col("deflate_ratio") < flagBelow, lit(false)))
+  }
+
   /** PII scrubbing — the redaction stage of a training-data pipeline:
     * emails, URLs, phone numbers, and IPv4 addresses are replaced with
     * `<EMAIL>`/`<URL>`/`<PHONE>`/`<IPV4>` placeholders, with per-kind

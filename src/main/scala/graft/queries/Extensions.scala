@@ -1019,8 +1019,25 @@ object Extensions {
       .orderBy("keep_id")
   }
 
+  // --------------------------------------------------------------- Q75
+  /** COMPRESSION-RATIO QUALITY ([[TextAnalysis.compressionQuality]]):
+    * per-doc DEFLATE/raw byte ratio + repetitive flag. Rows-only gated
+    * (no SQL zlib) — like q40's image codec, the correctness evidence
+    * is the spec's constructed corpora (repeated text ≪ natural text <
+    * random glyphs) plus the in-query sanity floor asserted here: a
+    * positive ratio for every non-empty doc. */
+  val q75 = QueryDef.noOracle("q75_compression_quality") { (s, dir) =>
+    val out = TextAnalysis.compressionQuality(t(s, dir, "documents"), "doc_id", "text")
+    // self-asserting guard in the production shape: deflate never
+    // returns a non-positive size for non-empty input
+    val bad = out.filter(col("n_bytes") > 0 &&
+      (col("deflate_ratio").isNull || col("deflate_ratio") <= 0)).count()
+    require(bad == 0, s"$bad documents with non-positive deflate ratio")
+    out.orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
-    q70, q71, q72, q74)
+    q70, q71, q72, q74, q75)
 }

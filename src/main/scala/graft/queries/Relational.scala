@@ -494,7 +494,9 @@ object Relational {
       |       json_keys(props)[1] AS first_key
       |FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
       |ORDER BY event_id""") { (s, dir) =>
-    t(s, dir, "events")
+    // JSON parsing is a CPU-bound narrow map: rebalance off the single
+    // scan split (no-op once the input has >= cores splits)
+    graft.sources.Balance.cpuBound(t(s, dir, "events"))
       .select(col("event_id"),
         get_json_object(col("props"), "$.k").cast("int").as("k"),
         element_at(map_keys(from_json(col("props"), "map<string,string>",

@@ -436,3 +436,57 @@ class HeavyHittersSpec extends SparkSuite {
     assert(got.nonEmpty)
   }
 }
+
+class CompressionQualitySpec extends SparkSuite {
+  import org.apache.spark.sql.functions._
+
+  test("deflate ratio separates repeated, natural, and random text; edge cases") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // varied prose: random sentences over a real vocabulary — compresses
+    // like natural text (~0.3-0.5), unlike verbatim repetition
+    val vocab = ("the quick brown fox jumps over lazy dog wanders across " +
+      "wide field looking for something new chase morning evening river " +
+      "stone cloud window garden letter music silence").split(" ")
+    val natural = Seq.fill(250)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val docs = Seq(
+      (1L, "spam " * 400),                                       // pure repetition
+      (2L, natural),                                             // natural-ish prose
+      (3L, Seq.fill(2000)(('!' + rnd.nextInt(90)).toChar).mkString), // glyph soup
+      (4L, ""),                                                  // empty
+      (5L, null: String)                                         // null
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .compressionQuality(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Option[Long], Option[Double], Boolean)].collect()
+    val ratio = got.map(r => r._1 -> r._3).toMap
+    assert(ratio(1L).get < 0.05, s"repetition should crush: ${ratio(1L)}")
+    assert(ratio(2L).get > ratio(1L).get && ratio(2L).get < 0.6,
+      s"prose in the middle: ${ratio(2L)}")
+    assert(ratio(3L).get > 0.8, s"randomness should not compress: ${ratio(3L)}")
+    assert(ratio(4L).isEmpty && ratio(5L).isEmpty, "empty/null -> null ratio")
+    assert(got.find(_._1 == 1L).get._4 && !got.find(_._1 == 2L).get._4,
+      "only the repetitive doc is flagged")
+  }
+
+  test("deflate size matches a reference java.util.zip run exactly") {
+    import spark.implicits._
+    val texts = Seq("abc", "a" * 1000,
+      "interleaved 123 tokens *&^ with punctuation and UTF-8: naïve café 東京")
+    val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select(graft.plans.CompressionExprs.deflateSize(col("text")).as("n"))
+      .as[Long].collect()
+    val expect = texts.map { t =>
+      val d = new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+      d.setInput(t.getBytes("UTF-8")); d.finish()
+      val buf = new Array[Byte](1 << 16)
+      var n = 0L
+      while (!d.finished()) n += d.deflate(buf)
+      d.end(); n
+    }
+    assert(got.toSeq === expect)
+  }
+}
