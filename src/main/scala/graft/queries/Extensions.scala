@@ -293,13 +293,17 @@ object Extensions {
 
   // --------------------------------------------------------------- Q36
   private val lshPlanes = 4
+  /** The hyperplane-bucket bit expression, shared by q36 and q76 so the
+    * two oracles can never drift apart. */
+  private val lshBucketBitsSql = (0 until lshPlanes).map { p =>
+    s"""(CASE WHEN list_sum(list_transform(range(1, len(embedding)+1),
+       |       i -> CAST(embedding[i] AS DOUBLE) *
+       |            (CASE WHEN substring(md5('plane$p,' || CAST(i-1 AS VARCHAR)), 1, 1) <= '7'
+       |             THEN 1.0 ELSE -1.0 END))) >= 0 THEN '1' ELSE '0' END)""".stripMargin
+  }.mkString(" ||\n    ")
+
   val q36 = {
-    val bucketBits = (0 until lshPlanes).map { p =>
-      s"""(CASE WHEN list_sum(list_transform(range(1, len(embedding)+1),
-         |       i -> CAST(embedding[i] AS DOUBLE) *
-         |            (CASE WHEN substring(md5('plane$p,' || CAST(i-1 AS VARCHAR)), 1, 1) <= '7'
-         |             THEN 1.0 ELSE -1.0 END))) >= 0 THEN '1' ELSE '0' END)""".stripMargin
-    }.mkString(" ||\n    ")
+    val bucketBits = lshBucketBitsSql
     QueryDef("q36_ann_lsh",
       s"""WITH bk AS (
          |  SELECT vec_id, embedding,
@@ -1036,8 +1040,41 @@ object Extensions {
     out.orderBy("doc_id")
   }
 
+  // --------------------------------------------------------------- Q76
+  /** MULTI-PROBE LSH ANN ([[Similarity.lshTopKMultiProbe]]): q36 plus
+    * Hamming-distance-1 probing — the standard recall lever. The oracle
+    * reproduces the probe generation (each one-bit flip of the bucket
+    * string) exactly. */
+  val q76 = QueryDef("q76_ann_lsh_multiprobe",
+    s"""WITH bk AS (
+       |  SELECT vec_id, embedding,
+       |    $lshBucketBitsSql AS bucket
+       |  FROM embeddings WHERE ${normSql("embedding")} > 0
+       |), qp AS (
+       |  SELECT vec_id, embedding, unnest([bucket, ${(0 until lshPlanes).map(p =>
+             s"substring(bucket, 1, $p) || (CASE WHEN substring(bucket, ${p + 1}, 1) = '0' " +
+               s"THEN '1' ELSE '0' END) || substring(bucket, ${p + 2}, ${lshPlanes - p - 1})")
+             .mkString(", ")}]) AS bucket
+       |  FROM bk WHERE vec_id < 50
+       |), p AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |         ${dotSql("q.embedding", "c.embedding")} AS dt,
+       |         ${normSql("q.embedding")} AS na, ${normSql("c.embedding")} AS nb
+       |  FROM qp q JOIN bk c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+       |), r AS (
+       |  SELECT q_id, c_id, dt/(na*nb) AS cs,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY dt/(na*nb) DESC, c_id) AS rn
+       |  FROM p
+       |)
+       |SELECT q_id, c_id, rn, floor(cs * 10000 + 0.5) / 10000 AS cos FROM r WHERE rn <= 3
+       |ORDER BY q_id, rn""") { (s, dir) =>
+    Similarity.lshTopKMultiProbe(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 3, planes = lshPlanes, queryPred = col("vec_id") < 50)
+      .orderBy("q_id", "rn")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
-    q70, q71, q72, q74, q75)
+    q70, q71, q72, q74, q75, q76)
 }

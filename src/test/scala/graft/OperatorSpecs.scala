@@ -131,6 +131,28 @@ class SimilaritySpec extends SparkSuite {
     assert(recall(ivf) > recall(lsh))
   }
 
+  test("multi-probe LSH: per-query best cosine never below single-probe, recall rises") {
+    val q = col("vec_id") < 50
+    val single = Similarity.lshTopK(emb, "vec_id", "embedding", 3, 4, q)
+    val multi = Similarity.lshTopKMultiProbe(emb, "vec_id", "embedding", 3, 4, q)
+    // the multi-probe candidate set strictly contains the single-probe
+    // set, so the best score per query can only improve
+    def best(df: org.apache.spark.sql.DataFrame) = df.filter(col("rn") === 1)
+      .select(col("q_id"), col("cos").as("best"))
+    val joined = best(multi).join(best(single).withColumnRenamed("best", "sbest"), "q_id")
+    assert(joined.filter(col("best") < col("sbest")).count() === 0)
+    // every single-probe query still answers, plus possibly more
+    assert(multi.select("q_id").distinct().count() >=
+      single.select("q_id").distinct().count())
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb.filter(q), emb, "vec_id", "embedding", 3))
+    def recall(s: Set[(Long, Long)]) = (s & exact).size / exact.size.toDouble
+    val rs = recall(pairs(single)); val rm = recall(pairs(multi))
+    assert(rm >= rs, s"multi-probe recall $rm below single-probe $rs")
+    assert(rm >= 0.3, s"multi-probe recall floor: $rm") // measured ~2-3x single-probe
+  }
+
   test("cosine of a vector with itself is 1") {
     val self = emb.limit(10).select(
       TextFunctions.round4(VectorFunctions.cosine(col("embedding"), col("embedding"))).as("c"))
