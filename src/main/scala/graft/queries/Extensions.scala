@@ -1073,8 +1073,42 @@ object Extensions {
       .orderBy("q_id", "rn")
   }
 
+  // --------------------------------------------------------------- Q77
+  /** QUANTILE SKETCH (Greenwald–Khanna via `approx_percentile`): the
+    * remaining sketch family alongside HLL/MinHash/SimHash/Bloom/
+    * Misra–Gries. Rows-only gated (a sketch value is not DuckDB-
+    * reproducible) but SELF-ASSERTING like q04b: the GK contract —
+    * the returned value's rank interval [count(<v), count(≤v)] must
+    * intersect target·n ± n/accuracy — is verified in-query against
+    * exact rank counts, and the query fails loudly if violated. */
+  val q77 = QueryDef.noOracle("q77_quantile_sketch") { (s, dir) =>
+    import s.implicits._
+    val acc = 1000
+    val li = t(s, dir, "lineitem").select(col("l_quantity").cast("double").as("v"))
+    val agg = li.agg(
+      expr(s"approx_percentile(v, array(0.25, 0.5, 0.9, 0.99), $acc)").as("ap"),
+      count(lit(1)).as("n")).head()
+    val ap = agg.getSeq[Double](0); val n = agg.getLong(1)
+    val qs = Seq(0.25, 0.5, 0.9, 0.99)
+    // exact rank interval of each sketched value, in ONE pass
+    val rankCols =
+      qs.indices.map(i => sum(when(col("v") < ap(i), 1L).otherwise(0L)).as(s"lt$i")) ++
+      qs.indices.map(i => sum(when(col("v") <= ap(i), 1L).otherwise(0L)).as(s"le$i"))
+    val ranks = li.agg(rankCols.head, rankCols.tail: _*).head()
+    val eps = n.toDouble / acc
+    val rows = qs.zipWithIndex.map { case (q, i) =>
+      val lt = ranks.getLong(i); val le = ranks.getLong(qs.size + i)
+      val ok = le >= q * n - eps && lt <= q * n + eps
+      (q, ap(i), lt, le, n, ok)
+    }
+    require(rows.forall(_._6),
+      s"approx_percentile outside the GK rank guarantee: $rows")
+    rows.toDF("quantile", "approx_value", "rank_lt", "rank_le", "n", "within_bound")
+      .orderBy("quantile")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
-    q70, q71, q72, q74, q75, q76)
+    q70, q71, q72, q74, q75, q76, q77)
 }
