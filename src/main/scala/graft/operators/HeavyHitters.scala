@@ -89,7 +89,10 @@ object HeavyHitters {
         "raise k or the threshold, or the candidate set may miss frequent tokens")
     val spark = docs.sparkSession
     import spark.implicits._
-    val tokens = docs.select(
+    // tokenize + per-row sketch reduce is the heaviest CPU-bound narrow
+    // map in this file: rebalance off a 1-2-split small scan (no-op at
+    // scale), for both the sketch pass and the exact refine pass
+    val tokens = graft.sources.Balance.cpuBound(docs).select(
       explode(TextFunctions.normalizedWords(col(textCol))).as("word"))
     // pass 1: ONE bounded row (≤ k counters + exact total) to the driver
     val sk = tokens.as[String].select(new MisraGries(k).toColumn).head()

@@ -137,7 +137,9 @@ object TextAnalysis {
   /** PII patterns, ordered as they are scrubbed (emails before URLs —
     * neither can contain the other under these charsets — then phones,
     * then bare IPv4s, so an address inside an already-redacted span is
-    * never double-counted). Restricted to regex syntax that Java regex
+    * never double-REDACTED; the n_* counts are raw-text match counts
+    * per kind, so a span matching two kinds — an IPv4 host inside a
+    * URL — counts once in each). Restricted to regex syntax that Java regex
     * (Spark) and RE2 (DuckDB) interpret identically: explicit character
     * classes, bounded repetition, no lookaround, no `\S`/`\w`
     * shorthand — the SQL oracle interpolates these exact strings. */
@@ -224,7 +226,7 @@ object TextAnalysis {
       size(regexp_extract_all(col(textCol), lit(p), lit(0))).as(s"n_$kind")
     }
     val scrubbed = piiPatterns.foldLeft(col(textCol)) { case (c, (kind, p)) =>
-      regexp_replace(c, lit(p), lit(s"<${kind.toUpperCase}>"))
+      regexp_replace(c, lit(p), lit(s"<${kind.toUpperCase(java.util.Locale.ROOT)}>"))
     }
     graft.sources.Balance.cpuBound(docs)
       .select(col(idCol) +: counts :+ scrubbed.as("clean_text"): _*)

@@ -53,9 +53,9 @@ object ProfileCC {
 
     // q66 stages
     val cands = graft.operators.Dedup.minhashCandidates(docs, "doc_id", "text",
-      n = 1, k = graft.queries.Extensions.mhK, bands = graft.queries.Extensions.mhBands)
+      n = 2, k = graft.queries.Extensions.mhK, bands = graft.queries.Extensions.mhBands)
     time("q66 candidates count")(cands.count())
-    val verified = graft.operators.Dedup.jaccardRefine(cands, docs, "doc_id", "text", n = 1, theta = 0.5)
+    val verified = graft.operators.Dedup.jaccardRefine(cands, docs, "doc_id", "text", n = 2, theta = 0.5)
     time("q66 refine count")(verified.count())
     val verP = verified.select("doc_a", "doc_b").persist()
     time("q66 verified persist")(verP.count())

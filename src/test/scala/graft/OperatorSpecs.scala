@@ -72,6 +72,25 @@ class DedupSpec extends SparkSuite {
     assert(got.filter(col("ref").isNull && col("j") =!= 0.0).count() === 0)
   }
 
+  test("prefix variant keeps rounding-boundary pairs the naive join emits") {
+    import spark.implicits._
+    // J = 3000/10001 = 0.29997 < 0.3, but round4(J) = 0.3 — the refine
+    // keeps it at theta=0.3, so candidate pruning must not drop it
+    // (sz_b >= sz_a * theta would: 3000 < 3000.3)
+    val tok = (i: Int) => f"w${i}%05d".map(c => if (c.isDigit) ('a' + c - '0').toChar else c)
+    val big = (1 to 10001).map(tok).mkString(" ")
+    val small = (1 to 3000).map(tok).mkString(" ")
+    val docs2 = Seq((1L, big), (2L, small)).toDF("doc_id", "text")
+    for ((tag, gen) <- Seq(
+        "naive" -> Dedup.ngramJaccardPairs _,
+        "prefix" -> Dedup.ngramJaccardPairsPrefix _,
+        "brute" -> Dedup.ngramJaccardPairsBrute _)) {
+      val got = gen(docs2, "doc_id", "text", 1, 0.3)
+        .select("doc_a", "doc_b", "jacc").as[(Long, Long, Double)].collect()
+      assert(got.toSeq === Seq((1L, 2L, 0.3)), s"$tag missed the boundary pair: ${got.toSeq}")
+    }
+  }
+
   test("prefix-filtered and brute-force jaccard pairs == naive self-join pairs, exactly") {
     for ((n, th) <- Seq((1, 0.5), (2, 0.3), (3, 0.7))) {
       val naive = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n, th)
