@@ -109,16 +109,56 @@ object Bench {
     // Headline queries reuse their min-of-reps sample; the rest get a
     // single warm-session run (coverage, not a steady-state headline).
     // Disable with SPARK_GRAFT_BENCH_FULL=0 for quick local loops.
+    //
+    // SELF-ADJUDICATION: a single warm-session sample in a long-lived
+    // JVM can carry up to 10× GC aftermath from whatever ran before it
+    // (measured: q28b 24.7 s in-sweep vs 2.27 s fresh-JVM). So any
+    // entry whose sample exceeds 3× its previous committed value
+    // (BENCH_LAST.json's `full` map) is re-measured once after a
+    // System.gc() settle, the BETTER sample is recorded, and both
+    // samples land in `full_adjudicated` — the record dismisses its own
+    // phantom regressions instead of requiring a fresh-JVM re-run to
+    // read. An entry still >3× prev after re-measurement is a real
+    // regression (or a real plan change) by construction.
+    val prevFull: Map[String, Double] =
+      try {
+        val p = java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", "BENCH_LAST.json"))
+        if (!java.nio.file.Files.isReadable(p)) Map.empty
+        else {
+          val root = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(java.nio.file.Files.readString(p))
+          val full = root.path("full")
+          if (!full.isObject) Map.empty
+          else {
+            val b = Map.newBuilder[String, Double]
+            full.fields().forEachRemaining(e => b += e.getKey -> e.getValue.asDouble(-1.0))
+            b.result()
+          }
+        }
+      } catch { case _: Throwable => Map.empty }
     val headlineMins = results.toMap
-    val fullResults: Seq[(String, Double)] =
+    // (name, best sample, Some((first, resample)) when adjudicated)
+    val fullResults: Seq[(String, Double, Option[(Double, Double)])] =
       if (sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "1") == "0") Seq.empty
       else SparkEntry.queries.keys.toSeq.sorted.filterNot(skip).map { name =>
         // skip applies here too: a whale excluded from the headline must
         // not run in the full sweep either, or its same-JVM GC aftermath
         // pollutes every sample after it anyway
-        name -> headlineMins.get(name).map(_.min).getOrElse(
-          timeOnce(name)(SparkEntry.queries(name)(spark, sfDir)
-            .write.format("noop").mode("overwrite").save()))
+        def run(): Double = timeOnce(name)(SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save())
+        headlineMins.get(name).map(t => (name, t.min, None)).getOrElse {
+          val s1 = run()
+          prevFull.get(name) match {
+            // the 0.5 s floor keeps sub-second queries (where 3× is
+            // scheduler noise, not GC aftermath) out of the re-measure
+            case Some(prev) if prev > 0 && s1 > 3 * prev && s1 > 0.5 =>
+              System.gc(); Thread.sleep(500); System.gc()
+              val s2 = run()
+              (name, if (s2 >= 0) math.min(s1, s2) else s1, Some((s1, s2)))
+            case _ => (name, s1, None)
+          }
+        }
       }
     val loadEnd = loadavg()
 
@@ -145,9 +185,17 @@ object Bench {
       catch { case _: Throwable => -1L }
     val fullJson =
       if (fullResults.isEmpty) ""
-      else fullResults.map { case (k, v) => "\"" + k + "\":" + v }
+      else fullResults.map { case (k, v, _) => "\"" + k + "\":" + v }
         .mkString(""","full":{""", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","q27_pairs":$q27Pairs,"reps":$reps,"median":$medians,"spread":$spreads$fullJson,"loadavg_start":$loadStart,"loadavg_end":$loadEnd}"""
+    // every adjudicated entry with both samples + the previous value it
+    // was judged against — the regression story in the record itself
+    val adjudicated = fullResults.collect { case (k, _, Some((s1, s2))) =>
+      f""""$k":{"first":$s1%.3f,"resample":$s2%.3f,"prev":${prevFull.getOrElse(k, -1.0)}%.3f}"""
+    }
+    val adjJson =
+      if (adjudicated.isEmpty) ""
+      else adjudicated.mkString(""","full_adjudicated":{""", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","q27_pairs":$q27Pairs,"reps":$reps,"median":$medians,"spread":$spreads$fullJson$adjJson,"loadavg_start":$loadStart,"loadavg_end":$loadEnd}"""
     // The FULL record (medians, spreads, the 60+-entry full-inventory map)
     // is several KB — longer than the driver's stdout tail window, which is
     // why BENCH_r04/r05 recorded `parsed: null`. So: the full record goes to
@@ -156,7 +204,7 @@ object Bench {
     // always survive the tail capture whole.
     val compactQs = results.map { case (k, t) => f""""$k":${t.min}%.3f""" }
       .mkString("{", ",", "}")
-    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$compactQs,"sf":"$sfDir","q27_pairs":$q27Pairs,"reps":$reps,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"full":"BENCH_LAST.json"}"""
+    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$compactQs,"sf":"$sfDir","q27_pairs":$q27Pairs,"reps":$reps,"adjudicated":${adjudicated.length},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"full":"BENCH_LAST.json"}"""
     System.err.println(json)
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

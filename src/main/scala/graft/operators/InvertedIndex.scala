@@ -1,6 +1,6 @@
 package graft.operators
 
-import java.io.{File, FileWriter, PrintWriter}
+import java.io.{File, PrintWriter}
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -114,15 +114,25 @@ object InvertedIndex {
     * All heavy work (tokenize/dedup/group) stays distributed; the
     * write repartitions on the letter key so each letter's rows land in
     * exactly one task, which streams them out in sorted order. The
-    * driver only touches missing (empty) letters. Local-filesystem
-    * writer — on a cluster, point `outDir` at a shared mount or swap
-    * the writer body for an object-store client; the dataflow is
-    * unchanged. */
+    * driver only touches missing (empty) letters.
+    *
+    * CLUSTER-READY: executors write through the Hadoop FileSystem API
+    * (the session's conf shipped via [[graft.sources.SerializableHadoopConf]],
+    * the same pattern as the manifest read), so `outDir` may be a local
+    * path, a `file:` URI, or any configured scheme (HDFS/S3A/…) — the
+    * fixed-filename single-file-per-letter contract (the reference's
+    * `a.txt`…`z.txt`, `src/main.cc:136-139`) is what rules out the
+    * stock committer-based `partitionBy` sink, not the filesystem. */
   def writeLetterFiles(index: DataFrame, outDir: String): Unit = {
-    new File(outDir).mkdirs()
+    val conf = new graft.sources.SerializableHadoopConf(
+      index.sparkSession.sessionState.newHadoopConf())
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = outPath.getFileSystem(conf.value)
+    fs.mkdirs(outPath)
     // clear previous letter files: a letter absent from THIS index must
     // come out as a fresh 0-byte file, not stale prior contents
-    ('a' to 'z').foreach(c => new File(outDir, s"$c.txt").delete())
+    ('a' to 'z').foreach(c =>
+      fs.delete(new org.apache.hadoop.fs.Path(outPath, s"$c.txt"), false))
     index
       .repartition(26, col("letter"))
       .sortWithinPartitions(col("letter"), col("cnt").desc, col("word"))
@@ -130,20 +140,27 @@ object InvertedIndex {
       .foreachPartition { it: Iterator[Row] =>
         var cur: String = null
         var out: PrintWriter = null
+        // resolve the FS on the executor from the shipped conf — never
+        // from a driver-captured FileSystem (not serializable, and the
+        // executor may need different credentials/caches)
+        lazy val efs = new org.apache.hadoop.fs.Path(outDir)
+          .getFileSystem(conf.value)
         it.foreach { r =>
           val letter = r.getString(0)
           if (letter != cur) {
             if (out != null) out.close()
             cur = letter
-            out = new PrintWriter(new FileWriter(new File(outDir, s"$letter.txt")))
+            out = new PrintWriter(new java.io.OutputStreamWriter(
+              efs.create(new org.apache.hadoop.fs.Path(outDir, s"$letter.txt"), true),
+              java.nio.charset.StandardCharsets.UTF_8))
           }
           out.println(r.getString(1))
         }
         if (out != null) out.close()
       }
     ('a' to 'z').foreach { c =>
-      val f = new File(outDir, s"$c.txt")
-      if (!f.exists()) f.createNewFile()
+      val p = new org.apache.hadoop.fs.Path(outPath, s"$c.txt")
+      if (!fs.exists(p)) fs.create(p, false).close()
     }
   }
 

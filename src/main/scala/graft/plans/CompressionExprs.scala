@@ -23,11 +23,26 @@ object CompressionExprs {
   /** Per-thread reusable Deflater + scratch buffer — Deflater is not
     * thread-safe and allocates native zlib state, so one per row would
     * dominate the expression it exists to serve. `reset()` between
-    * rows reuses the native stream. */
+    * rows reuses the native stream.
+    *
+    * Native lifecycle: each Slot is registered with a [[java.lang.ref.Cleaner]]
+    * that calls `end()` when the owning thread dies and its ThreadLocal
+    * entry is collected, so long-lived executors with churning task
+    * threads don't accumulate unreleasable zlib state. (JDK 12+
+    * Deflater also self-cleans on GC; the explicit registration makes
+    * the release deterministic-on-unreachability rather than relying on
+    * that implementation detail.) */
   private object DeflaterPool {
+    private lazy val cleaner = java.lang.ref.Cleaner.create()
+    // the cleanup action must not capture the Slot itself (it would
+    // never become phantom-reachable); it holds only the Deflater
+    private final class EndDeflater(d: Deflater) extends Runnable {
+      override def run(): Unit = d.end()
+    }
     final class Slot {
       val deflater = new Deflater(Deflater.DEFAULT_COMPRESSION, /*nowrap=*/ true)
       val scratch = new Array[Byte](8192)
+      cleaner.register(this, new EndDeflater(deflater))
     }
     private val local = new ThreadLocal[Slot] {
       override def initialValue(): Slot = new Slot

@@ -302,6 +302,76 @@ object Extensions {
        |             THEN 1.0 ELSE -1.0 END))) >= 0 THEN '1' ELSE '0' END)""".stripMargin
   }.mkString(" ||\n    ")
 
+  /** Recall floors for the LSH ANN gates (mean recall@3 over the 50
+    * query vectors — measured 0.12/0.19 for single-probe and 0.49/0.55
+    * for multi-probe at sf0.01/sf0.1; floors sit under both with margin
+    * so the gate trips on a bucketing regression, not on corpus-size
+    * noise; the multi-probe floor is higher because Hamming-1 probing
+    * strictly widens the candidate set). */
+  private val q36RecallFloor = 0.1
+  private val q76RecallFloor = 0.4
+
+  /** Oracle tail shared by q36/q76 (expects a CTE `lsh(q_id, c_id, rn,
+    * cs)` in scope): exact brute-force top-k per query, per-query
+    * intersection counts with the ANN result, and the corpus mean
+    * recall — so the recall/probe tradeoff is MEASURED under the oracle
+    * every round, not asserted once in a spec. Counts are integers with
+    * one final double division, so the mean is bit-identical across
+    * engines (no float summation-order hazard). A query the ANN missed
+    * entirely (empty bucket) still counts as 0 via the LEFT join from
+    * exact. */
+  private def annRecallTailSql(k: Int, floorV: Double): String =
+    s"""eqp AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |         ${dotSql("q.embedding", "c.embedding")} AS dt,
+       |         ${normSql("q.embedding")} AS na, ${normSql("c.embedding")} AS nb
+       |  FROM embeddings q JOIN embeddings c
+       |    ON q.vec_id < 50 AND q.vec_id <> c.vec_id
+       |  WHERE ${normSql("q.embedding")} > 0 AND ${normSql("c.embedding")} > 0
+       |), exact AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY dt/(na*nb) DESC, c_id) AS ern
+       |    FROM eqp) WHERE ern <= $k
+       |), inter AS (
+       |  SELECT e.q_id, count(l.c_id) AS inter_cnt
+       |  FROM exact e LEFT JOIN lsh l ON l.q_id = e.q_id AND l.c_id = e.c_id
+       |  GROUP BY e.q_id
+       |), m AS (
+       |  SELECT floor(CAST(sum(inter_cnt) AS DOUBLE) / ($k * count(*)) * 10000 + 0.5) / 10000 AS mean_recall
+       |  FROM inter
+       |)
+       |SELECT l.q_id, l.c_id, l.rn, floor(l.cs * 10000 + 0.5) / 10000 AS cos,
+       |       floor(CAST(i.inter_cnt AS DOUBLE) / $k * 10000 + 0.5) / 10000 AS recall_q,
+       |       m.mean_recall, m.mean_recall >= $floorV AS recall_ok
+       |FROM lsh l JOIN inter i ON i.q_id = l.q_id CROSS JOIN m
+       |ORDER BY l.q_id, l.rn""".stripMargin
+
+  /** Spark twin of [[annRecallTailSql]]: attach per-query recall@k vs
+    * the exact brute-force result, the corpus mean, and the floor flag
+    * to an ANN result frame (q_id, c_id, rn, cos). Same integer-count
+    * arithmetic; the tiny per-query recall table and the 1-row mean are
+    * broadcast (q45's pattern, here under the full oracle gate). */
+  private def withAnnRecall(ann: DataFrame, emb: DataFrame, k: Int,
+      floorV: Double): DataFrame = {
+    val qPred = col("vec_id") < 50
+    val exact = Similarity.bruteForceTopK(emb.filter(qPred), emb, "vec_id", "embedding", k)
+      .groupBy("q_id").agg(collect_set(col("c_id")).as("exact_ids"))
+    val perQ = exact
+      .join(ann.groupBy("q_id").agg(collect_set(col("c_id")).as("ann_ids")),
+        Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(size(array_intersect(col("ann_ids"), col("exact_ids"))), lit(0))
+          .as("inter_cnt"))
+    val mean = perQ.agg(TextFunctions.round4(
+      sum(col("inter_cnt")).cast("double") / (lit(k) * count(lit(1)))).as("mean_recall"))
+    ann.join(broadcast(perQ), Seq("q_id"))
+      .crossJoin(broadcast(mean))
+      .select(col("q_id"), col("c_id"), col("rn"), col("cos"),
+        TextFunctions.round4(col("inter_cnt").cast("double") / k).as("recall_q"),
+        col("mean_recall"), (col("mean_recall") >= floorV).as("recall_ok"))
+  }
+
   val q36 = {
     val bucketBits = lshBucketBitsSql
     QueryDef("q36_ann_lsh",
@@ -319,11 +389,14 @@ object Extensions {
          |  SELECT q_id, c_id, dt/(na*nb) AS cs,
          |         row_number() OVER (PARTITION BY q_id ORDER BY dt/(na*nb) DESC, c_id) AS rn
          |  FROM p
-         |)
-         |SELECT q_id, c_id, rn, floor(cs * 10000 + 0.5) / 10000 AS cos FROM r WHERE rn <= 3
-         |ORDER BY q_id, rn""") { (s, dir) =>
-      Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
-          k = 3, planes = lshPlanes, queryPred = col("vec_id") < 50)
+         |), lsh AS (
+         |  SELECT q_id, c_id, rn, cs FROM r WHERE rn <= 3
+         |), ${annRecallTailSql(k = 3, floorV = q36RecallFloor)}""") { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      withAnnRecall(
+        Similarity.lshTopK(emb, "vec_id", "embedding",
+          k = 3, planes = lshPlanes, queryPred = col("vec_id") < 50),
+        emb, k = 3, floorV = q36RecallFloor)
         .orderBy("q_id", "rn")
     }
   }
@@ -434,11 +507,12 @@ object Extensions {
   val q40 = QueryDef.noOracle("q40_multimodal") { (s, dir) =>
     import graft.operators.Multimodal
     val docs = t(s, dir, "documents")
-    val images = Multimodal.synthesizeAssets(docs, "doc_id", "text", "image")
-    val videos = Multimodal.synthesizeAssets(
-      docs.withColumn("vtext", reverse(col("text"))), "doc_id", "vtext", "video")
+    // pre-materialized fixture assets (one-time synth+PNG-encode, cached
+    // as parquet keyed by corpus fingerprint): the timed pipeline is
+    // decode → resize → frame-sample → aggregate, not fixture encoding
+    val assets = Multimodal.cachedCorpusAssets(docs, "doc_id", "text")
     val feat = Multimodal.resize(
-      Multimodal.decodeFeatures(images.unionAll(videos)), maxDim = 256)
+      Multimodal.decodeFeatures(assets), maxDim = 256)
     // frames sampled per video asset: every 10th frame index, counted from
     // the container frame count the metadata decode pass already parsed —
     // size(sequence(0, n-1, 10)) is exactly [[Multimodal.sampleFrames]]'s
@@ -589,12 +663,14 @@ object Extensions {
   private def clusterQuery(s: org.apache.spark.sql.SparkSession, dir: String,
       cc: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val docs = t(s, dir, "documents")
-    // brute-force pair generation: on this dense small-vocabulary corpus
-    // the self-join's Σdf² fanout is the most expensive stage of the
-    // whole query (~8.5 s of shuffle at sf0.1 vs ~1 s for the
-    // broadcast-NL merge-pass join — see ngramJaccardPairsBrute's
-    // decision table; all three variants are spec-asserted equal)
-    val pairs = Dedup.ngramJaccardPairsBrute(docs, "doc_id", "text", n = 2, theta = 0.3)
+    // prefix-filtered (AllPairs/PPJoin) pair generation — the
+    // SCALE-SAFE exact generator: candidates fan out on rare shingles
+    // only, so corpus growth never hits a broadcast limit or an
+    // unconditional n² loop (the brute variant won on the dense
+    // small-vocabulary corpus but is a small-corpus tool — its guard
+    // now degrades to this same generator; all three variants are
+    // spec-asserted equal, so the oracle is unaffected by the choice)
+    val pairs = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", n = 2, theta = 0.3)
     cc(pairs.select("doc_a", "doc_b"), docs.select("doc_id"))
       .select(col("doc_id"), col("cluster_id"),
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
@@ -1065,11 +1141,14 @@ object Extensions {
        |  SELECT q_id, c_id, dt/(na*nb) AS cs,
        |         row_number() OVER (PARTITION BY q_id ORDER BY dt/(na*nb) DESC, c_id) AS rn
        |  FROM p
-       |)
-       |SELECT q_id, c_id, rn, floor(cs * 10000 + 0.5) / 10000 AS cos FROM r WHERE rn <= 3
-       |ORDER BY q_id, rn""") { (s, dir) =>
-    Similarity.lshTopKMultiProbe(t(s, dir, "embeddings"), "vec_id", "embedding",
-        k = 3, planes = lshPlanes, queryPred = col("vec_id") < 50)
+       |), lsh AS (
+       |  SELECT q_id, c_id, rn, cs FROM r WHERE rn <= 3
+       |), ${annRecallTailSql(k = 3, floorV = q76RecallFloor)}""") { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    withAnnRecall(
+      Similarity.lshTopKMultiProbe(emb, "vec_id", "embedding",
+        k = 3, planes = lshPlanes, queryPred = col("vec_id") < 50),
+      emb, k = 3, floorV = q76RecallFloor)
       .orderBy("q_id", "rn")
   }
 
@@ -1107,8 +1186,54 @@ object Extensions {
       .orderBy("quantile")
   }
 
+  // --------------------------------------------------------------- Q78
+  /** MERGE/upsert (CDC shape, [[graft.operators.Merge.applyChangeset]]):
+    * a deterministic changeset derived from the customer snapshot —
+    * updates (key%10=3, +100 balance), deletes (key%10=7), inserts
+    * (key%10=5 re-keyed above the snapshot range) — full-outer-join
+    * merged back into it. The balance bump is exact double addition
+    * (no re-round), so both engines produce bit-identical values. */
+  val q78 = QueryDef("q78_merge_upsert",
+    """WITH chg AS (
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100 AS c_acctbal,
+      |         c_mktsegment, 'U' AS op
+      |  FROM customer WHERE c_custkey % 10 = 3
+      |  UNION ALL
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, 'D' AS op
+      |  FROM customer WHERE c_custkey % 10 = 7
+      |  UNION ALL
+      |  SELECT c_custkey + 10000000, 'New ' || c_name, c_nationkey,
+      |         CAST(0.0 AS DOUBLE), c_mktsegment, 'I' AS op
+      |  FROM customer WHERE c_custkey % 10 = 5
+      |)
+      |SELECT coalesce(s.c_custkey, c.c_custkey) AS c_custkey,
+      |       CASE WHEN c.op IS NOT NULL THEN c.c_name ELSE s.c_name END AS c_name,
+      |       CASE WHEN c.op IS NOT NULL THEN c.c_nationkey ELSE s.c_nationkey END AS c_nationkey,
+      |       CASE WHEN c.op IS NOT NULL THEN c.c_acctbal ELSE s.c_acctbal END AS c_acctbal,
+      |       CASE WHEN c.op IS NOT NULL THEN c.c_mktsegment ELSE s.c_mktsegment END AS c_mktsegment
+      |FROM customer s FULL JOIN chg c ON s.c_custkey = c.c_custkey
+      |WHERE c.op IS NULL OR c.op <> 'D'
+      |ORDER BY c_custkey""") { (s, dir) =>
+    val cust = t(s, dir, "customer")
+    val upd = cust.filter(col("c_custkey") % 10 === 3)
+      .withColumn("c_acctbal", col("c_acctbal") + 100)
+      .withColumn("op", lit("U"))
+    val del = cust.filter(col("c_custkey") % 10 === 7)
+      .withColumn("op", lit("D"))
+    val ins = cust.filter(col("c_custkey") % 10 === 5)
+      .select((col("c_custkey") + 10000000L).as("c_custkey"),
+        concat(lit("New "), col("c_name")).as("c_name"),
+        col("c_nationkey"),
+        lit(0.0).as("c_acctbal"),
+        col("c_mktsegment"))
+      .withColumn("op", lit("I"))
+    graft.operators.Merge.applyChangeset(
+        cust, upd.unionByName(del).unionByName(ins), "c_custkey", "op")
+      .orderBy("c_custkey")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
-    q70, q71, q72, q74, q75, q76, q77)
+    q70, q71, q72, q74, q75, q76, q77, q78)
 }

@@ -1,17 +1,27 @@
 // Deterministic synthetic-data generator mirroring the driver testdata
 // schemas/distributions (TESTDATA.md) at arbitrary scale factors:
-//   sbt "runMain graft.tools.GenTestData <outDir> <sf>"
+//   sbt "runMain graft.tools.GenTestData <outDir> <sf> [dense|zipf]"
 // Used for scale dry-runs (e.g. sf=1 — 6M lineitem, 50k documents, 1M
 // events) beyond the largest driver-provided directory. Generation is
 // fully distributed (spark.range + hash-derived columns, no driver
-// loops) and deterministic for a fixed sf: every value derives from
-// row id + a per-column seed through hash()/rand(seed).
+// loops) and deterministic for a fixed (sf, mode): every value derives
+// from row id + a per-column seed through hash()/rand(seed).
 //
 // Distribution notes (matched against /root/testdata/sf0.1):
-//  - documents: 31-word vocabulary (30 near-uniform + rare "dup"),
-//    10-100 words/doc — the tiny vocab is what makes minhash
-//    candidate-pair density huge and SUPERLINEAR in doc count, which
-//    is exactly what a scale dry-run needs to surface;
+//  - documents, `dense` mode (the driver-corpus twin): 31-word
+//    vocabulary (30 near-uniform + rare "dup"), 10-100 words/doc — the
+//    tiny vocab makes minhash candidate-pair density huge and
+//    SUPERLINEAR in doc count (q27 at sf1: 291M pairs, 102× for 10×
+//    docs), which saturates every dedup/similarity scale number;
+//  - documents, `zipf` mode (the natural-language-shaped corpus):
+//    50k-word vocabulary with Zipf(s≈1) token frequencies via the
+//    inverse-CDF trick rank = floor(V^u) (P(rank=k) ≈ 1/(k·lnV)), and
+//    near-dups PLANTED explicitly — ~10% of docs replay an earlier
+//    doc's token stream ("family") plus one perturbation token. True
+//    near-dup pairs then grow ~linearly in doc count (family sizes are
+//    O(1) in expectation), shingle document-frequency follows a power
+//    law, and prefix-filtered similarity joins prune on genuinely rare
+//    tokens — the regime the AllPairs/PPJoin path is built for;
 //  - embeddings: 64-dim unit-normalized Gaussian vectors, labels 0-9;
 //  - events.ts is written as BIGINT nanoseconds, the same physical
 //    shape Tables normalizes (`timestamp_micros(ts div 1000)`).
@@ -22,8 +32,10 @@ import org.apache.spark.sql.functions._
 
 object GenTestData {
   def main(args: Array[String]): Unit = {
-    val out = args.headOption.getOrElse(sys.error("usage: GenTestData <outDir> [sf]"))
+    val out = args.headOption.getOrElse(sys.error("usage: GenTestData <outDir> [sf] [dense|zipf]"))
     val sf = args.lift(1).map(_.toDouble).getOrElse(1.0)
+    val mode = args.lift(2).getOrElse("dense")
+    require(mode == "dense" || mode == "zipf", s"unknown mode '$mode' (dense|zipf)")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -120,23 +132,54 @@ object GenTestData {
       round(u(75) * 150, 2).as("value"),
       format_string("{\"k\": %d}", pmod(hash(col("id"), lit(76)), lit(100))).as("props")))
 
-    // documents: 31-word vocab, 10-100 words, "dup" rare (~5% of docs
-    // carry one) — near-dup density comes from the tiny vocabulary
+    // documents, dense mode: 31-word vocab, 10-100 words, "dup" rare
+    // (~5% of docs carry one) — near-dup density comes from the tiny
+    // vocabulary itself (every doc pair shares shingles)
     val nDocs = n(50000)
     val vocab = Seq("spark", "window", "merge", "table", "column", "vector", "stream",
       "value", "data", "small", "large", "join", "group", "order", "sort", "filter",
       "hash", "line", "part", "customer", "fast", "slow", "the", "row", "agg", "key",
       "query", "a", "scan", "batch")
-    write("documents")(spark.range(nDocs)
-      .select(col("id").as("doc_id"),
-        (pmod(hash(col("id"), lit(81)), lit(91)) + 10).cast("int").as("len"),
-        pmod(hash(col("id"), lit(82)), lit(100)).as("dup_sel"))
-      .select(col("doc_id"),
-        concat(
-          array_join(transform(sequence(lit(1), col("len")),
-            i => element_at(typedLit(vocab),
-              (pmod(hash(col("doc_id"), i, lit(83)), lit(vocab.length)) + 1).cast("int"))), " "),
-          when(col("dup_sel") < 5, lit(" dup")).otherwise(lit(""))).as("text"))
+    val docBody =
+      if (mode == "dense")
+        spark.range(nDocs)
+          .select(col("id").as("doc_id"),
+            (pmod(hash(col("id"), lit(81)), lit(91)) + 10).cast("int").as("len"),
+            pmod(hash(col("id"), lit(82)), lit(100)).as("dup_sel"))
+          .select(col("doc_id"),
+            concat(
+              array_join(transform(sequence(lit(1), col("len")),
+                i => element_at(typedLit(vocab),
+                  (pmod(hash(col("doc_id"), i, lit(83)), lit(vocab.length)) + 1).cast("int"))), " "),
+              when(col("dup_sel") < 5, lit(" dup")).otherwise(lit(""))).as("text"))
+      else {
+        // zipf mode: Zipf(s≈1) ranks over V words via rank = floor(V^u)
+        // (u uniform in [0,1) ⇒ P(rank = k) ≈ 1/(k·lnV)); ~10% of docs
+        // replay an earlier doc's token stream (family = a hash-picked
+        // smaller id) + one perturbation token, so near-dup pairs are
+        // PLANTED and ~linear in doc count instead of emerging
+        // quadratically from vocabulary saturation
+        val vocabSize = 50000
+        val isDup = pmod(hash(col("id"), lit(86)), lit(100)) < 10 && col("id") > 0
+        spark.range(nDocs)
+          .select(col("id").as("doc_id"),
+            when(isDup, pmod(hash(col("id"), lit(87)), col("id")))
+              .otherwise(col("id")).as("family"),
+            isDup.as("is_dup"))
+          // len seeded by family so a replayed stream has its head's length
+          .select(col("doc_id"), col("family"), col("is_dup"),
+            (pmod(hash(col("family"), lit(81)), lit(91)) + 10).cast("int").as("len"))
+          .select(col("doc_id"),
+            concat(
+              array_join(transform(sequence(lit(1), col("len")), i =>
+                concat(lit("w"), floor(pow(lit(vocabSize.toDouble),
+                  pmod(hash(col("family"), i, lit(83)), lit(1000000)).cast("double") / 1e6))
+                  .cast("long"))), " "),
+              when(col("is_dup"),
+                concat(lit(" w"), pmod(hash(col("doc_id"), lit(88)), lit(1000))))
+                .otherwise(lit(""))).as("text"))
+      }
+    write("documents")(docBody
       .select(col("doc_id"), col("text"),
         element_at(typedLit(Seq("en", "en", "zh", "fr", "es", "de")),
           (pmod(hash(col("doc_id"), lit(84)), lit(6)) + 1).cast("int")).as("lang"),

@@ -29,6 +29,21 @@ class InvertedIndexParitySpec extends SparkSuite {
     }
   }
 
+  test("letter sink accepts a file: URI outDir (Hadoop-FS writer path)") {
+    val outLocal = Files.createTempDirectory("idx_uri").toString
+    InvertedIndex.run(spark, "/root/reference/checker/test_small.txt",
+      "file:" + outLocal)
+    ('a' to 'z').foreach { c =>
+      val golden = Paths.get(s"/root/reference/checker/test_out_small/$c.txt")
+      val ours = Paths.get(s"$outLocal/$c.txt")
+      assert(Files.exists(ours), s"$c.txt missing under file: URI outDir")
+      assert(
+        canon(Files.readAllLines(ours).asScala.toSeq) ===
+          canon(Files.readAllLines(golden).asScala.toSeq),
+        s"letter $c differs from golden under file: URI outDir")
+    }
+  }
+
   test("manifest read: 1-based ids in manifest order") {
     val files = InvertedIndex.readManifest("/root/reference/checker/test_small.txt")
     assert(files.map(_._2) === Seq(1, 2, 3))

@@ -91,6 +91,16 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("brute-force guard: over-cap corpus degrades to prefix with identical output") {
+    // cap of 3 on a larger corpus forces the fallback path; output must
+    // be exactly the unguarded result
+    val expect = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 2, 0.3)
+      .select("doc_a", "doc_b", "jacc")
+    val capped = Dedup.ngramJaccardPairsBruteCapped(docs, "doc_id", "text", 2, 0.3, maxDocs = 3)
+      .select("doc_a", "doc_b", "jacc")
+    assert(expect.exceptAll(capped).isEmpty && capped.exceptAll(expect).isEmpty)
+  }
+
   test("prefix-filtered and brute-force jaccard pairs == naive self-join pairs, exactly") {
     for ((n, th) <- Seq((1, 0.5), (2, 0.3), (3, 0.7))) {
       val naive = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n, th)
@@ -529,5 +539,34 @@ class CompressionQualitySpec extends SparkSuite {
       d.end(); n
     }
     assert(got.toSeq === expect)
+  }
+}
+
+class MergeSpec extends SparkSuite {
+  import graft.operators.Merge
+
+  test("merge applies insert/update/delete; missing-key delete is a no-op") {
+    import spark.implicits._
+    val snap = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "v")
+    val chg = Seq(
+      (2L, "b2", 21.0, "U"),  // update
+      (3L, "c", 30.0, "D"),   // delete
+      (4L, "d", 40.0, "I"),   // insert (new key)
+      (9L, "x", 0.0, "D"))    // delete of a key not in the snapshot
+      .toDF("k", "name", "v", "op")
+    val got = Merge.applyChangeset(snap, chg, "k", "op")
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(got === Seq((1L, "a", 10.0), (2L, "b2", 21.0), (4L, "d", 40.0)))
+  }
+
+  test("merge preserves snapshot schema and is idempotent for I-on-existing-key") {
+    import spark.implicits._
+    val snap = Seq((1L, "a"), (2L, "b")).toDF("k", "name")
+    val chg = Seq((1L, "a9", "I")).toDF("k", "name", "op") // upsert semantics
+    val once = Merge.applyChangeset(snap, chg, "k", "op")
+    assert(once.columns.toSeq === snap.columns.toSeq)
+    val twice = Merge.applyChangeset(once, chg, "k", "op")
+    assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
   }
 }
