@@ -158,8 +158,16 @@ object GenTestData {
         // replay an earlier doc's token stream (family = a hash-picked
         // smaller id) + one perturbation token, so near-dup pairs are
         // PLANTED and ~linear in doc count instead of emerging
-        // quadratically from vocabulary saturation
+        // quadratically from vocabulary saturation.
+        // Words must be PURE LETTERS: the engine's reference-faithful
+        // normalizer strips [^a-z], so a digit-suffixed "w107" would
+        // collapse the whole vocabulary to the single token "w" — ranks
+        // are therefore base-26-encoded as letters (conv digits
+        // 0-9,A-P → a-z, a bijection).
         val vocabSize = 50000
+        def letterWord(prefix: String, rank: org.apache.spark.sql.Column) =
+          concat(lit(prefix), translate(lower(conv(rank.cast("string"), 10, 26)),
+            "0123456789abcdefghijklmnop", "abcdefghijklmnopqrstuvwxyz"))
         val isDup = pmod(hash(col("id"), lit(86)), lit(100)) < 10 && col("id") > 0
         spark.range(nDocs)
           .select(col("id").as("doc_id"),
@@ -172,11 +180,11 @@ object GenTestData {
           .select(col("doc_id"),
             concat(
               array_join(transform(sequence(lit(1), col("len")), i =>
-                concat(lit("w"), floor(pow(lit(vocabSize.toDouble),
+                letterWord("w", floor(pow(lit(vocabSize.toDouble),
                   pmod(hash(col("family"), i, lit(83)), lit(1000000)).cast("double") / 1e6))
                   .cast("long"))), " "),
               when(col("is_dup"),
-                concat(lit(" w"), pmod(hash(col("doc_id"), lit(88)), lit(1000))))
+                concat(lit(" "), letterWord("q", pmod(hash(col("doc_id"), lit(88)), lit(1000)))))
                 .otherwise(lit(""))).as("text"))
       }
     write("documents")(docBody
