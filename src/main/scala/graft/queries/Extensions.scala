@@ -1232,8 +1232,52 @@ object Extensions {
       .orderBy("c_custkey")
   }
 
+  // --------------------------------------------------------------- Q79
+  /** SEMANTIC DEDUP, SemDeDup-style ([[Similarity.semanticDedup]]):
+    * coarse centroid assignment (deterministic vec_id<8 centroids, the
+    * q38 contract) → within-cluster cosine pairs at θ=0.3 → connected
+    * components → min-id representative election. The embedding-space
+    * twin of q63's text-space cluster resolution, and the missing
+    * semantic leg of the dedup family (exact q24, MinHash-LSH q27,
+    * SimHash q28, n-gram Jaccard q29, embedding-pairs q37). Oracle
+    * replays the full pipeline: assignment as argmax-by-row_number,
+    * pair cut on the round-4 score, CC as a recursive CTE. */
+  val q79 = QueryDef("q79_semantic_dedup",
+    s"""WITH RECURSIVE cent AS (
+       |  SELECT vec_id AS cent_id, embedding AS centv FROM embeddings
+       |  WHERE vec_id < 8 AND ${normSql("embedding")} > 0
+       |), asn AS (
+       |  SELECT vid, cent_id FROM (
+       |    SELECT vid, cent_id, row_number() OVER (PARTITION BY vid ORDER BY cs DESC, cent_id) AS crn
+       |    FROM (SELECT v.vec_id AS vid, c.cent_id,
+       |                 ${dotSql("v.embedding", "c.centv")} / (${normSql("v.embedding")} * ${normSql("c.centv")}) AS cs
+       |          FROM embeddings v CROSS JOIN cent c
+       |          WHERE ${normSql("v.embedding")} > 0)
+       |  ) WHERE crn = 1
+       |), e AS (
+       |  SELECT a.vid AS ia, b.vid AS ib
+       |  FROM asn a JOIN asn b ON a.cent_id = b.cent_id AND a.vid < b.vid
+       |  JOIN embeddings ea ON ea.vec_id = a.vid
+       |  JOIN embeddings eb ON eb.vec_id = b.vid
+       |  WHERE floor(${dotSql("ea.embedding", "eb.embedding")}
+       |          / (${normSql("ea.embedding")} * ${normSql("eb.embedding")}) * 10000 + 0.5) / 10000 >= 0.3
+       |), ee AS (SELECT ia, ib FROM e UNION SELECT ib, ia FROM e),
+       |reach(node, lbl) AS (
+       |  SELECT vid, vid FROM asn
+       |  UNION
+       |  SELECT ee.ib, reach.lbl FROM reach JOIN ee ON reach.node = ee.ia
+       |), cc AS (SELECT node, min(lbl) AS rep_id FROM reach GROUP BY node)
+       |SELECT cc.node AS vec_id, a.cent_id, cc.rep_id,
+       |       CAST(cc.node <> cc.rep_id AS INT) AS is_dup
+       |FROM cc JOIN asn a ON a.vid = cc.node
+       |ORDER BY vec_id""") { (s, dir) =>
+    Similarity.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+        centroidPred = col("vec_id") < 8, theta = 0.3)
+      .orderBy("vec_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
-    q70, q71, q72, q74, q75, q76, q77, q78)
+    q70, q71, q72, q74, q75, q76, q77, q78, q79)
 }

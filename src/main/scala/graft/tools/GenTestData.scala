@@ -14,7 +14,8 @@
 //    SUPERLINEAR in doc count (q27 at sf1: 291M pairs, 102× for 10×
 //    docs), which saturates every dedup/similarity scale number;
 //  - documents, `zipf` mode (the natural-language-shaped corpus):
-//    50k-word vocabulary with Zipf(s≈1) token frequencies via the
+//    Heaps-law-sized vocabulary (V ≈ 30·√tokens: ~15k at sf0.1, ~50k
+//    at sf1, ~157k at sf10) with Zipf(s≈1) token frequencies via the
 //    inverse-CDF trick rank = floor(V^u) (P(rank=k) ≈ 1/(k·lnV)), and
 //    near-dups PLANTED explicitly — ~10% of docs replay an earlier
 //    doc's token stream ("family") plus one perturbation token. True
@@ -164,7 +165,17 @@ object GenTestData {
         // collapse the whole vocabulary to the single token "w" — ranks
         // are therefore base-26-encoded as letters (conv digits
         // 0-9,A-P → a-z, a bijection).
-        val vocabSize = 50000
+        // Heaps' law: real corpora grow vocabulary with size, V ≈ K·T^β
+        // (β≈0.5). A FIXED vocab makes every token's document frequency
+        // grow linearly with n, so at n ≫ V even the rarest prefix
+        // tokens have df ≫ 1 and similarity-join candidates turn
+        // quadratic again (measured: q63b 39s at sf1 → 401s at sf10 on
+        // the fixed-50k corpus, 10× docs / 30× time). K=30 calibrated
+        // so sf1 (50k docs × ~55 tokens) keeps its ~50k vocabulary;
+        // sf10 gets ~157k, holding min-df — and candidate growth —
+        // roughly flat per doc.
+        val avgLen = 55.0
+        val vocabSize = math.max(1000L, math.round(30.0 * math.sqrt(nDocs * avgLen)))
         def letterWord(prefix: String, rank: org.apache.spark.sql.Column) =
           concat(lit(prefix), translate(lower(conv(rank.cast("string"), 10, 26)),
             "0123456789abcdefghijklmnop", "abcdefghijklmnopqrstuvwxyz"))

@@ -182,6 +182,29 @@ class SimilaritySpec extends SparkSuite {
     assert(rm >= 0.3, s"multi-probe recall floor: $rm") // measured ~2-3x single-probe
   }
 
+  test("semantic dedup: total, min-label reps, pair endpoints share a component") {
+    val r = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      centroidPred = col("vec_id") < 8, theta = 0.3).cache()
+    // total: every (non-zero) vector labeled exactly once
+    assert(r.count() === emb.count())
+    assert(r.count() === r.select("vec_id").distinct().count())
+    // representative = component minimum, and reps are their own reps
+    assert(r.filter(col("rep_id") > col("vec_id")).count() === 0)
+    val reps = r.select(col("rep_id").as("vec_id")).distinct()
+    assert(r.join(reps, "vec_id").filter(col("is_dup") =!= 0).count() === 0)
+    // soundness of the closure: the endpoints of every within-cluster
+    // θ-pair landed in the same component
+    val withBucket = emb.join(r.select(col("vec_id"), col("cent_id")), "vec_id")
+    val pairs = Similarity.nearDupPairs(withBucket, "vec_id", "embedding", "cent_id", 0.3)
+    assert(pairs.count() > 0, "degenerate corpus: no near-dup pairs at theta=0.3")
+    val lab = r.select(col("vec_id"), col("rep_id"))
+    val viol = pairs
+      .join(lab.select(col("vec_id").as("id_a"), col("rep_id").as("ra")), "id_a")
+      .join(lab.select(col("vec_id").as("id_b"), col("rep_id").as("rb")), "id_b")
+      .filter(col("ra") =!= col("rb"))
+    assert(viol.count() === 0, "near-dup pair split across components")
+  }
+
   test("cosine of a vector with itself is 1") {
     val self = emb.limit(10).select(
       TextFunctions.round4(VectorFunctions.cosine(col("embedding"), col("embedding"))).as("c"))
