@@ -131,4 +131,24 @@ class PlanAssertionsSpec extends SparkSuite {
     val p = plan("q73_attribution_outer")
     assert(p.contains("Join") && p.contains("LeftOuter"), p)
   }
+
+  test("q79: semantic-dedup pair stage is a bucket equi-join, centroids " +
+      "broadcast, never a cartesian product") {
+    val p = plan("q79_semantic_dedup")
+    // the |V|×|C| assignment scoring is the broadcast nested-loop by
+    // design (centroids are tiny); the within-cluster PAIR join must be
+    // hash/sort-merge on cent_id — a CartesianProduct here is the
+    // all-pairs blowup the clustering exists to prevent
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || """BroadcastHashJoin""".r.findAllIn(p).nonEmpty, p)
+    // q79's CC stage truncates lineage (localCheckpoint), so the pair
+    // join itself is asserted on q37 — the same nearDupPairs code path,
+    // un-checkpointed: bucket equi-join, no cartesian
+    val p37 = plan("q37_embed_neardup")
+    assert(!p37.contains("CartesianProduct") && !p37.contains("BroadcastNestedLoopJoin"), p37)
+    assert(p37.contains("SortMergeJoin") || p37.contains("ShuffledHashJoin")
+      || p37.contains("BroadcastHashJoin"), p37)
+  }
 }
