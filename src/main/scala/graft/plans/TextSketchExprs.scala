@@ -216,29 +216,38 @@ object TextSketchExprs {
     sb.toString
   }
 
-  /** Jaccard similarity of two SORTED, DISTINCT `array<string>` columns
-    * via a single merge pass — no per-pair hash-set build, no
-    * intermediate array (contrast `array_intersect`, which allocates a
-    * set and an output array per call). Built as a join-condition
-    * predicate: inside a brute-force similarity join this evaluates
-    * once per row PAIR, so it is the innermost loop of the whole
-    * operator. Inputs MUST be sorted ascending in UTF8 binary order
-    * (`sort_array`) and de-duplicated (`array_distinct`) — the caller's
-    * contract, asserted cheap (both-empty → 0.0, never NaN). */
+  /** Jaccard similarity of two SORTED, DISTINCT `array<string>` (or
+    * `array<bigint>`, for pre-hashed shingles) columns via a single
+    * merge pass — no per-pair hash-set build, no intermediate array
+    * (contrast `array_intersect`, which allocates a set and an output
+    * array per call). Built as a join-condition predicate: inside a
+    * brute-force similarity join this evaluates once per row PAIR, so
+    * it is the innermost loop of the whole operator. Inputs MUST be
+    * sorted ascending (UTF8 binary order / signed long order — both
+    * `sort_array`'s order) and de-duplicated (`array_distinct`) — the
+    * caller's contract, asserted cheap (both-empty → 0.0, never NaN).
+    * The long variant is the refine-stage hot path: primitive arrays
+    * are Tungsten-packed (8 B/element vs offset+bytes for strings) and
+    * compare in one branch instead of a byte loop. */
   case class SortedJaccardExpr(left: Expression, right: Expression)
       extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = true
 
+    private lazy val longElems = left.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+
     override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
       def ok(t: DataType) = t match {
-        case ArrayType(StringType, _) => true
+        case ArrayType(StringType, _) | ArrayType(LongType, _) => true
         case _ => false
       }
-      if (ok(left.dataType) && ok(right.dataType))
+      if (ok(left.dataType) && left.dataType == right.dataType)
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"jaccard_sorted requires ARRAY<STRING> inputs, got " +
+        s"jaccard_sorted requires matching ARRAY<STRING> or ARRAY<BIGINT> inputs, got " +
           s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
     }
 
@@ -246,6 +255,21 @@ object TextSketchExprs {
       val aa = a.asInstanceOf[ArrayData]; val bb = b.asInstanceOf[ArrayData]
       val na = aa.numElements(); val nb = bb.numElements()
       var i = 0; var j = 0; var inter = 0
+      if (longElems) {
+        // primitive fast path: UnsafeArrayData.getLong is a direct word
+        // read; no per-element null checks needed (xxhash64 never null
+        // on non-null input, and transform preserves array nullability
+        // only when elements can be null — guarded below anyway)
+        while (i < na && j < nb) {
+          if (aa.isNullAt(i) || bb.isNullAt(j)) return null
+          val x = aa.getLong(i); val y = bb.getLong(j)
+          if (x == y) { inter += 1; i += 1; j += 1 }
+          else if (x < y) i += 1
+          else j += 1
+        }
+        val union = na + nb - inter
+        return if (union == 0) 0.0 else inter.toDouble / union
+      }
       while (i < na && j < nb) {
         if (aa.isNullAt(i) || bb.isNullAt(j)) return null
         val cmp = aa.getUTF8String(i).binaryCompare(bb.getUTF8String(j))

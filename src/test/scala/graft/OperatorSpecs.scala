@@ -72,6 +72,26 @@ class DedupSpec extends SparkSuite {
     assert(got.filter(col("ref").isNull && col("j") =!= 0.0).count() === 0)
   }
 
+  test("jaccardSorted long-array fast path == builtin formulation, incl negatives") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // signed 64-bit values on both sides of zero: sort_array's signed
+    // long order is exactly the merge loop's `<` — xxhash64 output
+    // lands anywhere in the signed range, so negatives must interleave
+    val rows = Seq.fill(300) {
+      val a = Seq.fill(rnd.nextInt(20))(rnd.nextLong() % 50).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(20))(rnd.nextLong() % 50).distinct.sorted
+      (a, b)
+    } :+ ((Seq.empty[Long], Seq.empty[Long]))
+    val got = rows.toDF("a", "b").select(
+      graft.plans.TextSketchExprs.jaccardSorted(col("a"), col("b")).as("j"),
+      when(size(array_union(col("a"), col("b"))) > 0,
+        size(array_intersect(col("a"), col("b"))).cast("double") /
+          size(array_union(col("a"), col("b")))).as("ref"))
+    assert(got.filter(col("ref").isNotNull && abs(col("j") - col("ref")) > 1e-12).count() === 0)
+    assert(got.filter(col("ref").isNull && col("j") =!= 0.0).count() === 0)
+  }
+
   test("prefix variant keeps rounding-boundary pairs the naive join emits") {
     import spark.implicits._
     // J = 3000/10001 = 0.29997 < 0.3, but round4(J) = 0.3 — the refine
