@@ -1276,8 +1276,83 @@ object Extensions {
       .orderBy("vec_id")
   }
 
+  // --------------------------------------------------------------- Q80
+  /** Exact k-token span sharing — the exact-substring duplication
+    * signal of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better" (ACL'22), expressed at doc-pair grain: every pair
+    * of documents sharing at least one exact run of k=12 normalized
+    * tokens, with the count of distinct shared spans. Long spans are
+    * near-unique on natural text (a 12-gram match is duplication, not
+    * chance), so unlike the n=2 Jaccard shingle join the span join has
+    * near-zero accidental fanout: the Spark side rides
+    * [[TextFunctions.wordShingles]] (rolling windows, one narrow map),
+    * hashes each span to 64 bits (`xxhash64` — the exchange carries
+    * 8 B keys, never span text; exact w.h.p., the same budget
+    * [[Dedup.jaccardRefine]] documents), and equi-joins. A span
+    * duplicated across m docs fans out C(m,2) pairs — that is the
+    * declared output, not an artifact (boilerplate detection is the
+    * point); at corpus scale the df-capped variant would go through
+    * [[TextAnalysis]] quality gates first. */
+  val q80 = {
+    val k = 12
+    QueryDef("q80_span_dedup",
+      s"""WITH $docwCte, sp AS (
+         |  SELECT DISTINCT doc_id, span FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(w) - ${k - 2}),
+         |           i -> array_to_string(w[i:i+${k - 1}], ' '))) AS span
+         |    FROM docw WHERE len(w) >= $k)
+         |)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(count(*) AS BIGINT) AS shared_spans
+         |FROM sp a JOIN sp b ON a.span = b.span AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2
+         |ORDER BY doc_a, doc_b""") { (s, dir) =>
+      Dedup.spanSharingPairs(t(s, dir, "documents"), "doc_id", "text", k)
+        .orderBy("doc_a", "doc_b")
+    }
+  }
+
+  // --------------------------------------------------------------- Q81
+  /** Deterministic train/val/test split (98/1/1) by md5-prefix bucket
+    * ([[graft.operators.Splits]]) — assignment is a pure function of
+    * doc_id, so it is stable across runs, engines, and corpus growth
+    * (contrast `randomSplit`). One narrow projection, one small agg:
+    * the split SUMMARY (per lang × split: docs, tokens) is the declared
+    * output so the oracle checks every assignment through the group
+    * counts. Oracle reproduces the bucket with exact integer
+    * arithmetic on the md5 hex prefix. */
+  val q81 = {
+    val bucketSql = "CAST(list_sum(list_transform(range(1, 5), i -> " +
+      "CAST((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1) " +
+      "AS DOUBLE) * pow(16, 4 - i))) AS INTEGER)"
+    QueryDef("q81_split_assign",
+      s"""WITH $docwCte, b AS (
+         |  SELECT doc_id, lang, CAST(len(w) AS BIGINT) AS n_tok,
+         |         $bucketSql AS bucket
+         |  FROM docw
+         |), a AS (
+         |  SELECT lang, n_tok,
+         |         CASE WHEN bucket < ${math.round(0.98 * 65536)} THEN 'train'
+         |              WHEN bucket < ${math.round(0.99 * 65536)} THEN 'val'
+         |              ELSE 'test' END AS split
+         |  FROM b
+         |)
+         |SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_tok) AS BIGINT) AS n_tok
+         |FROM a GROUP BY lang, split
+         |ORDER BY lang, split""") { (s, dir) =>
+      graft.operators.Splits.assign(t(s, dir, "documents"), "doc_id",
+          Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01))
+        .select(col("lang"), col("split"),
+          size(TextFunctions.normalizedWords(col("text"))).cast("long").as("n_tok"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tok"))
+        .orderBy("lang", "split")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
-    q70, q71, q72, q74, q75, q76, q77, q78, q79)
+    q70, q71, q72, q74, q75, q76, q77, q78, q79, q80, q81)
 }

@@ -613,3 +613,84 @@ class MergeSpec extends SparkSuite {
     assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
   }
 }
+
+class SplitsSpec extends SparkSuite {
+  import graft.operators.Splits
+
+  test("hashBucket matches a driver-side md5 computation") {
+    import spark.implicits._
+    val got = Seq(1L, 42L, 999999L).toDF("id")
+      .select(col("id"), Splits.hashBucket(col("id")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def ref(id: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      Integer.parseInt(hex.take(4), 16)
+    }
+    for ((id, b) <- got) assert(b === ref(id), s"id=$id")
+  }
+
+  test("assign is stable under corpus growth and covers every bucket range") {
+    import spark.implicits._
+    val fr = Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01)
+    val big = Splits.assign((1L to 5000L).toDF("id"), "id", fr)
+    val small = Splits.assign((1L to 500L).toDF("id"), "id", fr)
+    // same id -> same split regardless of what else is in the frame
+    assert(big.as("b").join(small.as("s"), "id")
+      .filter(col("b.split") =!= col("s.split")).count() === 0)
+    // proportions near the declared fractions (md5 is uniform)
+    val counts = big.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("train") > 4800 && counts("val") > 10 && counts("test") > 10)
+    assert(counts.values.sum === 5000L)
+    // bucket/split agreement: no bucket outside its split's range
+    val cutVal = math.round(0.98 * 65536)
+    val cutTest = math.round(0.99 * 65536)
+    assert(big.filter(col("split") === "train" && col("bucket") >= cutVal).count() === 0)
+    assert(big.filter(col("split") === "val" &&
+      (col("bucket") < cutVal || col("bucket") >= cutTest)).count() === 0)
+    assert(big.filter(col("split") === "test" && col("bucket") < cutTest).count() === 0)
+  }
+
+  test("assign rejects fractions that do not sum to 1") {
+    import spark.implicits._
+    intercept[IllegalArgumentException] {
+      Splits.assign(Seq(1L).toDF("id"), "id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+}
+
+class SpanSharingSpec extends SparkSuite {
+  test("spanSharingPairs == composed string-span formulation on the fixture corpus") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val k = 12
+    val got = Dedup.spanSharingPairs(docs, "doc_id", "text", k)
+    // reference: join on the span STRING itself (no hashing)
+    val sp = docs.select(col("doc_id"),
+      explode(array_distinct(TextFunctions.wordShingles(
+        TextFunctions.normalizedWords(col("text")), k))).as("span"))
+    val ref = sp.select(col("doc_id").as("doc_a"), col("span"))
+      .join(sp.select(col("doc_id").as("doc_b"), col("span")), "span")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared_spans"))
+    assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty)
+    assert(got.count() > 0, "fixture corpus should contain planted near-dups sharing 12-token spans")
+  }
+
+  test("spanSharingPairs finds a planted shared span and nothing else") {
+    import spark.implicits._
+    // distinct pure-letter words (the normalizer strips non-letters,
+    // and %26 wrapping would replant the span inside doc 3)
+    val words = (0 until 40).map(i =>
+      s"${('a' + i / 26).toChar}${('a' + i % 26).toChar}q")
+    val shared = words.take(12).mkString(" ")
+    val docs = Seq(
+      (1L, shared + " xxx yyy"),
+      (2L, "zzz " + shared),
+      (3L, words.drop(12).mkString(" "))).toDF("doc_id", "text")
+    val got = Dedup.spanSharingPairs(docs, "doc_id", "text", 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, 2L, 1L)))
+  }
+}
