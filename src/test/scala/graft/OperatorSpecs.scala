@@ -693,4 +693,24 @@ class SpanSharingSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got.toSeq === Seq((1L, 2L, 1L)))
   }
+
+  test("maxSpanDf drops boilerplate spans but keeps rare shared spans") {
+    import spark.implicits._
+    val words = (0 until 40).map(i =>
+      s"${('a' + i / 26).toChar}${('a' + i % 26).toChar}q")
+    val boiler = words.take(12).mkString(" ")  // in every doc
+    val rare = words.drop(12).take(12).mkString(" ")  // docs 1 and 2 only
+    val docs = (1L to 6L).map { i =>
+      (i, boiler + (if (i <= 2) " " + rare else s" ${words(27 + i.toInt)}"))
+    }.toDF("doc_id", "text")
+    // uncapped: the boilerplate span alone links all C(6,2)=15 pairs
+    assert(Dedup.spanSharingPairs(docs, "doc_id", "text", 12).count() === 15)
+    // df cap 2: boilerplate (df=6) is stripped; only the rare span pair
+    // survives. The span straddling boiler+rare tokens differs per doc,
+    // so docs 1-2 share exactly the 12 windows inside `rare`... plus
+    // the windows crossing from boiler into rare, identical for both.
+    val capped = Dedup.spanSharingPairs(docs, "doc_id", "text", 12, maxSpanDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.toSeq === Seq((1L, 2L)))
+  }
 }
