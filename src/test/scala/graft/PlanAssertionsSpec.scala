@@ -151,4 +151,27 @@ class PlanAssertionsSpec extends SparkSuite {
     assert(p37.contains("SortMergeJoin") || p37.contains("ShuffledHashJoin")
       || p37.contains("BroadcastHashJoin"), p37)
   }
+
+  test("q80: span sharing is an equi-join on the span hash — never a " +
+      "cartesian/NLJ, and the exchange key is the 8-byte hash") {
+    val p = plan("q80_span_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+    // the join keys on xxhash64 output, not the span text
+    assert(p.contains("xxhash64"), p)
+  }
+
+  test("q81: split assignment is narrow — exactly one exchange (the " +
+      "summary groupBy), no join anywhere") {
+    val p = plan("q81_split_assign")
+    assert(!p.contains("Join"), p)
+    // one shuffle for the partial/final agg + the presentation sort's
+    // range exchange; nothing else (the md5 bucketing itself is a map).
+    // Count tree nodes ("Exchange (n)") — the details section repeats
+    // each node as "(n) Exchange"
+    val exchanges = """Exchange \(\d+\)""".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected <=2 exchanges (agg + order-by), got $exchanges\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
 }
