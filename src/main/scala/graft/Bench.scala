@@ -113,12 +113,12 @@ object Bench {
     // SELF-ADJUDICATION: a single warm-session sample in a long-lived
     // JVM can carry up to 10× GC aftermath from whatever ran before it
     // (measured: q28b 24.7 s in-sweep vs 2.27 s fresh-JVM). So any
-    // entry whose sample exceeds 3× its previous committed value
+    // entry whose sample exceeds 2× its previous committed value
     // (BENCH_LAST.json's `full` map) is re-measured once after a
     // System.gc() settle, the BETTER sample is recorded, and both
     // samples land in `full_adjudicated` — the record dismisses its own
     // phantom regressions instead of requiring a fresh-JVM re-run to
-    // read. An entry still >3× prev after re-measurement is a real
+    // read. An entry still >2× prev after re-measurement is a real
     // regression (or a real plan change) by construction.
     val prevFull: Map[String, Double] =
       try {
@@ -150,9 +150,9 @@ object Bench {
         headlineMins.get(name).map(t => (name, t.min, None)).getOrElse {
           val s1 = run()
           prevFull.get(name) match {
-            // the 0.5 s floor keeps sub-second queries (where 3× is
+            // the 0.5 s floor keeps sub-second queries (where 2× is
             // scheduler noise, not GC aftermath) out of the re-measure
-            case Some(prev) if prev > 0 && s1 > 3 * prev && s1 > 0.5 =>
+            case Some(prev) if prev > 0 && s1 > 2 * prev && s1 > 0.5 =>
               System.gc(); Thread.sleep(500); System.gc()
               val s2 = run()
               (name, if (s2 >= 0) math.min(s1, s2) else s1, Some((s1, s2)))
