@@ -468,6 +468,117 @@ object Advanced {
       .orderBy(col("purchase_id"), coalesce(col("view_id"), lit(-1)))
   }
 
+  // --------------------------------------------------------------- Q82
+  /** SKEW-SALTED AGGREGATION through
+    * [[graft.operators.Skew.saltedAggregate]], declared as a first-class
+    * query: l_returnflag has 3 values over the whole lineitem table —
+    * the pathological reducer-skew shape where every row funnels into 3
+    * reducers at 100 TB. The salted plan spreads each hot key over
+    * (key, salt-of-l_orderkey) partials, then re-aggregates; salting is
+    * semantics-preserving, so the oracle is the PLAIN group-by — the
+    * gate proves the rewrite is invisible to the answer. DECIMAL sums
+    * for cross-engine exactness (double accumulation is
+    * addition-order-dependent; the salted plan reorders additions by
+    * construction). */
+  val q82 = QueryDef("q82_salted_agg",
+    """SELECT l_returnflag, count(*) AS n,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, dir) =>
+    val li = t(s, dir, "lineitem").select(col("l_returnflag"), col("l_orderkey"),
+      col("l_quantity").cast("decimal(18,6)").as("l_quantity"))
+    graft.operators.Skew.saltedAggregate(li, "l_returnflag", 8,
+        saltSource = Seq("l_orderkey"), sumCols = Seq("l_quantity"))
+      .select(col("l_returnflag"), col("n"),
+        col("sum_l_quantity").cast("double").as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  // --------------------------------------------------------------- Q83
+  /** SKEW-SALTED JOIN through [[graft.operators.Skew.saltedJoin]]: the
+    * fact side's join key is salted over 8 buckets and the dimension
+    * side replicated once per salt, so one hot part key spreads over 8
+    * shuffle partitions instead of stalling a single reducer. The
+    * oracle is the plain equi-join — identical answer by construction
+    * (spec-asserted in SinksAndSkewSpec; oracle-gated here). */
+  val q83 = QueryDef("q83_salted_join",
+    """SELECT p_brand, count(*) AS n,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS rev
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand ORDER BY p_brand""") { (s, dir) =>
+    val li = t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_orderkey"), col("l_extendedprice"))
+    val part = t(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+    graft.operators.Skew.saltedJoin(li, part, "l_partkey", "p_partkey", 8,
+        bigSaltSource = Seq("l_orderkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(18,6)")).cast("double").as("rev"))
+      .orderBy("p_brand")
+  }
+
+  // --------------------------------------------------------------- Q84
+  /** BM25 RETRIEVAL (Robertson/Lucene idf form, k1=1.2, b=0.75) — the
+    * ranking function actually used for corpus search and dataset
+    * curation, completing q48's tf-idf. The "query" is the corpus's own
+    * top-3 words by total term frequency (deterministic, corpus-
+    * independent — integer tie-broken by word), scored against every
+    * document with document-length normalization, top-10 docs returned.
+    * Plan shape: tokenize once, df via window over the (doc, word)
+    * aggregate (q48's no-self-join trick), corpus scalars (N, avgdl)
+    * broadcast, ranking on the round4-rounded score with a doc_id
+    * tiebreak so the cutoff is engine-exact. */
+  val q84 = QueryDef("q84_bm25",
+    s"""WITH ${TextFunctions.docwCteSql},
+      |tok AS (SELECT doc_id, unnest(w) AS word FROM docw),
+      |tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY doc_id, word),
+      |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+      |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+      |avgdl AS (SELECT CAST(sum(tf) AS DOUBLE) / count(DISTINCT doc_id) AS avgdl FROM tf),
+      |terms AS (SELECT word FROM tf GROUP BY word ORDER BY sum(tf) DESC, word LIMIT 3),
+      |scored AS (
+      |  SELECT tf.doc_id,
+      |         ${TextFunctions.round4Sql(
+                  """sum(ln((n.n - df.df + 0.5) / (df.df + 0.5) + 1)
+      |             * (tf.tf * 2.2)
+      |             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl.avgdl)))""".stripMargin)} AS bm25
+      |  FROM tf JOIN terms USING (word) JOIN df USING (word) JOIN dl USING (doc_id)
+      |       CROSS JOIN n CROSS JOIN avgdl
+      |  GROUP BY tf.doc_id
+      |)
+      |SELECT doc_id, bm25 FROM scored
+      |ORDER BY bm25 DESC, doc_id LIMIT 10""") { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val tok = docs.select(col("doc_id"),
+      explode(TextFunctions.normalizedWords(col("text"))).as("word"))
+    val tf = tok.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val n = docs.agg(count(lit(1)).cast("double").as("n"))
+    // dl (doc length) and avgdl both DERIVE from tf (dl = Σ tf per doc)
+    // instead of re-aggregating the token stream — the corpus is
+    // tokenized for tf only, never a second time. df is windowed over
+    // the term-filtered rows: tf has one row per (doc, word), so a
+    // per-word count AFTER the 3-term semi-join is still that word's
+    // full document frequency, at 3-terms cost.
+    val avgdl = tf.agg((sum(col("tf")).cast("double")
+      / countDistinct(col("doc_id"))).as("avgdl"))
+    val terms = tf.groupBy("word").agg(sum(col("tf")).as("ttf"))
+      .orderBy(col("ttf").desc, col("word")).limit(3).select("word")
+    tf
+      .withColumn("dl", sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
+      .join(broadcast(terms), "word")
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("word"))))
+      .crossJoin(broadcast(n))
+      .crossJoin(broadcast(avgdl))
+      .withColumn("contrib",
+        log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1)
+          * (col("tf") * lit(2.2))
+          / (col("tf") + lit(1.2) * (lit(1) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(TextFunctions.round4(sum(col("contrib"))).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(10)
+  }
+
   val all: Seq[QueryDef] = Seq(q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
-    q56, q57, q58, q59, q60, q61, q62, q73)
+    q56, q57, q58, q59, q60, q61, q62, q73, q82, q83, q84)
 }
