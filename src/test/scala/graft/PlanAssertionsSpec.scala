@@ -174,4 +174,25 @@ class PlanAssertionsSpec extends SparkSuite {
     assert(exchanges <= 2, s"expected <=2 exchanges (agg + order-by), got $exchanges\n$p")
     assert(p.contains("HashAggregate"), p)
   }
+
+  test("q82/q83: the salted plans actually key the exchange/join on the " +
+      "salt — the hot key spreads instead of funneling one reducer") {
+    // the internal salt column must appear in the physical plan (partial
+    // aggregate keys for q82, join keys for q83); if a refactor drops
+    // the salt silently, the query stays correct but the skew shield is
+    // gone — this catches that
+    assert(plan("q82_salted_agg").contains("__graft_salt"))
+    assert(plan("q83_salted_join").contains("__graft_salt"))
+  }
+
+  test("q84: tf's exchange is computed once and REUSED by the terms and " +
+      "avgdl branches — the corpus is tokenized exactly once at runtime") {
+    // static explain under AQE shows three tokenize branches; the reuse
+    // only materializes during execution (stage-level canonical-plan
+    // matching), so assert on the executed plan after an action
+    val df = SparkEntry.queries("q84_bm25")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert("ReusedExchange".r.findAllIn(p).size >= 2, p)
+  }
 }
