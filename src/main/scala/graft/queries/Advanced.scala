@@ -579,6 +579,28 @@ object Advanced {
       .limit(10)
   }
 
+  // --------------------------------------------------------------- Q85
+  /** Z-ORDER (Morton) clustering key over two join/filter dimensions —
+    * the multi-dimensional data-layout primitive behind lakehouse
+    * z-ordering ([[graft.operators.Layout]]; LayoutSpec measures the
+    * per-file min/max tightening against a linear sort). The query
+    * gates the interleave's VALUE: both engines compute the identical
+    * statically-unrolled shift/and/or chain, total-ordered by (z, row
+    * identity). The layout effect itself isn't SQL-observable, so it's
+    * spec-gated; this keeps the bit math engine-exact. */
+  val q85 = QueryDef("q85_zorder",
+    s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+      |       ${graft.operators.Layout.zValueSql("l_partkey", "l_suppkey")} AS z
+      |FROM lineitem
+      |ORDER BY z, l_orderkey, l_linenumber LIMIT 100""") { (s, dir) =>
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"),
+        graft.operators.Layout.zValue(col("l_partkey"), col("l_suppkey")).as("z"))
+      .orderBy(col("z"), col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+  }
+
   val all: Seq[QueryDef] = Seq(q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
-    q56, q57, q58, q59, q60, q61, q62, q73, q82, q83, q84)
+    q56, q57, q58, q59, q60, q61, q62, q73, q82, q83, q84, q85)
 }
