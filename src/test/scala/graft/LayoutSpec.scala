@@ -64,4 +64,43 @@ class LayoutSpec extends SparkSuite {
     assert(math.max(zPart, zSupp) < lSupp,
       s"z worst ${math.max(zPart, zSupp)} !< linear worst $lSupp")
   }
+
+  test("rank-scaled z-order survives a far outlier; min/max scaling collapses") {
+    import spark.implicits._
+    // 99% of `a` packed into [0,100), 1% outliers at ~1e9: min/max
+    // scaling maps the dense mass to a single z-cell, so the layout
+    // degenerates to a linear sort of `b`; quantile bucketing spends
+    // its bits where the data lives. `b` is uniform via a Weyl-ish mix.
+    val n = 20000
+    val skewed = spark.range(n).select(
+      when(col("id") % 100 < 99, col("id") % 100)
+        .otherwise(lit(1000000000L) + col("id")).as("a"),
+      (col("id") * 2654435761L % 10007L).as("b"))
+      .cache()
+    // rank-space tightness of dimension `a`: mean over files of the
+    // fraction of ALL rows falling inside the file's [min(a), max(a)]
+    // — immune to the outlier stretching the absolute range
+    def rankSpread(dir: String): Double = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+      assert(files.length >= 4, s"expected >=4 files, got ${files.length}")
+      val total = skewed.count().toDouble
+      files.map { f =>
+        val r = spark.read.parquet(f).agg(min("a"), max("a")).head()
+        skewed.filter(col("a") >= r.getLong(0) && col("a") <= r.getLong(1))
+          .count() / total
+      }.sum / files.length
+    }
+    val mmDir = Files.createTempDirectory("graft_z_minmax").toString
+    val rkDir = Files.createTempDirectory("graft_z_rank").toString
+    Layout.writeZOrdered(skewed, "a", "b", 8, mmDir)
+    Layout.writeZOrderedByRank(skewed, "a", "b", 8, rkDir)
+    val (mmA, rkA) = (rankSpread(mmDir), rankSpread(rkDir))
+    info(s"min/max a-tightness $mmA, rank a-tightness $rkA")
+    // min/max: each file spans ~the whole dense mass
+    assert(mmA > 0.7, s"expected min/max collapse, got $mmA")
+    // rank: files cover a strict subset of the mass (measured 0.58 vs
+    // 0.99; margin absorbs approxQuantile merge-order wiggle)
+    assert(rkA < 0.65 && rkA < mmA * 0.75, s"rank $rkA vs minmax $mmA")
+  }
 }
