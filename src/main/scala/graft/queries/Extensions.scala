@@ -1351,8 +1351,39 @@ object Extensions {
     }
   }
 
+  // --------------------------------------------------------------- Q86
+  /** COUNT–MIN point-frequency sketch ([[graft.operators.CountMin]]):
+    * estimates for the exact top-20 tokens, self-asserting both CM
+    * guarantees in-query — `est ≥ exact` (deterministic) and
+    * `est ≤ exact + ⌈(e/w)·N⌉` (holds with prob ≥ 1−e^−5 per token;
+    * deterministic here: fixed corpus, fixed seeds). Rows-only gated
+    * like q77 — a sketch cell is not DuckDB-reproducible. The exact
+    * side doubles as the reference: on this corpus the estimates must
+    * sit inside the bound band, and the `within_bound` column proves
+    * it row by row. */
+  val q86 = QueryDef.noOracle("q86_countmin") { (s, dir) =>
+    import s.implicits._
+    val (d, w) = (5, 2048)
+    val docs = t(s, dir, "documents")
+    val sk = graft.operators.CountMin.sketchTokens(docs, "text", d, w)
+    val top = graft.sources.Balance.cpuBound(docs)
+      .select(explode(TextFunctions.normalizedWords(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(20)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val bound = math.ceil(math.E / w * sk.total).toLong
+    val rows = top.toSeq.map { case (word, cnt) =>
+      val est = graft.operators.CountMin.estimate(sk, word)
+      (word, cnt, est, sk.total, est >= cnt && est <= cnt + bound)
+    }
+    require(rows.forall(_._5),
+      s"Count-Min estimate outside [exact, exact + $bound]: $rows")
+    rows.toDF("word", "exact_cnt", "est", "total", "within_bound")
+      .orderBy(col("exact_cnt").desc, col("word"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
-    q70, q71, q72, q74, q75, q76, q77, q78, q79, q80, q81)
+    q70, q71, q72, q74, q75, q76, q77, q78, q79, q80, q81, q86)
 }
