@@ -21,13 +21,14 @@ object Tables {
   /** The small dimension tables — always safe to broadcast in joins. */
   val broadcastable: Set[String] = Set("region", "nation", "supplier")
 
-  /** events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark 4 rejects at
-    * scan time unless this legacy conf is on. Session builders we own
-    * (Verify/Bench/PlanDump/SparkSuite) set it at construction; this is a
-    * defensive fallback for externally-built sessions. It only ever sets
-    * the value when the key is UNSET — it never flips an explicit choice,
-    * so there is no hidden ordering dependency (the effective value is
-    * constant for the session's lifetime either way). */
+  /** Driver snapshots have shipped events.ts as INT64 TIMESTAMP(NANOS)
+    * parquet, which Spark 4 rejects at scan time unless this legacy conf
+    * is on. Session builders we own (Verify/Bench/PlanDump/SparkSuite)
+    * set it at construction; this is a defensive fallback for
+    * externally-built sessions. It only ever sets the value when the key
+    * is UNSET — it never flips an explicit choice, so there is no hidden
+    * ordering dependency (the effective value is constant for the
+    * session's lifetime either way). */
   private def ensureNanosAsLong(spark: SparkSession): Unit = {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     // conf.getOption reports the REGISTERED DEFAULT for a known SQLConf
@@ -38,11 +39,24 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // Read nanos as long, then normalize to TimestampType (microsecond
-      // precision, matching Spark semantics everywhere else).
+      // Normalize ts to TimestampType (microsecond precision) whatever
+      // physical shape the snapshot shipped: INT64 TIMESTAMP(NANOS)
+      // arrives as LongType nanos (under the legacy conf), timestamp[us]
+      // with isAdjustedToUTC=false arrives as TIMESTAMP_NTZ. Every
+      // session here runs UTC, so the NTZ→LTZ cast is value-preserving
+      // and both shapes yield identical downstream semantics.
       ensureNanosAsLong(spark)
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      raw.schema("ts").dataType match {
+        case LongType =>
+          raw.withColumn("ts",
+            org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+        case TimestampNTZType =>
+          raw.withColumn("ts",
+            org.apache.spark.sql.functions.col("ts").cast(TimestampType))
+        case _ => raw
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register every table as a temp view (for spark.sql entry points). */
