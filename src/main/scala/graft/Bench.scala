@@ -73,7 +73,27 @@ object Bench {
       try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
         .split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
+
+    // CONTENTION GUARD (headline). Round 7's committed record was cut at
+    // loadavg 6.6 and showed a phantom 2.4× regression (q27 13.6 s vs
+    // 1.4 s at the identical candidate count). The full sweep already
+    // self-adjudicates; the headline gets the same discipline in two
+    // layers: (1) refuse to enter the timed region while the box is
+    // loaded (bounded wait so a driver can't hang), (2) after timing,
+    // re-measure any headline entry that regressed >2× vs the previous
+    // committed record — both samples land in `headline_adjudicated`.
+    // A run that times out still-hot records `"contended":true` so it
+    // can never silently masquerade as a clean record again.
+    val maxLoad = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXLOAD", "2.5").toDouble
+    val maxWaitSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXWAIT", "900").toDouble
+    val waitT0 = System.nanoTime()
+    while (loadavg() > maxLoad && (System.nanoTime() - waitT0) / 1e9 < maxWaitSec) {
+      System.err.println(f"[bench] loadavg ${loadavg()}%.2f > $maxLoad — waiting for quiet box")
+      Thread.sleep(15000)
+    }
+    val loadWaitSec = (System.nanoTime() - waitT0) / 1e9
     val loadStart = loadavg()
+    val contended = loadStart > maxLoad
 
     // JVM/codegen warmup outside the timed region.
     SparkEntry.queries("q03_agg_tpch1")(spark, sfDir).count()
@@ -98,9 +118,50 @@ object Bench {
     // tools.TimeQueries instead of poisoning the rest of the record.
     val skip = sys.env.getOrElse("SPARK_GRAFT_BENCH_SKIP", "")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
-    val results: Seq[(String, Timing)] = headline.filterNot(skip).map { name =>
-      name -> time(name)(SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save())
+    // previous committed record (BENCH_LAST.json by default) — used by
+    // both the headline and the full-sweep adjudication below
+    def readPrevMap(key: String): Map[String, Double] =
+      try {
+        val p = java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", "BENCH_LAST.json"))
+        if (!java.nio.file.Files.isReadable(p)) Map.empty
+        else {
+          val node = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(java.nio.file.Files.readString(p)).path(key)
+          if (!node.isObject) Map.empty
+          else {
+            val b = Map.newBuilder[String, Double]
+            node.fields().forEachRemaining(e => b += e.getKey -> e.getValue.asDouble(-1.0))
+            b.result()
+          }
+        }
+      } catch { case _: Throwable => Map.empty }
+    val prevHeadline = readPrevMap("queries")
+    def timeQuery(name: String): Timing =
+      if (name == "ref_inverted_index")
+        time(name)(InvertedIndex.buildIndexFromManifest(spark, refManifest)
+          .write.format("noop").mode("overwrite").save())
+      else
+        time(name)(SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save())
+    val firstPass: Seq[(String, Timing)] = headline.filterNot(skip).map { name =>
+      name -> timeQuery(name)
     } ++ refEntry
+    // Headline adjudication: an entry whose min-of-reps still exceeds 2×
+    // its previous committed min (and 0.5 s, to keep scheduler noise on
+    // sub-second queries out) is re-timed once after a GC settle; the
+    // better full Timing is recorded and both mins land in the record.
+    val headlineAdj = collection.mutable.ListBuffer.empty[(String, Double, Double, Double)]
+    val results: Seq[(String, Timing)] = firstPass.map { case (name, t1) =>
+      prevHeadline.get(name) match {
+        case Some(prev) if prev > 0 && t1.min > 2 * prev && t1.min > 0.5 =>
+          System.gc(); Thread.sleep(500); System.gc()
+          val t2 = timeQuery(name)
+          headlineAdj += ((name, t1.min, t2.min, prev))
+          name -> (if (t2.min >= 0 && t2.min < t1.min) t2 else t1)
+        case _ => name -> t1
+      }
+    }
 
     // Full-inventory sweep (`"full"` in the JSON): one timed run of EVERY
     // declared query, so a regression in a non-headline query (pivot,
@@ -120,23 +181,7 @@ object Bench {
     // phantom regressions instead of requiring a fresh-JVM re-run to
     // read. An entry still >2× prev after re-measurement is a real
     // regression (or a real plan change) by construction.
-    val prevFull: Map[String, Double] =
-      try {
-        val p = java.nio.file.Paths.get(
-          sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", "BENCH_LAST.json"))
-        if (!java.nio.file.Files.isReadable(p)) Map.empty
-        else {
-          val root = new com.fasterxml.jackson.databind.ObjectMapper()
-            .readTree(java.nio.file.Files.readString(p))
-          val full = root.path("full")
-          if (!full.isObject) Map.empty
-          else {
-            val b = Map.newBuilder[String, Double]
-            full.fields().forEachRemaining(e => b += e.getKey -> e.getValue.asDouble(-1.0))
-            b.result()
-          }
-        }
-      } catch { case _: Throwable => Map.empty }
+    val prevFull: Map[String, Double] = readPrevMap("full")
     val headlineMins = results.toMap
     // (name, best sample, Some((first, resample)) when adjudicated)
     val fullResults: Seq[(String, Double, Option[(Double, Double)])] =
@@ -181,7 +226,8 @@ object Bench {
       if (sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS", "1") == "0") -1L
       else try graft.operators.Dedup.minhashCandidates(
         graft.sources.Tables(spark, sfDir, "documents"), "doc_id", "text",
-        n = 1, k = graft.queries.Extensions.mhK, bands = graft.queries.Extensions.mhBands).count()
+        n = 1, k = graft.queries.Extensions.mhK, bands = graft.queries.Extensions.mhBands,
+        maxBandDf = graft.queries.Extensions.mhMaxBandDf).count()
       catch { case _: Throwable => -1L }
     val fullJson =
       if (fullResults.isEmpty) ""
@@ -195,7 +241,12 @@ object Bench {
     val adjJson =
       if (adjudicated.isEmpty) ""
       else adjudicated.mkString(""","full_adjudicated":{""", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","q27_pairs":$q27Pairs,"reps":$reps,"median":$medians,"spread":$spreads$fullJson$adjJson,"loadavg_start":$loadStart,"loadavg_end":$loadEnd}"""
+    val headAdjJson =
+      if (headlineAdj.isEmpty) ""
+      else headlineAdj.map { case (k, s1, s2, prev) =>
+        f""""$k":{"first":$s1%.3f,"resample":$s2%.3f,"prev":$prev%.3f}"""
+      }.mkString(""","headline_adjudicated":{""", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","q27_pairs":$q27Pairs,"reps":$reps,"median":$medians,"spread":$spreads$fullJson$adjJson$headAdjJson,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"load_wait_sec":${f"$loadWaitSec%.1f"},"contended":$contended}"""
     // The FULL record (medians, spreads, the 60+-entry full-inventory map)
     // is several KB — longer than the driver's stdout tail window, which is
     // why BENCH_r04/r05 recorded `parsed: null`. So: the full record goes to
@@ -204,7 +255,7 @@ object Bench {
     // always survive the tail capture whole.
     val compactQs = results.map { case (k, t) => f""""$k":${t.min}%.3f""" }
       .mkString("{", ",", "}")
-    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$compactQs,"sf":"$sfDir","q27_pairs":$q27Pairs,"reps":$reps,"adjudicated":${adjudicated.length},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"full":"BENCH_LAST.json"}"""
+    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$compactQs,"sf":"$sfDir","q27_pairs":$q27Pairs,"reps":$reps,"adjudicated":${adjudicated.length + headlineAdj.length},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"contended":$contended,"full":"BENCH_LAST.json"}"""
     System.err.println(json)
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

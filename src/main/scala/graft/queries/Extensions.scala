@@ -69,6 +69,14 @@ object Extensions {
   // exposed so Bench's q27_pairs instrumentation counts the SAME
   // candidate stage the declared query runs
   val mhK = 12; val mhBands = 2
+  // Band-bucket saturation cap (Dedup.minhashCandidates maxBandDf): a
+  // bucket holding >64 docs is vocabulary saturation / boilerplate, not
+  // pairwise near-duplication — without the cap a dense corpus detonates
+  // quadratically (291 M candidate pairs at 50 k docs, ~595 s measured
+  // at sf1 in round 7). With it, candidate volume is ≤ buckets·C(64,2),
+  // linear in corpus size. The oracle mirrors the cap exactly (a
+  // count-per-bucket HAVING), so q27 stays hash-checked, not rows-only.
+  val mhMaxBandDf = 64L
   // q27's oracle-side minhash fragments, shared with q66's pipeline oracle
   private val mhMinsSql =
     (0 until mhK).map(j => s"min(md5('$j|' || shingle)) AS h$j").mkString(",\n         ")
@@ -89,13 +97,19 @@ object Extensions {
          |  FROM sh GROUP BY doc_id
          |), bands AS (
          |  $bandSelects
+         |), keepb AS (
+         |  SELECT band_idx, bh FROM bands GROUP BY band_idx, bh
+         |  HAVING count(*) <= $mhMaxBandDf
+         |), kept AS (
+         |  SELECT b.doc_id, b.band_idx, b.bh
+         |  FROM bands b JOIN keepb k ON b.band_idx = k.band_idx AND b.bh = k.bh
          |)
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |FROM bands a JOIN bands b
+         |FROM kept a JOIN kept b
          |  ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id
          |ORDER BY doc_a, doc_b""") { (s, dir) =>
       Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text",
-          n = 1, k = mhK, bands = mhBands)
+          n = 1, k = mhK, bands = mhBands, maxBandDf = mhMaxBandDf)
         .orderBy("doc_a", "doc_b")
     }
   }

@@ -42,19 +42,25 @@ object Tables {
       // Normalize ts to TimestampType (microsecond precision) whatever
       // physical shape the snapshot shipped: INT64 TIMESTAMP(NANOS)
       // arrives as LongType nanos (under the legacy conf), timestamp[us]
-      // with isAdjustedToUTC=false arrives as TIMESTAMP_NTZ. Every
-      // session here runs UTC, so the NTZ→LTZ cast is value-preserving
-      // and both shapes yield identical downstream semantics.
+      // with isAdjustedToUTC=false arrives as TIMESTAMP_NTZ. The NTZ
+      // wall-clock in these snapshots IS the UTC instant, so the
+      // conversion must not route through the session time zone (a
+      // plain cast(TimestampType) would shift instants on a non-UTC
+      // external session). Interval arithmetic against the epoch is
+      // exact and timezone-free: NTZ - NTZ is a day-time interval
+      // (pure microseconds), and adding it to timestamp_micros(0)
+      // (the epoch instant) is a pure microsecond add.
       ensureNanosAsLong(spark)
       val raw = spark.read.parquet(s"$dir/$name.parquet")
-      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
       raw.schema("ts").dataType match {
         case LongType =>
           raw.withColumn("ts",
             org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
         case TimestampNTZType =>
           raw.withColumn("ts",
-            org.apache.spark.sql.functions.col("ts").cast(TimestampType))
+            org.apache.spark.sql.functions.expr(
+              "timestamp_micros(0) + (ts - TIMESTAMP_NTZ'1970-01-01 00:00:00')"))
         case _ => raw
       }
     } else spark.read.parquet(s"$dir/$name.parquet")

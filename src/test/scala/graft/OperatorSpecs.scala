@@ -24,6 +24,25 @@ class DedupSpec extends SparkSuite {
     assert(c.count() === c.distinct().count())
   }
 
+  test("minhash band df-cap: inert above all bucket sizes, strips saturated buckets") {
+    import spark.implicits._
+    // a cap above every bucket's membership must not change the output
+    val uncapped = Dedup.minhashCandidates(docs, "doc_id", "text", n = 1, k = 12, bands = 2)
+    val inert = Dedup.minhashCandidates(docs, "doc_id", "text", n = 1, k = 12, bands = 2,
+      maxBandDf = docs.count() + 1)
+    assert(uncapped.exceptAll(inert).count() === 0)
+    assert(inert.exceptAll(uncapped).count() === 0)
+    // 10 identical docs (one saturated bucket of 10) + 2 identical docs:
+    // cap=5 strips the 10-cluster (C(10,2)=45 pairs gone), keeps the pair
+    val boiler = ((1 to 10).map(i => (i.toLong, "common license header boilerplate text")) ++
+      Seq((100L, "a genuinely unique duplicated sentence"), (101L, "a genuinely unique duplicated sentence")))
+      .toDF("doc_id", "text")
+    val capped = Dedup.minhashCandidates(boiler, "doc_id", "text", n = 1, k = 12, bands = 2,
+      maxBandDf = 5).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((100L, 101L)),
+      s"cap=5 must strip the 10-doc boilerplate bucket and keep the true pair, got $capped")
+  }
+
   test("simhash: fixed-width bit string per doc") {
     val s = Dedup.simhashSignature(docs, "doc_id", "text", bits = 16)
     assert(s.count() === docs.count())
