@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.plans.PQExprs
+
+/** Product-quantization embedding compression + ADC search (Jégou et
+  * al., TPAMI 2011) — the missing cost lever for the ANN family at
+  * 100 TB: with 64-dim FLOAT embeddings the store is 256 B/vector;
+  * PQ(m=8, k=32) stores 8 code bytes + a 4-byte norm (≈ 21×
+  * smaller), and the scan side of a search reads ONLY codes.
+  *
+  * Scale shape:
+  *  - [[fit]] trains m tiny per-subspace codebooks on a capped,
+  *    cached sample (same bounded-by-design argument as
+  *    [[Similarity.ivfKMeansTopK]]); the model is a few KB on the
+  *    driver and rides expressions as a constant.
+  *  - [[encode]] is one narrow map over the corpus (native
+  *    [[graft.plans.PQExprs.PQEncodeExpr]] — no shuffle, no UDF).
+  *  - [[adcTopK]] broadcasts the (small) query set WITH per-query
+  *    lookup tables, so the per-candidate cost is m byte-indexed adds
+  *    (native [[graft.plans.PQExprs.PQAdcDotExpr]]) — no float math
+  *    against the corpus, and the corpus is never shuffled. Top-k uses
+  *    the same two-phase per-partition window as
+  *    [[Similarity.bruteForceTopK]], so no per-query funnel.
+  *
+  * Scores are approximate by construction (quantization error), which
+  * is why the declared query self-gates on recall against the exact
+  * brute-force ranking (q45's pattern) instead of oracle-matching
+  * scores. */
+object ProductQuantization {
+
+  /** Per-subspace codebooks: `codebooks(s)(j)` = centroid j of
+    * subspace s, each of width `subDim`. */
+  case class PQModel(subDim: Int, codebooks: Array[Array[Array[Double]]]) {
+    def m: Int = codebooks.length
+    def dim: Int = m * subDim
+  }
+
+  /** Train per-subspace k-means codebooks. Deterministic for a fixed
+    * seed; the training scan is capped at `trainCap` rows and cached
+    * once across all m fits (each fit sees its own slice column). */
+  def fit(emb: DataFrame, vecCol: String, m: Int, k: Int, seed: Long = 42L,
+      trainCap: Int = 100000, maxIter: Int = 10): PQModel = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val nz = emb.filter(VectorFunctions.norm(col(vecCol)) > 0)
+    val dim = nz.select(size(col(vecCol)).as("d")).head.getInt(0)
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    val subDim = dim / m
+    val train = nz.select((0 until m).map { s =>
+        array_to_vector(slice(col(vecCol), s * subDim + 1, subDim)
+          .cast("array<double>")).as(s"f$s")
+      }: _*)
+      .limit(trainCap).persist()
+    try {
+      val codebooks = (0 until m).map { s =>
+        new KMeans().setK(k).setSeed(seed + s).setInitMode("random")
+          .setMaxIter(maxIter).setFeaturesCol(s"f$s")
+          .fit(train).clusterCenters.map(_.toArray)
+      }.toArray
+      PQModel(subDim, codebooks)
+    } finally train.unpersist()
+  }
+
+  /** Encode the corpus: (vid, codes ARRAY<TINYINT>, vnorm FLOAT). The
+    * true norm is kept so ADC cosine uses the exact denominator — the
+    * only approximation is in the numerator's quantized dot. */
+  def encode(emb: DataFrame, idCol: String, vecCol: String, model: PQModel): DataFrame =
+    emb.filter(VectorFunctions.norm(col(vecCol)) > 0)
+      .select(col(idCol).as("vid"),
+        PQExprs.pqEncode(col(vecCol), model.codebooks).as("codes"),
+        VectorFunctions.norm(col(vecCol)).cast("float").as("vnorm"))
+
+  /** Per-query LUT: lut(s)(j) = dot(q_s, codebook(s)(j)). Computed once
+    * per QUERY row (higher-order functions over the codebook literal —
+    * the query side is small by contract), so the per-candidate path
+    * never touches the codebook. */
+  private def lutFor(model: PQModel, qv: Column): Column = {
+    val cbLit = typedLit(model.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    transform(sequence(lit(0), lit(model.m - 1)), s =>
+      transform(element_at(cbLit, s + lit(1)), cvec =>
+        VectorFunctions.dot(slice(qv, s * lit(model.subDim) + lit(1), lit(model.subDim)), cvec)))
+  }
+
+  /** ADC top-k: identical contract to [[Similarity.bruteForceTopK]]
+    * (per-query k best by cosine, id tie-break) but the corpus side is
+    * scanned as codes, scored with the approximate quantized dot over
+    * the exact norms. `encoded` should come from [[encode]] over the
+    * same model — pre-materialize it once and reuse across query
+    * batches (that is the 100 TB story: the float corpus is read once
+    * at encode time, never again). */
+  def adcTopK(queries: DataFrame, encoded: DataFrame, idCol: String,
+      vecCol: String, k: Int, model: PQModel): DataFrame = {
+    val q = queries.filter(VectorFunctions.norm(col(vecCol)) > 0)
+      .select(col(idCol).as("q_id"), col(vecCol).as("qv"))
+      .withColumn("qnorm", VectorFunctions.norm(col("qv")))
+      .withColumn("lut", lutFor(model, col("qv")))
+      .select("q_id", "qnorm", "lut")
+    val score = PQExprs.pqAdcDot(col("codes"), col("lut")) / (col("qnorm") * col("vnorm"))
+    val scored = broadcast(q).join(encoded, col("q_id") =!= col("vid"))
+      .withColumn("pid", spark_partition_id())
+    val w1 = Window.partitionBy(col("q_id"), col("pid")).orderBy(score.desc, col("vid"))
+    val w2 = Window.partitionBy(col("q_id")).orderBy(score.desc, col("vid"))
+    scored
+      .withColumn("prn", row_number().over(w1)).filter(col("prn") <= k)
+      .withColumn("rn", row_number().over(w2)).filter(col("rn") <= k)
+      .select(col("q_id"), col("vid").as("c_id"), col("rn"),
+        TextFunctions.round4(score).as("adc_cos"))
+  }
+
+  /** ADC + EXACT RE-RANK — the standard production PQ search (Jégou et
+    * al. §V): the compressed scan produces a per-query shortlist of
+    * `shortlist` candidates by approximate score, then ONLY those rows
+    * fetch their float vectors for exact cosine re-ranking. On
+    * near-uniform embeddings pure ADC recall collapses (quantization
+    * error ≫ the cosine gaps between neighbors — measured 0.22 on the
+    * synthetic fixtures) while the shortlist still contains the true
+    * neighbors; re-ranking recovers them at a float-read cost of
+    * O(queries × shortlist), independent of corpus size. The re-rank
+    * join broadcasts the (small) shortlist against the corpus, so the
+    * float side is still never shuffled. */
+  def adcTopKReranked(queries: DataFrame, encoded: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, shortlist: Int,
+      model: PQModel): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    val short = adcTopK(queries, encoded, idCol, vecCol, shortlist, model)
+      .select(col("q_id"), col("c_id"))
+    val qv = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"))
+    val cv = corpus.select(col(idCol).as("c_id"), col(vecCol).as("cv"))
+    val cos = VectorFunctions.cosine(col("qv"), col("cv"))
+    // shortlist is queries×shortlist rows — broadcast it; each corpus
+    // partition streams past it and only matching ids surface floats
+    val withVecs = broadcast(short.join(broadcast(qv), Seq("q_id"))).join(cv, Seq("c_id"))
+    // per-query group is ≤ shortlist rows — bounded, no funnel
+    val w = Window.partitionBy(col("q_id")).orderBy(cos.desc, col("c_id"))
+    withVecs
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("q_id"), col("c_id"), col("rn"), TextFunctions.round4(cos).as("cos"))
+  }
+}

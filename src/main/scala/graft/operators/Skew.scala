@@ -49,16 +49,34 @@ object Skew {
 
   /** Salted equi-join: the big (skewed) side gets a deterministic salt;
     * the small side is replicated once per salt value; the join runs on
-    * (key, salt). Inner-join semantics. */
+    * (key, salt).
+    *
+    * `joinType` supports `"inner"` and `"left_outer"` (big side
+    * preserved — the attribution-at-scale shape: every fact row
+    * survives, dimension columns null when unmatched). Left-outer is
+    * semantics-preserving under salting because each BIG row carries
+    * exactly one deterministic salt: it meets every replicated small
+    * row for its key (match count identical to the unsalted join) and
+    * null-extends exactly once when the key is absent. The same
+    * construction is WRONG for right/full outer — an unmatched small
+    * row exists `salts` times post-replication and would null-extend
+    * once per salt — so those are rejected rather than silently
+    * miscomputed (they'd need salt-side aggregation to rebuild one
+    * row, a different operator). */
   def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
-      smallKey: String, salts: Int, bigSaltSource: Seq[String]): DataFrame = {
+      smallKey: String, salts: Int, bigSaltSource: Seq[String],
+      joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left_outer",
+      s"saltedJoin supports inner|left_outer, got $joinType — right/full outer would " +
+        "emit one null-extension per salt for each unmatched small row")
     val saltedBig = big.withColumn(SaltCol, salt(salts, bigSaltSource.map(col): _*))
     val replicatedSmall = small.withColumn(SaltCol,
       explode(sequence(lit(0), lit(salts - 1))))
     saltedBig
       .join(replicatedSmall,
         saltedBig(bigKey) === replicatedSmall(smallKey)
-          && saltedBig(SaltCol) === replicatedSmall(SaltCol))
+          && saltedBig(SaltCol) === replicatedSmall(SaltCol),
+        joinType)
       .drop(SaltCol)
   }
 }

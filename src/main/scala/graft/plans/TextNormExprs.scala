@@ -330,4 +330,92 @@ object TextNormExprs {
   def stopwordScores(words: Column, langWords: Seq[Seq[String]]): Column =
     GraftColumnBridge.toColumn(
       StopwordScoresExpr(GraftColumnBridge.toExpression(words), langWords))
+
+  /** LOADABLE-VOCAB subword token count — real sequence budgeting for
+    * the packing/chunking consumers (q67/q70), replacing the
+    * heuristic [[BpeishCountExpr]] estimate with the count an actual
+    * learned vocabulary produces.
+    *
+    * Segmentation is greedy longest-match (the WordPiece/BPE-inference
+    * family): at each position of each (already-normalized) word, the
+    * longest vocabulary piece matching there is consumed and counted;
+    * if none matches, one character is skipped and counted as a single
+    * UNK token — so the count is total, deterministic, and defined for
+    * every input. The vocab rides the expression as a constant (a few
+    * KB), organized as per-length hash sets so a position costs at most
+    * `maxPieceLen` probes — one pass, no regex, no per-row vocab scan.
+    *
+    * Input is the normalized WORD ARRAY (compose with
+    * [[NormalizedWordsExpr]]), keeping one tokenizer contract across
+    * the engine. Null array or null element → null (the aggregate-
+    * poison convention of the other text exprs); empty array → 0. */
+  case class VocabTokenCountExpr(child: Expression, vocab: Seq[String])
+      extends UnaryExpression with CodegenFallback {
+    require(vocab.nonEmpty && vocab.forall(_.nonEmpty), "vocab must be non-empty pieces")
+    override def dataType: DataType = IntegerType
+    override def nullable: Boolean = true
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StringType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"vocab_token_count requires an ARRAY<STRING> input, got ${other.simpleString}")
+      }
+
+    // per-length piece sets over raw UTF-8 bytes (pieces and normalized
+    // words are ASCII here, but byte-wise match is correct for any
+    // UTF-8: a piece matches iff its exact byte sequence matches)
+    @transient private lazy val byLen: Array[java.util.HashSet[java.nio.ByteBuffer]] = {
+      val maxLen = vocab.map(_.getBytes("UTF-8").length).max
+      val sets = Array.fill(maxLen + 1)(new java.util.HashSet[java.nio.ByteBuffer]())
+      vocab.foreach { p =>
+        val b = p.getBytes("UTF-8")
+        sets(b.length).add(java.nio.ByteBuffer.wrap(b))
+      }
+      sets
+    }
+
+    private def countWord(bytes: Array[Byte]): Int = {
+      val maxLen = byLen.length - 1
+      var pos = 0
+      var cnt = 0
+      while (pos < bytes.length) {
+        var step = 1 // UNK: skip one byte
+        var l = math.min(maxLen, bytes.length - pos)
+        var found = false
+        while (!found && l >= 1) {
+          if (!byLen(l).isEmpty &&
+              byLen(l).contains(java.nio.ByteBuffer.wrap(bytes, pos, l)))
+            { step = l; found = true }
+          l -= 1
+        }
+        cnt += 1
+        pos += step
+      }
+      cnt
+    }
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val n = arr.numElements()
+      var total = 0
+      var i = 0
+      while (i < n) {
+        if (arr.isNullAt(i)) return null
+        total += countWord(arr.getUTF8String(i).getBytes)
+        i += 1
+      }
+      total
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "vocab_token_count"
+  }
+
+  def vocabTokenCount(words: Column, vocab: Seq[String]): Column =
+    GraftColumnBridge.toColumn(
+      VocabTokenCountExpr(GraftColumnBridge.toExpression(words), vocab))
 }

@@ -516,6 +516,36 @@ object Advanced {
       .orderBy("p_brand")
   }
 
+  // --------------------------------------------------------------- Q83b
+  /** SKEW-SALTED LEFT-OUTER JOIN — the attribution shape at 100 TB:
+    * every fact row must survive (spend attribution, impression
+    * joining), dimension columns null when unmatched, while one hot
+    * key would otherwise stall a single reducer. The dimension side is
+    * deliberately restricted (p_size <= 25) so a real fraction of
+    * lineitem is unmatched; the oracle is the PLAIN left join —
+    * null-extension exactly once per unmatched row is the whole
+    * contract ([[graft.operators.Skew.saltedJoin]] Scaladoc explains
+    * why left-outer is safe and right/full are rejected). The group
+    * key is coalesced on BOTH engines so null-ordering differences
+    * can't enter the hash. */
+  val q83b = QueryDef("q83b_salted_left_join",
+    """SELECT coalesce(p_brand, '<unmatched>') AS brand, count(*) AS n,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS rev
+      |FROM lineitem LEFT JOIN (SELECT p_partkey, p_brand FROM part WHERE p_size <= 25) p
+      |  ON l_partkey = p_partkey
+      |GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+    val li = t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_orderkey"), col("l_extendedprice"))
+    val part = t(s, dir, "part").filter(col("p_size") <= 25)
+      .select(col("p_partkey"), col("p_brand"))
+    graft.operators.Skew.saltedJoin(li, part, "l_partkey", "p_partkey", 8,
+        bigSaltSource = Seq("l_orderkey"), joinType = "left_outer")
+      .groupBy(coalesce(col("p_brand"), lit("<unmatched>")).as("brand"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(18,6)")).cast("double").as("rev"))
+      .orderBy("brand")
+  }
+
   // --------------------------------------------------------------- Q84
   /** BM25 RETRIEVAL (Robertson/Lucene idf form, k1=1.2, b=0.75) — the
     * ranking function actually used for corpus search and dataset
@@ -602,5 +632,5 @@ object Advanced {
   }
 
   val all: Seq[QueryDef] = Seq(q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
-    q56, q57, q58, q59, q60, q61, q62, q73, q82, q83, q84, q85)
+    q56, q57, q58, q59, q60, q61, q62, q73, q82, q83, q83b, q84, q85)
 }

@@ -901,11 +901,34 @@ object Extensions {
     * fixed-budget bins (512 tokens) via an in-group windowed cumsum.
     * Deterministic on every engine; the oracle reproduces the group
     * assignment, in-group order, and bin arithmetic exactly. */
+  // Sequence budgets come from the LOADABLE BPE VOCAB tokenizer
+  // ([[graft.functions.VocabTokenizer]], committed fixture
+  // vocab_en.txt): greedy longest-match subword counts — what the
+  // actual training tokenizer would produce, not a regex estimate.
+  // The oracle replays the identical greedy segmentation with a
+  // recursive CTE over the SAME vocab (inlined VALUES — one source of
+  // truth), tokenizing each distinct word once and joining counts back
+  // to occurrences.
   val q67 = QueryDef("q67_sequence_pack",
-    s"""WITH tc AS (
-       |  SELECT doc_id,
-       |         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INT) AS n_tok
-       |  FROM documents
+    s"""WITH RECURSIVE $docwCte,
+       |vocab(piece) AS (SELECT * FROM (VALUES ${graft.functions.VocabTokenizer.valuesSql()}) v(piece)),
+       |tok AS (SELECT doc_id, unnest(w) AS word FROM docw),
+       |uw AS (SELECT DISTINCT word FROM tok),
+       |seg AS (
+       |  SELECT word, 1 AS pos, 0 AS ntok FROM uw
+       |  UNION ALL
+       |  SELECT word,
+       |         pos + coalesce((SELECT max(len(piece)) FROM vocab
+       |                         WHERE substr(word, pos, len(piece)) = piece), 1),
+       |         ntok + 1
+       |  FROM seg WHERE pos <= len(word)
+       |),
+       |wtok AS (SELECT word, max(ntok) AS wt FROM seg WHERE pos = len(word) + 1 GROUP BY word),
+       |tsum AS (SELECT doc_id, sum(wt) AS s FROM tok JOIN wtok USING (word) GROUP BY doc_id),
+       |tc AS (
+       |  SELECT dw.doc_id,
+       |         CASE WHEN dw.w IS NULL THEN NULL ELSE CAST(coalesce(t.s, 0) AS INT) END AS n_tok
+       |  FROM docw dw LEFT JOIN tsum t ON t.doc_id = dw.doc_id
        |), packed AS (
        |  SELECT doc_id, n_tok, doc_id % 32 AS pack_group,
        |         sum(n_tok) OVER (PARTITION BY doc_id % 32 ORDER BY doc_id) AS cum
@@ -916,7 +939,8 @@ object Extensions {
        |FROM packed ORDER BY doc_id""") { (s, dir) =>
     val docs = t(s, dir, "documents")
     val withTok = docs.select(col("doc_id"),
-      graft.plans.TextNormExprs.bpeishCount(lower(col("text"))).as("n_tok"))
+      graft.functions.VocabTokenizer.tokenCount(
+        TextFunctions.normalizedWords(col("text"))).as("n_tok"))
     SequencePacking.pack(withTok, "doc_id", "n_tok", numGroups = 32, budget = 512)
       .orderBy("doc_id")
   }
@@ -1290,6 +1314,57 @@ object Extensions {
       .orderBy("vec_id")
   }
 
+  // --------------------------------------------------------------- Q79b
+  /** SEMANTIC DEDUP, PRODUCTION PATH
+    * ([[Similarity.semanticDedupKMeans]]): k-means-learned coarse
+    * clusters instead of q79's oracle-reproducible corpus-subset
+    * centroids. Rows-only (the model isn't SQL-expressible), gated
+    * in-query on two properties against the EXACT all-pairs closure
+    * (computed in-query — the documented brute baseline, fine at gate
+    * scale, quadratic by design):
+    *  - subset invariant (deterministic, must hold exactly): blocking
+    *    only DROPS similarity edges, and dropping edges only shrinks
+    *    reachability, so every k-means-flagged duplicate must also be
+    *    a duplicate under the exact closure — one violation means the
+    *    pipeline (not the blocking) is broken;
+    *  - recall ≥ 0.4: the fraction of exact duplicates the blocked
+    *    path recovers. The floor is deliberately modest: these
+    *    near-uniform synthetic embeddings are the HARDEST case for
+    *    coarse blocking (θ=0.3 "near-dups" are barely tighter than the
+    *    background cosine, so edges cross clusters freely — measured
+    *    ~0.5–0.7 here); real embedding spaces cluster, which is the
+    *    regime SemDeDup's own 0.99+-θ operates in. */
+  val q79b = QueryDef.noOracle("q79b_semantic_dedup_kmeans") { (s, dir) =>
+    val theta = 0.3
+    val emb = t(s, dir, "embeddings")
+    val km = Similarity.semanticDedupKMeans(emb, "vec_id", "embedding",
+      nCentroids = 8, theta = theta)
+    val nz = emb.filter(VectorFunctions.norm(col("embedding")) > 0)
+      .select(col("vec_id"), col("embedding"), lit(1).as("whole"))
+    val exactPairs = Similarity.nearDupPairs(nz, "vec_id", "embedding", "whole", theta)
+    val exact = Dedup.dedupClusters(exactPairs.select("id_a", "id_b"),
+        nz.select(col("vec_id").as("doc_id")))
+      .select(col("doc_id").as("vec_id"),
+        (col("doc_id") =!= col("cluster_id")).cast("int").as("exact_dup"))
+    val joined = km.join(exact, Seq("vec_id")).cache()
+    val gate = joined.agg(
+      sum(when(col("is_dup") === 1 && col("exact_dup") === 0, 1).otherwise(0)).as("violations"),
+      sum(col("is_dup")).as("blocked_dups"),
+      sum(col("exact_dup")).as("exact_dups")).head
+    val violations = gate.getLong(0)
+    val recall =
+      if (gate.getLong(2) == 0) 1.0 else gate.getLong(1).toDouble / gate.getLong(2)
+    require(violations == 0,
+      s"$violations k-means-flagged duplicates are NOT duplicates under the exact closure " +
+        "— blocking can only drop edges, so this is a pipeline bug, not a recall miss")
+    require(recall >= 0.4, f"semantic-dedup recall collapsed to $recall%.3f")
+    joined
+      .withColumn("recall", round(lit(recall), 4))
+      .select(col("vec_id"), col("cent_id"), col("rep_id"), col("is_dup"),
+        col("exact_dup"), col("recall"))
+      .orderBy("vec_id")
+  }
+
   // --------------------------------------------------------------- Q80
   /** Exact k-token span sharing — the exact-substring duplication
     * signal of Lee et al., "Deduplicating Training Data Makes Language
@@ -1396,8 +1471,51 @@ object Extensions {
       .orderBy(col("exact_cnt").desc, col("word"))
   }
 
+  // --------------------------------------------------------------- Q87
+  /** PRODUCT-QUANTIZED ANN ([[graft.operators.ProductQuantization]]):
+    * the corpus is compressed to 8 code bytes + a norm per 64-dim
+    * vector (m=8 subspaces × 32 centroids ≈ 21× smaller than FLOAT),
+    * and search scores candidates with the asymmetric-distance lookup
+    * (native expr, no float math on the corpus side). Rows-only (the
+    * k-means codebooks aren't SQL-reproducible); the gate is
+    * quantitative like q45: per-query recall@5 against the exact
+    * brute-force top-5 is computed in-query, with a mean-recall floor.
+    * The declared path is the production shape — ADC shortlist (the
+    * compressed scan) + exact re-rank of the 100-candidate shortlist
+    * ([[graft.operators.ProductQuantization.adcTopKReranked]]): float
+    * reads are O(queries × shortlist), never corpus-sized, and recall
+    * is restored even on near-uniform embeddings where pure ADC
+    * collapses (quantization error ≫ neighbor cosine gaps). */
+  val q87 = QueryDef.noOracle("q87_pq_ann") { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    val qPred = col("vec_id") < 10
+    val k = 5
+    val model = graft.operators.ProductQuantization.fit(emb, "embedding", m = 8, k = 32)
+    val encoded = graft.operators.ProductQuantization.encode(emb, "vec_id", "embedding", model)
+    val pq = graft.operators.ProductQuantization.adcTopKReranked(
+      emb.filter(qPred), encoded, emb, "vec_id", "embedding", k, shortlist = 100, model)
+    val exact = Similarity.bruteForceTopK(emb.filter(qPred), emb,
+        "vec_id", "embedding", k = k)
+      .groupBy("q_id").agg(collect_set(col("c_id")).as("exact_ids"))
+    // LEFT join from exact (q45's rationale): a query PQ returns nothing
+    // for must count as recall 0, not vanish from the mean
+    val perQ = exact
+      .join(pq.groupBy("q_id").agg(collect_set(col("c_id")).as("pq_ids")),
+        Seq("q_id"), "left")
+      .select(col("q_id"),
+        (coalesce(size(array_intersect(col("pq_ids"), col("exact_ids"))), lit(0))
+          .cast("double") / k).as("recall_q"))
+    val mean = perQ.agg(round(avg(col("recall_q")), 4).as("mean_recall"))
+    pq.join(broadcast(perQ), Seq("q_id"))
+      .crossJoin(broadcast(mean))
+      .select(col("q_id"), col("c_id"), col("rn"), col("cos"),
+        TextFunctions.round4(col("recall_q")).as("recall_q"),
+        col("mean_recall"), (col("mean_recall") >= 0.5).as("recall_ok"))
+      .orderBy("q_id", "rn")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
-    q70, q71, q72, q74, q75, q76, q77, q78, q79, q80, q81, q86)
+    q70, q71, q72, q74, q75, q76, q77, q78, q79, q79b, q80, q81, q86, q87)
 }

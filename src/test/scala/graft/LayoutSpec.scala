@@ -65,6 +65,52 @@ class LayoutSpec extends SparkSuite {
       s"z worst ${math.max(zPart, zSupp)} !< linear worst $lSupp")
   }
 
+  test("z-order read-back SKIPS row groups: scan emits a fraction of rows under a 2-D predicate") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val li = Tables(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey")
+    val total = li.count()
+    val zDir = Files.createTempDirectory("graft_zprune").toString
+    val linDir = Files.createTempDirectory("graft_linprune").toString
+    Layout.writeZOrdered(li, "l_partkey", "l_suppkey", 8, zDir)
+    li.repartitionByRange(8, col("l_partkey"))
+      .sortWithinPartitions("l_partkey")
+      .write.mode("overwrite").parquet(linDir)
+    // rows the parquet reader actually SURFACED (surviving row groups):
+    // with the predicate pushed, a row group whose min/max can't satisfy
+    // it is never decoded, so the scan node's numOutputRows is the
+    // skipped-ness measure — not the post-filter result count
+    def scanRows(dir: String, pred: org.apache.spark.sql.Column): (Long, Long) = {
+      val df = spark.read.parquet(dir).filter(pred)
+      // execute THIS queryExecution (a separate .count() would build
+      // its own plan and leave these metrics untouched)
+      val n = df.collect().length.toLong
+      val scans = df.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s
+      }
+      assert(scans.nonEmpty, "expected a FileSourceScanExec leaf")
+      assert(scans.head.metadata("PushedFilters").contains("GreaterThanOrEqual"),
+        s"predicate not pushed: ${scans.head.metadata("PushedFilters")}")
+      (scans.map(_.metrics("numOutputRows").value).sum, n)
+    }
+    // selective rectangle on the dimension a l_partkey-linear sort does
+    // NOT bound: suppkey ∈ a ~10% band. Same predicate both layouts.
+    val hi = li.agg(max("l_suppkey")).head.getLong(0)
+    val pred = col("l_suppkey") >= 0 && col("l_suppkey") <= hi / 10
+    val (zScan, zResult) = scanRows(zDir, pred)
+    val (linScan, linResult) = scanRows(linDir, pred)
+    assert(zResult === linResult, "layouts must agree on the answer")
+    info(f"total=$total z_scan=$zScan (${zScan.toDouble / total}%.2f) " +
+      f"lin_scan=$linScan (${linScan.toDouble / total}%.2f) result=$zResult")
+    // linear layout can't skip for a suppkey predicate: reads ~everything
+    assert(linScan > total * 9 / 10,
+      s"linear layout unexpectedly skipped ($linScan of $total)")
+    // z-order: at least a third of the corpus never decoded (measured
+    // ~0.50 scanned at 8 files; floor leaves slack for stats wiggle)
+    assert(zScan < total * 2 / 3, s"z-order skipped nothing: $zScan of $total")
+    assert(zScan < linScan, "z-order must beat linear for the 2-D predicate")
+  }
+
   test("rank-scaled z-order survives a far outlier; min/max scaling collapses") {
     import spark.implicits._
     // 99% of `a` packed into [0,100), 1% outliers at ~1e9: min/max

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{ProductQuantization, Similarity}
+import graft.plans.PQExprs
+import graft.sources.Tables
+
+/** Product-quantization invariants: code shape/range, bit-exact ADC
+  * lookup vs the composed formulation, determinism, and a recall floor
+  * against the exact brute-force ranking. */
+class ProductQuantizationSpec extends SparkSuite {
+  private lazy val emb = Tables(spark, sfDir, "embeddings")
+  private lazy val model = ProductQuantization.fit(emb, "embedding", m = 8, k = 16)
+
+  test("encode: one byte code per subspace, all in [0, k)") {
+    val enc = ProductQuantization.encode(emb, "vec_id", "embedding", model).cache()
+    assert(enc.count() === emb.count())
+    assert(enc.filter(size(col("codes")) =!= model.m).count() === 0)
+    val outOfRange = enc.select(explode(col("codes")).as("c"))
+      .filter(col("c") < 0 || col("c") >= model.codebooks.head.length)
+    assert(outOfRange.count() === 0)
+    // vnorm is the exact norm, not a reconstruction
+    val normDiff = enc.join(emb, col("vid") === col("vec_id"))
+      .select(abs(col("vnorm") - graft.functions.VectorFunctions.norm(col("embedding"))).as("d"))
+      .agg(max("d")).head.getDouble(0)
+    assert(normDiff < 1e-4, s"stored norm drifted by $normDiff")
+  }
+
+  test("encode is deterministic and ragged/short vectors encode to null") {
+    import spark.implicits._
+    val a = ProductQuantization.encode(emb, "vec_id", "embedding", model)
+    val b = ProductQuantization.encode(emb, "vec_id", "embedding", model)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    val ragged = Seq((1L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val out = ragged.select(PQExprs.pqEncode(col("embedding"), model.codebooks).as("codes"))
+    assert(out.filter(col("codes").isNull).count() === 1,
+      "a vector of the wrong dimension must encode to NULL, not truncate")
+  }
+
+  test("native ADC sum is bit-exact vs the composed element_at formulation") {
+    val enc = ProductQuantization.encode(emb, "vec_id", "embedding", model)
+    // one real query's LUT, built exactly like adcTopK builds it
+    val cbLit = typedLit(model.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val lut = transform(sequence(lit(0), lit(model.m - 1)), s =>
+      transform(element_at(cbLit, s + lit(1)), cvec =>
+        graft.functions.VectorFunctions.dot(
+          slice(col("qv"), s * lit(model.subDim) + lit(1), lit(model.subDim)), cvec)))
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv")).withColumn("lut", lut).select("lut")
+    val composed = aggregate(
+      zip_with(col("codes"), col("lut"),
+        (c, row) => element_at(row, c.cast("int") + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val cmp = enc.crossJoin(broadcast(q))
+      .select(PQExprs.pqAdcDot(col("codes"), col("lut")).as("native"), composed.as("ref"))
+    assert(cmp.filter(col("native") =!= col("ref")).count() === 0)
+    assert(cmp.filter(col("native").isNull).count() === 0)
+  }
+
+  test("reranked adc top-k recall@5 clears the floor; shortlist containment holds") {
+    val k = 5
+    val qPred = col("vec_id") < 10
+    val encoded = ProductQuantization.encode(emb, "vec_id", "embedding", model).cache()
+    def recallOf(result: org.apache.spark.sql.DataFrame): Double = {
+      val ids = result.groupBy("q_id").agg(collect_set(col("c_id")).as("pq_ids"))
+      val exact = Similarity.bruteForceTopK(emb.filter(qPred), emb,
+          "vec_id", "embedding", k = k)
+        .groupBy("q_id").agg(collect_set(col("c_id")).as("exact_ids"))
+      exact.join(ids, Seq("q_id"), "left")
+        .select((coalesce(size(array_intersect(col("pq_ids"), col("exact_ids"))), lit(0))
+          .cast("double") / k).as("r"))
+        .agg(avg("r")).head.getDouble(0)
+    }
+    // pure ADC on near-uniform synthetic embeddings: quantization error
+    // swamps the cosine gaps — only a weak floor is claimable
+    val pureAdc = recallOf(ProductQuantization.adcTopK(emb.filter(qPred), encoded,
+      "vec_id", "embedding", k, model))
+    assert(pureAdc > 0.05, s"pure-ADC recall $pureAdc — below even the weak floor")
+    // ADC shortlist + exact re-rank: the production path recovers the
+    // true neighbors at O(queries × shortlist) float reads
+    val reranked = recallOf(ProductQuantization.adcTopKReranked(emb.filter(qPred),
+      encoded, emb, "vec_id", "embedding", k, shortlist = 100, model))
+    assert(reranked >= 0.7,
+      s"reranked recall collapsed to $reranked (pure ADC was $pureAdc)")
+    assert(reranked >= pureAdc, "re-ranking must not lose recall")
+  }
+
+  test("out-of-range code and length-mismatched LUT score NULL, never a wrong sum") {
+    import spark.implicits._
+    // Seq[Byte] (not Array[Byte], which would encode as BINARY)
+    val rows = Seq(
+      (Seq(0.toByte, 1.toByte), Seq(Seq(1.0, 2.0), Seq(3.0, 4.0)), "ok"),
+      (Seq(0.toByte, 5.toByte), Seq(Seq(1.0, 2.0), Seq(3.0, 4.0)), "code_oob"),
+      (Seq(0.toByte), Seq(Seq(1.0, 2.0), Seq(3.0, 4.0)), "len_mismatch"))
+      .toDF("codes", "lut", "tag")
+    val out = rows.select(col("tag"), PQExprs.pqAdcDot(col("codes"), col("lut")).as("s"))
+      .collect().map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(out("ok") === 1.0 + 4.0)
+    assert(out("code_oob") === null)
+    assert(out("len_mismatch") === null)
+  }
+}

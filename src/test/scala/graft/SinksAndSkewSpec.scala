@@ -78,6 +78,33 @@ class SinksAndSkewSpec extends SparkSuite {
       .select("l_orderkey", "l_linenumber", "p_brand")
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
+
+  test("salted left-outer join == plain left join, unmatched rows null-extend exactly once") {
+    val li = Tables(spark, sfDir, "lineitem")
+    // restrict the dimension so a real fraction of fact rows is unmatched
+    val part = Tables(spark, sfDir, "part").filter(col("p_size") <= 25)
+    val salted = Skew.saltedJoin(li, part, "l_partkey", "p_partkey",
+      salts = 8, bigSaltSource = Seq("l_orderkey", "l_linenumber"),
+      joinType = "left_outer")
+      .select("l_orderkey", "l_linenumber", "p_brand")
+    val plain = li.join(part, col("l_partkey") === col("p_partkey"), "left_outer")
+      .select("l_orderkey", "l_linenumber", "p_brand")
+    // multiset equality: counts every null-extension — a per-salt
+    // duplicate or a dropped unmatched row both fail here
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    assert(salted.filter(col("p_brand").isNull).count() > 0,
+      "fixture must exercise the unmatched path")
+  }
+
+  test("salted right/full outer joins are rejected, not miscomputed") {
+    val li = Tables(spark, sfDir, "lineitem")
+    val part = Tables(spark, sfDir, "part")
+    for (jt <- Seq("right_outer", "full_outer", "left_semi"))
+      intercept[IllegalArgumentException] {
+        Skew.saltedJoin(li, part, "l_partkey", "p_partkey",
+          salts = 8, bigSaltSource = Seq("l_orderkey"), joinType = jt)
+      }
+  }
 }
 
 class BucketingSpec extends SparkSuite {
