@@ -1,0 +1,90 @@
+// Search-time record for the product-quantized ANN path:
+//
+//   sbt "runMain graft.tools.PQBench [nVecs] [nQueries] [k] [reps]"
+//
+// Compares exact float brute-force top-k against the PQ paths (pure ADC,
+// ADC + exact re-rank) on a synthetic blob-structured corpus, with the
+// model FIT and corpus ENCODE outside the timed region — at 100 TB those
+// are one-time build costs; the record measures the per-search cost a
+// user pays, plus recall@k vs the exact ranking for each path. One JSON
+// line per variant.
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{ProductQuantization, Similarity}
+
+object PQBench {
+  def main(args: Array[String]): Unit = {
+    val n = args.lift(0).map(_.toLong).getOrElse(200000L)
+    val nQ = args.lift(1).map(_.toInt).getOrElse(16)
+    val k = args.lift(2).map(_.toInt).getOrElse(10)
+    val reps = args.lift(3).map(_.toInt).getOrElse(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("pq-bench")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // same deterministic blob generator as SemanticDedupBench: hash-
+    // derived latent centers + per-id noise, no RNG objects
+    def u(c: org.apache.spark.sql.Column) =
+      (pmod(xxhash64(c), lit(100000L)).cast("double") / 100000.0) - 0.5
+    val dim = 64
+    val nBlobs = math.max(64, (n / 500).toInt)
+    val emb = spark.range(n).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)), i =>
+          (u(concat_ws(",", lit("blob"), pmod(col("id"), lit(nBlobs.toLong)), i))
+            + u(concat_ws(",", lit("noise"), col("id"), i)) * lit(0.15))
+            .cast("float")).as("embedding"))
+      .persist()
+    emb.count()
+    val qPred = col("vec_id") < nQ
+    val queries = emb.filter(qPred).persist()
+    queries.count()
+
+    // build phase (untimed): fit + encode + materialize the code table
+    val model = ProductQuantization.fit(emb, "embedding", m = 8, k = 32)
+    val encoded = ProductQuantization.encode(emb, "vec_id", "embedding", model).persist()
+    encoded.count()
+
+    val exactIds = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k)
+      .groupBy("q_id").agg(collect_set(col("c_id")).as("exact_ids")).persist()
+    exactIds.count()
+
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double =
+      exactIds.join(df.groupBy("q_id").agg(collect_set(col("c_id")).as("ids")),
+          Seq("q_id"), "left")
+        .select((coalesce(size(array_intersect(col("ids"), col("exact_ids"))), lit(0))
+          .cast("double") / k).as("r"))
+        .agg(avg("r")).head.getDouble(0)
+
+    def variants: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      ("brute_force_float", () =>
+        Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k)),
+      ("pq_adc", () =>
+        ProductQuantization.adcTopK(queries, encoded, "vec_id", "embedding", k, model)),
+      ("pq_adc_rerank100", () =>
+        ProductQuantization.adcTopKReranked(queries, encoded, emb,
+          "vec_id", "embedding", k, shortlist = 100, model)))
+
+    for ((tag, mk) <- variants) {
+      mk().write.format("noop").mode("overwrite").save() // warmup
+      val samples = Vector.fill(reps) {
+        val t0 = System.nanoTime()
+        mk().write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      val rec = recallOf(mk())
+      println(f"""{"variant":"$tag","vecs":$n,"queries":$nQ,"k":$k,"reps":$reps,""" +
+        f""""min_sec":${samples.head}%.3f,"median_sec":${samples(samples.size / 2)}%.3f,""" +
+        f""""recall_at_k":$rec%.3f}""")
+    }
+    spark.stop()
+  }
+}
