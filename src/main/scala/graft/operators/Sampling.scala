@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic weighted sampling without replacement — the
+  * importance-sampling primitive a training-data pipeline runs to carve
+  * a token-budget-proportional (or quality-proportional) subset out of
+  * a corpus snapshot.
+  *
+  * Algorithm: Efraimidis–Spirakis A-ES (Inf. Process. Lett. 97(5),
+  * 2006). Each row draws u ∈ (0,1) and the k rows with the largest
+  * u^(1/w) are the weighted sample — inclusion probability is
+  * proportional to the weight, and the selection is a single top-k
+  * pass, no sequential reservoir needed.
+  *
+  * Properties that matter at 100 TB (mirrors [[Splits]]):
+  *
+  *  - **Deterministic.** u is a pure function of the row id (md5-prefix
+  *    bucket — the repo's engine-portable idiom), never of row order,
+  *    partitioning, or a driver-held seed. The same corpus snapshot
+  *    yields the same sample in any engine, so the DuckDB oracle checks
+  *    every selection exactly.
+  *  - **Narrow + top-k.** One codegen'd projection computes the key;
+  *    selection is `orderBy(key).limit(k)` which Spark plans as
+  *    TakeOrderedAndProject — per-partition bounded heaps merged on the
+  *    driver, no global sort, no shuffle of the corpus.
+  *  - **Underflow-safe.** The key is ranked as ln(u)/w, the monotone
+  *    log transform of u^(1/w) — with document-sized weights (w in the
+  *    thousands) the direct pow form collapses into the denormal range
+  *    and ties everything at 1.0-ε; the log form stays in a well-spread
+  *    negative band.
+  *
+  * The ranked key is floor-rounded to 8 dp before the cutoff (the
+  * repo's engine-exact ranking idiom: libm vs JVM `log` may differ in
+  * the last ulp; a rounded key with an id tie-break makes the cut
+  * identical across engines).
+  */
+object Sampling {
+
+  /** ln(u)/w with u = (md5-bucket(id)+1)/65537 ∈ (0,1); w must be > 0. */
+  def esKey(id: Column, weight: Column): Column =
+    log((Splits.hashBucket(id) + 1).cast("double") / 65537.0) / weight
+
+  /** The rounded ranking key actually used for the cutoff. */
+  def esKeyRounded(id: Column, weight: Column): Column =
+    floor(esKey(id, weight) * 1e8 + 0.5) / 1e8
+
+  /** Global weighted sample: the k rows with the largest keys, with an
+    * id tie-break. Plans as TakeOrderedAndProject (no global sort). */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column, k: Int): DataFrame =
+    df.withColumn("es_key", esKeyRounded(col(idCol), weight))
+      .orderBy(col("es_key").desc, col(idCol))
+      .limit(k)
+
+  /** Per-stratum weighted sample: k rows per distinct value of
+    * `stratumCol` (e.g. per language) — one hash shuffle on the
+    * stratum key, per-group rank, never a global funnel. */
+  def weightedSamplePerStratum(df: DataFrame, idCol: String, stratumCol: String,
+      weight: Column, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(col("es_key").desc, col(idCol))
+    df.withColumn("es_key", esKeyRounded(col(idCol), weight))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+}

@@ -557,8 +557,11 @@ object Advanced {
     * aggregate (q48's no-self-join trick), corpus scalars (N, avgdl)
     * broadcast, ranking on the round4-rounded score with a doc_id
     * tiebreak so the cutoff is engine-exact. */
-  val q84 = QueryDef("q84_bm25",
-    s"""WITH ${TextFunctions.docwCteSql},
+  /** Oracle CTE chain `docw … scored(doc_id, bm25)` — shared by q84 and
+    * the hybrid-retrieval fusion q88 so the two oracles can never drift
+    * apart on the sparse leg's scoring. */
+  val bm25ScoredCteSql: String =
+    s"""${TextFunctions.docwCteSql},
       |tok AS (SELECT doc_id, unnest(w) AS word FROM docw),
       |tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY doc_id, word),
       |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
@@ -575,9 +578,20 @@ object Advanced {
       |  FROM tf JOIN terms USING (word) JOIN df USING (word) JOIN dl USING (doc_id)
       |       CROSS JOIN n CROSS JOIN avgdl
       |  GROUP BY tf.doc_id
-      |)
+      |)""".stripMargin
+
+  val q84 = QueryDef("q84_bm25",
+    s"""WITH $bm25ScoredCteSql
       |SELECT doc_id, bm25 FROM scored
       |ORDER BY bm25 DESC, doc_id LIMIT 10""") { (s, dir) =>
+    bm25Scored(s, dir)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  /** The full (doc_id, bm25) scored relation behind q84 — also the
+    * sparse leg of the hybrid-retrieval fusion (q88). */
+  def bm25Scored(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val tok = docs.select(col("doc_id"),
       explode(TextFunctions.normalizedWords(col("text"))).as("word"))
@@ -585,18 +599,25 @@ object Advanced {
     val n = docs.agg(count(lit(1)).cast("double").as("n"))
     // dl (doc length) and avgdl both DERIVE from tf (dl = Σ tf per doc)
     // instead of re-aggregating the token stream — the corpus is
-    // tokenized for tf only, never a second time. df is windowed over
-    // the term-filtered rows: tf has one row per (doc, word), so a
-    // per-word count AFTER the 3-term semi-join is still that word's
-    // full document frequency, at 3-terms cost.
+    // tokenized for tf only, never a second time. dl is a pre-joined
+    // (doc_id, dl) AGGREGATE, not a window over the full tf relation:
+    // the aggregate column-prunes to two columns and combines map-side
+    // before its doc_id exchange, and the main branch joins it only
+    // AFTER the 3-term semi-join has cut tf to ~terms·docs rows — the
+    // window form shuffled the entire (doc, word, tf) relation by
+    // doc_id before any pruning. df is windowed over the term-filtered
+    // rows: tf has one row per (doc, word), so a per-word count AFTER
+    // the 3-term semi-join is still that word's full document
+    // frequency, at 3-terms cost.
     val avgdl = tf.agg((sum(col("tf")).cast("double")
       / countDistinct(col("doc_id"))).as("avgdl"))
     val terms = tf.groupBy("word").agg(sum(col("tf")).as("ttf"))
       .orderBy(col("ttf").desc, col("word")).limit(3).select("word")
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     tf
-      .withColumn("dl", sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
       .join(broadcast(terms), "word")
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("word"))))
+      .join(dl, "doc_id")
       .crossJoin(broadcast(n))
       .crossJoin(broadcast(avgdl))
       .withColumn("contrib",
@@ -605,8 +626,6 @@ object Advanced {
           / (col("tf") + lit(1.2) * (lit(1) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl"))))
       .groupBy("doc_id")
       .agg(TextFunctions.round4(sum(col("contrib"))).as("bm25"))
-      .orderBy(col("bm25").desc, col("doc_id"))
-      .limit(10)
   }
 
   // --------------------------------------------------------------- Q85

@@ -30,6 +30,14 @@ object Extensions {
   private def normSql(a: String): String =
     s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
 
+  /** DuckDB reproduction of [[graft.operators.Splits.hashBucket]]: the
+    * first 16 bits of md5(id) as an exact-integer DOUBLE sum over hex
+    * digits (shared by q81 and q89). */
+  private def md5Bucket16Sql(idExpr: String): String =
+    "CAST(list_sum(list_transform(range(1, 5), i -> " +
+      s"CAST((strpos('0123456789abcdef', substr(md5(CAST($idExpr AS VARCHAR)), i, 1)) - 1) " +
+      "AS DOUBLE) * pow(16, 4 - i))) AS INTEGER)"
+
   // --------------------------------------------------------------- Q24
   val q24 = QueryDef("q24_exact_dedup",
     """SELECT coalesce(md5(text), '') AS h, min(doc_id) AS keep_id, count(*) AS dup_cnt
@@ -1411,9 +1419,7 @@ object Extensions {
     * counts. Oracle reproduces the bucket with exact integer
     * arithmetic on the md5 hex prefix. */
   val q81 = {
-    val bucketSql = "CAST(list_sum(list_transform(range(1, 5), i -> " +
-      "CAST((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1) " +
-      "AS DOUBLE) * pow(16, 4 - i))) AS INTEGER)"
+    val bucketSql = md5Bucket16Sql("doc_id")
     QueryDef("q81_split_assign",
       s"""WITH $docwCte, b AS (
          |  SELECT doc_id, lang, CAST(len(w) AS BIGINT) AS n_tok,
@@ -1514,8 +1520,114 @@ object Extensions {
       .orderBy("q_id", "rn")
   }
 
+  // --------------------------------------------------------------- Q88
+  /** HYBRID RETRIEVAL with reciprocal-rank fusion (RRF, Cormack et al.
+    * SIGIR'09 form with the standard k=60): the sparse leg is q84's
+    * BM25 ranking (shared scored relation — [[Advanced.bm25Scored]] /
+    * [[Advanced.bm25ScoredCteSql]], so the two oracles cannot drift),
+    * the dense leg is exact cosine against a fixed query embedding
+    * (vec_id 0), ranked by the scale-safe two-phase top-k
+    * ([[Similarity.bruteForceTopK]] — query broadcast, corpus never
+    * shuffled). Each leg keeps its top 20; fusion is a FULL OUTER join
+    * on the doc id with score Σ 1/(60+rank) over the legs a doc
+    * appears in. Ranks are integers, so the fused score is
+    * bit-identical across engines; the final cutoff orders on the
+    * floor-rounded score with a doc_id tie-break (the repo's
+    * engine-exact ranking idiom). At 100 TB each leg is independently
+    * scale-safe and the fusion joins two k-row relations — the
+    * pattern RAG curation pipelines use to marry lexical and
+    * embedding retrieval without a learned reranker. */
+  val q88 = QueryDef("q88_hybrid_rrf",
+    s"""WITH ${Advanced.bm25ScoredCteSql},
+      |sparse AS (
+      |  SELECT doc_id, sr FROM (
+      |    SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS sr
+      |    FROM scored) WHERE sr <= 20
+      |),
+      |qv AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+      |dcs AS (
+      |  SELECT c.vec_id, ${dotSql("c.embedding", "qv.q_emb")} /
+      |         (${normSql("c.embedding")} * ${normSql("qv.q_emb")}) AS cs
+      |  FROM embeddings c CROSS JOIN qv
+      |  WHERE c.vec_id <> 0 AND ${normSql("c.embedding")} > 0
+      |    AND ${normSql("qv.q_emb")} > 0
+      |),
+      |dense AS (
+      |  SELECT vec_id, dr FROM (
+      |    SELECT vec_id, row_number() OVER (ORDER BY cs DESC, vec_id) AS dr
+      |    FROM dcs) WHERE dr <= 20
+      |)
+      |SELECT coalesce(s.doc_id, d.vec_id) AS doc_id,
+      |       CAST(s.sr AS BIGINT) AS sparse_rank,
+      |       CAST(d.dr AS BIGINT) AS dense_rank,
+      |       floor((coalesce(CAST(1 AS DOUBLE) / (60 + s.sr), 0)
+      |            + coalesce(CAST(1 AS DOUBLE) / (60 + d.dr), 0)) * 100000000 + 0.5)
+      |         / 100000000 AS rrf
+      |FROM sparse s FULL JOIN dense d ON s.doc_id = d.vec_id
+      |ORDER BY rrf DESC, doc_id LIMIT 10""") { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    // dense leg: two-phase exact top-k (query broadcast past the corpus)
+    val dense = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") === 0), emb, "vec_id", "embedding", k = 20)
+      .select(col("c_id").as("d_id"), col("rn").as("dr"))
+    // sparse leg: distributed TakeOrdered cuts to 20 rows, then the
+    // rank window runs over those 20 rows only (never corpus-sized)
+    val sparse = Advanced.bm25Scored(s, dir)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+      .withColumn("sr", row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("bm25").desc, col("doc_id"))))
+      .select(col("doc_id").as("s_id"), col("sr"))
+    sparse
+      .join(dense, col("s_id") === col("d_id"), "full_outer")
+      .select(
+        coalesce(col("s_id"), col("d_id")).as("doc_id"),
+        col("sr").cast("long").as("sparse_rank"),
+        col("dr").cast("long").as("dense_rank"),
+        (floor((coalesce(lit(1.0) / (lit(60) + col("sr")), lit(0.0))
+              + coalesce(lit(1.0) / (lit(60) + col("dr")), lit(0.0))) * 1e8 + 0.5)
+          / 1e8).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  // --------------------------------------------------------------- Q89
+  /** DETERMINISTIC WEIGHTED SAMPLING ([[graft.operators.Sampling]],
+    * Efraimidis–Spirakis A-ES): a length-proportional per-language
+    * sample — 5 docs per lang, inclusion probability ∝ (n_chars+1),
+    * i.e. the token-budget-proportional carve a curation pipeline runs
+    * to build a fixed-size mixture. The draw u is a pure function of
+    * doc_id (md5 bucket, shared with [[graft.operators.Splits]]), the
+    * key is ranked as ln(u)/w (underflow-safe monotone transform of
+    * u^(1/w)), and the cutoff orders on the 8-dp floor-rounded key
+    * with a doc_id tie-break so DuckDB replays the exact selection.
+    * One narrow projection + one hash shuffle on lang — scale-safe. */
+  val q89 = QueryDef("q89_weighted_sample",
+    s"""WITH b AS (
+      |  SELECT doc_id, lang, n_chars, ${md5Bucket16Sql("doc_id")} AS bucket
+      |  FROM documents
+      |), k AS (
+      |  SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+      |         floor(ln((bucket + 1) / CAST(65537 AS DOUBLE)) / (n_chars + 1)
+      |               * 100000000 + 0.5) / 100000000 AS es_key
+      |  FROM b
+      |), r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY lang
+      |                               ORDER BY es_key DESC, doc_id) AS rn
+      |  FROM k
+      |)
+      |SELECT lang, doc_id, n_chars, es_key FROM r WHERE rn <= 5
+      |ORDER BY lang, es_key DESC, doc_id""") { (s, dir) =>
+    graft.operators.Sampling.weightedSamplePerStratum(
+        t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        "doc_id", "lang", weight = col("n_chars") + 1, k = 5)
+      .select(col("lang"), col("doc_id"),
+        col("n_chars").cast("long").as("n_chars"), col("es_key"))
+      .orderBy(col("lang"), col("es_key").desc, col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
-    q70, q71, q72, q74, q75, q76, q77, q78, q79, q79b, q80, q81, q86, q87)
+    q70, q71, q72, q74, q75, q76, q77, q78, q79, q79b, q80, q81, q86, q87, q88,
+    q89)
 }

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling
+import graft.sources.Tables
+
+class SamplingSpec extends SparkSuite {
+
+  private def docs = Tables(spark, sfDir, "documents")
+    .select("doc_id", "lang", "n_chars")
+
+  test("weightedSample: exactly k rows, TakeOrderedAndProject plan (no global sort)") {
+    val s = Sampling.weightedSample(docs, "doc_id", col("n_chars") + 1, k = 10)
+    assert(s.count() === 10)
+    val plan = s.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Sort ["), plan) // heap top-k, not a global sort
+  }
+
+  test("weightedSample: deterministic under repartition and re-run") {
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      Sampling.weightedSample(df, "doc_id", col("n_chars") + 1, k = 15)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val a = ids(docs)
+    val b = ids(docs.repartition(13))
+    val c = ids(docs.orderBy(col("n_chars"))) // row order must not matter
+    assert(a === b && a === c)
+  }
+
+  test("weightedSample: scale-invariant in the weights (A-ES key is ln(u)/w)") {
+    // u^(1/w) ranking depends only on weight RATIOS — a global rescale
+    // must select the identical sample. This holds exactly on the RAW
+    // key (ln(u)/(c·w) = (1/c)·ln(u)/w, order-preserving); the declared
+    // query path rounds to an ABSOLUTE 8-dp grid for the cross-engine
+    // cutoff, which is deliberately not scale-free, so the property is
+    // asserted on the unrounded ranking.
+    def ids(w: org.apache.spark.sql.Column) =
+      docs.withColumn("k", Sampling.esKey(col("doc_id"), w))
+        .orderBy(col("k").desc, col("doc_id")).limit(15)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(col("n_chars") + 1) === ids((col("n_chars") + 1) * 1000.0))
+  }
+
+  test("weightedSample: raising one row's weight never evicts it") {
+    val base = Sampling.weightedSample(docs, "doc_id", col("n_chars") + 1, k = 15)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val someId = base.head
+    // double that row's weight only: ln(u)/w moves toward 0 (u<1 ⇒ ln<0),
+    // so its rank can only improve
+    val boosted = Sampling.weightedSample(docs, "doc_id",
+        when(col("doc_id") === someId, (col("n_chars") + 1) * 2).otherwise(col("n_chars") + 1),
+        k = 15)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(boosted.contains(someId))
+  }
+
+  test("weightedSample: selection is length-biased (weight ∝ n_chars² favors long docs)") {
+    val all = docs.agg(avg(col("n_chars"))).head.getDouble(0)
+    // weight = n_chars²: clear length bias while the 8-dp rounding grid
+    // stays fine enough to separate almost all keys (only u within
+    // ~1e-3 of 1 can floor to 0) — an extreme weight like n_chars⁴
+    // would floor every large doc's key to 0 and turn the cutoff into
+    // the doc_id tie-break
+    val w = pow(col("n_chars").cast("double"), 2)
+    val sampled = Sampling.weightedSample(docs, "doc_id", w, k = 20)
+      .agg(avg(col("n_chars"))).head.getDouble(0)
+    assert(sampled > all,
+      s"length-weighted sample mean $sampled should exceed corpus mean $all")
+  }
+
+  test("weightedSamplePerStratum: min(k, |stratum|) rows per lang, same key math") {
+    val k = 5
+    val per = Sampling.weightedSamplePerStratum(docs, "doc_id", "lang",
+      col("n_chars") + 1, k)
+    val sizes = per.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val strata = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet === strata.keySet)
+    for ((lang, n) <- strata) assert(sizes(lang) === math.min(k.toLong, n), lang)
+    // within a stratum the selected keys are the stratum's top-k — no
+    // cross-stratum leakage
+    val es = Sampling.esKeyRounded(col("doc_id"), col("n_chars") + 1)
+    val full = docs.withColumn("es_key", es)
+    for ((lang, _) <- strata.take(3)) {
+      val expect = full.filter(col("lang") === lang)
+        .orderBy(col("es_key").desc, col("doc_id"))
+        .limit(k).select("doc_id").collect().map(_.getLong(0)).toSet
+      val got = per.filter(col("lang") === lang)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got === expect, lang)
+    }
+  }
+
+  test("esKey matches a from-scratch reference (MessageDigest md5, JVM log)") {
+    val rows = docs.limit(8)
+      .withColumn("es_key", Sampling.esKey(col("doc_id"), col("n_chars") + 1))
+      .select("doc_id", "n_chars", "es_key").collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for (r <- rows) {
+      val id = r.getLong(0); val w = r.getLong(1) + 1.0
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(4)
+      val bucket = Integer.parseInt(hex, 16)
+      val expect = math.log((bucket + 1).toDouble / 65537.0) / w
+      assert(math.abs(r.getDouble(2) - expect) < 1e-12, s"doc $id")
+    }
+  }
+}
