@@ -188,8 +188,54 @@ object VectorExprs {
     }
   }
 
+  /** Integer dot product over two `ARRAY<TINYINT>` code columns — the
+    * scoring loop of int8 scalar-quantized embedding search
+    * ([[graft.operators.Int8Quant]]). LONG accumulation (a 64-dim int8
+    * dot is bounded by 64·127² ≈ 1.03e6, but the expression must not
+    * silently wrap for wider vectors). Null/length semantics identical
+    * to [[DotProductDExpr]]. */
+  case class Int8DotExpr(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      def ok(t: DataType) = t match {
+        case ArrayType(ByteType, _) => true
+        case _ => false
+      }
+      if (ok(left.dataType) && ok(right.dataType))
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"dot_i8 requires ARRAY<TINYINT> inputs, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val aa = a.asInstanceOf[ArrayData]; val bb = b.asInstanceOf[ArrayData]
+      val n = aa.numElements()
+      if (bb.numElements() != n) return null
+      var s = 0L
+      var i = 0
+      while (i < n) {
+        if (aa.isNullAt(i) || bb.isNullAt(i)) return null
+        s += aa.getByte(i).toLong * bb.getByte(i).toLong
+        i += 1
+      }
+      s
+    }
+
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+    override def prettyName: String = "dot_i8"
+  }
+
   def dotD(a: Column, b: Column): Column =
     GraftColumnBridge.toColumn(DotProductDExpr(
+      GraftColumnBridge.toExpression(a), GraftColumnBridge.toExpression(b)))
+
+  def dotI8(a: Column, b: Column): Column =
+    GraftColumnBridge.toColumn(Int8DotExpr(
       GraftColumnBridge.toExpression(a), GraftColumnBridge.toExpression(b)))
 
   def hyperplaneBucket(vec: Column, planes: Int): Column =

@@ -1520,6 +1520,46 @@ object Extensions {
       .orderBy("q_id", "rn")
   }
 
+  // --------------------------------------------------------------- Q90
+  /** INT8 SCALAR-QUANTIZED ANN ([[graft.operators.Int8Quant]]): the
+    * cheap tier of the embedding-compression pair (PQ q87 is the
+    * aggressive tier) — one global symmetric scale, TINYINT codes +
+    * exact norm (≈3.6× smaller than FLOAT), symmetric integer-dot
+    * search via the native `dot_i8` loop. Rows-only (the corpus max
+    * that sets the scale is one float — reproducible — but the gate
+    * is quantitative like q87): per-query recall@5 vs the exact
+    * brute-force top-5 computed in-query with a mean floor of 0.9 —
+    * int8's 127-level grid keeps quantization error far below
+    * neighbor cosine gaps, which is exactly the property this gate
+    * pins every round. */
+  val q90 = QueryDef.noOracle("q90_int8_ann") { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    val qPred = col("vec_id") < 10
+    val k = 5
+    val scale = graft.operators.Int8Quant.fit(emb, "embedding")
+    val encoded = graft.operators.Int8Quant.encode(emb, "vec_id", "embedding", scale)
+    val i8 = graft.operators.Int8Quant.topK(
+      emb.filter(qPred), encoded, "vec_id", "embedding", k, scale)
+    val exact = Similarity.bruteForceTopK(emb.filter(qPred), emb,
+        "vec_id", "embedding", k = k)
+      .groupBy("q_id").agg(collect_set(col("c_id")).as("exact_ids"))
+    // LEFT join from exact (q45/q87's rationale): a query int8 returns
+    // nothing for must count as recall 0, not vanish from the mean
+    val perQ = exact
+      .join(i8.groupBy("q_id").agg(collect_set(col("c_id")).as("i8_ids")),
+        Seq("q_id"), "left")
+      .select(col("q_id"),
+        (coalesce(size(array_intersect(col("i8_ids"), col("exact_ids"))), lit(0))
+          .cast("double") / k).as("recall_q"))
+    val mean = perQ.agg(round(avg(col("recall_q")), 4).as("mean_recall"))
+    i8.join(broadcast(perQ), Seq("q_id"))
+      .crossJoin(broadcast(mean))
+      .select(col("q_id"), col("c_id"), col("rn"), col("cos"),
+        TextFunctions.round4(col("recall_q")).as("recall_q"),
+        col("mean_recall"), (col("mean_recall") >= 0.9).as("recall_ok"))
+      .orderBy("q_id", "rn")
+  }
+
   // --------------------------------------------------------------- Q88
   /** HYBRID RETRIEVAL with reciprocal-rank fusion (RRF, Cormack et al.
     * SIGIR'09 form with the standard k=60): the sparse leg is q84's
@@ -1629,5 +1669,5 @@ object Extensions {
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q74, q75, q76, q77, q78, q79, q79b, q80, q81, q86, q87, q88,
-    q89)
+    q89, q90)
 }
