@@ -134,6 +134,57 @@ object TextAnalysis {
       .groupBy("word")
       .agg(count(lit(1)).as("cnt"))
 
+  /** Per-document bigram stream (w1, w2) from the normalized word
+    * array — a narrow map + explode, no shuffle; documents with < 2
+    * tokens emit nothing. */
+  def bigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = TextFunctions.normalizedWords(col(textCol))
+    docs.select(col(idCol), w.as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col(idCol), explode(zip_with(
+        slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1),
+        (x, y) => struct(x.as("w1"), y.as("w2")))).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+  }
+
+  /** Corpus-trained bigram language-model scoring — the CCNet-style
+    * statistical quality signal (a doc whose bigrams are improbable
+    * under the corpus LM is boilerplate, gibberish, or the wrong
+    * register; docs score HIGH nll when surprising). Self-scored
+    * add-one model: P(w2|w1) = (c(w1,w2)+1)/(c(w1)+V) with context
+    * counts from the bigram stream and V the unigram vocabulary.
+    *
+    * Determinism contract: each bigram's ln P is floor-scaled to an
+    * exact INTEGER of 1e-6 units before the per-doc sum, so the
+    * aggregation is order-independent (exact integer adds) and the
+    * DuckDB oracle reproduces every doc's nll bit-for-bit — a raw
+    * double sum would depend on Spark's partition-visit order.
+    *
+    * 100 TB shape: count relations derive from one bigram stream
+    * (tokenize once), the scoring join is an equi-join on the bigram
+    * key (hash-partitionable; counts tables are corpus-vocabulary-
+    * sized, so they shuffle rather than broadcast at scale), and the
+    * per-doc reduce is a map-side-combinable integer sum. */
+  def lmNllScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val big = bigrams(docs, idCol, textCol)
+    val cb = big.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val cw = big.groupBy("w1").agg(count(lit(1)).as("cw"))
+    val v = docs.select(explode(TextFunctions.normalizedWords(col(textCol))).as("word"))
+      .agg(countDistinct(col("word")).as("v"))
+    big
+      .join(cb, Seq("w1", "w2"))
+      .join(cw, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .withColumn("lp6", floor(log((col("cb") + 1).cast("double")
+        / (col("cw") + col("v")).cast("double")) * 1e6 + 0.5))
+      .groupBy(idCol)
+      .agg(sum(col("lp6")).as("sum_lp6"), count(lit(1)).as("n_bigrams"))
+      .select(col(idCol), col("n_bigrams"),
+        TextFunctions.round4(-col("sum_lp6").cast("double") / 1e6
+          / col("n_bigrams").cast("double")).as("nll"))
+  }
+
   /** PII patterns, ordered as they are scrubbed (emails before URLs —
     * neither can contain the other under these charsets — then phones,
     * then bare IPv4s, so an address inside an already-redacted span is

@@ -1520,6 +1520,45 @@ object Extensions {
       .orderBy("q_id", "rn")
   }
 
+  // --------------------------------------------------------------- Q91
+  /** BIGRAM LM PERPLEXITY QUALITY SCORE
+    * ([[TextAnalysis.lmNllScore]]): the CCNet-style statistical
+    * quality signal — score every doc by its average negative log
+    * likelihood under a corpus-trained add-one bigram model, surface
+    * the 20 most surprising (highest-nll) docs. Oracle-checked: each
+    * bigram's ln P is floor-scaled to integer 1e-6 units before the
+    * per-doc sum, so aggregation is exact integer math in any order
+    * and both engines agree bit-for-bit; the cutoff ranks on the
+    * round4 nll with a doc_id tie-break. */
+  val q91 = QueryDef("q91_lm_perplexity",
+    s"""WITH $docwCte,
+      |tk AS (SELECT doc_id, w FROM docw WHERE len(w) >= 2),
+      |bg AS (
+      |  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+      |  FROM tk CROSS JOIN UNNEST(range(1, len(w))) AS t(i)
+      |),
+      |cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+      |cw AS (SELECT w1, count(*) AS cw FROM bg GROUP BY w1),
+      |v AS (SELECT count(DISTINCT x) AS v FROM (SELECT unnest(w) AS x FROM docw)),
+      |lp AS (
+      |  SELECT bg.doc_id,
+      |         CAST(floor(ln(CAST(cb.cb + 1 AS DOUBLE) / CAST(cw.cw + v.v AS DOUBLE))
+      |              * 1000000 + 0.5) AS BIGINT) AS lp6
+      |  FROM bg JOIN cb USING (w1, w2) JOIN cw USING (w1) CROSS JOIN v
+      |),
+      |agg AS (
+      |  SELECT doc_id, sum(lp6) AS sum_lp6, count(*) AS n_bigrams FROM lp GROUP BY doc_id
+      |)
+      |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+      |       ${TextFunctions.round4Sql(
+                "-CAST(sum_lp6 AS DOUBLE) / 1000000 / n_bigrams")} AS nll
+      |FROM agg
+      |ORDER BY nll DESC, doc_id LIMIT 20""") { (s, dir) =>
+    TextAnalysis.lmNllScore(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("nll").desc, col("doc_id"))
+      .limit(20)
+  }
+
   // --------------------------------------------------------------- Q90
   /** INT8 SCALAR-QUANTIZED ANN ([[graft.operators.Int8Quant]]): the
     * cheap tier of the embedding-compression pair (PQ q87 is the
@@ -1669,5 +1708,5 @@ object Extensions {
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q74, q75, q76, q77, q78, q79, q79b, q80, q81, q86, q87, q88,
-    q89, q90)
+    q89, q90, q91)
 }
