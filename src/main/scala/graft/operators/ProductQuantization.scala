@@ -141,4 +141,84 @@ object ProductQuantization {
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("q_id"), col("c_id"), col("rn"), TextFunctions.round4(cos).as("cos"))
   }
+
+  /** IVF + PQ + re-rank — the full production ANN stack (the shape
+    * FAISS calls IVFPQ, Jégou et al. §VI): coarse spherical-k-means
+    * lists PRUNE the scan (each query touches only its `nProbe`
+    * nearest lists ≈ nProbe/nCentroids of the corpus), PQ codes
+    * COMPRESS what remains (the probed scan reads bytes, not floats),
+    * ADC scores it, and the exact re-rank of a bounded shortlist
+    * restores recall. At 100 TB the three levers compose: scan volume
+    * falls by the probe ratio × the ~21× code compression, while
+    * float reads stay O(queries × shortlist).
+    *
+    * This variant quantizes raw vectors within lists (IVF-Flat codes,
+    * not residual codes): one shared codebook serves every list, so
+    * `encode`'s output can be reused by [[adcTopK]] unchanged. The
+    * coarse fit mirrors [[Similarity.ivfKMeansTopK]] (unit vectors →
+    * Euclidean k-means = spherical; capped cached train set; `random`
+    * init). Lists are materialized as a `cent_id` column — i.e. the
+    * partition-pruning story is the same equi-join-on-list-id every
+    * IVF variant here uses, never a per-query corpus scan. */
+  def ivfAdcTopKReranked(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, nProbe: Int, nCentroids: Int, shortlist: Int,
+      model: PQModel, seed: Long = 42L, trainCap: Int = 100000,
+      maxIter: Int = 10): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val session = corpus.sparkSession
+    import session.implicits._
+    def unit(c: Column) = transform(c, x => x.cast("double") / VectorFunctions.norm(c))
+    val withVec = corpus.filter(VectorFunctions.norm(col(vecCol)) > 0)
+      .select(col(idCol).as("vid"), col(vecCol).as("v"))
+      .withColumn("features", array_to_vector(unit(col("v"))))
+    val train = withVec.select("features").limit(trainCap).persist()
+    val km =
+      try new KMeans().setK(nCentroids).setSeed(seed)
+        .setInitMode("random").setMaxIter(maxIter).fit(train)
+      finally train.unpersist()
+    // one pass over the corpus: list assignment + PQ encode together
+    val encodedLists = km.transform(withVec)
+      .select(col("vid"), col("prediction").as("cent_id"),
+        PQExprs.pqEncode(col("v"), model.codebooks).as("codes"),
+        VectorFunctions.norm(col("v")).cast("float").as("vnorm"))
+    val centDf = km.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq
+      .toDF("cent_id", "centv")
+    // per-query LUT computed ONCE (before probe fan-out duplicates the row)
+    val qs = queries.filter(VectorFunctions.norm(col(vecCol)) > 0)
+      .select(col(idCol).as("q_id"), col(vecCol).as("qv"))
+      .withColumn("qnorm", VectorFunctions.norm(col("qv")))
+      .withColumn("lut", lutFor(model, col("qv")))
+    // probe ranking uses the same Euclidean-on-unit-vectors metric the
+    // assignment used (see ivfKMeansTopK's rationale)
+    val dist2 = aggregate(
+      zip_with(unit(col("qv")), col("centv"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+    val probes = qs.join(broadcast(centDf))
+      .withColumn("prn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(dist2.asc, col("cent_id"))))
+      .filter(col("prn") <= nProbe)
+      .select("q_id", "qv", "qnorm", "lut", "cent_id")
+    val score = PQExprs.pqAdcDot(col("codes"), col("lut")) / (col("qnorm") * col("vnorm"))
+    val cand = broadcast(probes.drop("qv")).join(encodedLists, Seq("cent_id"))
+      .filter(col("q_id") =!= col("vid"))
+      .withColumn("pid", spark_partition_id())
+    val w1 = Window.partitionBy(col("q_id"), col("pid")).orderBy(score.desc, col("vid"))
+    val w2 = Window.partitionBy(col("q_id")).orderBy(score.desc, col("vid"))
+    val short = cand
+      .withColumn("srn", row_number().over(w1)).filter(col("srn") <= shortlist)
+      .withColumn("rn2", row_number().over(w2)).filter(col("rn2") <= shortlist)
+      .select(col("q_id"), col("vid").as("c_id"))
+    // exact re-rank of the bounded shortlist (same plan as adcTopKReranked)
+    val qv = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"))
+    val cv = corpus.select(col(idCol).as("c_id"), col(vecCol).as("cv"))
+    val cos = VectorFunctions.cosine(col("qv"), col("cv"))
+    val withVecs = broadcast(short.join(broadcast(qv), Seq("q_id"))).join(cv, Seq("c_id"))
+    val w = Window.partitionBy(col("q_id")).orderBy(cos.desc, col("c_id"))
+    withVecs
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("q_id"), col("c_id"), col("rn"), TextFunctions.round4(cos).as("cos"))
+  }
 }

@@ -1520,6 +1520,45 @@ object Extensions {
       .orderBy("q_id", "rn")
   }
 
+  // --------------------------------------------------------------- Q92
+  /** IVF + PQ + RE-RANK ANN
+    * ([[graft.operators.ProductQuantization.ivfAdcTopKReranked]]) —
+    * the full production stack (FAISS IVFPQ shape): coarse k-means
+    * lists prune the scan to nProbe/nCentroids of the corpus, PQ
+    * codes compress the probed lists ~21×, ADC scores bytes, exact
+    * re-rank restores recall on a bounded shortlist. Rows-only
+    * (k-means + codebooks aren't SQL-reproducible); gated like
+    * q45/q87: per-query recall@5 vs exact brute force computed
+    * in-query with a mean floor — recall here is bounded by list
+    * probing (a true neighbor in an unprobed list is unreachable), so
+    * the floor sits under the q45 IVF gate's, not the q87 full-scan
+    * gate's. */
+  val q92 = QueryDef.noOracle("q92_ivfpq_ann") { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    val qPred = col("vec_id") < 10
+    val k = 5
+    val model = graft.operators.ProductQuantization.fit(emb, "embedding", m = 8, k = 32)
+    val ivfpq = graft.operators.ProductQuantization.ivfAdcTopKReranked(
+      emb.filter(qPred), emb, "vec_id", "embedding", k,
+      nProbe = 4, nCentroids = 16, shortlist = 100, model)
+    val exact = Similarity.bruteForceTopK(emb.filter(qPred), emb,
+        "vec_id", "embedding", k = k)
+      .groupBy("q_id").agg(collect_set(col("c_id")).as("exact_ids"))
+    val perQ = exact
+      .join(ivfpq.groupBy("q_id").agg(collect_set(col("c_id")).as("got_ids")),
+        Seq("q_id"), "left")
+      .select(col("q_id"),
+        (coalesce(size(array_intersect(col("got_ids"), col("exact_ids"))), lit(0))
+          .cast("double") / k).as("recall_q"))
+    val mean = perQ.agg(round(avg(col("recall_q")), 4).as("mean_recall"))
+    ivfpq.join(broadcast(perQ), Seq("q_id"))
+      .crossJoin(broadcast(mean))
+      .select(col("q_id"), col("c_id"), col("rn"), col("cos"),
+        TextFunctions.round4(col("recall_q")).as("recall_q"),
+        col("mean_recall"), (col("mean_recall") >= 0.4).as("recall_ok"))
+      .orderBy("q_id", "rn")
+  }
+
   // --------------------------------------------------------------- Q91
   /** BIGRAM LM PERPLEXITY QUALITY SCORE
     * ([[TextAnalysis.lmNllScore]]): the CCNet-style statistical
@@ -1708,5 +1747,5 @@ object Extensions {
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q74, q75, q76, q77, q78, q79, q79b, q80, q81, q86, q87, q88,
-    q89, q90, q91)
+    q89, q90, q91, q92)
 }

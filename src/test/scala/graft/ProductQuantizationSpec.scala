@@ -86,6 +86,38 @@ class ProductQuantizationSpec extends SparkSuite {
     assert(reranked >= pureAdc, "re-ranking must not lose recall")
   }
 
+  test("IVF+PQ: full-probe degenerates to the plain ADC rerank; partial probe clears the floor") {
+    val k = 5
+    val qPred = col("vec_id") < 10
+    val nCentroids = 8
+    // probing EVERY list = an un-pruned ADC scan over identical codes,
+    // scores, and tie-breaks — the result must be row-identical to
+    // adcTopKReranked with the same shortlist (exactness of the
+    // composition, not a recall statement)
+    val full = ProductQuantization.ivfAdcTopKReranked(emb.filter(qPred), emb,
+        "vec_id", "embedding", k, nProbe = nCentroids, nCentroids = nCentroids,
+        shortlist = 50, model)
+      .select("q_id", "c_id", "rn").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val encoded = ProductQuantization.encode(emb, "vec_id", "embedding", model)
+    val plain = ProductQuantization.adcTopKReranked(emb.filter(qPred), encoded, emb,
+        "vec_id", "embedding", k, shortlist = 50, model)
+      .select("q_id", "c_id", "rn").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(full === plain)
+    // partial probe: recall bounded by list pruning but must clear the
+    // declared gate's floor on the gate corpus
+    val part = ProductQuantization.ivfAdcTopKReranked(emb.filter(qPred), emb,
+      "vec_id", "embedding", k, nProbe = 4, nCentroids = 16, shortlist = 100, model)
+    val exact = Similarity.bruteForceTopK(emb.filter(qPred), emb,
+        "vec_id", "embedding", k = k)
+      .groupBy("q_id").agg(collect_set(col("c_id")).as("exact_ids"))
+    val rec = exact
+      .join(part.groupBy("q_id").agg(collect_set(col("c_id")).as("got")), Seq("q_id"), "left")
+      .select((coalesce(size(array_intersect(col("got"), col("exact_ids"))), lit(0))
+        .cast("double") / k).as("r"))
+      .agg(avg("r")).head.getDouble(0)
+    assert(rec >= 0.4, s"IVFPQ recall $rec below gate floor")
+  }
+
   test("out-of-range code and length-mismatched LUT score NULL, never a wrong sum") {
     import spark.implicits._
     // Seq[Byte] (not Array[Byte], which would encode as BINARY)
