@@ -37,7 +37,25 @@ object AsOfJoin {
     * compares lexically, unlike SQL's numeric comparison — pre-cast
     * such keys explicitly. */
   def byId(left: DataFrame, right: DataFrame, leftKey: String,
-      rightKey: String, leftTime: String, rightTime: String, tiebreak: String): DataFrame = {
+      rightKey: String, leftTime: String, rightTime: String, tiebreak: String): DataFrame =
+    core(left, right, leftKey, rightKey, leftTime, rightTime, tiebreak, forward = false)
+
+  /** FORWARD as-of join: for each left row, the single EARLIEST right
+    * row with a matching key and right-time ≥ left-time (ties broken by
+    * the tiebreak ascending — the smallest wins, mirroring [[byId]]'s
+    * greatest-wins on the backward side). The "next event after" shape:
+    * first order after a touchpoint, next price tick after a trade.
+    * Same union-merge plan and cost as [[byId]] — only the sort
+    * direction of the carry window flips (time DESC with nulls FIRST so
+    * a null left time still matches nothing, tiebreak DESC so the
+    * running last-carry lands on the smallest). */
+  def byIdForward(left: DataFrame, right: DataFrame, leftKey: String,
+      rightKey: String, leftTime: String, rightTime: String, tiebreak: String): DataFrame =
+    core(left, right, leftKey, rightKey, leftTime, rightTime, tiebreak, forward = true)
+
+  private def core(left: DataFrame, right: DataFrame, leftKey: String,
+      rightKey: String, leftTime: String, rightTime: String, tiebreak: String,
+      forward: Boolean): DataFrame = {
     val k = "__graft_asof_k"; val t = "__graft_asof_t"; val tag = "__graft_asof_tag"
     val tb = "__graft_asof_tb"; val lp = "__graft_asof_l"; val rp = "__graft_asof_r"
     val m = "__graft_asof_m"
@@ -92,7 +110,10 @@ object AsOfJoin {
       .filter(col(t).isNotNull && col(k).isNotNull)
 
     val w = Window.partitionBy(col(k))
-      .orderBy(col(t).asc_nulls_first, col(tag).asc, col(tb).asc)
+      .orderBy(
+        if (forward) col(t).desc_nulls_first else col(t).asc_nulls_first,
+        col(tag).asc,
+        if (forward) col(tb).desc else col(tb).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     l.unionByName(r)

@@ -292,6 +292,32 @@ object Extensions {
       .orderBy("event_id")
   }
 
+  // --------------------------------------------------------------- Q34b
+  /** FORWARD as-of join ([[AsOfJoin.byIdForward]]): each event joined
+    * to the user's EARLIEST order on/after the event — the
+    * "next-conversion after touchpoint" attribution shape, mirroring
+    * q34's latest-prior. Same single-shuffle union-merge plan; ties at
+    * the same date go to the smallest orderkey (forward convention,
+    * mirroring backward's greatest-wins). */
+  val q34b = QueryDef("q34b_asof_forward",
+    """WITH j AS (
+      |  SELECT e.event_id, o.o_orderkey,
+      |         row_number() OVER (PARTITION BY e.event_id
+      |           ORDER BY o.o_orderdate ASC, o.o_orderkey ASC) AS rn
+      |  FROM events e LEFT JOIN orders o
+      |    ON o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
+      |)
+      |SELECT event_id, o_orderkey AS next_orderkey FROM j WHERE rn = 1
+      |ORDER BY event_id""") { (s, dir) =>
+    AsOfJoin.byIdForward(
+        t(s, dir, "events").select("event_id", "user_id", "ts"),
+        t(s, dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate"),
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate", tiebreak = "o_orderkey")
+      .select(col("event_id"), col("o_orderkey").as("next_orderkey"))
+      .orderBy("event_id")
+  }
+
   // --------------------------------------------------------------- Q35
   val q35 = QueryDef("q35_ann_topk",
     s"""WITH p AS (
@@ -1744,7 +1770,7 @@ object Extensions {
   }
 
   val all: Seq[QueryDef] = Seq(
-    q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q35, q36,
+    q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q74, q75, q76, q77, q78, q79, q79b, q80, q81, q86, q87, q88,
     q89, q90, q91, q92)

@@ -344,6 +344,26 @@ class AsOfJoinSpec extends SparkSuite {
     assert(r(2L) === "c")
     assert(r.get(3L).contains(null)) // no match → kept with null
   }
+
+  test("forward asof picks the earliest right row at or after the left time, smallest tiebreak") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 205L), (3L, 99L, 100L), (4L, 10L, 95L))
+      .toDF("id", "key", "t")
+    val right = Seq((10L, 90L, 7L, "a"), (10L, 100L, 5L, "b"), (10L, 100L, 9L, "b2"),
+      (10L, 200L, 1L, "c")).toDF("rkey", "rt", "tb", "v")
+    val r = AsOfJoin.byIdForward(left, right, "key", "rkey", "t", "rt", "tb")
+      .select("id", "v").collect().map(x => (x.getLong(0), x.getString(1))).toMap
+    assert(r(1L) === "b") // boundary rt == t included; tie at rt=100 → SMALLEST tb wins
+    assert(r.get(2L).contains(null)) // nothing at/after 205
+    assert(r.get(3L).contains(null)) // no such key
+    assert(r(4L) === "b") // earliest following is rt=100 (not 200); tb 5 < 9
+    // a null left time matches nothing (desc_nulls_first keeps it ahead
+    // of every right row in the carry order)
+    val lNull = Seq((9L, Some(10L), Option.empty[Long])).toDF("id", "key", "t")
+    val rn = AsOfJoin.byIdForward(lNull, right, "key", "rkey", "t", "rt", "tb")
+      .select("id", "v").collect().map(x => (x.getLong(0), Option(x.getString(1)))).toMap
+    assert(rn(9L).isEmpty)
+  }
 }
 
 class RegistrySpec extends SparkSuite {
