@@ -64,14 +64,28 @@ object PQBench {
           .cast("double") / k).as("r"))
         .agg(avg("r")).head.getDouble(0)
 
+    // int8 + IVF build phases (untimed, like PQ's: one-time ingest costs)
+    val i8scale = graft.operators.Int8Quant.fit(emb, "embedding")
+    val i8encoded = graft.operators.Int8Quant.encode(emb, "vec_id", "embedding", i8scale).persist()
+    i8encoded.count()
+    val ivfIndex = ProductQuantization.buildIvfPQIndex(emb, "vec_id", "embedding",
+      nCentroids = 64, model)
+    val ivfCached = ivfIndex.copy(encodedLists = ivfIndex.encodedLists.persist())
+    ivfCached.encodedLists.count()
+
     def variants: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
       ("brute_force_float", () =>
         Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k)),
+      ("int8_symmetric", () =>
+        graft.operators.Int8Quant.topK(queries, i8encoded, "vec_id", "embedding", k, i8scale)),
       ("pq_adc", () =>
         ProductQuantization.adcTopK(queries, encoded, "vec_id", "embedding", k, model)),
       ("pq_adc_rerank100", () =>
         ProductQuantization.adcTopKReranked(queries, encoded, emb,
-          "vec_id", "embedding", k, shortlist = 100, model)))
+          "vec_id", "embedding", k, shortlist = 100, model)),
+      ("ivfpq_rerank100_probe4of64", () =>
+        ProductQuantization.ivfPQSearch(queries, ivfCached, emb, "vec_id", "embedding",
+          k, nProbe = 4, shortlist = 100, model)))
 
     for ((tag, mk) <- variants) {
       mk().write.format("noop").mode("overwrite").save() // warmup
