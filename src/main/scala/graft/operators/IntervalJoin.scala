@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Interval (range) join with NO equi key — the shape Spark itself
+  * plans as a broadcast/cartesian nested loop and commercial engines
+  * ship dedicated "range join" optimizations for: match every point p
+  * to every interval [s, e] containing it, where both sides are big.
+  *
+  * Band-bucketing turns it into an equi-join: both sides key on
+  * floor(t / width) — a point lands in exactly one bucket, an interval
+  * replicates to each bucket it overlaps (`sequence` explode, bounded
+  * by len/width + 1 copies) — then the exact containment predicate
+  * filters the bucket-collocated candidates. Every true pair surfaces
+  * EXACTLY once: the point's bucket is unique, and the interval has
+  * exactly one copy in that bucket, so no post-dedup is needed.
+  *
+  * 100 TB properties: the bucket equi-join is hash-partitionable (no
+  * nested loop, no broadcast of a big side); candidate volume is
+  * points-per-bucket × interval-copies-per-bucket, tuned by `width` —
+  * pick width ≈ the typical interval length so replication stays O(1)
+  * per interval while buckets stay selective. Temporal skew (a hot
+  * bucket) degrades to one fat join key, the standard salting target
+  * ([[Skew.saltedJoin]] composes if measured).
+  *
+  * Columns must be integral (epoch seconds/days): `sequence` needs
+  * integral bounds, and bucket arithmetic on exact integers is
+  * engine-portable for the oracle.
+  */
+object IntervalJoin {
+
+  /** All (point, interval) pairs with `s <= p <= e` (inclusive both
+    * ends), as one row carrying both sides' columns. Point and interval
+    * column names must be disjoint. Null points/bounds match nothing
+    * (null bucket joins nothing, like the equi-join it builds on). */
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+      pointCol: String, startCol: String, endCol: String, width: Long): DataFrame = {
+    require(width > 0, s"bucket width must be positive, got $width")
+    val b = "__graft_ij_bucket"
+    val pb = points.withColumn(b, floor(col(pointCol) / width))
+    val ib = intervals
+      .filter(col(startCol) <= col(endCol))
+      .withColumn(b, explode(sequence(
+        floor(col(startCol) / width), floor(col(endCol) / width))))
+    pb.join(ib, Seq(b))
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .drop(b)
+  }
+}

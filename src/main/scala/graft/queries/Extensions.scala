@@ -1585,6 +1585,43 @@ object Extensions {
       .orderBy("q_id", "rn")
   }
 
+  // --------------------------------------------------------------- Q93
+  /** KEYLESS INTERVAL JOIN via band-bucketing
+    * ([[graft.operators.IntervalJoin]]): every lineitem shipment
+    * matched to every urgent order whose 3-day window contains its
+    * ship date — NO equi key on either side (orderkeys deliberately
+    * unused), the shape Spark plans as a nested loop and engines ship
+    * dedicated range-join optimizations for. Bucketing both sides on
+    * floor(day/4) turns it into a hash-partitionable equi-join
+    * (intervals replicate to ≤ 2 buckets at this width); the exact
+    * containment filter then runs on bucket-collocated candidates
+    * only. Day arithmetic is exact integers, so the oracle (a plain
+    * inequality join — DuckDB plans it as IEJoin) agrees bit-for-bit
+    * on the aggregated hit counts. */
+  val q93 = QueryDef("q93_interval_join",
+    """WITH p AS (
+      |  SELECT l_returnflag, datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS d
+      |  FROM lineitem
+      |), i AS (
+      |  SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS s0,
+      |         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + 3 AS e0
+      |  FROM orders WHERE o_orderpriority = '1-URGENT'
+      |)
+      |SELECT l_returnflag, count(*) AS n_hits
+      |FROM p JOIN i ON p.d >= i.s0 AND p.d <= i.e0
+      |GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, dir) =>
+    val epoch = lit("1970-01-01").cast("date")
+    val p = t(s, dir, "lineitem").select(col("l_returnflag"),
+      datediff(col("l_shipdate").cast("date"), epoch).cast("long").as("d"))
+    val i = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      .select(datediff(col("o_orderdate").cast("date"), epoch).cast("long").as("s0"))
+      .withColumn("e0", col("s0") + 3)
+    graft.operators.IntervalJoin.pointInInterval(p, i, "d", "s0", "e0", width = 4L)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy("l_returnflag")
+  }
+
   // --------------------------------------------------------------- Q91
   /** BIGRAM LM PERPLEXITY QUALITY SCORE
     * ([[TextAnalysis.lmNllScore]]): the CCNet-style statistical
@@ -1773,5 +1810,5 @@ object Extensions {
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q74, q75, q76, q77, q78, q79, q79b, q80, q81, q86, q87, q88,
-    q89, q90, q91, q92)
+    q89, q90, q91, q92, q93)
 }
