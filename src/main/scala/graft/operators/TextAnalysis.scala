@@ -134,6 +134,20 @@ object TextAnalysis {
       .groupBy("word")
       .agg(count(lit(1)).as("cnt"))
 
+  /** Keyed pseudonymization: replace identifier columns with stable
+    * salted SHA-256 tokens — the privacy primitive a pipeline applies
+    * before data leaves the trust boundary. Same id + same salt → same
+    * token, so referential integrity survives (joins and groupings on
+    * the token behave exactly like on the raw id — q94 proves it by
+    * joining two independently pseudonymized tables), while the raw id
+    * is not recoverable without the salt. A narrow codegen'd map: at
+    * 100 TB this adds no shuffle and no state. Rotating the salt
+    * unlinks releases from each other (the usual re-identification
+    * mitigation between data drops). */
+  def pseudonymize(df: DataFrame, idCols: Seq[String], salt: String): DataFrame =
+    idCols.foldLeft(df)((d, c) => d.withColumn(c,
+      sha2(concat_ws("|", lit(salt), col(c).cast("string")), 256)))
+
   /** Per-document bigram stream (w1, w2) from the normalized word
     * array — a narrow map + explode, no shuffle; documents with < 2
     * tokens emit nothing. */

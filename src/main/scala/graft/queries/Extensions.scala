@@ -1585,6 +1585,40 @@ object Extensions {
       .orderBy("q_id", "rn")
   }
 
+  // --------------------------------------------------------------- Q94
+  /** KEYED PSEUDONYMIZATION with referential-integrity proof
+    * ([[TextAnalysis.pseudonymize]]): events and orders are
+    * pseudonymized INDEPENDENTLY with the same salt, then joined on
+    * the token — the per-event-type hit counts must equal what the
+    * raw-id join would give, proving the tokenization preserves the
+    * join graph while never exposing the raw id. SHA-256 over the
+    * salted string is engine-portable (DuckDB `sha256` = Spark
+    * `sha2(…, 256)`), so the oracle replays the exact tokens. */
+  val q94 = QueryDef("q94_pseudonymize",
+    """WITH e AS (
+      |  SELECT sha256('r8-salt|' || CAST(user_id AS VARCHAR)) AS utok, event_type
+      |  FROM events
+      |), o AS (
+      |  SELECT sha256('r8-salt|' || CAST(o_custkey AS VARCHAR)) AS utok FROM orders
+      |)
+      |SELECT event_type, count(*) AS n_hits,
+      |       CAST(count(DISTINCT utok) AS BIGINT) AS n_users
+      |FROM e JOIN o USING (utok)
+      |GROUP BY event_type ORDER BY event_type""") { (s, dir) =>
+    val salt = "r8-salt"
+    val e = TextAnalysis.pseudonymize(
+      t(s, dir, "events").select(col("user_id"), col("event_type")), Seq("user_id"), salt)
+      .withColumnRenamed("user_id", "utok")
+    val o = TextAnalysis.pseudonymize(
+      t(s, dir, "orders").select(col("o_custkey")), Seq("o_custkey"), salt)
+      .withColumnRenamed("o_custkey", "utok")
+    e.join(o, "utok")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_hits"),
+        countDistinct(col("utok")).cast("long").as("n_users"))
+      .orderBy("event_type")
+  }
+
   // --------------------------------------------------------------- Q93
   /** KEYLESS INTERVAL JOIN via band-bucketing
     * ([[graft.operators.IntervalJoin]]): every lineitem shipment
@@ -1810,5 +1844,5 @@ object Extensions {
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q74, q75, q76, q77, q78, q79, q79b, q80, q81, q86, q87, q88,
-    q89, q90, q91, q92, q93)
+    q89, q90, q91, q92, q93, q94)
 }

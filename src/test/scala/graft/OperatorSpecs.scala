@@ -273,6 +273,28 @@ class SimilaritySpec extends SparkSuite {
 class TextAnalysisSpec extends SparkSuite {
   private lazy val docs = Tables(spark, sfDir, "documents")
 
+  test("pseudonymize: deterministic, join-graph-preserving, salt rotation unlinks") {
+    import spark.implicits._
+    val a = Seq((1L, "x"), (2L, "y"), (1L, "z")).toDF("uid", "v")
+    val b = Seq((1L, 10L), (3L, 30L)).toDF("uid", "w")
+    val pa = TextAnalysis.pseudonymize(a, Seq("uid"), "s1")
+    val pb = TextAnalysis.pseudonymize(b, Seq("uid"), "s1")
+    // raw join graph: only uid 1 matches, twice (two a-rows)
+    assert(pa.join(pb, "uid").count() === a.join(b, "uid").count())
+    // same id, same salt → same token (group sizes preserved)
+    assert(pa.select("uid").distinct().count() === 2)
+    // tokens are 64-hex digests, never the raw id
+    assert(pa.filter(length(col("uid")) =!= 64).count() === 0)
+    // a different salt yields disjoint tokens (releases unlink)
+    val pa2 = TextAnalysis.pseudonymize(a, Seq("uid"), "s2")
+    assert(pa.select("uid").intersect(pa2.select("uid")).count() === 0)
+    // reference digest: the exact portable sha256('salt|id') string
+    val tok = pa.filter(col("v") === "x").head.getString(0)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val expect = md.digest("s1|1".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(tok === expect)
+  }
+
   test("langid covers every doc with a known language code") {
     val l = TextAnalysis.langId(docs, "doc_id", "text")
     assert(l.count() === docs.count())
