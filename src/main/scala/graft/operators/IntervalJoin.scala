@@ -47,4 +47,31 @@ object IntervalJoin {
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop(b)
   }
+
+  /** All (left, right) interval pairs that OVERLAP: `ls <= re AND
+    * rs <= le` (inclusive touch counts). Same banding idea, one extra
+    * wrinkle: both sides replicate to their buckets, so an overlapping
+    * pair can co-occur in SEVERAL buckets — the join attributes each
+    * pair to ONE canonical bucket (the bucket of max(ls, rs), the
+    * overlap's start, which both copies are guaranteed to cover) so
+    * every true pair surfaces exactly once without a dedup pass.
+    * Column names must be disjoint across the two sides. */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      width: Long): DataFrame = {
+    require(width > 0, s"bucket width must be positive, got $width")
+    val b = "__graft_ij_bucket"
+    val lb = left.filter(col(lStart) <= col(lEnd))
+      .withColumn(b, explode(sequence(
+        floor(col(lStart) / width), floor(col(lEnd) / width))))
+    val rb = right.filter(col(rStart) <= col(rEnd))
+      .withColumn(b, explode(sequence(
+        floor(col(rStart) / width), floor(col(rEnd) / width))))
+    lb.join(rb, Seq(b))
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      // canonical-bucket attribution: keep the copy pair in the bucket
+      // where the overlap starts
+      .filter(col(b) === floor(greatest(col(lStart), col(rStart)) / width))
+      .drop(b)
+  }
 }

@@ -28,6 +28,25 @@ object Sinks {
       .sortBy(key)
       .saveAsTable(table)
 
+  /** Parquet write with a bloom filter on `key` — data skipping for
+    * EQUALITY probes on a high-cardinality, unclustered column, the
+    * case min/max stats (and z-order, which needs the column in the
+    * sort key) cannot prune: when values are scattered, every row
+    * group's min/max spans the whole domain, but the per-row-group
+    * bloom proves absence and the reader skips the group without
+    * decoding it (SinksAndSkewSpec measures the scan-row collapse).
+    * At 100 TB this is the "find one document by content hash"
+    * primitive: a needle probe touches ~1 row group instead of the
+    * full table. `ndv` sizes the filter (~1.2 KB per 1M NDV per row
+    * group at the default 1% FPP). */
+  def writeBloomFiltered(df: DataFrame, outDir: String, key: String, ndv: Long,
+      rowGroupBytes: Long = 8L << 20): Unit =
+    df.write.mode("overwrite")
+      .option(s"parquet.bloom.filter.enabled#$key", "true")
+      .option(s"parquet.bloom.filter.expected.ndv#$key", ndv.toString)
+      .option("parquet.block.size", rowGroupBytes.toString)
+      .parquet(outDir)
+
   /** Small-file compaction: rewrite a directory into
     * ceil(bytes / targetBytes) files. The small-files problem is the
     * perennial failure mode of partitioned ingest at scale — thousands

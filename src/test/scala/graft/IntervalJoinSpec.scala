@@ -30,6 +30,23 @@ class IntervalJoinSpec extends SparkSuite {
     assert(IntervalJoin.pointInInterval(points, bad, "p", "s0", "e0", 4L).count() === 0)
   }
 
+  test("intervalOverlap: equals the naive theta join at several widths (exactly-once attribution)") {
+    val left = spark.range(300).select(col("id").as("lid"),
+      (col("id") % 97).as("ls"), (col("id") % 97 + col("id") % 11).as("le"))
+    val right = spark.range(250).select(col("id").as("rid"),
+      (col("id") % 89).as("rs"), (col("id") % 89 + col("id") % 7).as("re"))
+    val naive = left.join(right,
+        col("ls") <= col("re") && col("rs") <= col("le"))
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(naive.nonEmpty && naive.size === naive.toSet.size)
+    for (w <- Seq(1L, 5L, 64L)) {
+      val banded = IntervalJoin.intervalOverlap(left, right, "ls", "le", "rs", "re", w)
+        .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      // exactly-once: multiset equality, not just set equality
+      assert(banded.sorted === naive.sorted, s"width $w")
+    }
+  }
+
   test("plan is a hash-partitionable equi-join on the bucket — no nested loop, no cartesian") {
     val points = spark.range(1000).select(col("id").as("pid"), (col("id") % 500).as("p"))
     val intervals = spark.range(800).select(col("id").as("iid"),
