@@ -52,6 +52,65 @@ object Int8Quant {
     graft.plans.VectorExprs.dotI8(aCodes, bCodes).cast("double") *
       lit(scale * scale / (127.0 * 127.0)) / (aNorm * bNorm)
 
+  /** IVF-pruned int8 search — the "best of both" compression/pruning
+    * pair when PQ's recall floor is unacceptable: coarse spherical
+    * k-means lists prune the scan to nProbe/nCentroids of the corpus
+    * (exactly [[ProductQuantization.buildIvfPQIndex]]'s list shape),
+    * and the probed lists are scored with int8 codes (near-exact
+    * in-list ranking — recall is bounded only by list probing, not by
+    * quantization). Same list build, different payload: TINYINT codes
+    * + exact norm instead of PQ codes. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, nProbe: Int, nCentroids: Int, scale: Double,
+      seed: Long = 42L, trainCap: Int = 100000, maxIter: Int = 10): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val session = corpus.sparkSession
+    import session.implicits._
+    def unit(c: Column) = transform(c, x => x.cast("double") / VectorFunctions.norm(c))
+    val withVec = corpus.filter(VectorFunctions.norm(col(vecCol)) > 0)
+      .select(col(idCol).as("vid"), col(vecCol).as("v"))
+      .withColumn("features", array_to_vector(unit(col("v"))))
+    val train = withVec.select("features").limit(trainCap).persist()
+    val km =
+      try new KMeans().setK(nCentroids).setSeed(seed)
+        .setInitMode("random").setMaxIter(maxIter).fit(train)
+      finally train.unpersist()
+    // one corpus pass: list assignment + int8 encode together
+    val lists = km.transform(withVec).select(
+      col("vid").as("id"), col("prediction").as("cent_id"),
+      transform(col("v"), x =>
+        least(greatest(round(x.cast("double") / scale * 127.0, 0), lit(-127.0)), lit(127.0))
+          .cast("byte")).as("codes"),
+      VectorFunctions.norm(col("v")).as("norm"))
+    val centDf = km.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq
+      .toDF("cent_id", "centv")
+    val dist2 = aggregate(
+      zip_with(unit(col("qv")), col("centv"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+    val q = encode(queries.filter(VectorFunctions.norm(col(vecCol)) > 0),
+        idCol, vecCol, scale)
+      .select(col("id").as("q_id"), col("codes").as("q_codes"), col("norm").as("q_norm"))
+      .join(queries.select(col(idCol).as("q_id"), col(vecCol).as("qv")), Seq("q_id"))
+    val probes = q.join(broadcast(centDf))
+      .withColumn("prn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(dist2.asc, col("cent_id"))))
+      .filter(col("prn") <= nProbe)
+      .select("q_id", "q_codes", "q_norm", "cent_id")
+    val cos = cosEst(col("q_codes"), col("codes"), col("q_norm"), col("norm"), scale)
+    val cand = broadcast(probes).join(lists, Seq("cent_id"))
+      .filter(col("q_id") =!= col("id"))
+      .withColumn("pid", spark_partition_id())
+    val w1 = Window.partitionBy(col("q_id"), col("pid")).orderBy(cos.desc, col("id"))
+    val w2 = Window.partitionBy(col("q_id")).orderBy(cos.desc, col("id"))
+    cand
+      .withColumn("prn2", row_number().over(w1)).filter(col("prn2") <= k)
+      .withColumn("rn", row_number().over(w2)).filter(col("rn") <= k)
+      .select(col("q_id"), col("id").as("c_id"), col("rn"),
+        graft.functions.TextFunctions.round4(cos).as("cos"))
+  }
+
   /** Symmetric int8 top-k: for each query vector (float input, encoded
     * with the corpus scale), the k nearest encoded candidates by
     * estimated cosine — same contract/shape as

@@ -70,6 +70,35 @@ class Int8QuantSpec extends SparkSuite {
     assert(mean >= 0.9, s"mean recall@5 $mean")
   }
 
+  test("IVF+int8: full-probe degenerates to the plain int8 top-k; partial probe clears the floor") {
+    val k = 5
+    val qs = emb.filter(col("vec_id") < 10)
+    val scale = Int8Quant.fit(emb, "embedding")
+    val nCent = 8
+    // probing every list = un-pruned int8 scan: identical scores and
+    // tie-breaks, so row-identical results
+    val full = Int8Quant.ivfTopK(qs, emb, "vec_id", "embedding", k,
+        nProbe = nCent, nCentroids = nCent, scale = scale)
+      .select("q_id", "c_id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val plain = Int8Quant.topK(qs, Int8Quant.encode(emb, "vec_id", "embedding", scale),
+        "vec_id", "embedding", k, scale)
+      .select("q_id", "c_id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(full === plain)
+    // partial probe still clears the declared gate's floor
+    val part = Int8Quant.ivfTopK(qs, emb, "vec_id", "embedding", k,
+      nProbe = 4, nCentroids = 16, scale = scale)
+    val exact = Similarity.bruteForceTopK(qs, emb, "vec_id", "embedding", k)
+      .groupBy("q_id").agg(collect_set(col("c_id")).as("e"))
+    val rec = exact.join(part.groupBy("q_id").agg(collect_set(col("c_id")).as("g")),
+        Seq("q_id"), "left")
+      .select((coalesce(size(array_intersect(col("g"), col("e"))), lit(0))
+        .cast("double") / k).as("r"))
+      .agg(avg("r")).head.getDouble(0)
+    assert(rec >= 0.4, s"IVF+int8 recall $rec below gate floor")
+  }
+
   test("q90 declared query self-gates: recall_ok true on the gate corpus") {
     val df = graft.SparkEntry.queries("q90_int8_ann")(spark, sfDir)
     val rows = df.collect()
