@@ -118,6 +118,26 @@ class ProductQuantizationSpec extends SparkSuite {
     assert(rec >= 0.4, s"IVFPQ recall $rec below gate floor")
   }
 
+  test("IVFPQ index persisted partitioned by cent_id: probe scan partition-prunes") {
+    // the 100 TB deployment shape: encodedLists written once at ingest,
+    // partitioned by list id — a probe then reads ONLY its lists'
+    // directories (partition pruning), never the full code table
+    val index = ProductQuantization.buildIvfPQIndex(emb, "vec_id", "embedding",
+      nCentroids = 8, model)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString
+    graft.sources.Sinks.writePartitioned(index.encodedLists, dir, Seq("cent_id"))
+    val back = spark.read.parquet(dir)
+    assert(back.count() === index.encodedLists.count())
+    val probed = back.filter(col("cent_id").isin(0, 3))
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cent_id"), plan)
+    assert(probed.count() ===
+      index.encodedLists.filter(col("cent_id").isin(0, 3)).count())
+    // the persisted codes round-trip bit-exactly (ARRAY<TINYINT> + FLOAT norm)
+    val orig = index.encodedLists.select("vid", "codes", "vnorm")
+    assert(back.select("vid", "codes", "vnorm").exceptAll(orig).isEmpty)
+  }
+
   test("out-of-range code and length-mismatched LUT score NULL, never a wrong sum") {
     import spark.implicits._
     // Seq[Byte] (not Array[Byte], which would encode as BINARY)
