@@ -240,7 +240,15 @@ object ProductQuantization {
       .withColumn("srn", row_number().over(w1)).filter(col("srn") <= shortlist)
       .withColumn("rn2", row_number().over(w2)).filter(col("rn2") <= shortlist)
       .select(col("q_id"), col("vid").as("c_id"))
-    // exact re-rank of the bounded shortlist (same plan as adcTopKReranked)
+    exactRerank(short, queries, corpus, idCol, vecCol, k)
+  }
+
+  /** Exact re-rank of a bounded (q_id, c_id) shortlist — the shared
+    * tail of every *Reranked search: the shortlist broadcasts, each
+    * corpus partition streams past it, and only matching ids surface
+    * floats (reads O(queries × shortlist), never corpus-sized). */
+  private def exactRerank(short: DataFrame, queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
     val qv = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"))
     val cv = corpus.select(col(idCol).as("c_id"), col(vecCol).as("cv"))
     val cos = VectorFunctions.cosine(col("qv"), col("cv"))
@@ -249,5 +257,84 @@ object ProductQuantization {
     withVecs
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("q_id"), col("c_id"), col("rn"), TextFunctions.round4(cos).as("cos"))
+  }
+
+  /** RESIDUAL-coded IVF-PQ build — the FAISS IVFPQ default: vectors are
+    * PQ-coded as residuals from their coarse centroid, not as raw
+    * vectors. Residuals have far smaller magnitude than vectors (the
+    * coarse step removed the blob structure), so the same m×k codebook
+    * budget buys a much finer grid — recall rises at identical storage.
+    * The codebook is trained on residuals and SHARED across lists, so
+    * search still needs only one LUT per query (plus an exact
+    * dot(q, centroid) scalar per probe, computed on the driver-bounded
+    * centroid set). Two corpus passes at build time (assign, then
+    * residual-encode) — one-time ingest cost, same as the raw path's
+    * fit+encode. */
+  def buildIvfPQResidualIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, m: Int, kCodes: Int, seed: Long = 42L,
+      trainCap: Int = 100000, maxIter: Int = 10): (IvfPQIndex, PQModel) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val session = corpus.sparkSession
+    import session.implicits._
+    def unit(c: Column) = transform(c, x => x.cast("double") / VectorFunctions.norm(c))
+    val withVec = corpus.filter(VectorFunctions.norm(col(vecCol)) > 0)
+      .select(col(idCol).as("vid"), col(vecCol).as("v"))
+      .withColumn("features", array_to_vector(unit(col("v"))))
+    val train = withVec.select("features").limit(trainCap).persist()
+    val km =
+      try new KMeans().setK(nCentroids).setSeed(seed)
+        .setInitMode("random").setMaxIter(maxIter).fit(train)
+      finally train.unpersist()
+    val centDf = km.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq
+      .toDF("cent_id", "centv")
+    val withRes = km.transform(withVec)
+      .select(col("vid"), col("v"), col("prediction").as("cent_id"))
+      .join(broadcast(centDf), Seq("cent_id"))
+      .withColumn("r", zip_with(col("v"), col("centv"),
+        (x, y) => x.cast("double") - y))
+    val model = fit(withRes, "r", m, kCodes, seed, trainCap, maxIter)
+    val encodedLists = withRes.select(col("vid"), col("cent_id"),
+      PQExprs.pqEncode(col("r"), model.codebooks).as("codes"),
+      VectorFunctions.norm(col("v")).cast("float").as("vnorm"))
+    (IvfPQIndex(centDf, encodedLists), model)
+  }
+
+  /** Search a residual-coded index: dot(q, v) decomposes exactly as
+    * dot(q, c) + dot(q, r) — the first term is computed exactly per
+    * (query, probed list) against the float centroid, the second is
+    * the shared-codebook ADC lookup over the residual codes. Same
+    * probe/shortlist/re-rank scaffolding as [[ivfPQSearch]]. */
+  def ivfPQResidualSearch(queries: DataFrame, index: IvfPQIndex, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int, shortlist: Int,
+      model: PQModel): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    def unit(c: Column) = transform(c, x => x.cast("double") / VectorFunctions.norm(c))
+    val qs = queries.filter(VectorFunctions.norm(col(vecCol)) > 0)
+      .select(col(idCol).as("q_id"), col(vecCol).as("qv"))
+      .withColumn("qnorm", VectorFunctions.norm(col("qv")))
+      .withColumn("lut", lutFor(model, col("qv")))
+    val dist2 = aggregate(
+      zip_with(unit(col("qv")), col("centv"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+    val probes = qs.join(broadcast(index.centroids))
+      .withColumn("prn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(dist2.asc, col("cent_id"))))
+      .filter(col("prn") <= nProbe)
+      .withColumn("dotqc", VectorFunctions.dot(col("qv"), col("centv")))
+      .select("q_id", "qnorm", "lut", "cent_id", "dotqc")
+    val score = (col("dotqc") + PQExprs.pqAdcDot(col("codes"), col("lut"))) /
+      (col("qnorm") * col("vnorm"))
+    val cand = broadcast(probes).join(index.encodedLists, Seq("cent_id"))
+      .filter(col("q_id") =!= col("vid"))
+      .withColumn("pid", spark_partition_id())
+    val w1 = Window.partitionBy(col("q_id"), col("pid")).orderBy(score.desc, col("vid"))
+    val w2 = Window.partitionBy(col("q_id")).orderBy(score.desc, col("vid"))
+    val short = cand
+      .withColumn("srn", row_number().over(w1)).filter(col("srn") <= shortlist)
+      .withColumn("rn2", row_number().over(w2)).filter(col("rn2") <= shortlist)
+      .select(col("q_id"), col("vid").as("c_id"))
+    exactRerank(short, queries, corpus, idCol, vecCol, k)
   }
 }

@@ -1585,6 +1585,44 @@ object Extensions {
       .orderBy("q_id", "rn")
   }
 
+  // --------------------------------------------------------------- Q96
+  /** RESIDUAL-coded IVF-PQ ANN
+    * ([[graft.operators.ProductQuantization.buildIvfPQResidualIndex]]):
+    * the FAISS-default refinement of q92 — PQ codes store residuals
+    * from the coarse centroid, so the same codebook budget quantizes a
+    * much smaller-magnitude signal; search decomposes dot(q,v) =
+    * dot(q,c) + dot(q,r) with the first term exact per probed list and
+    * one shared LUT per query. Storage and probe volume identical to
+    * q92; only the code semantics change. Gated like q92: mean
+    * recall@5 ≥ 0.4 in-query. */
+  val q96 = QueryDef.noOracle("q96_ivfpq_residual") { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    val qPred = col("vec_id") < 10
+    val k = 5
+    val (index, model) = graft.operators.ProductQuantization
+      .buildIvfPQResidualIndex(emb, "vec_id", "embedding",
+        nCentroids = 16, m = 8, kCodes = 32)
+    val got = graft.operators.ProductQuantization.ivfPQResidualSearch(
+      emb.filter(qPred), index, emb, "vec_id", "embedding", k,
+      nProbe = 4, shortlist = 100, model)
+    val exact = Similarity.bruteForceTopK(emb.filter(qPred), emb,
+        "vec_id", "embedding", k = k)
+      .groupBy("q_id").agg(collect_set(col("c_id")).as("exact_ids"))
+    val perQ = exact
+      .join(got.groupBy("q_id").agg(collect_set(col("c_id")).as("got_ids")),
+        Seq("q_id"), "left")
+      .select(col("q_id"),
+        (coalesce(size(array_intersect(col("got_ids"), col("exact_ids"))), lit(0))
+          .cast("double") / k).as("recall_q"))
+    val mean = perQ.agg(round(avg(col("recall_q")), 4).as("mean_recall"))
+    got.join(broadcast(perQ), Seq("q_id"))
+      .crossJoin(broadcast(mean))
+      .select(col("q_id"), col("c_id"), col("rn"), col("cos"),
+        TextFunctions.round4(col("recall_q")).as("recall_q"),
+        col("mean_recall"), (col("mean_recall") >= 0.4).as("recall_ok"))
+      .orderBy("q_id", "rn")
+  }
+
   // --------------------------------------------------------------- Q95
   /** IVF + INT8 ANN ([[graft.operators.Int8Quant.ivfTopK]]): the
     * composition the compression-tier bench record points at when PQ's
@@ -1878,5 +1916,5 @@ object Extensions {
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q74, q75, q76, q77, q78, q79, q79b, q80, q81, q86, q87, q88,
-    q89, q90, q91, q92, q93, q94, q95)
+    q89, q90, q91, q92, q93, q94, q95, q96)
 }

@@ -72,6 +72,10 @@ object PQBench {
       nCentroids = 64, model)
     val ivfCached = ivfIndex.copy(encodedLists = ivfIndex.encodedLists.persist())
     ivfCached.encodedLists.count()
+    val (residIdx0, residModel) = ProductQuantization.buildIvfPQResidualIndex(
+      emb, "vec_id", "embedding", nCentroids = 64, m = 8, kCodes = 32)
+    val residIdx = residIdx0.copy(encodedLists = residIdx0.encodedLists.persist())
+    residIdx.encodedLists.count()
 
     def variants: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
       ("brute_force_float", () =>
@@ -85,7 +89,10 @@ object PQBench {
           "vec_id", "embedding", k, shortlist = 100, model)),
       ("ivfpq_rerank100_probe4of64", () =>
         ProductQuantization.ivfPQSearch(queries, ivfCached, emb, "vec_id", "embedding",
-          k, nProbe = 4, shortlist = 100, model)))
+          k, nProbe = 4, shortlist = 100, model)),
+      ("ivfpq_residual_rerank100_probe4of64", () =>
+        ProductQuantization.ivfPQResidualSearch(queries, residIdx, emb, "vec_id", "embedding",
+          k, nProbe = 4, shortlist = 100, residModel)))
 
     for ((tag, mk) <- variants) {
       mk().write.format("noop").mode("overwrite").save() // warmup

@@ -118,6 +118,47 @@ class ProductQuantizationSpec extends SparkSuite {
     assert(rec >= 0.4, s"IVFPQ recall $rec below gate floor")
   }
 
+  test("residual coding: decomposition is exact pre-quantization; shortlist=k recall not worse than raw codes") {
+    import spark.implicits._
+    // dot(q,v) == dot(q,c) + dot(q, v-c) — the identity residual search
+    // relies on, checked with UNquantized residuals to fp tolerance
+    val v = Seq((1L, Seq(1.0f, 2.0f, 3.0f, 4.0f))).toDF("id", "v")
+    val c = Seq(Seq(0.5, 1.5, 2.5, 3.5)).toDF("centv")
+    val q = Seq(Seq(2.0f, -1.0f, 0.5f, 1.0f)).toDF("qv")
+    val row = v.crossJoin(c).crossJoin(q).select(
+      graft.functions.VectorFunctions.dot(col("qv"), col("v")).as("direct"),
+      (graft.functions.VectorFunctions.dot(col("qv"), col("centv")) +
+        graft.functions.VectorFunctions.dot(col("qv"),
+          zip_with(col("v"), col("centv"), (x, y) => x.cast("double") - y))).as("decomposed"))
+      .head
+    assert(math.abs(row.getDouble(0) - row.getDouble(1)) < 1e-9)
+
+    // shortlist=k (no re-rank slack): recall reflects the ADC ranking
+    // itself. Residual codes quantize a smaller-magnitude signal on the
+    // same budget, so they must not rank worse than raw codes.
+    val k = 5
+    val qs = emb.filter(col("vec_id") < 10)
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val exact = Similarity.bruteForceTopK(qs, emb, "vec_id", "embedding", k)
+        .groupBy("q_id").agg(collect_set(col("c_id")).as("e"))
+      exact.join(df.groupBy("q_id").agg(collect_set(col("c_id")).as("g")), Seq("q_id"), "left")
+        .select((coalesce(size(array_intersect(col("g"), col("e"))), lit(0))
+          .cast("double") / k).as("r"))
+        .agg(avg("r")).head.getDouble(0)
+    }
+    val nCent = 8
+    val (residIdx, residModel) = ProductQuantization.buildIvfPQResidualIndex(
+      emb, "vec_id", "embedding", nCentroids = nCent, m = 8, kCodes = 16)
+    val residual = recallOf(ProductQuantization.ivfPQResidualSearch(qs, residIdx, emb,
+      "vec_id", "embedding", k, nProbe = nCent, shortlist = k, residModel))
+    val rawIdx = ProductQuantization.buildIvfPQIndex(emb, "vec_id", "embedding",
+      nCentroids = nCent, model)
+    val raw = recallOf(ProductQuantization.ivfPQSearch(qs, rawIdx, emb,
+      "vec_id", "embedding", k, nProbe = nCent, shortlist = k, model))
+    assert(residual >= raw - 0.05,
+      s"residual-coded shortlist recall $residual fell below raw-coded $raw")
+  }
+
   test("IVFPQ index persisted partitioned by cent_id: probe scan partition-prunes") {
     // the 100 TB deployment shape: encodedLists written once at ingest,
     // partitioned by list id — a probe then reads ONLY its lists'
