@@ -153,7 +153,7 @@ object TextAnalysis {
     * tokens emit nothing. */
   def bigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = TextFunctions.normalizedWords(col(textCol))
-    docs.select(col(idCol), w.as("w"))
+    graft.sources.Balance.cpuBound(docs).select(col(idCol), w.as("w"))
       .filter(size(col("w")) >= 2)
       .select(col(idCol), explode(zip_with(
         slice(col("w"), lit(1), size(col("w")) - 1),
