@@ -79,6 +79,11 @@ object Tables {
   * definition. */
 object Balance {
   def cpuBound(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // streaming plans reject inputFiles (and micro-batch parallelism is
+    // the source's business — maxFilesPerTrigger etc.), so the guard is
+    // batch-only; this keeps every tokenizing operator streaming-safe
+    // (StreamingCurationSpec runs one through a real streaming query)
+    if (df.isStreaming) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     // inputFiles is metadata-only (no physical planning, unlike df.rdd,
     // which under AQE would execute upstream stages just to count

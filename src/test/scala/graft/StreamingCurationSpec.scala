@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.operators.TextAnalysis
+import graft.sources.Tables
+import graft.streaming.EventStreams
+
+/** The curation operators are streaming-safe: the same quality-gating
+  * transform produces identical results through a real streaming query
+  * and in batch (the repo's batch-equivalence contract), and the
+  * scan-parallelism guard does not break on streaming plans (streaming
+  * sources have no inputFiles). */
+class StreamingCurationSpec extends SparkSuite {
+
+  test("quality-gating pipeline: stream == batch, append mode, per-batch observe metrics") {
+    val docs = Tables(spark, sfDir, "documents").select("doc_id", "text", "lang")
+    def gate(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      EventStreams.withInputCounter(
+        TextAnalysis.qualityScore(df, "doc_id", "text", keep = Seq("lang")), "scored")
+        .filter(col("score") >= 0.5 && col("n_tok") >= 10)
+        .select("doc_id", "lang", "n_tok", "score")
+    val batch = gate(docs).collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty, "gate must pass some docs on the fixture corpus")
+    val streamed = EventStreams.replayThroughStream(spark, docs, gate,
+        "curation_stream", OutputMode.Append())
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+  }
+}
