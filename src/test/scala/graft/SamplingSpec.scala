@@ -93,6 +93,17 @@ class SamplingSpec extends SparkSuite {
     }
   }
 
+  test("per-stratum sampling plans as the bounded-heap TopKPerKeyExec, not a window sort") {
+    // weightedSamplePerStratum is the rank<=k window-filter shape the
+    // opt-in TopKPerKeyRule rewrites: per-task bounded heaps instead of
+    // a full per-stratum sort — the declared q89 inherits this
+    val per = Sampling.weightedSamplePerStratum(docs, "doc_id", "lang",
+      col("n_chars") + 1, k = 5)
+    val plan = per.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("esKey matches a from-scratch reference (MessageDigest md5, JVM log)") {
     val rows = docs.limit(8)
       .withColumn("es_key", Sampling.esKey(col("doc_id"), col("n_chars") + 1))
