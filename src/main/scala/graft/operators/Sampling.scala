@@ -53,6 +53,40 @@ object Sampling {
       .orderBy(col("es_key").desc, col(idCol))
       .limit(k)
 
+  /** Temperature-based mixture sampling — the α-mixing of multilingual
+    * / multi-source LLM data recipes (sampling share ∝ n_g^α; α < 1
+    * flattens the mixture toward low-resource groups, α = 1 is
+    * proportional, α = 0 uniform). Produces ⌊budget·w_g/Σw⌋ rows per
+    * group (capped at the group size), selected in the deterministic
+    * md5 order.
+    *
+    * Determinism contract: n_g^α is floor-scaled to an exact integer of
+    * 1e-6 units and the allocation uses integer division, so the split
+    * is reproducible bit-for-bit in any engine (no float-sum or
+    * division-rounding hazard — the only float op is the single pow per
+    * group). Plan shape: one count aggregate (groups are few — the
+    * allocation table broadcasts), one md5-rank window per group.
+    * Floor allocation means Σ alloc ≤ budget (never over); the
+    * remainder is deliberately NOT redistributed — redistribution
+    * rules are a policy choice callers layer on top. */
+  def temperatureMix(df: DataFrame, idCol: String, groupCol: String,
+      alpha: Double, budget: Long): DataFrame = {
+    require(alpha >= 0 && budget > 0, s"need alpha >= 0 and budget > 0")
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("n_g"))
+      .withColumn("w6",
+        floor(pow(col("n_g").cast("double"), alpha) * 1e6 + 0.5).cast("long"))
+    val alloc = counts
+      .crossJoin(broadcast(counts.agg(sum(col("w6")).as("sw"))))
+      .withColumn("alloc", least(col("n_g"), expr(s"($budget * w6) div sw")))
+      .select(groupCol, "n_g", "alloc")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(Splits.hashBucket(col(idCol)), col(idCol))
+    df.withColumn("rn", row_number().over(w))
+      .join(broadcast(alloc), Seq(groupCol))
+      .filter(col("rn") <= col("alloc"))
+  }
+
   /** Per-stratum weighted sample: k rows per distinct value of
     * `stratumCol` (e.g. per language) — one hash shuffle on the
     * stratum key, per-group rank, never a global funnel. */

@@ -1585,6 +1585,42 @@ object Extensions {
       .orderBy("q_id", "rn")
   }
 
+  // --------------------------------------------------------------- Q97
+  /** TEMPERATURE MIXTURE SAMPLING
+    * ([[graft.operators.Sampling.temperatureMix]]): the α-mixing every
+    * multilingual LLM data recipe runs — per-language share ∝ n_g^0.5,
+    * flattening the en-heavy corpus toward the low-resource languages,
+    * with a 60-doc budget. Allocation is exact integer arithmetic
+    * (n^α floor-scaled to 1e-6 units, integer div) and selection is
+    * the deterministic md5 order, so DuckDB replays the exact rows. */
+  val q97 = QueryDef("q97_temperature_mix",
+    s"""WITH c AS (SELECT lang, count(*) AS n_g FROM documents GROUP BY lang),
+      |w AS (
+      |  SELECT lang, n_g,
+      |         CAST(floor(pow(n_g, 0.5) * 1000000 + 0.5) AS BIGINT) AS w6
+      |  FROM c
+      |), a AS (
+      |  SELECT lang, n_g, least(n_g, (60 * w6) // sw) AS alloc
+      |  FROM w CROSS JOIN (SELECT CAST(sum(w6) AS BIGINT) AS sw FROM w) s
+      |), r AS (
+      |  SELECT doc_id, lang,
+      |         row_number() OVER (PARTITION BY lang
+      |           ORDER BY ${md5Bucket16Sql("doc_id")}, doc_id) AS rn
+      |  FROM documents
+      |)
+      |SELECT r.lang, doc_id, CAST(rn AS BIGINT) AS rn,
+      |       CAST(n_g AS BIGINT) AS n_g, CAST(alloc AS BIGINT) AS alloc
+      |FROM r JOIN a ON r.lang = a.lang
+      |WHERE rn <= alloc
+      |ORDER BY r.lang, rn""") { (s, dir) =>
+    graft.operators.Sampling.temperatureMix(
+        t(s, dir, "documents").select("doc_id", "lang"),
+        "doc_id", "lang", alpha = 0.5, budget = 60L)
+      .select(col("lang"), col("doc_id"), col("rn").cast("long").as("rn"),
+        col("n_g").cast("long").as("n_g"), col("alloc").cast("long").as("alloc"))
+      .orderBy("lang", "rn")
+  }
+
   // --------------------------------------------------------------- Q96
   /** RESIDUAL-coded IVF-PQ ANN
     * ([[graft.operators.ProductQuantization.buildIvfPQResidualIndex]]):
@@ -1916,5 +1952,5 @@ object Extensions {
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q74, q75, q76, q77, q78, q79, q79b, q80, q81, q86, q87, q88,
-    q89, q90, q91, q92, q93, q94, q95, q96)
+    q89, q90, q91, q92, q93, q94, q95, q96, q97)
 }

@@ -104,6 +104,34 @@ class SamplingSpec extends SparkSuite {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("temperatureMix: budget respected, caps at group size, α endpoints behave") {
+    import org.apache.spark.sql.functions.{sum => fsum}
+    val budget = 60L
+    def allocs(alpha: Double) =
+      Sampling.temperatureMix(docs, "doc_id", "lang", alpha, budget)
+        .groupBy("lang").agg(count(lit(1)).as("got"),
+          first("alloc").as("alloc"), first("n_g").as("n_g"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val half = allocs(0.5)
+    assert(half.values.map(_._1).sum <= budget) // floor allocation never overshoots
+    half.values.foreach { case (got, alloc, ng) =>
+      assert(got === alloc && alloc <= ng)
+    }
+    // α = 0: every group weighs 1 → uniform floor(budget / G)
+    val uniform = allocs(0.0)
+    val g = uniform.size
+    uniform.values.foreach { case (_, alloc, ng) =>
+      assert(alloc === math.min(budget / g, ng))
+    }
+    // α = 1 allocates proportionally; α = 0.5 flattens: the largest
+    // group's share must strictly shrink between the two
+    val prop = allocs(1.0)
+    val big = prop.maxBy(_._2._3)._1
+    assert(half(big)._2 < prop(big)._2,
+      s"alpha=0.5 should flatten the largest group: ${half(big)} vs ${prop(big)}")
+  }
+
   test("esKey matches a from-scratch reference (MessageDigest md5, JVM log)") {
     val rows = docs.limit(8)
       .withColumn("es_key", Sampling.esKey(col("doc_id"), col("n_chars") + 1))
