@@ -79,12 +79,27 @@ object Sampling {
       .crossJoin(broadcast(counts.agg(sum(col("w6")).as("sw"))))
       .withColumn("alloc", least(col("n_g"), expr(s"($budget * w6) div sw")))
       .select(groupCol, "n_g", "alloc")
-    val w = org.apache.spark.sql.expressions.Window
+    // two-phase rank (bruteForceTopK's pattern): groups are FEW (that
+    // is the operator's regime — languages, sources), so a single
+    // per-group window would funnel the whole corpus into |groups|
+    // tasks. Phase 1 keeps ≤ budget rows per (group, input partition) —
+    // sound because every group's allocation is ≤ budget by
+    // construction — and the global rank then orders ≤ budget × input
+    // partitions survivors per group, never the full group.
+    val bucket = Splits.hashBucket(col(idCol))
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol), col("__pid"))
+      .orderBy(bucket, col(idCol))
+    val wGlobal = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))
-      .orderBy(Splits.hashBucket(col(idCol)), col(idCol))
-    df.withColumn("rn", row_number().over(w))
+      .orderBy(bucket, col(idCol))
+    df.withColumn("__pid", spark_partition_id())
+      .withColumn("__prn", row_number().over(wLocal))
+      .filter(col("__prn") <= budget)
+      .withColumn("rn", row_number().over(wGlobal))
       .join(broadcast(alloc), Seq(groupCol))
       .filter(col("rn") <= col("alloc"))
+      .drop("__pid", "__prn")
   }
 
   /** Per-stratum weighted sample: k rows per distinct value of
