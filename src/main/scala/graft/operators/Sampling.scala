@@ -103,16 +103,26 @@ object Sampling {
   }
 
   /** Per-stratum weighted sample: k rows per distinct value of
-    * `stratumCol` (e.g. per language) — one hash shuffle on the
-    * stratum key, per-group rank, never a global funnel. */
+    * `stratumCol` (e.g. per language). Two-phase rank — strata are FEW
+    * in this operator's regime, so a single per-stratum window would
+    * route the whole corpus into |strata| tasks; phase 1 keeps ≤ k rows
+    * per (stratum, input partition) spread across the cluster, and the
+    * global rank orders only the bounded survivors. Both rank filters
+    * plan as the bounded-heap TopKPerKeyExec (no sort — spec-asserted). */
   def weightedSamplePerStratum(df: DataFrame, idCol: String, stratumCol: String,
       weight: Column, k: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol), col("__pid"))
+      .orderBy(col("es_key").desc, col(idCol))
+    val wGlobal = org.apache.spark.sql.expressions.Window
       .partitionBy(col(stratumCol))
       .orderBy(col("es_key").desc, col(idCol))
     df.withColumn("es_key", esKeyRounded(col(idCol), weight))
-      .withColumn("rn", row_number().over(w))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__prn", row_number().over(wLocal))
+      .filter(col("__prn") <= k)
+      .withColumn("rn", row_number().over(wGlobal))
       .filter(col("rn") <= k)
-      .drop("rn")
+      .drop("rn", "__pid", "__prn")
   }
 }
