@@ -605,18 +605,20 @@ object Advanced {
     // before its doc_id exchange, and the main branch joins it only
     // AFTER the 3-term semi-join has cut tf to ~terms·docs rows — the
     // window form shuffled the entire (doc, word, tf) relation by
-    // doc_id before any pruning. df is windowed over the term-filtered
+    // doc_id before any pruning. df derives from the term-filtered
     // rows: tf has one row per (doc, word), so a per-word count AFTER
     // the 3-term semi-join is still that word's full document
-    // frequency, at 3-terms cost.
+    // frequency — and as a 3-row AGGREGATE broadcast back, not a
+    // 3-partition window funnel over every filtered row.
     val avgdl = tf.agg((sum(col("tf")).cast("double")
       / countDistinct(col("doc_id"))).as("avgdl"))
     val terms = tf.groupBy("word").agg(sum(col("tf")).as("ttf"))
       .orderBy(col("ttf").desc, col("word")).limit(3).select("word")
     val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
-    tf
-      .join(broadcast(terms), "word")
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("word"))))
+    val tfTerms = tf.join(broadcast(terms), "word")
+    val df = tfTerms.groupBy("word").agg(count(lit(1)).as("df"))
+    tfTerms
+      .join(broadcast(df), "word")
       .join(dl, "doc_id")
       .crossJoin(broadcast(n))
       .crossJoin(broadcast(avgdl))
