@@ -1,0 +1,49 @@
+package graft
+
+/** Whole-inventory plan guard: no declared query may plan a
+  * CartesianProduct, and BroadcastNestedLoopJoin may appear only in the
+  * queries that deliberately use a tiny-broadcast scoring scan or
+  * scalar attachment (the documented set below). A refactor that
+  * accidentally drops a join key or broadcast hint anywhere in the
+  * inventory fails here, not in a 100 TB run.
+  *
+  * Queries whose CONSTRUCTION runs heavyweight model fits (k-means) or
+  * driver-side sketch materialization are excluded — their plan shapes
+  * are asserted in their own specs; this sweep covers the long tail
+  * nobody asserts individually.
+  */
+class CartesianGuardSpec extends SparkSuite {
+
+  // construction executes fits/collects — covered by dedicated specs
+  private val heavyConstruction = Set(
+    "q45_ann_ivf_kmeans", "q79b_semantic_dedup_kmeans", "q86_countmin",
+    "q87_pq_ann", "q90_int8_ann", "q92_ivfpq_ann", "q95_ivf_int8_ann",
+    "q96_ivfpq_residual", "q40_multimodal", "q63_dedup_clusters",
+    "q63b_dedup_clusters_star", "q66_dedup_pipeline", "q72_heavy_hitters",
+    "q75_compression_quality", "q77_quantile_sketch")
+
+  // documented tiny-broadcast NLJ users: scalar attachments (corpus N,
+  // avgdl, vocab size) or 1-row/query-set broadcast scoring scans
+  private val allowedNlj = Set(
+    "q11b_theta_join", "q25_cosine_pairs", "q29_ngram_jaccard",
+    "q35_ann_topk", "q36_ann_lsh", "q37_embed_neardup", "q38_ann_ivf",
+    "q42_stats", "q48_tfidf", "q51_scalar_subquery", "q58_corpus_census",
+    "q64_decontaminate", "q65_curation_pipeline", "q76_ann_lsh_multiprobe",
+    "q79_semantic_dedup", "q80_span_dedup", "q84_bm25", "q88_hybrid_rrf",
+    "q91_lm_perplexity", "q97_temperature_mix")
+
+  test("no declared query plans a CartesianProduct; NLJ only where documented") {
+    val sf = sfDir
+    val offenders = collection.mutable.ListBuffer.empty[String]
+    for (q <- SparkEntry.registry if !heavyConstruction(q.name)) {
+      val plan =
+        try q.fn(spark, sf).queryExecution.executedPlan.toString
+        catch { case e: Throwable => fail(s"${q.name} failed to plan: ${e.getMessage}") }
+      if (plan.contains("CartesianProduct"))
+        offenders += s"${q.name}: CartesianProduct"
+      if (plan.contains("BroadcastNestedLoopJoin") && !allowedNlj(q.name))
+        offenders += s"${q.name}: undocumented BroadcastNestedLoopJoin"
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+}
