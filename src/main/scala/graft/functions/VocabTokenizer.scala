@@ -6,9 +6,11 @@ import org.apache.spark.sql.Column
   * (the [[graft.plans.TextNormExprs.VocabTokenCountExpr]] front end).
   *
   * The committed fixture `src/main/resources/graft/vocab_en.txt` is a
-  * real BPE vocabulary learned from the corpus under the engine's own
-  * normalization contract (150 merge rounds over the docw word table +
-  * the 26 single letters; one piece per line, sorted). Any other vocab
+  * real BPE vocabulary learned from the sf0.01 corpus by the in-repo
+  * [[graft.operators.BpeTrainer]] (minCount=2, merges until no pair
+  * repeats; the 26 single letters + learned pieces, one per line,
+  * sorted). Regenerate with `graft.tools.TrainVocab`; BpeTrainerSpec
+  * asserts the file matches the trainer's output. Any other vocab
   * file with one piece per line loads the same way — the tokenizer is
   * vocabulary-agnostic, which is the point: sequence budgets (q67
   * packing, q70 chunking) computed here are the counts the actual

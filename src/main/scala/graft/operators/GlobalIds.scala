@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Contiguous global row numbering (1..N) in a caller-given total order
+  * — the "assign every training example a stable integer id" step that
+  * precedes sharding, packing, and example-level bookkeeping.
+  *
+  * The naive spelling — `row_number() OVER (ORDER BY …)` with no
+  * PARTITION BY — is the canonical 100 TB trap: Spark moves the entire
+  * relation into ONE partition to run the window (it even logs
+  * "No Partition Defined for Window operation"). This operator produces
+  * the identical answer with the classic two-phase shape every
+  * distributed numbering uses (it is `RDD.zipWithIndex` re-expressed
+  * over Datasets):
+  *
+  *  1. range-repartition on the order key + in-partition sort — the
+  *     same exchange a global ORDER BY performs, so partition p holds
+  *     exactly the rows ranked before partition p+1's;
+  *  2. count rows per partition (one job; ≤ numParts scalar rows to
+  *     the driver — bounded driver traffic, like the CC convergence
+  *     checks in [[Dedup]]);
+  *  3. gid = partition offset (a ≤ numParts-entry broadcast map) +
+  *     1-based position within the already-sorted partition, emitted
+  *     by ONE narrow `mapPartitions` pass — no further exchange.
+  *
+  * Step (3) is deliberately `mapPartitions`, not a window PARTITION BY
+  * partition-id: Catalyst cannot see that the existing range
+  * partitioning already satisfies a hash-by-pid distribution, so the
+  * window spelling would re-shuffle the full relation a second time.
+  * A per-partition running counter is the textbook "genuine
+  * per-partition imperative logic" carve-out.
+  *
+  * The input is pinned with `localCheckpoint` between (1) and (3) so
+  * the count job and the numbering job read the SAME materialized
+  * partition boundaries (range partitioning samples its bounds; two
+  * independent recomputations could disagree).
+  *
+  * The order must be TOTAL (pass a unique tiebreak column last): under
+  * ties the in-partition sort would be free to permute tied rows
+  * differently on each run.
+  */
+object GlobalIds {
+
+  /** Adds `gidCol` (LONG, contiguous 1..N in `order`). `numParts` is
+    * the parallelism of the numbering exchange — size it like any
+    * range-sort output (≈ data / target-partition-size), NOT 1. */
+  def assign(df: DataFrame, gidCol: String, numParts: Int, order: Column*): DataFrame = {
+    require(order.nonEmpty, "global numbering needs a total order")
+    // the partition id is BAKED INTO THE ROWS before the checkpoint —
+    // TaskContext.getPartitionId inside mapPartitions would report the
+    // id of whatever stage the map later fuses into, which need not be
+    // the checkpoint's partition index
+    val pidCol = "_gid_pid"
+    val pinned = df
+      .repartitionByRange(numParts, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn(pidCol, spark_partition_id())
+      .localCheckpoint()
+    // ≤ numParts rows — scalar driver traffic, never data rows
+    val counts = pinned
+      .groupBy(pidCol).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.map(_._1).zip(counts.scanLeft(0L)(_ + _._2).init).toMap
+    val offB = df.sparkSession.sparkContext.broadcast(offsets)
+    val outSchema = df.schema.add(gidCol, LongType, nullable = false)
+    implicit val enc: Encoder[Row] = Encoders.row(outSchema)
+    pinned.mapPartitions { it =>
+      var base = -1L
+      var i = 0L
+      it.map { r =>
+        if (base < 0) base = offB.value(r.getInt(r.length - 1))
+        i += 1
+        Row.fromSeq(r.toSeq.init :+ (base + i))
+      }
+    }
+  }
+}

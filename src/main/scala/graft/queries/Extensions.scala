@@ -1948,9 +1948,109 @@ object Extensions {
       .orderBy(col("lang"), col("es_key").desc, col("doc_id"))
   }
 
+  // -------------------------------------------------------------- Q81b
+  /** GROUP-AWARE (leakage-safe) SPLITS: the split is a pure function of
+    * the GROUP key (`source` — the domain/site a crawl pipeline keys
+    * on), not the doc id, so every document of a source lands in the
+    * same split and no near-duplicate page from one site straddles the
+    * train/test boundary. Same md5-bucket arithmetic as q81; same
+    * narrow-projection scale shape (adding the split to 100 TB costs
+    * one map). The `ORDER BY source, split` output is one row per
+    * source BECAUSE assignment is functional — the oracle match itself
+    * witnesses the no-leakage property. */
+  val q81b = QueryDef("q81b_group_split",
+    s"""WITH b AS (
+       |  SELECT source, ${md5Bucket16Sql("source")} AS bucket FROM documents
+       |)
+       |SELECT source,
+       |       CASE WHEN bucket < ${math.round(0.8 * 65536)} THEN 'train'
+       |            WHEN bucket < ${math.round(0.9 * 65536)} THEN 'val'
+       |            ELSE 'test' END AS split,
+       |       CAST(count(*) AS BIGINT) AS n_docs
+       |FROM b GROUP BY source, split
+       |ORDER BY source, split""") { (s, dir) =>
+    graft.operators.Splits.assign(t(s, dir, "documents"), "source",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("source", "split").agg(count(lit(1)).as("n_docs"))
+      .orderBy("source", "split")
+  }
+
+  // --------------------------------------------------------------- Q98
+  /** CONTIGUOUS GLOBAL IDS ([[graft.operators.GlobalIds]]): number the
+    * corpus 1..N in (n_chars DESC, doc_id) order — the stable
+    * example-id assignment that precedes sharding/packing — WITHOUT the
+    * single-partition window the naive row_number() spelling costs.
+    * Range exchange + per-partition counts (scalar driver traffic) +
+    * one narrow mapPartitions; the oracle is the naive window, which
+    * DuckDB can afford at gate scale. */
+  val q98 = QueryDef("q98_global_ids",
+    """SELECT CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS gid,
+      |       doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+      |FROM documents ORDER BY gid""") { (s, dir) =>
+    graft.operators.GlobalIds.assign(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars")),
+        "gid", numParts = 8, col("n_chars").desc, col("doc_id"))
+      .select(col("gid"), col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("gid")
+  }
+
+  // --------------------------------------------------------------- Q99
+  /** EDIT-DISTANCE-1 FUZZY JOIN ([[graft.operators.FuzzyJoin]],
+    * deletion-neighborhood blocking): all customer-name pairs within
+    * one typo of each other — the record-linkage shape. The oracle is
+    * the naive theta join with DuckDB's levenshtein; the Spark plan is
+    * the equi-join on hashed deletion variants + exact refine, never a
+    * cartesian (CartesianGuardSpec covers the whole inventory). */
+  val q99 = QueryDef("q99_fuzzy_join",
+    """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+      |       a.c_name AS name_a, b.c_name AS name_b
+      |FROM customer a JOIN customer b
+      |  ON a.c_custkey < b.c_custkey AND levenshtein(a.c_name, b.c_name) <= 1
+      |ORDER BY id_a, id_b""") { (s, dir) =>
+    graft.operators.FuzzyJoin.edit1Pairs(t(s, dir, "customer"), "c_custkey", "c_name")
+      .orderBy("id_a", "id_b")
+  }
+
+  // -------------------------------------------------------------- Q100
+  /** BPE VOCABULARY TRAINING ([[graft.operators.BpeTrainer]]): learn 40
+    * merges from the corpus word counts with the engine itself. Not
+    * SQL-expressible (an iterative argmax), so rows-only with in-query
+    * gates on the two invariants training must satisfy: (a) winning
+    * pair counts are NON-INCREASING across rounds (a merge only lowers
+    * existing pair counts, and pairs it creates occur at a subset of
+    * the positions of pairs that were already candidates), and (b)
+    * every merge consumes pieces that exist at its step (the 26
+    * letters plus earlier merges). BpeTrainerSpec adds the independent
+    * witness: the distributed trainer equals a from-scratch driver-side
+    * replay merge-for-merge. */
+  val q100 = QueryDef.noOracle("q100_bpe_train") { (s, dir) =>
+    val wc = t(s, dir, "documents")
+      .select(explode(TextFunctions.normalizedWords(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val merges = graft.operators.BpeTrainer.train(wc, merges = 40)
+    require(merges.nonEmpty, "BPE training learned no merges")
+    merges.sliding(2).foreach {
+      case Seq(a, b) => require(a.cnt >= b.cnt,
+        s"pair counts must be non-increasing: step ${a.step}=${a.cnt} then step ${b.step}=${b.cnt}")
+      case _ => ()
+    }
+    val avail = scala.collection.mutable.Set(('a' to 'z').map(_.toString): _*)
+    merges.foreach { m =>
+      require(avail(m.left) && avail(m.right),
+        s"merge ${m.step} (${m.left}+${m.right}) references a piece that does not exist yet")
+      avail += m.piece
+    }
+    import s.implicits._
+    merges.map(m => (m.step, m.left, m.right, m.piece, m.cnt))
+      .toDF("step", "left", "right", "piece", "cnt")
+      .orderBy("step")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
-    q70, q71, q72, q74, q75, q76, q77, q78, q79, q79b, q80, q81, q86, q87, q88,
-    q89, q90, q91, q92, q93, q94, q95, q96, q97)
+    q70, q71, q72, q74, q75, q76, q77, q78, q79, q79b, q80, q81, q81b, q86, q87,
+    q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100)
 }

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.GlobalIds
+import graft.sources.Tables
+
+/** Contiguous global numbering: equals the naive single-partition
+  * window row_number, is a permutation of 1..N, is invariant to the
+  * input's partitioning, and plans without any Window operator (the
+  * point of the two-phase shape). */
+class GlobalIdsSpec extends SparkSuite {
+
+  private def docs = Tables(spark, sfDir, "documents")
+    .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+
+  test("equals the naive global-window row_number on the corpus") {
+    val got = GlobalIds.assign(docs, "gid", numParts = 5,
+      col("n_chars").desc, col("doc_id"))
+    val naive = docs.withColumn("gid",
+      row_number().over(Window.orderBy(col("n_chars").desc, col("doc_id"))).cast("long"))
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
+  }
+
+  test("ids are a contiguous permutation 1..N") {
+    val n = docs.count()
+    val gids = GlobalIds.assign(docs, "gid", numParts = 7, col("doc_id"))
+      .select("gid").collect().map(_.getLong(0)).sorted
+    assert(gids.toSeq == (1L to n).toSeq)
+  }
+
+  test("invariant to input partitioning") {
+    val a = GlobalIds.assign(docs, "gid", numParts = 4,
+        col("n_chars").desc, col("doc_id"))
+      .select("doc_id", "gid").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = GlobalIds.assign(docs.repartition(13), "gid", numParts = 9,
+        col("n_chars").desc, col("doc_id"))
+      .select("doc_id", "gid").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
+  test("plan has no Window operator and numbering runs over >1 partition") {
+    val df = GlobalIds.assign(docs, "gid", numParts = 5, col("doc_id"))
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!physical.contains("Window"), s"window funnel in plan:\n$physical")
+    assert(df.rdd.getNumPartitions > 1)
+  }
+}
