@@ -2048,9 +2048,70 @@ object Extensions {
       .orderBy("step")
   }
 
+  // -------------------------------------------------------------- Q101
+  /** WEIGHTED PAGERANK ([[graft.operators.PageRank]]) over the
+    * customer-nation → supplier-nation trade graph (edge weight = line
+    * items shipped), 3 iterations, damping 17/20. The iterative
+    * fixed-point is NOT directly SQL-expressible, but with a fixed
+    * iteration count it unrolls — the oracle below is generated CTE
+    * chain d1/c1/r1 … d3/c3/r3 replaying the identical exact-integer
+    * arithmetic (1e9 fixed-point ranks, integral `div`/`//` floors),
+    * so the comparison is bit-for-bit, not tolerance-based. */
+  private def pageRankOracleSql(iters: Int): String = {
+    val scale = graft.operators.PageRank.scale
+    val steps = (1 to iters).map { k =>
+      s"""d$k AS (
+         |  SELECT coalesce(sum(r.rank), 0) AS dang
+         |  FROM r${k - 1} r LEFT JOIN ow ON r.node = ow.src WHERE ow.src IS NULL
+         |),
+         |c$k AS (
+         |  SELECT en.dst AS node, sum((r.rank * en.w) // en.outw) AS in_sum
+         |  FROM en JOIN r${k - 1} r ON en.src = r.node GROUP BY en.dst
+         |),
+         |r$k AS (
+         |  SELECT nd.node,
+         |         ((CAST(${scale} AS BIGINT) * 3) // 20) // p.n
+         |         + (17 * (coalesce(c.in_sum, 0) + (SELECT dang FROM d$k) // p.n)) // 20 AS rank
+         |  FROM nodes nd CROSS JOIN params p LEFT JOIN c$k c ON nd.node = c.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, CAST(count(*) AS BIGINT) AS w
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  GROUP BY 1, 2
+       |),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |ow AS (SELECT src, sum(w) AS outw FROM e GROUP BY src),
+       |en AS (SELECT e.src, e.dst, e.w, ow.outw FROM e JOIN ow ON e.src = ow.src),
+       |params AS (SELECT count(*) AS n FROM nodes),
+       |r0 AS (SELECT node, $scale // p.n AS rank FROM nodes CROSS JOIN params p),
+       |$steps
+       |SELECT CAST(node AS BIGINT) AS node, CAST(rank AS BIGINT) AS rank
+       |FROM r$iters ORDER BY rank DESC, node""".stripMargin
+  }
+
+  val q101 = QueryDef("q101_pagerank", pageRankOracleSql(3)) { (s, dir) =>
+    val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    val ord = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val supp = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val edges = li
+      .join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    graft.operators.PageRank.run(edges, iterations = 3)
+      .select(col("node").cast("long").as("node"), col("rank"))
+      .orderBy(col("rank").desc, col("node"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q74, q75, q76, q77, q78, q79, q79b, q80, q81, q81b, q86, q87,
-    q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100)
+    q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101)
 }
