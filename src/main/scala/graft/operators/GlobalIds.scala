@@ -77,4 +77,42 @@ object GlobalIds {
       }
     }
   }
+
+  /** Distributed PREFIX SUM: adds `cumCol` = the running total of
+    * `valueCol` (inclusive) over the total order — `sum() OVER (ORDER
+    * BY …)` without the single-partition window. Same two-phase shape
+    * as [[assign]], with per-partition SUMS instead of counts as the
+    * broadcast offsets. This is the shard-packing primitive: cutting a
+    * corpus into ~fixed-token output shards is
+    * `floor((cum - value) / shardSize)` over the cumulative column.
+    * `valueCol` must be integral (LONG) — integer sums are
+    * order-independent, so the result is bit-stable (the q91 idiom). */
+  def prefixSum(df: DataFrame, valueCol: String, cumCol: String,
+      numParts: Int, order: Column*): DataFrame = {
+    require(order.nonEmpty, "prefix sum needs a total order")
+    val pidCol = "_gid_pid"
+    val pinned = df
+      .repartitionByRange(numParts, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn(pidCol, spark_partition_id())
+      .localCheckpoint()
+    val vIdx = pinned.schema.fieldIndex(valueCol)
+    // ≤ numParts scalar rows to the driver
+    val sums = pinned.groupBy(pidCol)
+      .agg(sum(col(valueCol).cast("long")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = sums.map(_._1).zip(sums.scanLeft(0L)(_ + _._2).init).toMap
+    val offB = df.sparkSession.sparkContext.broadcast(offsets)
+    val outSchema = df.schema.add(cumCol, LongType, nullable = false)
+    implicit val enc: Encoder[Row] = Encoders.row(outSchema)
+    pinned.mapPartitions { it =>
+      var base = -1L
+      var run = 0L
+      it.map { r =>
+        if (base < 0) base = offB.value(r.getInt(r.length - 1))
+        run += r.getLong(vIdx)
+        Row.fromSeq(r.toSeq.init :+ (base + run))
+      }
+    }
+  }
 }

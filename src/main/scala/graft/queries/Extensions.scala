@@ -2109,9 +2109,85 @@ object Extensions {
       .orderBy(col("rank").desc, col("node"))
   }
 
+  // -------------------------------------------------------------- Q102
+  /** TOKEN-BUDGET SHARD ASSIGNMENT ([[graft.operators.GlobalIds.prefixSum]]):
+    * cut the corpus into ~2000-token output shards in doc_id order —
+    * the "write fixed-size training shards" step. The cumulative token
+    * count is a distributed prefix sum (range exchange + per-partition
+    * sums as broadcast offsets + one narrow map), NOT the
+    * single-partition `sum() OVER (ORDER BY …)` window the oracle uses;
+    * shard = the doc's start offset div the budget. Integer sums →
+    * bit-stable in any partitioning. */
+  val q102 = QueryDef("q102_token_shards",
+    s"""WITH $docwCte, d AS (
+       |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tok FROM docw
+       |), c AS (
+       |  SELECT doc_id, n_tok,
+       |         sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM d
+       |)
+       |SELECT doc_id, n_tok, CAST(cum AS BIGINT) AS cum_tok,
+       |       CAST((cum - n_tok) // 2000 AS BIGINT) AS shard
+       |FROM c ORDER BY doc_id""") { (s, dir) =>
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(TextFunctions.normalizedWords(col("text"))).cast("long").as("n_tok"))
+    graft.operators.GlobalIds.prefixSum(d, "n_tok", "cum_tok", numParts = 8, col("doc_id"))
+      .withColumn("shard", expr("(cum_tok - n_tok) div 2000"))
+      .select("doc_id", "n_tok", "cum_tok", "shard")
+      .orderBy("doc_id")
+  }
+
+  // -------------------------------------------------------------- Q103
+  /** PER-LANGUAGE QUALITY PERCENTILE GATE: keep documents at or above
+    * the 20th percentile of the q31 quality score WITHIN their
+    * language — the relative-threshold filtering real curation uses
+    * (an absolute score cut is miscalibrated across languages).
+    * percent_rank runs over (round4(score), doc_id) — an integer-exact
+    * ordering both engines replay bit-identically. The declared gate is
+    * the exact window (per-lang sort); at 100 TB the production path is
+    * a broadcast threshold from the GK sketch (q77) — same semantics,
+    * no per-lang funnel — which this query's oracle certifies. */
+  val q103 = {
+    val en = TextFunctions.stopwords("en").map(w => s"'$w'").mkString(", ")
+    QueryDef("q103_quality_percentile",
+      s"""WITH $docwCte, f AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(w) AS INT) AS n_tok,
+         |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+         |      / greatest(length(text), 1) AS alpha_ratio,
+         |    CAST(len(list_filter(w, x -> x IN ($en))) AS DOUBLE)
+         |      / greatest(len(w), 1) AS stop_ratio
+         |  FROM docw
+         |), sc AS (
+         |  SELECT doc_id, lang,
+         |         ${TextFunctions.round4Sql(
+                     "least(1.0, CAST(n_tok AS DOUBLE) / 100.0) * 0.4 + alpha_ratio * 0.3 + stop_ratio * 0.3")} AS score
+         |  FROM f
+         |), p AS (
+         |  SELECT doc_id, lang, score,
+         |         percent_rank() OVER (PARTITION BY lang ORDER BY score, doc_id) AS pr
+         |  FROM sc
+         |)
+         |SELECT doc_id, lang, score, ${TextFunctions.round4Sql("pr")} AS pr
+         |FROM p WHERE pr >= 0.2 ORDER BY lang, doc_id""") { (s, dir) =>
+      val scored = TextAnalysis.qualityScore(
+        t(s, dir, "documents"), "doc_id", "text", keep = Seq("lang"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("score"), col("doc_id"))
+      scored
+        .withColumn("pr", percent_rank().over(w))
+        .filter(col("pr") >= 0.2)
+        .select(col("doc_id"), col("lang"), col("score"),
+          TextFunctions.round4(col("pr")).as("pr"))
+        .orderBy("lang", "doc_id")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q74, q75, q76, q77, q78, q79, q79b, q80, q81, q81b, q86, q87,
-    q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101)
+    q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102,
+    q103)
 }

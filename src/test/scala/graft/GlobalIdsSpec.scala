@@ -46,4 +46,22 @@ class GlobalIdsSpec extends SparkSuite {
     assert(!physical.contains("Window"), s"window funnel in plan:\n$physical")
     assert(df.rdd.getNumPartitions > 1)
   }
+
+  test("prefixSum equals the naive running-total window") {
+    val got = GlobalIds.prefixSum(docs, "n_chars", "cum", numParts = 6, col("doc_id"))
+    val naive = docs.withColumn("cum",
+      sum(col("n_chars")).over(
+        Window.orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, 0)))
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
+  }
+
+  test("prefixSum: last cumulative value is the grand total, invariant to partitioning") {
+    val total = docs.agg(sum("n_chars")).head.getLong(0)
+    val a = GlobalIds.prefixSum(docs, "n_chars", "cum", 4, col("doc_id"))
+    val b = GlobalIds.prefixSum(docs.repartition(11), "n_chars", "cum", 9, col("doc_id"))
+    assert(a.agg(max("cum")).head.getLong(0) == total)
+    val am = a.select("doc_id", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bm = b.select("doc_id", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(am == bm)
+  }
 }
