@@ -125,4 +125,39 @@ object Sampling {
       .filter(col("rn") <= k)
       .drop("rn", "__pid", "__prn")
   }
+
+  /** DETERMINISTIC NEGATIVE SAMPLING (contrastive-training data): k
+    * uniform pseudo-random negatives per anchor, drawn WITHOUT any
+    * cross join, shuffle of the corpus by value, or driver-held RNG.
+    *
+    * Scheme: dense ids 1..N via [[GlobalIds]] (one range exchange),
+    * then negative j of anchor a is the row whose dense id is
+    * `1 + (md5-bucket(a + "#" + j) mod N)` — a pure function of
+    * (anchor, j), so draws are reproducible anywhere, independent of
+    * partitioning, and engine-portable (the [[Splits]] bucket
+    * arithmetic). A draw that hits the anchor itself moves to the
+    * cyclically-next id. Fetching negatives is ONE hash equi-join on
+    * the dense id; the anchor×k fan-out is a narrow explode.
+    *
+    * Uniformity is bucket-quantized (65536 mod N bias — negligible for
+    * N ≪ 65536 per draw); true negatives (label-aware filtering) are
+    * the caller's join to apply afterwards. */
+  def negativeSample(df: DataFrame, idCol: String, k: Int,
+      numParts: Int = 32): DataFrame = {
+    require(k > 0)
+    val ids = GlobalIds.assign(df.select(col(idCol)).distinct(), "_gid",
+      numParts, col(idCol))
+    val n = ids.agg(max("_gid")).head.getLong(0) // scalar (= distinct count)
+    require(n >= 2, "need at least two ids to draw negatives")
+    val drawn = ids
+      .select(col(idCol).as("anchor"), col("_gid").as("ag"))
+      .withColumn("j", explode(sequence(lit(1), lit(k))))
+      .withColumn("ng_raw",
+        lit(1L) + Splits.hashBucket(concat(col("anchor"), lit("#"), col("j"))).cast("long") % n)
+      .withColumn("ng",
+        when(col("ng_raw") === col("ag"), col("ag") % n + 1).otherwise(col("ng_raw")))
+    drawn
+      .join(ids.select(col(idCol).as("neg_id"), col("_gid").as("ng")), "ng")
+      .select(col("anchor"), col("j"), col("neg_id"))
+  }
 }

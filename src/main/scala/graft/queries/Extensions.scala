@@ -2184,10 +2184,76 @@ object Extensions {
     }
   }
 
+  // -------------------------------------------------------------- Q104
+  /** CROSS-DOCUMENT CHUNK DEDUP ([[Dedup.crossDocChunkDedup]], the
+    * CCNet paragraph-dedup shape): every distinct 16-token chunk is
+    * kept exactly once corpus-wide, at its first (doc_id, chunk_idx)
+    * occurrence; output is the per-doc retention accounting. The Spark
+    * owner is a struct-min AGGREGATE (map-side combinable); the oracle
+    * replays it as a rn=1 window over each hash group — equivalent
+    * because (doc_id, chunk_idx) is a total order. */
+  val q104 = QueryDef("q104_chunk_dedup",
+    s"""WITH $docwCte, d AS (
+       |  SELECT doc_id, w, len(w) AS n FROM docw WHERE len(w) > 0
+       |), c AS (
+       |  SELECT doc_id, w, n,
+       |         unnest(range(((greatest(n - 16, 0) + 15) // 16) + 1)) AS chunk_idx
+       |  FROM d
+       |), ch AS (
+       |  SELECT doc_id,
+       |         CAST(least(16, n - chunk_idx * 16) AS INT) AS chunk_tok,
+       |         md5(array_to_string(w[(chunk_idx * 16 + 1):least(chunk_idx * 16 + 16, CAST(n AS INT))], ' ')) AS chunk_hash,
+       |         chunk_idx
+       |  FROM c
+       |), r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY chunk_hash
+       |                               ORDER BY doc_id, chunk_idx) AS rn
+       |  FROM ch
+       |)
+       |SELECT doc_id,
+       |       CAST(count(*) AS BIGINT) AS n_chunks,
+       |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       CAST(sum(CASE WHEN rn = 1 THEN chunk_tok ELSE 0 END) AS BIGINT) AS kept_tok
+       |FROM r GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
+    Dedup.crossDocChunkDedup(t(s, dir, "documents"), "doc_id", "text", chunkSize = 16)
+      .orderBy("doc_id")
+  }
+
+  // -------------------------------------------------------------- Q105
+  /** DETERMINISTIC NEGATIVE SAMPLING
+    * ([[graft.operators.Sampling.negativeSample]]): 4 pseudo-random
+    * negatives per embedding anchor — contrastive-training pairs drawn
+    * via dense [[graft.operators.GlobalIds]] + the md5-bucket draw, so
+    * the oracle replays every draw exactly (row_number gids + the same
+    * bucket arithmetic); fetching negatives is one hash equi-join, no
+    * cross join anywhere. */
+  val q105 = QueryDef("q105_negative_sample",
+    s"""WITH ids AS (
+       |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS gid FROM embeddings
+       |), p AS (SELECT count(*) AS n FROM ids),
+       |a AS (
+       |  SELECT i.vec_id AS anchor, i.gid AS ag, unnest(range(1, 5)) AS j FROM ids i
+       |), d AS (
+       |  SELECT anchor, CAST(j AS INT) AS j, ag, p.n AS n,
+       |         1 + (${md5Bucket16Sql("concat(anchor, '#', j)")} % p.n) AS ng_raw
+       |  FROM a CROSS JOIN p
+       |), f AS (
+       |  SELECT anchor, j,
+       |         CASE WHEN ng_raw = ag THEN (ag % n) + 1 ELSE ng_raw END AS ng
+       |  FROM d
+       |)
+       |SELECT f.anchor, f.j, i.vec_id AS neg_id
+       |FROM f JOIN ids i ON f.ng = i.gid
+       |ORDER BY anchor, j""") { (s, dir) =>
+    graft.operators.Sampling.negativeSample(
+        t(s, dir, "embeddings").select("vec_id"), "vec_id", k = 4, numParts = 8)
+      .orderBy("anchor", "j")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q74, q75, q76, q77, q78, q79, q79b, q80, q81, q81b, q86, q87,
     q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102,
-    q103)
+    q103, q104, q105)
 }

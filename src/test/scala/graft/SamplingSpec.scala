@@ -146,4 +146,22 @@ class SamplingSpec extends SparkSuite {
       assert(math.abs(r.getDouble(2) - expect) < 1e-12, s"doc $id")
     }
   }
+
+  test("negativeSample: k rows per anchor, never the anchor itself, deterministic") {
+    val ids = docs.select("doc_id")
+    val neg = Sampling.negativeSample(ids, "doc_id", k = 3, numParts = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val n = ids.count()
+    assert(neg.length == n * 3)
+    assert(neg.groupBy(_._1).forall { case (_, rows) =>
+      rows.map(_._2).sorted.toSeq == Seq(1, 2, 3) })
+    assert(neg.forall { case (a, _, ng) => a != ng }, "anchor drawn as its own negative")
+    val again = Sampling.negativeSample(ids.repartition(9), "doc_id", k = 3, numParts = 6)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(neg.toSet == again.toSet, "draws must not depend on partitioning")
+    // uniform-ish coverage: with 1500 draws over 500 ids, no id should
+    // dominate (a degenerate hash would collapse onto few targets)
+    val hist = neg.groupBy(_._3).view.mapValues(_.size)
+    assert(hist.values.max <= 20, s"suspiciously hot negative: ${hist.maxBy(_._2)}")
+  }
 }
