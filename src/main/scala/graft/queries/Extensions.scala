@@ -2250,10 +2250,96 @@ object Extensions {
       .orderBy("anchor", "j")
   }
 
+  // -------------------------------------------------------------- Q106
+  /** SNAPSHOT DIFF ([[graft.operators.SnapshotDiff]]): classify every
+    * id across two corpus snapshots as added/removed/changed/unchanged
+    * — the dataset-versioning step whose `added ∪ changed` output is
+    * the incremental-recompute work list (q74's input shape). The
+    * second snapshot is simulated with deterministic md5-bucket churn
+    * (5% removed, 10% edited, ~5% added under shifted ids) so the
+    * oracle replays it exactly; each side reduces to (id, md5) before
+    * the ONE full-outer id join — documents never shuffle by content. */
+  val q106 = QueryDef("q106_snapshot_diff",
+    s"""WITH b AS (
+       |  SELECT doc_id, text, ${md5Bucket16Sql("doc_id")} AS bkt FROM documents
+       |), o AS (
+       |  SELECT doc_id, md5(coalesce(text, '')) AS oh FROM documents
+       |), n AS (
+       |  SELECT doc_id,
+       |         md5(coalesce(CASE WHEN bkt < 9831 THEN text || ' v2' ELSE text END, '')) AS nh
+       |  FROM b WHERE bkt >= 3277
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, md5(coalesce('new ' || text, '')) FROM b WHERE bkt >= 62259
+       |)
+       |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       |       CASE WHEN o.oh IS NULL THEN 'added'
+       |            WHEN n.nh IS NULL THEN 'removed'
+       |            WHEN o.oh = n.nh THEN 'unchanged'
+       |            ELSE 'changed' END AS status
+       |FROM o FULL JOIN n ON o.doc_id = n.doc_id
+       |ORDER BY doc_id""") { (s, dir) =>
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val bkt = graft.operators.Splits.hashBucket(col("doc_id"))
+    val newSnap = docs.filter(bkt >= 3277)
+      .select(col("doc_id"),
+        when(bkt < 9831, concat(col("text"), lit(" v2"))).otherwise(col("text")).as("text"))
+      .unionByName(docs.filter(bkt >= 62259)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(lit("new "), col("text")).as("text")))
+    graft.operators.SnapshotDiff.diff(docs, newSnap, "doc_id", Seq("text"))
+      .orderBy("doc_id")
+  }
+
+  // -------------------------------------------------------------- Q107
+  /** REFERENTIAL-INTEGRITY AUDIT: orphan counts for every foreign key
+    * in the star schema — the data-quality gate an ingest pipeline runs
+    * before publishing a snapshot (all zeros on intact data IS the
+    * assertion). Each leg is one left equi-join against a unique parent
+    * key (cardinality-preserving) + a conditional count; small parents
+    * broadcast. */
+  val q107 = {
+    def leg(label: String, child: String, ck: String, parent: String, pk: String) =
+      s"""SELECT '$label' AS fk, CAST(count(*) AS BIGINT) AS n_child,
+         |       CAST(sum(CASE WHEN p.$pk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+         |FROM $child c LEFT JOIN $parent p ON c.$ck = p.$pk""".stripMargin
+    QueryDef("q107_fk_audit",
+      Seq(
+        leg("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        leg("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        leg("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        leg("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        leg("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        leg("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY fk")) { (s, dir) =>
+      // no broadcast hint: nation/supplier promote via AQE; orders/part
+      // must stay shuffle joins at scale (a "broadcast the parent" hint
+      // would be wrong for fact-sized parents)
+      def sleg(label: String, child: DataFrame, ck: String,
+          parent: DataFrame, pk: String) =
+        child.join(parent, child(ck) === parent(pk), "left_outer")
+          .agg(count(lit(1)).as("n_child"),
+            sum(when(parent(pk).isNull, 1L).otherwise(0L)).as("n_orphans"))
+          .select(lit(label).as("fk"), col("n_child"), col("n_orphans"))
+      sleg("customer->nation", t(s, dir, "customer"), "c_nationkey",
+          t(s, dir, "nation"), "n_nationkey")
+        .unionByName(sleg("lineitem->orders", t(s, dir, "lineitem"), "l_orderkey",
+          t(s, dir, "orders"), "o_orderkey"))
+        .unionByName(sleg("lineitem->part", t(s, dir, "lineitem"), "l_partkey",
+          t(s, dir, "part"), "p_partkey"))
+        .unionByName(sleg("lineitem->supplier", t(s, dir, "lineitem"), "l_suppkey",
+          t(s, dir, "supplier"), "s_suppkey"))
+        .unionByName(sleg("orders->customer", t(s, dir, "orders"), "o_custkey",
+          t(s, dir, "customer"), "c_custkey"))
+        .unionByName(sleg("supplier->nation", t(s, dir, "supplier"), "s_nationkey",
+          t(s, dir, "nation"), "n_nationkey"))
+        .orderBy("fk")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q74, q75, q76, q77, q78, q79, q79b, q80, q81, q81b, q86, q87,
     q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102,
-    q103, q104, q105)
+    q103, q104, q105, q106, q107)
 }
