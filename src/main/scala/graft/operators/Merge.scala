@@ -43,4 +43,26 @@ object Merge {
       .select(col(keyCol) +: dataCols.map(d =>
         when(col("_op").isNotNull, col(s"_c_$d")).otherwise(col(s"_s_$d")).as(d)): _*)
   }
+
+  /** CHANGELOG COMPACTION — the step [[applyChangeset]]'s doc defers to
+    * the caller: collapse an ordered, possibly-many-ops-per-key log to
+    * the LATEST state per key, tombstone-aware (a key whose last op is
+    * `deleteOp` disappears). This is log-structured compaction (the
+    * read path of every LSM table format) as one aggregation.
+    *
+    * The latest row is a struct-MAX AGGREGATE over (ordCols ++ rest) —
+    * map-side combinable, one shuffle on the key, never a window over
+    * the log ([[graft.queries.Extensions]] q79's argmax idiom).
+    * `ordCols` must totally order each key's ops (ties would make
+    * "latest" nondeterministic — include a unique sequence column). */
+  def compactLog(log: DataFrame, keyCol: String, opCol: String,
+      deleteOp: String, ordCols: Seq[String]): DataFrame = {
+    require(ordCols.nonEmpty, "compaction needs an op order")
+    val rest = log.columns.filterNot(c => c == keyCol || ordCols.contains(c)).toSeq
+    val fields = ordCols ++ rest
+    log.groupBy(keyCol)
+      .agg(max(struct(fields.map(col): _*)).as("_m"))
+      .select(col(keyCol) +: fields.map(c => col(s"_m.$c").as(c)): _*)
+      .filter(col(opCol) =!= deleteOp)
+  }
 }

@@ -2336,10 +2336,65 @@ object Extensions {
     }
   }
 
+  // -------------------------------------------------------------- Q108
+  /** INCREMENTAL STATS MAINTENANCE (partial-aggregate merge — the
+    * materialized-view-update pattern): per-lang corpus stats computed
+    * as TWO partial aggregations (a 90% "snapshot" batch and a 10%
+    * "delta" batch, split by deterministic md5 bucket) whose partials
+    * MERGE by re-aggregation (counts/sums add, mins min, maxes max) —
+    * never rescanning the snapshot corpus. The oracle computes the same
+    * stats from the full corpus directly: the match IS the proof that
+    * merge(partial(A), partial(B)) = full(A ∪ B). */
+  val q108 = QueryDef("q108_incremental_stats",
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |       CAST(min(n_chars) AS BIGINT) AS min_chars,
+      |       CAST(max(n_chars) AS BIGINT) AS max_chars
+      |FROM documents GROUP BY lang ORDER BY lang""") { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val bkt = graft.operators.Splits.hashBucket(col("doc_id"))
+    def partial(df: DataFrame) = df.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+      min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+    partial(docs.filter(bkt < 58982))          // the standing snapshot partial
+      .unionByName(partial(docs.filter(bkt >= 58982))) // the new-batch partial
+      .groupBy("lang").agg(                    // the merge: re-aggregation
+        sum("n_docs").as("n_docs"), sum("sum_chars").as("sum_chars"),
+        min("min_chars").as("min_chars"), max("max_chars").as("max_chars"))
+      .orderBy("lang")
+  }
+
+  // -------------------------------------------------------------- Q109
+  /** CHANGELOG COMPACTION ([[graft.operators.Merge.compactLog]]):
+    * latest state per user from the ordered event log, with 'error'
+    * ops as tombstones — LSM-style log compaction as one struct-max
+    * aggregation (map-side combinable), no window over the log. The
+    * oracle replays it as the rn=1 window, equivalent because
+    * (ts, event_id) totally orders each key's ops. */
+  val q109 = QueryDef("q109_log_compaction",
+    s"""WITH r AS (
+       |  SELECT user_id, event_type, value,
+       |         row_number() OVER (PARTITION BY user_id
+       |                            ORDER BY ts DESC, event_id DESC) AS rn
+       |  FROM events
+       |)
+       |SELECT user_id, event_type AS last_type,
+       |       ${TextFunctions.round4Sql("value")} AS last_value
+       |FROM r WHERE rn = 1 AND event_type <> 'error'
+       |ORDER BY user_id""") { (s, dir) =>
+    graft.operators.Merge.compactLog(t(s, dir, "events")
+        .select("user_id", "ts", "event_id", "event_type", "value"),
+        keyCol = "user_id", opCol = "event_type", deleteOp = "error",
+        ordCols = Seq("ts", "event_id"))
+      .select(col("user_id"), col("event_type").as("last_type"),
+        TextFunctions.round4(col("value")).as("last_value"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q74, q75, q76, q77, q78, q79, q79b, q80, q81, q81b, q86, q87,
     q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102,
-    q103, q104, q105, q106, q107)
+    q103, q104, q105, q106, q107, q108, q109)
 }

@@ -673,6 +673,32 @@ class MergeSpec extends SparkSuite {
     val twice = Merge.applyChangeset(once, chg, "k", "op")
     assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
   }
+
+  test("compactLog keeps the latest op per key; trailing tombstone drops the key") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, 1L, "U", "v1"), (1L, 2L, "U", "v2"),   // latest wins
+      (2L, 1L, "U", "x"), (2L, 2L, "D", "-"),     // tombstone last -> gone
+      (3L, 2L, "U", "kept"), (3L, 1L, "D", "-"))  // tombstone BEFORE an update -> kept
+      .toDF("k", "seq", "op", "v")
+    val got = Merge.compactLog(log, "k", "op", "D", Seq("seq"))
+      .select("k", "v").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "v2", 3L -> "kept"))
+  }
+
+  test("compactLog equals the rn=1 window on the event log; plan has no Window") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables(spark, sfDir, "events")
+      .select("user_id", "ts", "event_id", "event_type", "value")
+    val got = Merge.compactLog(ev, "user_id", "event_type", "error", Seq("ts", "event_id"))
+      .select("user_id", "event_type", "value")
+    val naive = ev.withColumn("rn", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") === 1 && col("event_type") =!= "error")
+      .select("user_id", "event_type", "value")
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
+    assert(!got.queryExecution.executedPlan.toString.contains("Window"))
+  }
 }
 
 class SplitsSpec extends SparkSuite {
