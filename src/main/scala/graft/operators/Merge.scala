@@ -56,13 +56,19 @@ object Merge {
     * `ordCols` must totally order each key's ops (ties would make
     * "latest" nondeterministic — include a unique sequence column). */
   def compactLog(log: DataFrame, keyCol: String, opCol: String,
-      deleteOp: String, ordCols: Seq[String]): DataFrame = {
+      deleteOp: String, ordCols: Seq[String]): DataFrame =
+    latestPerKey(log, keyCol, ordCols).filter(col(opCol) =!= deleteOp)
+
+  /** The latest row per key in `ordCols` order, TOMBSTONES KEPT — the
+    * write-side half of compaction (an LSM "SSTable" keeps its deletes
+    * so later merges can suppress older batches' rows; only the final
+    * read-side [[compactLog]] drops them). */
+  def latestPerKey(log: DataFrame, keyCol: String, ordCols: Seq[String]): DataFrame = {
     require(ordCols.nonEmpty, "compaction needs an op order")
     val rest = log.columns.filterNot(c => c == keyCol || ordCols.contains(c)).toSeq
     val fields = ordCols ++ rest
     log.groupBy(keyCol)
       .agg(max(struct(fields.map(col): _*)).as("_m"))
       .select(col(keyCol) +: fields.map(c => col(s"_m.$c").as(c)): _*)
-      .filter(col(opCol) =!= deleteOp)
   }
 }

@@ -328,6 +328,41 @@ object EventStreams {
       }
       .start()
 
+  /** LSM-STYLE STREAMING LOG COMPACTION — the CDC twin of
+    * [[dedupUpsertBatch]] for UPDATING streams (latest-op-wins with
+    * tombstones, not insert-only): each micro-batch lands as its own
+    * per-key-compacted "SSTable" under `batch=<id>`, TOMBSTONES KEPT
+    * ([[graft.operators.Merge.latestPerKey]]); the queryable snapshot
+    * is the read-side merge ([[compactedState]]).
+    *
+    * Exactly-once: the checkpoint pins batch ids, a retried batch
+    * overwrites its own directory, and — unlike the anti-join ingest —
+    * the write path never reads existing state at all, so re-delivery
+    * and cross-batch out-of-order ops are resolved by the SAME total
+    * (ordCols) order at read time, not by arrival order. */
+  def compactUpsertBatch(batch: DataFrame, targetDir: String, keyCol: String,
+      ordCols: Seq[String], batchId: Long): Unit =
+    graft.operators.Merge.latestPerKey(batch, keyCol, ordCols)
+      .write.mode("overwrite").parquet(s"$targetDir/batch=$batchId")
+
+  /** The compacted latest-state view over every landed batch (deletes
+    * applied). Read-side merge — one aggregation over the SSTables. */
+  def compactedState(spark: SparkSession, targetDir: String, keyCol: String,
+      opCol: String, deleteOp: String, ordCols: Seq[String]): DataFrame =
+    graft.operators.Merge.compactLog(
+      spark.read.parquet(targetDir).drop("batch"), keyCol, opCol, deleteOp, ordCols)
+
+  /** Start the streaming compaction: stream → [[compactUpsertBatch]]
+    * per micro-batch. */
+  def compactUpsertStream(events: DataFrame, targetDir: String, keyCol: String,
+      ordCols: Seq[String], checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        compactUpsertBatch(batch.toDF(), targetDir, keyCol, ordCols, id)
+      }
+      .start()
+
   /** Replay a batch DataFrame's rows through a real streaming source
     * (file source over a temp parquet copy), apply `transform`, collect
     * to a memory sink. Test/demo harness for batch equivalence. */
