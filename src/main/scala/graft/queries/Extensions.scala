@@ -2391,10 +2391,69 @@ object Extensions {
       .orderBy("user_id")
   }
 
+  // -------------------------------------------------------------- Q110
+  /** DISTRIBUTION DRIFT (PSI — population stability index) between two
+    * corpus snapshots, per language: the monitoring gate that catches a
+    * crawler/filter change skewing the length distribution before the
+    * skewed data trains anything. Snapshots are the deterministic
+    * md5-bucket halves; n_chars bins are FIXED-width (data-independent
+    * → engine-portable); +1 Laplace smoothing keeps empty bins finite;
+    * each bin's term is floor-rounded at 8 dp BEFORE the sum (the q89
+    * ln idiom — sums of 1e-8 multiples are exact doubles), PSI rounded
+    * at 4 dp. PSI < 0.1 = stable; the fixture halves come from one
+    * generator, so small values are themselves the sanity check. */
+  val q110 = {
+    val B = 5; val width = 150
+    QueryDef("q110_psi_drift",
+      s"""WITH h AS (
+         |  SELECT lang, least($B - 1, n_chars // $width) AS bin,
+         |         ${md5Bucket16Sql("doc_id")} < 32768 AS is_old
+         |  FROM documents
+         |), langs AS (SELECT DISTINCT lang FROM documents),
+         |grid AS (SELECT lang, unnest(range($B)) AS bin FROM langs),
+         |c AS (
+         |  SELECT g.lang, g.bin,
+         |         coalesce(sum(CASE WHEN h.is_old THEN 1 ELSE 0 END), 0) + 1 AS c_old,
+         |         coalesce(sum(CASE WHEN NOT h.is_old THEN 1 ELSE 0 END), 0) + 1 AS c_new
+         |  FROM grid g LEFT JOIN h ON h.lang = g.lang AND h.bin = g.bin
+         |  GROUP BY g.lang, g.bin
+         |), t AS (
+         |  SELECT lang, bin, c_old, c_new,
+         |         CAST(c_old AS DOUBLE) / (sum(c_old) OVER (PARTITION BY lang)) AS po,
+         |         CAST(c_new AS DOUBLE) / (sum(c_new) OVER (PARTITION BY lang)) AS pn
+         |  FROM c
+         |), terms AS (
+         |  SELECT lang, floor((pn - po) * ln(pn / po) * 100000000 + 0.5) / 100000000 AS term
+         |  FROM t
+         |)
+         |SELECT lang, floor(sum(term) * 10000 + 0.5) / 10000 AS psi
+         |FROM terms GROUP BY lang ORDER BY lang""") { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val h = docs.select(col("lang"),
+        least(lit(B - 1), expr(s"n_chars div $width")).as("bin"),
+        (graft.operators.Splits.hashBucket(col("doc_id")) < 32768).as("is_old"))
+      val grid = docs.select("lang").distinct()
+        .withColumn("bin", explode(sequence(lit(0), lit(B - 1)).cast("array<long>")))
+      val c = grid.join(h, Seq("lang", "bin"), "left_outer")
+        .groupBy("lang", "bin")
+        .agg((coalesce(sum(when(col("is_old"), 1L).otherwise(0L)), lit(0L)) + 1L).as("c_old"),
+          (coalesce(sum(when(!col("is_old"), 1L).otherwise(0L)), lit(0L)) + 1L).as("c_new"))
+      val wLang = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      val tt = c
+        .withColumn("po", col("c_old").cast("double") / sum("c_old").over(wLang))
+        .withColumn("pn", col("c_new").cast("double") / sum("c_new").over(wLang))
+        .withColumn("term",
+          floor((col("pn") - col("po")) * log(col("pn") / col("po")) * 1e8 + 0.5) / 1e8)
+      tt.groupBy("lang")
+        .agg((floor(sum("term") * 10000 + 0.5) / 10000).as("psi"))
+        .orderBy("lang")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q74, q75, q76, q77, q78, q79, q79b, q80, q81, q81b, q86, q87,
     q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102,
-    q103, q104, q105, q106, q107, q108, q109)
+    q103, q104, q105, q106, q107, q108, q109, q110)
 }
