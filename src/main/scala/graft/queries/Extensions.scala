@@ -2450,10 +2450,44 @@ object Extensions {
     }
   }
 
+  // -------------------------------------------------------------- Q111
+  /** EMBEDDING CENTROIDS per cluster label
+    * ([[graft.operators.VectorAggregates]]): element-wise mean of the
+    * 64-d embeddings as a mergeable typed Aggregator — ONE fixed-width
+    * buffer per group crosses the shuffle instead of the 64×-row
+    * posexplode the naive spelling costs. Floats snap to integer 1e-6
+    * units before summation (exact longs → order-independent), and the
+    * oracle replays the same arithmetic via unnest WITH ORDINALITY. */
+  val q111 = QueryDef("q111_embedding_centroids",
+    """WITH u AS (
+      |  SELECT e.label, t.range AS ord,
+      |         CAST(floor(CAST(e.embedding[CAST(t.range AS INT)] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS units
+      |  FROM embeddings e, range(1, 65) t
+      |), s AS (
+      |  SELECT label, ord, sum(units) AS su FROM u GROUP BY label, ord
+      |), n AS (
+      |  SELECT label, CAST(count(*) AS BIGINT) AS n FROM embeddings GROUP BY label
+      |)
+      |SELECT n.label, n.n,
+      |       list(floor((CAST(s.su AS DOUBLE) / (n.n * 1000000.0)) * 10000 + 0.5) / 10000
+      |            ORDER BY s.ord) AS centroid
+      |FROM s JOIN n ON s.label = n.label
+      |GROUP BY n.label, n.n ORDER BY n.label""") { (s, dir) =>
+    t(s, dir, "embeddings")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        graft.operators.VectorAggregates.vectorSumUnits(col("embedding"), 64).as("su"))
+      .select(col("label"), col("n"),
+        transform(col("su"),
+          u => floor(u.cast("double") / (col("n") * 1000000.0) * 10000 + 0.5) / 10000)
+          .as("centroid"))
+      .orderBy("label")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q74, q75, q76, q77, q78, q79, q79b, q80, q81, q81b, q86, q87,
     q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102,
-    q103, q104, q105, q106, q107, q108, q109, q110)
+    q103, q104, q105, q106, q107, q108, q109, q110, q111)
 }
