@@ -33,6 +33,29 @@ object VocabTokenizer {
   def tokenCount(words: Column, vocab: Seq[String] = default): Column =
     graft.plans.TextNormExprs.vocabTokenCount(words, vocab)
 
+  /** Total greedy tokenization to TOKEN IDS (1-based rank in the
+    * sorted vocab; UNK = 0) — the emit twin of [[tokenCount]]. */
+  def tokenIds(words: Column, vocab: Seq[String] = default): Column =
+    graft.plans.TextNormExprs.vocabTokenIds(words, vocab)
+
+  /** Reference ids segmentation for one word (naive scan — the
+    * executable spec's witness for [[tokenIds]]). */
+  def idsWordReference(word: String, vocab: Seq[String]): Seq[Int] = {
+    val sorted = vocab.distinct.sorted
+    val rank = sorted.zipWithIndex.map { case (p, i) => p -> (i + 1) }.toMap
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var pos = 0
+    while (pos < word.length) {
+      val matches = sorted.filter(p => word.startsWith(p, pos))
+      if (matches.isEmpty) { out += 0; pos += 1 }
+      else {
+        val best = matches.maxBy(_.length)
+        out += rank(best); pos += best.length
+      }
+    }
+    out.toSeq
+  }
+
   /** Reference implementation of the greedy segmentation for one word —
     * the executable spec [[graft.VocabTokenizerSpec]] asserts the
     * native expression against (naive linear vocab scan per position). */

@@ -418,4 +418,81 @@ object TextNormExprs {
   def vocabTokenCount(words: Column, vocab: Seq[String]): Column =
     GraftColumnBridge.toColumn(
       VocabTokenCountExpr(GraftColumnBridge.toExpression(words), vocab))
+
+  /** Greedy longest-match tokenization to TOKEN IDS — the actual
+    * shard-writing step ([[VocabTokenCountExpr]] budgets, this emits).
+    * Ids are the 1-based rank of the piece in the SORTED vocabulary
+    * (a pure function of the vocab fixture, identically derivable by
+    * the oracle's row_number over the same VALUES list); an UNK byte
+    * emits id 0 and advances one byte, mirroring the count expr's
+    * guaranteed progress. One pass over the word bytes per row, all
+    * words flattened in array order. */
+  case class VocabTokenIdsExpr(child: Expression, vocab: Seq[String])
+      extends UnaryExpression with CodegenFallback {
+    require(vocab.nonEmpty && vocab.forall(_.nonEmpty), "vocab must be non-empty pieces")
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = true
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StringType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"vocab_token_ids requires an ARRAY<STRING> input, got ${other.simpleString}")
+      }
+
+    // per-length piece→id maps over raw UTF-8 bytes; ids follow the
+    // sorted vocab so both engines derive the same numbering
+    @transient private lazy val byLen: Array[java.util.HashMap[java.nio.ByteBuffer, Integer]] = {
+      val sorted = vocab.distinct.sorted
+      val maxLen = sorted.map(_.getBytes("UTF-8").length).max
+      val maps = Array.fill(maxLen + 1)(new java.util.HashMap[java.nio.ByteBuffer, Integer]())
+      sorted.zipWithIndex.foreach { case (p, i) =>
+        val b = p.getBytes("UTF-8")
+        maps(b.length).put(java.nio.ByteBuffer.wrap(b), i + 1)
+      }
+      maps
+    }
+
+    private def idsOfWord(bytes: Array[Byte], out: scala.collection.mutable.ArrayBuffer[Int]): Unit = {
+      val maxLen = byLen.length - 1
+      var pos = 0
+      while (pos < bytes.length) {
+        var step = 1
+        var id = 0 // UNK
+        var l = math.min(maxLen, bytes.length - pos)
+        var found = false
+        while (!found && l >= 1) {
+          val hit = if (byLen(l).isEmpty) null
+            else byLen(l).get(java.nio.ByteBuffer.wrap(bytes, pos, l))
+          if (hit != null) { step = l; id = hit; found = true }
+          l -= 1
+        }
+        out += id
+        pos += step
+      }
+    }
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val n = arr.numElements()
+      val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var i = 0
+      while (i < n) {
+        if (arr.isNullAt(i)) return null
+        idsOfWord(arr.getUTF8String(i).getBytes, out)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "vocab_token_ids"
+  }
+
+  def vocabTokenIds(words: Column, vocab: Seq[String]): Column =
+    GraftColumnBridge.toColumn(
+      VocabTokenIdsExpr(GraftColumnBridge.toExpression(words), vocab))
 }

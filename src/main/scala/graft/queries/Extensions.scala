@@ -2484,10 +2484,70 @@ object Extensions {
       .orderBy("label")
   }
 
+  // -------------------------------------------------------------- Q112
+  /** TOKENIZE TO IDS ([[graft.plans.TextNormExprs.VocabTokenIdsExpr]]):
+    * the shard-emitting step — every document's greedy-longest-match
+    * token id sequence over the committed vocab (ids = 1-based rank in
+    * the sorted vocab, a pure function of the fixture both engines
+    * derive). Single-pass native expression; the oracle replays the
+    * identical segmentation with the q67 recursive CTE extended to
+    * TRACK the piece list, then maps pieces → ids via row_number over
+    * the same inlined VALUES. */
+  val q112 = QueryDef("q112_tokenize_ids",
+    s"""WITH RECURSIVE $docwCte,
+       |vocab(piece) AS (SELECT * FROM (VALUES ${graft.functions.VocabTokenizer.valuesSql()}) v(piece)),
+       |vocabi AS (SELECT piece, CAST(row_number() OVER (ORDER BY piece) AS INT) AS id FROM vocab),
+       |tok AS (
+       |  SELECT d.doc_id, u.word, u.wpos
+       |  FROM docw d, LATERAL (SELECT unnest(d.w) AS word,
+       |                               unnest(range(1, len(d.w) + 1)) AS wpos) u
+       |),
+       |uw AS (SELECT DISTINCT word FROM tok),
+       |seg AS (
+       |  SELECT word, 1 AS pos, CAST([] AS VARCHAR[]) AS pieces FROM uw
+       |  UNION ALL
+       |  SELECT word, pos + len(bp), list_append(pieces, bp) FROM (
+       |    SELECT word, pos, pieces,
+       |           coalesce((SELECT piece FROM vocab
+       |                     WHERE substr(word, pos, len(piece)) = piece
+       |                     ORDER BY len(piece) DESC LIMIT 1),
+       |                    substr(word, pos, 1)) AS bp
+       |    FROM seg WHERE pos <= len(word))
+       |),
+       |wp AS (SELECT word, pieces FROM seg WHERE pos = len(word) + 1),
+       |wids AS (
+       |  SELECT w.word, list(coalesce(vi.id, 0) ORDER BY u.i) AS ids
+       |  FROM wp w, LATERAL (SELECT unnest(w.pieces) AS p,
+       |                             unnest(range(1, len(w.pieces) + 1)) AS i) u
+       |  LEFT JOIN vocabi vi ON vi.piece = u.p
+       |  GROUP BY w.word
+       |),
+       |di AS (
+       |  SELECT t.doc_id, flatten(list(wi.ids ORDER BY t.wpos)) AS ids
+       |  FROM tok t JOIN wids wi ON wi.word = t.word GROUP BY t.doc_id
+       |)
+       |SELECT dw.doc_id,
+       |       CASE WHEN dw.w IS NULL THEN NULL
+       |            ELSE CAST(len(coalesce(di.ids, [])) AS INT) END AS n_tok,
+       |       CASE WHEN dw.w IS NULL THEN NULL
+       |            ELSE coalesce(di.ids, []) END AS ids
+       |FROM docw dw LEFT JOIN di ON di.doc_id = dw.doc_id
+       |ORDER BY dw.doc_id""") { (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.VocabTokenizer.tokenIds(
+          TextFunctions.normalizedWords(col("text"))).as("ids"))
+      .select(col("doc_id"),
+        when(col("ids").isNull, lit(null)).otherwise(size(col("ids")))
+          .cast("int").as("n_tok"),
+        col("ids"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q74, q75, q76, q77, q78, q79, q79b, q80, q81, q81b, q86, q87,
     q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102,
-    q103, q104, q105, q106, q107, q108, q109, q110, q111)
+    q103, q104, q105, q106, q107, q108, q109, q110, q111, q112)
 }

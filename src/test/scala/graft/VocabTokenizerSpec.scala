@@ -63,6 +63,46 @@ class VocabTokenizerSpec extends SparkSuite {
     assert(byId(3L) === null)
   }
 
+  test("token ids: native == reference ids segmentation, and ids sum to counts") {
+    import spark.implicits._
+    val corpusWords = Tables(spark, sfDir, "documents")
+      .select(explode(TextFunctions.normalizedWords(col("text"))).as("w"))
+      .distinct().as[String].collect().toSeq
+    val rnd = new scala.util.Random(7)
+    val glued = Seq.fill(150) {
+      (0 until (1 + rnd.nextInt(4))).map(_ => vocab(rnd.nextInt(vocab.size))).mkString
+    }
+    val words = (corpusWords ++ glued).distinct
+    val got = words.map(w => Seq(w)).toDF("ws")
+      .select(VocabTokenizer.tokenIds(col("ws")).as("ids"))
+      .collect().map(_.getSeq[Int](0).toSeq).toSeq
+    val expected = words.map(w => VocabTokenizer.idsWordReference(w, vocab))
+    assert(got == expected,
+      words.zip(got).zip(expected).collectFirst {
+        case ((w, g), e) if g != e => s"word '$w': native $g != reference $e"
+      }.getOrElse(""))
+    // ids length == the count expr's budget, word by word
+    val counts = words.map(w => VocabTokenizer.countWordReference(w, vocab))
+    assert(got.map(_.length) == counts)
+    // every non-UNK id decodes back to a piece whose concatenation is the word
+    val sorted = vocab.distinct.sorted
+    words.zip(got).foreach { case (w, ids) =>
+      assert(ids.forall(i => i >= 1 && i <= sorted.length), s"UNK leaked for '$w'")
+      assert(ids.map(i => sorted(i - 1)).mkString == w, s"decode mismatch for '$w'")
+    }
+  }
+
+  test("token ids: UNK emits id 0 and advances; multi-word arrays flatten in order") {
+    import spark.implicits._
+    val tiny = Seq("ab", "a", "b") // sorted ranks: a=1, ab=2, b=3
+    val ids = Seq(Seq("zab", "ba")).toDF("ws")
+      .select(TextNormExprs.vocabTokenIds(col("ws"), tiny).as("ids"))
+      .head.getSeq[Int](0).toSeq
+    // "zab" -> UNK(z), ab ; "ba" -> b, a
+    assert(ids == Seq(0, 2, 3, 1))
+    assert(VocabTokenizer.idsWordReference("zab", tiny) == Seq(0, 2))
+  }
+
   test("UNK fallback: a word with no vocab coverage counts one token per char") {
     // the fixture vocab is [a-z]-only and contains every single letter,
     // so exercise UNK with a custom vocab lacking 'z'
