@@ -2544,10 +2544,53 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  // -------------------------------------------------------------- Q113
+  /** LATE-INTERACTION (MaxSim) RETRIEVAL — the ColBERT scoring shape
+    * that completes the retrieval family (brute / LSH / IVF / PQ /
+    * int8 / BM25 / RRF): each embedding is treated as 4×16-d
+    * subvectors ("token vectors"); score = Σ over query subvectors of
+    * the MAX dot against any doc subvector. Everything is the
+    * documented 1-row-query-broadcast scan + two-phase top-k — the
+    * per-(i,j) dots unroll into 16 codegen'd native expressions, no
+    * explode, no join blowup. */
+  val q113 = {
+    def sliceSql(a: String, k: Int) = s"$a[${k * 16 + 1}:${k * 16 + 16}]"
+    val maxSimSql = (0 until 4).map { i =>
+      "greatest(" + (0 until 4).map { j =>
+        dotSql(sliceSql("qv.q_emb", i), sliceSql("c.embedding", j))
+      }.mkString(", ") + ")"
+    }.mkString(" + ")
+    QueryDef("q113_maxsim_retrieval",
+      s"""WITH qv AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+         |s AS (
+         |  SELECT c.vec_id,
+         |         floor(($maxSimSql) * 10000 + 0.5) / 10000 AS maxsim
+         |  FROM embeddings c CROSS JOIN qv WHERE c.vec_id <> 0
+         |)
+         |SELECT vec_id, maxsim FROM s
+         |ORDER BY maxsim DESC, vec_id LIMIT 10""") { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"))
+      def sub(c: org.apache.spark.sql.Column, k: Int) = slice(c, k * 16 + 1, 16)
+      val maxSim = (0 until 4).map { i =>
+        greatest((0 until 4).map { j =>
+          VectorFunctions.dot(sub(col("q_emb"), i), sub(col("embedding"), j))
+        }: _*)
+      }.reduce(_ + _)
+      emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          (floor(maxSim * 10000 + 0.5) / 10000).as("maxsim"))
+        .orderBy(col("maxsim").desc, col("vec_id"))
+        .limit(10)
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q74, q75, q76, q77, q78, q79, q79b, q80, q81, q81b, q86, q87,
     q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102,
-    q103, q104, q105, q106, q107, q108, q109, q110, q111, q112)
+    q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113)
 }
