@@ -652,6 +652,25 @@ object Advanced {
       .limit(100)
   }
 
+  // -------------------------------------------------------------- Q114
+  /** RECURSIVE CTE (Spark 4's WITH RECURSIVE): ancestor closure over
+    * the implicit binary-tree hierarchy parent(id) = floor(id/2) —
+    * iterative transitive closure THROUGH THE SQL ENTRY POINT, the
+    * same statement on both engines (contrast q63's operator-level CC
+    * and q101's unrolled PageRank oracle, which predate engine
+    * recursion). Depth is log2(N): 13 recursion steps at sf0.1 — each
+    * step a hash join + union, no driver loop at all. */
+  val q114 = sqlEntry("q114_recursive_cte",
+    """WITH RECURSIVE anc(doc_id, a, d) AS (
+      |  SELECT doc_id, CAST(floor(doc_id / 2.0) AS BIGINT), CAST(1 AS BIGINT)
+      |  FROM documents WHERE doc_id >= 1
+      |  UNION ALL
+      |  SELECT doc_id, CAST(floor(a / 2.0) AS BIGINT), d + 1 FROM anc WHERE a >= 1
+      |)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_anc, CAST(max(d) AS BIGINT) AS depth
+      |FROM anc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    views = Seq("documents"))
+
   val all: Seq[QueryDef] = Seq(q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
-    q56, q57, q58, q59, q60, q61, q62, q73, q82, q83, q83b, q84, q85)
+    q56, q57, q58, q59, q60, q61, q62, q73, q82, q83, q83b, q84, q85, q114)
 }
