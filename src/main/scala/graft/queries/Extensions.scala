@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{AsOfJoin, Decontamination, Dedup, SequencePacking, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Decontamination, Dedup, Scd2, SequencePacking, Similarity, TextAnalysis}
 
 /** LLM-data-pipeline extension queries (SURVEY §2.3 Q24–Q26 plus the
   * north-star additions): exact/MinHash/SimHash/n-gram dedup, embedding
@@ -2587,10 +2587,61 @@ object Extensions {
     }
   }
 
+  // -------------------------------------------------------------- Q115
+  /** SCD TYPE-2 DIMENSION + POINT-IN-TIME JOIN
+    * ([[graft.operators.Scd2]]): the attribute changelog (here: a
+    * user's "tier" set by each signup/purchase event) becomes
+    * versioned `[valid_from, valid_to)` interval rows via ONE
+    * dimension-sized lead() window; click facts then pick up the tier
+    * that was valid AT CLICK TIME through a plain hash equi-join on
+    * user_id with the interval predicate as a post-match filter —
+    * never a range join, so the plan stays hash-partitionable when the
+    * fact side is 100 TB. Clicks before a user's first version
+    * survive the left join as tier -1. Same-instant changes resolve
+    * by event_id tiebreak (the earlier change becomes a zero-width
+    * version that matches nothing) — deterministic on both engines. */
+  val q115 = QueryDef("q115_scd2_pit",
+    """WITH ch AS (
+      |  SELECT user_id, ts, event_id, CAST(floor(value / 10) AS INT) AS tier
+      |  FROM events WHERE event_type IN ('signup', 'purchase')
+      |), v AS (
+      |  SELECT user_id, tier, ts AS valid_from,
+      |         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      |  FROM ch
+      |), f AS (
+      |  SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+      |), pit AS (
+      |  SELECT f.user_id, f.value, v.tier
+      |  FROM f LEFT JOIN v ON v.user_id = f.user_id
+      |    AND f.ts >= v.valid_from AND (v.valid_to IS NULL OR f.ts < v.valid_to)
+      |)
+      |SELECT coalesce(tier, -1) AS tier,
+      |       CAST(count(*) AS BIGINT) AS clicks,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+      |       CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS val_units
+      |FROM pit GROUP BY 1 ORDER BY tier""") { (s, dir) =>
+    val ev = t(s, dir, "events")
+    val ch = ev.filter(col("event_type").isin("signup", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        floor(col("value") / 10).cast("int").as("tier"))
+    val dim = Scd2.build(ch, "user_id", "ts", "event_id")
+      .select(col("user_id"), col("tier"), col("valid_from"), col("valid_to"))
+    val facts = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"))
+    Scd2.pointInTime(facts, dim, "user_id", facts("ts"))
+      .select(coalesce(col("tier"), lit(-1)).as("tier"),
+        col("user_id"), col("value"))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("clicks"),
+        countDistinct("user_id").as("users"),
+        sum(floor(col("value") * 1000000 + 0.5).cast("long")).as("val_units"))
+      .orderBy("tier")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q74, q75, q76, q77, q78, q79, q79b, q80, q81, q81b, q86, q87,
     q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102,
-    q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113)
+    q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q115)
 }
