@@ -2638,10 +2638,78 @@ object Extensions {
       .orderBy("tier")
   }
 
+  // -------------------------------------------------------------- Q116
+  /** BOILERPLATE STRIPPING BY DOCUMENT FREQUENCY
+    * ([[graft.operators.Dedup.boilerplateStrip]]): the CCNet
+    * line-removal shape over 16-token chunks — a chunk shared by more
+    * than one distinct document is site chrome and is removed
+    * EVERYWHERE (q104 is the complementary keep-first policy). Chunks
+    * shuffle once by their 32-byte hash; the df count-distinct reuses
+    * that partitioning; the verdict join is hash-equi. */
+  val q116 = QueryDef("q116_boilerplate_strip",
+    s"""WITH $docwCte, d AS (
+       |  SELECT doc_id, w, len(w) AS n FROM docw WHERE len(w) > 0
+       |), c AS (
+       |  SELECT doc_id, w, n,
+       |         unnest(range(((greatest(n - 16, 0) + 15) // 16) + 1)) AS chunk_idx
+       |  FROM d
+       |), ch AS (
+       |  SELECT doc_id,
+       |         CAST(least(16, n - chunk_idx * 16) AS INT) AS chunk_tok,
+       |         md5(array_to_string(w[(chunk_idx * 16 + 1):least(chunk_idx * 16 + 16, CAST(n AS INT))], ' ')) AS chunk_hash
+       |  FROM c
+       |), dfq AS (
+       |  SELECT chunk_hash, count(DISTINCT doc_id) AS df FROM ch GROUP BY 1
+       |)
+       |SELECT ch.doc_id,
+       |       CAST(count(*) AS BIGINT) AS n_chunks,
+       |       CAST(sum(CASE WHEN dfq.df <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       CAST(sum(CASE WHEN dfq.df <= 1 THEN ch.chunk_tok ELSE 0 END) AS BIGINT) AS kept_tok
+       |FROM ch JOIN dfq USING (chunk_hash)
+       |GROUP BY ch.doc_id ORDER BY ch.doc_id""") { (s, dir) =>
+    Dedup.boilerplateStrip(t(s, dir, "documents"), "doc_id", "text",
+      chunkSize = 16, maxDf = 1L)
+      .orderBy("doc_id")
+  }
+
+  // -------------------------------------------------------------- Q117
+  /** MODEL-BASED QUALITY GATE via the hashing trick
+    * ([[graft.operators.QualityClassifier]]): the fastText-classifier
+    * shape (CCNet / DCLM / FineWeb-Edu) — bigram features hash into a
+    * 2^16 weight table, the doc's margin is the exact-integer sum of
+    * its features' weights, keep = margin > 0. ZERO shuffle: the whole
+    * score is one narrow higher-order-aggregate projection per row
+    * (no explode, no per-feature agg exchange) — 100 TB scores at
+    * scan speed. The pure-function weight table keeps the oracle
+    * exact; a trained model swaps in as a broadcast lookup. */
+  val q117 = QueryDef("q117_quality_classifier",
+    s"""WITH $docwCte, f AS (
+       |  SELECT doc_id, coalesce(w, []) AS w FROM docw
+       |), bg AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(w) < 2 THEN CAST([] AS VARCHAR[])
+       |              ELSE list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) END AS bgs
+       |  FROM f
+       |), sc AS (
+       |  SELECT doc_id, len(bgs) AS n_feat,
+       |         coalesce(list_sum(list_transform(bgs, b ->
+       |           CAST((${md5Bucket16Sql("b")}) - 32768 AS BIGINT))), 0) AS margin_units
+       |  FROM bg
+       |)
+       |SELECT doc_id, CAST(n_feat AS BIGINT) AS n_feat,
+       |       CAST(margin_units AS BIGINT) AS margin_units,
+       |       margin_units > 0 AS keep
+       |FROM sc ORDER BY doc_id""") { (s, dir) =>
+    graft.operators.QualityClassifier.hashedBigramScore(
+      t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q74, q75, q76, q77, q78, q79, q79b, q80, q81, q81b, q86, q87,
     q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102,
-    q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q115)
+    q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q115,
+    q116, q117)
 }

@@ -36,4 +36,20 @@ class ChunkDedupSpec extends SparkSuite {
       .select("chunk_hash").distinct().count()
     assert(keptTotal == distinctHashes)
   }
+
+  test("boilerplateStrip removes a high-df chunk EVERYWHERE (vs keep-first)") {
+    val got = Dedup.boilerplateStrip(docs, "doc_id", "text", chunkSize = 4, maxDf = 1L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // boilerplate chunk (df=2) dropped from BOTH docs 1 and 2 — no owner
+    assert(got(1L) == ((2L, 1L, 4L)), got.toString)
+    assert(got(2L) == ((2L, 1L, 4L)), got.toString)
+    // unique content untouched
+    assert(got(3L) == ((1L, 1L, 4L)), got.toString)
+  }
+
+  test("boilerplateStrip maxDf at or above the max df keeps everything") {
+    val got = Dedup.boilerplateStrip(docs, "doc_id", "text", chunkSize = 4, maxDf = 2L)
+      .agg(sum("n_chunks"), sum("n_kept")).head
+    assert(got.getLong(0) == got.getLong(1))
+  }
 }
