@@ -55,4 +55,30 @@ object Decontamination {
           greatest(col("n_grams"), lit(1))).as("hit_ratio"),
         (coalesce(col("n_hit"), lit(0L)) >= minOverlap).as("contaminated"))
   }
+
+  /** EMBEDDING-space decontamination: flag corpus vectors whose cosine
+    * against ANY benchmark vector reaches `tau` — the semantic
+    * complement of [[report]]'s n-gram protocol (catches paraphrased /
+    * translated eval leakage that shares no n-grams; both run in real
+    * decontamination passes).
+    *
+    * Scale shape: the benchmark embedding set is tiny (eval suites) —
+    * it broadcasts past the corpus and each corpus partition scores
+    * locally (one narrow scan, max-aggregate per vector; the ONLY
+    * shuffle carries (id, max_cos) scalars). The scan is the documented
+    * brute-force baseline: at benchmark sizes where the broadcast
+    * stops fitting, the ANN family (LSH q36 / IVF q38 / PQ q92) is the
+    * drop-in candidate generator, exactly as in [[Similarity]].
+    * Returns (idCol, max_cos rounded to 4 dp, contaminated). */
+  def byEmbedding(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+      embCol: String, tau: Double): DataFrame = {
+    val bench = broadcast(benchmark.select(col(embCol).as("__b_emb")))
+    corpus
+      .crossJoin(bench)
+      .select(col(idCol),
+        graft.functions.VectorFunctions.cosine(col(embCol), col("__b_emb")).as("__cs"))
+      .groupBy(idCol)
+      .agg(TextFunctions.round4(max("__cs")).as("max_cos"))
+      .withColumn("contaminated", col("max_cos") >= tau)
+  }
 }

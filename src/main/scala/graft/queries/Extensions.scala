@@ -2705,11 +2705,48 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  // -------------------------------------------------------------- Q118
+  /** EMBEDDING-SPACE DECONTAMINATION
+    * ([[graft.operators.Decontamination.byEmbedding]]): the semantic
+    * complement of q64's n-gram protocol — corpus vectors whose cosine
+    * against ANY benchmark vector (here: the md5-bucket 1/16 of the
+    * embeddings table standing in for an eval suite) reaches τ=0.3 are
+    * flagged. Benchmark broadcasts past the corpus; the only shuffle
+    * carries (id, max_cos) scalars; the scoring scan is the documented
+    * brute baseline with the ANN family as the at-scale candidate
+    * generator. */
+  val q118 = QueryDef("q118_embed_decontam",
+    s"""WITH b AS (
+       |  SELECT embedding AS b_emb FROM embeddings
+       |  WHERE ${md5Bucket16Sql("vec_id")} < 4096
+       |), c AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE ${md5Bucket16Sql("vec_id")} >= 4096
+       |), p AS (
+       |  SELECT c.vec_id,
+       |         ${dotSql("c.embedding", "b.b_emb")} /
+       |           (${normSql("c.embedding")} * ${normSql("b.b_emb")}) AS cs
+       |  FROM c, b
+       |), m AS (
+       |  SELECT vec_id, floor(max(cs) * 10000 + 0.5) / 10000 AS max_cos
+       |  FROM p GROUP BY vec_id
+       |)
+       |SELECT vec_id, max_cos, max_cos >= 0.3 AS contaminated
+       |FROM m ORDER BY vec_id""") { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    val bucket = graft.operators.Splits.hashBucket(col("vec_id"))
+    Decontamination.byEmbedding(
+      emb.filter(bucket >= 4096),
+      emb.filter(bucket < 4096),
+      "vec_id", "embedding", tau = 0.3)
+      .orderBy("vec_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q74, q75, q76, q77, q78, q79, q79b, q80, q81, q81b, q86, q87,
     q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102,
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q115,
-    q116, q117)
+    q116, q117, q118)
 }

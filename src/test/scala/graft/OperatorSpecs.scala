@@ -476,6 +476,24 @@ class RegistrySpec extends SparkSuite {
     assert(got === Array((1L, 4L, true), (2L, 0L, false), (3L, 2L, false), (4L, 0L, false)))
   }
 
+  test("Decontamination.byEmbedding: exact copy flagged, orthogonal clean") {
+    import spark.implicits._
+    val bench = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (101L, Array(0.0f, 1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),   // identical to bench → cos 1
+      (2L, Array(0.9f, 0.1f, 0.0f, 0.0f)),   // near-copy → cos ~0.994
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f))    // orthogonal to all → cos 0
+    ).toDF("vec_id", "embedding")
+    val got = graft.operators.Decontamination
+      .byEmbedding(corpus, bench, "vec_id", "embedding", tau = 0.95)
+      .select("vec_id", "max_cos", "contaminated")
+      .as[(Long, Double, Boolean)].collect().sortBy(_._1)
+    assert(got.map(r => (r._1, r._3)) === Array((1L, true), (2L, true), (3L, false)))
+    assert(got(0)._2 == 1.0 && got(2)._2 == 0.0)
+  }
+
   test("all registered queries run and return rows on sf0.001 (except known-empty)") {
     val mayBeEmpty = Set("q10_anti_join")
     SparkEntry.queries.foreach { case (name, fn) =>
