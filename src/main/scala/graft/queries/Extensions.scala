@@ -2742,11 +2742,54 @@ object Extensions {
       .orderBy("vec_id")
   }
 
+  // -------------------------------------------------------------- Q119
+  /** DATASET PROFILE ([[graft.operators.Profile]]): per-column rows /
+    * nulls / exact NDV / native-typed min/max over `documents` in one
+    * aggregation pass — the publish-gate summary of a curated
+    * snapshot. Exact NDV (an Expand plan) is the oracle-checkable
+    * spelling; at 100 TB the one-word swap is approx_count_distinct
+    * (q04b's HLL). */
+  val q119 = {
+    def colSql(c: String) =
+      s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |       CAST(count(DISTINCT $c) AS BIGINT) AS ndv,
+         |       substr(CAST(min($c) AS VARCHAR), 1, 40) AS min_s,
+         |       substr(CAST(max($c) AS VARCHAR), 1, 40) AS max_s
+         |FROM documents""".stripMargin
+    QueryDef("q119_profile",
+      Seq("doc_id", "text", "lang", "source", "n_chars").map(colSql)
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name")) { (s, dir) =>
+      graft.operators.Profile.table(t(s, dir, "documents"),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))
+        .orderBy("col_name")
+    }
+  }
+
+  // -------------------------------------------------------------- Q120
+  /** K-ANONYMITY AUDIT: group sizes over the quasi-identifier pair
+    * (market segment, nation) on `customer` — groups below k=5 are
+    * re-identification risks a privacy release gate must suppress or
+    * generalize. One hash aggregate; pairs with [[TextAnalysis
+    * .pseudonymize]] (q94), which protects direct identifiers while
+    * this audits the quasi-identifiers. */
+  val q120 = QueryDef("q120_k_anonymity",
+    """SELECT c_mktsegment AS segment, c_nationkey AS nation,
+      |       CAST(count(*) AS BIGINT) AS group_size,
+      |       count(*) < 5 AS risky
+      |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""") { (s, dir) =>
+    t(s, dir, "customer")
+      .groupBy(col("c_mktsegment").as("segment"), col("c_nationkey").as("nation"))
+      .agg(count(lit(1)).as("group_size"))
+      .withColumn("risky", col("group_size") < 5)
+      .orderBy("segment", "nation")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q74, q75, q76, q77, q78, q79, q79b, q80, q81, q81b, q86, q87,
     q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102,
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q115,
-    q116, q117, q118)
+    q116, q117, q118, q119, q120)
 }
