@@ -683,8 +683,10 @@ object Extensions {
     *    rounds; the cheap path for clique-ish near-dup blobs)
     *  - q63b: [[Dedup.dedupClustersStar]], large-star/small-star
     *    contraction (O(log n) rounds; the adversarial-diameter path) */
-  private val dedupClustersOracle =
-    s"""WITH RECURSIVE $docwCte, sh AS (
+  /** Shared CTE chain for q63/q63b/q121: shingles → Jaccard edges →
+    * transitive closure → per-doc min-label cluster ids (`cc`). */
+  private val dedupClustersCte =
+    s"""$docwCte, sh AS (
        |  SELECT DISTINCT doc_id, shingle FROM (
        |    SELECT doc_id, unnest(list_transform(range(1, len(w)),
        |           i -> w[i] || ' ' || w[i+1])) AS shingle
@@ -703,7 +705,10 @@ object Extensions {
        |  SELECT doc_id, doc_id FROM documents
        |  UNION
        |  SELECT ee.b, reach.lbl FROM reach JOIN ee ON reach.node = ee.a
-       |), cc AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node)
+       |), cc AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node)""".stripMargin
+
+  private val dedupClustersOracle =
+    s"""WITH RECURSIVE $dedupClustersCte
        |SELECT doc_id, cluster_id,
        |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
        |FROM cc ORDER BY doc_id""".stripMargin
@@ -2785,11 +2790,46 @@ object Extensions {
       .orderBy("segment", "nation")
   }
 
+  // -------------------------------------------------------------- Q121
+  /** CANONICAL DOCUMENT PER FUZZY CLUSTER: the step after clustering
+    * (q63) that fuzzy dedup actually ships — each near-duplicate
+    * cluster keeps its most complete member (longest text, doc_id
+    * tiebreak) and drops the rest. The keeper is a struct-MAX
+    * AGGREGATE over (n_chars, −doc_id) — map-side combinable, the q79
+    * argmax idiom, never a window over cluster members — so the
+    * canonicalization adds ONE hash aggregate on top of the CC
+    * labels. */
+  val q121 = QueryDef("q121_canonical_docs",
+    s"""WITH RECURSIVE $dedupClustersCte,
+       |r AS (
+       |  SELECT cc.cluster_id, cc.doc_id, d.n_chars,
+       |         row_number() OVER (PARTITION BY cc.cluster_id
+       |                            ORDER BY d.n_chars DESC, cc.doc_id) AS rn,
+       |         count(*) OVER (PARTITION BY cc.cluster_id) AS cluster_size
+       |  FROM cc JOIN documents d USING (doc_id)
+       |)
+       |SELECT cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+       |       doc_id AS keep_id, n_chars AS keep_chars,
+       |       CAST(cluster_size - 1 AS BIGINT) AS dropped
+       |FROM r WHERE rn = 1 ORDER BY cluster_id""") { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", n = 2, theta = 0.3)
+    val cc = Dedup.dedupClusters(pairs.select("doc_a", "doc_b"), docs.select("doc_id"))
+    cc.join(docs.select("doc_id", "n_chars"), "doc_id")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"),
+        max(struct(col("n_chars").as("nc"), (-col("doc_id")).as("nid"))).as("b"))
+      .select(col("cluster_id"), col("cluster_size"),
+        (-col("b.nid")).as("keep_id"), col("b.nc").as("keep_chars"),
+        (col("cluster_size") - 1).as("dropped"))
+      .orderBy("cluster_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q74, q75, q76, q77, q78, q79, q79b, q80, q81, q81b, q86, q87,
     q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102,
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q115,
-    q116, q117, q118, q119, q120)
+    q116, q117, q118, q119, q120, q121)
 }
