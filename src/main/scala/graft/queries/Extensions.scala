@@ -2825,11 +2825,67 @@ object Extensions {
       .orderBy("cluster_id")
   }
 
+  // -------------------------------------------------------------- Q122
+  /** INCREMENTAL FUZZY DEDUP
+    * ([[graft.operators.Dedup.incrementalFuzzyMatches]]): the md5-top
+    * ~10% of documents play the NEW crawl shard; the rest is the
+    * EXISTING corpus. New docs LSH-band (q27's k=12, b=2, old-index
+    * df cap 64) against the old side only, then refine to exact
+    * Jaccard ≥ 0.3 — the rolling-crawl twin of q74's exact
+    * incremental dedup. At scale the old side is a persisted band
+    * index, so the daily cost is the new shard's signature map + one
+    * equi-join + refine on collisions. */
+  val q122 = QueryDef("q122_incremental_fuzzy",
+    s"""WITH $docwCte, sh AS (
+       |  SELECT DISTINCT doc_id, shingle
+       |  FROM (SELECT doc_id, unnest(w) AS shingle FROM docw)
+       |), sig AS (
+       |  SELECT doc_id, $mhMinsSql
+       |  FROM sh GROUP BY doc_id
+       |), bands AS (
+       |  $mhBandSelectsSql
+       |), oldb AS (
+       |  SELECT * FROM bands WHERE ${md5Bucket16Sql("doc_id")} < 58982
+       |), newb AS (
+       |  SELECT * FROM bands WHERE ${md5Bucket16Sql("doc_id")} >= 58982
+       |), keepb AS (
+       |  SELECT band_idx, bh FROM oldb GROUP BY band_idx, bh
+       |  HAVING count(*) <= $mhMaxBandDf
+       |), oldk AS (
+       |  SELECT o.doc_id, o.band_idx, o.bh
+       |  FROM oldb o JOIN keepb kb ON o.band_idx = kb.band_idx AND o.bh = kb.bh
+       |), cand AS (
+       |  SELECT DISTINCT o.doc_id AS old_id, nw.doc_id AS new_id
+       |  FROM oldk o JOIN newb nw ON o.band_idx = nw.band_idx AND o.bh = nw.bh
+       |), ssz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.old_id, c.new_id, count(*) AS n_common
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.old_id
+       |  JOIN sh b ON b.doc_id = c.new_id AND b.shingle = a.shingle
+       |  GROUP BY 1, 2
+       |)
+       |SELECT i.old_id, i.new_id,
+       |       floor(CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) * 10000 + 0.5) / 10000 AS jacc
+       |FROM inter i
+       |JOIN ssz sa ON sa.doc_id = i.old_id
+       |JOIN ssz sb ON sb.doc_id = i.new_id
+       |WHERE floor(CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) * 10000 + 0.5) / 10000 >= 0.3
+       |ORDER BY new_id, old_id""") { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val bucket = graft.operators.Splits.hashBucket(col("doc_id"))
+    Dedup.incrementalFuzzyMatches(
+      docs.filter(bucket < 58982), docs.filter(bucket >= 58982),
+      "doc_id", "text", n = 1, k = mhK, bands = mhBands,
+      theta = 0.3, maxBandDf = mhMaxBandDf)
+      .orderBy("new_id", "old_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q74, q75, q76, q77, q78, q79, q79b, q80, q81, q81b, q86, q87,
     q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102,
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q115,
-    q116, q117, q118, q119, q120, q121)
+    q116, q117, q118, q119, q120, q121, q122)
 }

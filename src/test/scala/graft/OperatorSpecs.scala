@@ -24,6 +24,23 @@ class DedupSpec extends SparkSuite {
     assert(c.count() === c.distinct().count())
   }
 
+  test("incremental fuzzy: old-new matches only, new-new pairs excluded") {
+    import spark.implicits._
+    val oldDocs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "totally different content about graphs and trees")).toDF("doc_id", "text")
+    val newDocs = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),  // copy of old 1
+      (11L, "alpha beta gamma delta epsilon zeta"),  // copy of old 1 AND new 10
+      (12L, "nothing like anything in the corpus at all today")).toDF("doc_id", "text")
+    val got = Dedup.incrementalFuzzyMatches(oldDocs, newDocs, "doc_id", "text",
+        n = 1, k = 12, bands = 2, theta = 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    // both new copies match old doc 1 at jacc 1.0; the new-new pair
+    // (10,11) and the unique new doc 12 produce nothing
+    assert(got === Set((1L, 10L, 1.0), (1L, 11L, 1.0)))
+  }
+
   test("minhash band df-cap: inert above all bucket sizes, strips saturated buckets") {
     import spark.implicits._
     // a cap above every bucket's membership must not change the output
