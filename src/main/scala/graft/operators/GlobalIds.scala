@@ -115,4 +115,52 @@ object GlobalIds {
       }
     }
   }
+
+  /** GROUP-scoped prefix sum: [[prefixSum]] restarted per `grpCol`
+    * value — running token totals per language/source without the
+    * per-group-window funnel (PARTITION BY grp puts each group's whole
+    * corpus-sized slice in ONE task when groups are few, which is
+    * exactly the mixing-recipe case: ~dozens of groups over billions of
+    * rows). Same three-phase shape: ONE range exchange on
+    * (grp, order…), per-(partition, group) sums to the driver (≤
+    * numParts + nGroups scalar rows — partition boundaries cut at most
+    * one group each), broadcast offsets + one narrow mapPartitions with
+    * a per-group running counter. `cumCol` is the INCLUSIVE cumulative
+    * within the row's group. */
+  def prefixSumBy(df: DataFrame, grpCol: String, valueCol: String, cumCol: String,
+      numParts: Int, order: Column*): DataFrame = {
+    require(order.nonEmpty, "prefix sum needs a total order within each group")
+    val pidCol = "_gid_pid"
+    val pinned = df
+      .repartitionByRange(numParts, col(grpCol) +: order: _*)
+      .sortWithinPartitions(col(grpCol) +: order: _*)
+      .withColumn(pidCol, spark_partition_id())
+      .localCheckpoint()
+    val vIdx = pinned.schema.fieldIndex(valueCol)
+    val gIdx = pinned.schema.fieldIndex(grpCol)
+    val sums = pinned.groupBy(col(pidCol), col(grpCol))
+      .agg(sum(col(valueCol).cast("long")).as("s"))
+      .collect().map(r => (r.getInt(0), r.get(1), r.getLong(2)))
+    val offsets: Map[(Int, Any), Long] = sums.groupBy(_._2).iterator.flatMap {
+      case (g, rows) =>
+        val byPid = rows.sortBy(_._1)
+        byPid.map(_._1).zip(byPid.scanLeft(0L)(_ + _._3).init).map {
+          case (pid, off) => (pid, g) -> off
+        }
+    }.toMap
+    val offB = df.sparkSession.sparkContext.broadcast(offsets)
+    val outSchema = df.schema.add(cumCol, LongType, nullable = false)
+    implicit val enc: Encoder[Row] = Encoders.row(outSchema)
+    pinned.mapPartitions { it =>
+      val run = scala.collection.mutable.HashMap.empty[Any, Long]
+      it.map { r =>
+        val pid = r.getInt(r.length - 1)
+        val g = r.get(gIdx)
+        val base = run.getOrElseUpdate(g, offB.value((pid, g)))
+        val cum = base + r.getLong(vIdx)
+        run(g) = cum
+        Row.fromSeq(r.toSeq.init :+ cum)
+      }
+    }
+  }
 }

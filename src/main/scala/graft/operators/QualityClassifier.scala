@@ -23,11 +23,14 @@ import graft.operators.Splits.hashBucket
   * is order-independent and engine-portable — no float drift at the
   * keep/drop boundary.
   *
-  * Scale shape: ZERO shuffle. Tokenize, bigram, hash and sum all happen
-  * inside one narrow projection per document (higher-order `aggregate`
-  * over the bigram array — no explode, no per-feature rows, no agg
-  * exchange); 100 TB of text scores at scan speed and the only data
-  * movement is whatever the caller does with the verdict column.
+  * Scale shape: ZERO shuffle at scale. Tokenize, bigram, hash and sum
+  * all happen inside one narrow projection per document (higher-order
+  * `aggregate` over the bigram array — no explode, no per-feature
+  * rows, no agg exchange); 100 TB of text scores at scan speed and the
+  * only data movement is whatever the caller does with the verdict
+  * column. (`Balance.cpuBound` adds its small-input round-robin
+  * rebalance ONLY when the scan has fewer splits than cores — inert on
+  * any real corpus.)
   */
 object QualityClassifier {
 
@@ -38,7 +41,7 @@ object QualityClassifier {
     val bigrams = when(size(col("_w")) < 2, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), size(col("_w")) - 1),
         i => concat(element_at(col("_w"), i), lit(" "), element_at(col("_w"), i + 1))))
-    docs
+    graft.sources.Balance.cpuBound(docs)
       .select(col(idCol), w.as("_w"))
       .select(col(idCol), bigrams.as("_bg"))
       .select(col(idCol),

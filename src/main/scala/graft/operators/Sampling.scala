@@ -102,6 +102,51 @@ object Sampling {
       .drop("__pid", "__prn")
   }
 
+  /** UniMax-style EPOCH-AWARE mixing WITH REPLACEMENT (Chung et al.,
+    * "UniMax", ICLR'23 shape): each group (language/source) gets an
+    * equal share of the total token budget, CAPPED at `maxEpochs`
+    * passes over the group's own tokens — the repetition-budgeting
+    * step multilingual recipes run where q97's temperature mix does
+    * selection WITHOUT replacement. Returns per-doc `n_copies`: full
+    * epochs for everyone, plus one extra copy for the deterministic
+    * md5-ordered prefix of docs that fills the remainder (a doc whose
+    * START offset is inside the remainder counts as a copy — the
+    * truncation convention, stated, not hidden).
+    *
+    * Exactness: budgets, epoch counts and remainders are pure integer
+    * arithmetic (`div`/`-`), and the remainder prefix comes from an
+    * integer running token total — bit-reproducible in any engine.
+    *
+    * Scale shape: the running total is [[GlobalIds.prefixSumBy]] (ONE
+    * range exchange + broadcast per-(partition, group) offsets + a
+    * narrow map) — NOT a per-group window, which would funnel each
+    * group's corpus-sized slice into one task in exactly this
+    * operator's few-groups regime. The allocation table is
+    * groups-sized and broadcasts. */
+  def epochMix(docs: DataFrame, idCol: String, groupCol: String, tokens: Column,
+      totalBudget: Long, maxEpochs: Int, numParts: Int = 32): DataFrame = {
+    require(totalBudget > 0 && maxEpochs >= 1,
+      s"need totalBudget > 0 and maxEpochs >= 1, got $totalBudget / $maxEpochs")
+    val base = docs
+      .select(col(idCol).as("doc_id"), col(groupCol).as("grp"), tokens.cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .withColumn("ord", md5(col("doc_id").cast("string")))
+    val cum = GlobalIds.prefixSumBy(base, "grp", "n_tok", "cum", numParts,
+      col("ord"), col("doc_id"))
+    val groups = base.groupBy("grp").agg(sum("n_tok").as("g_tok"))
+    val alloc = groups
+      .crossJoin(broadcast(groups.agg(count(lit(1)).as("ng"))))
+      .withColumn("budget",
+        least(lit(maxEpochs).cast("long") * col("g_tok"), expr(s"$totalBudget div ng")))
+      .withColumn("e", expr("budget div g_tok"))
+      .withColumn("rem", col("budget") - col("e") * col("g_tok"))
+      .select("grp", "e", "rem")
+    cum.join(broadcast(alloc), "grp")
+      .withColumn("n_copies",
+        col("e") + when(col("cum") - col("n_tok") < col("rem"), 1L).otherwise(0L))
+      .select(col("grp"), col("doc_id"), col("n_tok"), col("n_copies"))
+  }
+
   /** Per-stratum weighted sample: k rows per distinct value of
     * `stratumCol` (e.g. per language). Two-phase rank — strata are FEW
     * in this operator's regime, so a single per-stratum window would

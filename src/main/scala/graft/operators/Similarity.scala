@@ -52,6 +52,32 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("rn"), TextFunctions.round4(cos).as("cos"))
   }
 
+  /** HARD-NEGATIVE MINING for contrastive training: per anchor, the k
+    * nearest candidates with a DIFFERENT label — the "confusable but
+    * wrong" examples that make contrastive losses work (the curated
+    * complement of [[Sampling.negativeSample]]'s uniform draws). Same
+    * two-phase top-k as [[bruteForceTopK]] (anchors broadcast past the
+    * corpus, per-(anchor, partition) heaps, bounded merge) with the
+    * label-exclusion predicate riding the broadcast join; at corpus
+    * scale the ANN family supplies candidates instead of the brute
+    * scan, exactly as documented there. */
+  def hardNegatives(emb: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      k: Int, anchorPred: org.apache.spark.sql.Column): DataFrame = {
+    val base = emb.filter(VectorFunctions.norm(col(vecCol)) > 0)
+    val q = base.filter(anchorPred)
+      .select(col(idCol).as("q_id"), col(vecCol).as("qv"), col(labelCol).as("q_lbl"))
+    val c = base.select(col(idCol).as("c_id"), col(vecCol).as("cv"), col(labelCol).as("c_lbl"))
+    val cos = VectorFunctions.cosine(col("qv"), col("cv"))
+    val scored = broadcast(q).join(c, col("q_lbl") =!= col("c_lbl"))
+      .withColumn("pid", spark_partition_id())
+    val w1 = Window.partitionBy(col("q_id"), col("pid")).orderBy(cos.desc, col("c_id"))
+    val w2 = Window.partitionBy(col("q_id")).orderBy(cos.desc, col("c_id"))
+    scored
+      .withColumn("prn", row_number().over(w1)).filter(col("prn") <= k)
+      .withColumn("rn", row_number().over(w2)).filter(col("rn") <= k)
+      .select(col("q_id"), col("c_id"), col("rn"), TextFunctions.round4(cos).as("cos"))
+  }
+
   /** LSH-bucketed top-k: identical contract to [[bruteForceTopK]] but
     * only candidates sharing the query's hyperplane bucket are scored —
     * queries whose bucket holds fewer than k neighbors return fewer

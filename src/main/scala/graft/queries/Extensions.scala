@@ -2881,11 +2881,85 @@ object Extensions {
       .orderBy("new_id", "old_id")
   }
 
+  // -------------------------------------------------------------- Q123
+  /** EPOCH-AWARE MIXING WITH REPLACEMENT
+    * ([[graft.operators.Sampling.epochMix]]): UniMax-shape repetition
+    * budgeting — every source gets an equal share of a 40k-token
+    * budget capped at 3 epochs of its own tokens; per-doc `n_copies` =
+    * full epochs + 1 for the md5-ordered remainder prefix. All integer
+    * arithmetic; the running total is the group-scoped prefix sum
+    * (range exchange + broadcast offsets), never a per-group window
+    * funnel. */
+  val q123 = QueryDef("q123_epoch_mix",
+    s"""WITH $docwCte, b AS (
+       |  SELECT d.doc_id, doc.source AS grp, len(d.w) AS n_tok,
+       |         md5(CAST(d.doc_id AS VARCHAR)) AS ord
+       |  FROM docw d JOIN documents doc USING (doc_id)
+       |  WHERE len(d.w) > 0
+       |), g AS (SELECT grp, sum(n_tok) AS g_tok FROM b GROUP BY grp),
+       |a AS (
+       |  SELECT grp, g_tok,
+       |         least(3 * g_tok, 40000 // (SELECT count(*) FROM g)) AS budget
+       |  FROM g
+       |), a2 AS (
+       |  SELECT grp, budget // g_tok AS e, budget % g_tok AS rem FROM a
+       |), c AS (
+       |  SELECT b.*, sum(n_tok) OVER (PARTITION BY grp ORDER BY ord, doc_id
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM b
+       |)
+       |SELECT c.grp, c.doc_id, CAST(c.n_tok AS BIGINT) AS n_tok,
+       |       CAST(a2.e + CASE WHEN c.cum - c.n_tok < a2.rem THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+       |FROM c JOIN a2 USING (grp)
+       |ORDER BY grp, doc_id""") { (s, dir) =>
+    graft.operators.Sampling.epochMix(
+      graft.sources.Balance.cpuBound(t(s, dir, "documents")),
+      "doc_id", "source",
+      size(TextFunctions.normalizedWords(col("text"))),
+      totalBudget = 40000L, maxEpochs = 3,
+      numParts = s.sessionState.conf.numShufflePartitions)
+      .orderBy("grp", "doc_id")
+  }
+
+  // -------------------------------------------------------------- Q124
+  /** HARD-NEGATIVE MINING
+    * ([[graft.operators.Similarity.hardNegatives]]): per anchor (the
+    * md5-bucket 1/32 of vectors), the 5 nearest DIFFERENT-label
+    * candidates by cosine — the confusable-but-wrong examples
+    * contrastive training wants, complementing q105's uniform draws.
+    * Anchors broadcast; two-phase top-k; ANN family is the at-scale
+    * candidate generator. */
+  val q124 = QueryDef("q124_hard_negatives",
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding, label FROM embeddings
+       |  WHERE ${normSql("embedding")} > 0
+       |), q AS (
+       |  SELECT vec_id AS q_id, embedding AS qv, label AS q_lbl FROM n
+       |  WHERE ${md5Bucket16Sql("vec_id")} < 2048
+       |), sc AS (
+       |  SELECT q.q_id, c.vec_id AS c_id,
+       |         ${dotSql("q.qv", "c.embedding")} /
+       |           (${normSql("q.qv")} * ${normSql("c.embedding")}) AS cs
+       |  FROM q JOIN n c ON c.label <> q.q_lbl
+       |), r AS (
+       |  SELECT q_id, c_id, cs,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, c_id) AS rn
+       |  FROM sc
+       |)
+       |SELECT q_id, c_id, CAST(rn AS INT) AS rn,
+       |       floor(cs * 10000 + 0.5) / 10000 AS cos
+       |FROM r WHERE rn <= 5 ORDER BY q_id, rn""") { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    Similarity.hardNegatives(emb, "vec_id", "embedding", "label", k = 5,
+      anchorPred = graft.operators.Splits.hashBucket(col("vec_id")) < 2048)
+      .orderBy("q_id", "rn")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q74, q75, q76, q77, q78, q79, q79b, q80, q81, q81b, q86, q87,
     q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102,
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q115,
-    q116, q117, q118, q119, q120, q121, q122)
+    q116, q117, q118, q119, q120, q121, q122, q123, q124)
 }

@@ -30,7 +30,15 @@ class CartesianGuardSpec extends SparkSuite {
     "q42_stats", "q48_tfidf", "q51_scalar_subquery", "q58_corpus_census",
     "q64_decontaminate", "q65_curation_pipeline", "q76_ann_lsh_multiprobe",
     "q79_semantic_dedup", "q80_span_dedup", "q84_bm25", "q88_hybrid_rrf",
-    "q91_lm_perplexity", "q97_temperature_mix")
+    "q91_lm_perplexity", "q97_temperature_mix",
+    // q113: 1-row-query broadcast MaxSim scoring scan;
+    // q118: benchmark-embedding broadcast scoring scan (brute baseline,
+    // ANN family documented as the at-scale candidate generator);
+    // q123: groups-sized scalar attachment (crossJoin(broadcast(ng)));
+    // q124: anchor-set broadcast scoring scan with the label-exclusion
+    // predicate (two-phase top-k)
+    "q113_maxsim_retrieval", "q118_embed_decontam", "q123_epoch_mix",
+    "q124_hard_negatives")
 
   test("no declared query plans a CartesianProduct; NLJ only where documented") {
     val sf = sfDir

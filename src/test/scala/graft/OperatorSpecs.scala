@@ -157,6 +157,23 @@ class DedupSpec extends SparkSuite {
     assert(expect.exceptAll(capped).isEmpty && capped.exceptAll(expect).isEmpty)
   }
 
+  test("hardNegatives: same-label neighbors excluded, ranks by cosine") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(1f, 0f, 0f, 0f), 0),    // anchor, label 0
+      (2L, Array(1f, 0f, 0f, 0f), 0),    // identical but SAME label → excluded
+      (3L, Array(0.9f, 0.1f, 0f, 0f), 1), // diff label, cos ~0.994 → rank 1
+      (4L, Array(0f, 1f, 0f, 0f), 1),    // diff label, cos 0 → rank 2
+      (5L, Array(0f, 0f, 0f, 0f), 1)     // zero vector → excluded entirely
+    ).toDF("vec_id", "embedding", "label")
+    val got = graft.operators.Similarity
+      .hardNegatives(emb, "vec_id", "embedding", "label", k = 5,
+        anchorPred = col("vec_id") === 1L)
+      .select("q_id", "c_id", "rn")
+      .as[(Long, Long, Int)].collect().sortBy(_._3)
+    assert(got.map(r => (r._2, r._3)).toSeq == Seq((3L, 1), (4L, 2)), got.mkString(","))
+  }
+
   test("prefix-filtered and brute-force jaccard pairs == naive self-join pairs, exactly") {
     for ((n, th) <- Seq((1, 0.5), (2, 0.3), (3, 0.7))) {
       val naive = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n, th)

@@ -185,6 +185,27 @@ class PlanAssertionsSpec extends SparkSuite {
     assert(plan("q83_salted_join").contains("__graft_salt"))
   }
 
+  test("q115: point-in-time join is a hash EQUI-join on the key — the " +
+      "interval predicate must stay a post-match filter, never demote " +
+      "the join to a nested loop") {
+    val p = plan("q115_scd2_pit")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("user_id"), p)
+  }
+
+  test("q117: classifier scoring stage has no key exchange — no explode, " +
+      "no per-feature aggregation shuffle (cpuBound's small-input " +
+      "round-robin rebalance is the only exchange allowed)") {
+    // strip the declared query's ORDER BY: the operator itself must not
+    // cost a key shuffle; the entry's orderBy is presentation only
+    val df = graft.operators.QualityClassifier.hashedBigramScore(
+      graft.sources.Tables(spark, sfDir, "documents"), "doc_id", "text")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning") &&
+      !p.contains("Exchange rangepartitioning"), p)
+    assert(!p.contains("Generate"), p)
+  }
+
   test("q84: tf's exchange is computed once and REUSED by the terms and " +
       "avgdl branches — the corpus is tokenized exactly once at runtime") {
     // static explain under AQE shows three tokenize branches; the reuse

@@ -164,4 +164,61 @@ class SamplingSpec extends SparkSuite {
     val hist = neg.groupBy(_._3).view.mapValues(_.size)
     assert(hist.values.max <= 20, s"suspiciously hot negative: ${hist.maxBy(_._2)}")
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("epochMix: from-scratch replay — equal shares, epoch cap, remainder prefix") {
+    import spark.implicits._
+    val toy = Seq(
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L), // g_tok = 60
+      (4L, "b", 5L)                                   // g_tok = 5
+    ).toDF("doc_id", "grp", "n_tok")
+    // totalBudget=100, maxEpochs=3, 2 groups → share 50
+    //   a: budget = min(180, 50) = 50 → e=0, rem=50
+    //   b: budget = min(15, 50) = 15 → e=3, rem=0 → doc 4 gets 3 copies
+    val got = Sampling.epochMix(toy, "doc_id", "grp", col("n_tok"),
+        totalBudget = 100L, maxEpochs = 3, numParts = 3)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(got(4L) == 3L, got.toString)
+    // group a remainder: replay the md5 order and running sum driver-side
+    val aDocs = Seq(1L -> 10L, 2L -> 20L, 3L -> 30L).sortBy(d => (md5hex(d._1.toString), d._1))
+    var cum = 0L
+    val expectA = aDocs.map { case (id, tok) =>
+      val start = cum; cum += tok
+      id -> (if (start < 50L) 1L else 0L)
+    }.toMap
+    Seq(1L, 2L, 3L).foreach(id => assert(got(id) == expectA(id), s"doc $id: $got vs $expectA"))
+    // consumed tokens for a: full epochs 0 + remainder-prefix docs only
+    assert(got.filterKeys(_ != 4L).map { case (id, c) =>
+      c * Map(1L -> 10L, 2L -> 20L, 3L -> 30L)(id) }.sum >= 50L - 30L + 1)
+  }
+
+  test("epochMix: partitioning-invariant and window-free remainder math") {
+    def run(df: org.apache.spark.sql.DataFrame, parts: Int) =
+      Sampling.epochMix(df, "doc_id", "lang", col("n_chars").cast("long") / 10 + 1,
+        totalBudget = 5000L, maxEpochs = 2, numParts = parts)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+    val d = docs
+    val a = run(d, 4)
+    val b = run(d.repartition(11), 7)
+    assert(a == b, "epochMix must not depend on physical partitioning")
+    assert(a.exists(_._3 > 0), "budget should select something")
+  }
+
+  test("prefixSumBy equals the per-group window spelling") {
+    import spark.implicits._
+    val df = (1 to 200).map(i => (i.toLong, s"g${i % 5}", (i % 13 + 1).toLong))
+      .toDF("id", "grp", "v")
+    val got = graft.operators.GlobalIds
+      .prefixSumBy(df, "grp", "v", "cum", numParts = 6, col("id"))
+      .select("id", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy("id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val exp = df.withColumn("cum", sum("v").over(w))
+      .select("id", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == exp)
+  }
 }
