@@ -56,6 +56,42 @@ object Decontamination {
         (coalesce(col("n_hit"), lit(0L)) >= minOverlap).as("contaminated"))
   }
 
+  /** [[report]] with a BLOOM PREFILTER on the corpus grams (the q53
+    * runtime-filter idiom applied to curation): the benchmark's
+    * distinct grams aggregate into a bloom sketch (bounded bytes to
+    * the driver, like the CountMin materialization), and corpus grams
+    * probe `might_contain` BEFORE the exact join — so at 100 TB the
+    * explode→join stage carries ~only grams that can match instead of
+    * every gram in the corpus. Bloom false positives are removed by
+    * the exact join and false negatives are impossible, so the result
+    * is IDENTICAL to [[report]] (spec-asserted; q125 shares q64's
+    * oracle). `expectedItems` sizes the sketch (~1.2 KB / 1k NDV at
+    * the default FPP). */
+  def reportBloomPrefiltered(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+      textCol: String, n: Int, minOverlap: Int, expectedItems: Long = 100000L): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.plans.GraftFunctions.register(spark)
+    def grams =
+      array_distinct(TextFunctions.wordShingles(
+        TextFunctions.normalizedWords(col(textCol)), n))
+    val benchGrams = benchmark.select(explode(grams).as("g")).distinct()
+    val bloom = benchGrams
+      .agg(call_function("bloom_filter_agg", xxhash64(col("g")), lit(expectedItems)).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val corpusGrams = corpus.select(col(idCol).as("doc_id"), explode(grams).as("g"))
+      .filter(call_function("might_contain", lit(bloom), xxhash64(col("g"))))
+    val hits = corpusGrams.join(broadcast(benchGrams), "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    corpus.select(col(idCol).as("doc_id"),
+        coalesce(size(grams), lit(0)).as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        TextFunctions.round4(coalesce(col("n_hit"), lit(0L)).cast("double") /
+          greatest(col("n_grams"), lit(1))).as("hit_ratio"),
+        (coalesce(col("n_hit"), lit(0L)) >= minOverlap).as("contaminated"))
+  }
+
   /** EMBEDDING-space decontamination: flag corpus vectors whose cosine
     * against ANY benchmark vector reaches `tau` — the semantic
     * complement of [[report]]'s n-gram protocol (catches paraphrased /

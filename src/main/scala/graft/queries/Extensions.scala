@@ -764,7 +764,10 @@ object Extensions {
        |  GROUP BY cg.doc_id
        |)""".stripMargin
 
-  val q64 = QueryDef("q64_decontaminate",
+  /** Shared oracle for q64 AND q125 — the bloom prefilter cannot change
+    * the answer (FPs die in the exact join; FNs are impossible), so
+    * both queries hash-check against the same exact SQL. */
+  private val deconOracleSql =
     s"""WITH $docwCte, ${deconHitsCteSql(
          "SELECT doc_id, unnest(gs) AS g FROM g3 WHERE doc_id % 20 <> 0")}
        |SELECT c.doc_id,
@@ -775,9 +778,26 @@ object Extensions {
        |       coalesce(h.n_hit, 0) >= 3 AS contaminated
        |FROM g3 c LEFT JOIN hits h ON c.doc_id = h.doc_id
        |WHERE c.doc_id % 20 <> 0
-       |ORDER BY c.doc_id""") { (s, dir) =>
+       |ORDER BY c.doc_id""".stripMargin
+
+  val q64 = QueryDef("q64_decontaminate", deconOracleSql) { (s, dir) =>
     val docs = t(s, dir, "documents")
     Decontamination.report(
+      corpus = docs.filter(col("doc_id") % 20 =!= 0),
+      benchmark = docs.filter(col("doc_id") % 20 === 0),
+      idCol = "doc_id", textCol = "text", n = 3, minOverlap = 3)
+      .orderBy("doc_id")
+  }
+
+  /** BLOOM-PREFILTERED decontamination
+    * ([[Decontamination.reportBloomPrefiltered]]): q64's protocol with
+    * the q53 runtime-filter idiom on the corpus grams — at 100 TB the
+    * explode→join stage carries ~only grams that can match the
+    * benchmark instead of every gram in the corpus. Same answer as
+    * q64 by construction, same oracle. */
+  val q125 = QueryDef("q125_bloom_decontaminate", deconOracleSql) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    Decontamination.reportBloomPrefiltered(
       corpus = docs.filter(col("doc_id") % 20 =!= 0),
       benchmark = docs.filter(col("doc_id") % 20 === 0),
       idCol = "doc_id", textCol = "text", n = 3, minOverlap = 3)
@@ -2961,5 +2981,5 @@ object Extensions {
     q70, q71, q72, q74, q75, q76, q77, q78, q79, q79b, q80, q81, q81b, q86, q87,
     q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102,
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q115,
-    q116, q117, q118, q119, q120, q121, q122, q123, q124)
+    q116, q117, q118, q119, q120, q121, q122, q123, q124, q125)
 }

@@ -510,6 +510,32 @@ class RegistrySpec extends SparkSuite {
     assert(got === Array((1L, 4L, true), (2L, 0L, false), (3L, 2L, false), (4L, 0L, false)))
   }
 
+  test("Decontamination.reportBloomPrefiltered == report exactly; bloom prunes") {
+    import spark.implicits._
+    val docs = Tables(spark, sfDir, "documents")
+    val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+    val bench = docs.filter(col("doc_id") % 20 === 0)
+    val exact = graft.operators.Decontamination
+      .report(corpus, bench, "doc_id", "text", n = 3, minOverlap = 3)
+    val bloomed = graft.operators.Decontamination
+      .reportBloomPrefiltered(corpus, bench, "doc_id", "text", n = 3, minOverlap = 3)
+    assert(exact.exceptAll(bloomed).isEmpty && bloomed.exceptAll(exact).isEmpty)
+    // the prefilter must actually prune: corpus grams that pass the
+    // bloom should be well under the total (the benchmark is 1/20 of
+    // the corpus, so most grams cannot match)
+    graft.plans.GraftFunctions.register(spark)
+    def grams = array_distinct(graft.functions.TextFunctions.wordShingles(
+      graft.functions.TextFunctions.normalizedWords(col("text")), 3))
+    val benchGrams = bench.select(explode(grams).as("g")).distinct()
+    val bloom = benchGrams
+      .agg(call_function("bloom_filter_agg", xxhash64(col("g")), lit(100000L)).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val total = corpus.select(explode(grams).as("g")).count()
+    val passed = corpus.select(explode(grams).as("g"))
+      .filter(call_function("might_contain", lit(bloom), xxhash64(col("g")))).count()
+    assert(passed < total / 2, s"bloom passed $passed of $total grams — not pruning")
+  }
+
   test("Decontamination.byEmbedding: exact copy flagged, orthogonal clean") {
     import spark.implicits._
     val bench = Seq(
