@@ -28,6 +28,18 @@ object Sinks {
       .sortBy(key)
       .saveAsTable(table)
 
+  /** SCHEMA-EVOLUTION read: parquet footers under `dir` may disagree
+    * (a pipeline added a column mid-stream — the normal drift of a
+    * long-lived ingest); `mergeSchema` unions the per-file schemas and
+    * older files surface the new columns as NULL. Spark skips schema
+    * merging by default because footer-merging costs a pass over file
+    * metadata — turn it on only at snapshot boundaries, not on every
+    * hot-path read. For DataFrame-level (not file-level) drift the
+    * same contract is `unionByName(…, allowMissingColumns = true)`,
+    * spec-asserted equal in SinksAndSkewSpec. */
+  def readEvolved(spark: SparkSession, dir: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(dir)
+
   /** Parquet write with a bloom filter on `key` — data skipping for
     * EQUALITY probes on a high-cardinality, unclustered column, the
     * case min/max stats (and z-order, which needs the column in the

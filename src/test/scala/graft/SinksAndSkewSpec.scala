@@ -33,6 +33,28 @@ class SinksAndSkewSpec extends SparkSuite {
     }
   }
 
+  test("schema evolution: mergeSchema unions drifted snapshots; old rows null-fill") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("sink_evolve").toString
+    // snapshot 1: two columns; snapshot 2 (later ingest) added `lang`
+    Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/batch=1")
+    Seq((3L, "gamma", "en")).toDF("doc_id", "text", "lang")
+      .write.parquet(s"$dir/batch=2")
+    val merged = Sinks.readEvolved(spark, dir)
+    assert(merged.columns.toSet == Set("doc_id", "text", "lang", "batch"))
+    val rows = merged.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(rows == Map(1L -> null, 2L -> null, 3L -> "en"))
+    // DataFrame-level drift: unionByName(allowMissingColumns) gives the
+    // same contract without touching file footers
+    val a = Seq((1L, "alpha")).toDF("doc_id", "text")
+    val b = Seq((3L, "gamma", "en")).toDF("doc_id", "text", "lang")
+    val u = a.unionByName(b, allowMissingColumns = true)
+    assert(u.columns.toSet == Set("doc_id", "text", "lang"))
+    assert(u.filter(col("doc_id") === 1L).select("lang").head.isNullAt(0))
+  }
+
   test("compaction merges a many-file directory, preserving rows") {
     val docs = Tables(spark, sfDir, "documents")
     val scattered = Files.createTempDirectory("scatter").toString

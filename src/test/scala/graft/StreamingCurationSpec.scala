@@ -28,4 +28,16 @@ class StreamingCurationSpec extends SparkSuite {
       .collect().map(_.toSeq).toSet
     assert(streamed === batch)
   }
+
+  test("hashed-bigram quality classifier: stream == batch (narrow, zero-state)") {
+    val docs = Tables(spark, sfDir, "documents").select("doc_id", "text")
+    def score(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      graft.operators.QualityClassifier.hashedBigramScore(df, "doc_id", "text")
+    val batch = score(docs).collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty)
+    val streamed = EventStreams.replayThroughStream(spark, docs, score,
+        "classifier_stream", OutputMode.Append())
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+  }
 }
