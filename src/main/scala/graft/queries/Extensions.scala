@@ -2975,11 +2975,58 @@ object Extensions {
       .orderBy("q_id", "rn")
   }
 
+  // -------------------------------------------------------------- Q126
+  /** TIME-SERIES GAP-FILL + LOCF ([[graft.operators.TimeSeries]]):
+    * every user's daily purchase series completed over their own
+    * [first, last] observed span — missing days surface as count-0
+    * rows and the daily spend carries forward (NULL before the first
+    * purchase: no state yet, not a fabricated zero). Grid explode is
+    * narrow over the key-sized span table; fill join is hash-equi;
+    * the LOCF window partitions by the high-cardinality user key. */
+  val q126 = QueryDef("q126_gapfill_locf",
+    """WITH p AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS units
+      |  FROM events WHERE event_type = 'purchase'
+      |), daily AS (
+      |  SELECT user_id, day, CAST(count(*) AS BIGINT) AS purchases,
+      |         CAST(sum(units) AS BIGINT) AS spend_units
+      |  FROM p GROUP BY 1, 2
+      |), span AS (
+      |  SELECT user_id, CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+      |  FROM events GROUP BY 1
+      |), grid AS (
+      |  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM span
+      |), j AS (
+      |  SELECT g.user_id, g.day,
+      |         coalesce(d.purchases, 0) AS purchases, d.spend_units
+      |  FROM grid g LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
+      |)
+      |SELECT user_id, day, CAST(purchases AS BIGINT) AS purchases,
+      |       last_value(spend_units IGNORE NULLS) OVER (
+      |         PARTITION BY user_id ORDER BY day
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS spend_units_locf,
+      |       purchases = 0 AS is_gap
+      |FROM j ORDER BY user_id, day""") { (s, dir) =>
+    val ev = t(s, dir, "events")
+    val daily = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        floor(col("value") * 1000000 + 0.5).cast("long").as("units"))
+      .groupBy("user_id", "day")
+      .agg(count(lit(1)).as("purchases"), sum("units").as("spend_units"))
+    graft.operators.TimeSeries.gapFillLocf(
+      daily, graft.operators.TimeSeries.dailySpan(ev, "user_id", "ts"),
+      "user_id", "day", "purchases", "spend_units")
+      .withColumnRenamed("spend_units_locf", "spend_units_locf")
+      .orderBy("user_id", "day")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q74, q75, q76, q77, q78, q79, q79b, q80, q81, q81b, q86, q87,
     q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102,
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q115,
-    q116, q117, q118, q119, q120, q121, q122, q123, q124, q125)
+    q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126)
 }

@@ -510,6 +510,30 @@ class RegistrySpec extends SparkSuite {
     assert(got === Array((1L, 4L, true), (2L, 0L, false), (3L, 2L, false), (4L, 0L, false)))
   }
 
+  test("TimeSeries.gapFillLocf: zero-filled gaps, carry-forward, null before first obs") {
+    import spark.implicits._
+    val daily = Seq(
+      (1L, java.sql.Date.valueOf("2024-01-03"), 2L, 100L),
+      (1L, java.sql.Date.valueOf("2024-01-06"), 1L, 300L)
+    ).toDF("user_id", "day", "purchases", "spend_units")
+    val span = Seq((1L, java.sql.Date.valueOf("2024-01-01"), java.sql.Date.valueOf("2024-01-07")))
+      .toDF("user_id", "d0", "d1")
+    val got = graft.operators.TimeSeries
+      .gapFillLocf(daily, span, "user_id", "day", "purchases", "spend_units")
+      .orderBy("day")
+      .collect()
+      .map(r => (r.getDate(1).toString, r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+    assert(got.length == 7, "every day in the span must exist")
+    assert(got(0) == (("2024-01-01", 0L, -1L, true)), "no state before first obs")
+    assert(got(1) == (("2024-01-02", 0L, -1L, true)))
+    assert(got(2) == (("2024-01-03", 2L, 100L, false)))
+    assert(got(3) == (("2024-01-04", 0L, 100L, true)), "carry across the gap")
+    assert(got(4) == (("2024-01-05", 0L, 100L, true)))
+    assert(got(5) == (("2024-01-06", 1L, 300L, false)), "new obs replaces carried value")
+    assert(got(6) == (("2024-01-07", 0L, 300L, true)))
+  }
+
   test("Decontamination.reportBloomPrefiltered == report exactly; bloom prunes") {
     import spark.implicits._
     val docs = Tables(spark, sfDir, "documents")
