@@ -3022,11 +3022,53 @@ object Extensions {
       .orderBy("user_id", "day")
   }
 
+  // -------------------------------------------------------------- Q127
+  /** COHORT RETENTION MATRIX: users cohorted by first-seen week
+    * (Monday-truncated on both engines), activity deduplicated to
+    * (user, week), retention = active/cohort-size per week offset —
+    * the product-analytics staple over the events stream. Two hash
+    * aggregates + one equi-join; the cohort-size join side is
+    * cohort-count-sized and broadcasts. */
+  val q127 = QueryDef("q127_cohort_retention",
+    """WITH uw AS (
+      |  SELECT DISTINCT user_id, date_trunc('week', CAST(ts AS DATE)) AS week
+      |  FROM events
+      |), first_w AS (
+      |  SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY 1
+      |), sz AS (
+      |  SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+      |  FROM first_w GROUP BY 1
+      |), act AS (
+      |  SELECT f.cohort_week,
+      |         CAST(datediff('day', f.cohort_week, u.week) // 7 AS INT) AS week_offset,
+      |         CAST(count(DISTINCT u.user_id) AS BIGINT) AS active
+      |  FROM uw u JOIN first_w f USING (user_id)
+      |  GROUP BY 1, 2
+      |)
+      |SELECT CAST(a.cohort_week AS DATE) AS cohort_week, a.week_offset, s.cohort_size, a.active,
+      |       floor(CAST(a.active AS DOUBLE) / s.cohort_size * 10000 + 0.5) / 10000 AS retention
+      |FROM act a JOIN sz s USING (cohort_week)
+      |ORDER BY cohort_week, week_offset""") { (s, dir) =>
+    val uw = t(s, dir, "events")
+      .select(col("user_id"), date_trunc("week", to_date(col("ts"))).cast("date").as("week"))
+      .distinct()
+    val firstW = uw.groupBy("user_id").agg(min("week").as("cohort_week"))
+    val sz = firstW.groupBy("cohort_week").agg(count(lit(1)).as("cohort_size"))
+    uw.join(firstW, "user_id")
+      .groupBy(col("cohort_week"),
+        (datediff(col("week"), col("cohort_week")) / 7).cast("int").as("week_offset"))
+      .agg(countDistinct("user_id").as("active"))
+      .join(broadcast(sz), "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("cohort_size"), col("active"),
+        TextFunctions.round4(col("active").cast("double") / col("cohort_size")).as("retention"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q74, q75, q76, q77, q78, q79, q79b, q80, q81, q81b, q86, q87,
     q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102,
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q115,
-    q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126)
+    q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127)
 }
