@@ -151,4 +151,29 @@ class EdgeCasesSpec extends SparkSuite {
     graft.operators.InvertedIndex.run(spark, "/root/reference/checker/test_small.txt", out)
     assert(('a' to 'z').forall(c => new java.io.File(s"$out/$c.txt").exists()))
   }
+
+  test("corrupt-record routing: malformed JSON rows go to a dead-letter channel") {
+    // the ingestion error-channel contract: PERMISSIVE parse keeps the
+    // pipeline running, the corrupt column carries the raw payload for
+    // the DLQ, and well-formed rows parse normally — no row is dropped
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", IntegerType),
+      StructField("_corrupt_record", StringType)))
+    val raw = Seq(
+      (1L, """{"k": 7}"""),
+      (2L, """{"k": broken"""),
+      (3L, null.asInstanceOf[String])).toDF("id", "js")
+    val parsed = raw.withColumn("p",
+      from_json(col("js"), schema,
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt_record")))
+    val good = parsed.filter(col("p.k").isNotNull)
+    val dlq = parsed.filter(col("p._corrupt_record").isNotNull)
+    assert(good.select("id").as[Long].collect().toSeq == Seq(1L))
+    assert(good.select("p.k").head.getInt(0) == 7)
+    val dead = dlq.select("id", "p._corrupt_record").collect()
+    assert(dead.map(_.getLong(0)).toSeq == Seq(2L), "only the malformed row is dead-lettered")
+    assert(dead.head.getString(1).contains("broken"), "DLQ must carry the raw payload")
+    assert(parsed.count() == 3, "no row is silently dropped")
+  }
 }

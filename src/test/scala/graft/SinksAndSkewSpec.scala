@@ -164,6 +164,44 @@ class SinksAndSkewSpec extends SparkSuite {
 }
 
 class BucketingSpec extends SparkSuite {
+  test("persisted band index: the daily fuzzy-match join shuffles ONLY the new shard") {
+    // the q122 at-scale claim, proven: the old corpus's LSH bands land
+    // once in a bucketed table keyed by the (band-qualified) hash; the
+    // daily candidate join then plans with an exchange on the NEW
+    // shard's bands only — the index side reads pre-bucketed
+    import org.apache.spark.sql.functions._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val docs = Tables(spark, sfDir, "documents")
+      val bucket = graft.operators.Splits.hashBucket(col("doc_id"))
+      // band-qualified single key so the bucket spec covers the whole join key
+      def keyed(df: org.apache.spark.sql.DataFrame) =
+        graft.operators.Dedup.minhashBands(df, "doc_id", "text", n = 1, k = 12, bands = 2)
+          .select(col("doc_id"), md5(concat_ws("|", col("band_idx"), col("bh"))).as("bkey"))
+      Sinks.writeBucketed(keyed(docs.filter(bucket < 58982)), "band_idx_tbl", 8, "bkey")
+      val idx = spark.table("band_idx_tbl").withColumnRenamed("doc_id", "old_id")
+      val newB = keyed(docs.filter(bucket >= 58982)).withColumnRenamed("doc_id", "new_id")
+      val cand = idx.join(newB, "bkey").select("old_id", "new_id").distinct()
+      // executedPlan, not sparkPlan: exchanges are only inserted by
+      // EnsureRequirements during execution preparation
+      val plan = cand.queryExecution.executedPlan.toString
+      assert("Exchange hashpartitioning\\(bkey".r.findAllIn(plan).size == 1,
+        s"exactly one side (the new shard) may shuffle on the join key:\n$plan")
+      // candidate set equals the all-in-memory band join
+      val direct = {
+        val o = keyed(docs.filter(bucket < 58982)).withColumnRenamed("doc_id", "old_id")
+        val n2 = keyed(docs.filter(bucket >= 58982)).withColumnRenamed("doc_id", "new_id")
+        o.join(n2, "bkey").select("old_id", "new_id").distinct()
+      }
+      assert(cand.exceptAll(direct).isEmpty && direct.exceptAll(cand).isEmpty)
+      assert(cand.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS band_idx_tbl")
+    }
+  }
+
   test("bucketed co-located join and aggregation plan without exchanges") {
     import org.apache.spark.sql.functions._
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -173,13 +211,15 @@ class BucketingSpec extends SparkSuite {
       Sinks.writeBucketed(Tables(spark, sfDir, "orders"), "o_b", 8, "o_orderkey")
       val j = spark.table("li_b")
         .join(spark.table("o_b"), col("l_orderkey") === col("o_orderkey"))
-      val jPlan = j.queryExecution.sparkPlan.toString
+      // executedPlan: sparkPlan predates EnsureRequirements, so it NEVER
+      // contains exchanges and a no-Exchange assertion on it is vacuous
+      val jPlan = j.queryExecution.executedPlan.toString
       assert(jPlan.contains("SortMergeJoin") && !jPlan.contains("Exchange"),
         s"bucketed join should not shuffle:\n$jPlan")
       assert(j.count() === Tables(spark, sfDir, "lineitem")
         .join(Tables(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey")).count())
       val agg = spark.table("li_b").groupBy("l_orderkey").agg(sum("l_quantity"))
-      val aPlan = agg.queryExecution.sparkPlan.toString
+      val aPlan = agg.queryExecution.executedPlan.toString
       assert(!aPlan.contains("Exchange"), s"bucketed agg should not shuffle:\n$aPlan")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
