@@ -2707,8 +2707,10 @@ object Extensions {
     * (no explode, no per-feature agg exchange) — 100 TB scores at
     * scan speed. The pure-function weight table keeps the oracle
     * exact; a trained model swaps in as a broadcast lookup. */
-  val q117 = QueryDef("q117_quality_classifier",
-    s"""WITH $docwCte, f AS (
+  /** Shared classifier-margin CTE chain (q117 + q128's gate) — depends
+    * on `docw` being in scope. */
+  private val classifierScoreCte =
+    s"""f AS (
        |  SELECT doc_id, coalesce(w, []) AS w FROM docw
        |), bg AS (
        |  SELECT doc_id,
@@ -2720,7 +2722,10 @@ object Extensions {
        |         coalesce(list_sum(list_transform(bgs, b ->
        |           CAST((${md5Bucket16Sql("b")}) - 32768 AS BIGINT))), 0) AS margin_units
        |  FROM bg
-       |)
+       |)""".stripMargin
+
+  val q117 = QueryDef("q117_quality_classifier",
+    s"""WITH $docwCte, $classifierScoreCte
        |SELECT doc_id, CAST(n_feat AS BIGINT) AS n_feat,
        |       CAST(margin_units AS BIGINT) AS margin_units,
        |       margin_units > 0 AS keep
@@ -3064,11 +3069,59 @@ object Extensions {
       .orderBy("cohort_week", "week_offset")
   }
 
+  // -------------------------------------------------------------- Q128
+  /** CURATION v2 COMPOSITION: the round-8 operators chained end-to-end
+    * — model-based quality gate (q117's classifier margin > 0) feeding
+    * epoch-aware mixing with replacement (q123's allocator, budget
+    * 20k / cap 2 epochs) — the "score, gate, budget the survivors"
+    * path a recipe build actually runs. One oracle covers the whole
+    * composition, so a drift in EITHER operator breaks the hash. Plan
+    * cost = classifier (narrow) + the mix's one range exchange. */
+  val q128 = QueryDef("q128_curation_v2",
+    s"""WITH $docwCte, $classifierScoreCte,
+       |kept AS (SELECT doc_id FROM sc WHERE margin_units > 0),
+       |b AS (
+       |  SELECT d.doc_id, doc.source AS grp, len(d.w) AS n_tok,
+       |         md5(CAST(d.doc_id AS VARCHAR)) AS ord
+       |  FROM docw d
+       |  JOIN documents doc USING (doc_id)
+       |  JOIN kept USING (doc_id)
+       |  WHERE len(d.w) > 0
+       |), g AS (SELECT grp, sum(n_tok) AS g_tok FROM b GROUP BY grp),
+       |a AS (
+       |  SELECT grp, g_tok,
+       |         least(2 * g_tok, 20000 // (SELECT count(*) FROM g)) AS budget
+       |  FROM g
+       |), a2 AS (
+       |  SELECT grp, budget // g_tok AS e, budget % g_tok AS rem FROM a
+       |), c AS (
+       |  SELECT b.*, sum(n_tok) OVER (PARTITION BY grp ORDER BY ord, doc_id
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM b
+       |)
+       |SELECT c.grp, c.doc_id, CAST(c.n_tok AS BIGINT) AS n_tok,
+       |       CAST(a2.e + CASE WHEN c.cum - c.n_tok < a2.rem THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+       |FROM c JOIN a2 USING (grp)
+       |ORDER BY grp, doc_id""") { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val keep = graft.operators.QualityClassifier
+      .hashedBigramScore(docs, "doc_id", "text")
+      .filter(col("keep")).select("doc_id")
+    graft.operators.Sampling.epochMix(
+      docs.join(keep, "doc_id"),
+      "doc_id", "source",
+      size(TextFunctions.normalizedWords(col("text"))),
+      totalBudget = 20000L, maxEpochs = 2,
+      numParts = s.sessionState.conf.numShufflePartitions)
+      .orderBy("grp", "doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q74, q75, q76, q77, q78, q79, q79b, q80, q81, q81b, q86, q87,
     q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102,
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q115,
-    q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127)
+    q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
+    q128)
 }
