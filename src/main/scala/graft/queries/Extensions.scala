@@ -3116,6 +3116,46 @@ object Extensions {
       .orderBy("grp", "doc_id")
   }
 
+  // -------------------------------------------------------------- Q129
+  /** DATA-QUALITY EXPECTATIONS ([[graft.operators.Expectations]]): the
+    * declarative publish gate (Deequ shape) — row-level rules as
+    * violation-indicator sums plus uniqueness rules, ALL evaluated in
+    * one aggregate pass over `documents` (a rule adds a column, not a
+    * job). Includes a deliberately failing rule so the fixture proves
+    * the gate actually reports violations, not just all-green. */
+  val q129 = QueryDef("q129_expectations",
+    """SELECT rule, n_rows, n_violations, n_violations = 0 AS pass FROM (
+      |  SELECT 'doc_id_not_null' AS rule, CAST(count(*) AS BIGINT) AS n_rows,
+      |         CAST(sum(CASE WHEN doc_id IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_violations
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'n_chars_matches_text', CAST(count(*) AS BIGINT),
+      |         CAST(sum(CASE WHEN coalesce(n_chars = len(text), FALSE) THEN 0 ELSE 1 END) AS BIGINT)
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'lang_known', CAST(count(*) AS BIGINT),
+      |         CAST(sum(CASE WHEN coalesce(lang IN ('en','de','fr','es','it','pt','nl','zh','ja','ru'), FALSE) THEN 0 ELSE 1 END) AS BIGINT)
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'text_over_200_chars', CAST(count(*) AS BIGINT),
+      |         CAST(sum(CASE WHEN coalesce(n_chars >= 200, FALSE) THEN 0 ELSE 1 END) AS BIGINT)
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'unique(doc_id)', CAST(count(*) AS BIGINT),
+      |         CAST(count(*) - count(DISTINCT doc_id) AS BIGINT)
+      |  FROM documents
+      |) ORDER BY rule""") { (s, dir) =>
+    import graft.operators.Expectations.Rule
+    graft.operators.Expectations.check(t(s, dir, "documents"),
+      rules = Seq(
+        Rule("doc_id_not_null", col("doc_id").isNotNull),
+        Rule("n_chars_matches_text", col("n_chars") === length(col("text"))),
+        Rule("lang_known", col("lang").isin(
+          "en", "de", "fr", "es", "it", "pt", "nl", "zh", "ja", "ru")),
+        Rule("text_over_200_chars", col("n_chars") >= 200)),
+      unique = Seq("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -3123,5 +3163,5 @@ object Extensions {
     q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102,
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
-    q128)
+    q128, q129)
 }

@@ -510,6 +510,29 @@ class RegistrySpec extends SparkSuite {
     assert(got === Array((1L, 4L, true), (2L, 0L, false), (3L, 2L, false), (4L, 0L, false)))
   }
 
+  test("Expectations.check: planted violations counted, null predicate = violation") {
+    import spark.implicits._
+    import graft.operators.Expectations.Rule
+    val df = Seq(
+      (java.lang.Long.valueOf(1L), "a", 10),
+      (java.lang.Long.valueOf(1L), "b", -5),   // dup id + negative
+      (null.asInstanceOf[java.lang.Long], "c", 3) // null id; null predicate on id>0
+    ).toDF("id", "name", "v")
+    val got = graft.operators.Expectations.check(df,
+        rules = Seq(
+          Rule("id_not_null", col("id").isNotNull),
+          Rule("v_positive", col("v") > 0),
+          Rule("id_positive", col("id") > 0)), // null id → null predicate → violation
+        unique = Seq("id"))
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(got("id_not_null") == ((1L, false)))
+    assert(got("v_positive") == ((1L, false)))
+    assert(got("id_positive") == ((1L, false)), "null predicate must count as a violation")
+    // 3 rows, 2 distinct non-null ids + null: countDistinct ignores null → 3-1=2? no:
+    // countDistinct(id) = 1 (only id=1); violations = 3 - 1 = 2 (the dup AND the null)
+    assert(got("unique(id)") == ((2L, false)))
+  }
+
   test("TimeSeries.gapFillLocf: zero-filled gaps, carry-forward, null before first obs") {
     import spark.implicits._
     val daily = Seq(
