@@ -133,7 +133,13 @@ object Sampling {
       .withColumn("ord", md5(col("doc_id").cast("string")))
     val cum = GlobalIds.prefixSumBy(base, "grp", "n_tok", "cum", numParts,
       col("ord"), col("doc_id"))
-    val groups = base.groupBy("grp").agg(sum("n_tok").as("g_tok"))
+    // group totals from the prefix sum's PINNED output, not from `base`:
+    // prefixSumBy localCheckpoints its input, so this (and the ng
+    // aggregate below) rescans materialized blocks instead of
+    // re-evaluating the caller's upstream chain — which may be an
+    // expensive gate (q128 runs the hashed classifier there; deriving
+    // totals from `base` re-ran it once per consumer, 9.2 s vs 2.6 s)
+    val groups = cum.groupBy("grp").agg(sum("n_tok").as("g_tok"))
     val alloc = groups
       .crossJoin(broadcast(groups.agg(count(lit(1)).as("ng"))))
       .withColumn("budget",
