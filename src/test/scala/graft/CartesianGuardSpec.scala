@@ -37,8 +37,9 @@ class CartesianGuardSpec extends SparkSuite {
     // q123: groups-sized scalar attachment (crossJoin(broadcast(ng)));
     // q124: anchor-set broadcast scoring scan with the label-exclusion
     // predicate (two-phase top-k)
+    // q128 composes q123's allocator, inheriting the same scalar attachment
     "q113_maxsim_retrieval", "q118_embed_decontam", "q123_epoch_mix",
-    "q124_hard_negatives")
+    "q124_hard_negatives", "q128_curation_v2")
 
   test("no declared query plans a CartesianProduct; NLJ only where documented") {
     val sf = sfDir
