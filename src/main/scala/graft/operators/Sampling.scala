@@ -53,6 +53,43 @@ object Sampling {
       .orderBy(col("es_key").desc, col(idCol))
       .limit(k)
 
+  /** Mergeable bounded weighted-sample SKETCH: the A-ES top-k as a
+    * typed Aggregator whose state is at most k (key, id) pairs — the
+    * form that drops into a STREAMING aggregate (Complete mode) or any
+    * partial-aggregation context and keeps the exact same sample as
+    * the batch [[weightedSample]] (spec-asserted stream == batch).
+    * A-ES keys make a weighted sample order-insensitive: the k largest
+    * keys of a union are the k largest of the merged parts, so the
+    * sketch is mergeable in the PODS'12 sense (like [[HeavyHitters]]'
+    * Misra–Gries) and the state crossing the shuffle is k pairs, not
+    * the stream. */
+  class BoundedSampleSketch(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[(Double, Long), Seq[(Double, Long)], Seq[Long]] {
+    require(k > 0, s"need k > 0, got $k")
+    // weightedSample's total order: key DESC, id ASC
+    private def best(v: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      v.sortBy(t => (-t._1, t._2)).take(k)
+    def zero: Seq[(Double, Long)] = Vector.empty
+    def reduce(s: Seq[(Double, Long)], x: (Double, Long)): Seq[(Double, Long)] = best(s :+ x)
+    def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] = best(a ++ b)
+    def finish(s: Seq[(Double, Long)]): Seq[Long] = best(s).map(_._2)
+    def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** One-row DataFrame (`sample_ids`: the k sampled ids, best first)
+    * via the sketch — usable identically on a batch frame or a
+    * streaming frame in Complete mode. */
+  def weightedSampleSketch(df: DataFrame, idCol: String, weight: Column, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.select(esKeyRounded(col(idCol), weight).as("k"), col(idCol).as("id"))
+      .as[(Double, Long)]
+    keyed.select(new BoundedSampleSketch(k).toColumn.name("sample_ids")).toDF()
+  }
+
   /** Temperature-based mixture sampling — the α-mixing of multilingual
     * / multi-source LLM data recipes (sampling share ∝ n_g^α; α < 1
     * flattens the mixture toward low-resource groups, α = 1 is

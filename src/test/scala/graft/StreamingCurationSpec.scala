@@ -29,6 +29,26 @@ class StreamingCurationSpec extends SparkSuite {
     assert(streamed === batch)
   }
 
+  test("bounded weighted-sample sketch: streaming Complete mode == batch sample") {
+    val docs = Tables(spark, sfDir, "documents").select("doc_id", "n_chars")
+    val k = 12
+    def sketch(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      graft.operators.Sampling.weightedSampleSketch(df, "doc_id", col("n_chars") + 1, k)
+    val batchIds = sketch(docs).head.getSeq[Long](0)
+    // the sketch must reproduce the plain top-k sample EXACTLY, order included
+    val direct = graft.operators.Sampling
+      .weightedSample(docs, "doc_id", col("n_chars") + 1, k)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(batchIds == direct, s"sketch $batchIds vs direct $direct")
+    // and be partitioning-invariant (mergeability)
+    assert(sketch(docs.repartition(13)).head.getSeq[Long](0) == direct)
+    // streaming twin: Complete-mode aggregate over the replayed corpus
+    val streamed = EventStreams.replayThroughStream(spark, docs, sketch,
+        "sample_sketch_stream", OutputMode.Complete())
+      .collect()
+    assert(streamed.last.getSeq[Long](0) == direct, "final streamed sample != batch")
+  }
+
   test("hashed-bigram quality classifier: stream == batch (narrow, zero-state)") {
     val docs = Tables(spark, sfDir, "documents").select("doc_id", "text")
     def score(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
