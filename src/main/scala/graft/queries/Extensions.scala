@@ -3156,6 +3156,32 @@ object Extensions {
       unique = Seq("doc_id"))
   }
 
+  // -------------------------------------------------------------- Q130
+  /** WEIGHTED-SAMPLE SKETCH ([[graft.operators.Sampling
+    * .BoundedSampleSketch]]): the global A-ES top-25 sample produced by
+    * the MERGEABLE k-bounded aggregator — the form a streaming
+    * aggregate or any partial-aggregation context uses (stream ==
+    * batch spec-asserted in StreamingCurationSpec) — hash-checked
+    * against the SQL replay of the same selection. Only k (key, id)
+    * pairs cross the shuffle. */
+  val q130 = QueryDef("q130_sample_sketch",
+    s"""WITH b AS (
+       |  SELECT doc_id, n_chars, ${md5Bucket16Sql("doc_id")} AS bucket
+       |  FROM documents
+       |), k AS (
+       |  SELECT doc_id,
+       |         floor(ln((bucket + 1) / CAST(65537 AS DOUBLE)) / (n_chars + 1)
+       |               * 100000000 + 0.5) / 100000000 AS es_key
+       |  FROM b
+       |), top AS (
+       |  SELECT doc_id, es_key FROM k ORDER BY es_key DESC, doc_id LIMIT 25
+       |)
+       |SELECT list(doc_id ORDER BY es_key DESC, doc_id) AS sample_ids
+       |FROM top""") { (s, dir) =>
+    graft.operators.Sampling.weightedSampleSketch(
+      t(s, dir, "documents"), "doc_id", col("n_chars") + 1, k = 25)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -3163,5 +3189,5 @@ object Extensions {
     q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102,
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
-    q128, q129)
+    q128, q129, q130)
 }
