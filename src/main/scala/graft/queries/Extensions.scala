@@ -3182,6 +3182,40 @@ object Extensions {
       t(s, dir, "documents"), "doc_id", col("n_chars") + 1, k = 25)
   }
 
+  // -------------------------------------------------------------- Q131
+  /** EWMA ANOMALY DETECTION ([[graft.operators.TimeSeries
+    * .ewmaAnomalies]]): per-user spike monitor over purchase values —
+    * integer fixed-point recurrence ⌊(x + 7·ew)/8⌋, flag when
+    * 2·x > 3·ewma_prev. A linear recurrence is a SEQUENTIAL scan per
+    * key (no window expresses it), so the plan is the per-key
+    * imperative carve-out: one shuffle by the high-cardinality user
+    * key + in-group sort/scan. The oracle steps the identical
+    * recurrence with a recursive CTE. */
+  val q131 = QueryDef("q131_ewma_anomaly",
+    """WITH RECURSIVE e AS (
+      |  SELECT user_id, event_id, ts,
+      |         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS x
+      |  FROM events WHERE event_type = 'purchase'
+      |), r0 AS (
+      |  SELECT user_id, event_id, x,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM e
+      |), rec(user_id, rn, event_id, x, prev, ew) AS (
+      |  SELECT user_id, rn, event_id, x, CAST(NULL AS BIGINT), x FROM r0 WHERE rn = 1
+      |  UNION ALL
+      |  SELECT n.user_id, n.rn, n.event_id, n.x, p.ew, (n.x + 7 * p.ew) // 8
+      |  FROM rec p JOIN r0 n ON n.user_id = p.user_id AND n.rn = p.rn + 1
+      |)
+      |SELECT user_id, event_id, x, prev AS ewma_prev,
+      |       CASE WHEN prev IS NULL THEN FALSE ELSE 2 * x > 3 * prev END AS anomaly
+      |FROM rec ORDER BY user_id, event_id""") { (s, dir) =>
+    graft.operators.TimeSeries.ewmaAnomalies(
+      t(s, dir, "events").filter(col("event_type") === "purchase"),
+      "user_id", "ts", "event_id",
+      floor(col("value") * 1000000 + 0.5))
+      .orderBy("user_id", "event_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -3189,5 +3223,5 @@ object Extensions {
     q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102,
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
-    q128, q129, q130)
+    q128, q129, q130, q131)
 }

@@ -510,6 +510,31 @@ class RegistrySpec extends SparkSuite {
     assert(got === Array((1L, 4L, true), (2L, 0L, false), (3L, 2L, false), (4L, 0L, false)))
   }
 
+  test("TimeSeries.ewmaAnomalies: hand-stepped recurrence, first-event seed, ts ties") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(s: Int) = new java.sql.Timestamp(ts0.getTime + s * 1000L)
+    val ev = Seq(
+      (1L, 10L, at(0), 80L),   // seeds: ew = 80
+      (1L, 11L, at(1), 160L),  // prev 80; 320 > 240 → anomaly; ew = (160+560)/8 = 90
+      (1L, 12L, at(2), 100L),  // prev 90; 200 < 270 → ok; ew = (100+630)/8 = 91
+      (1L, 14L, at(3), 200L),  // same-ts tie with eid 13 — eid order decides
+      (1L, 13L, at(3), 50L)
+    ).toDF("user_id", "event_id", "ts", "v")
+    val got = graft.operators.TimeSeries
+      .ewmaAnomalies(ev, "user_id", "ts", "event_id", col("v"))
+      .orderBy("event_id")
+      .collect()
+      .map(r => (r.getLong(1), if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+    assert(got(0) == ((10L, -1L, false)), "seed event: no prev, never flagged")
+    assert(got(1) == ((11L, 80L, true)))
+    assert(got(2) == ((12L, 90L, false)))
+    // tie at ts=3s: eid 13 runs BEFORE eid 14
+    assert(got(3) == ((13L, 91L, false)), got.mkString(","))  // 100 < 136.5
+    // after 13: ew = (50 + 7*91)/8 = 85; then 14: 400 > 255 → anomaly
+    assert(got(4) == ((14L, 85L, true)), got.mkString(","))
+  }
+
   test("Expectations.check: planted violations counted, null predicate = violation") {
     import spark.implicits._
     import graft.operators.Expectations.Rule
