@@ -127,6 +127,40 @@ object EventStreams {
       }
   }
 
+  case class ValEv(user_id: Long, event_id: Long, ts: java.sql.Timestamp, x: Long)
+  case class EwmaState(ew: Long, seeded: Boolean)
+  case class EwmaOut(user_id: Long, event_id: Long, x: Long,
+      ewma_prev: Option[Long], anomaly: Boolean)
+
+  /** Streaming twin of [[graft.operators.TimeSeries.ewmaAnomalies]]:
+    * the identical integer fixed-point recurrence (⌊(x+7·ew)/8⌋, flag
+    * 2·x > 3·ew_prev) with the single (ew, seeded) pair per key held
+    * in the state store — the smallest possible stateful-operator
+    * state. Events are ordered (ts, event_id) WITHIN each micro-batch;
+    * cross-batch order is arrival order, so an in-order feed
+    * reproduces the batch result exactly (EwmaStreamSpec proves both
+    * the one-batch and the two-micro-batch replay equal the batch
+    * operator row-for-row). */
+  def ewmaAnomalyStream(events: Dataset[ValEv]): Dataset[EwmaOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaState, EwmaOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (k, evs, state: GroupState[EwmaState]) =>
+          var st = state.getOption.getOrElse(EwmaState(0L, false))
+          val out = evs.toSeq
+            .sortBy(e => (e.ts.getTime, e.event_id))
+            .map { e =>
+              val p = if (st.seeded) Some(st.ew) else None
+              val anomaly = p.exists(pv => 2L * e.x > 3L * pv)
+              st = EwmaState(if (st.seeded) (e.x + 7L * st.ew) / 8L else e.x, seeded = true)
+              EwmaOut(k, e.event_id, e.x, p, anomaly)
+            }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   case class ClosedSession(user_id: Long, start_s: Long, end_s: Long, n_events: Long)
   case class OpenSession(start: Long, last: Long, n: Long)
 
