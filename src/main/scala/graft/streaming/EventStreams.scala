@@ -397,6 +397,41 @@ object EventStreams {
       }
       .start()
 
+  /** MAJOR COMPACTION of the LSM sink: fold every `batch=<id>` SSTable
+    * with id ≤ `upToBatch` into ONE base level — latest op per key
+    * across the folded range, with tombstone winners DROPPED entirely
+    * (legal precisely because the base is the oldest level: there is
+    * no older data a tombstone still needs to mask; tombstones in
+    * batches ABOVE the fold keep masking the base through the
+    * read-side merge's ord order as before). Precondition (the classic
+    * LSM tombstone-GC rule): the ord watermark must have passed the
+    * folded range — an out-of-order op with ord BELOW a dropped
+    * tombstone that arrives after the fold would resurrect the key
+    * (spec-demonstrated); fold only up to the batch whose ords can no
+    * longer be undercut. This is what bounds the
+    * sink's read amplification: the [[compactedState]] merge then
+    * scans one base + the recent tail instead of every batch ever
+    * landed. The fold itself is one [[graft.operators.Merge
+    * .compactLog]] aggregation over the folded range; the swap is
+    * delete-then-write (a production deployment swaps a manifest
+    * atomically — stated, not hidden). */
+  def majorCompact(spark: SparkSession, targetDir: String, keyCol: String,
+      opCol: String, deleteOp: String, ordCols: Seq[String], upToBatch: Long): Unit = {
+    val fs = new java.io.File(targetDir)
+    val folded = fs.listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .filter(_.getName.stripPrefix("batch=").toLong <= upToBatch)
+    require(folded.nonEmpty, s"majorCompact: no batches <= $upToBatch under $targetDir")
+    val base = graft.operators.Merge.compactLog(
+        spark.read.parquet(folded.map(_.getPath): _*), keyCol, opCol, deleteOp, ordCols)
+      .filter(col(opCol) =!= deleteOp) // oldest level → tombstones drop
+    val tmp = s"$targetDir/.compact_tmp"
+    base.write.mode("overwrite").parquet(tmp)
+    folded.foreach(d => org.apache.commons.io.FileUtils.deleteDirectory(d))
+    org.apache.commons.io.FileUtils.moveDirectory(
+      new java.io.File(tmp), new java.io.File(s"$targetDir/batch=$upToBatch"))
+  }
+
   /** Replay a batch DataFrame's rows through a real streaming source
     * (file source over a temp parquet copy), apply `transform`, collect
     * to a memory sink. Test/demo harness for batch equivalence. */

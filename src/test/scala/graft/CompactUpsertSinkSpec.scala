@@ -38,6 +38,40 @@ class CompactUpsertSinkSpec extends SparkSuite {
     assert(state == Map(1L -> "a2", 2L -> "b2"))
   }
 
+  test("major compaction: state preserved, tombstones dropped, later ops still win") {
+    val dir = Files.createTempDirectory("compact_major").toString + "/log"
+    EventStreams.compactUpsertBatch(
+      Seq((1L, 1L, "U", "a1"), (2L, 2L, "U", "b1"), (3L, 3L, "U", "c1"))
+        .toDF("k", "seq", "op", "v"), dir, "k", ord, 0L)
+    EventStreams.compactUpsertBatch(
+      Seq((1L, 4L, "U", "a2"), (3L, 5L, "D", "-")).toDF("k", "seq", "op", "v"),
+      dir, "k", ord, 1L)
+    EventStreams.compactUpsertBatch(
+      Seq((2L, 6L, "U", "b2")).toDF("k", "seq", "op", "v"), dir, "k", ord, 2L)
+    def state = EventStreams.compactedState(spark, dir, "k", "op", "D", ord)
+      .select("k", "v").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val before = state
+    assert(before == Map(1L -> "a2", 2L -> "b2"))
+    // fold batches 0..1 into the base; batch 2 stays above
+    EventStreams.majorCompact(spark, dir, "k", "op", "D", ord, upToBatch = 1L)
+    assert(state == before, "read state must be unchanged by major compaction")
+    val dirs = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("batch=")).sorted
+    assert(dirs.toSeq == Seq("batch=1", "batch=2"), dirs.mkString(","))
+    // tombstone winner (k=3) is physically gone from the base
+    val base = spark.read.parquet(s"$dir/batch=1")
+    assert(base.filter(col("k") === 3L).count() == 0, "tombstone must be dropped in the base")
+    // later ops on top of the base still win
+    EventStreams.compactUpsertBatch(
+      Seq((1L, 7L, "D", "-")).toDF("k", "seq", "op", "v"), dir, "k", ord, 3L)
+    assert(state == Map(2L -> "b2"))
+    // the documented watermark caveat: an op BELOW the dropped tombstone's
+    // ord arriving after the fold resurrects the key — fold only behind
+    // the ord watermark
+    EventStreams.compactUpsertBatch(
+      Seq((3L, 4L, "U", "ghost")).toDF("k", "seq", "op", "v"), dir, "k", ord, 4L)
+    assert(state(3L) == "ghost", "this is WHY tombstone GC needs the watermark")
+  }
+
   test("streaming end-to-end equals one-shot compaction of the full log") {
     val root = Files.createTempDirectory("compact_e2e").toString
     val in = s"$root/in"; val out = s"$root/log"; val ckpt = s"$root/ckpt"
