@@ -29,6 +29,36 @@ class StreamingCurationSpec extends SparkSuite {
     assert(streamed === batch)
   }
 
+  test("Misra-Gries sketch streams: Complete-mode counters keep the MG guarantee") {
+    import spark.implicits._
+    val k = 8
+    val docs = Tables(spark, sfDir, "documents").select("doc_id", "text")
+    def tokens(df: org.apache.spark.sql.DataFrame) =
+      df.select(explode(graft.functions.TextFunctions.normalizedWords(col("text"))).as("w"))
+    def sketch(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val ds = tokens(df).as[String]
+      ds.select(new graft.operators.HeavyHitters.MisraGries(k).toColumn.name("mg")).toDF()
+    }
+    val exact = tokens(docs).groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = exact.values.sum
+    // the product output encoder flattens MGState into (total, counters)
+    val st = EventStreams.replayThroughStream(spark, docs, sketch,
+        "mg_stream", OutputMode.Complete())
+      .collect().last
+    assert(st.getLong(0) == total, "sketch total must be the exact stream length")
+    val counters = st.getMap[String, Long](1)
+    assert(counters.nonEmpty && counters.size <= k)
+    // MG guarantee on the STREAMED state: true - total/(k+1) <= counter <= true
+    counters.foreach { case (w, c) =>
+      assert(c <= exact(w) && c >= exact(w) - total / (k + 1), s"$w: $c vs ${exact(w)}")
+    }
+    // every token strictly above the threshold holds a counter
+    exact.foreach { case (w, n) =>
+      if (n > total / (k + 1)) assert(counters.contains(w), s"missing heavy hitter $w ($n)")
+    }
+  }
+
   test("bounded weighted-sample sketch: streaming Complete mode == batch sample") {
     val docs = Tables(spark, sfDir, "documents").select("doc_id", "n_chars")
     val k = 12
