@@ -38,8 +38,68 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextNormExprs {
 
+  private def isWs(b: Byte): Boolean = b == 0x20 || (b >= 0x09 && b <= 0x0d)
+
+  /** Lower + strip one raw token (bytes [from, until)) into buf,
+    * returning the normalized length. ASCII tokens take the manual
+    * bytewise path; tokens with any non-ASCII byte route through the
+    * same `UTF8String.toLowerCase` the composed form's `lower()` uses. */
+  private def normalizeToken(bytes: Array[Byte], from: Int, until: Int,
+      buf: Array[Byte]): Int = {
+    var ascii = true
+    var i = from
+    while (ascii && i < until) { if (bytes(i) < 0) ascii = false; i += 1 }
+    var w = 0
+    if (ascii) {
+      i = from
+      while (i < until) {
+        var b = bytes(i)
+        if (b >= 'A' && b <= 'Z') b = (b + 32).toByte
+        if (b >= 'a' && b <= 'z') { buf(w) = b; w += 1 }
+        i += 1
+      }
+      w
+    } else {
+      val lowered = UTF8String.fromBytes(bytes, from, until - from).toLowerCase.getBytes
+      i = 0
+      while (i < lowered.length) {
+        val b = lowered(i)
+        if (b >= 'a' && b <= 'z') { buf(w) = b; w += 1 }
+        i += 1
+      }
+      w
+    }
+  }
+
+  /** The tokenizer kernel, shared by the interpreted `nullSafeEval` and
+    * the GENERATED code (called as a static forwarder from janino-built
+    * Java — the StaticInvoke pattern, which keeps the expression inside
+    * whole-stage codegen instead of the per-row boxed `eval()` detour
+    * CodegenFallback costs). */
+  def normalizeWordsEval(input: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val bytes = input.getBytes
+    val out = new java.util.ArrayList[UTF8String]()
+    // lowering can lengthen a token (e.g. İ → i + combining dot); the
+    // kept [a-z] bytes are bounded by the lowered byte length, which
+    // Unicode bounds at 3× the input — size the shared buffer to that
+    val buf = new Array[Byte](math.max(16, bytes.length * 3))
+    var start = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || isWs(bytes(i))) {
+        if (i > start) {
+          val w = normalizeToken(bytes, start, i, buf)
+          if (w > 0) out.add(UTF8String.fromBytes(java.util.Arrays.copyOfRange(buf, 0, w)))
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   case class NormalizedWordsExpr(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
     override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -51,60 +111,15 @@ object TextNormExprs {
             s"normalized_words requires a STRING input, got ${other.simpleString}")
       }
 
-    private def isWs(b: Byte): Boolean = b == 0x20 || (b >= 0x09 && b <= 0x0d)
+    override protected def nullSafeEval(input: Any): Any =
+      normalizeWordsEval(input.asInstanceOf[UTF8String])
 
-    /** Lower + strip one raw token (bytes [from, until)) into buf,
-      * returning the normalized length. ASCII tokens take the manual
-      * bytewise path; tokens with any non-ASCII byte route through the
-      * same `UTF8String.toLowerCase` the composed form's `lower()` uses. */
-    private def normalizeToken(bytes: Array[Byte], from: Int, until: Int,
-        buf: Array[Byte]): Int = {
-      var ascii = true
-      var i = from
-      while (ascii && i < until) { if (bytes(i) < 0) ascii = false; i += 1 }
-      var w = 0
-      if (ascii) {
-        i = from
-        while (i < until) {
-          var b = bytes(i)
-          if (b >= 'A' && b <= 'Z') b = (b + 32).toByte
-          if (b >= 'a' && b <= 'z') { buf(w) = b; w += 1 }
-          i += 1
-        }
-        w
-      } else {
-        val lowered = UTF8String.fromBytes(bytes, from, until - from).toLowerCase.getBytes
-        i = 0
-        while (i < lowered.length) {
-          val b = lowered(i)
-          if (b >= 'a' && b <= 'z') { buf(w) = b; w += 1 }
-          i += 1
-        }
-        w
-      }
-    }
-
-    override protected def nullSafeEval(input: Any): Any = {
-      val bytes = input.asInstanceOf[UTF8String].getBytes
-      val out = new java.util.ArrayList[UTF8String]()
-      // lowering can lengthen a token (e.g. İ → i + combining dot); the
-      // kept [a-z] bytes are bounded by the lowered byte length, which
-      // Unicode bounds at 3× the input — size the shared buffer to that
-      val buf = new Array[Byte](math.max(16, bytes.length * 3))
-      var start = 0
-      var i = 0
-      while (i <= bytes.length) {
-        if (i == bytes.length || isWs(bytes(i))) {
-          if (i > start) {
-            val w = normalizeToken(bytes, start, i, buf)
-            if (w > 0) out.add(UTF8String.fromBytes(java.util.Arrays.copyOfRange(buf, 0, w)))
-          }
-          start = i + 1
-        }
-        i += 1
-      }
-      new GenericArrayData(out.toArray)
-    }
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.plans.TextNormExprs.normalizeWordsEval($c);")
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)

@@ -125,6 +125,29 @@ object NormalizerPropertySpec extends Properties("normalizer") {
       native == composed
     }
 
+  property("normalized_words GENERATED code compiles and equals interpreted eval") =
+    forAll(Gen.listOfN(8, weird)) { ss =>
+      import org.apache.spark.sql.catalyst.InternalRow
+      import org.apache.spark.sql.catalyst.expressions.BoundReference
+      import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+      import org.apache.spark.sql.types.StringType
+      import org.apache.spark.unsafe.types.UTF8String
+      val expr = graft.plans.TextNormExprs.NormalizedWordsExpr(
+        BoundReference(0, StringType, nullable = true))
+      // generate() compiles eagerly — a janino failure (the silent
+      // CodegenFallback trap) fails the property instead of degrading
+      val proj = GenerateUnsafeProjection.generate(Seq(expr))
+      (ss :+ "The quick-1 brown FOX  \t don't İİ").forall { s =>
+        val row = InternalRow(UTF8String.fromString(s))
+        val gen = proj(row).getArray(0)
+        val interp = expr.eval(row)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        (0 until gen.numElements()).map(gen.getUTF8String) ==
+          (0 until interp.numElements()).map(interp.getUTF8String) &&
+          gen.numElements() == interp.numElements()
+      }
+    }
+
   property("native bpeish_count == size(regexp_extract_all) on lowered text") =
     forAll(Gen.listOfN(5, weird)) { ss =>
       import spark.implicits._
