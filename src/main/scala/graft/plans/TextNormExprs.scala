@@ -134,8 +134,23 @@ object TextNormExprs {
     * array materialization, no regex. Java regex `\s` is exactly
     * {0x20, 0x09–0x0D}, all ASCII, so maximal non-ws byte runs are
     * countable bytewise (UTF-8 continuation bytes are never ws). */
+  /** Count kernel, static-forwarder-reachable from generated Java. */
+  def wsTokenCountEval(input: UTF8String): Int = {
+    val bytes = input.getBytes
+    var cnt = 0
+    var inTok = false
+    var i = 0
+    while (i < bytes.length) {
+      val ws = isWs(bytes(i))
+      if (!ws && !inTok) cnt += 1
+      inTok = !ws
+      i += 1
+    }
+    cnt
+  }
+
   case class WsTokenCountExpr(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = IntegerType
     override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
       child.dataType match {
@@ -145,20 +160,14 @@ object TextNormExprs {
           org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
             s"ws_token_count requires a STRING input, got ${other.simpleString}")
       }
-    private def isWs(b: Byte): Boolean = b == 0x20 || (b >= 0x09 && b <= 0x0d)
-    override def nullSafeEval(input: Any): Any = {
-      val bytes = input.asInstanceOf[UTF8String].getBytes
-      var cnt = 0
-      var inTok = false
-      var i = 0
-      while (i < bytes.length) {
-        val ws = isWs(bytes(i))
-        if (!ws && !inTok) cnt += 1
-        inTok = !ws
-        i += 1
-      }
-      cnt
-    }
+    override def nullSafeEval(input: Any): Any =
+      wsTokenCountEval(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.plans.TextNormExprs.wsTokenCountEval($c);")
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
     override def prettyName: String = "ws_token_count"
@@ -178,8 +187,29 @@ object TextNormExprs {
     * is a single-glyph match; a non-ASCII codepoint (UTF-8 lead byte,
     * continuation bytes skipped) is a single-glyph match — including
     * non-ASCII whitespace, which Java regex `\s` does NOT match. */
+  /** Count kernel, static-forwarder-reachable from generated Java. */
+  def bpeishCountEval(input: UTF8String): Int = {
+    val bytes = input.getBytes
+    var cnt = 0
+    var run = 0 // 0 = none, 1 = letter run, 2 = digit run
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      if (b >= 'a' && b <= 'z') { if (run != 1) cnt += 1; run = 1 }
+      else if (b >= '0' && b <= '9') { if (run != 2) cnt += 1; run = 2 }
+      else if (b >= 0 && isWs(b)) run = 0
+      else if (b >= 0) { cnt += 1; run = 0 } // other ASCII glyph
+      else { // non-ASCII: count one per lead byte, skip continuations
+        if ((b & 0xc0) != 0x80) cnt += 1
+        run = 0
+      }
+      i += 1
+    }
+    cnt
+  }
+
   case class BpeishCountExpr(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = IntegerType
     override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
       child.dataType match {
@@ -189,26 +219,14 @@ object TextNormExprs {
           org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
             s"bpeish_count requires a STRING input, got ${other.simpleString}")
       }
-    private def isWs(b: Byte): Boolean = b == 0x20 || (b >= 0x09 && b <= 0x0d)
-    override def nullSafeEval(input: Any): Any = {
-      val bytes = input.asInstanceOf[UTF8String].getBytes
-      var cnt = 0
-      var run = 0 // 0 = none, 1 = letter run, 2 = digit run
-      var i = 0
-      while (i < bytes.length) {
-        val b = bytes(i)
-        if (b >= 'a' && b <= 'z') { if (run != 1) cnt += 1; run = 1 }
-        else if (b >= '0' && b <= '9') { if (run != 2) cnt += 1; run = 2 }
-        else if (b >= 0 && isWs(b)) run = 0
-        else if (b >= 0) { cnt += 1; run = 0 } // other ASCII glyph
-        else { // non-ASCII: count one per lead byte, skip continuations
-          if ((b & 0xc0) != 0x80) cnt += 1
-          run = 0
-        }
-        i += 1
-      }
-      cnt
-    }
+    override def nullSafeEval(input: Any): Any =
+      bpeishCountEval(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.plans.TextNormExprs.bpeishCountEval($c);")
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
     override def prettyName: String = "bpeish_count"
