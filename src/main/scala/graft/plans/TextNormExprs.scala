@@ -260,30 +260,53 @@ object TextNormExprs {
           org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
             s"word_shingles requires ARRAY<STRING> input, got ${other.simpleString}")
       }
-    private val space = UTF8String.fromString(" ")
-    // shared: expression outputs are immutable, and short/null-input
-    // rows are common in the corpora this is the hot loop for
-    private val empty = new GenericArrayData(Array.empty[Any])
-    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
-      val v = child.eval(input)
-      if (v == null) return empty
-      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-      val sz = arr.numElements()
-      if (sz < n) return empty
-      val out = new Array[Any](sz - n + 1)
-      val parts = new Array[UTF8String](n)
-      var i = 0
-      while (i <= sz - n) {
-        var k = 0
-        while (k < n) { parts(k) = arr.getUTF8String(i + k); k += 1 }
-        out(i) = UTF8String.concatWs(space, parts: _*)
-        i += 1
-      }
-      new GenericArrayData(out)
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+      wordShinglesEval(
+        child.eval(input).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      // custom null contract (NULL child → EMPTY array, expression
+      // non-nullable), so the null check folds into the kernel call
+      // instead of using nullSafeCodeGen's propagate-null wrapper
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      val c = child.genCode(ctx)
+      ev.copy(
+        code = code"""
+          ${c.code}
+          org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+            graft.plans.TextNormExprs.wordShinglesEval(
+              ${c.isNull} ? null : ${c.value}, $n);""",
+        isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
     }
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
     override def prettyName: String = "word_shingles"
+  }
+
+  private val shingleSpace = UTF8String.fromString(" ")
+  // shared: expression outputs are immutable, and short/null-input
+  // rows are common in the corpora this is the hot loop for
+  private val emptyArrayData = new GenericArrayData(Array.empty[Any])
+
+  /** Shingle kernel, static-forwarder-reachable from generated Java;
+    * accepts null (→ empty) so the codegen null fold stays one line. */
+  def wordShinglesEval(arr: org.apache.spark.sql.catalyst.util.ArrayData, n: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (arr == null) return emptyArrayData
+    val sz = arr.numElements()
+    if (sz < n) return emptyArrayData
+    val out = new Array[Any](sz - n + 1)
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    while (i <= sz - n) {
+      var k = 0
+      while (k < n) { parts(k) = arr.getUTF8String(i + k); k += 1 }
+      out(i) = UTF8String.concatWs(shingleSpace, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 
   def wordShingles(words: Column, n: Int): Column =

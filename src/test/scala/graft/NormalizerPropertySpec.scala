@@ -148,6 +148,30 @@ object NormalizerPropertySpec extends Properties("normalizer") {
       }
     }
 
+  property("word_shingles GENERATED code compiles, equals interpreted, null-folds to empty") =
+    forAll(Gen.listOf(Gen.alphaLowerStr), Gen.choose(1, 4)) { (words, n) =>
+      import org.apache.spark.sql.catalyst.InternalRow
+      import org.apache.spark.sql.catalyst.expressions.BoundReference
+      import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      import org.apache.spark.sql.types.{ArrayType, StringType}
+      import org.apache.spark.unsafe.types.UTF8String
+      val expr = graft.plans.TextNormExprs.WordShinglesExpr(
+        BoundReference(0, ArrayType(StringType), nullable = true), n)
+      val proj = GenerateUnsafeProjection.generate(Seq(expr))
+      def arrOf(ws: Seq[String]) =
+        new GenericArrayData(ws.map(UTF8String.fromString).toArray[Any])
+      val rows = Seq(InternalRow(arrOf(words)), InternalRow(null))
+      rows.forall { row =>
+        val gen = proj(row).getArray(0)
+        val interp = expr.eval(row)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        gen.numElements() == interp.numElements() &&
+          (0 until gen.numElements()).forall(i =>
+            gen.getUTF8String(i) == interp.getUTF8String(i))
+      }
+    }
+
   property("native bpeish_count == size(regexp_extract_all) on lowered text") =
     forAll(Gen.listOfN(5, weird)) { ss =>
       import spark.implicits._
