@@ -56,25 +56,51 @@ object VectorExprs {
     @transient private lazy val leftFloat = elemIsFloat(left.dataType)
     @transient private lazy val rightFloat = elemIsFloat(right.dataType)
 
-    override protected def nullSafeEval(a: Any, b: Any): Any = {
-      val aa = a.asInstanceOf[ArrayData]; val bb = b.asInstanceOf[ArrayData]
-      val n = aa.numElements()
-      if (bb.numElements() != n) return null
-      var s = 0.0
-      var i = 0
-      while (i < n) {
-        if (aa.isNullAt(i) || bb.isNullAt(i)) return null
-        val x = if (leftFloat) aa.getFloat(i).toDouble else aa.getDouble(i)
-        val y = if (rightFloat) bb.getFloat(i).toDouble else bb.getDouble(i)
-        s += x * y
-        i += 1
-      }
-      s
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      dotDEval(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], leftFloat, rightFloat)
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      // the inner loop of every ANN scoring scan — a static call from
+      // generated Java keeps the scan inside whole-stage codegen; the
+      // kernel's EXTRA null source (length mismatch / null element)
+      // means the standard propagate-null wrapper can't be used
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      val l = left.genCode(ctx)
+      val r = right.genCode(ctx)
+      val tmp = ctx.freshName("dotRes")
+      ev.copy(code = code"""
+        ${l.code}
+        ${r.code}
+        java.lang.Double $tmp = (${l.isNull} || ${r.isNull}) ? null :
+          graft.plans.VectorExprs.dotDEval(${l.value}, ${r.value}, $leftFloat, $rightFloat);
+        boolean ${ev.isNull} = ($tmp == null);
+        double ${ev.value} = ${ev.isNull} ? -1.0 : $tmp.doubleValue();""")
     }
 
     override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
       copy(left = newLeft, right = newRight)
     override def prettyName: String = "dot_d"
+  }
+
+  /** Dot kernel, static-forwarder-reachable from generated Java; null
+    * on length mismatch or null element (the expression's contract). */
+  def dotDEval(a: ArrayData, b: ArrayData,
+      leftFloat: Boolean, rightFloat: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (leftFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rightFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      s += x * y
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
   }
 
   /** Random-hyperplane LSH bucket bit-string ("0"/"1" × planes): bit p

@@ -172,6 +172,33 @@ object NormalizerPropertySpec extends Properties("normalizer") {
       }
     }
 
+  property("dot_d GENERATED code compiles; null contracts (child/length/element) hold") =
+    forAll(Gen.listOfN(6, Gen.chooseNum(-5f, 5f))) { xs =>
+      import org.apache.spark.sql.catalyst.InternalRow
+      import org.apache.spark.sql.catalyst.expressions.BoundReference
+      import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      import org.apache.spark.sql.types.{ArrayType, FloatType}
+      val expr = graft.plans.VectorExprs.DotProductDExpr(
+        BoundReference(0, ArrayType(FloatType), nullable = true),
+        BoundReference(1, ArrayType(FloatType), nullable = true))
+      val proj = GenerateUnsafeProjection.generate(Seq(expr))
+      def arr(v: Seq[Any]) = new GenericArrayData(v.toArray)
+      val a = arr(xs)
+      val rows = Seq(
+        InternalRow(a, a),                    // dot(v, v) = |v|²
+        InternalRow(a, null),                 // null child
+        InternalRow(a, arr(xs.drop(1))),      // length mismatch
+        InternalRow(a, arr(xs.updated(0, null))) // null element
+      )
+      rows.forall { row =>
+        val out = proj(row)
+        val interp = expr.eval(row)
+        if (interp == null) out.isNullAt(0)
+        else !out.isNullAt(0) && out.getDouble(0) == interp.asInstanceOf[Double]
+      }
+    }
+
   property("native bpeish_count == size(regexp_extract_all) on lowered text") =
     forAll(Gen.listOfN(5, weird)) { ss =>
       import spark.implicits._
