@@ -237,23 +237,45 @@ object VectorExprs {
           s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
     }
 
-    override protected def nullSafeEval(a: Any, b: Any): Any = {
-      val aa = a.asInstanceOf[ArrayData]; val bb = b.asInstanceOf[ArrayData]
-      val n = aa.numElements()
-      if (bb.numElements() != n) return null
-      var s = 0L
-      var i = 0
-      while (i < n) {
-        if (aa.isNullAt(i) || bb.isNullAt(i)) return null
-        s += aa.getByte(i).toLong * bb.getByte(i).toLong
-        i += 1
-      }
-      s
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      dotI8Eval(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      // same static-call shape as [[DotProductDExpr.doGenCode]] — the
+      // int8 scoring loop of q90/q95 stays inside whole-stage codegen
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      val l = left.genCode(ctx)
+      val r = right.genCode(ctx)
+      val tmp = ctx.freshName("dotI8Res")
+      ev.copy(code = code"""
+        ${l.code}
+        ${r.code}
+        java.lang.Long $tmp = (${l.isNull} || ${r.isNull}) ? null :
+          graft.plans.VectorExprs.dotI8Eval(${l.value}, ${r.value});
+        boolean ${ev.isNull} = ($tmp == null);
+        long ${ev.value} = ${ev.isNull} ? -1L : $tmp.longValue();""")
     }
 
     override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
       copy(left = newLeft, right = newRight)
     override def prettyName: String = "dot_i8"
+  }
+
+  /** Int8 dot kernel, static-forwarder-reachable from generated Java. */
+  def dotI8Eval(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += a.getByte(i).toLong * b.getByte(i).toLong
+      i += 1
+    }
+    java.lang.Long.valueOf(s)
   }
 
   def dotD(a: Column, b: Column): Column =
