@@ -1799,9 +1799,12 @@ object Extensions {
     * per-doc sum, so aggregation is exact integer math in any order
     * and both engines agree bit-for-bit; the cutoff ranks on the
     * round4 nll with a doc_id tie-break. */
-  val q91 = QueryDef("q91_lm_perplexity",
-    s"""WITH $docwCte,
-      |tk AS (SELECT doc_id, w FROM docw WHERE len(w) >= 2),
+  /** Shared bigram-LM nll CTE chain (q91 + q133's split) — depends on
+    * `docw` being in scope; ends in
+    * `nllagg(doc_id, sum_lp6, n_bigrams)`. Factored so the two
+    * oracles cannot drift (the docwCte rule). */
+  private val lmNllCte =
+    """tk AS (SELECT doc_id, w FROM docw WHERE len(w) >= 2),
       |bg AS (
       |  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
       |  FROM tk CROSS JOIN UNNEST(range(1, len(w))) AS t(i)
@@ -1815,13 +1818,17 @@ object Extensions {
       |              * 1000000 + 0.5) AS BIGINT) AS lp6
       |  FROM bg JOIN cb USING (w1, w2) JOIN cw USING (w1) CROSS JOIN v
       |),
-      |agg AS (
+      |nllagg AS (
       |  SELECT doc_id, sum(lp6) AS sum_lp6, count(*) AS n_bigrams FROM lp GROUP BY doc_id
-      |)
+      |)""".stripMargin
+
+  val q91 = QueryDef("q91_lm_perplexity",
+    s"""WITH $docwCte,
+      |$lmNllCte
       |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
       |       ${TextFunctions.round4Sql(
                 "-CAST(sum_lp6 AS DOUBLE) / 1000000 / n_bigrams")} AS nll
-      |FROM agg
+      |FROM nllagg
       |ORDER BY nll DESC, doc_id LIMIT 20""") { (s, dir) =>
     TextAnalysis.lmNllScore(t(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("nll").desc, col("doc_id"))
@@ -3216,6 +3223,131 @@ object Extensions {
       .orderBy("user_id", "event_id")
   }
 
+  // -------------------------------------------------------------- Q132
+  /** DSIR IMPORTANCE RESAMPLING ([[graft.operators.Dsir]]; Xie et al.,
+    * NeurIPS 2023): select raw docs whose hashed-bigram distribution
+    * resembles the TARGET slice (here lang='en' stands in for the
+    * paper's Wikipedia/books target). Per-bucket Laplace log ratios
+    * floor-scaled to integer 1e-6 units (q91's idiom) make every doc
+    * score an exact integer sum; the Gumbel-top-100 resample key is
+    * deterministic in the doc id (q89's idiom), so DuckDB replays the
+    * entire selection bit-for-bit. Two corpus passes (the paper's
+    * fit + score), bucket-bounded fit shuffle, broadcast λ table,
+    * TakeOrdered selection. */
+  val q132 = QueryDef("q132_dsir_resample",
+    s"""WITH $docwCte,
+       |f AS (
+       |  -- the unnest index must NOT be named i: md5Bucket16Sql's inner
+       |  -- digit lambda binds i and would shadow it inside the hash arg
+       |  SELECT doc_id, (lang = 'en') AS is_target,
+       |         ${md5Bucket16Sql("w[p] || ' ' || w[p+1]")} AS bucket
+       |  FROM (SELECT doc_id, lang, w FROM docw WHERE len(w) >= 2)
+       |  CROSS JOIN UNNEST(range(1, len(w))) AS t(p)
+       |), cnt AS (
+       |  SELECT bucket, count(*) AS cr,
+       |         sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct
+       |  FROM f GROUP BY bucket
+       |), tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM cnt),
+       |lam AS (
+       |  SELECT bucket,
+       |         CAST(floor(ln((CAST(ct + 1 AS DOUBLE) * CAST(nr + 65536 AS DOUBLE)) /
+       |                        (CAST(nt + 65536 AS DOUBLE) * CAST(cr + 1 AS DOUBLE)))
+       |              * 1000000 + 0.5) AS BIGINT) AS lam6
+       |  FROM cnt CROSS JOIN tot
+       |), sc AS (
+       |  SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feat,
+       |         CAST(sum(lam.lam6) AS BIGINT) AS score_units
+       |  FROM f JOIN lam USING (bucket) GROUP BY f.doc_id
+       |)
+       |SELECT doc_id, n_feat, score_units,
+       |       floor((CAST(score_units AS DOUBLE) / 1000000 +
+       |              -ln(-ln((${md5Bucket16Sql("doc_id")} + 1) / 65537.0)))
+       |             * 100000000 + 0.5) / 100000000 AS gk
+       |FROM sc
+       |ORDER BY gk DESC, doc_id LIMIT 100""") { (s, dir) =>
+    val scored = graft.operators.Dsir.importanceScores(
+      t(s, dir, "documents"), "doc_id", "text", col("lang") === "en")
+    graft.operators.Dsir.resample(scored, "doc_id", k = 100)
+      .select("doc_id", "n_feat", "score_units", "gk")
+  }
+
+  // -------------------------------------------------------------- Q133
+  /** CCNET PERPLEXITY SPLIT: per-language head/middle/tail thirds by
+    * bigram-LM perplexity (CCNet, Wenzek et al. LREC'20 — downstream
+    * recipes keep head+middle, or weight by bucket). Composes q91's
+    * nll (shared CTE — oracles cannot drift) with q103's per-language
+    * percent_rank idiom; bucket cuts compare 3·pr against integers
+    * (exact IEEE, engine-identical). Per-lang window = the few-groups
+    * funnel caveat q103 documents (GK-sketch thresholds are the
+    * 100 TB spelling). */
+  val q133 = QueryDef("q133_perplexity_split",
+    s"""WITH $docwCte,
+       |$lmNllCte,
+       |sc AS (
+       |  SELECT doc_id, ${TextFunctions.round4Sql(
+              "-CAST(sum_lp6 AS DOUBLE) / 1000000 / n_bigrams")} AS nll
+       |  FROM nllagg
+       |), p AS (
+       |  SELECT doc_id, d.lang, sc.nll,
+       |         percent_rank() OVER (PARTITION BY d.lang ORDER BY sc.nll, doc_id) AS pr
+       |  FROM sc JOIN docw d USING (doc_id)
+       |)
+       |SELECT doc_id, lang, nll,
+       |       CASE WHEN 3 * pr < 1 THEN 'head'
+       |            WHEN 3 * pr < 2 THEN 'middle' ELSE 'tail' END AS bucket
+       |FROM p ORDER BY lang, doc_id""") { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val scored = TextAnalysis.lmNllScore(docs, "doc_id", "text")
+      .select(col("doc_id"), col("nll"))
+      .join(docs.select("doc_id", "lang"), "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("nll"), col("doc_id"))
+    scored
+      .withColumn("pr", percent_rank().over(w))
+      .select(col("doc_id"), col("lang"), col("nll"),
+        when(lit(3) * col("pr") < 1, "head")
+          .when(lit(3) * col("pr") < 2, "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy("lang", "doc_id")
+  }
+
+  // -------------------------------------------------------------- Q134
+  /** DOMAIN-REPUTATION GATE (the RefinedWeb/C4 shape: judge the
+    * DOMAIN, not just the page — a page from a source whose aggregate
+    * quality is negative is dropped even if it individually squeaks
+    * by; `source` stands in for the registered domain). Composes
+    * q117's hashed-classifier margin (shared CTE) with a source-level
+    * exact-integer reduction; sign(sum) ≡ sign(mean), so the gate
+    * needs no division. Plan: narrow scoring scan, few-groups
+    * aggregate (map-side combined), reputation table broadcast back.
+    */
+  val q134 = QueryDef("q134_domain_reputation",
+    s"""WITH $docwCte, $classifierScoreCte,
+       |src AS (SELECT doc_id, source FROM documents),
+       |rep AS (
+       |  SELECT s.source, CAST(sum(sc.margin_units) AS BIGINT) AS src_margin_units,
+       |         CAST(count(*) AS BIGINT) AS src_docs
+       |  FROM sc JOIN src s USING (doc_id) GROUP BY s.source
+       |)
+       |SELECT doc_id, s.source, CAST(sc.margin_units AS BIGINT) AS margin_units,
+       |       rep.src_margin_units, rep.src_docs,
+       |       rep.src_margin_units > 0 AS domain_keep
+       |FROM sc JOIN src s USING (doc_id) JOIN rep USING (source)
+       |ORDER BY doc_id""") { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val scored = graft.operators.QualityClassifier
+      .hashedBigramScore(docs, "doc_id", "text")
+      .join(docs.select("doc_id", "source"), "doc_id")
+    val rep = scored.groupBy("source").agg(
+      sum("margin_units").as("src_margin_units"),
+      count(lit(1)).as("src_docs"))
+    scored.join(broadcast(rep), "source")
+      .select(col("doc_id"), col("source"), col("margin_units"),
+        col("src_margin_units"), col("src_docs"),
+        (col("src_margin_units") > 0).as("domain_keep"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -3223,5 +3355,5 @@ object Extensions {
     q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102,
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
-    q128, q129, q130, q131)
+    q128, q129, q130, q131, q132, q133, q134)
 }

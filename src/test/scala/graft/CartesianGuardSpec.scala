@@ -38,8 +38,11 @@ class CartesianGuardSpec extends SparkSuite {
     // q124: anchor-set broadcast scoring scan with the label-exclusion
     // predicate (two-phase top-k)
     // q128 composes q123's allocator, inheriting the same scalar attachment
+    // q132: 1-row (Nt, Nr) totals attachment (crossJoin(broadcast(tot)))
+    // q133 composes q91's LM, inheriting its vocab-size scalar attachment
     "q113_maxsim_retrieval", "q118_embed_decontam", "q123_epoch_mix",
-    "q124_hard_negatives", "q128_curation_v2")
+    "q124_hard_negatives", "q128_curation_v2", "q132_dsir_resample",
+    "q133_perplexity_split")
 
   test("no declared query plans a CartesianProduct; NLJ only where documented") {
     val sf = sfDir
