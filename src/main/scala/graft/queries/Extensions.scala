@@ -3348,6 +3348,52 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  // -------------------------------------------------------------- Q135
+  /** K-CENTER GREEDY CORESET ([[graft.operators.Coreset]]; Gonzalez
+    * '85 / Sener & Savarese ICLR'18): 8 maximally-spread embedding
+    * exemplars — seed at the smallest id, then 7 rounds of
+    * farthest-point selection on 4-dp-rounded cosine distance. The
+    * oracle replays the ENTIRE sequential trajectory via a generated
+    * unrolled CTE chain (the q101 idiom): round r's argmax feeds
+    * round r+1's min-fold, ties to the smallest id, bit-identical
+    * both engines. Per round the Spark plan is a narrow projection +
+    * TakeOrdered(1) — zero shuffles; driver traffic is k vectors. */
+  val q135 = {
+    val k = 8
+    def dist(a: String, cv: String) =
+      s"floor((1 - (${dotSql(a, cv)}) / (${normSql(a)} * ${normSql(cv)})) * 10000 + 0.5) / 10000"
+    val steps = (2 until k).map { r =>
+      s"""s$r AS (SELECT vec_id, mind FROM d${r - 1} ORDER BY mind DESC, vec_id LIMIT 1),
+         |c$r AS (SELECT e.embedding AS cv FROM e JOIN s$r USING (vec_id)),
+         |d$r AS (
+         |  SELECT d.vec_id, d.embedding, least(d.mind, ${dist("d.embedding", "c.cv")}) AS mind
+         |  FROM d${r - 1} d CROSS JOIN c$r c
+         |)""".stripMargin
+    }.mkString(",\n")
+    val finalSel =
+      s"s$k AS (SELECT vec_id, mind FROM d${k - 1} ORDER BY mind DESC, vec_id LIMIT 1)"
+    val unions = (2 to k)
+      .map(r => s"UNION ALL SELECT $r AS step, vec_id, mind AS d FROM s$r")
+      .mkString("\n")
+    QueryDef("q135_kcenter_coreset",
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |c1 AS (SELECT embedding AS cv FROM e ORDER BY vec_id LIMIT 1),
+         |d1 AS (
+         |  SELECT e.vec_id, e.embedding, ${dist("e.embedding", "c.cv")} AS mind
+         |  FROM e CROSS JOIN c1 c
+         |),
+         |$steps,
+         |$finalSel
+         |SELECT 1 AS step, (SELECT vec_id FROM e ORDER BY vec_id LIMIT 1) AS vec_id,
+         |       CAST(NULL AS DOUBLE) AS d
+         |$unions
+         |ORDER BY step""") { (s, dir) =>
+      graft.operators.Coreset.kCenterGreedy(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = k)
+        .orderBy("step")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -3355,5 +3401,5 @@ object Extensions {
     q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102,
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
-    q128, q129, q130, q131, q132, q133, q134)
+    q128, q129, q130, q131, q132, q133, q134, q135)
 }
