@@ -62,4 +62,27 @@ object VectorFunctions {
     }
     concat(bits: _*)
   }
+
+  /** Johnson–Lindenstrauss ±1 random projection to `outDim` dims —
+    * native single-pass expression sharing the hyperplane sign matrix
+    * (see [[graft.plans.VectorExprs.JlProjectExpr]]): a 64→16
+    * projection cuts every downstream distance scan 4× while JL keeps
+    * pairwise geometry within the distortion the q136 gate measures.
+    * The 1/√outDim scale preserves expected norms and cancels in any
+    * cosine. */
+  def jlProject(vec: Column, outDim: Int): Column =
+    graft.plans.VectorExprs.jlProject(vec, outDim)
+
+  /** The composed formulation of [[jlProject]] — per-row md5 signs, so
+    * it is only the executable spec the native expression is asserted
+    * against (on null-free vectors; the native form nulls the whole
+    * output on a null element where this form nulls one coordinate). */
+  def jlProjectReference(vec: Column, outDim: Int): Column =
+    transform(sequence(lit(0), lit(outDim - 1)), p =>
+      arraySum(zip_with(
+        vec,
+        sequence(lit(0), size(vec) - 1),
+        (x, i) => x.cast("double") *
+          TextFunctions.hashSign(concat(lit("plane"), p, lit(","), i)).cast("double")))
+        / sqrt(lit(outDim.toDouble)))
 }

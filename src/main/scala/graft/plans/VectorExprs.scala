@@ -278,6 +278,80 @@ object VectorExprs {
     java.lang.Long.valueOf(s)
   }
 
+  /** Johnson–Lindenstrauss random projection to `outDim` dimensions:
+    * out[p] = Σᵢ v[i]·r(p,i) / √outDim with the SAME ±1 sign matrix as
+    * [[HyperplaneBucketExpr]] (r(p,i) from md5("plane<p>,<i>")) — the
+    * JL projection IS the pre-threshold hyperplane projection, so the
+    * LSH buckets of a vector are exactly the signs of its JL
+    * coordinates (one shared deterministic matrix, one oracle replay).
+    * Per-coordinate accumulation is in element order (engine-exact);
+    * the 1/√outDim scale preserves expected norms (and cancels in any
+    * cosine). Null vector or null element → null output array. */
+  case class JlProjectExpr(child: Expression, outDim: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullable: Boolean = true
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"jl_project requires an ARRAY<FLOAT> or ARRAY<DOUBLE> input, got ${other.simpleString}")
+      }
+
+    @transient private lazy val childFloat = elemIsFloat(child.dataType)
+
+    override protected def nullSafeEval(input: Any): Any =
+      jlEval(input.asInstanceOf[ArrayData], outDim, childFloat)
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      // static-call pattern (DotProductDExpr): the projection stays
+      // inside whole-stage codegen; extra null source = null element
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      val c = child.genCode(ctx)
+      val tmp = ctx.freshName("jlRes")
+      ev.copy(code = code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.util.ArrayData $tmp = ${c.isNull} ? null :
+          graft.plans.VectorExprs.jlEval(${c.value}, $outDim, $childFloat);
+        boolean ${ev.isNull} = ($tmp == null);
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = $tmp;""")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "jl_project"
+  }
+
+  /** JL kernel, static-forwarder-reachable from generated Java; null on
+    * a null element (the expression's contract). */
+  def jlEval(arr: ArrayData, outDim: Int, childFloat: Boolean): ArrayData = {
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) { if (arr.isNullAt(i)) return null; i += 1 }
+    val r = HyperplaneBucketExpr.signs(outDim, n)
+    val scale = math.sqrt(outDim.toDouble)
+    val out = new Array[Double](outDim)
+    var p = 0
+    while (p < outDim) {
+      var s = 0.0
+      var j = 0
+      while (j < n) {
+        val x = if (childFloat) arr.getFloat(j).toDouble else arr.getDouble(j)
+        s += x * r(p)(j)
+        j += 1
+      }
+      out(p) = s / scale
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   def dotD(a: Column, b: Column): Column =
     GraftColumnBridge.toColumn(DotProductDExpr(
       GraftColumnBridge.toExpression(a), GraftColumnBridge.toExpression(b)))
@@ -288,4 +362,7 @@ object VectorExprs {
 
   def hyperplaneBucket(vec: Column, planes: Int): Column =
     GraftColumnBridge.toColumn(HyperplaneBucketExpr(GraftColumnBridge.toExpression(vec), planes))
+
+  def jlProject(vec: Column, outDim: Int): Column =
+    GraftColumnBridge.toColumn(JlProjectExpr(GraftColumnBridge.toExpression(vec), outDim))
 }

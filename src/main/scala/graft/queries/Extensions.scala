@@ -3394,6 +3394,53 @@ object Extensions {
     }
   }
 
+  // -------------------------------------------------------------- Q136
+  /** JOHNSON–LINDENSTRAUSS PROJECTION
+    * ([[VectorFunctions.jlProject]]): 64-d embeddings → 16-d via the
+    * deterministic ±1 sign matrix the hyperplane LSH already uses (the
+    * JL coordinates ARE the pre-threshold LSH projections) — the cheap
+    * tier below int8 (q90): a 4× narrower vector cuts every downstream
+    * distance scan 4×, at the distortion this query MEASURES per pair
+    * (full-space vs projected cosine over the q25 adjacent-pair set).
+    * Fully oracle-checked — the sign matrix, in-order accumulation and
+    * exact √16 scale replay bit-for-bit in SQL. */
+  val q136 = QueryDef("q136_jl_projection",
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |jp AS (
+       |  SELECT vec_id, embedding,
+       |         list_transform(range(0, 16), pp ->
+       |           list_sum(list_transform(range(1, len(embedding) + 1), ii ->
+       |             CAST(embedding[ii] AS DOUBLE) *
+       |             (CASE WHEN substr(md5('plane' || pp || ',' || (ii - 1)), 1, 1) <= '7'
+       |                   THEN 1.0 ELSE -1.0 END)))
+       |           / sqrt(16.0)) AS jl
+       |  FROM e
+       |), pr AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |         ${dotSql("a.embedding", "b.embedding")} /
+       |           (${normSql("a.embedding")} * ${normSql("b.embedding")}) AS cf,
+       |         ${dotSql("a.jl", "b.jl")} /
+       |           (${normSql("a.jl")} * ${normSql("b.jl")}) AS cj
+       |  FROM jp a JOIN jp b ON b.vec_id = a.vec_id + 1
+       |)
+       |SELECT id_a, id_b, ${TextFunctions.round4Sql("cf")} AS cos_full,
+       |       ${TextFunctions.round4Sql("cj")} AS cos_jl,
+       |       ${TextFunctions.round4Sql("abs(cf - cj)")} AS err
+       |FROM pr ORDER BY id_a""") { (s, dir) =>
+    val proj = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
+      VectorFunctions.jlProject(col("embedding"), 16).as("jl"))
+    val a = proj.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("jl").as("ja"))
+    val b = proj.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("jl").as("jb"))
+    val cf = VectorFunctions.cosine(col("ea"), col("eb"))
+    val cj = VectorFunctions.cosine(col("ja"), col("jb"))
+    a.join(b, col("id_b") === col("id_a") + 1)
+      .select(col("id_a"), col("id_b"),
+        TextFunctions.round4(cf).as("cos_full"),
+        TextFunctions.round4(cj).as("cos_jl"),
+        TextFunctions.round4(abs(cf - cj)).as("err"))
+      .orderBy("id_a")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -3401,5 +3448,5 @@ object Extensions {
     q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102,
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
-    q128, q129, q130, q131, q132, q133, q134, q135)
+    q128, q129, q130, q131, q132, q133, q134, q135, q136)
 }

@@ -302,6 +302,35 @@ class SimilaritySpec extends SparkSuite {
       .filter(not(col("n") <=> col("r")))
     assert(diff.count() === 0)
   }
+
+  test("native JL projection == HOF reference; signs match the LSH bucket bits") {
+    val diff = emb.select(
+        VectorFunctions.jlProject(col("embedding"), 8).as("n"),
+        VectorFunctions.jlProjectReference(col("embedding"), 8).as("r"))
+      .filter(not(col("n") <=> col("r")))
+    assert(diff.count() === 0)
+    // shared sign matrix: bucket bit p == sign of JL coordinate p
+    val bad = emb.select(
+        VectorFunctions.hyperplaneBucket(col("embedding"), 8).as("b"),
+        VectorFunctions.jlProject(col("embedding"), 8).as("jl"))
+      .select(col("b"), org.apache.spark.sql.functions.concat(
+        (0 until 8).map(p =>
+          when(element_at(col("jl"), p + 1) >= 0, "1").otherwise("0")): _*).as("s"))
+      .filter(col("b") =!= col("s"))
+    assert(bad.count() === 0)
+  }
+
+  test("JL projection null contract: null vector and null element yield null") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(Seq(Some(1.0f), Some(2.0f)))),
+      (2L, None),
+      (3L, Some(Seq(Some(1.0f), None)))
+    ).toDF("id", "v")
+    val got = df.select(col("id"), VectorFunctions.jlProject(col("v"), 4).as("jl"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(got == Map(1L -> false, 2L -> true, 3L -> true), got.toString)
+  }
 }
 
 class TextAnalysisSpec extends SparkSuite {
