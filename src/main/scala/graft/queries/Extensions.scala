@@ -3441,6 +3441,50 @@ object Extensions {
       .orderBy("id_a")
   }
 
+  // -------------------------------------------------------------- Q137
+  /** WEIGHTED (BAG) JACCARD REFINE ([[Dedup.weightedJaccardRefine]]):
+    * tf-aware exact similarity on candidate pairs — Σmin(tf)/Σmax(tf)
+    * over token multisets, the measure that tells "same proportions"
+    * from "same vocabulary". Declared over the deterministic
+    * adjacent-pair set (the q25 idiom) so every value oracle-checks;
+    * production feeds it LSH candidates exactly like [[Dedup
+    * .jaccardRefine]] (same O(|pairs|) two-equi-join plan — only the
+    * per-doc array keeps duplicates). The oracle computes Σmin via a
+    * per-pair tf join and Σmax = n_a + n_b − Σmin; Spark's sorted-merge
+    * counts the identical quantities. */
+  val q137 = QueryDef("q137_weighted_jaccard",
+    s"""WITH $docwCte,
+       |dw AS (SELECT doc_id, coalesce(w, []) AS w FROM docw),
+       |tf AS (
+       |  SELECT doc_id, x AS word, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(w) AS x FROM dw) GROUP BY doc_id, x
+       |), n AS (SELECT doc_id, len(w) AS n FROM dw),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+       |), im AS (
+       |  SELECT p.id_a, p.id_b,
+       |         coalesce(sum(CASE WHEN tb.tf IS NULL THEN 0
+       |                           ELSE least(ta.tf, tb.tf) END), 0) AS imin
+       |  FROM pairs p
+       |  LEFT JOIN tf ta ON ta.doc_id = p.id_a
+       |  LEFT JOIN tf tb ON tb.doc_id = p.id_b AND tb.word = ta.word
+       |  GROUP BY p.id_a, p.id_b
+       |)
+       |SELECT im.id_a AS doc_a, im.id_b AS doc_b,
+       |       ${TextFunctions.round4Sql(
+              "CASE WHEN na.n + nb.n = 0 THEN 0.0 " +
+              "ELSE CAST(im.imin AS DOUBLE) / (na.n + nb.n - im.imin) END")} AS jw
+       |FROM im JOIN n na ON na.doc_id = im.id_a JOIN n nb ON nb.doc_id = im.id_b
+       |ORDER BY doc_a""") { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val ids = docs.select(col("doc_id"))
+    val pairs = ids.select(col("doc_id").as("p_a"))
+      .join(ids.select(col("doc_id").as("p_b")), col("p_b") === col("p_a") + 1)
+    Dedup.weightedJaccardRefine(pairs, docs, "doc_id", "text", theta = 0.0)
+      .orderBy("doc_a")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -3448,5 +3492,5 @@ object Extensions {
     q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102,
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
-    q128, q129, q130, q131, q132, q133, q134, q135, q136)
+    q128, q129, q130, q131, q132, q133, q134, q135, q136, q137)
 }

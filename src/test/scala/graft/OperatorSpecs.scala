@@ -88,6 +88,26 @@ class DedupSpec extends SparkSuite {
     assert(kept.join(firsts, "h").filter(col("keep_id") =!= col("m")).count() === 0)
   }
 
+  test("weightedJaccardRefine: bag semantics, set contrast, empty/null docs") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "aa aa bb"),            // bag {aa:2, bb:1}
+      (2L, "aa bb bb"),            // bag {aa:1, bb:2} → min 2 / max 4
+      (3L, "aa bb"),               // SET equal to 1's, bag differs
+      (4L, ""),                    // empty
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (4L, 5L)).toDF("a", "b")
+    val got = Dedup.weightedJaccardRefine(pairs, d, "doc_id", "text", theta = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got((1L, 2L)) == 0.5, got.toString)        // Σmin=2, Σmax=4
+    assert(got((1L, 3L)) == 0.6667, got.toString)     // Σmin=2, Σmax=3; SET says 1.0
+    assert(got((4L, 5L)) == 0.0, got.toString)        // both-empty → 0, not null
+    val setJ = Dedup.jaccardRefine(pairs.filter(col("a") === 1 && col("b") === 3),
+      d, "doc_id", "text", n = 1, theta = 0.0).head.getDouble(2)
+    assert(setJ == 1.0, s"set jaccard of equal-vocab pair should be 1.0, got $setJ")
+  }
+
   test("jaccardSorted == builtin intersect/union formulation on random arrays") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
