@@ -3485,6 +3485,27 @@ object Extensions {
       .orderBy("doc_a")
   }
 
+  // -------------------------------------------------------------- Q138
+  /** SUFFIX–PREFIX OVERLAP STITCHING ([[Dedup.overlapStitchPairs]]):
+    * pairs whose 2-token seam matches — the split-page/paginated-crawl
+    * signal. Spark finds candidates via an 8-byte hash equi-join and
+    * exact-verifies the slices; the oracle joins on the slices
+    * directly — equal because array-equal ⇒ hash-equal, and collisions
+    * die in the exact filter. */
+  val q138 = QueryDef("q138_overlap_stitch",
+    s"""WITH $docwCte,
+       |d AS (
+       |  SELECT doc_id, coalesce(w, []) AS w, len(coalesce(w, [])) AS n
+       |  FROM docw
+       |), sfx AS (SELECT doc_id AS doc_a, w[n-1:n] AS t FROM d WHERE n >= 2),
+       |pfx AS (SELECT doc_id AS doc_b, w[1:2] AS h FROM d WHERE n >= 2)
+       |SELECT doc_a, doc_b, array_to_string(t, ' ') AS overlap
+       |FROM sfx JOIN pfx ON t = h AND doc_a <> doc_b
+       |ORDER BY doc_a, doc_b""") { (s, dir) =>
+    Dedup.overlapStitchPairs(t(s, dir, "documents"), "doc_id", "text", k = 2)
+      .orderBy("doc_a", "doc_b")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -3492,5 +3513,5 @@ object Extensions {
     q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102,
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
-    q128, q129, q130, q131, q132, q133, q134, q135, q136, q137)
+    q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138)
 }

@@ -108,6 +108,20 @@ class DedupSpec extends SparkSuite {
     assert(setJ == 1.0, s"set jaccard of equal-vocab pair should be 1.0, got $setJ")
   }
 
+  test("overlapStitchPairs: planted seam found, direction correct, short docs inert") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha beta gamma delta"),   // tail "gamma delta"
+      (2L, "gamma delta epsilon zeta"), // head "gamma delta" → (1, 2)
+      (3L, "epsilon zeta eta"),         // head "epsilon zeta" = 2's tail → (2, 3)
+      (4L, "one"),                      // < k tokens: inert
+      (5L, "gamma delta")               // head AND tail "gamma delta" → (1,5),(5,2),(5,5 excluded)
+    ).toDF("doc_id", "text")
+    val got = Dedup.overlapStitchPairs(d, "doc_id", "text", k = 2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (2L, 3L), (1L, 5L), (5L, 2L)), got.toString)
+  }
+
   test("jaccardSorted == builtin intersect/union formulation on random arrays") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
