@@ -3506,6 +3506,34 @@ object Extensions {
       .orderBy("doc_a", "doc_b")
   }
 
+  // -------------------------------------------------------------- Q139
+  /** TRIANGLE COUNTING ([[graft.operators.Triangles]]; Suri &
+    * Vassilvitskii WWW'11) over the co-purchase graph (parts sharing
+    * an order): degree orientation bounds every wedge apex's fanout by
+    * O(√m) — no skewed reducer on a power-law graph. Oracle = the
+    * textbook a<b<c triple join; the oriented algorithm counts each
+    * triangle at its unique (degree, id)-minimum apex, so the totals
+    * agree exactly. */
+  val q139 = QueryDef("q139_triangle_count",
+    """WITH pe AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |e AS (
+      |  SELECT DISTINCT a.p AS u, b.p AS v
+      |  FROM pe a JOIN pe b ON a.o = b.o AND a.p < b.p
+      |)
+      |SELECT (SELECT CAST(count(DISTINCT n) AS BIGINT)
+      |        FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e)) AS n_nodes,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+      |       (SELECT CAST(count(*) AS BIGINT)
+      |        FROM e e1 JOIN e e2 ON e2.u = e1.v
+      |                  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles""") { (s, dir) =>
+    val pe = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val e = pe.as("a").join(pe.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+    graft.operators.Triangles.count(e)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -3513,5 +3541,5 @@ object Extensions {
     q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102,
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
-    q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138)
+    q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139)
 }

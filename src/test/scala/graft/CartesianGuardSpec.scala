@@ -40,9 +40,10 @@ class CartesianGuardSpec extends SparkSuite {
     // q128 composes q123's allocator, inheriting the same scalar attachment
     // q132: 1-row (Nt, Nr) totals attachment (crossJoin(broadcast(tot)))
     // q133 composes q91's LM, inheriting its vocab-size scalar attachment
+    // q139: scalar-row (n_nodes, n_edges, n_triangles) attachments
     "q113_maxsim_retrieval", "q118_embed_decontam", "q123_epoch_mix",
     "q124_hard_negatives", "q128_curation_v2", "q132_dsir_resample",
-    "q133_perplexity_split")
+    "q133_perplexity_split", "q139_triangle_count")
 
   test("no declared query plans a CartesianProduct; NLJ only where documented") {
     val sf = sfDir
