@@ -3534,6 +3534,49 @@ object Extensions {
     graft.operators.Triangles.count(e)
   }
 
+  // -------------------------------------------------------------- Q140
+  /** CURRICULUM PHASES (curriculum-learning data ordering, Bengio et
+    * al. ICML'09 shape): docs ordered easy→hard by bigram-LM nll
+    * (q91's shared CTE), then cut into 4 equal TOKEN-budget phases —
+    * the boundary falls where the running token total crosses each
+    * quarter, not at row counts, so every phase feeds the trainer the
+    * same token volume. Running total = [[GlobalIds.prefixSum]] over
+    * the (nll, doc_id) order (ONE range exchange, no single-partition
+    * window); the total-tokens scalar broadcasts. Docs without an nll
+    * (< 2 words) carry no tokens worth scheduling and are excluded by
+    * construction. */
+  val q140 = QueryDef("q140_curriculum_phases",
+    s"""WITH $docwCte,
+       |$lmNllCte,
+       |sc AS (
+       |  SELECT doc_id, ${TextFunctions.round4Sql(
+              "-CAST(sum_lp6 AS DOUBLE) / 1000000 / n_bigrams")} AS nll
+       |  FROM nllagg
+       |), d AS (
+       |  SELECT sc.doc_id, sc.nll, CAST(len(w.w) AS BIGINT) AS n_tok
+       |  FROM sc JOIN docw w USING (doc_id)
+       |), c AS (
+       |  SELECT doc_id, nll, n_tok,
+       |         sum(n_tok) OVER (ORDER BY nll, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM d
+       |), tt AS (SELECT sum(n_tok) AS tot FROM d)
+       |SELECT doc_id, nll, n_tok, CAST(c.cum AS BIGINT) AS cum_tok,
+       |       CAST(((c.cum - c.n_tok) * 4) // tt.tot AS BIGINT) AS phase
+       |FROM c CROSS JOIN tt ORDER BY doc_id""") { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val sc0 = TextAnalysis.lmNllScore(docs, "doc_id", "text")
+      .select(col("doc_id"), col("nll"))
+    val d = sc0.join(docs.select(col("doc_id"),
+      size(coalesce(TextFunctions.normalizedWords(col("text")),
+        array().cast("array<string>"))).cast("long").as("n_tok")), "doc_id")
+    val cum = graft.operators.GlobalIds.prefixSum(d, "n_tok", "cum_tok",
+      numParts = 8, col("nll"), col("doc_id"))
+    cum.crossJoin(broadcast(d.agg(sum("n_tok").as("tot"))))
+      .select(col("doc_id"), col("nll"), col("n_tok"), col("cum_tok"),
+        expr("((cum_tok - n_tok) * 4) div tot").as("phase"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -3541,5 +3584,5 @@ object Extensions {
     q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102,
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
-    q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139)
+    q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140)
 }

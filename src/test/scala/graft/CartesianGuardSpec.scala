@@ -43,7 +43,9 @@ class CartesianGuardSpec extends SparkSuite {
     // q139: scalar-row (n_nodes, n_edges, n_triangles) attachments
     "q113_maxsim_retrieval", "q118_embed_decontam", "q123_epoch_mix",
     "q124_hard_negatives", "q128_curation_v2", "q132_dsir_resample",
-    "q133_perplexity_split", "q139_triangle_count")
+    "q133_perplexity_split", "q139_triangle_count",
+    // q140 composes q91's LM + a total-tokens scalar attachment
+    "q140_curriculum_phases")
 
   test("no declared query plans a CartesianProduct; NLJ only where documented") {
     val sf = sfDir
