@@ -3577,6 +3577,64 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  // -------------------------------------------------------------- Q141
+  /** KMV / THETA-SKETCH SNAPSHOT OVERLAP ([[graft.operators.Kmv]]):
+    * estimate the Jaccard overlap of two corpus snapshots (overlapping
+    * md5-bucket slices of `documents`) from two 64-hash bottom-k
+    * sketches — the set-INTERSECTION estimate HLL cannot produce,
+    * answering "how much of this crawl did we already have?" without
+    * joining the snapshots. Deterministic md5 bottom-k ⇒ the estimate
+    * itself (not just the machinery) oracle-checks exactly; the exact
+    * Jaccard rides alongside so the ~1/√k error is visible in the
+    * gated output. Sketch pass = one map-side-combined aggregate with
+    * k×16-byte state; the exact columns are the test-scale certificate
+    * only. */
+  val q141 = {
+    val k = 64
+    val bSql = md5Bucket16Sql("doc_id")
+    QueryDef("q141_kmv_overlap",
+      s"""WITH a AS (
+         |  SELECT DISTINCT md5(text) AS h FROM documents
+         |  WHERE $bSql < 40000 AND text IS NOT NULL
+         |), b AS (
+         |  SELECT DISTINCT md5(text) AS h FROM documents
+         |  WHERE $bSql >= 25000 AND text IS NOT NULL
+         |), ka AS (SELECT h FROM a ORDER BY h LIMIT $k),
+         |kb AS (SELECT h FROM b ORDER BY h LIMIT $k),
+         |tu AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb) ORDER BY h LIMIT $k),
+         |est AS (
+         |  SELECT CAST((SELECT count(*) FROM tu
+         |               WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)) AS DOUBLE)
+         |         / (SELECT count(*) FROM tu) AS e
+         |), ex AS (
+         |  SELECT CAST((SELECT count(*) FROM a JOIN b USING (h)) AS DOUBLE)
+         |         / (SELECT count(*) FROM (SELECT h FROM a UNION SELECT h FROM b)) AS j
+         |)
+         |SELECT $k AS k, ${TextFunctions.round4Sql("est.e")} AS est_jaccard,
+         |       ${TextFunctions.round4Sql("ex.j")} AS exact_jaccard,
+         |       ${TextFunctions.round4Sql("abs(est.e - ex.j)")} AS err
+         |FROM est CROSS JOIN ex""") { (s, dir) =>
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      val bucket = graft.operators.Splits.hashBucket(col("doc_id"))
+      val a = docs.filter(bucket < 40000)
+      val b = docs.filter(bucket >= 25000)
+      val sa = graft.operators.Kmv.sketch(a, col("text"), k)
+      val sb = graft.operators.Kmv.sketch(b, col("text"), k)
+        .withColumnRenamed("kmv", "kmv_b")
+      val ha = a.select(md5(col("text")).as("h")).distinct()
+      val hb = b.select(md5(col("text")).as("h")).distinct()
+      val est = graft.operators.Kmv.jaccardEstimate(col("kmv"), col("kmv_b"), k)
+      val exact = col("i").cast("double") / col("u")
+      sa.crossJoin(broadcast(sb))
+        .crossJoin(broadcast(ha.join(hb, "h").agg(count(lit(1)).as("i"))))
+        .crossJoin(broadcast(ha.union(hb).distinct().agg(count(lit(1)).as("u"))))
+        .select(lit(k).as("k"),
+          TextFunctions.round4(est).as("est_jaccard"),
+          TextFunctions.round4(exact).as("exact_jaccard"),
+          TextFunctions.round4(abs(est - exact)).as("err"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -3584,5 +3642,5 @@ object Extensions {
     q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102,
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
-    q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140)
+    q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141)
 }

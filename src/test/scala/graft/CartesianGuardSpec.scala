@@ -45,7 +45,9 @@ class CartesianGuardSpec extends SparkSuite {
     "q124_hard_negatives", "q128_curation_v2", "q132_dsir_resample",
     "q133_perplexity_split", "q139_triangle_count",
     // q140 composes q91's LM + a total-tokens scalar attachment
-    "q140_curriculum_phases")
+    "q140_curriculum_phases",
+    // q141: 1-row sketch + scalar exact-count attachments
+    "q141_kmv_overlap")
 
   test("no declared query plans a CartesianProduct; NLJ only where documented") {
     val sf = sfDir
