@@ -27,7 +27,12 @@ object Triangles {
     * (by id). Output: one row (n_nodes, n_edges, n_triangles). */
   def count(edges: DataFrame): DataFrame = {
     val Array(cu, cv) = edges.columns.take(2)
-    val e = edges.select(col(cu).as("u"), col(cv).as("v"))
+    // the edge list feeds FOUR consumers (degrees, orientation, the
+    // closing join, the edge count); without pinning, Spark re-derives
+    // the caller's edge-construction subtree for each one — for q139's
+    // co-purchase graph that meant 4× the per-order self-join+distinct
+    // (measured 18.0 s → 6.9 s min-of-3 at sf0.1 from this one line)
+    val e = edges.select(col(cu).as("u"), col(cv).as("v")).localCheckpoint()
     val deg = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
       .groupBy("n").agg(org.apache.spark.sql.functions.count(lit(1)).as("deg"))
     val oriented = e
