@@ -3635,6 +3635,32 @@ object Extensions {
     }
   }
 
+  // -------------------------------------------------------------- Q142
+  /** TRENDING TOP-K ([[graft.streaming.EventStreams.trendingTopK]]):
+    * the 3 most frequent event types per tumbling hour — the
+    * dashboard/trending shape. The per-window rank partitions on the
+    * window start (high-cardinality over any real span — no funnel).
+    * The STREAMING twin runs the same windowed count in append mode
+    * and ranks each closed window in foreachBatch (TrendingStreamSpec
+    * proves stream == batch row-for-row). */
+  val q142 = QueryDef("q142_trending_topk",
+    """WITH w AS (
+      |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+      |         event_type, count(*) AS cnt
+      |  FROM events GROUP BY 1, 2
+      |), r AS (
+      |  SELECT w_start, event_type, cnt,
+      |         row_number() OVER (PARTITION BY w_start ORDER BY cnt DESC, event_type) AS rn
+      |  FROM w
+      |)
+      |SELECT w_start, event_type, CAST(cnt AS BIGINT) AS cnt, rn
+      |FROM r WHERE rn <= 3 ORDER BY w_start, rn""") { (s, dir) =>
+    graft.streaming.EventStreams.trendingTopK(t(s, dir, "events"), k = 3)
+      .select(date_format(col("w_start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("event_type"), col("cnt"), col("rn"))
+      .orderBy("w_start", "rn")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -3642,5 +3668,5 @@ object Extensions {
     q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102,
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
-    q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141)
+    q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142)
 }

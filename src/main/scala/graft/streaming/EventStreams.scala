@@ -32,6 +32,55 @@ object EventStreams {
         round(sum(col("value").cast("decimal(18,6)")), 2).cast("double").as("sum_value"))
       .select(col("w.start").as("hour_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** TRENDING TOP-K, batch twin (q142): the k most frequent event
+    * types per tumbling window. Per-window rank partitions on the
+    * window start — high-cardinality over any real time span, so the
+    * window sort never funnels (the opposite regime from q97's
+    * few-groups caveat). */
+  def trendingTopK(events: DataFrame, k: Int,
+      windowDur: String = "1 hour"): DataFrame = {
+    val counts = events
+      .groupBy(window(col("ts"), windowDur).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy("w").orderBy(col("cnt").desc, col("event_type"))
+    counts.withColumn("rn", row_number().over(rw)).filter(col("rn") <= k)
+      .select(col("w.start").as("w_start"), col("event_type"), col("cnt"), col("rn"))
+  }
+
+  /** TRENDING TOP-K, streaming: ranking after a streaming aggregation
+    * is unsupported in append mode, so this is the standard two-stage
+    * recipe — the windowed count runs as the streaming aggregate
+    * (watermark closes windows and bounds state), and each CLOSED
+    * window is ranked in `foreachBatch`. Sound because append mode
+    * emits a window's counts exactly once, all in the micro-batch
+    * where the watermark crosses its end — the batch ALWAYS holds
+    * every (window, type) row of each window it sees, so the local
+    * rank is the global rank. Sink rows are immutable appends
+    * (windows never re-emit), making retries at-least-once appends of
+    * identical rows — dedupe on (w_start, rn) downstream if the sink
+    * must be exactly-once. */
+  def trendingTopKStream(events: DataFrame, k: Int, targetDir: String,
+      checkpoint: String, windowDur: String = "1 hour",
+      watermark: String = "0 seconds"): org.apache.spark.sql.streaming.StreamingQuery = {
+    val counts = events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    counts.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rw = org.apache.spark.sql.expressions.Window
+          .partitionBy("w").orderBy(col("cnt").desc, col("event_type"))
+        batch.withColumn("rn", row_number().over(rw)).filter(col("rn") <= k)
+          .select(col("w.start").as("w_start"), col("event_type"), col("cnt"), col("rn"))
+          .write.mode("append").parquet(targetDir)
+        ()
+      }
+      .start()
+  }
+
   /** Sliding windows: 1-hour span every 15 minutes. */
   def slidingCounts(events: DataFrame): DataFrame =
     events
