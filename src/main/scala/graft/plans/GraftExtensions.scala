@@ -85,7 +85,22 @@ object GraftFunctions {
           org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(bloom, value)
         case _ => throw new IllegalArgumentException(
           "might_contain(bloomFilter, value)")
-      }))
+      }),
+    // the native vector family (ANN scoring loops + JL/LSH projections)
+    ("dot_d",
+      new ExpressionInfo(classOf[VectorExprs.DotProductDExpr].getName, "dot_d"),
+      (exprs: Seq[Expression]) => VectorExprs.DotProductDExpr(exprs.head, exprs(1))),
+    ("dot_i8",
+      new ExpressionInfo(classOf[VectorExprs.Int8DotExpr].getName, "dot_i8"),
+      (exprs: Seq[Expression]) => VectorExprs.Int8DotExpr(exprs.head, exprs(1))),
+    ("hyperplane_bucket",
+      new ExpressionInfo(classOf[VectorExprs.HyperplaneBucketExpr].getName, "hyperplane_bucket"),
+      (exprs: Seq[Expression]) => VectorExprs.HyperplaneBucketExpr(
+        exprs.head, intLit(exprs(1), "planes"))),
+    ("jl_project",
+      new ExpressionInfo(classOf[VectorExprs.JlProjectExpr].getName, "jl_project"),
+      (exprs: Seq[Expression]) => VectorExprs.JlProjectExpr(
+        exprs.head, intLit(exprs(1), "out_dim"))))
 
   /** Register on a live session (temp functions). */
   def register(spark: SparkSession): Unit =

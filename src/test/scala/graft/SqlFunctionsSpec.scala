@@ -36,6 +36,38 @@ class SqlFunctionsSpec extends SparkSuite {
     assert(sqlMh.exceptAll(apiMh).isEmpty && apiMh.exceptAll(sqlMh).isEmpty)
   }
 
+  test("SQL dot_d/dot_i8/hyperplane_bucket/jl_project == Column API") {
+    GraftFunctions.register(spark)
+    Tables.registerAll(spark, sfDir)
+    val emb = Tables(spark, sfDir, "embeddings")
+
+    val sqlDot = spark.sql(
+      "SELECT dot_d(embedding, embedding) AS d FROM embeddings")
+    val apiDot = emb.select(
+      graft.functions.VectorFunctions.dot(col("embedding"), col("embedding")).as("d"))
+    assert(sqlDot.exceptAll(apiDot).isEmpty && apiDot.exceptAll(sqlDot).isEmpty)
+
+    val sqlI8 = spark.sql(
+      """SELECT dot_i8(transform(embedding, x -> CAST(CAST(x * 10 AS INT) AS TINYINT)),
+        |              transform(embedding, x -> CAST(CAST(x * 10 AS INT) AS TINYINT))) AS d
+        |FROM embeddings""".stripMargin)
+    val codes = transform(col("embedding"),
+      x => (x * 10).cast("int").cast("byte"))
+    val apiI8 = emb.select(
+      graft.plans.VectorExprs.dotI8(codes, codes).as("d"))
+    assert(sqlI8.exceptAll(apiI8).isEmpty && apiI8.exceptAll(sqlI8).isEmpty)
+
+    val sqlHp = spark.sql("SELECT hyperplane_bucket(embedding, 6) AS b FROM embeddings")
+    val apiHp = emb.select(
+      graft.functions.VectorFunctions.hyperplaneBucket(col("embedding"), 6).as("b"))
+    assert(sqlHp.exceptAll(apiHp).isEmpty && apiHp.exceptAll(sqlHp).isEmpty)
+
+    val sqlJl = spark.sql("SELECT jl_project(embedding, 8) AS jl FROM embeddings")
+    val apiJl = emb.select(
+      graft.functions.VectorFunctions.jlProject(col("embedding"), 8).as("jl"))
+    assert(sqlJl.exceptAll(apiJl).isEmpty && apiJl.exceptAll(sqlJl).isEmpty)
+  }
+
   test("non-literal sketch parameter raises a clear error") {
     GraftFunctions.register(spark)
     Tables.registerAll(spark, sfDir)
