@@ -116,6 +116,53 @@ object GlobalIds {
     }
   }
 
+  /** Distributed EXCLUSIVE PREFIX MAX: adds `cumCol` = max of
+    * `valueCol` over STRICTLY PRECEDING rows in the total order (NULL
+    * for the global first row) — `max() OVER (ORDER BY … ROWS BETWEEN
+    * UNBOUNDED PRECEDING AND 1 PRECEDING)` without the
+    * single-partition window. Same three-phase shape as [[prefixSum]]:
+    * ONE range exchange, per-partition maxes to the driver (≤ numParts
+    * scalars), broadcast exclusive-prefix offsets + a narrow scan.
+    * Exclusive (unlike the inclusive [[prefixSum]]) because its
+    * consumer — the Pareto/skyline filter (q143) — compares each row
+    * against its predecessors only; max is idempotent so there is no
+    * inclusive/exclusive arithmetic trick, the scan just emits before
+    * folding. `valueCol` must be integral (LONG). */
+  def prefixMax(df: DataFrame, valueCol: String, cumCol: String,
+      numParts: Int, order: Column*): DataFrame = {
+    require(order.nonEmpty, "prefix max needs a total order")
+    val pidCol = "_gid_pid"
+    val pinned = df
+      .repartitionByRange(numParts, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn(pidCol, spark_partition_id())
+      .localCheckpoint()
+    val vIdx = pinned.schema.fieldIndex(valueCol)
+    // ≤ numParts scalar rows to the driver (empty partitions absent —
+    // they contribute nothing to any prefix)
+    val maxs = pinned.groupBy(pidCol)
+      .agg(max(col(valueCol).cast("long")).as("m"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets: Map[Int, Option[Long]] = maxs.map(_._1)
+      .zip(maxs.scanLeft(Option.empty[Long]) { case (acc, (_, m)) =>
+        Some(acc.fold(m)(math.max(_, m)))
+      }.init).toMap
+    val offB = df.sparkSession.sparkContext.broadcast(offsets)
+    val outSchema = df.schema.add(cumCol, LongType, nullable = true)
+    implicit val enc: Encoder[Row] = Encoders.row(outSchema)
+    pinned.mapPartitions { it =>
+      var init = false
+      var cur: Option[Long] = None
+      it.map { r =>
+        if (!init) { cur = offB.value(r.getInt(r.length - 1)); init = true }
+        val before = cur
+        val v = r.getLong(vIdx)
+        cur = Some(cur.fold(v)(math.max(_, v)))
+        Row.fromSeq(r.toSeq.init :+ before.map(java.lang.Long.valueOf).orNull)
+      }
+    }
+  }
+
   /** GROUP-scoped prefix sum: [[prefixSum]] restarted per `grpCol`
     * value — running token totals per language/source without the
     * per-group-window funnel (PARTITION BY grp puts each group's whole

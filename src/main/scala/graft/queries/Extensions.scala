@@ -2180,23 +2180,30 @@ object Extensions {
     * the exact window (per-lang sort); at 100 TB the production path is
     * a broadcast threshold from the GK sketch (q77) — same semantics,
     * no per-lang funnel — which this query's oracle certifies. */
-  val q103 = {
+  /** Shared q31-quality-score CTE chain (q103 + q143) — depends on
+    * `docw`; ends in `sc(doc_id, lang, n_tok, score)` (factored so the
+    * oracles cannot drift, the docwCte rule). */
+  private val qualityScoreCte = {
     val en = TextFunctions.stopwords("en").map(w => s"'$w'").mkString(", ")
+    s"""f AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(w) AS INT) AS n_tok,
+       |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+       |      / greatest(length(text), 1) AS alpha_ratio,
+       |    CAST(len(list_filter(w, x -> x IN ($en))) AS DOUBLE)
+       |      / greatest(len(w), 1) AS stop_ratio
+       |  FROM docw
+       |), sc AS (
+       |  SELECT doc_id, lang, n_tok,
+       |         ${TextFunctions.round4Sql(
+                   "least(1.0, CAST(n_tok AS DOUBLE) / 100.0) * 0.4 + alpha_ratio * 0.3 + stop_ratio * 0.3")} AS score
+       |  FROM f
+       |)""".stripMargin
+  }
+
+  val q103 = {
     QueryDef("q103_quality_percentile",
-      s"""WITH $docwCte, f AS (
-         |  SELECT doc_id, lang,
-         |    CAST(len(w) AS INT) AS n_tok,
-         |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
-         |      / greatest(length(text), 1) AS alpha_ratio,
-         |    CAST(len(list_filter(w, x -> x IN ($en))) AS DOUBLE)
-         |      / greatest(len(w), 1) AS stop_ratio
-         |  FROM docw
-         |), sc AS (
-         |  SELECT doc_id, lang,
-         |         ${TextFunctions.round4Sql(
-                     "least(1.0, CAST(n_tok AS DOUBLE) / 100.0) * 0.4 + alpha_ratio * 0.3 + stop_ratio * 0.3")} AS score
-         |  FROM f
-         |), p AS (
+      s"""WITH $docwCte, $qualityScoreCte, p AS (
          |  SELECT doc_id, lang, score,
          |         percent_rank() OVER (PARTITION BY lang ORDER BY score, doc_id) AS pr
          |  FROM sc
@@ -3661,6 +3668,43 @@ object Extensions {
       .orderBy("w_start", "rn")
   }
 
+  // -------------------------------------------------------------- Q143
+  /** PARETO FRONTIER ([[graft.operators.Skyline]]): documents no other
+    * doc dominates on (quality score, BREVITY = −tokens) — "the
+    * highest-quality doc at every length budget", the multi-criteria
+    * keep set a single weighted score hides (score and length are
+    * positively correlated here, so maximizing both collapses to ~2
+    * points; the quality-vs-cost trade-off is the real curve — 59
+    * frontier docs at sf0.1). Spark computes it as a prefix-max scan
+    * over the (x DESC, y DESC) order (ONE range exchange —
+    * [[GlobalIds.prefixMax]]); the oracle is the quadratic NOT-EXISTS
+    * definition, so the two formulations certify each other. Score
+    * enters as its exact 1e-4-unit integer. */
+  val q143 = QueryDef("q143_pareto_frontier",
+    s"""WITH $docwCte, $qualityScoreCte,
+       |m AS (
+       |  SELECT doc_id, score, CAST(n_tok AS BIGINT) AS n_tok,
+       |         CAST(-n_tok AS BIGINT) AS brevity,
+       |         CAST(floor(score * 10000 + 0.5) AS BIGINT) AS su
+       |  FROM sc
+       |)
+       |SELECT doc_id, score, n_tok FROM m a
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM m b
+       |  WHERE b.su >= a.su AND b.brevity >= a.brevity
+       |    AND (b.su > a.su OR b.brevity > a.brevity))
+       |ORDER BY doc_id""") { (s, dir) =>
+    val scored = TextAnalysis.qualityScore(
+        t(s, dir, "documents"), "doc_id", "text")
+      .select(col("doc_id"), col("score"),
+        col("n_tok").cast("long").as("n_tok"),
+        (-col("n_tok")).cast("long").as("brevity"),
+        floor(col("score") * 10000 + 0.5).cast("long").as("su"))
+    graft.operators.Skyline.frontier2D(scored, "su", "brevity")
+      .select("doc_id", "score", "n_tok")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -3668,5 +3712,5 @@ object Extensions {
     q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102,
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
-    q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142)
+    q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143)
 }
