@@ -3705,6 +3705,49 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  // -------------------------------------------------------------- Q144
+  /** CONTENT-DEFINED CHUNK DEDUP ([[Dedup.cdcChunkDedup]]; the
+    * rsync/LBFS boundary rule on token streams): chunk cuts where the
+    * 4-token rolling window's hash lands in the 1/32 cut set, then
+    * q104's keep-first accounting. CDC boundaries are shift-invariant
+    * — an insertion changes one chunk, not every downstream chunk
+    * (CdcChunkSpec measures the contrast vs the fixed grid). Oracle
+    * replays boundary detection, cut-list assembly and slicing with
+    * the identical list arithmetic. */
+  val q144 = QueryDef("q144_cdc_chunk_dedup",
+    s"""WITH $docwCte, d AS (
+       |  SELECT doc_id, coalesce(w, []) AS w, len(coalesce(w, [])) AS n
+       |  FROM docw WHERE len(coalesce(w, [])) >= 1
+       |), bp AS (
+       |  SELECT doc_id, w, n,
+       |         list_filter(range(1, n + 1), bi -> bi >= 4 AND
+       |           (${md5Bucket16Sql("array_to_string(w[bi-3:bi], ' ')")} % 32 = 0)) AS b
+       |  FROM d
+       |), cu AS (
+       |  SELECT doc_id, w,
+       |         [0] || b || (CASE WHEN len(b) > 0 AND b[-1] = n
+       |                           THEN CAST([] AS BIGINT[]) ELSE [n] END) AS cuts
+       |  FROM bp
+       |), ch AS (
+       |  SELECT doc_id, CAST(gi - 1 AS INT) AS chunk_idx,
+       |         md5(array_to_string(w[cuts[gi]+1:cuts[gi+1]], ' ')) AS chunk_hash,
+       |         CAST(cuts[gi+1] - cuts[gi] AS INT) AS chunk_tok
+       |  FROM cu CROSS JOIN UNNEST(range(1, len(cuts))) AS t(gi)
+       |), r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY chunk_hash
+       |                               ORDER BY doc_id, chunk_idx) AS rn
+       |  FROM ch
+       |)
+       |SELECT doc_id,
+       |       CAST(count(*) AS BIGINT) AS n_chunks,
+       |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       CAST(sum(CASE WHEN rn = 1 THEN chunk_tok ELSE 0 END) AS BIGINT) AS kept_tok
+       |FROM r GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
+    Dedup.cdcChunkDedup(t(s, dir, "documents"), "doc_id", "text",
+      window = 4, mask = 32)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -3712,5 +3755,5 @@ object Extensions {
     q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102,
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
-    q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143)
+    q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144)
 }
