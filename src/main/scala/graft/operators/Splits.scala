@@ -33,6 +33,25 @@ object Splits {
   def hashBucket(id: Column): Column =
     conv(substring(md5(id.cast("string")), 1, bucketBits / 4), 16, 10).cast("int")
 
+  /** RENDEZVOUS (highest-random-weight) shard assignment — Thaler &
+    * Ravishankar '96: a key's shard is the one whose (key, shard) hash
+    * is largest. The property [[hashBucket]]-mod-n cannot give:
+    * adding a shard moves only ~1/(n+1) of the keys, and every move
+    * is INTO the new shard — existing shards never exchange keys (a
+    * mod-n resharding moves ~all keys). The stable-routing primitive
+    * for incremental corpus resharding, cache assignment, and
+    * writer-affinity at 100 TB: one narrow codegen'd projection, no
+    * ring state, deterministic in any engine (ties broken by shard
+    * name — md5 both sides, so DuckDB replays assignments exactly). */
+  def rendezvousShard(id: Column, shards: Seq[String]): Column = {
+    require(shards.nonEmpty && shards.distinct.size == shards.size,
+      s"need distinct non-empty shards, got $shards")
+    val cands = array(shards.map(s =>
+      struct(hashBucket(concat(lit(s), lit("|"), id.cast("string"))).as("b"),
+        lit(s).as("s"))): _*)
+    array_max(cands).getField("s")
+  }
+
   /** Adds `bucket` and `split` columns; `fractions` must sum to ~1 and
     * is applied in order (first entry gets buckets [0, f0·65536), …). */
   def assign(df: DataFrame, idCol: String,

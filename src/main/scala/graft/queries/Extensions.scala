@@ -3748,6 +3748,37 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  // -------------------------------------------------------------- Q145
+  /** RENDEZVOUS SHARDING ([[graft.operators.Splits.rendezvousShard]];
+    * HRW, Thaler & Ravishankar '96): stable doc→shard routing — adding
+    * a shard moves only ~1/(n+1) of the keys, all INTO the new shard
+    * (SplitsSpec proves the movement property; mod-n moves ~all). The
+    * declared query routes documents across 5 shards and reports the
+    * per-shard occupancy; the oracle replays the per-shard hash argmax
+    * (ties broken by shard name) with DuckDB's struct max. */
+  val q145 = {
+    val shards = (0 until 5).map(i => s"shard$i")
+    val structs = shards.map(s =>
+      s"{'b': ${md5Bucket16Sql(s"'$s|' || doc_id")}, 's': '$s'}").mkString(", ")
+    QueryDef("q145_rendezvous_shard",
+      s"""WITH a AS (
+         |  SELECT doc_id,
+         |         list_aggregate([$structs], 'max').s AS shard
+         |  FROM documents
+         |)
+         |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(min(doc_id) AS BIGINT) AS min_doc, CAST(max(doc_id) AS BIGINT) AS max_doc
+         |FROM a GROUP BY shard ORDER BY shard""") { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.operators.Splits.rendezvousShard(col("doc_id"), shards).as("shard"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .orderBy("shard")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -3755,5 +3786,5 @@ object Extensions {
     q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102,
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
-    q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144)
+    q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145)
 }

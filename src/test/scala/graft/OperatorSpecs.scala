@@ -953,6 +953,26 @@ class SplitsSpec extends SparkSuite {
     assert(big.filter(col("split") === "test" && col("bucket") < cutTest).count() === 0)
   }
 
+  test("rendezvousShard: adding a shard moves ~1/(n+1) of keys, all INTO it") {
+    import spark.implicits._
+    val ids = (1L to 4000L).toDF("id")
+    val s4 = (0 until 4).map(i => s"shard$i")
+    val s5 = s4 :+ "shard4"
+    val both = ids.select(col("id"),
+      Splits.rendezvousShard(col("id"), s4).as("before"),
+      Splits.rendezvousShard(col("id"), s5).as("after"))
+    val moved = both.filter(col("before") =!= col("after"))
+    // THE HRW property: every move lands in the new shard — old shards
+    // never exchange keys
+    assert(moved.filter(col("after") =!= "shard4").count() === 0)
+    // moved fraction ≈ 1/5 (binomial, wide tolerance)
+    val m = moved.count()
+    assert(m > 4000 / 5 - 150 && m < 4000 / 5 + 150, s"moved $m of 4000")
+    // balance: each shard gets roughly 1/5 after
+    val counts = both.groupBy("after").count().collect().map(_.getLong(1))
+    assert(counts.forall(c => c > 600 && c < 1000), counts.mkString(","))
+  }
+
   test("assign rejects fractions that do not sum to 1") {
     import spark.implicits._
     intercept[IllegalArgumentException] {
