@@ -3779,6 +3779,62 @@ object Extensions {
     }
   }
 
+  // -------------------------------------------------------------- Q146
+  /** MERKLE RANGE-DIGEST DIFF ([[graft.operators.MerkleDiff]]; the
+    * Dynamo/Cassandra anti-entropy idea): locate WHERE two snapshots
+    * differ from 256 bucket digests instead of shuffling the rows —
+    * the sync/repair complement of q106's row-level diff (which then
+    * runs on differing buckets only). Snapshot B carries q106's exact
+    * churn (changed/removed/added md5-bucket slices). Digest = XOR of
+    * 48-bit row hashes (order-insensitive, overflow-free,
+    * map-side-combinable) + row count; both replay exactly in SQL. */
+  val q146 = {
+    val h48 = (s: String) =>
+      "CAST(list_sum(list_transform(range(1, 13), hi -> " +
+        s"(CAST(strpos('0123456789abcdef', substr(md5($s), hi, 1)) - 1 AS DOUBLE)) " +
+        "* pow(16, 12 - hi))) AS BIGINT)"
+    QueryDef("q146_merkle_diff",
+      s"""WITH base AS (
+         |  SELECT doc_id, text, ${md5Bucket16Sql("doc_id")} AS bkt FROM documents
+         |), snap_a AS (
+         |  SELECT doc_id, doc_id || '|' || coalesce(text, '') AS s FROM documents
+         |), snap_b AS (
+         |  SELECT doc_id,
+         |         doc_id || '|' || coalesce(
+         |           CASE WHEN bkt < 9831 THEN text || ' v2' ELSE text END, '') AS s
+         |  FROM base WHERE bkt >= 3277
+         |  UNION ALL
+         |  SELECT doc_id + 1000000,
+         |         (doc_id + 1000000) || '|' || coalesce('new ' || text, '')
+         |  FROM base WHERE bkt >= 62259
+         |), la AS (
+         |  SELECT ${md5Bucket16Sql("doc_id")} % 256 AS leaf,
+         |         CAST(count(*) AS BIGINT) AS cnt_a, bit_xor(${h48("s")}) AS dig_a
+         |  FROM snap_a GROUP BY 1
+         |), lb AS (
+         |  SELECT ${md5Bucket16Sql("doc_id")} % 256 AS leaf,
+         |         CAST(count(*) AS BIGINT) AS cnt_b, bit_xor(${h48("s")}) AS dig_b
+         |  FROM snap_b GROUP BY 1
+         |)
+         |SELECT leaf, coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b,
+         |       coalesce(dig_a, -1) AS dig_a, coalesce(dig_b, -1) AS dig_b,
+         |       coalesce(cnt_a, 0) <> coalesce(cnt_b, 0)
+         |         OR coalesce(dig_a, -1) <> coalesce(dig_b, -1) AS differs
+         |FROM la FULL JOIN lb USING (leaf)
+         |ORDER BY leaf""") { (s, dir) =>
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val bkt = graft.operators.Splits.hashBucket(col("doc_id"))
+      val newSnap = docs.filter(bkt >= 3277)
+        .select(col("doc_id"),
+          when(bkt < 9831, concat(col("text"), lit(" v2"))).otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(bkt >= 62259)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            concat(lit("new "), col("text")).as("text")))
+      graft.operators.MerkleDiff.diffLeaves(docs, newSnap, "doc_id", Seq("text"), 256)
+        .orderBy("leaf")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -3786,5 +3842,5 @@ object Extensions {
     q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102,
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
-    q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145)
+    q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146)
 }
