@@ -3835,6 +3835,35 @@ object Extensions {
     }
   }
 
+  // -------------------------------------------------------------- Q147
+  /** EXACT ORDER STATISTICS WITHOUT A SORT
+    * ([[graft.operators.Selection]]): the lower median and p90 of
+    * l_extendedprice in exact cents via value-domain binary search —
+    * O(log range) counting scans, zero shuffles, two longs of driver
+    * state; the exact complement of the GK sketch (q77). Oracle = the
+    * literal ORDER BY / OFFSET definition of the same ranks. */
+  val q147 = QueryDef("q147_exact_median",
+    """WITH v AS (
+      |  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+      |  FROM lineitem
+      |), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v)
+      |SELECT n.n,
+      |       (n.n + 1) // 2 AS k_median,
+      |       (SELECT c FROM v ORDER BY c LIMIT 1 OFFSET ((SELECT (n + 1) // 2 FROM n) - 1)) AS median_cents,
+      |       (n.n * 9 + 9) // 10 AS k_p90,
+      |       (SELECT c FROM v ORDER BY c LIMIT 1 OFFSET ((SELECT (n * 9 + 9) // 10 FROM n) - 1)) AS p90_cents
+      |FROM n""") { (s, dir) =>
+    val vals = graft.operators.Selection.pin(
+      t(s, dir, "lineitem").select(
+        floor(col("l_extendedprice") * 100 + 0.5).as("c")), "c")
+    graft.operators.Selection.orderStats(s, vals, Seq(
+      ("median_cents", n => (n + 1) / 2),
+      ("p90_cents", n => (n * 9 + 9) / 10)))
+      .select("n", "k_median_cents", "median_cents", "k_p90_cents", "p90_cents")
+      .withColumnRenamed("k_median_cents", "k_median")
+      .withColumnRenamed("k_p90_cents", "k_p90")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -3842,5 +3871,5 @@ object Extensions {
     q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102,
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
-    q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146)
+    q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147)
 }

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Selection
+
+/** Value-domain binary-search selection (q147's operator): equals the
+  * sorted definition on random multisets including duplicates and
+  * negatives, endpoint ranks, and the k bounds. */
+class SelectionSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("k-th smallest equals the sorted definition, duplicates and negatives included") {
+    val rnd = new scala.util.Random(31)
+    val xs = (1 to 1000).map(_ => (rnd.nextInt(200) - 100).toLong)
+    val vals = Selection.pin(xs.toDF("x"), "x")
+    val sorted = xs.sorted
+    for (k <- Seq(1L, 2L, 500L, 501L, 999L, 1000L)) {
+      val got = Selection.kthSmallest(vals, k)
+      assert(got == sorted((k - 1).toInt), s"k=$k: $got vs ${sorted((k - 1).toInt)}")
+    }
+  }
+
+  test("out-of-range k is rejected") {
+    val vals = Selection.pin(Seq(1L, 2L, 3L).toDF("x"), "x")
+    intercept[IllegalArgumentException] { Selection.kthSmallest(vals, 0L) }
+    intercept[IllegalArgumentException] { Selection.kthSmallest(vals, 4L) }
+  }
+
+  test("orderStats emits the requested ranks in one row") {
+    val vals = Selection.pin((1L to 100L).toDF("x"), "x")
+    val r = Selection.orderStats(spark, vals, Seq(
+      ("med", n => (n + 1) / 2), ("p90", n => (n * 9 + 9) / 10))).head
+    assert(r.getLong(0) == 100L && r.getLong(2) == 50L && r.getLong(4) == 90L,
+      r.toString)
+  }
+}
