@@ -3864,6 +3864,34 @@ object Extensions {
       .withColumnRenamed("k_p90_cents", "k_p90")
   }
 
+  // -------------------------------------------------------------- Q148
+  /** DOMAIN CAPPING (the C4/RefinedWeb "at most N pages per domain"
+    * rule — a single site must not dominate the corpus): keep the
+    * deterministic md5-ordered first 20 docs per source. The
+    * rn ≤ k over a window plans as the bounded-heap TopKPerKeyExec
+    * (q14's plan-asserted machinery) — per-key heaps, no per-group
+    * sort; real domain counts are high-cardinality, the window's
+    * natural regime. */
+  val q148 = QueryDef("q148_domain_cap",
+    s"""WITH b AS (
+       |  SELECT doc_id, source, ${md5Bucket16Sql("doc_id")} AS bkt FROM documents
+       |), r AS (
+       |  SELECT doc_id, source,
+       |         row_number() OVER (PARTITION BY source ORDER BY bkt, doc_id) AS rn
+       |  FROM b
+       |)
+       |SELECT source, doc_id, rn FROM r WHERE rn <= 20
+       |ORDER BY source, rn""") { (s, dir) =>
+    val b = t(s, dir, "documents").select(col("doc_id"), col("source"),
+      graft.operators.Splits.hashBucket(col("doc_id")).as("bkt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("bkt"), col("doc_id"))
+    b.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20)
+      .select("source", "doc_id", "rn")
+      .orderBy("source", "rn")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -3871,5 +3899,5 @@ object Extensions {
     q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102,
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
-    q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147)
+    q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148)
 }
