@@ -128,6 +128,33 @@ class SinksAndSkewSpec extends SparkSuite {
       }
   }
 
+  test("manifest publish: round-trip validates; a lost part file and a duplicate are caught") {
+    import spark.implicits._
+    import graft.sources.Sinks
+    val dir = java.nio.file.Files.createTempDirectory("manifest").toString + "/snap"
+    val df = (1L to 500L).map(i => (i, s"row $i payload")).toDF("id", "text")
+      .repartition(4)
+    Sinks.writeWithManifest(df, dir, "id", Seq("text"))
+    val ok = Sinks.validateManifest(spark, dir)
+    assert(ok._1, ok.toString)
+    // lose one part file → rows and digest both disagree
+    val parts = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(parts.length == 4)
+    val victim = parts.head
+    // stash OUTSIDE the directory (Spark reads any non-hidden file in it)
+    val stash = new java.io.File(new java.io.File(dir).getParent, "stash.bak")
+    assert(victim.renameTo(stash))
+    val lost = Sinks.validateManifest(spark, dir)
+    assert(!lost._1 && lost._3 < lost._2, lost.toString)
+    // duplicate task output (the same part landing twice) → caught too
+    assert(stash.renameTo(victim))
+    java.nio.file.Files.copy(victim.toPath,
+      new java.io.File(victim.getParent, victim.getName.replace("part-0", "part-9")).toPath)
+    val dup = Sinks.validateManifest(spark, dir)
+    assert(!dup._1 && dup._3 > dup._2, dup.toString)
+  }
+
   test("bloom-filtered parquet: an equality needle probe skips row groups min/max cannot") {
     val n = 400000L
     // high-cardinality key in RANDOM order: every row group's min/max
