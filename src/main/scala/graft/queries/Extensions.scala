@@ -3892,6 +3892,57 @@ object Extensions {
       .orderBy("source", "rn")
   }
 
+  // -------------------------------------------------------------- Q149
+  /** PMI COLLOCATION MINING (Church & Hanks, CL'90): the 20 strongest
+    * two-word collocations by pointwise mutual information —
+    * PMI = ln(N·c(w1,w2) / (c(w1·)·c(·w2))) over the bigram stream,
+    * with a min-count floor of 5 (PMI without a support floor surfaces
+    * hapax noise). Counts derive from ONE tokenize (the q91 infra);
+    * unigram marginals are the bigram stream's own left/right
+    * marginals, so the three count relations share one shuffle family.
+    * ln is floor-scaled to 1e-6 units on the exact integer ratio (the
+    * q91 idiom) — bit-identical both engines. */
+  val q149 = QueryDef("q149_pmi_collocations",
+    s"""WITH $docwCte,
+       |tk AS (SELECT doc_id, w FROM docw WHERE len(w) >= 2),
+       |bg AS (
+       |  SELECT w[i] AS w1, w[i+1] AS w2
+       |  FROM tk CROSS JOIN UNNEST(range(1, len(w))) AS t(i)
+       |),
+       |n AS (SELECT count(*) AS n FROM bg),
+       |cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+       |cl AS (SELECT w1, count(*) AS cl FROM bg GROUP BY w1),
+       |cr AS (SELECT w2, count(*) AS cr FROM bg GROUP BY w2),
+       |p AS (
+       |  SELECT cb.w1, cb.w2, CAST(cb.cb AS BIGINT) AS cnt,
+       |         CAST(floor(ln((CAST(n.n AS DOUBLE) * cb.cb) /
+       |                       (CAST(cl.cl AS DOUBLE) * cr.cr))
+       |              * 1000000 + 0.5) AS BIGINT) AS pmi6
+       |  FROM cb JOIN cl USING (w1) JOIN cr USING (w2) CROSS JOIN n
+       |  WHERE cb.cb >= 5
+       |)
+       |SELECT w1, w2, cnt, ${TextFunctions.round4Sql(
+              "CAST(pmi6 AS DOUBLE) / 1000000")} AS pmi
+       |FROM p ORDER BY pmi6 DESC, w1, w2 LIMIT 20""") { (s, dir) =>
+    val big = TextAnalysis.bigrams(t(s, dir, "documents"), "doc_id", "text")
+    val n = big.agg(count(lit(1)).as("n"))
+    val cb = big.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val cl = big.groupBy("w1").agg(count(lit(1)).as("cl"))
+    val cr = big.groupBy("w2").agg(count(lit(1)).as("cr"))
+    cb.filter(col("cb") >= 5)
+      .join(cl, "w1").join(cr, "w2")
+      .crossJoin(broadcast(n))
+      .withColumn("pmi6", floor(log(
+        (col("n").cast("double") * col("cb")) /
+          (col("cl").cast("double") * col("cr"))) * 1e6 + 0.5).cast("long"))
+      .select(col("w1"), col("w2"), col("cb").as("cnt"),
+        TextFunctions.round4(col("pmi6").cast("double") / 1e6).as("pmi"),
+        col("pmi6"))
+      .orderBy(col("pmi6").desc, col("w1"), col("w2"))
+      .limit(20)
+      .drop("pmi6")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -3899,5 +3950,5 @@ object Extensions {
     q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102,
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
-    q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148)
+    q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149)
 }

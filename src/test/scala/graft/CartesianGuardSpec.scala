@@ -47,7 +47,9 @@ class CartesianGuardSpec extends SparkSuite {
     // q140 composes q91's LM + a total-tokens scalar attachment
     "q140_curriculum_phases",
     // q141: 1-row sketch + scalar exact-count attachments
-    "q141_kmv_overlap")
+    "q141_kmv_overlap",
+    // q149: 1-row bigram-total scalar attachment
+    "q149_pmi_collocations")
 
   test("no declared query plans a CartesianProduct; NLJ only where documented") {
     val sf = sfDir
