@@ -3943,6 +3943,76 @@ object Extensions {
       .drop("pmi6")
   }
 
+  // -------------------------------------------------------------- Q150
+  /** CURATION PIPELINE v3 (composition capstone; v1 = q65's classic
+    * chain, v2 = q128's classifier→allocator): domain-reputation gate
+    * (q134) → per-domain cap (q148) → DSIR importance resample (q132)
+    * fitted on the SURVIVING corpus — the "judge the domain, cap the
+    * domain, then match the target distribution" recipe. ONE oracle
+    * replays the whole chain (all three stages share their CTEs with
+    * the standalone queries), so drift in ANY stage breaks the hash. */
+  val q150 = QueryDef("q150_curation_v3",
+    s"""WITH $docwCte, $classifierScoreCte,
+       |src AS (SELECT doc_id, source FROM documents),
+       |rep AS (
+       |  SELECT s.source, CAST(sum(sc.margin_units) AS BIGINT) AS smu
+       |  FROM sc JOIN src s USING (doc_id) GROUP BY s.source
+       |), kept1 AS (
+       |  SELECT s.doc_id, s.source FROM src s JOIN rep USING (source)
+       |  WHERE rep.smu > 0
+       |), capped AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id,
+       |           row_number() OVER (PARTITION BY source
+       |             ORDER BY ${md5Bucket16Sql("doc_id")}, doc_id) AS rn
+       |    FROM kept1
+       |  ) WHERE rn <= 20
+       |), ff AS (
+       |  SELECT doc_id, (lang = 'en') AS is_target,
+       |         ${md5Bucket16Sql("w[p] || ' ' || w[p+1]")} AS bucket
+       |  FROM (SELECT d2.doc_id, d2.lang, d2.w FROM docw d2
+       |        JOIN capped USING (doc_id) WHERE len(d2.w) >= 2)
+       |  CROSS JOIN UNNEST(range(1, len(w))) AS t(p)
+       |), cnt AS (
+       |  SELECT bucket, count(*) AS cr,
+       |         sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct
+       |  FROM ff GROUP BY bucket
+       |), tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM cnt),
+       |lam AS (
+       |  SELECT bucket,
+       |         CAST(floor(ln((CAST(ct + 1 AS DOUBLE) * CAST(nr + 65536 AS DOUBLE)) /
+       |                        (CAST(nt + 65536 AS DOUBLE) * CAST(cr + 1 AS DOUBLE)))
+       |              * 1000000 + 0.5) AS BIGINT) AS lam6
+       |  FROM cnt CROSS JOIN tot
+       |), sc2 AS (
+       |  SELECT ff.doc_id, CAST(count(*) AS BIGINT) AS n_feat,
+       |         CAST(sum(lam.lam6) AS BIGINT) AS score_units
+       |  FROM ff JOIN lam USING (bucket) GROUP BY ff.doc_id
+       |)
+       |SELECT doc_id, n_feat, score_units,
+       |       floor((CAST(score_units AS DOUBLE) / 1000000 +
+       |              -ln(-ln((${md5Bucket16Sql("doc_id")} + 1) / 65537.0)))
+       |             * 100000000 + 0.5) / 100000000 AS gk
+       |FROM sc2
+       |ORDER BY gk DESC, doc_id LIMIT 50""") { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val scored = graft.operators.QualityClassifier
+      .hashedBigramScore(docs, "doc_id", "text")
+      .join(docs.select("doc_id", "source", "lang", "text"), "doc_id")
+    val rep = scored.groupBy("source").agg(sum("margin_units").as("smu"))
+    val kept1 = scored.join(broadcast(rep), "source").filter(col("smu") > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+      .orderBy(graft.operators.Splits.hashBucket(col("doc_id")), col("doc_id"))
+    val capped = kept1.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20)
+      .select("doc_id", "text", "lang")
+    val sel = graft.operators.Dsir.importanceScores(
+      capped, "doc_id", "text", col("lang") === "en")
+    graft.operators.Dsir.resample(sel, "doc_id", k = 50)
+      .select("doc_id", "n_feat", "score_units", "gk")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -3950,5 +4020,5 @@ object Extensions {
     q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102,
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
-    q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149)
+    q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150)
 }

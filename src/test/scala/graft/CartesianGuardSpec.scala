@@ -49,7 +49,9 @@ class CartesianGuardSpec extends SparkSuite {
     // q141: 1-row sketch + scalar exact-count attachments
     "q141_kmv_overlap",
     // q149: 1-row bigram-total scalar attachment
-    "q149_pmi_collocations")
+    "q149_pmi_collocations",
+    // q150 composes q132, inheriting its totals attachment
+    "q150_curation_v3")
 
   test("no declared query plans a CartesianProduct; NLJ only where documented") {
     val sf = sfDir
