@@ -21,6 +21,20 @@ class SelectionSpec extends SparkSuite {
     }
   }
 
+  test("full 64-bit domain: extremes and random longs match the sorted definition") {
+    // range > 2^62 forces the midpoint-split guard (v - lo would
+    // overflow Long) before histogram refinement takes over
+    val rnd = new scala.util.Random(7)
+    val xs = Seq(Long.MinValue, Long.MaxValue, 0L, -1L, 1L) ++
+      (1 to 200).map(_ => rnd.nextLong())
+    val vals = Selection.pin(xs.toDF("x"), "x")
+    val sorted = xs.sorted
+    for (k <- Seq(1L, 2L, 3L, 100L, sorted.length - 1L, sorted.length.toLong)) {
+      val got = Selection.kthSmallest(vals, k)
+      assert(got == sorted((k - 1).toInt), s"k=$k: $got vs ${sorted((k - 1).toInt)}")
+    }
+  }
+
   test("out-of-range k is rejected") {
     val vals = Selection.pin(Seq(1L, 2L, 3L).toDF("x"), "x")
     intercept[IllegalArgumentException] { Selection.kthSmallest(vals, 0L) }
