@@ -63,29 +63,23 @@ object Int8Quant {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, nProbe: Int, nCentroids: Int, scale: Double,
       seed: Long = 42L, trainCap: Int = 100000, maxIter: Int = 10): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val session = corpus.sparkSession
-    import session.implicits._
     def unit(c: Column) = transform(c, x => x.cast("double") / VectorFunctions.norm(c))
     val withVec = corpus.filter(VectorFunctions.norm(col(vecCol)) > 0)
       .select(col(idCol).as("vid"), col(vecCol).as("v"))
-      .withColumn("features", array_to_vector(unit(col("v"))))
-    val train = withVec.select("features").limit(trainCap).persist()
-    val km =
-      try new KMeans().setK(nCentroids).setSeed(seed)
-        .setInitMode("random").setMaxIter(maxIter).fit(train)
-      finally train.unpersist()
-    // one corpus pass: list assignment + int8 encode together
-    val lists = km.transform(withVec).select(
-      col("vid").as("id"), col("prediction").as("cent_id"),
+    // driver-local spherical fit on a capped sample ([[LocalKMeans]]);
+    // one corpus pass does list assignment + int8 encode together,
+    // with the centroid matrix riding as a plan constant (no shuffle)
+    val sample = LocalKMeans.sample(corpus, vecCol, trainCap, unit = true)
+    require(sample.nonEmpty, "IVF fit needs a nonempty corpus")
+    val centers = LocalKMeans.fit(sample, 0, sample.head.length, nCentroids, seed, maxIter)
+    val lists = withVec.select(
+      col("vid").as("id"),
+      LocalKMeans.nearestCentId(unit(col("v")), centers).as("cent_id"),
       transform(col("v"), x =>
         least(greatest(round(x.cast("double") / scale * 127.0, 0), lit(-127.0)), lit(127.0))
           .cast("byte")).as("codes"),
       VectorFunctions.norm(col("v")).as("norm"))
-    val centDf = km.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray) }.toSeq
-      .toDF("cent_id", "centv")
+    val centDf = LocalKMeans.centersDf(corpus.sparkSession, centers)
     val dist2 = aggregate(
       zip_with(unit(col("qv")), col("centv"), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)

@@ -41,29 +41,21 @@ object ProductQuantization {
   }
 
   /** Train per-subspace k-means codebooks. Deterministic for a fixed
-    * seed; the training scan is capped at `trainCap` rows and cached
-    * once across all m fits (each fit sees its own slice column). */
+    * seed; ONE capped sample collect is shared by all m driver-local
+    * fits (each fit reads its own slice of the same rows) — see
+    * [[LocalKMeans]] for why local-on-a-capped-sample is the scale
+    * shape here. */
   def fit(emb: DataFrame, vecCol: String, m: Int, k: Int, seed: Long = 42L,
       trainCap: Int = 100000, maxIter: Int = 10): PQModel = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val nz = emb.filter(VectorFunctions.norm(col(vecCol)) > 0)
-    val dim = nz.select(size(col(vecCol)).as("d")).head.getInt(0)
+    val sample = LocalKMeans.sample(emb, vecCol, trainCap, unit = false)
+    require(sample.nonEmpty, "PQ fit needs a nonempty training sample")
+    val dim = sample.head.length
     require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
     val subDim = dim / m
-    val train = nz.select((0 until m).map { s =>
-        array_to_vector(slice(col(vecCol), s * subDim + 1, subDim)
-          .cast("array<double>")).as(s"f$s")
-      }: _*)
-      .limit(trainCap).persist()
-    try {
-      val codebooks = (0 until m).map { s =>
-        new KMeans().setK(k).setSeed(seed + s).setInitMode("random")
-          .setMaxIter(maxIter).setFeaturesCol(s"f$s")
-          .fit(train).clusterCenters.map(_.toArray)
-      }.toArray
-      PQModel(subDim, codebooks)
-    } finally train.unpersist()
+    val codebooks = (0 until m).map { s =>
+      LocalKMeans.fit(sample, s * subDim, subDim, k, seed + s, maxIter)
+    }.toArray
+    PQModel(subDim, codebooks)
   }
 
   /** Encode the corpus: (vid, codes ARRAY<TINYINT>, vnorm FLOAT). The
@@ -173,27 +165,22 @@ object ProductQuantization {
   def buildIvfPQIndex(corpus: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int, model: PQModel, seed: Long = 42L,
       trainCap: Int = 100000, maxIter: Int = 10): IvfPQIndex = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val session = corpus.sparkSession
-    import session.implicits._
     def unit(c: Column) = transform(c, x => x.cast("double") / VectorFunctions.norm(c))
     val withVec = corpus.filter(VectorFunctions.norm(col(vecCol)) > 0)
       .select(col(idCol).as("vid"), col(vecCol).as("v"))
-      .withColumn("features", array_to_vector(unit(col("v"))))
-    val train = withVec.select("features").limit(trainCap).persist()
-    val km =
-      try new KMeans().setK(nCentroids).setSeed(seed)
-        .setInitMode("random").setMaxIter(maxIter).fit(train)
-      finally train.unpersist()
-    val encodedLists = km.transform(withVec)
-      .select(col("vid"), col("prediction").as("cent_id"),
+    // spherical coarse quantizer: fit on unit vectors (bounded sample,
+    // driver-local), assign with the SAME Euclidean metric as one
+    // narrow map — the centroid matrix is a plan constant, so the
+    // corpus is never shuffled to build the lists
+    val centers = LocalKMeans.fit(
+      LocalKMeans.sample(corpus, vecCol, trainCap, unit = true),
+      0, model.dim, nCentroids, seed, maxIter)
+    val encodedLists = withVec
+      .select(col("vid"),
+        LocalKMeans.nearestCentId(unit(col("v")), centers).as("cent_id"),
         PQExprs.pqEncode(col("v"), model.codebooks).as("codes"),
         VectorFunctions.norm(col("v")).cast("float").as("vnorm"))
-    val centDf = km.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray) }.toSeq
-      .toDF("cent_id", "centv")
-    IvfPQIndex(centDf, encodedLists)
+    IvfPQIndex(LocalKMeans.centersDf(corpus.sparkSession, centers), encodedLists)
   }
 
   def ivfAdcTopKReranked(queries: DataFrame, corpus: DataFrame, idCol: String,
@@ -273,24 +260,15 @@ object ProductQuantization {
   def buildIvfPQResidualIndex(corpus: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int, m: Int, kCodes: Int, seed: Long = 42L,
       trainCap: Int = 100000, maxIter: Int = 10): (IvfPQIndex, PQModel) = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val session = corpus.sparkSession
-    import session.implicits._
     def unit(c: Column) = transform(c, x => x.cast("double") / VectorFunctions.norm(c))
     val withVec = corpus.filter(VectorFunctions.norm(col(vecCol)) > 0)
       .select(col(idCol).as("vid"), col(vecCol).as("v"))
-      .withColumn("features", array_to_vector(unit(col("v"))))
-    val train = withVec.select("features").limit(trainCap).persist()
-    val km =
-      try new KMeans().setK(nCentroids).setSeed(seed)
-        .setInitMode("random").setMaxIter(maxIter).fit(train)
-      finally train.unpersist()
-    val centDf = km.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray) }.toSeq
-      .toDF("cent_id", "centv")
-    val withRes = km.transform(withVec)
-      .select(col("vid"), col("v"), col("prediction").as("cent_id"))
+    val sample = LocalKMeans.sample(corpus, vecCol, trainCap, unit = true)
+    require(sample.nonEmpty, "residual index needs a nonempty corpus")
+    val centers = LocalKMeans.fit(sample, 0, sample.head.length, nCentroids, seed, maxIter)
+    val centDf = LocalKMeans.centersDf(corpus.sparkSession, centers)
+    val withRes = withVec
+      .withColumn("cent_id", LocalKMeans.nearestCentId(unit(col("v")), centers))
       .join(broadcast(centDf), Seq("cent_id"))
       .withColumn("r", zip_with(col("v"), col("centv"),
         (x, y) => x.cast("double") - y))

@@ -181,29 +181,22 @@ object Similarity {
   def ivfKMeansTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int,
       nProbe: Int, nCentroids: Int, queryPred: org.apache.spark.sql.Column,
       seed: Long = 42L, trainCap: Int = 100000, maxIter: Int = 10): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val session = emb.sparkSession
-    import session.implicits._
     // cluster on UNIT vectors so Euclidean k-means ordering agrees with
     // cosine (spherical k-means); probe with the same Euclidean metric
     // the assignment used — a cosine probe against non-unit centroids
-    // would rank different lists than transform() assigned to
+    // would rank different lists than the assignment map filled.
+    // Fit is driver-local over a capped sample ([[LocalKMeans]]);
+    // assignment is ONE narrow map with the centroid matrix as a plan
+    // constant — no transform pass, no shuffle.
     def unit(c: org.apache.spark.sql.Column) =
       transform(c, x => x.cast("double") / VectorFunctions.norm(c))
-    val withVec = emb.filter(VectorFunctions.norm(col(vecCol)) > 0)
+    val sample = LocalKMeans.sample(emb, vecCol, trainCap, unit = true)
+    val centers = LocalKMeans.fit(
+      sample, 0, sample.head.length, nCentroids, seed, maxIter)
+    val assigned = emb.filter(VectorFunctions.norm(col(vecCol)) > 0)
       .select(col(idCol).as("vid"), col(vecCol).as("v"))
-      .withColumn("features", array_to_vector(unit(col("v"))))
-    val train = withVec.select("features").limit(trainCap).persist()
-    val model =
-      try new KMeans().setK(nCentroids).setSeed(seed)
-        .setInitMode("random").setMaxIter(maxIter).fit(train)
-      finally train.unpersist() // fit is eager; nothing downstream reads it
-    val assigned = model.transform(withVec)
-      .select(col("vid"), col("v"), col("prediction").as("cent_id"))
-    val centDf = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray) }.toSeq
-      .toDF("cent_id", "centv")
+      .withColumn("cent_id", LocalKMeans.nearestCentId(unit(col("v")), centers))
+    val centDf = LocalKMeans.centersDf(emb.sparkSession, centers)
     val dist2 = aggregate(
       zip_with(unit(col("qv")), col("centv"), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)
@@ -325,19 +318,14 @@ object Similarity {
     * pass touches the full corpus. */
   private[graft] def assignKMeans(emb: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int, seed: Long, trainCap: Int, maxIter: Int): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     def unit(c: org.apache.spark.sql.Column) =
       transform(c, x => x.cast("double") / VectorFunctions.norm(c))
-    val withVec = emb.filter(VectorFunctions.norm(col(vecCol)) > 0)
+    val sample = LocalKMeans.sample(emb, vecCol, trainCap, unit = true)
+    val centers = LocalKMeans.fit(
+      sample, 0, sample.head.length, nCentroids, seed, maxIter)
+    emb.filter(VectorFunctions.norm(col(vecCol)) > 0)
       .select(col(idCol).as("vid"), col(vecCol).as("v"))
-      .withColumn("features", array_to_vector(unit(col("v"))))
-    val train = withVec.select("features").limit(trainCap).persist()
-    val model =
-      try new KMeans().setK(nCentroids).setSeed(seed)
-        .setInitMode("random").setMaxIter(maxIter).fit(train)
-      finally train.unpersist()
-    model.transform(withVec).select(col("vid"), col("v"), col("prediction").as("cent_id"))
+      .withColumn("cent_id", LocalKMeans.nearestCentId(unit(col("v")), centers))
   }
 
   /** Embedding near-duplicate pairs within a blocking bucket (e.g. a
