@@ -4013,6 +4013,161 @@ object Extensions {
       .select("doc_id", "n_feat", "score_units", "gk")
   }
 
+  // -------------------------------------------------------------- Q151
+  /** SORTED-NEIGHBORHOOD near-dup blocking (Hernández & Stolfo,
+    * SIGMOD'95; [[Dedup.sortedNeighborhoodPairs]]): rank the corpus by
+    * a CHEAP scalar key — doc length, whose near-equality is a
+    * necessary condition for near-duplication — pair each doc with its
+    * w=5 rank successors (O(n·w) candidates regardless of how lengths
+    * cluster, the skew-freeness equality blocking lacks), then
+    * exact-verify with 2-gram Jaccard (q66's refine). The blocking
+    * complement of the LSH family: no hash family, recall bounded only
+    * by the key. Rank via [[graft.operators.GlobalIds.assign]] (one
+    * range exchange, no single-partition window); window pairing is an
+    * equi-join on rank+j. Oracle = the literal row_number spelling. */
+  val q151 = QueryDef("q151_sorted_neighborhood",
+    s"""WITH $docwCte,
+       |r AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY n_chars, doc_id) AS rn
+       |  FROM documents
+       |), cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM r a JOIN r b ON b.rn >= a.rn + 1 AND b.rn <= a.rn + 5
+       |), sh AS (
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(w)),
+       |           i -> w[i] || ' ' || w[i+1])) AS shingle
+       |    FROM docw WHERE len(w) >= 2)
+       |), sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_a, doc_b, jacc FROM (
+       |  SELECT c.doc_a, c.doc_b,
+       |         ${TextFunctions.round4Sql(
+              "CAST(coalesce(i.n_common, 0) AS DOUBLE) " +
+              "/ (za.sz + zb.sz - coalesce(i.n_common, 0))")} AS jacc
+       |  FROM cand c
+       |  JOIN sz za ON za.doc_id = c.doc_a
+       |  JOIN sz zb ON zb.doc_id = c.doc_b
+       |  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b)
+       |WHERE jacc >= 0.3
+       |ORDER BY doc_a, doc_b""") { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val cand = Dedup.sortedNeighborhoodPairs(docs, "doc_id", w = 5, col("n_chars"))
+    Dedup.jaccardRefine(cand, docs, "doc_id", "text", n = 2, theta = 0.3)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // -------------------------------------------------------------- Q152
+  /** ROBUST OUTLIER DETECTION (median/MAD Hampel filter — mean/stddev
+    * break on the very outliers they're meant to find): per order
+    * priority, the EXACT median and median-absolute-deviation of the
+    * order total in cents (two `percentile` aggregations — at larger
+    * scale swap in [[graft.operators.Selection.orderStats]]'s
+    * histogram refinement per group), flagging orders outside
+    * median ± 3·1.4826·MAD (the Gaussian-consistent scale). All
+    * arithmetic on exact cents; thresholds fold identically in both
+    * engines. */
+  val q152 = QueryDef("q152_mad_outliers",
+    s"""WITH o AS (
+       |  SELECT o_orderpriority AS prio,
+       |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+       |  FROM orders
+       |), med AS (SELECT prio, median(c) AS med FROM o GROUP BY prio),
+       |dev AS (
+       |  SELECT o.prio, o.c, abs(o.c - med.med) AS ad
+       |  FROM o JOIN med USING (prio)
+       |), mad AS (SELECT prio, median(ad) AS mad FROM dev GROUP BY prio),
+       |flag AS (
+       |  SELECT d.prio, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(CASE WHEN d.ad > 3 * 1.4826 * mad.mad
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_out
+       |  FROM dev d JOIN mad USING (prio) GROUP BY d.prio
+       |)
+       |SELECT f.prio, f.n,
+       |       ${TextFunctions.round4Sql("med.med")} AS med_cents,
+       |       ${TextFunctions.round4Sql("mad.mad")} AS mad_cents,
+       |       f.n_out,
+       |       ${TextFunctions.round4Sql("CAST(f.n_out AS DOUBLE) / f.n")} AS out_rate
+       |FROM flag f JOIN med USING (prio) JOIN mad USING (prio)
+       |ORDER BY prio""") { (s, dir) =>
+    val o = t(s, dir, "orders").select(col("o_orderpriority").as("prio"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("c"))
+    val med = o.groupBy("prio").agg(expr("percentile(c, 0.5D)").as("med"))
+    val dev = o.join(broadcast(med), "prio")
+      .withColumn("ad", abs(col("c") - col("med")))
+    val mad = dev.groupBy("prio").agg(expr("percentile(ad, 0.5D)").as("mad"))
+    val flag = dev.join(broadcast(mad), "prio")
+      .groupBy("prio").agg(count(lit(1)).as("n"),
+        sum(when(col("ad") > lit(3.0) * lit(1.4826) * col("mad"), 1L)
+          .otherwise(0L)).as("n_out"))
+    flag.join(broadcast(med), "prio").join(broadcast(mad), "prio")
+      .select(col("prio"), col("n"),
+        TextFunctions.round4(col("med")).as("med_cents"),
+        TextFunctions.round4(col("mad")).as("mad_cents"),
+        col("n_out"),
+        TextFunctions.round4(col("n_out").cast("double") / col("n")).as("out_rate"))
+      .orderBy("prio")
+  }
+
+  // -------------------------------------------------------------- Q153
+  /** PARTIAL-COPY DETECTION via Jaccard CONTAINMENT (Broder '97's
+    * second resemblance measure; [[Dedup.containmentRefine]]): on the
+    * capped MinHash-LSH candidate pairs (q27/q66's generator, 2-gram
+    * shingles), score |A∩B| / min(|A|,|B|) — near 1 when one doc
+    * quotes or excerpts the other even though symmetric Jaccard is
+    * diluted by the length difference. The quote/excerpt detector a
+    * symmetric-dedup-only pipeline misses. */
+  val q153 = QueryDef("q153_containment_pairs",
+    s"""WITH $docwCte, sh AS (
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(w)),
+       |           i -> w[i] || ' ' || w[i+1])) AS shingle
+       |    FROM docw WHERE len(w) >= 2)
+       |), sig AS (
+       |  SELECT doc_id, $mhMinsSql
+       |  FROM sh GROUP BY doc_id
+       |), bands AS (
+       |  $mhBandSelectsSql
+       |), keepb AS (
+       |  SELECT band_idx, bh FROM bands GROUP BY band_idx, bh
+       |  HAVING count(*) <= $mhMaxBandDf
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a
+       |  JOIN keepb k ON a.band_idx = k.band_idx AND a.bh = k.bh
+       |  JOIN bands b ON b.band_idx = k.band_idx AND b.bh = k.bh
+       |   AND a.doc_id < b.doc_id
+       |), sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_a, doc_b, cont FROM (
+       |  SELECT c.doc_a, c.doc_b,
+       |         ${TextFunctions.round4Sql(
+              "CAST(coalesce(i.n_common, 0) AS DOUBLE) / least(za.sz, zb.sz)")} AS cont
+       |  FROM cand c
+       |  JOIN sz za ON za.doc_id = c.doc_a
+       |  JOIN sz zb ON zb.doc_id = c.doc_b
+       |  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b)
+       |WHERE cont >= 0.5
+       |ORDER BY doc_a, doc_b""") { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val cand = Dedup.minhashCandidates(docs, "doc_id", "text",
+      n = 2, k = mhK, bands = mhBands, maxBandDf = mhMaxBandDf)
+    Dedup.containmentRefine(cand, docs, "doc_id", "text", n = 2, theta = 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -4020,5 +4175,6 @@ object Extensions {
     q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102,
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
-    q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150)
+    q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
+    q151, q152, q153)
 }

@@ -88,6 +88,37 @@ class DedupSpec extends SparkSuite {
     assert(kept.join(firsts, "h").filter(col("keep_id") =!= col("m")).count() === 0)
   }
 
+  test("sortedNeighborhoodPairs: exactly the w-rank window, skew-free count") {
+    import spark.implicits._
+    // 10 docs, all the same key value (worst case for equality
+    // blocking): candidate count must still be exactly n*w - w(w+1)/2
+    val docs = (1 to 10).map(i => (i.toLong, 5, s"doc $i")).toDF("doc_id", "len", "text")
+    val pairs = Dedup.sortedNeighborhoodPairs(docs, "doc_id", w = 3, col("len")).collect()
+    assert(pairs.length == 10 * 3 - 3 * 4 / 2, s"got ${pairs.length}")
+    // key ties break by id, so with a constant key the window is id-adjacency
+    val set = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(set.contains((1L, 2L)) && set.contains((1L, 4L)) && !set.contains((1L, 5L)))
+    assert(set.forall { case (a, b) => a != b })
+  }
+
+  test("containmentRefine: an excerpt scores 1.0 while symmetric jaccard stays low") {
+    import spark.implicits._
+    // alphabetic tokens: the canonical tokenizer strips non-[a-z]
+    def word(i: Int) = s"${('a' + i / 26).toChar}${('a' + i % 26).toChar}"
+    val full = (0 until 40).map(word).mkString(" ")
+    val excerpt = (0 until 8).map(word).mkString(" ")
+    val docs = Seq((1L, full), (2L, excerpt), (3L, "zz yy xx ww"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val cont = Dedup.containmentRefine(pairs, docs, "doc_id", "text", n = 2, theta = 0.9)
+      .collect()
+    assert(cont.length == 1 && cont.head.getLong(0) == 1L && cont.head.getLong(1) == 2L)
+    assert(cont.head.getDouble(2) == 1.0, cont.head.toString)
+    val jacc = Dedup.jaccardRefine(pairs, docs, "doc_id", "text", n = 2, theta = 0.0)
+      .filter(col("doc_b") === 2L).head.getDouble(2)
+    assert(jacc < 0.5, s"symmetric jaccard unexpectedly high: $jacc")
+  }
+
   test("weightedJaccardRefine: bag semantics, set contrast, empty/null docs") {
     import spark.implicits._
     val d = Seq(
