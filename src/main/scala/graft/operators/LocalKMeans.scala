@@ -100,25 +100,12 @@ object LocalKMeans {
 
   /** Nearest-centroid id by squared Euclidean distance of `vec`
     * against the literal centroid matrix — a pure per-row expression
-    * (no join, no shuffle); ties to the lowest centroid id, matching
-    * the fit's assignment rule. */
-  def nearestCentId(vec: Column, centers: Array[Array[Double]]): Column = {
-    val centArr = array(centers.zipWithIndex.map { case (c, i) =>
-      struct(lit(i).as("cent_id"), typedLit(c.toSeq).as("centv"))
-    }: _*)
-    val best = aggregate(
-      centArr,
-      struct(lit(Double.PositiveInfinity).as("d"), lit(-1).as("cent_id")),
-      (acc, ce) => {
-        val dd = aggregate(
-          zip_with(vec, ce.getField("centv"), (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-          lit(0.0), (a, x) => a + x)
-        when(dd < acc.getField("d"),
-          struct(dd.as("d"), ce.getField("cent_id").as("cent_id")))
-          .otherwise(acc)
-      })
-    best.getField("cent_id")
-  }
+    * (no join, no shuffle; native
+    * [[graft.plans.VectorExprs.NearestCentroidExpr]], one primitive
+    * loop per row); ties to the lowest centroid id, matching the
+    * fit's assignment rule. */
+  def nearestCentId(vec: Column, centers: Array[Array[Double]]): Column =
+    graft.plans.VectorExprs.nearestCentroid(vec, centers)
 
   /** The fitted centers as a tiny (cent_id, centv) frame — broadcast
     * by every probe-side consumer. */

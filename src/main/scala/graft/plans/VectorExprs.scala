@@ -352,6 +352,67 @@ object VectorExprs {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** argmin_j ‖vec − centers(j)‖² as ONE tight primitive loop per row —
+    * the IVF coarse-assignment map. The composed form (aggregate over a
+    * literal array of centroid structs, nested zip_with per centroid)
+    * boxes every element through two lambda layers per centroid; at
+    * corpus scale the assignment pass IS the index build, so it must
+    * not. Ties go to the LOWEST center index, matching
+    * [[graft.operators.LocalKMeans.fit]]'s assignment rule (spec-
+    * asserted equal to the HOF formulation). Null vector or null
+    * element → null; a center of mismatched width is skipped exactly
+    * like the HOF's null-poisoned distance. */
+  case class NearestCentroidExpr(child: Expression, centers: Array[Array[Double]])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def nullable: Boolean = true
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"nearest_centroid requires an ARRAY<FLOAT> or ARRAY<DOUBLE> input, got ${other.simpleString}")
+      }
+
+    @transient private lazy val childFloat = elemIsFloat(child.dataType)
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val v = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        if (arr.isNullAt(i)) return null
+        v(i) = if (childFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        i += 1
+      }
+      var best = -1
+      var bestD = Double.PositiveInfinity
+      var j = 0
+      while (j < centers.length) {
+        val c = centers(j)
+        if (c.length == n) {
+          var dd = 0.0
+          var t = 0
+          while (t < n) { val x = v(t) - c(t); dd += x * x; t += 1 }
+          if (dd < bestD) { bestD = dd; best = j }
+        }
+        j += 1
+      }
+      if (best < 0) null else best
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "nearest_centroid"
+  }
+
+  def nearestCentroid(vec: Column, centers: Array[Array[Double]]): Column =
+    GraftColumnBridge.toColumn(NearestCentroidExpr(
+      GraftColumnBridge.toExpression(vec), centers))
+
   def dotD(a: Column, b: Column): Column =
     GraftColumnBridge.toColumn(DotProductDExpr(
       GraftColumnBridge.toExpression(a), GraftColumnBridge.toExpression(b)))

@@ -349,6 +349,36 @@ class SimilaritySpec extends SparkSuite {
     assert(self.filter(col("c") =!= 1.0).count() === 0)
   }
 
+  test("native nearest-centroid == the HOF argmin formulation, duplicate-center ties to lowest") {
+    import spark.implicits._
+    import graft.operators.LocalKMeans
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill(7)(Array.fill(8)(rnd.nextDouble() - 0.5))
+    // a duplicated center forces exact-tie distances → lowest index must win
+    val centers = base ++ Array(base(0).map(identity))
+    val df = (1 to 300).map(i => (i.toLong, Seq.fill(8)(rnd.nextFloat())))
+      .toDF("id", "v")
+    val hof = {
+      val centArr = array(centers.zipWithIndex.map { case (c, i) =>
+        struct(lit(i).as("cent_id"), typedLit(c.toSeq).as("centv"))
+      }: _*)
+      aggregate(centArr,
+        struct(lit(Double.PositiveInfinity).as("d"), lit(-1).as("cent_id")),
+        (acc, ce) => {
+          val dd = aggregate(zip_with(col("v"), ce.getField("centv"),
+              (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+            lit(0.0), (a, x) => a + x)
+          when(dd < acc.getField("d"),
+            struct(dd.as("d"), ce.getField("cent_id").as("cent_id"))).otherwise(acc)
+        }).getField("cent_id")
+    }
+    val got = df.select(
+      LocalKMeans.nearestCentId(col("v"), centers).as("n"), hof.as("h"))
+    assert(got.filter(col("n") =!= col("h") || col("n").isNull).count() == 0)
+    assert(got.filter(col("n") === centers.length - 1).count() == 0,
+      "tie with a duplicated center must resolve to the lowest index")
+  }
+
   test("native dot product is bit-identical to the HOF reference formulation") {
     val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
     val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
