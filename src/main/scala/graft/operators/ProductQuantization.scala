@@ -165,9 +165,6 @@ object ProductQuantization {
   def buildIvfPQIndex(corpus: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int, model: PQModel, seed: Long = 42L,
       trainCap: Int = 100000, maxIter: Int = 10): IvfPQIndex = {
-    def unit(c: Column) = transform(c, x => x.cast("double") / VectorFunctions.norm(c))
-    val withVec = corpus.filter(VectorFunctions.norm(col(vecCol)) > 0)
-      .select(col(idCol).as("vid"), col(vecCol).as("v"))
     // spherical coarse quantizer: fit on unit vectors (bounded sample,
     // driver-local), assign with the SAME Euclidean metric as one
     // narrow map — the centroid matrix is a plan constant, so the
@@ -175,13 +172,45 @@ object ProductQuantization {
     val centers = LocalKMeans.fit(
       LocalKMeans.sample(corpus, vecCol, trainCap, unit = true),
       0, model.dim, nCentroids, seed, maxIter)
-    val encodedLists = withVec
+    IvfPQIndex(LocalKMeans.centersDf(corpus.sparkSession, centers),
+      encodeIvfLists(corpus, idCol, vecCol, centers, model))
+  }
+
+  /** The one-pass list build against FROZEN centers: (vid, cent_id,
+    * codes, vnorm). Shared by the initial build and incremental
+    * ingest. */
+  private def encodeIvfLists(corpus: DataFrame, idCol: String, vecCol: String,
+      centers: Array[Array[Double]], model: PQModel): DataFrame = {
+    def unit(c: Column) = transform(c, x => x.cast("double") / VectorFunctions.norm(c))
+    corpus.filter(VectorFunctions.norm(col(vecCol)) > 0)
+      .select(col(idCol).as("vid"), col(vecCol).as("v"))
       .select(col("vid"),
         LocalKMeans.nearestCentId(unit(col("v")), centers).as("cent_id"),
         PQExprs.pqEncode(col("v"), model.codebooks).as("codes"),
         VectorFunctions.norm(col("v")).cast("float").as("vnorm"))
-    IvfPQIndex(LocalKMeans.centersDf(corpus.sparkSession, centers), encodedLists)
   }
+
+  /** INCREMENTAL IVF INGEST: a new embedding batch joins an existing
+    * index by assignment against the FROZEN centroids + PQ codebooks —
+    * no re-clustering, no touch of resident lists. This is the daily
+    * shape at 100 TB: the quantizers are versioned artifacts retrained
+    * rarely (they are sample-capped fits, see [[LocalKMeans]]); ingest
+    * cost is ONE narrow map over the new batch and a list union.
+    * Exactly equal, by construction, to rebuilding monolithically with
+    * the same frozen centers — q155 asserts that equality end-to-end
+    * through the search path. */
+  def appendIvfPQ(index: IvfPQIndex, fresh: DataFrame, idCol: String,
+      vecCol: String, model: PQModel): IvfPQIndex = {
+    val centers = centersOf(index)
+    IvfPQIndex(index.centroids,
+      index.encodedLists.unionByName(
+        encodeIvfLists(fresh, idCol, vecCol, centers, model)))
+  }
+
+  /** The (small) centroid matrix back on the driver, cent_id order. */
+  private[graft] def centersOf(index: IvfPQIndex): Array[Array[Double]] =
+    index.centroids.orderBy("cent_id").collect()
+      .map(_.getSeq[Double](1).toArray)
 
   def ivfAdcTopKReranked(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, nProbe: Int, nCentroids: Int, shortlist: Int,

@@ -4168,6 +4168,113 @@ object Extensions {
       .orderBy("doc_a", "doc_b")
   }
 
+  // -------------------------------------------------------------- Q154
+  /** LEAKAGE-SAFE TEMPORAL SPLIT (the eval-hygiene op behind every
+    * time-series / recommendation eval): cut at the EXACT 80th-
+    * percentile event second ([[graft.operators.Selection]]'s
+    * histogram-refinement order statistic — an interpolated quantile
+    * would differ across engines in the last float bits; an exact
+    * order statistic cannot), train = strictly before, and the test
+    * side keeps only events from sessions (30-min-gap sessionization,
+    * q23's idiom) that STARTED at/after the cut: a session straddling
+    * the boundary shares context with train-visible events, so those
+    * are quarantined as `dropped_leaky` instead of silently tested
+    * on. Second granularity bridges the ns-vs-µs parquet gap. */
+  val q154 = QueryDef("q154_temporal_split",
+    """WITH e AS (
+      |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events
+      |), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+      |c AS (
+      |  SELECT sec AS cut FROM e ORDER BY sec
+      |  LIMIT 1 OFFSET ((SELECT (n * 8 + 9) // 10 FROM n) - 1)
+      |), s AS (
+      |  SELECT user_id, sec,
+      |         CASE WHEN lag(sec) OVER w IS NULL
+      |                OR sec - lag(sec) OVER w >= 1800 THEN 1 ELSE 0 END AS ns
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec)
+      |), t AS (
+      |  SELECT user_id, sec,
+      |         sum(ns) OVER (PARTITION BY user_id ORDER BY sec) AS sid
+      |  FROM s
+      |), g AS (
+      |  SELECT user_id, sec,
+      |         min(sec) OVER (PARTITION BY user_id, sid) AS sess_start
+      |  FROM t
+      |), u AS (
+      |  SELECT CASE WHEN sec < cut THEN 'train'
+      |              WHEN sess_start >= cut THEN 'test_fresh_session'
+      |              ELSE 'dropped_leaky' END AS split, user_id, sec
+      |  FROM g, c)
+      |SELECT split, CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |       min(sec) AS min_s, max(sec) AS max_s
+      |FROM u GROUP BY split ORDER BY split""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), unix_timestamp(col("ts")).as("sec"))
+    val vals = graft.operators.Selection.pin(ev, "sec")
+    val n = vals.count()
+    val cut = graft.operators.Selection.kthSmallest(vals, (n * 8 + 9) / 10)
+    val wo = Window.partitionBy("user_id").orderBy("sec")
+    val sess = ev
+      .withColumn("ns",
+        when(lag(col("sec"), 1).over(wo).isNull
+          || col("sec") - lag(col("sec"), 1).over(wo) >= 1800, 1).otherwise(0))
+      .withColumn("sid", sum(col("ns")).over(
+        wo.rangeBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("sess_start",
+        min(col("sec")).over(Window.partitionBy(col("user_id"), col("sid"))))
+    sess
+      .withColumn("split",
+        when(col("sec") < cut, lit("train"))
+          .when(col("sess_start") >= cut, lit("test_fresh_session"))
+          .otherwise(lit("dropped_leaky")))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("sec")).as("min_s"), max(col("sec")).as("max_s"))
+      .orderBy("split")
+  }
+
+  // -------------------------------------------------------------- Q155
+  /** INCREMENTAL ANN INDEX MAINTENANCE
+    * ([[graft.operators.ProductQuantization.appendIvfPQ]]): the daily
+    * ingest shape at 100 TB — new embeddings join the index by
+    * assignment against FROZEN centroids + codebooks (one narrow map
+    * over the batch + a list union; the quantizers are versioned,
+    * rarely-retrained artifacts), never re-clustering or touching
+    * resident lists. Self-gating: the incremental index must give
+    * BIT-IDENTICAL search results to a monolithic rebuild over the
+    * same frozen quantizers (`incr_eq_full`) — the union/encode
+    * plumbing has nowhere to hide. */
+  val q155 = QueryDef.noOracle("q155_ivf_incremental") { (s, dir) =>
+    val PQ = graft.operators.ProductQuantization
+    val emb = t(s, dir, "embeddings")
+    val old = emb.filter(col("vec_id") % 2 === 0)
+    val fresh = emb.filter(col("vec_id") % 2 =!= 0)
+    val qPred = col("vec_id") < 10
+    val k = 5
+    val model = PQ.fit(old, "embedding", m = 8, k = 32)
+    val idx0 = PQ.buildIvfPQIndex(old, "vec_id", "embedding",
+      nCentroids = 16, model)
+    val incr = PQ.appendIvfPQ(idx0, fresh, "vec_id", "embedding", model)
+    // monolithic twin: same frozen centers/codebooks, empty lists + full corpus
+    val full = PQ.appendIvfPQ(
+      PQ.IvfPQIndex(idx0.centroids, idx0.encodedLists.limit(0)),
+      emb, "vec_id", "embedding", model)
+    def search(ix: PQ.IvfPQIndex) = PQ.ivfPQSearch(
+      emb.filter(qPred), ix, emb, "vec_id", "embedding", k,
+      nProbe = 4, shortlist = 100, model)
+    val sA = search(incr)
+    val sB = search(full)
+    val diff = sA.exceptAll(sB).unionByName(sB.exceptAll(sA))
+      .agg(count(lit(1)).as("n_mismatch"))
+    sA.crossJoin(broadcast(diff))
+      .select(col("q_id"), col("c_id"), col("rn"), col("cos"),
+        (col("n_mismatch") === 0).as("incr_eq_full"))
+      .orderBy("q_id", "rn")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -4176,5 +4283,5 @@ object Extensions {
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
-    q151, q152, q153)
+    q151, q152, q153, q154, q155)
 }
