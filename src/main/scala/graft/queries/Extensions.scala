@@ -4275,6 +4275,66 @@ object Extensions {
       .orderBy("q_id", "rn")
   }
 
+  // -------------------------------------------------------------- Q156
+  /** KNESER–NEY SMOOTHED BIGRAM LM (Kneser & Ney, ICASSP'95; the
+    * production upgrade of q91's add-k bigram model): absolute
+    * discounting D=0.75 with the CONTINUATION-count back-off —
+    * P(w2|w1) = max(c12−D,0)/c1 + (D·N1+(w1,·)/c1)·(N1+(·,w2)/T).
+    * "how many contexts has w2 completed" rather than "how often has
+    * w2 occurred", the distinction that stops high-frequency-but-
+    * context-bound words (the "san francisco" effect) from leaking
+    * probability. All terms are integer counts off ONE bigram
+    * relation (four aggregations, one shuffle family, same shape as
+    * q149's PMI); the probability is pure rational arithmetic in
+    * DOUBLE with an identical expression tree in both engines — no
+    * transcendental, no cross-engine ulp risk. */
+  val q156 = QueryDef("q156_kneser_ney",
+    s"""WITH $docwCte,
+       |tk AS (SELECT doc_id, w FROM docw WHERE len(w) >= 2),
+       |bg AS (
+       |  SELECT w[i] AS w1, w[i+1] AS w2
+       |  FROM tk CROSS JOIN UNNEST(range(1, len(w))) AS t(i)
+       |),
+       |cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM bg GROUP BY w1, w2),
+       |cl AS (SELECT w1, CAST(count(*) AS BIGINT) AS cl FROM bg GROUP BY w1),
+       |n1l AS (SELECT w1, CAST(count(*) AS BIGINT) AS n1l FROM cb GROUP BY w1),
+       |n1r AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1r FROM cb GROUP BY w2),
+       |tt AS (SELECT CAST(count(*) AS BIGINT) AS tt FROM cb),
+       |p AS (
+       |  SELECT cb.w1, cb.w2, cb.cb AS cnt,
+       |         CAST(floor(
+       |           ((greatest(CAST(cb.cb AS DOUBLE) - 0.75, 0.0) / cl.cl)
+       |            + ((0.75 * n1l.n1l) / cl.cl) * (CAST(n1r.n1r AS DOUBLE) / tt.tt))
+       |           * 1000000 + 0.5) AS BIGINT) AS kn6
+       |  FROM cb JOIN cl USING (w1) JOIN n1l USING (w1)
+       |       JOIN n1r USING (w2) CROSS JOIN tt
+       |  WHERE cb.cb >= 5
+       |)
+       |SELECT w1, w2, cnt, ${TextFunctions.round4Sql(
+              "CAST(kn6 AS DOUBLE) / 1000000")} AS kn_p
+       |FROM p ORDER BY kn6 DESC, w1, w2 LIMIT 30""") { (s, dir) =>
+    val big = TextAnalysis.bigrams(t(s, dir, "documents"), "doc_id", "text")
+    val cb = big.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val cl = big.groupBy("w1").agg(count(lit(1)).as("cl"))
+    val n1l = cb.groupBy("w1").agg(count(lit(1)).as("n1l"))
+    val n1r = cb.groupBy("w2").agg(count(lit(1)).as("n1r"))
+    val tt = cb.agg(count(lit(1)).as("tt"))
+    val kn =
+      (greatest(col("cb").cast("double") - lit(0.75), lit(0.0)) / col("cl")) +
+        ((lit(0.75) * col("n1l")) / col("cl")) *
+        (col("n1r").cast("double") / col("tt"))
+    cb.filter(col("cb") >= 5)
+      .join(cl, "w1").join(n1l, "w1").join(n1r, "w2")
+      .crossJoin(broadcast(tt))
+      .withColumn("kn6", floor(kn * 1e6 + 0.5).cast("long"))
+      .select(col("w1"), col("w2"), col("cb").as("cnt"),
+        TextFunctions.round4(col("kn6").cast("double") / 1e6).as("kn_p"),
+        col("kn6"))
+      .orderBy(col("kn6").desc, col("w1"), col("w2"))
+      .limit(30)
+      .drop("kn6")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -4283,5 +4343,5 @@ object Extensions {
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
-    q151, q152, q153, q154, q155)
+    q151, q152, q153, q154, q155, q156)
 }

@@ -18,7 +18,7 @@ class CartesianGuardSpec extends SparkSuite {
   private val heavyConstruction = Set(
     "q45_ann_ivf_kmeans", "q79b_semantic_dedup_kmeans", "q86_countmin",
     "q87_pq_ann", "q90_int8_ann", "q92_ivfpq_ann", "q95_ivf_int8_ann",
-    "q96_ivfpq_residual", "q40_multimodal", "q63_dedup_clusters",
+    "q96_ivfpq_residual", "q155_ivf_incremental", "q40_multimodal", "q63_dedup_clusters",
     "q63b_dedup_clusters_star", "q66_dedup_pipeline", "q72_heavy_hitters",
     "q75_compression_quality", "q77_quantile_sketch")
 
@@ -50,6 +50,8 @@ class CartesianGuardSpec extends SparkSuite {
     "q141_kmv_overlap",
     // q149: 1-row bigram-total scalar attachment
     "q149_pmi_collocations",
+    // q156: 1-row distinct-bigram-type total attachment (crossJoin(broadcast(tt)))
+    "q156_kneser_ney",
     // q150 composes q132, inheriting its totals attachment
     "q150_curation_v3")
 
