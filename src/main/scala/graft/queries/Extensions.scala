@@ -4335,6 +4335,64 @@ object Extensions {
       .drop("kn6")
   }
 
+  // -------------------------------------------------------------- Q157
+  /** MUTUAL-kNN GRAPH CLUSTERING (the organization step between "find
+    * near neighbors" and "act on groups"): kNN edges from the LSH
+    * top-k (q36's generator, over EVERY vector), kept only when
+    * RECIPROCATED — a hub's inbound links are rarely reciprocated, so
+    * the mutual filter is the standard cheap defense against hub
+    * nodes chaining unrelated regions into one mega-cluster — then
+    * connected components (q63b's star contraction) label the
+    * clusters. Pipeline: bucket equi-join → per-node top-k →
+    * self-join on the reversed edge → O(log n) CC rounds; no step
+    * sees more than the kNN edge list. Oracle replays it with the
+    * recursive-CTE closure. */
+  val q157 = {
+    val bucketBits = lshBucketBitsSql
+    QueryDef("q157_mutual_knn",
+      s"""WITH RECURSIVE bk AS (
+         |  SELECT vec_id, embedding,
+         |    $bucketBits AS bucket
+         |  FROM embeddings WHERE ${normSql("embedding")} > 0
+         |), p AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |         ${dotSql("q.embedding", "c.embedding")} AS dt,
+         |         ${normSql("q.embedding")} AS na, ${normSql("c.embedding")} AS nb
+         |  FROM bk q JOIN bk c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+         |), knn AS (
+         |  SELECT q_id, c_id FROM (
+         |    SELECT q_id, c_id,
+         |           row_number() OVER (PARTITION BY q_id ORDER BY dt/(na*nb) DESC, c_id) AS rn
+         |    FROM p) WHERE rn <= 3
+         |), e AS (
+         |  SELECT k1.q_id AS a, k1.c_id AS b
+         |  FROM knn k1 JOIN knn k2 ON k2.q_id = k1.c_id AND k2.c_id = k1.q_id
+         |  WHERE k1.q_id < k1.c_id
+         |), ee AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+         |reach(node, lbl) AS (
+         |  SELECT vec_id, vec_id FROM bk
+         |  UNION
+         |  SELECT ee.b, reach.lbl FROM reach JOIN ee ON reach.node = ee.a
+         |), cc AS (SELECT node AS vec_id, min(lbl) AS cluster_id FROM reach GROUP BY node)
+         |SELECT vec_id, cluster_id,
+         |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |FROM cc ORDER BY vec_id""") { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val nz = emb.filter(VectorFunctions.norm(col("embedding")) > 0)
+      val knn = Similarity.lshTopK(emb, "vec_id", "embedding",
+          k = 3, planes = lshPlanes, queryPred = lit(true))
+        .select(col("q_id").as("a"), col("c_id").as("b"))
+      val mutual = knn
+        .join(knn.select(col("b").as("a"), col("a").as("b")), Seq("a", "b"))
+        .filter(col("a") < col("b"))
+      Dedup.dedupClustersStar(mutual, nz.select(col("vec_id").as("doc_id")))
+        .select(col("doc_id").as("vec_id"), col("cluster_id"),
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy("cluster_id")).as("cluster_size"))
+        .orderBy("vec_id")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -4343,5 +4401,5 @@ object Extensions {
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
-    q151, q152, q153, q154, q155, q156)
+    q151, q152, q153, q154, q155, q156, q157)
 }
