@@ -4393,6 +4393,42 @@ object Extensions {
     }
   }
 
+  // -------------------------------------------------------------- Q158
+  /** PAIR-FREE LSH DEDUP GATE ([[Dedup.lshDedupGate]]): every band
+    * bucket is owned by its smallest doc id; a doc is dup iff any of
+    * its buckets is owned by a smaller doc. NO candidate pairs, no
+    * refine — two aggregations + one band equi-join — the greedy
+    * one-pass gate production curation actually runs at crawl scale
+    * (q27/q66's pair volume never exists). Streaming twin:
+    * [[graft.streaming.EventStreams.lshGateBatch]] (band-directory
+    * probe + claim, spec-asserted equal under in-order replay). */
+  val q158 = QueryDef("q158_lsh_gate",
+    s"""WITH $docwCte, sh AS (
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(w)),
+       |           i -> w[i] || ' ' || w[i+1])) AS shingle
+       |    FROM docw WHERE len(w) >= 2)
+       |), sig AS (
+       |  SELECT doc_id, $mhMinsSql
+       |  FROM sh GROUP BY doc_id
+       |), bands AS (
+       |  $mhBandSelectsSql
+       |), own AS (
+       |  SELECT band_idx, bh, min(doc_id) AS owner FROM bands GROUP BY 1, 2
+       |), fo AS (
+       |  SELECT b.doc_id, min(o.owner) AS fo
+       |  FROM bands b JOIN own o USING (band_idx, bh) GROUP BY b.doc_id
+       |)
+       |SELECT d.doc_id,
+       |       coalesce(fo.fo, d.doc_id) AS first_owner,
+       |       coalesce(fo.fo, d.doc_id) < d.doc_id AS is_dup
+       |FROM documents d LEFT JOIN fo USING (doc_id)
+       |ORDER BY doc_id""") { (s, dir) =>
+    Dedup.lshDedupGate(t(s, dir, "documents"), "doc_id", "text",
+      n = 2, k = mhK, bands = mhBands)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -4401,5 +4437,5 @@ object Extensions {
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
-    q151, q152, q153, q154, q155, q156, q157)
+    q151, q152, q153, q154, q155, q156, q157, q158)
 }

@@ -411,6 +411,71 @@ object EventStreams {
       }
       .start()
 
+  /** STREAMING LSH NEAR-DUP GATE — the streaming twin of the batch
+    * [[graft.operators.Dedup.lshDedupGate]]: each micro-batch computes
+    * its docs' MinHash band keys, probes a persisted band DIRECTORY
+    * (narrow (band_idx, bh, owner) rows — bytes per doc, the
+    * incremental-fuzzy index shape), flags a doc dup when any of its
+    * buckets was already claimed (by an earlier batch, or by a
+    * smaller id within this batch), and appends only the NEWLY
+    * claimed buckets. Exactly-once like [[dedupUpsertBatch]]: the
+    * checkpoint pins batch ids, a retried batch excludes its own
+    * partial output from the probe and overwrites its own partition.
+    * Replayed in id order this equals the batch gate row-for-row
+    * (spec contract); under arbitrary arrival order the semantics are
+    * first-arrival-wins, the honest streaming statement. */
+  def lshGateBatch(spark: SparkSession, batch: DataFrame, idCol: String,
+      textCol: String, stateDir: String, outDir: String, batchId: Long,
+      n: Int = 2, k: Int = 12, bands: Int = 2): Unit = {
+    import graft.operators.Dedup
+    val b = Dedup.minhashBands(batch, idCol, textCol, n, k, bands)
+      .localCheckpoint() // two consumers (claims + flags); one signature pass
+    val claimed = b.groupBy("band_idx", "bh").agg(min(col("doc_id")).as("owner"))
+    val target = new java.io.File(stateDir)
+    val hasData = target.isDirectory &&
+      target.listFiles().exists(_.getName.startsWith("batch="))
+    val existing =
+      if (!hasData) null
+      else spark.read.parquet(stateDir)
+        .filter(col("batch") =!= batchId)
+        .select(col("band_idx"), col("bh"), col("owner").as("prev_owner"))
+    val withPrev =
+      if (existing == null) b.join(claimed, Seq("band_idx", "bh"))
+        .withColumn("prev_owner", lit(null).cast("long"))
+      else b.join(claimed, Seq("band_idx", "bh"))
+        .join(existing, Seq("band_idx", "bh"), "left")
+    val flags = withPrev
+      .groupBy("doc_id")
+      .agg(min(coalesce(col("prev_owner"), col("owner"))).as("first_owner"),
+        max((col("prev_owner").isNotNull ||
+          col("owner") < col("doc_id")).cast("int")).as("dup"))
+      .select(col("doc_id"), col("first_owner"), (col("dup") === 1).as("is_dup"))
+    val fresh =
+      if (existing == null) claimed
+      else claimed.join(existing.select("band_idx", "bh"),
+        Seq("band_idx", "bh"), "left_anti")
+    // docs with no shingles never reach the band relation: re-attach
+    val all = batch.select(col(idCol).as("doc_id")).join(flags, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("first_owner"), col("doc_id")).as("first_owner"),
+        coalesce(col("is_dup"), lit(false)).as("is_dup"))
+    fresh.write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
+    all.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+  }
+
+  /** Start the streaming gate: stream → [[lshGateBatch]] per
+    * micro-batch. */
+  def lshGateStream(docs: DataFrame, idCol: String, textCol: String,
+      stateDir: String, outDir: String, checkpoint: String,
+      n: Int = 2, k: Int = 12, bands: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        lshGateBatch(batch.sparkSession, batch.toDF(), idCol, textCol,
+          stateDir, outDir, id, n, k, bands)
+      }
+      .start()
+
   /** LSM-STYLE STREAMING LOG COMPACTION — the CDC twin of
     * [[dedupUpsertBatch]] for UPDATING streams (latest-op-wins with
     * tombstones, not insert-only): each micro-batch lands as its own

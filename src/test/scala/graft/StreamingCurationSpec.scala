@@ -29,6 +29,43 @@ class StreamingCurationSpec extends SparkSuite {
     assert(streamed === batch)
   }
 
+  test("LSH gate: band-directory ingest == batch gate under in-order replay; real stream agrees") {
+    import graft.operators.Dedup
+    val docs = Tables(spark, sfDir, "documents").select("doc_id", "text")
+    val batch = Dedup.lshDedupGate(docs, "doc_id", "text", n = 2, k = 12, bands = 2)
+      .collect().map(_.toSeq).toSet
+    assert(batch.exists(_.last == true), "fixture corpus must contain LSH dups")
+    // three id-ordered micro-batches, called exactly as the foreachBatch sink does
+    val base = java.nio.file.Files.createTempDirectory("lsh_gate").toString
+    val cuts = Seq((0L, 150L), (150L, 300L), (300L, Long.MaxValue))
+    cuts.zipWithIndex.foreach { case ((lo, hi), i) =>
+      EventStreams.lshGateBatch(spark,
+        docs.filter(col("doc_id") >= lo && col("doc_id") < hi),
+        "doc_id", "text", s"$base/state", s"$base/out", i.toLong)
+    }
+    val incr = spark.read.parquet(s"$base/out")
+      .select("doc_id", "first_owner", "is_dup").collect().map(_.toSeq).toSet
+    assert(incr === batch)
+    // retried batch: re-running the last id overwrites its own partition,
+    // probes exclude it — output unchanged (exactly-once contract)
+    EventStreams.lshGateBatch(spark,
+      docs.filter(col("doc_id") >= 300L),
+      "doc_id", "text", s"$base/state", s"$base/out", 2L)
+    val retried = spark.read.parquet(s"$base/out")
+      .select("doc_id", "first_owner", "is_dup").collect().map(_.toSeq).toSet
+    assert(retried === batch)
+    // the real streaming query (file source, one micro-batch) agrees too
+    val base2 = java.nio.file.Files.createTempDirectory("lsh_gate_stream").toString
+    docs.write.parquet(s"$base2/in")
+    val src = spark.readStream.schema(docs.schema).parquet(s"$base2/in")
+    val q = EventStreams.lshGateStream(src, "doc_id", "text",
+      s"$base2/state", s"$base2/out", s"$base2/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.read.parquet(s"$base2/out")
+      .select("doc_id", "first_owner", "is_dup").collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+  }
+
   test("Misra-Gries sketch streams: Complete-mode counters keep the MG guarantee") {
     import spark.implicits._
     val k = 8
