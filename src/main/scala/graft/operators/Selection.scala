@@ -82,18 +82,107 @@ object Selection {
   def pin(df: DataFrame, valueCol: String): DataFrame =
     df.select(col(valueCol).cast("long").as("v")).localCheckpoint()
 
-  /** One-row frame of exact order statistics at the given 1-based
-    * ranks: (n, then rank_i / value_i pairs named by `names`). The
-    * (min, max, n) bounds scan is paid once for all ranks. */
-  def orderStats(spark: SparkSession, vals: DataFrame,
-      ranks: Seq[(String, Long => Long)]): DataFrame = {
+  /** ALL requested ranks in ONE shared histogram descent: each pass
+    * runs a single aggregation whose bucket key is (range-id, bin) over
+    * the union of the still-unfinished ranks' intervals — intervals
+    * are sub-buckets of a common partition, so they are pairwise
+    * disjoint-or-equal and a CASE chain routes each row to at most one.
+    * B equi-depth boundaries of a 64-bit column therefore cost the
+    * SAME ≤6 scans as one rank, not 6·B (ranks sharing a bin share the
+    * descent for free). Falls back to per-rank [[kthSmallest]] when
+    * the initial range exceeds 2^62 (the v−lo overflow guard). */
+  def kthSmallestMulti(vals: DataFrame, ks: Seq[Long]): Map[Long, Long] = {
     val bounds = vals.agg(min("v"), max("v"), count(lit(1))).head
     val (vmin, vmax, n) = (bounds.getLong(0), bounds.getLong(1), bounds.getLong(2))
-    val cols = ranks.flatMap { case (name, rankOf) =>
-      val k = rankOf(n)
-      Seq(lit(k).as(s"k_$name"),
-        lit(kthSmallestIn(vals, k, vmin, vmax, n)).as(name))
+    val distinctKs = ks.distinct
+    distinctKs.foreach { k =>
+      require(k >= 1 && k <= n, s"rank $k outside [1, $n]")
+    }
+    if (BigInt(vmax) - BigInt(vmin) + 1 > Long.MaxValue / 2)
+      return distinctKs.map(k => k -> kthSmallestIn(vals, k, vmin, vmax, n)).toMap
+    // (k, lo, hi, below); resolved when lo == hi
+    var active = distinctKs.map(k => (k, vmin, vmax, 0L))
+    val done = Map.newBuilder[Long, Long]
+    while (active.nonEmpty) {
+      val ranges = active.map(iv => (iv._2, iv._3)).distinct.zipWithIndex
+      val widths = ranges.map { case ((lo, hi), _) =>
+        (((BigInt(hi) - BigInt(lo) + B) / B).toLong) max 1L
+      }
+      val bucket = ranges.zip(widths).foldLeft(lit(null).cast("struct<r:int,b:bigint>")) {
+        case (acc, (((lo, hi), rid), w)) =>
+          when(col("v") >= lo && col("v") <= hi,
+            struct(lit(rid).as("r"), expr(s"(v - ${lo}L) div ${w}L").as("b")))
+            .otherwise(acc)
+      }
+      val hist = vals
+        .select(bucket.as("rb"))
+        .filter(col("rb").isNotNull)
+        .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+        .agg(count(lit(1)).as("c"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2)))
+        .toMap
+      val byRid = ranges.map { case (lohi, rid) => (lohi, rid) }.toMap
+      active = active.flatMap { case (k, lo, hi, below) =>
+        val rid = byRid((lo, hi))
+        val w = widths(rid)
+        val nb = ((BigInt(hi) - BigInt(lo) + w) / w).toLong // bins in this range
+        var cum = below
+        var bkt = -1L
+        var b = 0L
+        while (bkt < 0 && b < nb) {
+          val c = hist.getOrElse((rid, b), 0L)
+          if (cum + c >= k) bkt = b else { cum += c; b += 1 }
+        }
+        require(bkt >= 0, s"rank $k not found in [$lo,$hi] (cum=$cum)") // unreachable
+        val nlo = lo + bkt * w
+        val nhi = math.min(hi, nlo + (w - 1))
+        if (nlo == nhi) { done += k -> nlo; None }
+        else Some((k, nlo, nhi, cum))
+      }
+    }
+    done.result()
+  }
+
+  /** One-row frame of exact order statistics at the given 1-based
+    * ranks: (n, then rank_i / value_i pairs named by `names`). All
+    * ranks share one bounds scan and ONE histogram descent. */
+  def orderStats(spark: SparkSession, vals: DataFrame,
+      ranks: Seq[(String, Long => Long)]): DataFrame = {
+    val n = vals.count()
+    val ks = ranks.map { case (_, rankOf) => rankOf(n) }
+    val got = kthSmallestMulti(vals, ks)
+    val cols = ranks.zip(ks).flatMap { case ((name, _), k) =>
+      Seq(lit(k).as(s"k_$name"), lit(got(k)).as(name))
     }
     spark.range(1).select((lit(n).as("n") +: cols): _*)
+  }
+
+  /** EQUI-DEPTH HISTOGRAM (the ANALYZE/CBO statistic): the exact
+    * values at ranks ⌈i·n/buckets⌉, i = 1..buckets — all boundaries
+    * from one shared descent (≤6 scans on a 64-bit domain), plus one
+    * counting pass for the per-bucket row counts. Returns
+    * (bucket_idx 1-based, upper value, rows ≤ that boundary and >
+    * the previous one). */
+  def equiDepthHistogram(spark: SparkSession, vals: DataFrame,
+      buckets: Int): DataFrame = {
+    require(buckets >= 1, s"need buckets >= 1, got $buckets")
+    val n = vals.count()
+    require(n > 0, "equi-depth histogram of an empty relation")
+    val ks = (1 to buckets).map(i => (BigInt(i) * n + buckets - 1).toLong / buckets)
+    val bound = kthSmallestMulti(vals, ks)
+    val bs = ks.map(bound)
+    // one counting pass for all buckets: route each row to the FIRST
+    // boundary ≥ v (boundaries are non-decreasing)
+    val firstBucket = bs.zipWithIndex.reverse.foldLeft(lit(null).cast("int")) {
+      case (acc, (ub, i)) => when(col("v") <= ub, lit(i + 1)).otherwise(acc)
+    }
+    val counts = vals.groupBy(firstBucket.as("bucket_idx"))
+      .agg(count(lit(1)).as("rows_in"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    import spark.implicits._
+    ks.indices.map { i =>
+      (i + 1, ks(i), bs(i), counts.getOrElse(i + 1, 0L))
+    }.toDF("bucket_idx", "k", "upper_v", "rows_in")
   }
 }

@@ -4429,6 +4429,43 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  // -------------------------------------------------------------- Q159
+  /** EQUI-DEPTH HISTOGRAM ([[graft.operators.Selection
+    * .equiDepthHistogram]] — the ANALYZE/CBO statistic): the exact
+    * boundary values at ranks ⌈i·n/8⌉ from ONE shared histogram
+    * descent (all 8 boundaries cost the same ≤6 counting scans as one
+    * rank — intervals are disjoint-or-equal sub-buckets, so a single
+    * (range-id, bin) aggregation per pass serves every unfinished
+    * rank), plus one counting pass for per-bucket row counts. Oracle =
+    * the literal ORDER BY/OFFSET ranks + cumulative-count differences. */
+  val q159 = QueryDef("q159_equidepth_histogram",
+    """WITH v AS (
+      |  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+      |  FROM lineitem
+      |), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+      |b AS (
+      |  SELECT CAST(i AS INT) AS bucket_idx,
+      |         (i * (SELECT n FROM n) + 7) // 8 AS k
+      |  FROM range(1, 9) t(i)
+      |), r AS (SELECT c, row_number() OVER (ORDER BY c) AS rn FROM v),
+      |bb AS (
+      |  SELECT b.bucket_idx, b.k, r.c AS upper_v
+      |  FROM b JOIN r ON r.rn = b.k
+      |), mx AS (SELECT c, max(rn) AS cle FROM r GROUP BY c),
+      |le AS (
+      |  SELECT bb.bucket_idx, bb.k, bb.upper_v, mx.cle
+      |  FROM bb JOIN mx ON mx.c = bb.upper_v
+      |)
+      |SELECT bucket_idx, k, upper_v,
+      |       CAST(cle - coalesce(lag(cle) OVER (ORDER BY bucket_idx), 0) AS BIGINT) AS rows_in
+      |FROM le ORDER BY bucket_idx""") { (s, dir) =>
+    val vals = graft.operators.Selection.pin(
+      t(s, dir, "lineitem").select(
+        floor(col("l_extendedprice") * 100 + 0.5).as("c")), "c")
+    graft.operators.Selection.equiDepthHistogram(s, vals, buckets = 8)
+      .orderBy("bucket_idx")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -4437,5 +4474,5 @@ object Extensions {
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
-    q151, q152, q153, q154, q155, q156, q157, q158)
+    q151, q152, q153, q154, q155, q156, q157, q158, q159)
 }

@@ -41,6 +41,35 @@ class SelectionSpec extends SparkSuite {
     intercept[IllegalArgumentException] { Selection.kthSmallest(vals, 4L) }
   }
 
+  test("multi-rank descent == per-rank answers on random data with duplicates") {
+    val rnd = new scala.util.Random(97)
+    val xs = (1 to 2000).map(_ => (rnd.nextInt(500) - 250).toLong)
+    val vals = Selection.pin(xs.toDF("x"), "x")
+    val sorted = xs.sorted
+    val ks = Seq(1L, 7L, 250L, 1000L, 1999L, 2000L, 250L) // dup rank included
+    val got = Selection.kthSmallestMulti(vals, ks)
+    ks.distinct.foreach { k =>
+      assert(got(k) == sorted((k - 1).toInt), s"k=$k: ${got(k)} vs ${sorted((k - 1).toInt)}")
+    }
+  }
+
+  test("equi-depth histogram: exact boundaries, counts sum to n, depth balanced") {
+    val rnd = new scala.util.Random(5)
+    val xs = (1 to 1000).map(_ => rnd.nextInt(100000).toLong)
+    val vals = Selection.pin(xs.toDF("x"), "x")
+    val h = Selection.equiDepthHistogram(spark, vals, buckets = 4)
+      .orderBy("bucket_idx").collect()
+    val sorted = xs.sorted
+    assert(h.length == 4)
+    h.foreach { r =>
+      assert(r.getLong(2) == sorted((r.getLong(1) - 1).toInt),
+        s"boundary ${r.getLong(2)} != rank-${r.getLong(1)} value")
+    }
+    assert(h.map(_.getLong(3)).sum == 1000L)
+    // near-uniform values → every bucket within 10% of n/4
+    h.foreach(r => assert(math.abs(r.getLong(3) - 250L) <= 25, r.toString))
+  }
+
   test("orderStats emits the requested ranks in one row") {
     val vals = Selection.pin((1L to 100L).toDF("x"), "x")
     val r = Selection.orderStats(spark, vals, Seq(
