@@ -237,6 +237,18 @@ object Multimodal {
     }
   }
 
+  /** Perceptual average-hash (aHash) over the decoded grid embedding:
+    * bit i = cell i brighter than the frame mean. Identical frames →
+    * identical hash; small luminance shifts flip few bits, so equal-
+    * hash bucketing is the pixel-side complement of SimHash banding
+    * (at real resolutions use a 64-cell grid and band the bits exactly
+    * like [[Dedup.simhashCandidates]]). */
+  def aHash(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val m = aggregate(emb, lit(0.0d), (a, x) => a + x.cast("double")) / size(emb)
+    array_join(transform(emb,
+      x => when(x.cast("double") > m, lit("1")).otherwise(lit("0"))), "")
+  }
+
   /** Resize: scale the decoded spatial dims — the shape of a per-asset
     * post-decode transform (pure column math, codegen-eligible). */
   def resize(features: Dataset[Features], maxDim: Int): DataFrame =

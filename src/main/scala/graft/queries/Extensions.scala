@@ -4466,6 +4466,57 @@ object Extensions {
       .orderBy("bucket_idx")
   }
 
+  // -------------------------------------------------------------- Q160
+  /** MULTIMODAL NEAR-DUP by PERCEPTUAL HASH
+    * ([[graft.operators.Multimodal.aHash]]): decode the image corpus
+    * (real javax.imageio codec, q40's plumbing), aHash the grid
+    * embedding, pair within equal-hash buckets, verify by embedding
+    * L2 — the pixel-side twin of the text dedup family (bucket
+    * equi-join, no pair enumeration outside buckets). Self-gating:
+    * every EXACT-text duplicate pair (identical seeds ⇒ identical
+    * pixels) must be recovered as a phash dup
+    * (`recovered_all_exact_dups`) — planted-recovery, since pixel
+    * decode isn't DuckDB-expressible. */
+  val q160 = QueryDef.noOracle("q160_phash_neardup") { (s, dir) =>
+    val M = graft.operators.Multimodal
+    // the fixture corpus has no exact-dup texts at the gate SF, so the
+    // recovery gate PLANTS ten: copies of the first ten docs under
+    // shifted ids — identical seeds ⇒ identical pixels, and the gate
+    // cannot pass vacuously (is_dup must fire on every planted pair)
+    val base = t(s, dir, "documents")
+    val docs = base.select(col("doc_id"), col("text")).unionByName(
+      base.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val feats = M.decodeFeatures(
+      M.cachedCorpusAssets(docs, "doc_id", "text")
+        .filter(col("kind") === "image")).toDF()
+    val hashed = feats.select(col("asset_id"),
+      M.aHash(col("embedding")).as("ph"), col("embedding"))
+    val d2 = aggregate(zip_with(col("ea"), col("eb"),
+        (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+    val pairs = hashed.select(col("asset_id").as("id_a"), col("ph"), col("embedding").as("ea"))
+      .join(hashed.select(col("asset_id").as("id_b"), col("ph"), col("embedding").as("eb")), Seq("ph"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("l2", TextFunctions.round4(sqrt(d2)))
+      .withColumn("is_dup", col("l2") <= 0.001)
+      .select("id_a", "id_b", "ph", "l2", "is_dup")
+    val th = docs.select(col("doc_id"), md5(col("text")).as("h"))
+    val textPairs = th.select(col("doc_id").as("id_a"), col("h"))
+      .join(th.select(col("doc_id").as("id_b"), col("h")), Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val gate = textPairs
+      .join(pairs.filter(col("is_dup")).select("id_a", "id_b").withColumn("hit", lit(1)),
+        Seq("id_a", "id_b"), "left")
+      .agg(sum(when(col("hit").isNull, 1).otherwise(0)).as("n_missed"),
+        count(lit(1)).as("n_planted"))
+    pairs.crossJoin(broadcast(gate))
+      .select(col("id_a"), col("id_b"), col("ph"), col("l2"), col("is_dup"),
+        (col("n_missed") === 0L && col("n_planted") >= 10L).as("recovered_all_exact_dups"))
+      .orderBy("id_a", "id_b")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -4474,5 +4525,5 @@ object Extensions {
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
-    q151, q152, q153, q154, q155, q156, q157, q158, q159)
+    q151, q152, q153, q154, q155, q156, q157, q158, q159, q160)
 }
