@@ -96,6 +96,23 @@ class PlanAssertionsSpec extends SparkSuite {
     assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges\n$p")
   }
 
+  test("q158: pair-free LSH gate plans as aggregations + equi-joins — " +
+      "no pair enumeration, no NLJ, no cartesian") {
+    val p = plan("q158_lsh_gate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"gate must stay pair-free\n$p")
+    // bands→owner agg, doc-level min agg, + the final sort: the band
+    // equi-join and left re-attach are hash/sort-merge joins on keys
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q151: sorted-neighborhood pairing is equi-join shaped (the rank+j " +
+      "spelling), never a range theta join") {
+    val p = plan("q151_sorted_neighborhood")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"window pairing must be an equi-join\n$p")
+  }
+
   test("brute pair stage (q63's) is a broadcast nested-loop with the native " +
       "jaccard predicate in the condition") {
     // q63's own returned plan starts AFTER the eager CC loop (its input
