@@ -26,6 +26,38 @@ class EdgeCasesSpec extends SparkSuite {
     assert(Dedup.ngramJaccardPairs(short, "doc_id", "text", 3, 0.0).count() === 0)
   }
 
+  test("stint-4 operators on empty and degenerate corpora") {
+    // sorted-neighborhood: empty and single-doc corpora emit no pairs
+    assert(Dedup.sortedNeighborhoodPairs(emptyDocs, "doc_id", 3,
+      org.apache.spark.sql.functions.length($"text")).count() === 0)
+    val one = Seq((1L, "alone")).toDF("doc_id", "text")
+    assert(Dedup.sortedNeighborhoodPairs(one, "doc_id", 3,
+      org.apache.spark.sql.functions.length($"text")).count() === 0)
+    // containment on empty pair set / docs absent from the pair list
+    val docs = Seq((1L, "aa bb cc"), (2L, "dd ee ff")).toDF("doc_id", "text")
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.containmentRefine(noPairs, docs, "doc_id", "text", 2, 0.0).count() === 0)
+    // lsh gate: empty corpus flags nothing; a shingle-less doc owns itself
+    assert(Dedup.lshDedupGate(emptyDocs, "doc_id", "text", 2, 12, 2).count() === 0)
+    val junk = Seq((7L, "123 456")).toDF("doc_id", "text")
+    val g = Dedup.lshDedupGate(junk, "doc_id", "text", 2, 12, 2).head
+    assert(g.getLong(1) === 7L && !g.getBoolean(2))
+  }
+
+  test("order statistics: single row, constant column, and k=n extremes") {
+    import graft.operators.Selection
+    val single = Selection.pin(Seq(42L).toDF("x"), "x")
+    assert(Selection.kthSmallest(single, 1L) === 42L)
+    val const = Selection.pin(Seq.fill(100)(7L).toDF("x"), "x")
+    assert(Selection.kthSmallest(const, 1L) === 7L)
+    assert(Selection.kthSmallest(const, 100L) === 7L)
+    assert(Selection.kthSmallestMulti(const, Seq(1L, 50L, 100L)).values.toSet === Set(7L))
+    val h = Selection.equiDepthHistogram(spark, const, 4).collect()
+    assert(h.map(_.getLong(3)).sum === 100L)
+    // all boundaries equal the constant; counts collapse into bucket 1
+    assert(h.forall(_.getLong(2) === 7L) && h.head.getLong(3) === 100L)
+  }
+
   test("similarity with k exceeding the corpus size returns all candidates") {
     val emb = Tables(spark, sfDir, "embeddings").limit(5)
     val r = Similarity.bruteForceTopK(emb.limit(1), emb, "vec_id", "embedding", 100)
