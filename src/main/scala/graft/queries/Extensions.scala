@@ -4517,6 +4517,59 @@ object Extensions {
       .orderBy("id_a", "id_b")
   }
 
+  // -------------------------------------------------------------- Q161
+  /** MARKOV NEXT-EVENT TRANSITION MATRIX (session-behavior modeling —
+    * the empirical P(next event type | current) with Laplace add-1
+    * smoothing): per-user event sequences in (time, event_id) order,
+    * lead(1) pairs each event with its successor, transitions
+    * aggregate to one row per (from, to) cell. One window + one
+    * aggregation; second granularity bridges the ns-vs-µs parquet gap
+    * and (sec, event_id) makes the order total, so the successor
+    * relation — and therefore the hash — is engine-identical.
+    * Smoothed probability is pure rational DOUBLE arithmetic (q156's
+    * idiom). */
+  val q161 = QueryDef("q161_event_transitions",
+    s"""WITH e AS (
+       |  SELECT user_id, event_type,
+       |         CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id
+       |  FROM events
+       |), nx AS (
+       |  SELECT user_id, event_type AS from_type,
+       |         lead(event_type) OVER (PARTITION BY user_id
+       |           ORDER BY sec, event_id) AS to_type
+       |  FROM e
+       |), tr AS (
+       |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+       |  FROM nx WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+       |), tot AS (
+       |  SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from,
+       |         CAST(count(*) AS BIGINT) AS n_states
+       |  FROM tr GROUP BY from_type
+       |), v AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS v FROM e)
+       |SELECT tr.from_type, tr.to_type, tr.n,
+       |       ${TextFunctions.round4Sql(
+              "(CAST(tr.n AS DOUBLE) + 1.0) / (tot.n_from + v.v)")} AS p_smooth
+       |FROM tr JOIN tot USING (from_type) CROSS JOIN v
+       |ORDER BY from_type, to_type""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = t(s, dir, "events").select(col("user_id"), col("event_type"),
+      unix_timestamp(col("ts")).as("sec"), col("event_id"))
+    val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    val nx = e.select(col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+    val tr = nx.groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    val tot = tr.groupBy("from_type")
+      .agg(sum(col("n")).as("n_from"), count(lit(1)).as("n_states"))
+    val v = e.agg(countDistinct(col("event_type")).as("v"))
+    tr.join(broadcast(tot), "from_type")
+      .crossJoin(broadcast(v))
+      .select(col("from_type"), col("to_type"), col("n"),
+        TextFunctions.round4(
+          (col("n").cast("double") + lit(1.0)) / (col("n_from") + col("v"))).as("p_smooth"))
+      .orderBy("from_type", "to_type")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -4525,5 +4578,5 @@ object Extensions {
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
-    q151, q152, q153, q154, q155, q156, q157, q158, q159, q160)
+    q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161)
 }

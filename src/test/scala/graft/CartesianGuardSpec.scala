@@ -52,6 +52,8 @@ class CartesianGuardSpec extends SparkSuite {
     "q149_pmi_collocations",
     // q156: 1-row distinct-bigram-type total attachment (crossJoin(broadcast(tt)))
     "q156_kneser_ney",
+    // q161: 1-row vocabulary-size attachment (crossJoin(broadcast(v)))
+    "q161_event_transitions",
     // q150 composes q132, inheriting its totals attachment
     "q150_curation_v3")
 
