@@ -4096,8 +4096,14 @@ object Extensions {
        |       ${TextFunctions.round4Sql("CAST(f.n_out AS DOUBLE) / f.n")} AS out_rate
        |FROM flag f JOIN med USING (prio) JOIN mad USING (prio)
        |ORDER BY prio""") { (s, dir) =>
+    // ONE explicit shuffle by group key up front: every downstream
+    // groupBy("prio") and broadcast-join inherits the partitioning, so
+    // the three aggregation stages (median, MAD, flags) reuse the same
+    // exchange instead of re-shuffling the fact per stage (8 exchanges
+    // → 1 + reuse in the census)
     val o = t(s, dir, "orders").select(col("o_orderpriority").as("prio"),
       floor(col("o_totalprice") * 100 + 0.5).cast("long").as("c"))
+      .repartition(col("prio"))
     val med = o.groupBy("prio").agg(expr("percentile(c, 0.5D)").as("med"))
     val dev = o.join(broadcast(med), "prio")
       .withColumn("ad", abs(col("c") - col("med")))
