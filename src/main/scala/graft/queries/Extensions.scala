@@ -4576,6 +4576,60 @@ object Extensions {
       .orderBy("from_type", "to_type")
   }
 
+  // -------------------------------------------------------------- Q162
+  /** THEIL–SEN ROBUST TREND (Theil '50 / Sen '68 — the median of all
+    * pairwise slopes: a trend estimate a third of the data can't
+    * corrupt, where least squares breaks on one bad day): daily event
+    * volumes per type, all day-pair slopes via an equi-join on type
+    * with the day inequality as post-filter (days per type is small —
+    * the pair set is O(days²) per SERIES, not per event), then the
+    * LOWER-median slope as an exact ORDER-BY element — no
+    * interpolation arithmetic, so the doubles are engine-identical by
+    * construction (the q147 idiom applied to a statistic). */
+  val q162 = QueryDef("q162_theilsen_trend",
+    s"""WITH e AS (
+       |  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+       |  FROM events
+       |), d AS (
+       |  SELECT event_type, day, CAST(count(*) AS BIGINT) AS n
+       |  FROM e GROUP BY event_type, day
+       |), p AS (
+       |  SELECT a.event_type,
+       |         CAST(b.n - a.n AS DOUBLE) / (b.day - a.day) AS slope
+       |  FROM d a JOIN d b ON a.event_type = b.event_type AND b.day > a.day
+       |), c AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs
+       |  FROM p GROUP BY event_type
+       |), m AS (
+       |  SELECT event_type, slope,
+       |         row_number() OVER (PARTITION BY event_type ORDER BY slope) AS rn
+       |  FROM p
+       |)
+       |SELECT m.event_type, c.n_pairs,
+       |       ${TextFunctions.round4Sql("m.slope")} AS ts_slope
+       |FROM m JOIN c USING (event_type)
+       |WHERE m.rn = (c.n_pairs + 1) // 2
+       |ORDER BY event_type""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = t(s, dir, "events").select(col("event_type"),
+      floor(unix_timestamp(col("ts")) / 86400).cast("long").as("day"))
+    val d = e.groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+    val p = d.select(col("event_type"), col("day").as("da"), col("n").as("na"))
+      .join(d.select(col("event_type"), col("day").as("db"), col("n").as("nb")),
+        Seq("event_type"))
+      .filter(col("db") > col("da"))
+      .select(col("event_type"),
+        ((col("nb") - col("na")).cast("double") / (col("db") - col("da"))).as("slope"))
+    val c = p.groupBy("event_type").agg(count(lit(1)).as("n_pairs"))
+    val m = p.withColumn("rn", row_number().over(
+      Window.partitionBy("event_type").orderBy("slope")))
+    m.join(broadcast(c), "event_type")
+      .filter(col("rn") === (col("n_pairs") + 1) / 2)
+      .select(col("event_type"), col("n_pairs"),
+        TextFunctions.round4(col("slope")).as("ts_slope"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -4584,5 +4638,5 @@ object Extensions {
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
-    q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161)
+    q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162)
 }
