@@ -4630,6 +4630,55 @@ object Extensions {
       .orderBy("event_type")
   }
 
+  // -------------------------------------------------------------- Q163
+  /** TWO-SAMPLE KOLMOGOROV–SMIRNOV DRIFT TEST (D = max |F₁−F₂| over
+    * the merged support — the distribution-level complement of q110's
+    * binned PSI: no binning choice, sensitive to shape, the classic
+    * "did this source's length distribution drift" gate): per-value
+    * counts for both samples, then the two empirical CDFs via
+    * [[graft.operators.GlobalIds.prefixSum]] — the global running sum
+    * WITHOUT a single-partition window (two range exchanges total) —
+    * and one max-abs-diff aggregate. The reject flag compares the
+    * UNROUNDED D against the α=0.05 critical value 1.358·√((n+m)/nm)
+    * (sqrt is correctly-rounded IEEE in both engines; identical
+    * expression trees ⇒ identical booleans). */
+  val q163 = QueryDef("q163_ks_drift",
+    s"""WITH d AS (
+       |  SELECT n_chars AS v,
+       |         CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+       |         CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+       |  FROM documents WHERE source IN ('src0', 'src1')
+       |  GROUP BY n_chars
+       |), c AS (
+       |  SELECT v, sum(na) OVER (ORDER BY v) AS ca, sum(nb) OVER (ORDER BY v) AS cb
+       |  FROM d
+       |), t AS (
+       |  SELECT CAST(sum(na) AS BIGINT) AS n_a, CAST(sum(nb) AS BIGINT) AS n_b FROM d
+       |), ks AS (
+       |  SELECT max(abs(CAST(ca AS DOUBLE) / t.n_a - CAST(cb AS DOUBLE) / t.n_b)) AS d
+       |  FROM c CROSS JOIN t
+       |)
+       |SELECT t.n_a, t.n_b, ${TextFunctions.round4Sql("ks.d")} AS ks_d,
+       |       ks.d > 1.358 * sqrt(CAST(t.n_a + t.n_b AS DOUBLE) / (t.n_a * t.n_b)) AS drift
+       |FROM ks CROSS JOIN t""") { (s, dir) =>
+    val d = t(s, dir, "documents")
+      .filter(col("source").isin("src0", "src1"))
+      .groupBy(col("n_chars").as("v"))
+      .agg(sum(when(col("source") === "src0", 1L).otherwise(0L)).as("na"),
+        sum(when(col("source") === "src1", 1L).otherwise(0L)).as("nb"))
+    val withCa = graft.operators.GlobalIds.prefixSum(d, "na", "ca", 32, col("v"))
+    val withCb = graft.operators.GlobalIds.prefixSum(withCa, "nb", "cb", 32, col("v"))
+    val tot = d.agg(sum(col("na")).as("n_a"), sum(col("nb")).as("n_b"))
+    val ks = withCb.crossJoin(broadcast(tot))
+      .agg(max(abs(col("ca").cast("double") / col("n_a")
+        - col("cb").cast("double") / col("n_b"))).as("d"))
+    ks.crossJoin(broadcast(tot))
+      .select(col("n_a"), col("n_b"),
+        TextFunctions.round4(col("d")).as("ks_d"),
+        (col("d") > lit(1.358) * sqrt((col("n_a") + col("n_b")).cast("double")
+          / (col("n_a") * col("n_b")))).as("drift"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -4638,5 +4687,5 @@ object Extensions {
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
-    q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162)
+    q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163)
 }

@@ -54,6 +54,8 @@ class CartesianGuardSpec extends SparkSuite {
     "q156_kneser_ney",
     // q161: 1-row vocabulary-size attachment (crossJoin(broadcast(v)))
     "q161_event_transitions",
+    // q163: 1-row sample-size totals attachment (crossJoin(broadcast(tot)))
+    "q163_ks_drift",
     // q150 composes q132, inheriting its totals attachment
     "q150_curation_v3")
 
