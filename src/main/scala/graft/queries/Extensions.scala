@@ -4679,6 +4679,63 @@ object Extensions {
           / (col("n_a") * col("n_b")))).as("drift"))
   }
 
+  // -------------------------------------------------------------- Q164
+  /** PER-SERIES EXACT OLS (closed-form least squares — the parametric
+    * twin of q162's Theil–Sen, reported side by side the way a
+    * telemetry dashboard wants both): daily event volumes per type,
+    * x CENTERED per series (x = day − min day, which keeps every
+    * moment sum small enough for exact BIGINT arithmetic at any SF —
+    * uncentered epoch-day squares overflow), all five moment sums in
+    * ONE aggregation pass, then slope = (kΣxy−ΣxΣy)/(kΣx²−(Σx)²) and
+    * r² with the integer numerators cast to DOUBLE only at the final
+    * division (identical expression trees ⇒ identical doubles). */
+  val q164 = QueryDef("q164_ols_trend",
+    s"""WITH e AS (
+       |  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+       |  FROM events
+       |), d AS (
+       |  SELECT event_type, day, CAST(count(*) AS BIGINT) AS y
+       |  FROM e GROUP BY event_type, day
+       |), x AS (
+       |  SELECT event_type, day - min(day) OVER (PARTITION BY event_type) AS xx, y
+       |  FROM d
+       |), s AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS k,
+       |         CAST(sum(xx) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |         CAST(sum(xx * xx) AS BIGINT) AS sxx,
+       |         CAST(sum(xx * y) AS BIGINT) AS sxy,
+       |         CAST(sum(y * y) AS BIGINT) AS syy
+       |  FROM x GROUP BY event_type
+       |)
+       |SELECT event_type, k,
+       |       ${TextFunctions.round4Sql(
+              "CAST(k * sxy - sx * sy AS DOUBLE) / (k * sxx - sx * sx)")} AS slope,
+       |       ${TextFunctions.round4Sql(
+              "CAST(k * sxy - sx * sy AS DOUBLE) * CAST(k * sxy - sx * sy AS DOUBLE) " +
+              "/ (CAST(k * sxx - sx * sx AS DOUBLE) * CAST(k * syy - sy * sy AS DOUBLE))")} AS r2
+       |FROM s ORDER BY event_type""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = t(s, dir, "events").select(col("event_type"),
+      floor(unix_timestamp(col("ts")) / 86400).cast("long").as("day"))
+    val d = e.groupBy("event_type", "day").agg(count(lit(1)).as("y"))
+    val x = d.select(col("event_type"),
+      (col("day") - min(col("day")).over(Window.partitionBy("event_type"))).as("xx"),
+      col("y"))
+    val sm = x.groupBy("event_type").agg(count(lit(1)).as("k"),
+      sum(col("xx")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("xx") * col("xx")).as("sxx"),
+      sum(col("xx") * col("y")).as("sxy"),
+      sum(col("y") * col("y")).as("syy"))
+    val num = (col("k") * col("sxy") - col("sx") * col("sy")).cast("double")
+    sm.select(col("event_type"), col("k"),
+        TextFunctions.round4(
+          num / (col("k") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+        TextFunctions.round4(num * num
+          / ((col("k") * col("sxx") - col("sx") * col("sx")).cast("double")
+            * (col("k") * col("syy") - col("sy") * col("sy")).cast("double"))).as("r2"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -4687,5 +4744,5 @@ object Extensions {
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
-    q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163)
+    q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164)
 }
