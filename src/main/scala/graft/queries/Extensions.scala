@@ -4736,6 +4736,31 @@ object Extensions {
       .orderBy("event_type")
   }
 
+  // -------------------------------------------------------------- Q165
+  /** HYBRID HOT/COLD SKEW JOIN ([[graft.operators.Skew.hybridJoin]] —
+    * frequent-key split, the third skew weapon after salting and
+    * AQE's runtime split): the 50 heaviest part keys route through a
+    * broadcast join of just the dimension's hot rows (hot keys never
+    * enter a shuffle partition), the cold remainder shuffle-joins
+    * normally. Oracle = the plain join: the split is semantics-
+    * preserving by construction, and the brand-level rollup hashes
+    * identically. */
+  val q165 = QueryDef("q165_hybrid_skew_join",
+    """SELECT p.p_brand,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |GROUP BY p.p_brand
+      |ORDER BY p.p_brand""") { (s, dir) =>
+    val joined = graft.operators.Skew.hybridJoin(
+      t(s, dir, "lineitem"), t(s, dir, "part"),
+      "l_partkey", "p_partkey", hotK = 50)
+    joined.groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .orderBy("p_brand")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -4744,5 +4769,5 @@ object Extensions {
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
-    q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164)
+    q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165)
 }

@@ -101,6 +101,30 @@ class SinksAndSkewSpec extends SparkSuite {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("hybrid hot/cold join == plain join; plan splits into broadcast + shuffle legs") {
+    import spark.implicits._
+    // skewed frame: one key carries half the rows
+    val big = ((1 to 5000).map(i => (if (i % 2 == 0) 7L else (i % 97).toLong, i.toLong)))
+      .toDF("k", "payload")
+    val small = (0L to 96L).map(k => (k, s"dim$k")).toDF("sk", "name")
+    val hybrid = Skew.hybridJoin(big, small, "k", "sk", hotK = 3)
+      .select("k", "payload", "name")
+    val plain = big.join(small, col("k") === col("sk")).select("k", "payload", "name")
+    assert(hybrid.exceptAll(plain).isEmpty && plain.exceptAll(hybrid).isEmpty)
+    val p = hybrid.queryExecution.executedPlan.toString
+    // two legs under a Union; the hot leg broadcasts by construction
+    // (the cold leg ALSO broadcasts at spec scale — AQE promotes the
+    // tiny dim — and reverts to a shuffle join at real dimension sizes)
+    assert(p.contains("BroadcastHashJoin"), s"hot leg must broadcast\n$p")
+    assert(p.contains("Union"), "two legs must union")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // duplicate-key small side: row multiplication preserved through the split
+    val dupSmall = small.unionByName(Seq((7L, "dup7")).toDF("sk", "name"))
+    val h2 = Skew.hybridJoin(big, dupSmall, "k", "sk", hotK = 2).select("k", "payload", "name")
+    val p2 = big.join(dupSmall, col("k") === col("sk")).select("k", "payload", "name")
+    assert(h2.exceptAll(p2).isEmpty && p2.exceptAll(h2).isEmpty)
+  }
+
   test("salted left-outer join == plain left join, unmatched rows null-extend exactly once") {
     val li = Tables(spark, sfDir, "lineitem")
     // restrict the dimension so a real fraction of fact rows is unmatched
