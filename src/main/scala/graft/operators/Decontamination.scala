@@ -56,6 +56,41 @@ object Decontamination {
         (coalesce(col("n_hit"), lit(0L)) >= minOverlap).as("contaminated"))
   }
 
+  /** SPAN-LEVEL contamination localization — the surgical complement
+    * of [[report]]'s doc-level flag: WHERE in the document the
+    * benchmark text appears, as maximal token spans, so remediation
+    * can CUT THE SPAN AND KEEP THE DOC instead of dropping it (the
+    * difference between losing a boilerplate-quoting page and losing
+    * nothing). Hit positions come from the same benchmark-gram
+    * broadcast join, with the gram START POSITION carried through
+    * (posexplode); maximal spans are the classic islands aggregation —
+    * consecutive hits merge when their n-token windows touch
+    * (gap ≤ n), one window + one aggregate per doc. Output: 1-based
+    * inclusive [span_start, span_end] token ranges with the hit count
+    * per span. */
+  def spans(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def gramsArr = TextFunctions.wordShingles(
+      TextFunctions.normalizedWords(col(textCol)), n)
+    val corpusGrams = corpus.select(col(idCol).as("doc_id"),
+        posexplode(gramsArr).as(Seq("pos0", "g")))
+    val benchGrams = broadcast(
+      benchmark.select(explode(array_distinct(gramsArr)).as("g")).distinct())
+    val w = Window.partitionBy("doc_id").orderBy("pos0")
+    val hits = corpusGrams.join(benchGrams, "g")
+      .withColumn("ns",
+        when(lag(col("pos0"), 1).over(w).isNull
+          || col("pos0") - lag(col("pos0"), 1).over(w) > n, 1).otherwise(0))
+      .withColumn("sid", sum(col("ns")).over(
+        w.rangeBetween(Window.unboundedPreceding, Window.currentRow)))
+    hits.groupBy("doc_id", "sid")
+      .agg(min(col("pos0")).as("s0"), max(col("pos0")).as("e0"),
+        count(lit(1)).as("n_hits"))
+      .select(col("doc_id"), (col("s0") + 1).as("span_start"),
+        (col("e0") + n).as("span_end"), col("n_hits"))
+  }
+
   /** [[report]] with a BLOOM PREFILTER on the corpus grams (the q53
     * runtime-filter idiom applied to curation): the benchmark's
     * distinct grams aggregate into a bloom sketch (bounded bytes to

@@ -4761,6 +4761,49 @@ object Extensions {
       .orderBy("p_brand")
   }
 
+  // -------------------------------------------------------------- Q166
+  /** SPAN-LEVEL DECONTAMINATION ([[Decontamination.spans]]): WHERE the
+    * benchmark text appears in each contaminated doc, as maximal
+    * token spans (consecutive 3-gram hits merge when their windows
+    * touch) — the surgical remediation q64's doc-level flag can't do:
+    * cut the span, keep the doc. Same benchmark-gram broadcast join
+    * with the gram start position carried through; islands
+    * aggregation per doc. */
+  val q166 = QueryDef("q166_decontam_spans",
+    s"""WITH $docwCte,
+       |corpus AS (SELECT doc_id, w FROM docw WHERE doc_id % 20 <> 0),
+       |bench AS (SELECT doc_id, w FROM docw WHERE doc_id % 20 = 0),
+       |cg AS (
+       |  SELECT doc_id, i AS pos0, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS g
+       |  FROM corpus CROSS JOIN UNNEST(range(0, len(w) - 2)) AS t(i)
+       |  WHERE len(w) >= 3
+       |), bg AS (
+       |  SELECT DISTINCT w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS g
+       |  FROM bench CROSS JOIN UNNEST(range(0, len(w) - 2)) AS t(i)
+       |  WHERE len(w) >= 3
+       |), h AS (
+       |  SELECT cg.doc_id, cg.pos0,
+       |         CASE WHEN lag(cg.pos0) OVER win IS NULL
+       |                OR cg.pos0 - lag(cg.pos0) OVER win > 3 THEN 1 ELSE 0 END AS ns
+       |  FROM cg JOIN bg USING (g)
+       |  WINDOW win AS (PARTITION BY cg.doc_id ORDER BY cg.pos0)
+       |), isl AS (
+       |  SELECT doc_id, pos0,
+       |         sum(ns) OVER (PARTITION BY doc_id ORDER BY pos0) AS sid
+       |  FROM h
+       |)
+       |SELECT doc_id, min(pos0) + 1 AS span_start, max(pos0) + 3 AS span_end,
+       |       CAST(count(*) AS BIGINT) AS n_hits
+       |FROM isl GROUP BY doc_id, sid
+       |ORDER BY doc_id, span_start""") { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    Decontamination.spans(
+      corpus = docs.filter(col("doc_id") % 20 =!= 0),
+      benchmark = docs.filter(col("doc_id") % 20 === 0),
+      idCol = "doc_id", textCol = "text", n = 3)
+      .orderBy("doc_id", "span_start")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -4769,5 +4812,5 @@ object Extensions {
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
-    q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165)
+    q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166)
 }
