@@ -4804,6 +4804,63 @@ object Extensions {
       .orderBy("doc_id", "span_start")
   }
 
+  // -------------------------------------------------------------- Q167
+  /** CONTRASTIVE TRIPLET MINING (the training-pair constructor for
+    * embedding models): per anchor, the best same-block near-dup as
+    * POSITIVE (cos ≥ 0.3, q37's threshold) and the most-similar
+    * BELOW-threshold vector as the HARD NEGATIVE (confusable but
+    * wrong — random negatives teach nothing). One blocked pair join
+    * feeds both argmaxes, each a struct-min AGGREGATE (map-side
+    * combined; a window would sort the full pair relation), ranking
+    * on the ROUNDED cosine so ordering is engine-identical. Anchors
+    * need both sides to emit a triplet. */
+  val q167 = QueryDef("q167_contrastive_triplets",
+    s"""WITH p AS (
+       |  SELECT a.vec_id AS anchor, b.vec_id AS id_b,
+       |         ${dotSql("a.embedding", "b.embedding")} AS dt,
+       |         ${normSql("a.embedding")} AS na, ${normSql("b.embedding")} AS nb
+       |  FROM embeddings a JOIN embeddings b
+       |    ON a.label = b.label AND a.vec_id <> b.vec_id
+       |  WHERE ${normSql("a.embedding")} > 0 AND ${normSql("b.embedding")} > 0
+       |), r AS (
+       |  SELECT anchor, id_b, floor(dt/(na*nb) * 10000 + 0.5) / 10000 AS cs FROM p
+       |), pos AS (
+       |  SELECT anchor, id_b AS pos_id, cs AS pos_cos,
+       |         row_number() OVER (PARTITION BY anchor ORDER BY cs DESC, id_b) AS rn
+       |  FROM r WHERE cs >= 0.3
+       |), neg AS (
+       |  SELECT anchor, id_b AS neg_id, cs AS neg_cos,
+       |         row_number() OVER (PARTITION BY anchor ORDER BY cs DESC, id_b) AS rn
+       |  FROM r WHERE cs < 0.3
+       |)
+       |SELECT anchor, pos_id, pos_cos, neg_id, neg_cos
+       |FROM pos JOIN neg USING (anchor)
+       |WHERE pos.rn = 1 AND neg.rn = 1
+       |ORDER BY anchor""") { (s, dir) =>
+    val nz = t(s, dir, "embeddings")
+      .filter(VectorFunctions.norm(col("embedding")) > 0)
+    val a = nz.select(col("label"), col("vec_id").as("anchor"), col("embedding").as("va"))
+    val b = nz.select(col("label"), col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val pairs = a.join(b, Seq("label")).filter(col("anchor") =!= col("id_b"))
+      .withColumn("cs", TextFunctions.round4(
+        VectorFunctions.cosine(col("va"), col("vb"))))
+      .select("anchor", "id_b", "cs")
+    // argmax as struct-min (ties to the lowest id — identical to the
+    // oracle's row_number order): partial aggregation combines map-side
+    // descending key spelled as (1.0 - cs) ≥ 0, not -cs: negating 0.0
+    // would emit -0.0, which hashes differently from the oracle's 0.0;
+    // cs rides as a carried struct field (ids are unique per anchor, so
+    // it never participates in the ordering)
+    def best(df: DataFrame, idOut: String, csOut: String): DataFrame = df
+      .select(col("anchor"),
+        struct((lit(1.0) - col("cs")).as("d"), col("id_b"), col("cs")).as("sc"))
+      .groupBy("anchor").agg(min(col("sc")).as("m"))
+      .select(col("anchor"), col("m.id_b").as(idOut), col("m.cs").as(csOut))
+    best(pairs.filter(col("cs") >= 0.3), "pos_id", "pos_cos")
+      .join(best(pairs.filter(col("cs") < 0.3), "neg_id", "neg_cos"), "anchor")
+      .orderBy("anchor")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -4812,5 +4869,5 @@ object Extensions {
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
-    q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166)
+    q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167)
 }
