@@ -4861,6 +4861,83 @@ object Extensions {
       .orderBy("anchor")
   }
 
+  // -------------------------------------------------------------- Q168
+  /** DECONTAMINATION EXCISION — apply q166's spans: remove exactly the
+    * contaminated token ranges and keep the rest of the document (the
+    * remediation that saves the boilerplate-quoting page a doc-level
+    * drop would discard). Position-level spelling: tokens and covered
+    * positions anti-join on (doc, position) — maximal islands are
+    * disjoint by construction so the covered set has no duplicates —
+    * then per-doc ordered reassembly (the q01 collect+sort idiom /
+    * string_agg ORDER BY). Docs without spans pass through intact. */
+  val q168 = QueryDef("q168_decontam_excise",
+    s"""WITH $docwCte,
+       |corpus AS (SELECT doc_id, coalesce(w, []) AS w FROM docw WHERE doc_id % 20 <> 0),
+       |bench AS (SELECT doc_id, coalesce(w, []) AS w FROM docw WHERE doc_id % 20 = 0),
+       |cg AS (
+       |  SELECT doc_id, i AS pos0, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS g
+       |  FROM corpus CROSS JOIN UNNEST(range(0, len(w) - 2)) AS t(i)
+       |  WHERE len(w) >= 3
+       |), bg AS (
+       |  SELECT DISTINCT w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS g
+       |  FROM bench CROSS JOIN UNNEST(range(0, len(w) - 2)) AS t(i)
+       |  WHERE len(w) >= 3
+       |), h AS (
+       |  SELECT cg.doc_id, cg.pos0,
+       |         CASE WHEN lag(cg.pos0) OVER win IS NULL
+       |                OR cg.pos0 - lag(cg.pos0) OVER win > 3 THEN 1 ELSE 0 END AS ns
+       |  FROM cg JOIN bg USING (g)
+       |  WINDOW win AS (PARTITION BY cg.doc_id ORDER BY cg.pos0)
+       |), isl AS (
+       |  SELECT doc_id, pos0,
+       |         sum(ns) OVER (PARTITION BY doc_id ORDER BY pos0) AS sid
+       |  FROM h
+       |), spans AS (
+       |  SELECT doc_id, min(pos0) + 1 AS s, max(pos0) + 3 AS e
+       |  FROM isl GROUP BY doc_id, sid
+       |), covered AS (
+       |  SELECT doc_id, unnest(range(s, e + 1)) AS p FROM spans
+       |), tok AS (
+       |  SELECT doc_id, i AS p, w[i] AS word
+       |  FROM corpus CROSS JOIN UNNEST(range(1, len(w) + 1)) AS t(i)
+       |), kept AS (
+       |  SELECT t.doc_id, t.p, t.word
+       |  FROM tok t LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.p = t.p
+       |  WHERE c.p IS NULL
+       |), agg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_after,
+       |         string_agg(word, ' ' ORDER BY p) AS cleaned
+       |  FROM kept GROUP BY doc_id
+       |)
+       |SELECT c.doc_id, CAST(len(c.w) AS BIGINT) AS n_before,
+       |       coalesce(a.n_after, 0) AS n_after,
+       |       coalesce(a.cleaned, '') AS cleaned
+       |FROM corpus c LEFT JOIN agg a USING (doc_id)
+       |ORDER BY c.doc_id""") { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+    val bench = docs.filter(col("doc_id") % 20 === 0)
+    val spans = Decontamination.spans(corpus, bench, "doc_id", "text", n = 3)
+    val covered = spans.select(col("doc_id"),
+      explode(sequence(col("span_start"), col("span_end"))).as("p"))
+    val tok = corpus.select(col("doc_id"),
+        posexplode(TextFunctions.normalizedWords(col("text"))).as(Seq("p0", "word")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("word"))
+    val agg = tok.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_after"),
+        array_join(transform(sort_array(collect_list(struct(col("p"), col("word")))),
+          x => x.getField("word")), " ").as("cleaned"))
+    corpus.select(col("doc_id"),
+        coalesce(size(TextFunctions.normalizedWords(col("text"))), lit(0))
+          .cast("long").as("n_before"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -4869,5 +4946,5 @@ object Extensions {
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
-    q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167)
+    q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168)
 }
