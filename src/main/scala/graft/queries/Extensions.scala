@@ -4938,6 +4938,59 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  // -------------------------------------------------------------- Q169
+  /** LENGTH-BUCKETED DYNAMIC BATCHING (the padding-waste lever: a
+    * batch pads every sequence to its longest member, so batching
+    * similar lengths together is free throughput): docs fall into
+    * 64-token-wide length buckets, are packed greedily within each
+    * bucket to a 4096-token budget via
+    * [[graft.operators.GlobalIds.prefixSumBy]] (the GROUP-KEYED
+    * running total — per-bucket range exchange, no single-partition
+    * window), and each (bucket, batch) reports its padded-token waste
+    * = max_len·n_docs − Σlen. All integers until the final waste
+    * ratio. */
+  val q169 = QueryDef("q169_length_batching",
+    s"""WITH $docwCte,
+       |d AS (
+       |  SELECT doc_id, CAST(len(coalesce(w, [])) AS BIGINT) AS n_tok
+       |  FROM docw WHERE len(coalesce(w, [])) >= 1
+       |), b AS (
+       |  SELECT doc_id, n_tok, n_tok // 64 AS bucket,
+       |         sum(n_tok) OVER (PARTITION BY n_tok // 64
+       |           ORDER BY n_tok, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM d
+       |), g AS (
+       |  SELECT bucket, (cum - n_tok) // 4096 AS batch_idx, n_tok FROM b
+       |)
+       |SELECT bucket, batch_idx, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+       |       max(n_tok) AS max_tok,
+       |       CAST(max(n_tok) * count(*) - sum(n_tok) AS BIGINT) AS padded_tok,
+       |       ${TextFunctions.round4Sql(
+              "CAST(max(n_tok) * count(*) - sum(n_tok) AS DOUBLE) / (max(n_tok) * count(*))")} AS waste
+       |FROM g GROUP BY bucket, batch_idx
+       |ORDER BY bucket, batch_idx""") { (s, dir) =>
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(TextFunctions.normalizedWords(col("text"))).cast("long").as("n_tok"))
+      .filter(col("n_tok") >= 1)
+      .withColumn("bucket", expr("n_tok div 64"))
+    val withCum = graft.operators.GlobalIds.prefixSumBy(
+      d, "bucket", "n_tok", "cum", 32, col("n_tok"), col("doc_id"))
+    withCum
+      .withColumn("batch_idx", expr("(cum - n_tok) div 4096"))
+      .groupBy("bucket", "batch_idx")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tok"),
+        max(col("n_tok")).as("max_tok"))
+      .select(col("bucket"), col("batch_idx"), col("n_docs"), col("sum_tok"),
+        col("max_tok"),
+        (col("max_tok") * col("n_docs") - col("sum_tok")).as("padded_tok"),
+        TextFunctions.round4(
+          (col("max_tok") * col("n_docs") - col("sum_tok")).cast("double")
+            / (col("max_tok") * col("n_docs"))).as("waste"))
+      .orderBy("bucket", "batch_idx")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -4946,5 +4999,5 @@ object Extensions {
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
-    q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168)
+    q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169)
 }
