@@ -4991,6 +4991,56 @@ object Extensions {
       .orderBy("bucket", "batch_idx")
   }
 
+  // -------------------------------------------------------------- Q170
+  /** U-SHAPED MULTI-TOUCH ATTRIBUTION (position-based 40/20/40 — the
+    * credit model between last-touch (q73) and linear: first and last
+    * touch carry 40% each, middles share the 20%): per purchase, all
+    * of the SAME USER's views in the preceding 24 h via a user-keyed
+    * equi-join with the window as a post-filter (per-user volumes are
+    * small — the join never fans out beyond a user's own history, the
+    * scale-safe shape q73 established), ranked by (time, event_id).
+    * Credit is rational DOUBLE with identical trees (k=1 → 1.0,
+    * k=2 → 0.5/0.5, else 0.4/0.2·(k−2)⁻¹/0.4). */
+  val q170 = QueryDef("q170_multitouch_attribution",
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, event_id,
+       |         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+       |  FROM events
+       |), pu AS (SELECT user_id, event_id AS p_id, sec AS p_sec FROM e WHERE event_type = 'purchase'),
+       |vw AS (SELECT user_id, event_id AS v_id, sec AS v_sec FROM e WHERE event_type = 'view'),
+       |tw AS (
+       |  SELECT pu.p_id, vw.v_id,
+       |         row_number() OVER (PARTITION BY pu.p_id ORDER BY vw.v_sec, vw.v_id) AS rn,
+       |         count(*) OVER (PARTITION BY pu.p_id) AS k
+       |  FROM pu JOIN vw ON vw.user_id = pu.user_id
+       |   AND vw.v_sec <= pu.p_sec AND vw.v_sec > pu.p_sec - 86400
+       |)
+       |SELECT p_id, v_id, rn, CAST(k AS BIGINT) AS k,
+       |       ${TextFunctions.round4Sql(
+              "CASE WHEN k = 1 THEN 1.0 WHEN k = 2 THEN 0.5 " +
+              "WHEN rn = 1 OR rn = k THEN 0.4 ELSE 0.2 / (k - 2) END")} AS credit
+       |FROM tw ORDER BY p_id, rn""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = t(s, dir, "events").select(col("user_id"), col("event_type"),
+      col("event_id"), unix_timestamp(col("ts")).as("sec"))
+    val pu = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("sec").as("p_sec"))
+    val vw = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("v_id"), col("sec").as("v_sec"))
+    val tw = pu.join(vw, Seq("user_id"))
+      .filter(col("v_sec") <= col("p_sec") && col("v_sec") > col("p_sec") - 86400)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("p_id").orderBy("v_sec", "v_id")))
+      .withColumn("k", count(lit(1)).over(Window.partitionBy("p_id")))
+    tw.select(col("p_id"), col("v_id"), col("rn"), col("k").cast("long").as("k"),
+        TextFunctions.round4(
+          when(col("k") === 1, lit(1.0))
+            .when(col("k") === 2, lit(0.5))
+            .when(col("rn") === 1 || col("rn") === col("k"), lit(0.4))
+            .otherwise(lit(0.2) / (col("k") - 2))).as("credit"))
+      .orderBy("p_id", "rn")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -4999,5 +5049,5 @@ object Extensions {
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
-    q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169)
+    q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170)
 }
