@@ -210,6 +210,39 @@ object EventStreams {
       }
   }
 
+  case class TrEv(user_id: Long, event_id: Long, ts: java.sql.Timestamp, event_type: String)
+  case class TrState(last_type: String)
+  case class TrOut(user_id: Long, from_type: String, to_type: String)
+
+  /** STREAMING NEXT-EVENT TRANSITIONS — the stateful twin of q161's
+    * lead(1) pairing: one carried `last event type` per user in the
+    * state store (the smallest possible Markov-chain state), each
+    * micro-batch sorted (ts, event_id) within itself, transitions
+    * emitted across the batch boundary through the carried state. An
+    * in-order feed reproduces the batch window exactly
+    * (TransitionStreamSpec proves one-batch and two-micro-batch
+    * replay equal the batch pairing row-for-row); the transition
+    * MATRIX is then an ordinary downstream aggregation in either
+    * mode. */
+  def transitionStream(events: Dataset[TrEv]): Dataset[TrOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[TrState, TrOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (k, evs, state: GroupState[TrState]) =>
+          var last = state.getOption.map(_.last_type)
+          val out = evs.toSeq
+            .sortBy(e => (e.ts.getTime, e.event_id))
+            .flatMap { e =>
+              val o = last.map(t => TrOut(k, t, e.event_type))
+              last = Some(e.event_type)
+              o
+            }
+          last.foreach(t => state.update(TrState(t)))
+          out.iterator
+      }
+  }
+
   case class ClosedSession(user_id: Long, start_s: Long, end_s: Long, n_events: Long)
   case class OpenSession(start: Long, last: Long, n: Long)
 
