@@ -113,6 +113,23 @@ class PlanAssertionsSpec extends SparkSuite {
       s"window pairing must be an equi-join\n$p")
   }
 
+  test("q166/q168: the benchmark gram set broadcasts — corpus grams are " +
+      "never shuffled on content") {
+    for (name <- Seq("q166_decontam_spans", "q168_decontam_excise")) {
+      val p = plan(name)
+      assert(p.contains("BroadcastExchange"), s"$name: bench grams must broadcast\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name must stay equi-join shaped\n$p")
+    }
+  }
+
+  test("q169: the bucket packing runs on the group-keyed prefix sum's range " +
+      "exchange — no single-partition window") {
+    val p = plan("q169_length_batching")
+    assert(p.contains("rangepartitioning"), s"expected the prefix-sum range exchange\n$p")
+    assert(!p.contains("SinglePartition"), s"no single-partition funnel allowed\n$p")
+  }
+
   test("brute pair stage (q63's) is a broadcast nested-loop with the native " +
       "jaccard predicate in the condition") {
     // q63's own returned plan starts AFTER the eager CC loop (its input
