@@ -56,6 +56,12 @@ object GraftFunctions {
       new ExpressionInfo(classOf[TextSketchExprs.SimHashExpr].getName, "simhash"),
       (exprs: Seq[Expression]) => TextSketchExprs.SimHashExpr(
         exprs.head, intLit(exprs(1), "bits"))),
+    // custom GENERATOR (true UDTF surface): streams (pos, gram) rows
+    // per input row with no intermediate array materialization
+    ("ngrams_tf",
+      new ExpressionInfo(classOf[NGramsGeneratorExpr].getName, "ngrams_tf"),
+      (exprs: Seq[Expression]) => NGramsGeneratorExpr(
+        exprs.head, intLit(exprs(1), "n"))),
     // Spark's own runtime-filter machinery (InjectRuntimeFilter builds
     // these internally but does not expose them in the function
     // registry): a user-declared bloom semi-join prefilter — aggregate

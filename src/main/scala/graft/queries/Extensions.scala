@@ -5041,6 +5041,32 @@ object Extensions {
       .orderBy("p_id", "rn")
   }
 
+  // -------------------------------------------------------------- Q171
+  /** CUSTOM GENERATOR ON THE SQL SURFACE (the true UDTF contract —
+    * [[graft.plans.NGramsGeneratorExpr]] registered as `ngrams_tf`):
+    * bigram term frequency spelled entirely in SQL through LATERAL
+    * VIEW over the streaming generator — no intermediate shingle
+    * array per document (explode over a composed array materializes
+    * the whole array first; the generator emits rows one at a time).
+    * Oracle = the composed unnest spelling; equal output proves the
+    * generator's row stream matches the array formulation exactly. */
+  val q171 = QueryDef("q171_generator_ngrams",
+    s"""WITH $docwCte, bg AS (
+       |  SELECT unnest(list_transform(range(1, len(w)),
+       |         i -> w[i] || ' ' || w[i+1])) AS gram
+       |  FROM docw WHERE len(w) >= 2
+       |)
+       |SELECT gram, CAST(count(*) AS BIGINT) AS n
+       |FROM bg GROUP BY gram
+       |ORDER BY n DESC, gram LIMIT 20""") { (s, dir) =>
+    graft.plans.GraftFunctions.register(s) // idempotent; Verify/Bench also inject via extensions
+    t(s, dir, "documents").createOrReplaceTempView("q171_docs")
+    s.sql("""SELECT g.gram, CAST(count(*) AS BIGINT) AS n
+            |FROM q171_docs LATERAL VIEW ngrams_tf(text, 2) g AS pos, gram
+            |GROUP BY g.gram
+            |ORDER BY n DESC, gram LIMIT 20""".stripMargin)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -5049,5 +5075,5 @@ object Extensions {
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
-    q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170)
+    q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171)
 }

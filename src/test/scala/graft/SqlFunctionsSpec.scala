@@ -68,6 +68,33 @@ class SqlFunctionsSpec extends SparkSuite {
     assert(sqlJl.exceptAll(apiJl).isEmpty && apiJl.exceptAll(sqlJl).isEmpty)
   }
 
+  test("ngrams_tf generator == the composed posexplode(wordShingles) rows; null/short contracts") {
+    GraftFunctions.register(spark)
+    Tables.registerAll(spark, sfDir)
+    val viaGen = spark.sql(
+      "SELECT doc_id, g.pos, g.gram FROM documents " +
+      "LATERAL VIEW ngrams_tf(text, 2) g AS pos, gram")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val composed = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), posexplode(graft.functions.TextFunctions.wordShingles(
+        graft.functions.TextFunctions.normalizedWords(col("text")), 2))
+        .as(Seq("pos0", "gram")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("int").as("pos"), col("gram"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(viaGen.nonEmpty && viaGen === composed)
+    // null text and sub-n docs generate zero rows, like explode(null)
+    import spark.implicits._
+    val edge = Seq((1L, null: String), (2L, "one")).toDF("doc_id", "text")
+    edge.createOrReplaceTempView("edge_docs")
+    assert(spark.sql(
+      "SELECT doc_id, g.gram FROM edge_docs LATERAL VIEW ngrams_tf(text, 2) g AS pos, gram")
+      .count() === 0)
+    // type check: non-string input fails at analysis, not at runtime
+    intercept[Exception] {
+      spark.sql("SELECT ngrams_tf(doc_id, 2) FROM edge_docs").collect()
+    }
+  }
+
   test("non-literal sketch parameter raises a clear error") {
     GraftFunctions.register(spark)
     Tables.registerAll(spark, sfDir)
