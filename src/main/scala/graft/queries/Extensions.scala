@@ -5067,6 +5067,68 @@ object Extensions {
             |ORDER BY n DESC, gram LIMIT 20""".stripMargin)
   }
 
+  // -------------------------------------------------------------- Q172
+  /** DETERMINISTIC BOOTSTRAP CONFIDENCE INTERVAL (percentile
+    * bootstrap, Efron '79 — the uncertainty bar every corpus metric
+    * report should carry): B=200 resamples of the doc-length mean,
+    * every draw a PURE md5 FUNCTION of (replicate, slot) — no RNG
+    * state, engine-replayable like all sampling here (q50/q89's
+    * idiom; the 16-bit-bucket mod-n draw carries a ≤n/2¹⁶ modulo
+    * bias, documented and identical in both engines). Draw slots are
+    * the corpus's own contiguous ids ([[GlobalIds.assign]]); each
+    * replicate's sum is an exact BIGINT; the CI bounds are exact
+    * ORDER BY elements of the 200 replicate sums (rn 5 / 196 — the
+    * 2.5%/97.5% percentile bootstrap), divided to DOUBLE only at
+    * output. */
+  val q172 = QueryDef("q172_bootstrap_ci",
+    s"""WITH g AS (
+       |  SELECT CAST(n_chars AS BIGINT) AS v,
+       |         row_number() OVER (ORDER BY doc_id) AS gid
+       |  FROM documents
+       |), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM g),
+       |d AS (SELECT t.b, gid AS dd FROM g CROSS JOIN range(0, 200) t(b)),
+       |jj AS (
+       |  SELECT b, (${md5Bucket16Sql("b * 1000000 + dd")} % (SELECT n FROM n)) + 1 AS j
+       |  FROM d
+       |), s AS (
+       |  SELECT jj.b, CAST(sum(g.v) AS BIGINT) AS s
+       |  FROM jj JOIN g ON g.gid = jj.j GROUP BY jj.b
+       |), r AS (SELECT b, s, row_number() OVER (ORDER BY s, b) AS rn FROM s),
+       |tot AS (SELECT CAST(sum(v) AS BIGINT) AS t FROM g)
+       |SELECT n.n, CAST(200 AS BIGINT) AS b_reps,
+       |       ${TextFunctions.round4Sql("CAST(tot.t AS DOUBLE) / n.n")} AS mean_chars,
+       |       ${TextFunctions.round4Sql("CAST(lo.s AS DOUBLE) / n.n")} AS ci_lo,
+       |       ${TextFunctions.round4Sql("CAST(hi.s AS DOUBLE) / n.n")} AS ci_hi
+       |FROM n CROSS JOIN tot
+       |CROSS JOIN (SELECT s FROM r WHERE rn = 5) lo
+       |CROSS JOIN (SELECT s FROM r WHERE rn = 196) hi""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val g = graft.operators.GlobalIds.assign(
+      t(s, dir, "documents").select(col("doc_id"), col("n_chars").cast("long").as("v")),
+      "gid", 32, col("doc_id"))
+    val n = g.count()
+    // draws: the corpus's own n slots × 200 replicates via a narrow
+    // explode (no cartesian); j = md5-bucket of the composite id mod n
+    val draws = g.select(col("gid").as("dd"))
+      .withColumn("b", explode(sequence(lit(0L), lit(199L))))
+      .select(col("b"), (pmod(graft.operators.Splits.hashBucket(
+        col("b") * 1000000L + col("dd")), lit(n)) + 1).cast("long").as("j"))
+    val sums = draws.join(g.select(col("gid").as("j"), col("v")), "j")
+      .groupBy("b").agg(sum(col("v")).as("s"))
+    // 200 bounded rows: the global rank window is fine here
+    val ranked = sums.withColumn("rn",
+      row_number().over(Window.orderBy(col("s"), col("b"))))
+    val tot = g.agg(sum(col("v")).as("t"))
+    val lo = ranked.filter(col("rn") === 5).select(col("s").as("lo_s"))
+    val hi = ranked.filter(col("rn") === 196).select(col("s").as("hi_s"))
+    s.range(1).select(lit(n).as("n"), lit(200L).as("b_reps"))
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+      .select(col("n"), col("b_reps"),
+        TextFunctions.round4(col("t").cast("double") / n).as("mean_chars"),
+        TextFunctions.round4(col("lo_s").cast("double") / n).as("ci_lo"),
+        TextFunctions.round4(col("hi_s").cast("double") / n).as("ci_hi"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -5075,5 +5137,5 @@ object Extensions {
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
-    q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171)
+    q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172)
 }

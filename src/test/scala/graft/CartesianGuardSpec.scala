@@ -18,7 +18,7 @@ class CartesianGuardSpec extends SparkSuite {
   private val heavyConstruction = Set(
     "q45_ann_ivf_kmeans", "q79b_semantic_dedup_kmeans", "q86_countmin",
     "q87_pq_ann", "q90_int8_ann", "q92_ivfpq_ann", "q95_ivf_int8_ann",
-    "q96_ivfpq_residual", "q155_ivf_incremental", "q160_phash_neardup", "q40_multimodal", "q63_dedup_clusters",
+    "q96_ivfpq_residual", "q155_ivf_incremental", "q160_phash_neardup", "q172_bootstrap_ci", "q40_multimodal", "q63_dedup_clusters",
     "q63b_dedup_clusters_star", "q66_dedup_pipeline", "q72_heavy_hitters",
     "q75_compression_quality", "q77_quantile_sketch")
 
