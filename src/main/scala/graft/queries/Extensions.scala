@@ -5129,6 +5129,59 @@ object Extensions {
         TextFunctions.round4(col("hi_s").cast("double") / n).as("ci_hi"))
   }
 
+  // -------------------------------------------------------------- Q173
+  /** EXACT-SEAT EVAL PANEL via largest-remainder apportionment
+    * (Hamilton's method — "allocate a 100-doc eval budget across
+    * languages proportionally, EXACTLY"): seats_i = ⌊cnt_i·K/N⌋ plus
+    * one bonus seat to the largest remainders until the budget is
+    * exact — all integer arithmetic, no float quota drift — then the
+    * per-language panel is the deterministic md5-ordered first
+    * `seats` docs (q148's capping idiom), so the panel is replayable
+    * from ids alone. Output is the doc-level panel: exactly K rows. */
+  val q173 = QueryDef("q173_apportioned_panel",
+    s"""WITH c AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY lang
+       |), t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c),
+       |q AS (
+       |  SELECT lang, cnt, (cnt * 100) // t.n AS fl, (cnt * 100) % t.n AS rem
+       |  FROM c CROSS JOIN t
+       |), e AS (SELECT CAST(100 - sum(fl) AS BIGINT) AS extra FROM q),
+       |s AS (
+       |  SELECT lang, cnt,
+       |         fl + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang)
+       |                        <= (SELECT extra FROM e) THEN 1 ELSE 0 END AS seats
+       |  FROM q
+       |), r AS (
+       |  SELECT d.lang, d.doc_id,
+       |         row_number() OVER (PARTITION BY d.lang
+       |           ORDER BY ${md5Bucket16Sql("d.doc_id")}, d.doc_id) AS rn
+       |  FROM documents d
+       |)
+       |SELECT r.lang, r.doc_id, s.seats
+       |FROM r JOIN s USING (lang)
+       |WHERE r.rn <= s.seats
+       |ORDER BY r.lang, r.doc_id""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    val c = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
+    val tot = c.agg(sum(col("cnt")).as("n"))
+    val q = c.crossJoin(broadcast(tot))
+      .withColumn("fl", expr("(cnt * 100) div n"))
+      .withColumn("rem", expr("(cnt * 100) % n"))
+    val extra = q.agg((lit(100L) - sum(col("fl"))).as("extra"))
+    val seats = q.crossJoin(broadcast(extra))
+      .withColumn("rr", row_number().over(Window.orderBy(col("rem").desc, col("lang"))))
+      .withColumn("seats", col("fl") + when(col("rr") <= col("extra"), 1L).otherwise(0L))
+      .select("lang", "seats")
+    val ranked = docs.select(col("lang"), col("doc_id"))
+      .withColumn("rn", row_number().over(Window.partitionBy("lang")
+        .orderBy(graft.operators.Splits.hashBucket(col("doc_id")), col("doc_id"))))
+    ranked.join(broadcast(seats), "lang")
+      .filter(col("rn") <= col("seats"))
+      .select("lang", "doc_id", "seats")
+      .orderBy("lang", "doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -5137,5 +5190,5 @@ object Extensions {
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
-    q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172)
+    q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173)
 }

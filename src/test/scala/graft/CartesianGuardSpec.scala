@@ -56,6 +56,8 @@ class CartesianGuardSpec extends SparkSuite {
     "q161_event_transitions",
     // q163: 1-row sample-size totals attachment (crossJoin(broadcast(tot)))
     "q163_ks_drift",
+    // q173: 1-row total/extra-seat attachments (crossJoin(broadcast(...)))
+    "q173_apportioned_panel",
     // q150 composes q132, inheriting its totals attachment
     "q150_curation_v3")
 
