@@ -5182,6 +5182,62 @@ object Extensions {
       .orderBy("lang", "doc_id")
   }
 
+  // -------------------------------------------------------------- Q174
+  /** PER-LANGUAGE ZIPF SLOPE (corpus-linguistics quality diagnostic:
+    * natural text runs a log-log rank–frequency slope near −1; spammy
+    * or machine-generated text bends it — a cheap distribution-shape
+    * gate beside q31's surface features): per language, the top-500
+    * terms by frequency, ln(rank)/ln(freq) in 1e-3 fixed point (the
+    * repo's ln idiom — floor(ln·1000+0.5) is engine-identical and
+    * keeps every OLS moment sum inside BIGINT), then q164's
+    * closed-form slope. */
+  val q174 = QueryDef("q174_zipf_slope",
+    s"""WITH $docwCte,
+       |tf AS (
+       |  SELECT d.lang, t.word, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT doc_id, unnest(w) AS word FROM docw) t
+       |  JOIN documents d USING (doc_id)
+       |  GROUP BY d.lang, t.word
+       |), rk AS (
+       |  SELECT lang, word, cnt,
+       |         row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, word) AS rank
+       |  FROM tf
+       |), xy AS (
+       |  SELECT lang,
+       |         CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000 + 0.5) AS BIGINT) AS x,
+       |         CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000 + 0.5) AS BIGINT) AS y
+       |  FROM rk WHERE rank <= 500
+       |), s AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS k,
+       |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy
+       |  FROM xy GROUP BY lang
+       |)
+       |SELECT lang, k,
+       |       ${TextFunctions.round4Sql(
+              "CAST(k * sxy - sx * sy AS DOUBLE) / (k * sxx - sx * sx)")} AS zipf_slope
+       |FROM s ORDER BY lang""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    val tf = docs.select(col("lang"),
+        explode(TextFunctions.normalizedWords(col("text"))).as("word"))
+      .groupBy("lang", "word").agg(count(lit(1)).as("cnt"))
+    val rk = tf.withColumn("rank", row_number().over(
+      Window.partitionBy("lang").orderBy(col("cnt").desc, col("word"))))
+      .filter(col("rank") <= 500)
+    val xy = rk.select(col("lang"),
+      floor(log(col("rank").cast("double")) * 1000 + 0.5).cast("long").as("x"),
+      floor(log(col("cnt").cast("double")) * 1000 + 0.5).cast("long").as("y"))
+    val sm = xy.groupBy("lang").agg(count(lit(1)).as("k"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+    sm.select(col("lang"), col("k"),
+        TextFunctions.round4(
+          (col("k") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (col("k") * col("sxx") - col("sx") * col("sx"))).as("zipf_slope"))
+      .orderBy("lang")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -5190,5 +5246,5 @@ object Extensions {
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
-    q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173)
+    q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174)
 }
