@@ -5238,6 +5238,60 @@ object Extensions {
       .orderBy("lang")
   }
 
+  // -------------------------------------------------------------- Q175
+  /** GINI CONCENTRATION of the term-frequency distribution per
+    * language (the inequality complement of q174's Zipf slope: how
+    * much of the token mass the head hoards): the exact rank
+    * formulation G = 2·Σi·xᵢ/(n·Σx) − (n+1)/n over frequencies
+    * sorted ascending — all BIGINT sums (rank·cnt ≤ 1e18 at 1M-term
+    * vocabularies), one ratio at output with identical trees. Also
+    * reports the top-1% mass share, the operational spelling of the
+    * same question. */
+  val q175 = QueryDef("q175_gini_concentration",
+    s"""WITH $docwCte,
+       |tf AS (
+       |  SELECT d.lang, t.word, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT doc_id, unnest(w) AS word FROM docw) t
+       |  JOIN documents d USING (doc_id)
+       |  GROUP BY d.lang, t.word
+       |), rk AS (
+       |  SELECT lang, cnt,
+       |         row_number() OVER (PARTITION BY lang ORDER BY cnt, word) AS i,
+       |         count(*) OVER (PARTITION BY lang) AS nl
+       |  FROM tf
+       |), s AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(cnt) AS BIGINT) AS tot,
+       |         CAST(sum(i * cnt) AS BIGINT) AS w,
+       |         CAST(sum(CASE WHEN i > nl - greatest(nl // 100, 1)
+       |                       THEN cnt ELSE 0 END) AS BIGINT) AS head
+       |  FROM rk GROUP BY lang
+       |)
+       |SELECT lang, n, tot,
+       |       ${TextFunctions.round4Sql(
+              "(2.0 * w) / (CAST(n AS DOUBLE) * tot) - (n + 1.0) / n")} AS gini,
+       |       ${TextFunctions.round4Sql("CAST(head AS DOUBLE) / tot")} AS top1pct_share
+       |FROM s ORDER BY lang""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    val tf = docs.select(col("lang"),
+        explode(TextFunctions.normalizedWords(col("text"))).as("word"))
+      .groupBy("lang", "word").agg(count(lit(1)).as("cnt"))
+    val rk = tf.withColumn("i", row_number().over(
+        Window.partitionBy("lang").orderBy(col("cnt"), col("word"))))
+      .withColumn("nl", count(lit(1)).over(Window.partitionBy("lang")))
+    val sm = rk.groupBy("lang").agg(count(lit(1)).as("n"),
+      sum(col("cnt")).as("tot"), sum(col("i") * col("cnt")).as("w"),
+      sum(when(col("i") > col("nl") - greatest(expr("nl div 100"), lit(1L)),
+        col("cnt")).otherwise(0L)).as("head"))
+    sm.select(col("lang"), col("n"), col("tot"),
+        TextFunctions.round4(
+          (lit(2.0) * col("w")) / (col("n").cast("double") * col("tot"))
+            - (col("n") + lit(1.0)) / col("n")).as("gini"),
+        TextFunctions.round4(col("head").cast("double") / col("tot")).as("top1pct_share"))
+      .orderBy("lang")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -5246,5 +5300,5 @@ object Extensions {
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
-    q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174)
+    q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175)
 }
