@@ -92,6 +92,10 @@ object GlobalIds {
     require(order.nonEmpty, "prefix sum needs a total order")
     val pidCol = "_gid_pid"
     val pinned = df
+      // the LONG cast is baked into the MATERIALIZED rows: the executor
+      // scan below reads getLong, which would ClassCast on an INT input
+      // that the driver-side agg (with its own cast) happily accepted
+      .withColumn(valueCol, col(valueCol).cast("long"))
       .repartitionByRange(numParts, order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn(pidCol, spark_partition_id())
@@ -103,7 +107,10 @@ object GlobalIds {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = sums.map(_._1).zip(sums.scanLeft(0L)(_ + _._2).init).toMap
     val offB = df.sparkSession.sparkContext.broadcast(offsets)
-    val outSchema = df.schema.add(cumCol, LongType, nullable = false)
+    // from the PINNED schema (minus pid): valueCol is LONG there even
+    // when the input declared INT — the output widens with it
+    val outSchema = org.apache.spark.sql.types.StructType(
+      pinned.schema.fields.init).add(cumCol, LongType, nullable = false)
     implicit val enc: Encoder[Row] = Encoders.row(outSchema)
     pinned.mapPartitions { it =>
       var base = -1L
@@ -133,6 +140,8 @@ object GlobalIds {
     require(order.nonEmpty, "prefix max needs a total order")
     val pidCol = "_gid_pid"
     val pinned = df
+      // LONG pinned into the materialized rows (see [[prefixSum]])
+      .withColumn(valueCol, col(valueCol).cast("long"))
       .repartitionByRange(numParts, order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn(pidCol, spark_partition_id())
@@ -148,7 +157,8 @@ object GlobalIds {
         Some(acc.fold(m)(math.max(_, m)))
       }.init).toMap
     val offB = df.sparkSession.sparkContext.broadcast(offsets)
-    val outSchema = df.schema.add(cumCol, LongType, nullable = true)
+    val outSchema = org.apache.spark.sql.types.StructType(
+      pinned.schema.fields.init).add(cumCol, LongType, nullable = true)
     implicit val enc: Encoder[Row] = Encoders.row(outSchema)
     pinned.mapPartitions { it =>
       var init = false
@@ -173,12 +183,24 @@ object GlobalIds {
     * numParts + nGroups scalar rows — partition boundaries cut at most
     * one group each), broadcast offsets + one narrow mapPartitions with
     * a per-group running counter. `cumCol` is the INCLUSIVE cumulative
-    * within the row's group. */
+    * within the row's group.
+    *
+    * DRIVER BOUND: because the exchange is RANGE partitioning on
+    * (grp, order…), each partition holds a contiguous key slice, so the
+    * offset table is ≤ numParts + nGroups entries — NOT numParts ×
+    * nGroups — regardless of group skew. The helper is therefore sized
+    * for the mixing-recipe regime (dozens-to-thousands of groups); a
+    * guard rejects a pathological table (> 4M entries ≈ hundreds of MB
+    * of driver heap) with instructions rather than OOMing the driver —
+    * at that scale use a per-group window (each group is tiny) or a
+    * join-based offset attach instead. */
   def prefixSumBy(df: DataFrame, grpCol: String, valueCol: String, cumCol: String,
       numParts: Int, order: Column*): DataFrame = {
     require(order.nonEmpty, "prefix sum needs a total order within each group")
     val pidCol = "_gid_pid"
     val pinned = df
+      // LONG pinned into the materialized rows (see [[prefixSum]])
+      .withColumn(valueCol, col(valueCol).cast("long"))
       .repartitionByRange(numParts, col(grpCol) +: order: _*)
       .sortWithinPartitions(col(grpCol) +: order: _*)
       .withColumn(pidCol, spark_partition_id())
@@ -188,6 +210,11 @@ object GlobalIds {
     val sums = pinned.groupBy(col(pidCol), col(grpCol))
       .agg(sum(col(valueCol).cast("long")).as("s"))
       .collect().map(r => (r.getInt(0), r.get(1), r.getLong(2)))
+    require(sums.length <= 4000000,
+      s"prefixSumBy offset table has ${sums.length} (partition, group) entries " +
+        "(range partitioning bounds this by numParts + nGroups — this input has " +
+        "too many groups for driver-broadcast offsets); use a per-group window " +
+        "or a join-based offset attach instead")
     val offsets: Map[(Int, Any), Long] = sums.groupBy(_._2).iterator.flatMap {
       case (g, rows) =>
         val byPid = rows.sortBy(_._1)
@@ -196,7 +223,8 @@ object GlobalIds {
         }
     }.toMap
     val offB = df.sparkSession.sparkContext.broadcast(offsets)
-    val outSchema = df.schema.add(cumCol, LongType, nullable = false)
+    val outSchema = org.apache.spark.sql.types.StructType(
+      pinned.schema.fields.init).add(cumCol, LongType, nullable = false)
     implicit val enc: Encoder[Row] = Encoders.row(outSchema)
     pinned.mapPartitions { it =>
       val run = scala.collection.mutable.HashMap.empty[Any, Long]

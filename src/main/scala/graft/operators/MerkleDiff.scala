@@ -29,13 +29,18 @@ import org.apache.spark.sql.functions._
 object MerkleDiff {
 
   /** Per-leaf digest of one snapshot: leaf = md5-bucket(id) mod
-    * `leaves`, cnt, dig = XOR of 48-bit row hashes over (id | cols). */
+    * `leaves`, cnt, dig = XOR of 48-bit row hashes over (id | cols).
+    * Each content column is encoded NULL-distinguishing — '0' for
+    * NULL, '1' ++ value otherwise — so a row whose content flips
+    * between NULL and '' changes its digest (a plain coalesce-to-''
+    * would silently report "no difference" for that real change). */
   def leafDigests(df: DataFrame, idCol: String, contentCols: Seq[String],
       leaves: Int): DataFrame = {
     require(leaves >= 1, s"need leaves >= 1, got $leaves")
     val rowStr = concat_ws("|",
       (col(idCol).cast("string") +:
-        contentCols.map(c => coalesce(col(c).cast("string"), lit("")))): _*)
+        contentCols.map(c =>
+          coalesce(concat(lit("1"), col(c).cast("string")), lit("0")))): _*)
     val rowh = conv(substring(md5(rowStr), 1, 12), 16, 10).cast("long")
     df.select((Splits.hashBucket(col(idCol)) % leaves).as("leaf"), rowh.as("_h"))
       .groupBy("leaf")

@@ -30,7 +30,11 @@ object Selection {
   /** The k-th smallest value (1-based) of the pinned long column. */
   def kthSmallest(vals: DataFrame, k: Long): Long = {
     val bounds = vals.agg(min("v"), max("v"), count(lit(1))).head
-    kthSmallestIn(vals, k, bounds.getLong(0), bounds.getLong(1), bounds.getLong(2))
+    val n = bounds.getLong(2)
+    // guard BEFORE unboxing min/max: on an empty relation they are
+    // NULL and getLong would NPE ahead of the k<=n contract check
+    require(n > 0, "kthSmallest needs a non-empty relation")
+    kthSmallestIn(vals, k, bounds.getLong(0), bounds.getLong(1), n)
   }
 
   /** Same, with the (min, max, count) scan already paid by the caller
@@ -93,6 +97,7 @@ object Selection {
     * the initial range exceeds 2^62 (the v−lo overflow guard). */
   def kthSmallestMulti(vals: DataFrame, ks: Seq[Long]): Map[Long, Long] = {
     val bounds = vals.agg(min("v"), max("v"), count(lit(1))).head
+    require(bounds.getLong(2) > 0, "kthSmallestMulti needs a non-empty relation")
     val (vmin, vmax, n) = (bounds.getLong(0), bounds.getLong(1), bounds.getLong(2))
     val distinctKs = ks.distinct
     distinctKs.foreach { k =>

@@ -38,6 +38,17 @@ object Extensions {
       s"CAST((strpos('0123456789abcdef', substr(md5(CAST($idExpr AS VARCHAR)), i, 1)) - 1) " +
       "AS DOUBLE) * pow(16, 4 - i))) AS INTEGER)"
 
+  /** The 48-bit widening of [[md5Bucket16Sql]] (first 12 hex digits of
+    * md5 — [[graft.operators.MerkleDiff]]'s row-hash width): every
+    * digit product ≤ 15·16¹¹ < 2⁴⁸ stays exact in DOUBLE, so the BIGINT
+    * cast is lossless. For draws whose modulus can exceed 2¹⁶ (q172's
+    * bootstrap slots — a 16-bit draw could never address a corpus past
+    * 65536 docs). */
+  private def md5Bucket48Sql(idExpr: String): String =
+    "CAST(list_sum(list_transform(range(1, 13), i -> " +
+      s"CAST((strpos('0123456789abcdef', substr(md5(CAST($idExpr AS VARCHAR)), i, 1)) - 1) " +
+      "AS DOUBLE) * pow(16, 12 - i))) AS BIGINT)"
+
   // --------------------------------------------------------------- Q24
   val q24 = QueryDef("q24_exact_dedup",
     """SELECT coalesce(md5(text), '') AS h, min(doc_id) AS keep_id, count(*) AS dup_cnt
@@ -2496,7 +2507,12 @@ object Extensions {
     * buffer per group crosses the shuffle instead of the 64×-row
     * posexplode the naive spelling costs. Floats snap to integer 1e-6
     * units before summation (exact longs → order-independent), and the
-    * oracle replays the same arithmetic via unnest WITH ORDINALITY. */
+    * oracle replays the same arithmetic via unnest WITH ORDINALITY.
+    * The DECLARED output carries the centroid as `centroid_units` — a
+    * space-joined string of integer 1e-4 units — because the driver's
+    * checker canonicalizes rows through pandas, which cannot hash raw
+    * ARRAY cells (r8 red row); the array form lives on in the specs
+    * and in [[graft.operators.VectorAggregates]] consumers. */
   val q111 = QueryDef("q111_embedding_centroids",
     """WITH u AS (
       |  SELECT e.label, t.range AS ord,
@@ -2508,8 +2524,8 @@ object Extensions {
       |  SELECT label, CAST(count(*) AS BIGINT) AS n FROM embeddings GROUP BY label
       |)
       |SELECT n.label, n.n,
-      |       list(floor((CAST(s.su AS DOUBLE) / (n.n * 1000000.0)) * 10000 + 0.5) / 10000
-      |            ORDER BY s.ord) AS centroid
+      |       string_agg(CAST(CAST(floor((CAST(s.su AS DOUBLE) / (n.n * 1000000.0)) * 10000 + 0.5) AS BIGINT) AS VARCHAR),
+      |                  ' ' ORDER BY s.ord) AS centroid_units
       |FROM s JOIN n ON s.label = n.label
       |GROUP BY n.label, n.n ORDER BY n.label""") { (s, dir) =>
     t(s, dir, "embeddings")
@@ -2517,9 +2533,10 @@ object Extensions {
       .agg(count(lit(1)).as("n"),
         graft.operators.VectorAggregates.vectorSumUnits(col("embedding"), 64).as("su"))
       .select(col("label"), col("n"),
-        transform(col("su"),
-          u => floor(u.cast("double") / (col("n") * 1000000.0) * 10000 + 0.5) / 10000)
-          .as("centroid"))
+        array_join(transform(col("su"),
+          u => floor(u.cast("double") / (col("n") * 1000000.0) * 10000 + 0.5)
+            .cast("long").cast("string")), " ")
+          .as("centroid_units"))
       .orderBy("label")
   }
 
@@ -2531,7 +2548,11 @@ object Extensions {
     * derive). Single-pass native expression; the oracle replays the
     * identical segmentation with the q67 recursive CTE extended to
     * TRACK the piece list, then maps pieces → ids via row_number over
-    * the same inlined VALUES. */
+    * the same inlined VALUES. The DECLARED output carries the id
+    * sequence as `ids_str` (space-joined — the driver's pandas
+    * canonicalization cannot hash ARRAY cells, r8 red row); the array
+    * form stays the engine surface ([[graft.functions.VocabTokenizer
+    * .tokenIds]]). */
   val q112 = QueryDef("q112_tokenize_ids",
     s"""WITH RECURSIVE $docwCte,
        |vocab(piece) AS (SELECT * FROM (VALUES ${graft.functions.VocabTokenizer.valuesSql()}) v(piece)),
@@ -2569,7 +2590,7 @@ object Extensions {
        |       CASE WHEN dw.w IS NULL THEN NULL
        |            ELSE CAST(len(coalesce(di.ids, [])) AS INT) END AS n_tok,
        |       CASE WHEN dw.w IS NULL THEN NULL
-       |            ELSE coalesce(di.ids, []) END AS ids
+       |            ELSE array_to_string(coalesce(di.ids, []), ' ') END AS ids_str
        |FROM docw dw LEFT JOIN di ON di.doc_id = dw.doc_id
        |ORDER BY dw.doc_id""") { (s, dir) =>
     t(s, dir, "documents")
@@ -2579,7 +2600,9 @@ object Extensions {
       .select(col("doc_id"),
         when(col("ids").isNull, lit(null)).otherwise(size(col("ids")))
           .cast("int").as("n_tok"),
-        col("ids"))
+        // array_join propagates a NULL ids array (concat_ws would
+        // collapse it to ''), so the null-text row stays NULL here too
+        array_join(col("ids").cast("array<string>"), " ").as("ids_str"))
       .orderBy("doc_id")
   }
 
@@ -3797,15 +3820,15 @@ object Extensions {
       s"""WITH base AS (
          |  SELECT doc_id, text, ${md5Bucket16Sql("doc_id")} AS bkt FROM documents
          |), snap_a AS (
-         |  SELECT doc_id, doc_id || '|' || coalesce(text, '') AS s FROM documents
+         |  SELECT doc_id, doc_id || '|' || coalesce('1' || text, '0') AS s FROM documents
          |), snap_b AS (
          |  SELECT doc_id,
          |         doc_id || '|' || coalesce(
-         |           CASE WHEN bkt < 9831 THEN text || ' v2' ELSE text END, '') AS s
+         |           '1' || CASE WHEN bkt < 9831 THEN text || ' v2' ELSE text END, '0') AS s
          |  FROM base WHERE bkt >= 3277
          |  UNION ALL
          |  SELECT doc_id + 1000000,
-         |         (doc_id + 1000000) || '|' || coalesce('new ' || text, '')
+         |         (doc_id + 1000000) || '|' || coalesce('1' || ('new ' || text), '0')
          |  FROM base WHERE bkt >= 62259
          |), la AS (
          |  SELECT ${md5Bucket16Sql("doc_id")} % 256 AS leaf,
@@ -4947,8 +4970,11 @@ object Extensions {
     * [[graft.operators.GlobalIds.prefixSumBy]] (the GROUP-KEYED
     * running total — per-bucket range exchange, no single-partition
     * window), and each (bucket, batch) reports its padded-token waste
-    * = max_len·n_docs − Σlen. All integers until the final waste
-    * ratio. */
+    * = max_len·n_docs − Σlen. ALL integer arithmetic, including the
+    * final 4-decimal waste ratio: units = ⌊p/d·10⁴+½⌋ is computed as
+    * the exact integer (20000·p + d) div (2d) on BOTH sides, then
+    * divided by 10000.0 once — no double division anywhere a rounding
+    * knife-edge could live (r8's lone hash-red row hardened out). */
   val q169 = QueryDef("q169_length_batching",
     s"""WITH $docwCte,
        |d AS (
@@ -4966,8 +4992,8 @@ object Extensions {
        |       CAST(sum(n_tok) AS BIGINT) AS sum_tok,
        |       max(n_tok) AS max_tok,
        |       CAST(max(n_tok) * count(*) - sum(n_tok) AS BIGINT) AS padded_tok,
-       |       ${TextFunctions.round4Sql(
-              "CAST(max(n_tok) * count(*) - sum(n_tok) AS DOUBLE) / (max(n_tok) * count(*))")} AS waste
+       |       ((max(n_tok) * count(*) - sum(n_tok)) * 20000 + max(n_tok) * count(*))
+       |         // (2 * max(n_tok) * count(*)) / 10000.0 AS waste
        |FROM g GROUP BY bucket, batch_idx
        |ORDER BY bucket, batch_idx""") { (s, dir) =>
     val d = t(s, dir, "documents")
@@ -4985,9 +5011,8 @@ object Extensions {
       .select(col("bucket"), col("batch_idx"), col("n_docs"), col("sum_tok"),
         col("max_tok"),
         (col("max_tok") * col("n_docs") - col("sum_tok")).as("padded_tok"),
-        TextFunctions.round4(
-          (col("max_tok") * col("n_docs") - col("sum_tok")).cast("double")
-            / (col("max_tok") * col("n_docs"))).as("waste"))
+        (expr("((max_tok * n_docs - sum_tok) * 20000 + max_tok * n_docs) " +
+          "div (2 * max_tok * n_docs)") / 10000.0).as("waste"))
       .orderBy("bucket", "batch_idx")
   }
 
@@ -5073,8 +5098,10 @@ object Extensions {
     * report should carry): B=200 resamples of the doc-length mean,
     * every draw a PURE md5 FUNCTION of (replicate, slot) — no RNG
     * state, engine-replayable like all sampling here (q50/q89's
-    * idiom; the 16-bit-bucket mod-n draw carries a ≤n/2¹⁶ modulo
-    * bias, documented and identical in both engines). Draw slots are
+    * idiom). The draw takes a 48-BIT md5 prefix mod n (a 16-bit draw
+    * could only ever address slots 1..65536 — statistically invalid
+    * past 2¹⁶ docs; 48 bits leave a ≤n/2⁴⁸ modulo bias, negligible at
+    * any corpus size the exact-BIGINT sums support). Draw slots are
     * the corpus's own contiguous ids ([[GlobalIds.assign]]); each
     * replicate's sum is an exact BIGINT; the CI bounds are exact
     * ORDER BY elements of the 200 replicate sums (rn 5 / 196 — the
@@ -5088,7 +5115,7 @@ object Extensions {
        |), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM g),
        |d AS (SELECT t.b, gid AS dd FROM g CROSS JOIN range(0, 200) t(b)),
        |jj AS (
-       |  SELECT b, (${md5Bucket16Sql("b * 1000000 + dd")} % (SELECT n FROM n)) + 1 AS j
+       |  SELECT b, (${md5Bucket48Sql("b * 1000000 + dd")} % (SELECT n FROM n)) + 1 AS j
        |  FROM d
        |), s AS (
        |  SELECT jj.b, CAST(sum(g.v) AS BIGINT) AS s
@@ -5111,8 +5138,9 @@ object Extensions {
     // explode (no cartesian); j = md5-bucket of the composite id mod n
     val draws = g.select(col("gid").as("dd"))
       .withColumn("b", explode(sequence(lit(0L), lit(199L))))
-      .select(col("b"), (pmod(graft.operators.Splits.hashBucket(
-        col("b") * 1000000L + col("dd")), lit(n)) + 1).cast("long").as("j"))
+      .select(col("b"), (pmod(
+        conv(substring(md5((col("b") * 1000000L + col("dd")).cast("string")), 1, 12),
+          16, 10).cast("long"), lit(n)) + 1).cast("long").as("j"))
     val sums = draws.join(g.select(col("gid").as("j"), col("v")), "j")
       .groupBy("b").agg(sum(col("v")).as("s"))
     // 200 bounded rows: the global rank window is fine here

@@ -102,8 +102,14 @@ object Sinks {
     val json =
       s"""{"rows": ${d._1}, "digest": ${d._2}, "files": $nFiles, """ +
         s""""id_col": "$idCol", "content_cols": "${contentCols.mkString(",")}"}"""
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(outDir, "_MANIFEST.json"), json)
+    // through the Hadoop FileSystem of the OUTPUT path — the publish
+    // boundary must work where the data landed (HDFS/S3), not only on
+    // the driver's local disk
+    val mPath = new org.apache.hadoop.fs.Path(outDir, "_MANIFEST.json")
+    val fs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(mPath, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Validate a manifested directory: recompute (rows, digest) from the
@@ -111,8 +117,14 @@ object Sinks {
     * (ok, expectedRows, actualRows, expectedDigest, actualDigest). */
   def validateManifest(spark: SparkSession,
       outDir: String): (Boolean, Long, Long, Long, Long) = {
-    val text = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(outDir, "_MANIFEST.json"))
+    val mPath = new org.apache.hadoop.fs.Path(outDir, "_MANIFEST.json")
+    val mfs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val text = {
+      val in = mfs.open(mPath)
+      try org.apache.commons.io.IOUtils.toString(
+        in, java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
     def field(name: String): String =
       s""""$name": (-?\\w+)""".r.findFirstMatchIn(text)
         .getOrElse(sys.error(s"manifest missing $name")).group(1)

@@ -414,9 +414,7 @@ object EventStreams {
   def dedupUpsertBatch(spark: SparkSession, batch: DataFrame, targetDir: String,
       keys: Seq[String], batchId: Long): Unit = {
     val fresh0 = batch.dropDuplicates(keys)
-    val target = new java.io.File(targetDir)
-    val hasData = target.isDirectory &&
-      target.listFiles().exists(_.getName.startsWith("batch="))
+    val hasData = hasBatchPartitions(spark, targetDir)
     val fresh =
       if (!hasData) fresh0
       else {
@@ -464,9 +462,7 @@ object EventStreams {
     val b = Dedup.minhashBands(batch, idCol, textCol, n, k, bands)
       .localCheckpoint() // two consumers (claims + flags); one signature pass
     val claimed = b.groupBy("band_idx", "bh").agg(min(col("doc_id")).as("owner"))
-    val target = new java.io.File(stateDir)
-    val hasData = target.isDirectory &&
-      target.listFiles().exists(_.getName.startsWith("batch="))
+    val hasData = hasBatchPartitions(spark, stateDir)
     val existing =
       if (!hasData) null
       else spark.read.parquet(stateDir)
@@ -564,19 +560,29 @@ object EventStreams {
     * atomically — stated, not hidden). */
   def majorCompact(spark: SparkSession, targetDir: String, keyCol: String,
       opCol: String, deleteOp: String, ordCols: Seq[String], upToBatch: Long): Unit = {
-    val fs = new java.io.File(targetDir)
-    val folded = fs.listFiles().toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
-      .filter(_.getName.stripPrefix("batch=").toLong <= upToBatch)
+    val root = new org.apache.hadoop.fs.Path(targetDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val folded = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .filter(_.getPath.getName.stripPrefix("batch=").toLong <= upToBatch)
     require(folded.nonEmpty, s"majorCompact: no batches <= $upToBatch under $targetDir")
     val base = graft.operators.Merge.compactLog(
-        spark.read.parquet(folded.map(_.getPath): _*), keyCol, opCol, deleteOp, ordCols)
+        spark.read.parquet(folded.map(_.getPath.toString): _*),
+        keyCol, opCol, deleteOp, ordCols)
       .filter(col(opCol) =!= deleteOp) // oldest level → tombstones drop
-    val tmp = s"$targetDir/.compact_tmp"
-    base.write.mode("overwrite").parquet(tmp)
-    folded.foreach(d => org.apache.commons.io.FileUtils.deleteDirectory(d))
-    org.apache.commons.io.FileUtils.moveDirectory(
-      new java.io.File(tmp), new java.io.File(s"$targetDir/batch=$upToBatch"))
+    val tmp = new org.apache.hadoop.fs.Path(root, ".compact_tmp")
+    base.write.mode("overwrite").parquet(tmp.toString)
+    folded.foreach(s => fs.delete(s.getPath, true))
+    fs.rename(tmp, new org.apache.hadoop.fs.Path(root, s"batch=$upToBatch"))
+  }
+
+  /** Does `dir` already hold any `batch=` partition? Resolved through
+    * the path's own Hadoop FileSystem — a java.io.File probe would
+    * silently answer "no" on HDFS/S3 and re-ingest every key. */
+  private def hasBatchPartitions(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("batch="))
   }
 
   /** Replay a batch DataFrame's rows through a real streaming source

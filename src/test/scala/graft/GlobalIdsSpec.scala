@@ -64,4 +64,45 @@ class GlobalIdsSpec extends SparkSuite {
     val bm = b.select("doc_id", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(am == bm)
   }
+
+  // ---- prefixSumBy determinism (the q169 chain's only run-order-
+  // sensitive machinery): identical output under ADVERSARIAL numbering
+  // fan-outs × input layouts — range bounds are re-sampled per run, so
+  // any boundary-dependence would show as a differing cum somewhere.
+  private def grouped = docs
+    .withColumn("bucket", expr("n_chars div 500"))
+
+  test("prefixSumBy: identical output across numParts {1,7,32,200} × layouts") {
+    val baseline = grouped.withColumn("cum",
+      sum(col("n_chars")).over(
+        Window.partitionBy("bucket").orderBy(col("n_chars"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select("doc_id", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val layouts = Seq(
+      ("pre-sorted", grouped.orderBy("bucket", "n_chars", "doc_id")),
+      ("shuffled", grouped.orderBy(rand(17))),
+      // adversarially skewed: everything funneled through ONE partition
+      ("skewed", grouped.repartition(1)))
+    for (parts <- Seq(1, 7, 32, 200); (name, in) <- layouts) {
+      val got = GlobalIds.prefixSumBy(in, "bucket", "n_chars", "cum", parts,
+          col("n_chars"), col("doc_id"))
+        .select("doc_id", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == baseline, s"prefixSumBy diverged at numParts=$parts layout=$name")
+    }
+  }
+
+  test("prefixSumBy/prefixSum/prefixMax accept an INT value column (widened to LONG)") {
+    // regression: the executor scan reads getLong on the materialized
+    // row — an un-pinned INT input passed the driver phase then threw
+    // ClassCastException in tasks
+    val ints = docs.select(col("doc_id"), col("n_chars").cast("int").as("v"))
+      .withColumn("bucket", expr("v div 500"))
+    val bySum = GlobalIds.prefixSumBy(ints, "bucket", "v", "cum", 5, col("doc_id"))
+    assert(bySum.schema("cum").dataType.typeName == "long" && bySum.count() > 0)
+    val pSum = GlobalIds.prefixSum(ints, "v", "cum", 5, col("doc_id"))
+    assert(pSum.agg(max("cum")).head.getLong(0) ==
+      ints.agg(sum(col("v").cast("long"))).head.getLong(0))
+    val pMax = GlobalIds.prefixMax(ints, "v", "pm", 5, col("doc_id"))
+    assert(pMax.count() == ints.count())
+  }
 }

@@ -44,12 +44,17 @@ class MerkleDiffSpec extends SparkSuite {
     assert(dr.length == 1 && dr.head.getLong(1) == dr.head.getLong(2) + 1)
   }
 
-  test("null content digests like empty string and stays stable") {
+  test("null content is DISTINGUISHED from empty string (and each is stable)") {
     val withNull = snap.withColumn("text",
       when(col("id") === 7L, lit(null).cast("string")).otherwise(col("text")))
     val asEmpty = snap.withColumn("text",
       when(col("id") === 7L, lit("")).otherwise(col("text")))
+    // a NULL↔'' flip is a REAL change: exactly id=7's leaf must differ
     val d = MerkleDiff.diffLeaves(withNull, asEmpty, "id", Seq("text"), leaves)
-    assert(d.filter(col("differs")).count() == 0)
+    assert(d.filter(col("differs")).count() == 1)
+    // while each encoding on its own digests stably across repartitions
+    val same = MerkleDiff.diffLeaves(withNull,
+      withNull.orderBy(rand(7)).repartition(5), "id", Seq("text"), leaves)
+    assert(same.filter(col("differs")).count() == 0)
   }
 }

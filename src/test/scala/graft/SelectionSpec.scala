@@ -41,6 +41,14 @@ class SelectionSpec extends SparkSuite {
     intercept[IllegalArgumentException] { Selection.kthSmallest(vals, 4L) }
   }
 
+  test("empty relation is rejected with a clear contract error, not an NPE") {
+    // regression: min/max are NULL on an empty relation — the bounds
+    // unboxing used to NPE before the k<=n require could fire
+    val empty = Selection.pin(Seq.empty[Long].toDF("x"), "x")
+    intercept[IllegalArgumentException] { Selection.kthSmallest(empty, 1L) }
+    intercept[IllegalArgumentException] { Selection.kthSmallestMulti(empty, Seq(1L)) }
+  }
+
   test("multi-rank descent == per-rank answers on random data with duplicates") {
     val rnd = new scala.util.Random(97)
     val xs = (1 to 2000).map(_ => (rnd.nextInt(500) - 250).toLong)

@@ -28,6 +28,20 @@ for name in sorted(oracle):
         fails.append((name, f"exec error: {e}")); continue
     if sorted(gcols) != sorted(ecols):
         fails.append((name, f"schema: spark={sorted(gcols)} oracle={sorted(ecols)}")); continue
+    # the DRIVER canonicalizes via pandas, which cannot hash ARRAY cells
+    # (round-8 q111/q112 crash) — flag any list/ndarray cell up front so
+    # a declared output that would crash the driver fails HERE too
+    unhashable = None
+    for probe_rows, side in ((got, "spark"), (exp, "oracle")):
+        for r in probe_rows:
+            for v in r:
+                if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+                    unhashable = f"{side} output has an array cell (driver-unhashable): {v!r:.80}"
+                    break
+            if unhashable: break
+        if unhashable: break
+    if unhashable:
+        fails.append((name, unhashable)); continue
     gperm = sorted(range(len(gcols)), key=lambda i: gcols[i])
     eperm = sorted(range(len(ecols)), key=lambda i: ecols[i])
     got = [tuple(r[i] for i in gperm) for r in got]
