@@ -41,19 +41,30 @@ object Multimodal {
     * stream over the seed bytes, so the corpus checksum in q40 pins
     * the full synthesize→encode→decode→feature path. */
   object ImageSynth {
+    private def toHex(b: Array[Byte]): String =
+      b.map(x => f"$x%02x").mkString
+
+    /** The byte stream is a VARCHAR-md5 chain — block k is
+      * md5(hex(md5(seed)) ++ "|" ++ k) over ASCII hex STRINGS, never
+      * raw digest bytes — deliberately: a SQL engine whose md5 only
+      * accepts VARCHAR (DuckDB) can then replay the exact pixel bytes,
+      * which is what lets q160's phash pipeline carry a real oracle
+      * instead of a self-gate. Byte j of the stream is hex pair j%16
+      * of block j/16. */
     private def hashStream(seed: Array[Byte]): Iterator[Int] = {
       val md = MessageDigest.getInstance("MD5")
-      val first = md.digest(seed)
-      var block = first
-      var counter = 0
+      val hex0 = toHex(md.digest(seed))
       new Iterator[Int] {
-        private var idx = 0
+        private var block: Array[Byte] = Array.emptyByteArray
+        private var idx = 16
+        private var counter = 0L
         override def hasNext = true
         override def next(): Int = {
-          if (idx >= block.length) {
-            md.reset(); md.update(first); counter += 1
-            md.update((counter & 0xff).toByte); md.update(((counter >> 8) & 0xff).toByte)
-            block = md.digest(); idx = 0
+          if (idx >= 16) {
+            md.reset()
+            block = md.digest((hex0 + "|" + counter)
+              .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+            counter += 1; idx = 0
           }
           val b = block(idx) & 0xff; idx += 1; b
         }
@@ -111,10 +122,15 @@ object Multimodal {
   object ImageCodec {
     javax.imageio.ImageIO.setUseCache(false) // no disk-backed stream cache in executors
 
-    /** 8-dim embedding: mean gray over a 2x4 grid of the frame. */
+    /** 8-dim embedding: mean gray over a 2x4 grid of the frame.
+      * Accumulation is EXACT INTEGER (Σ(r+g+b) per cell, one double
+      * division at the end) — order-independent, and bit-replayable by
+      * an oracle summing the same integers in any order; a per-pixel
+      * double `gray` accumulation would make the float depend on pixel
+      * visit order. */
     private def gridEmbedding(img: java.awt.image.BufferedImage): Array[Float] = {
       val w = img.getWidth; val h = img.getHeight
-      val sums = new Array[Double](8)
+      val sums = new Array[Long](8)
       val counts = new Array[Long](8)
       // bulk getRGB (same ARGB ints as per-pixel getRGB, one JNI-ish call)
       val px = img.getRGB(0, 0, w, h, null, 0, w)
@@ -123,14 +139,15 @@ object Multimodal {
         var x = 0
         while (x < w) {
           val rgb = px(y * w + x)
-          val gray = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0 / 255.0
+          val rgbSum = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
           val cell = math.min(1, y * 2 / h) * 4 + math.min(3, x * 4 / w)
-          sums(cell) += gray; counts(cell) += 1
+          sums(cell) += rgbSum; counts(cell) += 1
           x += 1
         }
         y += 1
       }
-      Array.tabulate(8)(i => if (counts(i) == 0) 0f else (sums(i) / counts(i)).toFloat)
+      Array.tabulate(8)(i =>
+        if (counts(i) == 0) 0f else (sums(i).toDouble / (counts(i) * 765.0)).toFloat)
     }
 
     private def decodeOne(a: Asset): Features = a.kind match {
@@ -211,7 +228,10 @@ object Multimodal {
     val fp = docs.agg(coalesce(
         expr(s"bit_xor(xxhash64($idCol, $textCol))"), lit(0L)))
       .head.getLong(0)
-    val path = f"$root/assets_$fp%016x.parquet"
+    // v2: cache key carries the SYNTH VERSION too — the fingerprint only
+    // hashes the corpus, so a synthesis-algorithm change (v2 = the
+    // oracle-replayable VARCHAR-md5 stream) must not read a stale cache
+    val path = f"$root/assets_v2_$fp%016x.parquet"
     val spark = docs.sparkSession
     def readCache(): Dataset[Asset] =
       spark.read.parquet(path)

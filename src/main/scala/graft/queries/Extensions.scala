@@ -2057,17 +2057,60 @@ object Extensions {
 
   // -------------------------------------------------------------- Q100
   /** BPE VOCABULARY TRAINING ([[graft.operators.BpeTrainer]]): learn 40
-    * merges from the corpus word counts with the engine itself. Not
-    * SQL-expressible (an iterative argmax), so rows-only with in-query
-    * gates on the two invariants training must satisfy: (a) winning
-    * pair counts are NON-INCREASING across rounds (a merge only lowers
-    * existing pair counts, and pairs it creates occur at a subset of
-    * the positions of pairs that were already candidates), and (b)
-    * every merge consumes pieces that exist at its step (the 26
-    * letters plus earlier merges). BpeTrainerSpec adds the independent
-    * witness: the distributed trainer equals a from-scratch driver-side
-    * replay merge-for-merge. */
-  val q100 = QueryDef.noOracle("q100_bpe_train") { (s, dir) =>
+    * merges from the corpus word counts with the engine itself. The
+    * iterative argmax unrolls with a FIXED merge budget exactly like
+    * q101's PageRank — 40 generated CTE rounds, each one pair-count
+    * aggregation (argmax by `ORDER BY c DESC, l, r LIMIT 1`, the
+    * trainer's total tiebreak) plus the leftmost-first merge rewrite as
+    * a list_reduce LEFT FOLD: the running output is a '|'-joined
+    * string, and a piece merges iff it equals `r` and the accumulated
+    * string ends in a whole piece `l` (appending WITHOUT the separator
+    * is the fuse — "aaaa"→[aa,aa], "abab"→[ab,ab], matching the
+    * trainer's overlap semantics because the fused piece l||r can never
+    * re-match l). Early stop (best count < 2) makes w_k empty, which
+    * the LEFT JOIN turns into an identity round — stable thereafter,
+    * mirroring the trainer's loop exit. The in-query invariant gates
+    * (non-increasing counts, pieces exist at their step) stay. */
+  private def bpeTrainOracleSql(rounds: Int): String = {
+    // w_k and s_k are each referenced twice downstream — MATERIALIZED is
+    // load-bearing: default CTE inlining would blow up 2^rounds
+    val steps = (1 to rounds).map { k =>
+      s"""pc$k AS MATERIALIZED (
+         |  SELECT p.l AS l, p.r AS r, CAST(sum(cnt) AS BIGINT) AS c FROM (
+         |    SELECT cnt, unnest(list_transform(range(1, len(pieces)), i ->
+         |      struct_pack(l := pieces[i], r := pieces[i+1]))) AS p
+         |    FROM s${k - 1} WHERE len(pieces) >= 2) GROUP BY p.l, p.r
+         |),
+         |w$k AS MATERIALIZED (SELECT l, r, c FROM pc$k WHERE c >= 2 ORDER BY c DESC, l, r LIMIT 1),
+         |s$k AS MATERIALIZED (
+         |  SELECT s.cnt,
+         |         CASE WHEN w.l IS NULL THEN s.pieces
+         |              ELSE string_split(list_reduce(s.pieces, (acc, x) ->
+         |                CASE WHEN x = w.r AND (acc = w.l OR ends_with(acc, '|' || w.l))
+         |                     THEN acc || x ELSE acc || '|' || x END), '|')
+         |         END AS pieces
+         |  FROM s${k - 1} s LEFT JOIN w$k w ON TRUE
+         |)""".stripMargin
+    }.mkString(",\n")
+    val trace = (1 to rounds).map { k =>
+      s"""SELECT CAST($k AS INT) AS step, l AS "left", r AS "right", l || r AS piece, c AS cnt FROM w$k"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $docwCte,
+       |wc AS (
+       |  SELECT u.word AS word, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM docw d, LATERAL (SELECT unnest(d.w) AS word) u
+       |  GROUP BY u.word
+       |),
+       |s0 AS MATERIALIZED (
+       |  SELECT cnt, list_transform(range(1, len(word)+1), i -> substr(word, i, 1)) AS pieces
+       |  FROM wc WHERE len(word) > 0),
+       |$steps
+       |SELECT * FROM (
+       |$trace
+       |) ORDER BY step""".stripMargin
+  }
+
+  val q100 = QueryDef("q100_bpe_train", bpeTrainOracleSql(40)) { (s, dir) =>
     val wc = t(s, dir, "documents")
       .select(explode(TextFunctions.normalizedWords(col("text"))).as("word"))
       .filter(length(col("word")) > 0)
@@ -4501,12 +4544,95 @@ object Extensions {
     * (real javax.imageio codec, q40's plumbing), aHash the grid
     * embedding, pair within equal-hash buckets, verify by embedding
     * L2 — the pixel-side twin of the text dedup family (bucket
-    * equi-join, no pair enumeration outside buckets). Self-gating:
-    * every EXACT-text duplicate pair (identical seeds ⇒ identical
-    * pixels) must be recovered as a phash dup
-    * (`recovered_all_exact_dups`) — planted-recovery, since pixel
-    * decode isn't DuckDB-expressible. */
-  val q160 = QueryDef.noOracle("q160_phash_neardup") { (s, dir) =>
+    * equi-join, no pair enumeration outside buckets). The planted
+    * recovery gate stays (`recovered_all_exact_dups`: every exact-text
+    * dup pair — identical seeds ⇒ identical pixels — must surface as a
+    * phash dup), and since r9 the WHOLE pipeline is hash-checked: the
+    * synth stream is a VARCHAR-md5 chain and the grid sums are exact
+    * integers precisely so the oracle below can replay seed → stream
+    * bytes → pixels → cell means (REAL cast = Scala .toFloat) → aHash
+    * bits → bucket pairs → L2, bit-for-bit — the PNG encode/decode the
+    * Spark side routes through is lossless RGB, so proving the
+    * arithmetic proves the codec plumbing returned the same pixels. */
+  private def q160OracleSql: String = {
+    // byte j of a 16-byte md5 block given its hex string: two hex-digit
+    // lookups (strpos is 1-based; -1 maps '0'→0 … 'f'→15)
+    def hexByte(s: String, j: String): String =
+      s"(16*(strpos('0123456789abcdef', substr($s, 2*($j)+1, 1))-1)" +
+        s" + (strpos('0123456789abcdef', substr($s, 2*($j)+2, 1))-1))"
+    def e(v: String, i: Int) = s"CAST($v[$i] AS DOUBLE)"
+    // aHash mean and L2 replicate the Spark aggregate()'s LEFT-FOLD
+    // order (0.0 + e1) + e2 … so the double rounding is identical
+    val mean = "(0.0 + " + (1 to 8).map(e("e", _)).mkString(" + ") + ") / 8"
+    val phBits = "concat(" +
+      (1 to 8).map(i => s"CASE WHEN ${e("e", i)} > m THEN '1' ELSE '0' END").mkString(", ") + ")"
+    val d2 = "(0.0 + " + (1 to 8).map { i =>
+      s"(${e("ea", i)} - ${e("eb", i)}) * (${e("ea", i)} - ${e("eb", i)})"
+    }.mkString(" + ") + ")"
+    s"""WITH corpus AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT CAST(doc_id + 1000000 AS BIGINT), text FROM documents WHERE doc_id < 10
+       |),
+       |seeds AS (SELECT doc_id, md5(coalesce(text, '')) AS h0 FROM corpus),
+       |dims AS (
+       |  SELECT doc_id, h0,
+       |         16 + ${hexByte("md5(h0 || '|0')", "0")} % 48 AS w,
+       |         16 + ${hexByte("md5(h0 || '|0')", "1")} % 48 AS ht
+       |  FROM seeds
+       |),
+       |nb AS (SELECT doc_id, h0, w, ht, (2 + 3*w*ht + 15) // 16 AS nblocks FROM dims),
+       |blocks AS (
+       |  SELECT doc_id, w, ht, t.k AS k, md5(h0 || '|' || CAST(t.k AS VARCHAR)) AS bh
+       |  FROM nb, LATERAL (SELECT unnest(range(0, nblocks)) AS k) t
+       |),
+       |bytes AS (
+       |  SELECT doc_id, w, ht, k*16 + i.i AS j, ${hexByte("bh", "i.i")} AS b
+       |  FROM blocks, LATERAL (SELECT unnest(range(0, 16)) AS i) i
+       |),
+       |px AS (
+       |  SELECT doc_id, w, ht, (j - 2) // 3 AS p, sum(b) AS rgb
+       |  FROM bytes WHERE j >= 2 AND j < 2 + 3*w*ht
+       |  GROUP BY doc_id, w, ht, (j - 2) // 3
+       |),
+       |cells AS (
+       |  SELECT doc_id,
+       |         least(1, CAST((p // w) * 2 AS BIGINT) // ht) * 4
+       |           + least(3, CAST((p % w) * 4 AS BIGINT) // w) AS cell,
+       |         CAST(sum(rgb) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+       |  FROM px GROUP BY doc_id, cell
+       |),
+       |emb AS (
+       |  SELECT doc_id, list(CAST(CAST(s AS DOUBLE) / (c * 765.0) AS REAL) ORDER BY cell) AS e
+       |  FROM cells GROUP BY doc_id
+       |),
+       |ah AS (SELECT doc_id, e, $mean AS m FROM emb),
+       |phs AS (SELECT doc_id, e, $phBits AS ph FROM ah),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ph AS ph, a.e AS ea, b.e AS eb
+       |  FROM phs a JOIN phs b ON a.ph = b.ph AND a.doc_id < b.doc_id
+       |),
+       |flags AS (
+       |  SELECT id_a, id_b, ph, ${TextFunctions.round4Sql(s"sqrt($d2)")} AS l2
+       |  FROM pairs
+       |),
+       |fl2 AS (SELECT id_a, id_b, ph, l2, l2 <= 0.001 AS is_dup FROM flags),
+       |th AS (SELECT doc_id, md5(text) AS h FROM corpus WHERE text IS NOT NULL),
+       |tp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |       FROM th a JOIN th b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |gate AS (
+       |  SELECT CAST(sum(CASE WHEN f.hit IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missed,
+       |         CAST(count(*) AS BIGINT) AS n_planted
+       |  FROM tp LEFT JOIN (SELECT id_a, id_b, TRUE AS hit FROM fl2 WHERE is_dup) f
+       |    USING (id_a, id_b)
+       |)
+       |SELECT f.id_a, f.id_b, f.ph, f.l2, f.is_dup,
+       |       (g.n_missed = 0 AND g.n_planted >= 10) AS recovered_all_exact_dups
+       |FROM fl2 f CROSS JOIN gate g
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  val q160 = QueryDef("q160_phash_neardup", q160OracleSql) { (s, dir) =>
     val M = graft.operators.Multimodal
     // the fixture corpus has no exact-dup texts at the gate SF, so the
     // recovery gate PLANTS ten: copies of the first ten docs under
