@@ -48,6 +48,11 @@ object ProductQuantization {
   def fit(emb: DataFrame, vecCol: String, m: Int, k: Int, seed: Long = 42L,
       trainCap: Int = 100000, maxIter: Int = 10): PQModel = {
     val sample = LocalKMeans.sample(emb, vecCol, trainCap, unit = false)
+    fitOnSample(sample, m, k, seed, maxIter)
+  }
+
+  private def fitOnSample(sample: Array[Array[Double]], m: Int, k: Int,
+      seed: Long, maxIter: Int): PQModel = {
     require(sample.nonEmpty, "PQ fit needs a nonempty training sample")
     val dim = sample.head.length
     require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
@@ -344,4 +349,148 @@ object ProductQuantization {
       .select(col("q_id"), col("vid").as("c_id"))
     exactRerank(short, queries, corpus, idCol, vecCol, k)
   }
+
+  // ------------------------------------------------------------- OPQ
+
+  /** OPQ model: an orthonormal rotation applied before PQ coding
+    * (Ge, He, Ke & Sun, "Optimized Product Quantization", CVPR 2013,
+    * the non-parametric variant). PQ's weakness is subspace
+    * MISALIGNMENT: when variance concentrates in directions that span
+    * several of the m fixed coordinate blocks, every block's codebook
+    * wastes its k codes on correlated structure. The learned rotation
+    * re-axes the data so quantization error is minimized across
+    * blocks; search cost is UNCHANGED (the corpus is rotated once at
+    * encode time; each query pays one d×d matvec before its LUT —
+    * nothing per candidate), which is exactly the "recall remedy at
+    * equal cost" PQ needs on hard corpora. */
+  case class OPQModel(rotation: Array[Array[Double]], pq: PQModel)
+
+  private def matvec(r: Array[Array[Double]], x: Array[Double]): Array[Double] = {
+    val d = r.length
+    val out = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      var acc = 0.0
+      val ri = r(i)
+      var j = 0
+      while (j < d) { acc += ri(j) * x(j); j += 1 }
+      out(i) = acc; i += 1
+    }
+    out
+  }
+
+  /** Nearest-codebook reconstruction of one (already rotated) vector. */
+  private def reconstruct(model: PQModel, x: Array[Double]): Array[Double] = {
+    val out = new Array[Double](model.dim)
+    var s = 0
+    while (s < model.m) {
+      val cb = model.codebooks(s)
+      var bestJ = 0
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < cb.length) {
+        var d2 = 0.0
+        var t = 0
+        while (t < model.subDim) {
+          val diff = x(s * model.subDim + t) - cb(j)(t)
+          d2 += diff * diff; t += 1
+        }
+        if (d2 < bestD) { bestD = d2; bestJ = j }
+        j += 1
+      }
+      System.arraycopy(cb(bestJ), 0, out, s * model.subDim, model.subDim)
+      s += 1
+    }
+    out
+  }
+
+  /** Alternating OPQ fit: (a) fix R, train PQ codebooks on {Rx};
+    * (b) fix the quantized reconstructions Y, update R by orthogonal
+    * Procrustes — R = UVᵀ from the SVD of M = Σ y xᵀ (breeze, a d×d
+    * driver-local solve). The train sample is capped lower than plain
+    * [[fit]]'s (the Σ y xᵀ accumulation is O(n·d²)); both stay
+    * one-time driver-side build costs. Deterministic for a fixed
+    * seed. */
+  def fitOPQ(emb: DataFrame, vecCol: String, m: Int, k: Int, seed: Long = 42L,
+      trainCap: Int = 20000, maxIter: Int = 10, opqIters: Int = 8): OPQModel = {
+    val sample = LocalKMeans.sample(emb, vecCol, trainCap, unit = false)
+    require(sample.nonEmpty, "OPQ fit needs a nonempty training sample")
+    val dim = sample.head.length
+    var r = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+    var model = fitOnSample(sample, m, k, seed, maxIter)
+    var it = 0
+    while (it < opqIters) {
+      val rotated = sample.map(matvec(r, _))
+      model = fitOnSample(rotated, m, k, seed, maxIter)
+      // Procrustes: M = Σ y·xᵀ over the ORIGINAL sample; R = U·Vᵀ
+      val acc = breeze.linalg.DenseMatrix.zeros[Double](dim, dim)
+      var n = 0
+      while (n < sample.length) {
+        val y = reconstruct(model, matvec(r, sample(n)))
+        val x = sample(n)
+        var i = 0
+        while (i < dim) {
+          val yi = y(i)
+          var j = 0
+          while (j < dim) { acc(i, j) += yi * x(j); j += 1 }
+          i += 1
+        }
+        n += 1
+      }
+      val breeze.linalg.svd.SVD(u, _, vt) = breeze.linalg.svd(acc)
+      val rm = u * vt
+      r = Array.tabulate(dim, dim)((i, j) => rm(i, j))
+      it += 1
+    }
+    val rotated = sample.map(matvec(r, _))
+    OPQModel(r, fitOnSample(rotated, m, k, seed, maxIter))
+  }
+
+  /** The rotation as a column expression (y_i = Σ_j R(i)(j)·x_j) —
+    * applied corpus-side once at encode time and query-side once per
+    * query; never in the per-candidate path. */
+  def rotateVec(v: Column, rotation: Array[Array[Double]]): Column = {
+    val rLit = typedLit(rotation.map(_.toSeq).toSeq)
+    transform(rLit, row =>
+      aggregate(zip_with(row, v, (a, b) => a * b.cast("double")),
+        lit(0.0), (acc, x) => acc + x).cast("float"))
+  }
+
+  /** [[encode]] over the rotated corpus (one-time ingest pass). */
+  def encodeOPQ(emb: DataFrame, idCol: String, vecCol: String,
+      opq: OPQModel): DataFrame =
+    encode(emb.withColumn(vecCol, rotateVec(col(vecCol), opq.rotation)),
+      idCol, vecCol, opq.pq)
+
+  /** OPQ ADC search: rotate the QUERY (one matvec), then the standard
+    * ADC scan — rotation is orthonormal, so quantized-dot(Rq, Rv)
+    * estimates dot(q, v) and norms are preserved. */
+  def adcTopKOPQ(queries: DataFrame, encoded: DataFrame, idCol: String,
+      vecCol: String, k: Int, opq: OPQModel): DataFrame =
+    adcTopK(queries.withColumn(vecCol, rotateVec(col(vecCol), opq.rotation)),
+      encoded, idCol, vecCol, k, opq.pq)
+
+  /** OPQ ADC + exact re-rank: the shortlist comes from the rotated
+    * ADC scan; the re-rank reads the ORIGINAL float corpus (cosine is
+    * rotation-invariant, so re-ranking in the original space is both
+    * correct and avoids materializing a rotated float corpus). */
+  def adcTopKRerankedOPQ(queries: DataFrame, encoded: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, shortlist: Int,
+      opq: OPQModel): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    val short = adcTopKOPQ(queries, encoded, idCol, vecCol, shortlist, opq)
+      .select(col("q_id"), col("c_id"))
+    exactRerank(short, queries, corpus, idCol, vecCol, k)
+  }
+
+  /** Shortlist-scaling rule (the second recall remedy): a FIXED
+    * shortlist's recall decays as the corpus grows — the quantized
+    * ranking's error stays put while the number of decoys above the
+    * true neighbors grows ∝ n. Scaling the shortlist with n/1000
+    * (floored at 4k, capped so the float re-read stays bounded) holds
+    * the recall floor across corpus decades at a re-rank cost that is
+    * still O(queries × shortlist), microscopic next to the scan. */
+  def scaledShortlist(corpusSize: Long, k: Int,
+      cap: Int = 4096): Int =
+    math.max(4 * k, math.min(cap, (corpusSize / 1000L).toInt))
 }

@@ -312,6 +312,27 @@ object Similarity {
         (col("vid") =!= col("rep_id")).cast("int").as("is_dup"))
   }
 
+  /** THE production entry for semantic dedup at scale:
+    * [[semanticDedupKMeans]] with the centroid count DERIVED as
+    * c = ⌈N / targetClusterSize⌉ — the SemDeDup regime (11 k clusters
+    * over 1.3 B embeddings ≈ 120 k/cluster). Holding the TARGET
+    * CLUSTER SIZE fixed while the corpus grows keeps the per-vector
+    * pair fanout Σ C(n_i, 2)/N ≈ targetClusterSize/2 CONSTANT across
+    * corpus decades — the committed SemanticDedupBench record measures
+    * pairs/vec 68→71→80 over a 100× corpus sweep under exactly this
+    * rule. q79 (fixed corpus-subset centroids) is the ORACLE GATE for
+    * the shared pipeline, not the production path; q79b runs this
+    * code. */
+  def semanticDedupKMeansScaled(emb: DataFrame, idCol: String, vecCol: String,
+      targetClusterSize: Long, theta: Double, seed: Long = 42L,
+      trainCap: Int = 100000, maxIter: Int = 10): DataFrame = {
+    require(targetClusterSize >= 1, s"targetClusterSize must be >= 1")
+    val n = emb.filter(VectorFunctions.norm(col(vecCol)) > 0).count()
+    val c = math.max(1L, (n + targetClusterSize - 1) / targetClusterSize)
+    require(c <= Int.MaxValue, "centroid count overflow")
+    semanticDedupKMeans(emb, idCol, vecCol, c.toInt, theta, seed, trainCap, maxIter)
+  }
+
   /** Seeded spherical k-means assignment: (vid, v, cent_id). Fit is
     * bounded exactly like [[ivfKMeansTopK]]'s (capped cached training
     * sample, random init, few Lloyd passes); only the single transform

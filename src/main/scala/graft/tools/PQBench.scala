@@ -21,6 +21,14 @@ object PQBench {
     val nQ = args.lift(1).map(_.toInt).getOrElse(16)
     val k = args.lift(2).map(_.toInt).getOrElse(10)
     val reps = args.lift(3).map(_.toInt).getOrElse(3)
+    // blob  = isotropic blob+noise (r8's corpus — rotation-invariant by
+    //         construction, the hardest case for OPQ to improve);
+    // aniso = the same blobs mixed across dims by a fixed dense rotation
+    //         AFTER a per-dim exponential variance decay — variance now
+    //         straddles the m coordinate blocks, the regime OPQ exists
+    //         for (real embeddings after PCA-ish correlation look like
+    //         this; Ge et al. §5's GIST case)
+    val shape = args.lift(4).getOrElse("blob")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -37,11 +45,26 @@ object PQBench {
       (pmod(xxhash64(c), lit(100000L)).cast("double") / 100000.0) - 0.5
     val dim = 64
     val nBlobs = math.max(64, (n / 500).toInt)
-    val emb = spark.range(n).select(col("id").as("vec_id"),
+    // aniso: exponential per-dim variance decay (0.93^i spans ~2 decades)
+    // before the fixed dense mix below
+    val decay = (i: org.apache.spark.sql.Column) =>
+      if (shape == "aniso") pow(lit(0.93), i) else lit(1.0)
+    val emb0 = spark.range(n).select(col("id").as("vec_id"),
         transform(sequence(lit(0), lit(dim - 1)), i =>
-          (u(concat_ws(",", lit("blob"), pmod(col("id"), lit(nBlobs.toLong)), i))
-            + u(concat_ws(",", lit("noise"), col("id"), i)) * lit(0.15))
+          ((u(concat_ws(",", lit("blob"), pmod(col("id"), lit(nBlobs.toLong)), i))
+            + u(concat_ws(",", lit("noise"), col("id"), i)) * lit(0.15)) * decay(i))
             .cast("float")).as("embedding"))
+    val emb = (if (shape == "aniso") {
+        // fixed seeded orthonormal mix (QR of a gaussian matrix): the
+        // decayed variance directions no longer align with the m
+        // coordinate blocks — what a learned rotation should undo
+        val rnd = new java.util.Random(7)
+        val g = breeze.linalg.DenseMatrix.fill(dim, dim)(rnd.nextGaussian())
+        val qr = breeze.linalg.qr(g)
+        val mix = Array.tabulate(dim, dim)((i, j) => qr.q(i, j))
+        emb0.select(col("vec_id"),
+          ProductQuantization.rotateVec(col("embedding"), mix).as("embedding"))
+      } else emb0)
       .persist()
     emb.count()
     val qPred = col("vec_id") < nQ
@@ -52,6 +75,10 @@ object PQBench {
     val model = ProductQuantization.fit(emb, "embedding", m = 8, k = 32)
     val encoded = ProductQuantization.encode(emb, "vec_id", "embedding", model).persist()
     encoded.count()
+    // OPQ build (untimed): learned rotation + codebooks, rotated code table
+    val opq = ProductQuantization.fitOPQ(emb, "embedding", m = 8, k = 32)
+    val encodedOPQ = ProductQuantization.encodeOPQ(emb, "vec_id", "embedding", opq).persist()
+    encodedOPQ.count()
 
     val exactIds = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k)
       .groupBy("q_id").agg(collect_set(col("c_id")).as("exact_ids")).persist()
@@ -87,6 +114,20 @@ object PQBench {
       ("pq_adc_rerank100", () =>
         ProductQuantization.adcTopKReranked(queries, encoded, emb,
           "vec_id", "embedding", k, shortlist = 100, model)),
+      // remedy 1: learned rotation, SAME shortlist — equal search cost
+      ("opq_adc_rerank100", () =>
+        ProductQuantization.adcTopKRerankedOPQ(queries, encodedOPQ, emb,
+          "vec_id", "embedding", k, shortlist = 100, opq)),
+      // remedy 2: shortlist scaled with corpus size (n/1000)
+      ("pq_adc_rerank_scaled", () =>
+        ProductQuantization.adcTopKReranked(queries, encoded, emb,
+          "vec_id", "embedding", k,
+          shortlist = ProductQuantization.scaledShortlist(n, k), model)),
+      // both remedies composed
+      ("opq_adc_rerank_scaled", () =>
+        ProductQuantization.adcTopKRerankedOPQ(queries, encodedOPQ, emb,
+          "vec_id", "embedding", k,
+          shortlist = ProductQuantization.scaledShortlist(n, k), opq)),
       ("ivfpq_rerank100_probe4of64", () =>
         ProductQuantization.ivfPQSearch(queries, ivfCached, emb, "vec_id", "embedding",
           k, nProbe = 4, shortlist = 100, model)),
@@ -102,7 +143,7 @@ object PQBench {
         (System.nanoTime() - t0) / 1e9
       }.sorted
       val rec = recallOf(mk())
-      println(f"""{"variant":"$tag","vecs":$n,"queries":$nQ,"k":$k,"reps":$reps,""" +
+      println(f"""{"variant":"$tag","corpus":"$shape","vecs":$n,"queries":$nQ,"k":$k,"reps":$reps,""" +
         f""""min_sec":${samples.head}%.3f,"median_sec":${samples(samples.size / 2)}%.3f,""" +
         f""""recall_at_k":$rec%.3f}""")
     }

@@ -1,6 +1,12 @@
 // Sustained-throughput + latency record for the streaming surface:
 //
-//   sbt "runMain graft.tools.StreamBench [rowsPerSec] [runSec]"
+//   sbt "runMain graft.tools.StreamBench [rowsPerSec] [runSec] [stateStore]"
+//
+// stateStore = hdfs (default) | rocksdb. The rocksdb variant swaps in
+// RocksDBStateStoreProvider with changelog checkpointing — the
+// standard remedy when the HDFSBacked (in-heap hashmap + full-snapshot
+// checkpoint) store is the stateful ceiling: state moves off-heap,
+// and per-batch checkpointing writes only the delta.
 //
 // Drives the rate source at a FIXED input rate through two
 // representative pipelines — the watermarked tumbling-window aggregate
@@ -32,16 +38,23 @@ object StreamBench {
   def main(args: Array[String]): Unit = {
     val rowsPerSec = args.lift(0).map(_.toInt).getOrElse(200000)
     val runSec = args.lift(1).map(_.toInt).getOrElse(60)
+    val stateStore = args.lift(2).getOrElse("hdfs")
     val warmupSec = 15
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .appName("stream-bench")
-      .getOrCreate()
+    if (stateStore == "rocksdb") {
+      builder.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      builder.config(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
@@ -102,7 +115,8 @@ object StreamBench {
         } yield (java.time.Instant.parse(mx).toEpochMilli - wmMs).toDouble
       }
       val kept = settled.map(_.numInputRows).sum
-      println(f"""{"pipeline":"$name","rows_per_sec_in":$rowsPerSec,"run_sec":$runSec,""" +
+      println(f"""{"pipeline":"$name","state_store":"$stateStore",""" +
+        f""""rows_per_sec_in":$rowsPerSec,"run_sec":$runSec,""" +
         f""""batches":${settled.size},"rows_processed":$kept,""" +
         f""""throughput_p50":${pct(thr, 0.5)}%.0f,"throughput_p95":${pct(thr, 0.95)}%.0f,""" +
         f""""batch_ms_p50":${pct(lat, 0.5)}%.0f,"batch_ms_p95":${pct(lat, 0.95)}%.0f,""" +

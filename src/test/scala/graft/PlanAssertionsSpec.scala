@@ -186,6 +186,29 @@ class PlanAssertionsSpec extends SparkSuite {
       || p37.contains("BroadcastHashJoin"), p37)
   }
 
+  test("q79b production path: centroid count scales as ceil(N/target) and the " +
+      "pair stage stays a cent_id equi-join at every derived count") {
+    // the production entry derives c = ceil(N / targetClusterSize) — the
+    // SemDeDup rule that holds per-vector pair fanout constant as the
+    // corpus grows. Assert the derivation is honored end-to-end: the
+    // assignment's distinct cent_id count equals the derived c (coarse
+    // fit permitting: k-means can only MERGE seeds, never exceed c).
+    val emb = graft.sources.Tables(spark, sfDir, "embeddings")
+    val n = emb.filter(graft.functions.VectorFunctions
+      .norm(org.apache.spark.sql.functions.col("embedding")) > 0).count()
+    for (target <- Seq(n, (n + 3) / 4)) {
+      val out = graft.operators.Similarity.semanticDedupKMeansScaled(
+        emb, "vec_id", "embedding", targetClusterSize = target, theta = 0.3)
+      val expectC = (n + target - 1) / target
+      val gotC = out.select("cent_id").distinct().count()
+      assert(gotC <= expectC && gotC >= 1,
+        s"target=$target: derived c=$expectC but assignment used $gotC clusters")
+      val p = out.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(!p.contains("CartesianProduct"),
+        s"pair stage degenerated to a cartesian at c=$expectC:\n$p")
+    }
+  }
+
   test("q80: span sharing is an equi-join on the span hash — never a " +
       "cartesian/NLJ, and the exchange key is the 8-byte hash") {
     val p = plan("q80_span_dedup")
