@@ -27,12 +27,25 @@ object CountMin {
   /** Sketch state: exact stream length + row-major d×w counter grid. */
   case class CMState(total: Long, d: Int, w: Int, counts: Array[Long])
 
-  /** Row hash: position of `word` in sketch row `i`. MurmurHash3 of
-    * the string with the row index as seed — deterministic across
-    * JVMs/executors (pure function of the UTF-16 chars and seed). */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Row hash: position of `word` in sketch row `i` — the first 16
+    * bits of md5("i|word") mod w (the repo's engine-portable bucket
+    * idiom: any SQL engine with md5 replays the slot, which is what
+    * lets q86 carry a full DuckDB oracle instead of a self-gate). For
+    * the default w=2048 the mod is exact (2048 | 2^16), so the slot
+    * distribution is unbiased. md5 costs ~4× murmur per token — paid
+    * d times per ingested token; a throughput-critical deployment can
+    * swap a faster hash back in at the cost of oracle replay. */
   private[graft] def slot(word: String, i: Int, w: Int): Int = {
-    val h = scala.util.hashing.MurmurHash3.stringHash(word, i)
-    ((h % w) + w) % w
+    val md = md5Local.get()
+    md.reset()
+    val h = md.digest((i.toString + "|" + word)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    (((h(0) & 0xff) << 8) | (h(1) & 0xff)) % w
   }
 
   class CountMinAgg(d: Int, w: Int) extends Aggregator[String, CMState, CMState] {

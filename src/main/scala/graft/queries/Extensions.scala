@@ -1512,13 +1512,42 @@ object Extensions {
   /** COUNT–MIN point-frequency sketch ([[graft.operators.CountMin]]):
     * estimates for the exact top-20 tokens, self-asserting both CM
     * guarantees in-query — `est ≥ exact` (deterministic) and
-    * `est ≤ exact + ⌈(e/w)·N⌉` (holds with prob ≥ 1−e^−5 per token;
-    * deterministic here: fixed corpus, fixed seeds). Rows-only gated
-    * like q77 — a sketch cell is not DuckDB-reproducible. The exact
-    * side doubles as the reference: on this corpus the estimates must
-    * sit inside the bound band, and the `within_bound` column proves
-    * it row by row. */
-  val q86 = QueryDef.noOracle("q86_countmin") { (s, dir) =>
+    * `est ≤ exact + ⌈(e/w)·N⌉`. Since r9 FULLY oracle-checked: the
+    * row hash is the md5-16-bit bucket (engine-portable), so a sketch
+    * CELL is just "count of tokens whose (row, slot) hash collides
+    * here" — the oracle rebuilds all d×w cells as one GROUP BY over
+    * the token stream × d rows and takes the same min-over-rows
+    * estimate, hash-matching est/total/bound bit-for-bit. */
+  val q86 = QueryDef("q86_countmin",
+    s"""WITH $docwCte,
+       |tok AS (SELECT u.word AS word FROM docw d, LATERAL (SELECT unnest(d.w) AS word) u),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM tok),
+       |cells AS (
+       |  SELECT i.i AS i, ${md5Bucket16Sql("CAST(i.i AS VARCHAR) || '|' || word")} % 2048 AS slot,
+       |         CAST(count(*) AS BIGINT) AS c
+       |  FROM tok, LATERAL (SELECT unnest(range(0, 5)) AS i) i
+       |  GROUP BY 1, 2
+       |),
+       |top AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS exact_cnt FROM tok
+       |  GROUP BY word ORDER BY exact_cnt DESC, word LIMIT 20
+       |),
+       |topslots AS (
+       |  SELECT t.word, t.exact_cnt, i.i AS i,
+       |         ${md5Bucket16Sql("CAST(i.i AS VARCHAR) || '|' || word")} % 2048 AS slot
+       |  FROM top t, LATERAL (SELECT unnest(range(0, 5)) AS i) i
+       |),
+       |est AS (
+       |  SELECT ts.word, ts.exact_cnt, min(c.c) AS est
+       |  FROM topslots ts JOIN cells c ON c.i = ts.i AND c.slot = ts.slot
+       |  GROUP BY ts.word, ts.exact_cnt
+       |)
+       |SELECT e.word, e.exact_cnt, e.est, n.total,
+       |       (e.est >= e.exact_cnt AND
+       |        e.est <= e.exact_cnt + CAST(ceil(2.718281828459045 / 2048 * n.total) AS BIGINT))
+       |         AS within_bound
+       |FROM est e CROSS JOIN n
+       |ORDER BY exact_cnt DESC, word""") { (s, dir) =>
     import s.implicits._
     val (d, w) = (5, 2048)
     val docs = t(s, dir, "documents")
