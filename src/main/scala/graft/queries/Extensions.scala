@@ -3272,7 +3272,10 @@ object Extensions {
     * aggregate or any partial-aggregation context uses (stream ==
     * batch spec-asserted in StreamingCurationSpec) — hash-checked
     * against the SQL replay of the same selection. Only k (key, id)
-    * pairs cross the shuffle. */
+    * pairs cross the shuffle. Declared output is the space-joined id
+    * string (the driver's checker cannot hash ARRAY cells — this row
+    * only survived r8 because a 1-row frame skips the pandas lexsort;
+    * same canonicalization as q111/q112). */
   val q130 = QueryDef("q130_sample_sketch",
     s"""WITH b AS (
        |  SELECT doc_id, n_chars, ${md5Bucket16Sql("doc_id")} AS bucket
@@ -3285,10 +3288,12 @@ object Extensions {
        |), top AS (
        |  SELECT doc_id, es_key FROM k ORDER BY es_key DESC, doc_id LIMIT 25
        |)
-       |SELECT list(doc_id ORDER BY es_key DESC, doc_id) AS sample_ids
+       |SELECT array_to_string(list(doc_id ORDER BY es_key DESC, doc_id), ' ') AS sample_ids_str
        |FROM top""") { (s, dir) =>
     graft.operators.Sampling.weightedSampleSketch(
-      t(s, dir, "documents"), "doc_id", col("n_chars") + 1, k = 25)
+        t(s, dir, "documents"), "doc_id", col("n_chars") + 1, k = 25)
+      .select(array_join(col("sample_ids").cast("array<string>"), " ")
+        .as("sample_ids_str"))
   }
 
   // -------------------------------------------------------------- Q131
@@ -4675,7 +4680,10 @@ object Extensions {
       M.cachedCorpusAssets(docs, "doc_id", "text")
         .filter(col("kind") === "image")).toDF()
     val hashed = feats.select(col("asset_id"),
-      M.aHash(col("embedding")).as("ph"), col("embedding"))
+        M.aHash(col("embedding")).as("ph"), col("embedding"))
+      // pinned: the self-join below consumes this twice, and the decode
+      // subtree (real PNG codec per asset) must run once, not per side
+      .localCheckpoint()
     val d2 = aggregate(zip_with(col("ea"), col("eb"),
         (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
       lit(0.0), (acc, x) => acc + x)
