@@ -127,6 +127,106 @@ object TextAnalysis {
           .as("rep_ratio"))
   }
 
+  /** Gopher repetition battery (Rae et al. 2021, App. A1.1): per doc,
+    * the TOP-n-gram character fraction for n∈{2,3,4} (characters
+    * claimed by the single most frequent word n-gram; ties broken
+    * cnt DESC then gram ASC) and the DUPLICATE-n-gram character
+    * fraction for n∈{5,10} (characters claimed by every n-gram
+    * occurring ≥2×, overlap-counting — each occurrence counts its full
+    * character length, a stated deviation from the paper's
+    * character-coverage accounting). Denominator = characters of the
+    * space-joined normalized words (min 1). `gopher_keep` applies the
+    * paper's thresholds (0.20/0.18/0.16 top; 0.15/0.10 dup); NULL text
+    * yields NULL fractions and keep=false.
+    *
+    * Shape: ONE explode over the five tagged shingle arrays → one
+    * (doc, n, gram) hash aggregation → one (doc, n)-keyed window +
+    * aggregation → a (doc)-keyed pivot. Every shuffle key contains
+    * doc_id, so state per task is bounded by the longest single
+    * document regardless of corpus size — the battery is a single
+    * corpus pass with no self-joins. */
+  def gopherRepetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ns = Seq(2, 3, 4, 5, 10)
+    val base = graft.sources.Balance.cpuBound(docs)
+      .select(col(idCol), col(textCol).as("__graft_text"),
+        TextFunctions.normalizedWords(col(textCol)).as("__graft_w"))
+      .withColumn("__graft_dlen",
+        greatest(length(concat_ws(" ", col("__graft_w"))), lit(1)))
+    // tag each shingle with its n so ALL five gram lengths ride one
+    // explode + one aggregation instead of five corpus passes
+    val tagged = concat(ns.map(n =>
+      transform(TextFunctions.wordShingles(col("__graft_w"), n),
+        g => struct(lit(n).as("n"), g.as("g")))): _*)
+    val counts = base.filter(col("__graft_w").isNotNull)
+      .select(col(idCol), explode(tagged).as("t"))
+      .select(col(idCol), col("t.n").as("n"), col("t.g").as("g"))
+      .groupBy(idCol, "n", "g").agg(count(lit(1)).as("cnt"))
+    val win = Window.partitionBy(idCol, "n").orderBy(col("cnt").desc, col("g"))
+    val agg = counts.withColumn("rn", row_number().over(win))
+      .groupBy(idCol, "n")
+      .agg(sum(when(col("rn") === 1, col("cnt") * length(col("g"))).otherwise(0L))
+        .as("topchars"),
+        sum(when(col("cnt") >= 2, col("cnt") * length(col("g"))).otherwise(0L))
+          .as("dupchars"))
+    val pivotCols =
+      ns.map(n => coalesce(max(when(col("n") === n, col("topchars"))), lit(0L))
+        .as(s"top$n")) ++
+      ns.map(n => coalesce(max(when(col("n") === n, col("dupchars"))), lit(0L))
+        .as(s"dup$n"))
+    val pivoted = agg.groupBy(idCol).agg(pivotCols.head, pivotCols.tail: _*)
+    def frac(c: Column) =
+      TextFunctions.round4(coalesce(c, lit(0L)).cast("double") / col("__graft_dlen"))
+    base.join(pivoted, Seq(idCol), "left")
+      .select((col(idCol) +:
+        (Seq(2, 3, 4).map(n => when(col("__graft_text").isNull, lit(null))
+          .otherwise(frac(col(s"top$n"))).as(s"top${n}gram_frac")) ++
+         Seq(5, 10).map(n => when(col("__graft_text").isNull, lit(null))
+          .otherwise(frac(col(s"dup$n"))).as(s"dup${n}gram_frac")) ++
+         Seq((col("__graft_text").isNotNull
+           && frac(col("top2")) <= 0.20
+           && frac(col("top3")) <= 0.18
+           && frac(col("top4")) <= 0.16
+           && frac(col("dup5")) <= 0.15
+           && frac(col("dup10")) <= 0.10).as("gopher_keep")))): _*)
+  }
+
+  /** Gopher quality rules (Rae et al. 2021, App. A1.1 — the companion
+    * battery to [[gopherRepetition]]): per-doc word count, mean word
+    * length, and distinct-stopword presence over the normalized word
+    * array, with the paper's keep thresholds (50 ≤ words ≤ 100 000;
+    * 3 ≤ mean length ≤ 10; ≥ 2 distinct stop words from the paper's
+    * 8-word list). The paper's symbol-ratio and line-shape rules need
+    * raw punctuation/newlines, which the byte-wise `[a-z]`
+    * normalization this engine standardizes on removes — they are
+    * deliberately out of scope here (see [[qualityScore]] for the raw
+    * alpha-ratio signal). Per-rule booleans are emitted alongside the
+    * composite so a curation pipeline can audit WHICH rule rejected a
+    * document. Pure per-row expressions: narrow, shuffle-free, whole
+    * battery inside one codegen stage. */
+  def gopherQuality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val w = TextFunctions.normalizedWords(col(textCol))
+    val n = size(w)
+    val mean = TextFunctions.round4(
+      length(concat_ws("", w)).cast("double") / greatest(n, lit(1)))
+    // array_intersect dedups, so size() counts DISTINCT stop words hit
+    val stopDistinct = size(array_intersect(w, array(stops.map(lit): _*)))
+    val ruleWc = n >= 50 && n <= 100000
+    val ruleMean = mean >= 3.0 && mean <= 10.0
+    val ruleStop = stopDistinct >= 2
+    def nn(c: Column) = when(col(textCol).isNull, lit(null)).otherwise(c)
+    graft.sources.Balance.cpuBound(docs).select(col(idCol),
+      nn(n.cast("long")).as("n_words"),
+      nn(mean).as("mean_word_len"),
+      nn(stopDistinct.cast("long")).as("stop_distinct"),
+      nn(ruleWc).as("rule_wordcount"),
+      nn(ruleMean).as("rule_meanlen"),
+      nn(ruleStop).as("rule_stopwords"),
+      (col(textCol).isNotNull && ruleWc && ruleMean && ruleStop)
+        .as("gopher_quality_keep"))
+  }
+
   /** Corpus term frequency: raw token counts (no per-doc distinct). */
   def termFrequency(docs: DataFrame, textCol: String): DataFrame =
     graft.sources.Balance.cpuBound(docs)

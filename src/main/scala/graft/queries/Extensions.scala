@@ -5483,6 +5483,117 @@ object Extensions {
       .orderBy("lang")
   }
 
+  // -------------------------------------------------------------- Q176
+  /** GOPHER REPETITION RULES (Rae et al. 2021, App. A1.1 — the
+    * standard "remove self-repeating pages" quality battery every
+    * production curation stack runs before training): per doc, the
+    * TOP-n-gram character fraction for n∈{2,3,4} (characters claimed
+    * by the single most frequent word n-gram; tie-break cnt DESC then
+    * gram ASC) and the DUPLICATE-n-gram character fraction for
+    * n∈{5,10} (characters claimed by all n-grams occurring ≥2×,
+    * overlap-counting variant — each occurrence counts its full
+    * length, stated deviation from the paper's character-coverage
+    * accounting, identical on both engines). Denominator = chars of
+    * the space-joined normalized words. `gopher_keep` applies the
+    * paper's thresholds (0.20/0.18/0.16, 0.15/0.10). ONE explode over
+    * the 5 tagged shingle arrays → one (doc, n, gram) count → one
+    * (doc, n) window+agg → pivot: per-doc bounded, no self-joins, the
+    * whole battery in a single pass over the corpus. */
+  val q176 = {
+    val ns = Seq(2, 3, 4, 5, 10)
+    def gramSql(n: Int) =
+      s"list_transform(range(1, len(w) - ${n - 2}), i -> " +
+        (0 until n).map(k => s"w[i+$k]").mkString(" || ' ' || ") + ")"
+    val tagged = ns.map(n =>
+      s"list_transform(${gramSql(n)}, g -> struct_pack(n := $n, g := g))")
+      .mkString(" || ")
+    QueryDef("q176_gopher_repetition",
+      s"""WITH $docwCte, d AS (
+         |  SELECT doc_id, text, w,
+         |         greatest(length(array_to_string(w, ' ')), 1) AS dlen
+         |  FROM docw
+         |), gr AS (
+         |  SELECT doc_id, u.t.n AS n, u.t.g AS g
+         |  FROM d, LATERAL (SELECT unnest($tagged) AS t) u
+         |  WHERE w IS NOT NULL
+         |), c AS (
+         |  SELECT doc_id, n, g, CAST(count(*) AS BIGINT) AS cnt FROM gr GROUP BY 1, 2, 3
+         |), r AS (
+         |  SELECT doc_id, n, g, cnt,
+         |         row_number() OVER (PARTITION BY doc_id, n ORDER BY cnt DESC, g) AS rn
+         |  FROM c
+         |), a AS (
+         |  SELECT doc_id, n,
+         |         CAST(sum(CASE WHEN rn = 1 THEN cnt * length(g) ELSE 0 END) AS BIGINT) AS topchars,
+         |         CAST(sum(CASE WHEN cnt >= 2 THEN cnt * length(g) ELSE 0 END) AS BIGINT) AS dupchars
+         |  FROM r GROUP BY 1, 2
+         |), p AS (
+         |  SELECT doc_id,
+         |         ${ns.map(n => s"coalesce(max(CASE WHEN n = $n THEN topchars END), 0) AS top$n").mkString(",\n         ")},
+         |         ${ns.map(n => s"coalesce(max(CASE WHEN n = $n THEN dupchars END), 0) AS dup$n").mkString(",\n         ")}
+         |  FROM a GROUP BY doc_id
+         |)
+         |SELECT d.doc_id,
+         |       ${Seq(2, 3, 4).map(n => "CASE WHEN d.text IS NULL THEN NULL ELSE " +
+                TextFunctions.round4Sql(s"CAST(coalesce(p.top$n, 0) AS DOUBLE) / d.dlen") +
+                s" END AS top${n}gram_frac").mkString(",\n       ")},
+         |       ${Seq(5, 10).map(n => "CASE WHEN d.text IS NULL THEN NULL ELSE " +
+                TextFunctions.round4Sql(s"CAST(coalesce(p.dup$n, 0) AS DOUBLE) / d.dlen") +
+                s" END AS dup${n}gram_frac").mkString(",\n       ")},
+         |       (d.text IS NOT NULL
+         |        AND ${TextFunctions.round4Sql("CAST(coalesce(p.top2, 0) AS DOUBLE) / d.dlen")} <= 0.20
+         |        AND ${TextFunctions.round4Sql("CAST(coalesce(p.top3, 0) AS DOUBLE) / d.dlen")} <= 0.18
+         |        AND ${TextFunctions.round4Sql("CAST(coalesce(p.top4, 0) AS DOUBLE) / d.dlen")} <= 0.16
+         |        AND ${TextFunctions.round4Sql("CAST(coalesce(p.dup5, 0) AS DOUBLE) / d.dlen")} <= 0.15
+         |        AND ${TextFunctions.round4Sql("CAST(coalesce(p.dup10, 0) AS DOUBLE) / d.dlen")} <= 0.10)
+         |         AS gopher_keep
+         |FROM d LEFT JOIN p ON p.doc_id = d.doc_id
+         |ORDER BY d.doc_id""") { (s, dir) =>
+      graft.operators.TextAnalysis
+        .gopherRepetition(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }
+  }
+
+  // -------------------------------------------------------------- Q177
+  /** GOPHER QUALITY RULES (Rae et al. 2021, App. A1.1) — the companion
+    * battery to q176 over the normalized word array: word count, mean
+    * word length, distinct-stopword presence (the paper's 8-word
+    * list), per-rule booleans, and the composite keep. Symbol-ratio /
+    * line-shape rules need raw punctuation the `[a-z]` normalization
+    * removes — deliberately out of scope (q31 carries the raw
+    * alpha-ratio signal). Pure per-row expressions: narrow,
+    * shuffle-free, one codegen stage. */
+  val q177 = {
+    val stops = "'the','be','to','of','and','that','have','with'"
+    val meanSql = TextFunctions.round4Sql(
+      "length(array_to_string(w, '')) * 1.0 / greatest(len(w), 1)")
+    QueryDef("q177_gopher_quality",
+      s"""WITH $docwCte, m AS (
+         |  SELECT doc_id, text,
+         |         CAST(len(w) AS BIGINT) AS n,
+         |         $meanSql AS mean,
+         |         CAST(len(list_intersect(w, [$stops])) AS BIGINT) AS sd
+         |  FROM docw
+         |)
+         |SELECT doc_id,
+         |       CASE WHEN text IS NULL THEN NULL ELSE n END AS n_words,
+         |       CASE WHEN text IS NULL THEN NULL ELSE mean END AS mean_word_len,
+         |       CASE WHEN text IS NULL THEN NULL ELSE sd END AS stop_distinct,
+         |       CASE WHEN text IS NULL THEN NULL
+         |            ELSE n BETWEEN 50 AND 100000 END AS rule_wordcount,
+         |       CASE WHEN text IS NULL THEN NULL
+         |            ELSE mean BETWEEN 3.0 AND 10.0 END AS rule_meanlen,
+         |       CASE WHEN text IS NULL THEN NULL ELSE sd >= 2 END AS rule_stopwords,
+         |       (text IS NOT NULL AND n BETWEEN 50 AND 100000
+         |        AND mean BETWEEN 3.0 AND 10.0 AND sd >= 2) AS gopher_quality_keep
+         |FROM m ORDER BY doc_id""") { (s, dir) =>
+      graft.operators.TextAnalysis
+        .gopherQuality(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -5491,5 +5602,6 @@ object Extensions {
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
-    q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175)
+    q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175,
+    q176, q177)
 }

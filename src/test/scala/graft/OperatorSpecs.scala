@@ -509,6 +509,75 @@ class TextAnalysisSpec extends SparkSuite {
     assert(clean(4) === "clean text, no pii at all")
     assert(clean(5) === "mixed <EMAIL> <URL> <PHONE> <IPV4>")
   }
+
+  test("gopherRepetition: planted fractions exact, keep flags per rule, null/empty edge") {
+    import spark.implicits._
+    // diverse 30-word doc: every n-gram unique → top fracs small, dup fracs 0
+    val vocab = ("zebra yonder xylem willow vortex umber tulip stone river " +
+      "quartz plume ocean night maple lumen koala ivory harbor grove fjord " +
+      "ember delta cobalt birch aspen timber slate ridge prairie onyx").split(" ")
+    val rows = Seq(
+      (1L, "aa aa aa aa aa"),            // degenerate repetition
+      (2L, vocab.mkString(" ")),          // diverse → keep
+      (3L, null: String),                 // null text
+      (4L, "")                            // empty → zero fracs, keep
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRepetition(rows, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Option[Double], Option[Double], Option[Double],
+           Option[Double], Option[Double], Boolean)].collect()
+    // doc 1: words = [aa x5], dlen = 14; top 2-gram "aa aa" x4 → 4*5/14;
+    // 3-gram x3 → 3*8/14; 4-gram x2 → 2*11/14; the lone 5-gram occurs
+    // once (< 2) → dup5 = 0; no 10-gram → dup10 = 0. round4 = floor+0.5.
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    assert(got(0) === ((1L, Some(r4(20.0 / 14)), Some(r4(24.0 / 14)),
+      Some(r4(22.0 / 14)), Some(0.0), Some(0.0), false)))
+    // doc 2: all n-grams unique → top-n frac = one gram's chars / dlen
+    // (small), dup fracs exactly 0 → every threshold passes
+    val d2 = got(1)
+    assert(d2._7, s"diverse doc must keep: $d2")
+    assert(d2._5.contains(0.0) && d2._6.contains(0.0))
+    assert(d2._2.get > 0.0 && d2._2.get <= 0.20)
+    // doc 3: null text → null fracs, keep = false
+    assert(got(2) === ((3L, None, None, None, None, None, false)))
+    // doc 4: empty text → no grams, dlen floors at 1 → all-zero fracs, keep
+    assert(got(3) === ((4L, Some(0.0), Some(0.0), Some(0.0), Some(0.0), Some(0.0), true)))
+    // dup rule fires: a repeated 5-word phrase inside otherwise-distinct
+    // prose pushes dup5 (and its sub-gram top fracs) over threshold
+    val phrase = "alpha beta gamma delta epsilon"
+    val filler = vocab.take(20).mkString(" ")
+    val rep = Seq((9L, s"$phrase $filler $phrase")).toDF("doc_id", "text")
+    val g9 = TextAnalysis.gopherRepetition(rep, "doc_id", "text")
+      .select("dup5gram_frac", "gopher_keep").head
+    assert(g9.getDouble(0) > 0.15, s"planted dup 5-gram must register: $g9")
+    assert(!g9.getBoolean(1))
+  }
+
+  test("gopherQuality: each rule rejects its planted violator, composite keeps the clean doc") {
+    import spark.implicits._
+    val fill = Seq.fill(29)("river stone").mkString(" ") // 58 mid-length words
+    val rows = Seq(
+      (1L, s"the quick of $fill"),                     // 61 words, 2 stops → keep
+      (2L, "the of tiny words here"),                  // 5 words → wordcount fails
+      (3L, ("the of " + Seq.fill(58)("extraordinarily").mkString(" "))), // mean > 10
+      (4L, fill + " river stone"),                     // 60 words, 0 stops
+      (5L, null: String),
+      (6L, "")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherQuality(rows, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    def flags(i: Int) = (got(i).getBoolean(4), got(i).getBoolean(5),
+      got(i).getBoolean(6), got(i).getBoolean(7))
+    assert(flags(0) === ((true, true, true, true)))
+    assert(got(0).getLong(1) === 61L && got(0).getLong(3) === 2L)
+    assert(flags(1) === ((false, true, true, false)))
+    assert(flags(2) === ((true, false, true, false)))
+    assert(flags(3) === ((true, true, false, false)))
+    // null text → null metrics and rule columns, composite false
+    assert((1 to 6).forall(got(4).isNullAt) && !got(4).getBoolean(7))
+    // empty text → 0 words, wordcount rule fails, composite false
+    assert(got(5).getLong(1) === 0L && !got(5).getBoolean(4) && !got(5).getBoolean(7))
+  }
 }
 
 class AsOfJoinSpec extends SparkSuite {
