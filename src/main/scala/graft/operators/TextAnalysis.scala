@@ -139,13 +139,50 @@ object TextAnalysis {
     * paper's thresholds (0.20/0.18/0.16 top; 0.15/0.10 dup); NULL text
     * yields NULL fractions and keep=false.
     *
-    * Shape: ONE explode over the five tagged shingle arrays → one
+    * Shape: the battery is per-document, so the production path is a
+    * pure NARROW map — one native hash-count kernel per row
+    * ([[graft.plans.TextNormExprs.GramRepetitionExpr]]) computes all
+    * five widths' statistics without materializing shingle arrays,
+    * sorting, or exploding. Zero shuffles besides the caller's
+    * ordering — nothing about one document ever meets another, so
+    * 1000 executors scan 100 TB with no exchange at all.
+    * [[gopherRepetitionExploded]] keeps the distributed-aggregation
+    * formulation as the executable spec (equality
+    * property-asserted). */
+  def gopherRepetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ns = Seq(2, 3, 4, 5, 10)
+    val base = graft.sources.Balance.cpuBound(docs)
+      .select(col(idCol), col(textCol).as("__graft_text"),
+        TextFunctions.normalizedWords(col(textCol)).as("__graft_w"))
+      .withColumn("__graft_dlen",
+        greatest(length(concat_ws(" ", col("__graft_w"))), lit(1)))
+      .withColumn("__graft_stats",
+        graft.plans.TextNormExprs.gramRepetition(col("__graft_w"), ns))
+    def frac(c: Column) =
+      TextFunctions.round4(c.cast("double") / col("__graft_dlen"))
+    def stat(n: Int, field: String) =
+      frac(element_at(col("__graft_stats"), ns.indexOf(n) + 1).getField(field))
+    val topF = Seq(2, 3, 4).map(stat(_, "topchars"))
+    val dupF = Seq(5, 10).map(stat(_, "dupchars"))
+    base.select((col(idCol) +:
+      (Seq(2, 3, 4).zip(topF).map { case (n, f) =>
+        when(col("__graft_text").isNull, lit(null)).otherwise(f).as(s"top${n}gram_frac") } ++
+       Seq(5, 10).zip(dupF).map { case (n, f) =>
+        when(col("__graft_text").isNull, lit(null)).otherwise(f).as(s"dup${n}gram_frac") } ++
+       Seq((col("__graft_text").isNotNull
+         && topF(0) <= 0.20 && topF(1) <= 0.18 && topF(2) <= 0.16
+         && dupF(0) <= 0.15 && dupF(1) <= 0.10).as("gopher_keep")))): _*)
+  }
+
+  /** The distributed-aggregation formulation of [[gopherRepetition]]
+    * — ONE explode over the five tagged shingle arrays → one
     * (doc, n, gram) hash aggregation → one (doc, n)-keyed window +
     * aggregation → a (doc)-keyed pivot. Every shuffle key contains
     * doc_id, so state per task is bounded by the longest single
-    * document regardless of corpus size — the battery is a single
-    * corpus pass with no self-joins. */
-  def gopherRepetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * document; kept as the executable spec the narrow fold is
+    * asserted against (and as the shape you'd want if single
+    * documents outgrew task memory). */
+  def gopherRepetitionExploded(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ns = Seq(2, 3, 4, 5, 10)
     val base = graft.sources.Balance.cpuBound(docs)

@@ -312,6 +312,97 @@ object TextNormExprs {
   def wordShingles(words: Column, n: Int): Column =
     GraftColumnBridge.toColumn(WordShinglesExpr(GraftColumnBridge.toExpression(words), n))
 
+  /** Per-document gram-repetition statistics for SEVERAL shingle widths
+    * in one expression: output element j is
+    * `struct(topchars, dupchars)` for width `ns(j)`, where `topchars` =
+    * occurrences × character length of the single most frequent word
+    * n-gram (ties broken to the lexicographically smallest gram — the
+    * Gopher repetition battery's top-gram rule) and `dupchars` = Σ
+    * occurrences × length over grams occurring ≥ 2× (the duplicate-gram
+    * rule, overlap-counting). One hash-count pass per width per row —
+    * no shingle array materialization, no sort, no explode: the whole
+    * battery is a narrow per-row kernel whose state is bounded by one
+    * document's distinct grams. NULL or too-short word arrays yield
+    * zero structs (the caller nulls outputs on NULL text), so the
+    * expression is non-nullable — same contract shape as
+    * [[WordShinglesExpr]]. Equality with the exploded distributed
+    * formulation is property-asserted (TextAnalysisSpec). */
+  case class GramRepetitionExpr(child: Expression, ns: Seq[Int])
+      extends UnaryExpression with CodegenFallback {
+    require(ns.nonEmpty && ns.forall(_ >= 1), s"gram widths $ns must be >= 1")
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(
+        StructField("topchars", LongType, nullable = false),
+        StructField("dupchars", LongType, nullable = false))),
+      containsNull = false)
+    override def nullable: Boolean = false
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StringType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"gram_repetition requires ARRAY<STRING> input, got ${other.simpleString}")
+      }
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+      gramRepetitionEval(
+        child.eval(input).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], ns)
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "gram_repetition"
+  }
+
+  /** Kernel for [[GramRepetitionExpr]]: for each width, count grams
+    * into a hash map (UTF8String keys, binary equality/ordering — the
+    * same ordering Spark's sort and the oracle's ORDER BY use), then
+    * one scan extracts the best (cnt DESC, gram ASC) and the ≥2×
+    * character sum. */
+  def gramRepetitionEval(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      ns: Seq[Int]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val out = new Array[Any](ns.length)
+    var j = 0
+    while (j < ns.length) {
+      val n = ns(j)
+      var top = 0L
+      var dup = 0L
+      if (arr != null && arr.numElements() >= n) {
+        val sz = arr.numElements()
+        val counts = new java.util.HashMap[UTF8String, Integer](
+          math.min(sz, 1 << 16))
+        val parts = new Array[UTF8String](n)
+        var i = 0
+        while (i <= sz - n) {
+          var k = 0
+          while (k < n) { parts(k) = arr.getUTF8String(i + k); k += 1 }
+          val g = UTF8String.concatWs(shingleSpace, parts: _*)
+          val c = counts.get(g)
+          counts.put(g, if (c == null) 1 else c + 1)
+          i += 1
+        }
+        var bestCnt = 0
+        var bestGram: UTF8String = null
+        val it = counts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val c: Int = e.getValue
+          val g = e.getKey
+          if (c > bestCnt || (c == bestCnt && g.compareTo(bestGram) < 0)) {
+            bestCnt = c; bestGram = g
+          }
+          if (c >= 2) dup += c.toLong * g.numChars()
+        }
+        if (bestGram != null) top = bestCnt.toLong * bestGram.numChars()
+      }
+      out(j) = org.apache.spark.sql.catalyst.InternalRow(top, dup)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def gramRepetition(words: Column, ns: Seq[Int]): Column =
+    GraftColumnBridge.toColumn(
+      GramRepetitionExpr(GraftColumnBridge.toExpression(words), ns))
+
   /** Per-language stopword-hit counts over a word array, all languages
     * in ONE pass: one hash lookup per token against a word →
     * per-language increment table, replacing an interpreted

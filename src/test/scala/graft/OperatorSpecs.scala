@@ -553,6 +553,17 @@ class TextAnalysisSpec extends SparkSuite {
     assert(!g9.getBoolean(1))
   }
 
+  test("gopherRepetition: native hash-count kernel == exploded distributed formulation") {
+    import spark.implicits._
+    val edge = Seq((9001L, null: String), (9002L, ""), (9003L, "aa aa aa aa aa"))
+      .toDF("doc_id", "text")
+    val both = docs.select("doc_id", "text").unionAll(edge)
+    val a = TextAnalysis.gopherRepetition(both, "doc_id", "text")
+    val b = TextAnalysis.gopherRepetitionExploded(both, "doc_id", "text")
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+    assert(a.count() === both.count())
+  }
+
   test("gopherQuality: each rule rejects its planted violator, composite keeps the clean doc") {
     import spark.implicits._
     val fill = Seq.fill(29)("river stone").mkString(" ") // 58 mid-length words
