@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Differentially-private aggregate release — the governance step after
+  * k-anonymity (q120) and pseudonymization (q94): publish per-group
+  * counts with calibrated noise so no single row's presence is
+  * identifiable, while keeping the release ENGINE-REPLAYABLE (the
+  * repo's sampling contract: every random draw is a pure md5 function
+  * of its coordinates, q50/q89/q172's idiom — no RNG state, identical
+  * bits on any engine).
+  *
+  * Mechanism: truncated discrete Laplace (two-sided geometric) with
+  * alpha = 1/2, i.e. P(noise = k) ∝ 2^(−|k|) for k ∈ [−B, B] — the
+  * geometric mechanism of Ghosh–Roughgarden–Sundararajan (SIAM J.
+  * Comput. 2012), the universally-optimal mechanism for count queries.
+  * alpha = 1/2 gives per-count ε = ln 2; truncation at B leaves tail
+  * mass < 2·2^(−B) (δ ≈ 2^(−B+1), negligible at the default B = 20).
+  * Everything is EXACT 64-bit integer arithmetic: weights are powers
+  * of two (w_k = 2^(B−|k|), total T = 3·2^B − 2 < 2^48), the uniform
+  * draw is a 48-bit md5 prefix mod T (modulo bias ≤ T/2^48), and the
+  * inverse-CDF walk is a literal threshold chain generated ONCE and
+  * shared verbatim by the Spark plan and the DuckDB oracle — no
+  * floating point anywhere, so the release hash-checks bit-for-bit.
+  *
+  * Shape at scale: one hash aggregation (map-side combinable count),
+  * then pure per-row expressions — the noise attach adds ZERO
+  * exchanges, no joins, no windows. Groups ≪ rows, so the noisy
+  * release costs exactly what the exact counts cost.
+  */
+object DpRelease {
+
+  /** Inverse-CDF thresholds for the truncated discrete Laplace with
+    * alpha = 1/2: returns (hiExclusive, k) pairs ordered k = −B..B,
+    * where a uniform u ∈ [0, T) maps to the first k with u < hi.
+    * Weights w_k = 2^(B−|k|); T = 3·2^B − 2. */
+  def noiseThresholds(b: Int): Seq[(Long, Int)] = {
+    require(b >= 1 && b <= 40, s"truncation B=$b out of (1, 40]")
+    val ks = (-b to b)
+    val weights = ks.map(k => 1L << (b - math.abs(k)))
+    val his = weights.scanLeft(0L)(_ + _).tail
+    his.zip(ks).map { case (hi, k) => (hi, k) }
+  }
+
+  /** Total weight T = 3·2^B − 2 (the draw modulus). */
+  def totalWeight(b: Int): Long = 3L * (1L << b) - 2L
+
+  /** The deterministic uniform draw for one group: 48-bit md5 prefix
+    * of `seed|key` mod T — same construction as the SQL twin
+    * [[drawSql]]. */
+  def draw(keyCol: Column, seed: String, b: Int): Column =
+    pmod(conv(substring(md5(concat(lit(seed + "|"), keyCol)), 1, 12), 16, 10)
+      .cast("long"), lit(totalWeight(b)))
+
+  /** DuckDB twin of [[draw]]: 48-bit md5 prefix (12 hex digits; every
+    * digit product ≤ 15·16¹¹ < 2^48 stays exact in DOUBLE, lossless
+    * BIGINT cast) mod T. `keyExpr` must be a VARCHAR expression. */
+  def drawSql(keyExpr: String, seed: String, b: Int): String =
+    "CAST(list_sum(list_transform(range(1, 13), i -> " +
+      s"CAST((strpos('0123456789abcdef', substr(md5('$seed|' || ($keyExpr)), i, 1)) - 1) " +
+      s"AS DOUBLE) * pow(16, 12 - i))) AS BIGINT) % ${totalWeight(b)}"
+
+  /** Noise as a CASE chain over [[noiseThresholds]] — Spark side. */
+  def noise(uCol: Column, b: Int): Column = {
+    val ts = noiseThresholds(b)
+    ts.init.foldRight(lit(ts.last._2): Column) { case ((hi, k), rest) =>
+      when(uCol < hi, k).otherwise(rest)
+    }.cast("long")
+  }
+
+  /** Noise as a CASE chain — the IDENTICAL literals for the oracle. */
+  def noiseSql(uExpr: String, b: Int): String = {
+    val ts = noiseThresholds(b)
+    val whens = ts.init.map { case (hi, k) => s"WHEN ($uExpr) < $hi THEN $k" }
+    s"CAST(CASE ${whens.mkString(" ")} ELSE ${ts.last._2} END AS BIGINT)"
+  }
+
+  /** DP noisy group counts: exact count per group, plus the
+    * deterministic geometric noise, clamped at 0 (post-processing
+    * preserves DP). Output: groupCols*, exact-free `noisy_count` and
+    * the noise actually applied (for specs/audit — a REAL release
+    * would drop `noise` and the exact count; the declared query q178
+    * keeps both so the mechanism itself is oracle-checkable). Group
+    * keys are joined with the \u001f separator (nulls to '' — callers
+    * with null-able keys should pre-coalesce distinctly, the
+    * SnapshotDiff caveat). */
+  def noisyCounts(df: DataFrame, groupCols: Seq[String], seed: String,
+      b: Int = 20): DataFrame = {
+    require(groupCols.nonEmpty)
+    val key = concat_ws("\u001f",
+      groupCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("exact_count"))
+      // alias the draw once so the 2B+1-branch CASE references a single
+      // computed column, not 2B+1 copies of the md5 expression
+      .withColumn("__graft_u", draw(key, seed, b))
+      .select(groupCols.map(col) ++ Seq(
+        col("exact_count"),
+        noise(col("__graft_u"), b).as("noise")): _*)
+      .withColumn("noisy_count",
+        greatest(col("exact_count") + col("noise"), lit(0L)))
+  }
+}

@@ -5594,6 +5594,43 @@ object Extensions {
     }
   }
 
+  // -------------------------------------------------------------- Q178
+  /** DIFFERENTIALLY-PRIVATE COUNT RELEASE (geometric mechanism,
+    * Ghosh–Roughgarden–Sundararajan SICOMP'12): per-(lang, source)
+    * document counts with truncated discrete Laplace noise, alpha=1/2
+    * (ε = ln 2, B = 20, δ ≈ 2^-19) — the governance step after
+    * k-anonymity (q120) for publishing corpus composition stats.
+    * EVERYTHING is exact integer arithmetic (power-of-two weights,
+    * 48-bit md5 draw mod 3·2^B−2, literal inverse-CDF threshold
+    * chain generated once and shared by both engines), so the noisy
+    * release hash-checks bit-for-bit — a DP mechanism you can audit
+    * and replay. The noise attach adds zero exchanges: one combinable
+    * count aggregation, then per-row expressions. */
+  val q178 = {
+    val seed = "dp-r9"
+    val b = 20
+    val keySql = "concat_ws(chr(31), coalesce(CAST(lang AS VARCHAR), ''), " +
+      "coalesce(CAST(source AS VARCHAR), ''))"
+    QueryDef("q178_dp_release",
+      s"""WITH c AS (
+         |  SELECT lang, source, CAST(count(*) AS BIGINT) AS exact_count
+         |  FROM documents GROUP BY 1, 2
+         |), u AS (
+         |  SELECT lang, source, exact_count,
+         |         ${graft.operators.DpRelease.drawSql(keySql, seed, b)} AS u
+         |  FROM c
+         |)
+         |SELECT lang, source, exact_count,
+         |       ${graft.operators.DpRelease.noiseSql("u", b)} AS noise,
+         |       greatest(exact_count + ${graft.operators.DpRelease.noiseSql("u", b)},
+         |                CAST(0 AS BIGINT)) AS noisy_count
+         |FROM u ORDER BY lang, source""") { (s, dir) =>
+      graft.operators.DpRelease
+        .noisyCounts(t(s, dir, "documents"), Seq("lang", "source"), seed, b)
+        .orderBy("lang", "source")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -5603,5 +5640,5 @@ object Extensions {
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175,
-    q176, q177)
+    q176, q177, q178)
 }

@@ -29,6 +29,30 @@ class StreamingCurationSpec extends SparkSuite {
     assert(streamed === batch)
   }
 
+  test("Gopher battery is streaming-composable: repetition + quality gates, stream == batch") {
+    val docs = Tables(spark, sfDir, "documents").select("doc_id", "text")
+    // the native per-row kernel makes gopherRepetition a NARROW map, so
+    // it composes into an Append-mode streaming ingest gate — the
+    // exploded distributed formulation could not (multi-stage agg)
+    def repGate(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      TextAnalysis.gopherRepetition(df, "doc_id", "text").filter(col("gopher_keep"))
+    val repBatch = repGate(docs).collect().map(_.toSeq).toSet
+    assert(repBatch.nonEmpty)
+    val repStream = EventStreams.replayThroughStream(spark, docs, repGate,
+        "gopher_rep_stream", OutputMode.Append())
+      .collect().map(_.toSeq).toSet
+    assert(repStream === repBatch)
+    def qualGate(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      TextAnalysis.gopherQuality(df, "doc_id", "text")
+        .filter(col("rule_wordcount") && col("rule_meanlen"))
+    val qualBatch = qualGate(docs).collect().map(_.toSeq).toSet
+    assert(qualBatch.nonEmpty)
+    val qualStream = EventStreams.replayThroughStream(spark, docs, qualGate,
+        "gopher_qual_stream", OutputMode.Append())
+      .collect().map(_.toSeq).toSet
+    assert(qualStream === qualBatch)
+  }
+
   test("LSH gate: band-directory ingest == batch gate under in-order replay; real stream agrees") {
     import graft.operators.Dedup
     val docs = Tables(spark, sfDir, "documents").select("doc_id", "text")
