@@ -101,4 +101,30 @@ object DpRelease {
       .withColumn("noisy_count",
         greatest(col("exact_count") + col("noise"), lit(0L)))
   }
+
+  /** DP noisy group SUMS with per-row contribution clipping: each
+    * row's integer value is clipped to [0, clip] (bounding the
+    * sensitivity at `clip`), summed exactly per group, then noised
+    * with `clip · k` where k is the same truncated discrete Laplace
+    * draw — the scaled geometric mechanism keeps ε = ln 2 for the
+    * clipped sum (neighboring sums differ by ≤ clip; the distribution
+    * ratio under a clip-sized shift is ≤ 2). Still pure integer
+    * arithmetic end-to-end. A release combining [[noisyCounts]] and
+    * noisySums over the same groups must use DIFFERENT seeds (draws
+    * are otherwise identical) and composes ε additively. */
+  def noisySums(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      clip: Long, seed: String, b: Int = 20): DataFrame = {
+    require(groupCols.nonEmpty && clip >= 1)
+    val key = concat_ws("\u001f",
+      groupCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
+    val v = least(greatest(col(valueCol).cast("long"), lit(0L)), lit(clip))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(sum(v).as("clipped_sum"))
+      .withColumn("__graft_u", draw(key, seed, b))
+      .select(groupCols.map(col) ++ Seq(
+        col("clipped_sum"),
+        (noise(col("__graft_u"), b) * clip).as("noise")): _*)
+      .withColumn("noisy_sum",
+        greatest(col("clipped_sum") + col("noise"), lit(0L)))
+  }
 }

@@ -5631,6 +5631,42 @@ object Extensions {
     }
   }
 
+  // -------------------------------------------------------------- Q179
+  /** DP NOISY SUMS with contribution clipping (the scaled geometric
+    * mechanism): per-language sum of n_chars, each row clipped to
+    * [0, 256] (sensitivity bound), noise = 256·k with the same
+    * truncated-discrete-Laplace k — ε = ln 2 for the clipped sum.
+    * With q178 this completes the count+sum (hence mean) DP release
+    * surface; different seed (parallel releases compose ε
+    * additively). Exact integer arithmetic throughout — bit-for-bit
+    * oracle-checkable like q178. */
+  val q179 = {
+    val seed = "dp-sum-r9"
+    val b = 20
+    val clip = 256L
+    QueryDef("q179_dp_sum",
+      s"""WITH c AS (
+         |  SELECT lang,
+         |         CAST(sum(least(greatest(CAST(n_chars AS BIGINT), 0), $clip)) AS BIGINT)
+         |           AS clipped_sum
+         |  FROM documents GROUP BY 1
+         |), u AS (
+         |  SELECT lang, clipped_sum,
+         |         ${graft.operators.DpRelease.drawSql(
+                      "coalesce(CAST(lang AS VARCHAR), '')", seed, b)} AS u
+         |  FROM c
+         |)
+         |SELECT lang, clipped_sum,
+         |       CAST(${graft.operators.DpRelease.noiseSql("u", b)} * $clip AS BIGINT) AS noise,
+         |       greatest(clipped_sum + ${graft.operators.DpRelease.noiseSql("u", b)} * $clip,
+         |                CAST(0 AS BIGINT)) AS noisy_sum
+         |FROM u ORDER BY lang""") { (s, dir) =>
+      graft.operators.DpRelease
+        .noisySums(t(s, dir, "documents"), Seq("lang"), "n_chars", clip, seed, b)
+        .orderBy("lang")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -5640,5 +5676,5 @@ object Extensions {
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175,
-    q176, q177, q178)
+    q176, q177, q178, q179)
 }

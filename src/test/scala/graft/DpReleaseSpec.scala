@@ -71,6 +71,35 @@ class DpReleaseSpec extends SparkSuite {
     assert(math.abs(mean) < 0.05, s"mean = $mean")
   }
 
+  test("noisySums: clipping bounds sensitivity, noise = clip*k, replay agrees") {
+    import spark.implicits._
+    val b = 20
+    val clip = 10L
+    // values straddle the clip bound and include negatives (clip to 0)
+    val rows = (1 to 3000).map(i => (s"g${i % 50}", (i % 40).toLong - 5))
+    val df = rows.toDF("grp", "v")
+    val out = DpRelease.noisySums(df, Seq("grp"), "v", clip, "sum-seed", b)
+      .orderBy("grp").collect()
+    assert(out.length === 50)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def replayNoise(key: String): Long = {
+      val hex = md.digest(s"sum-seed|$key".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      val u = java.lang.Long.parseLong(hex, 16) % DpRelease.totalWeight(b)
+      DpRelease.noiseThresholds(b).find(u < _._1).get._2.toLong
+    }
+    val exactClipped = rows.groupBy(_._1).view
+      .mapValues(_.map(r => math.min(math.max(r._2, 0L), clip)).sum).toMap
+    out.foreach { r =>
+      val (grp, cs, noise, noisy) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(cs === exactClipped(grp), s"clipped sum wrong for $grp")
+      assert(noise === replayNoise(grp) * clip)
+      assert(noise % clip === 0L && math.abs(noise) <= b * clip)
+      assert(noisy === math.max(cs + noise, 0L))
+    }
+  }
+
   test("clamp: zero-heavy groups never release negative counts") {
     import spark.implicits._
     // 1-row groups: exact_count = 1, noise can reach -20 -> clamp to 0
