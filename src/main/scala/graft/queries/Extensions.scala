@@ -5667,6 +5667,84 @@ object Extensions {
     }
   }
 
+  // -------------------------------------------------------------- Q180
+  /** RETRIEVAL EVALUATION: binary-relevance ranking metrics (nDCG@10,
+    * MRR, recall@10, precision@10) of the hyperplane-LSH retriever
+    * (q36's path) against brute-force cosine ground truth (q35's
+    * path), per query over the 50-query eval panel — the eval loop
+    * every ANN/retrieval deployment runs, as a first-class
+    * hash-checked query rather than an in-query gate. DCG discounts
+    * are 1e12-scaled integer literals (exact BIGINT sums, no float
+    * accumulation order), ideal DCG a literal cumulative lookup, MRR
+    * a literal 1/rank table — both engines share the identical
+    * literals, so nDCG hash-checks bit-for-bit
+    * ([[graft.operators.RankingMetrics]]). */
+  val q180 = {
+    val k = 10
+    import graft.operators.RankingMetrics
+    QueryDef("q180_ranking_metrics",
+      s"""WITH tp AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |         ${dotSql("q.embedding", "c.embedding")} AS dt,
+         |         ${normSql("q.embedding")} AS na, ${normSql("c.embedding")} AS nb
+         |  FROM embeddings q JOIN embeddings c
+         |    ON q.vec_id < 50 AND q.vec_id <> c.vec_id
+         |  WHERE ${normSql("q.embedding")} > 0 AND ${normSql("c.embedding")} > 0
+         |), tr AS (
+         |  SELECT q_id, c_id,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY dt/(na*nb) DESC, c_id) AS rn
+         |  FROM tp QUALIFY rn <= $k
+         |), bk AS (
+         |  SELECT vec_id, embedding, $lshBucketBitsSql AS bucket
+         |  FROM embeddings WHERE ${normSql("embedding")} > 0
+         |), lp AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |         ${dotSql("q.embedding", "c.embedding")} AS dt,
+         |         ${normSql("q.embedding")} AS na, ${normSql("c.embedding")} AS nb
+         |  FROM bk q JOIN bk c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 50
+         |), lr AS (
+         |  SELECT q_id, c_id,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY dt/(na*nb) DESC, c_id) AS rn
+         |  FROM lp QUALIFY rn <= $k
+         |), relc AS (
+         |  SELECT q_id, CAST(count(*) AS BIGINT) AS rel_cnt FROM tr GROUP BY 1
+         |), h AS (
+         |  SELECT lr.q_id,
+         |         CAST(count(tr.c_id) AS BIGINT) AS hits,
+         |         CAST(sum(CASE WHEN tr.c_id IS NOT NULL
+         |                       THEN (${RankingMetrics.wFixedSql(k)})[lr.rn]
+         |                       ELSE 0 END) AS BIGINT) AS dcgf,
+         |         min(CASE WHEN tr.c_id IS NOT NULL THEN lr.rn END) AS fh
+         |  FROM lr LEFT JOIN tr ON tr.q_id = lr.q_id AND tr.c_id = lr.c_id
+         |  GROUP BY 1
+         |)
+         |SELECT relc.q_id, relc.rel_cnt,
+         |       coalesce(h.hits, CAST(0 AS BIGINT)) AS hits,
+         |       ${TextFunctions.round4Sql(
+                   s"CAST(coalesce(h.dcgf, 0) AS DOUBLE) / " +
+                   s"(${RankingMetrics.idealFixedSql(k)})[least(relc.rel_cnt, $k)]")} AS ndcg,
+         |       coalesce((${RankingMetrics.mrrTableSql(k)})[h.fh], 0.0) AS mrr,
+         |       ${TextFunctions.round4Sql(
+                   "CAST(coalesce(h.hits, 0) AS DOUBLE) / relc.rel_cnt")} AS recall,
+         |       ${TextFunctions.round4Sql(
+                   s"CAST(coalesce(h.hits, 0) AS DOUBLE) / $k")} AS "precision"
+         |FROM relc LEFT JOIN h ON h.q_id = relc.q_id
+         |ORDER BY relc.q_id""") { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val pred = col("vec_id") < 50
+      val truth = Similarity
+        .bruteForceTopK(emb.filter(pred), emb, "vec_id", "embedding", k)
+        .select(col("q_id"), col("c_id"))
+      val retrieved = Similarity
+        .lshTopK(emb, "vec_id", "embedding", k, lshPlanes, pred)
+        .select(col("q_id"), col("c_id"), col("rn"))
+      graft.operators.RankingMetrics
+        .binaryMetrics(retrieved, truth, "q_id", "c_id", "rn", k)
+        .orderBy("q_id")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -5676,5 +5754,5 @@ object Extensions {
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175,
-    q176, q177, q178, q179)
+    q176, q177, q178, q179, q180)
 }
