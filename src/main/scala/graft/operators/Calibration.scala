@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Classifier calibration — the eval companion to the quality
+  * classifier (q117): a score-gated pipeline is only as good as the
+  * meaning of its threshold, and calibration (reliability) is what
+  * says whether "p = 0.9" actually wins 90% of the time.
+  *
+  * Exactness contract: NO transcendentals. Probabilities come from the
+  * rational "fast sigmoid" p = 1/2 + m/(2·(s+|m|)) in 1e-6 units with
+  * integer division on non-negative operands (truncation == floor on
+  * both engines), so p_units is an exact BIGINT everywhere. The
+  * expected calibration error folds each bin's |accuracy − confidence|
+  * over the common denominator N·1e6:
+  *   ECE = Σ_bins |correct_b·1e6 − Σconf_b| / (N·1e6)
+  * — the numerator is an exact BIGINT sum (order-independent), one
+  * float division at the end under round4. The Brier score similarly
+  * sums exact (p_units − y·1e6)² longs. Both hash-check bit-for-bit
+  * against the DuckDB oracle.
+  *
+  * Bounds: Brier's squared units reach 1e12 per row, so the exact
+  * BIGINT sum holds to ~9.2e6 rows per release; past that, re-scale
+  * p to 1e3 units (1e6 per row → 9.2e12 rows) or accept a DOUBLE sum.
+  *
+  * Scale shape: pure per-row expressions → one 10-group aggregation →
+  * a 1-row scalar attach. Zero joins over data, zero windows.
+  */
+object Calibration {
+
+  /** Rational fast sigmoid in 1e-6 units: 500000 + sign(m)·(500000·|m|
+    * div (s+|m|)). Monotone in m, p(0) = 0.5, saturates at 0/1e6;
+    * s is the margin scale (the |m| at which p ≈ 0.75). All-integer:
+    * 500000·|m| needs |m| < 1.8e13 — far above any bigram margin. */
+  def fastSigmoidUnits(marginCol: Column, s: Long): Column = {
+    val am = abs(marginCol.cast("long"))
+    // floor of the double quotient == the integer quotient here: the
+    // numerator stays < 2^53 (exact double) and the true fractional
+    // part is either 0 or >= 1/(s+|m|) >> the division's ulp error,
+    // so the floor can never land on the wrong side — matching the
+    // oracle's exact BIGINT // division
+    val d = floor((lit(500000L) * am).cast("double") / (lit(s) + am)).cast("long")
+    (lit(500000L) + signum(marginCol).cast("long") * d).cast("long")
+  }
+
+  /** DuckDB twin — `//` is floor division, exact match on the
+    * non-negative operands used here. */
+  def fastSigmoidUnitsSql(marginExpr: String, s: Long): String =
+    s"CAST(500000 + CASE WHEN ($marginExpr) < 0 THEN -1 WHEN ($marginExpr) > 0 THEN 1 ELSE 0 END * " +
+      s"((500000 * abs(CAST($marginExpr AS BIGINT))) // ($s + abs(CAST($marginExpr AS BIGINT)))) AS BIGINT)"
+
+  /** Reliability table + ECE + Brier for a binary classifier.
+    *
+    * @param scored (pUnitsCol: BIGINT probability in [0, 1e6],
+    *               labelCol: BOOLEAN ground truth) one row per example
+    * @return one row per non-empty confidence bin (10 equal-width bins
+    *         over conf ∈ [0.5, 1.0]): bin, n, avg_conf, accuracy —
+    *         plus the release-level ece and brier repeated on each row
+    *         (1-row scalar attach)
+    */
+  def binaryCalibration(scored: DataFrame, pUnitsCol: String,
+      labelCol: String): DataFrame = {
+    val p = col(pUnitsCol).cast("long")
+    val y = col(labelCol)
+    val pred = p > 500000L
+    val confU = greatest(p, lit(1000000L) - p)
+    val correct = (pred === y).cast("long")
+    val binned = scored.select(
+      least(floor((confU - 500000L).cast("double") / 50000L), lit(9.0))
+        .cast("int").as("bin"),
+      confU.as("conf_u"), correct.as("ok"),
+      ((p - when(y, 1000000L).otherwise(0L)) * (p - when(y, 1000000L).otherwise(0L)))
+        .as("sq_err"))
+    val bins = binned.groupBy("bin").agg(
+      count(lit(1)).as("n"),
+      sum(col("conf_u")).as("sum_conf"),
+      sum(col("ok")).as("sum_ok"),
+      sum(col("sq_err")).as("sum_sq"))
+    // |correct_b*1e6 - sum_conf_b| folds over the common denominator
+    // N*1e6 -> the ECE numerator is one exact BIGINT sum
+    val totals = bins.agg(
+      sum(col("n")).as("n_total"),
+      sum(abs(col("sum_ok") * 1000000L - col("sum_conf"))).as("ece_num"),
+      sum(col("sum_sq")).as("brier_num"))
+    bins.crossJoin(broadcast(totals))
+      .select(col("bin"), col("n"),
+        TextFunctions.round4(col("sum_conf").cast("double") /
+          (col("n") * 1000000L)).as("avg_conf"),
+        TextFunctions.round4(col("sum_ok").cast("double") / col("n")).as("accuracy"),
+        TextFunctions.round4(col("ece_num").cast("double") /
+          (col("n_total") * 1000000L)).as("ece"),
+        TextFunctions.round4(col("brier_num").cast("double") /
+          (col("n_total").cast("double") * 1e12)).as("brier"))
+  }
+}

@@ -5745,6 +5745,71 @@ object Extensions {
     }
   }
 
+  // -------------------------------------------------------------- Q181
+  /** CLASSIFIER CALIBRATION (reliability diagram + ECE + Brier): is
+    * q117's quality-classifier score a PROBABILITY you can threshold,
+    * or just a ranking? Margins map to p through the rational fast
+    * sigmoid (no transcendentals — integer division, engine-exact),
+    * the weak-supervision label is "≥2 distinct Gopher stop words"
+    * (q177's exact-integer rule), and the ECE numerator folds each
+    * bin's |accuracy − confidence| over the common denominator N·1e6
+    * so it is ONE exact BIGINT sum ([[graft.operators.Calibration]]).
+    * Output: per-confidence-bin reliability rows + release-level
+    * ece/brier attached as a 1-row scalar. */
+  val q181 = {
+    val scale = 200000L
+    val stops = "'the','be','to','of','and','that','have','with'"
+    QueryDef("q181_calibration",
+      s"""WITH $docwCte, $classifierScoreCte, lab AS (
+         |  SELECT doc_id, coalesce(len(list_intersect(w, [$stops])) >= 2, false) AS y
+         |  FROM docw
+         |), p AS (
+         |  SELECT sc.doc_id,
+         |         ${graft.operators.Calibration.fastSigmoidUnitsSql("sc.margin_units", scale)} AS p_units,
+         |         lab.y
+         |  FROM sc JOIN lab USING (doc_id)
+         |), e AS (
+         |  SELECT CAST(least((greatest(p_units, 1000000 - p_units) - 500000) // 50000, 9) AS INTEGER) AS bin,
+         |         greatest(p_units, 1000000 - p_units) AS conf_u,
+         |         CASE WHEN (p_units > 500000) = y THEN 1 ELSE 0 END AS ok,
+         |         (p_units - CASE WHEN y THEN 1000000 ELSE 0 END)
+         |           * (p_units - CASE WHEN y THEN 1000000 ELSE 0 END) AS sq_err
+         |  FROM p
+         |), b AS (
+         |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(conf_u) AS BIGINT) AS sum_conf,
+         |         CAST(sum(ok) AS BIGINT) AS sum_ok,
+         |         CAST(sum(sq_err) AS BIGINT) AS sum_sq
+         |  FROM e GROUP BY 1
+         |), tt AS (
+         |  SELECT CAST(sum(n) AS BIGINT) AS n_total,
+         |         CAST(sum(abs(sum_ok * 1000000 - sum_conf)) AS BIGINT) AS ece_num,
+         |         CAST(sum(sum_sq) AS BIGINT) AS brier_num
+         |  FROM b
+         |)
+         |SELECT b.bin, b.n,
+         |       ${TextFunctions.round4Sql("CAST(sum_conf AS DOUBLE) / (n * 1000000)")} AS avg_conf,
+         |       ${TextFunctions.round4Sql("CAST(sum_ok AS DOUBLE) / n")} AS accuracy,
+         |       ${TextFunctions.round4Sql("CAST(ece_num AS DOUBLE) / (n_total * 1000000)")} AS ece,
+         |       ${TextFunctions.round4Sql("CAST(brier_num AS DOUBLE) / (CAST(n_total AS DOUBLE) * 1e12)")} AS brier
+         |FROM b CROSS JOIN tt ORDER BY b.bin""") { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val m = graft.operators.QualityClassifier
+        .hashedBigramScore(docs, "doc_id", "text")
+        .select(col("doc_id"), col("margin_units"))
+      val stopArr = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      val lab = docs.select(col("doc_id"),
+        coalesce(size(array_intersect(TextFunctions.normalizedWords(col("text")),
+          array(stopArr.map(lit): _*))) >= 2, lit(false)).as("y"))
+      val scored = m.join(lab, Seq("doc_id"))
+        .select(graft.operators.Calibration
+          .fastSigmoidUnits(col("margin_units"), scale).as("p_units"), col("y"))
+      graft.operators.Calibration
+        .binaryCalibration(scored, "p_units", "y")
+        .orderBy("bin")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -5754,5 +5819,5 @@ object Extensions {
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175,
-    q176, q177, q178, q179, q180)
+    q176, q177, q178, q179, q180, q181)
 }

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Calibration
+
+/** Calibration metrics: rational fast-sigmoid exactness, bin-edge
+  * placement, a perfectly calibrated planted bin (ECE = 0), and
+  * hand-computed Brier. */
+class CalibrationSpec extends SparkSuite {
+
+  test("fastSigmoidUnits: exact integer sigmoid — center, scale points, monotone, saturating") {
+    import spark.implicits._
+    val s = 1000L
+    val ms = Seq(-100000L, -3000L, -1000L, -1L, 0L, 1L, 999L, 1000L, 3000L, 100000L)
+    val got = ms.toDF("m")
+      .select(col("m"), Calibration.fastSigmoidUnits(col("m"), s).as("p"))
+      .orderBy("m").collect().map(r => r.getLong(0) -> r.getLong(1))
+    // exact reference: 500000 + sign*500000*|m|/(s+|m|) in integer math
+    def ref(m: Long): Long =
+      500000L + math.signum(m) * (500000L * math.abs(m)) / (s + math.abs(m))
+    got.foreach { case (m, p) => assert(p === ref(m), s"m=$m") }
+    assert(ref(0L) === 500000L)
+    assert(ref(s) === 750000L && ref(-s) === 250000L)
+    val ps = got.map(_._2)
+    assert(ps === ps.sorted, "monotone in margin")
+    assert(ps.head > 0L && ps.last < 1000000L, "saturates strictly inside (0, 1)")
+  }
+
+  test("binaryCalibration: perfectly calibrated bin has ece 0; Brier hand-computed") {
+    import spark.implicits._
+    // 4 rows at p = 0.75: predict positive; 3 correct, 1 wrong ->
+    // bin conf 0.75 == accuracy 0.75 -> ECE exactly 0
+    val scored = Seq(
+      (750000L, true), (750000L, true), (750000L, true), (750000L, false)
+    ).toDF("p_units", "y")
+    val r = Calibration.binaryCalibration(scored, "p_units", "y").collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getInt(0) === 5, "conf 0.75 -> bin (750000-500000)/50000 = 5")
+    assert(row.getLong(1) === 4L)
+    assert(row.getDouble(2) === 0.75 && row.getDouble(3) === 0.75)
+    assert(row.getDouble(4) === 0.0, "calibrated -> ece 0")
+    // Brier = (3*(0.25)^2 + 1*(0.75)^2) / 4 = 0.1875 exactly
+    assert(row.getDouble(5) === 0.1875)
+  }
+
+  test("bin edges: 0.5 -> bin 0, 0.55 -> bin 1, 1.0 clamps to bin 9; miscalibration registers") {
+    import spark.implicits._
+    val scored = Seq(
+      (500000L, false),  // conf 0.5  -> bin 0 (pred negative-ish: p not > 0.5)
+      (549999L, true),   // conf ~0.55- -> bin 0
+      (550000L, true),   // bin 1
+      (1000000L, false)  // conf 1.0 -> bin 9; predicted true, y false -> wrong
+    ).toDF("p_units", "y")
+    val rows = Calibration.binaryCalibration(scored, "p_units", "y")
+      .orderBy("bin").collect()
+    assert(rows.map(_.getInt(0)).toSeq === Seq(0, 1, 9))
+    val b9 = rows.last
+    // the confidently-wrong row: conf 1.0, accuracy 0 -> big ece share
+    assert(b9.getDouble(2) === 1.0 && b9.getDouble(3) === 0.0)
+    assert(b9.getDouble(4) > 0.25, "confidently-wrong must dominate ece")
+  }
+}
