@@ -59,7 +59,14 @@ class CartesianGuardSpec extends SparkSuite {
     // q173: 1-row total/extra-seat attachments (crossJoin(broadcast(...)))
     "q173_apportioned_panel",
     // q150 composes q132, inheriting its totals attachment
-    "q150_curation_v3")
+    "q150_curation_v3",
+    // q180: 50-query broadcast brute-force ground-truth scan (q35's
+    // documented eval-panel shape — the production retriever is the
+    // LSH leg; brute force exists only to score it)
+    "q180_ranking_metrics",
+    // q181: 1-row (ece, brier) release-totals attachment
+    // (crossJoin(broadcast(tt)))
+    "q181_calibration")
 
   test("no declared query plans a CartesianProduct; NLJ only where documented") {
     val sf = sfDir
