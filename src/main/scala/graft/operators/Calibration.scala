@@ -95,4 +95,38 @@ object Calibration {
         TextFunctions.round4(col("brier_num").cast("double") /
           (col("n_total").cast("double") * 1e12)).as("brier"))
   }
+
+  /** ROC-AUC of an integer score against a boolean label, via the
+    * tie-corrected Mann–Whitney rank statistic — calibration (above)
+    * says whether p means p; AUC says whether the score RANKS at all.
+    *
+    *   2U = Σ_m p_m · (2·neg_below(m) + q_m)      (m = distinct score)
+    *   AUC = U / (n_pos·n_neg),  rank-Gini = 2·AUC − 1
+    *
+    * where p_m/q_m are the positive/negative counts at score m and
+    * ties contribute exactly ½ each — all BIGINT until the one round4
+    * division (exact while 2U < 2^63, i.e. n_pos·n_neg < 4.6e18).
+    *
+    * Scale shape: one hash aggregation by distinct score, then the
+    * cumulative negative count via [[GlobalIds.prefixSum]]'s RANGE
+    * exchange (never a single-partition window — the q163 KS idiom),
+    * then one scalar aggregate. Output is a single row:
+    * (n_pos, n_neg, u2, auc, gini_auc). */
+  def rocAuc(scored: DataFrame, scoreCol: String, labelCol: String,
+      parts: Int = 32): DataFrame = {
+    val byScore = scored.groupBy(col(scoreCol).cast("long").as("m")).agg(
+      sum(when(col(labelCol), 1L).otherwise(0L)).as("p"),
+      sum(when(col(labelCol), 0L).otherwise(1L)).as("q"))
+    val withCq = GlobalIds.prefixSum(byScore, "q", "cq", parts, col("m"))
+    val agg = withCq.agg(
+      sum(col("p")).as("n_pos"), sum(col("q")).as("n_neg"),
+      sum(col("p") * (lit(2L) * (col("cq") - col("q")) + col("q"))).as("u2"))
+    agg.select(col("n_pos"), col("n_neg"), col("u2"),
+      when(col("n_pos") > 0L && col("n_neg") > 0L, TextFunctions.round4(
+        col("u2").cast("double") / (col("n_pos").cast("double") * col("n_neg") * 2.0d)))
+        .as("auc"),
+      when(col("n_pos") > 0L && col("n_neg") > 0L, TextFunctions.round4(
+        col("u2").cast("double") / (col("n_pos").cast("double") * col("n_neg"))
+          - 1.0d)).as("gini_auc"))
+  }
 }

@@ -364,4 +364,62 @@ object Similarity {
       .filter(col("cos") >= theta)
       .select("id_a", "id_b", "cos")
   }
+
+  /** Centroid-based (simplified) SILHOUETTE — the clustering-quality
+    * gauge for the coarse-cluster stages ([[semanticDedup]], IVF): per
+    * vector, a = cosine distance to its NEAREST centroid, b = distance
+    * to the SECOND-nearest, s = (b−a)/max(a,b) ∈ [0,1] — near 1 means
+    * tight, well-separated clusters; near 0 means the vector sits on a
+    * cluster boundary and the coarse blocking is cutting real
+    * neighborhoods. (The classic pairwise silhouette is O(n²); the
+    * centroid form is the standard linear-time surrogate.)
+    *
+    * Exactness: each per-row s is one fixed double expression over the
+    * in-order dot products (bit-equal across engines, like every
+    * cosine in this file), quantized per row to 1e-6 units — so the
+    * per-cluster and overall means are exact BIGINT sums with one
+    * round4 division at the end, no cross-row float accumulation
+    * order.
+    *
+    * Scale shape: centroids broadcast; top-2 ranking is a per-vector
+    * bounded heap (rn ≤ 2 plans as TopKPerKeyExec); then one
+    * cluster-count-sized aggregation + a 1-row overall attach.
+    * Centroids follow the [[ivfTopK]] contract (a `centroidPred`
+    * subset of the corpus) so DuckDB replays the whole computation.
+    *
+    * @return one row per cluster: cent_id, n, avg_sil, plus the
+    *         corpus-level overall_sil repeated (1-row scalar attach)
+    */
+  def centroidSilhouette(emb: DataFrame, idCol: String, vecCol: String,
+      centroidPred: org.apache.spark.sql.Column): DataFrame = {
+    val nonZero = emb.filter(VectorFunctions.norm(col(vecCol)) > 0)
+    val cent = nonZero.filter(centroidPred)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("centv"))
+    val cs = VectorFunctions.cosine(col("v"), col("centv"))
+    val w = Window.partitionBy("vid").orderBy(col("cs").desc, col("cent_id"))
+    val ranked = nonZero.select(col(idCol).as("vid"), col(vecCol).as("v"))
+      .join(broadcast(cent))
+      .select(col("vid"), col("cent_id"), cs.as("cs"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+    val top2 = ranked.groupBy("vid").agg(
+      max(when(col("rn") === 1, struct(col("cs"), col("cent_id")))).as("c1"),
+      max(when(col("rn") === 2, col("cs"))).as("cs2"))
+    val a = lit(1.0d) - col("c1").getField("cs")
+    val b = lit(1.0d) - col("cs2")
+    val sil = when(greatest(a, b) > 0d, (b - a) / greatest(a, b)).otherwise(lit(0.0d))
+    val units = top2
+      .filter(col("cs2").isNotNull) // needs >= 2 centroids to rank against
+      .select(col("c1").getField("cent_id").as("cent_id"),
+        floor(sil * 1e6 + 0.5d).cast("long").as("su"))
+    val byc = units.groupBy("cent_id")
+      .agg(count(lit(1)).as("n"), sum(col("su")).as("_su"))
+    val tot = byc.agg(sum(col("n")).as("_tn"), sum(col("_su")).as("_ts"))
+    byc.crossJoin(broadcast(tot))
+      .select(col("cent_id"), col("n"),
+        TextFunctions.round4(col("_su").cast("double") /
+          (col("n").cast("double") * 1e6)).as("avg_sil"),
+        TextFunctions.round4(col("_ts").cast("double") /
+          (col("_tn").cast("double") * 1e6)).as("overall_sil"))
+  }
 }

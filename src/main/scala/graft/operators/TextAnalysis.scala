@@ -417,6 +417,68 @@ object TextAnalysis {
         coalesce(col("deflate_ratio") < flagBelow, lit(false)))
   }
 
+  /** Fixed-point log2 table for [[charEntropy]]: log2(k)·1e9 rounded,
+    * k = 1..512. ONE Scala-computed literal emitted to both engines, so
+    * the entropy arithmetic downstream of it is exact-integer and
+    * hash-checks bit-for-bit. */
+  val log2UnitsTable: Seq[Long] =
+    (1 to 512).map(k => math.round(math.log(k) / math.log(2) * 1e9))
+
+  /** The same table as a DuckDB list literal (1-based indexing `[k]`
+    * matches Spark's 1-based `element_at`). */
+  def log2UnitsTableSql: String = log2UnitsTable.mkString("[", ", ", "]")
+
+  /** Character-entropy quality signal: Shannon entropy (bits/char) of
+    * the character distribution over the first `prefix` characters —
+    * the cheap "is this text or key-mash/template spam" screen (natural
+    * prose sits near 4 bits, single-char runs at 0, base64 blobs near
+    * 6). Bounding to a prefix is what makes the computation EXACT: all
+    * counts land in [1, prefix], so
+    *   H·L·1e9 = L·T[L] − Σ_c cnt_c·T[cnt_c]
+    * is pure BIGINT over the shared [[log2UnitsTable]] — no
+    * transcendentals at query time, and the low-entropy FLAG is an
+    * all-integer comparison (H < 2 bits ⇔ hnum < 2·L·1e9). One float
+    * division at the end under round4.
+    *
+    * Scale shape: narrow per-row map (O(distinct·prefix) comparisons
+    * per document), no shuffle — scales with the scan like the other
+    * per-row quality signals. Null text → null signal; empty text →
+    * len_used 0, null entropy.
+    */
+  def charEntropy(docs: DataFrame, idCol: String, textCol: String,
+      prefix: Int = 512): DataFrame = {
+    require(prefix >= 1 && prefix <= log2UnitsTable.size,
+      s"prefix must be in [1, ${log2UnitsTable.size}], got $prefix")
+    val tbl = typedLit(log2UnitsTable)
+    val s = substring(col(textCol), 1, prefix)
+    val chars = when(length(s) > 0, split(s, "")).otherwise(array().cast("array<string>"))
+    def nn(c: Column) = when(col(textCol).isNull, lit(null)).otherwise(c)
+    graft.sources.Balance.cpuBound(docs)
+      .select(col(idCol), col(textCol), chars.as("_cl"))
+      .select(col(idCol), col(textCol),
+        size(col("_cl")).cast("long").as("_l"),
+        transform(array_distinct(col("_cl")),
+          c => size(filter(col("_cl"), x => x === c)).cast("long")).as("_cnt"))
+      .select(col(idCol), col(textCol), col("_l"),
+        size(col("_cnt")).cast("long").as("_d"),
+        // guarded: element_at is 1-based and ANSI-strict, and _l = 0 on
+        // empty/null text — the when() keeps the index expression
+        // un-evaluated there
+        when(col("_l") > 0L,
+          col("_l") * element_at(tbl, col("_l").cast("int")) -
+            coalesce(aggregate(col("_cnt"), lit(0L),
+              (acc, c) => acc + c * element_at(tbl, c.cast("int"))), lit(0L)))
+          .otherwise(0L).as("_hnum"))
+      .select(col(idCol),
+        nn(col("_l")).as("len_used"),
+        nn(col("_d")).as("n_distinct"),
+        when(col("_l") > 0L, TextFunctions.round4(
+          col("_hnum").cast("double") / (col("_l").cast("double") * 1e9)))
+          .as("entropy"),
+        nn(coalesce(col("_hnum") < lit(2000000000L) * col("_l") && col("_l") > 0L,
+          lit(false))).as("flag_low_entropy"))
+  }
+
   /** PII scrubbing — the redaction stage of a training-data pipeline:
     * emails, URLs, phone numbers, and IPv4 addresses are replaced with
     * `<EMAIL>`/`<URL>`/`<PHONE>`/`<IPV4>` placeholders, with per-kind

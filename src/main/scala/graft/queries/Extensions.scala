@@ -5810,6 +5810,204 @@ object Extensions {
     }
   }
 
+  // -------------------------------------------------------------- Q182
+  /** CHARACTER ENTROPY ([[TextAnalysis.charEntropy]]): Shannon entropy
+    * of the character distribution over each document's first 512
+    * chars — the cheap key-mash/template-spam screen. Bounding to a
+    * prefix makes it EXACT: all counts land in [1, 512], so the
+    * whole computation runs over the shared 1e9-scaled log2 literal
+    * table in BIGINT (H·L·1e9 = L·T[L] − Σ cnt·T[cnt]), with the
+    * low-entropy flag an all-integer comparison and one round4
+    * division at the end. Narrow per-row map, no shuffle. */
+  val q182 = {
+    val tbl = graft.operators.TextAnalysis.log2UnitsTableSql
+    QueryDef("q182_char_entropy",
+      s"""WITH e AS (
+         |  SELECT doc_id, text, substr(text, 1, 512) AS s FROM documents
+         |), c AS (
+         |  SELECT doc_id, text,
+         |         list_transform(range(1, len(s)+1), i -> s[i]) AS cl
+         |  FROM e
+         |), m AS (
+         |  SELECT doc_id, text,
+         |         CAST(coalesce(len(cl), 0) AS BIGINT) AS l,
+         |         list_transform(list_distinct(cl),
+         |           ch -> CAST(len(list_filter(cl, x -> x = ch)) AS BIGINT)) AS cnts
+         |  FROM c
+         |), h AS (
+         |  SELECT doc_id, text, l,
+         |         CAST(coalesce(len(cnts), 0) AS BIGINT) AS d,
+         |         CAST(CASE WHEN l > 0
+         |           THEN l * ($tbl)[l] - CAST(coalesce(list_sum(
+         |                  list_transform(cnts, c -> c * ($tbl)[c])), 0) AS BIGINT)
+         |           ELSE 0 END AS BIGINT) AS hnum
+         |  FROM m
+         |)
+         |SELECT doc_id,
+         |       CASE WHEN text IS NULL THEN NULL ELSE l END AS len_used,
+         |       CASE WHEN text IS NULL THEN NULL ELSE d END AS n_distinct,
+         |       CASE WHEN l > 0 THEN ${TextFunctions.round4Sql(
+                    "CAST(hnum AS DOUBLE) / (CAST(l AS DOUBLE) * 1e9)")} END AS entropy,
+         |       CASE WHEN text IS NULL THEN NULL
+         |            ELSE coalesce(hnum < 2000000000 * l AND l > 0, false)
+         |       END AS flag_low_entropy
+         |FROM h ORDER BY doc_id""") { (s, dir) =>
+      graft.operators.TextAnalysis
+        .charEntropy(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }
+  }
+
+  // -------------------------------------------------------------- Q183
+  /** WEAK-SUPERVISION LABEL MODEL ([[graft.operators.LabelModel]]):
+    * five deterministic labeling functions (exact-integer Gopher-style
+    * rules) vote per document; the output is the vote histogram with
+    * the majority label plus Fleiss' kappa — the agreement statistic
+    * that says whether the panel is supervision or noise. A, T1, N
+    * stay BIGINT; kappa is one fixed double expression over them
+    * (identical op order both engines), then round4. */
+  val q183 = {
+    val stops = LabelStopsSql
+    QueryDef("q183_label_model",
+      s"""WITH $docwCte, lf AS (
+         |  SELECT doc_id,
+         |         CAST(len(w) AS BIGINT) AS n,
+         |         CAST(coalesce(list_sum(list_transform(w, x -> len(x))), 0) AS BIGINT) AS chars,
+         |         CAST(len(list_intersect(w, [$stops])) AS BIGINT) AS sd,
+         |         CAST(len(list_distinct(w)) AS BIGINT) AS d,
+         |         CAST(coalesce(list_max(list_transform(list_distinct(w),
+         |           c -> len(list_filter(w, x -> x = c)))), 0) AS BIGINT) AS mx
+         |  FROM docw WHERE text IS NOT NULL
+         |), v AS (
+         |  SELECT doc_id,
+         |         CAST((CASE WHEN n BETWEEN 50 AND 100000 THEN 1 ELSE 0 END)
+         |            + (CASE WHEN 3*n <= chars AND chars <= 10*n THEN 1 ELSE 0 END)
+         |            + (CASE WHEN sd >= 2 THEN 1 ELSE 0 END)
+         |            + (CASE WHEN 2*d >= n THEN 1 ELSE 0 END)
+         |            + (CASE WHEN 10*mx <= n THEN 1 ELSE 0 END) AS BIGINT) AS votes
+         |  FROM lf
+         |), h AS (
+         |  SELECT votes, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(votes*(votes-1) + (5-votes)*(4-votes)) AS BIGINT) AS a,
+         |         CAST(sum(votes) AS BIGINT) AS t1
+         |  FROM v GROUP BY 1
+         |), tt AS (
+         |  SELECT CAST(sum(n_docs) AS BIGINT) AS nn,
+         |         CAST(sum(a) AS BIGINT) AS asum,
+         |         CAST(sum(t1) AS BIGINT) AS t
+         |  FROM h
+         |), k AS (
+         |  SELECT nn, asum, t,
+         |         CAST(asum AS DOUBLE) / (CAST(nn AS DOUBLE) * 20.0) AS po,
+         |         CAST(t AS DOUBLE) / (CAST(nn AS DOUBLE) * 5.0) AS p1
+         |  FROM tt
+         |)
+         |SELECT h.votes, h.n_docs, h.votes * 2 > 5 AS majority_keep,
+         |       ${TextFunctions.round4Sql("po")} AS p_o,
+         |       ${TextFunctions.round4Sql("p1*p1 + (1.0 - p1)*(1.0 - p1)")} AS p_e,
+         |       ${TextFunctions.round4Sql(
+                  "(po - (p1*p1 + (1.0 - p1)*(1.0 - p1))) / (1.0 - (p1*p1 + (1.0 - p1)*(1.0 - p1)))")} AS kappa
+         |FROM h CROSS JOIN k ORDER BY h.votes""") { (s, dir) =>
+      val votes = graft.operators.LabelModel
+        .lfVotes(t(s, dir, "documents"), "doc_id", "text")
+      graft.operators.LabelModel.fleissAgreement(votes, "votes", 5)
+        .orderBy("votes")
+    }
+  }
+
+  // -------------------------------------------------------------- Q184
+  /** CENTROID SILHOUETTE ([[Similarity.centroidSilhouette]]):
+    * clustering-quality gauge for the coarse-cluster stages — per
+    * vector s = (b−a)/max(a,b) over cosine distances to the nearest
+    * and second-nearest centroid, quantized per row to 1e-6 units so
+    * the per-cluster and overall means are exact BIGINT sums. Same
+    * fixed centroid contract as q79 (vec_id < 8). */
+  val q184 = QueryDef("q184_silhouette",
+    s"""WITH cent AS (
+       |  SELECT vec_id AS cent_id, embedding AS centv FROM embeddings
+       |  WHERE vec_id < 8 AND ${normSql("embedding")} > 0
+       |), sc AS (
+       |  SELECT v.vec_id AS vid, c.cent_id,
+       |         ${dotSql("v.embedding", "c.centv")}
+       |           / (${normSql("v.embedding")} * ${normSql("c.centv")}) AS cs
+       |  FROM embeddings v CROSS JOIN cent c
+       |  WHERE ${normSql("v.embedding")} > 0
+       |), rk AS (
+       |  SELECT vid, cent_id, cs,
+       |         row_number() OVER (PARTITION BY vid ORDER BY cs DESC, cent_id) AS rn
+       |  FROM sc
+       |), su AS (
+       |  SELECT r1.cent_id,
+       |         CAST(floor((CASE WHEN greatest(1.0 - r1.cs, 1.0 - r2.cs) > 0
+       |           THEN ((1.0 - r2.cs) - (1.0 - r1.cs)) / greatest(1.0 - r1.cs, 1.0 - r2.cs)
+       |           ELSE 0.0 END) * 1e6 + 0.5) AS BIGINT) AS su
+       |  FROM rk r1 JOIN rk r2 ON r1.vid = r2.vid AND r2.rn = 2
+       |  WHERE r1.rn = 1
+       |), byc AS (
+       |  SELECT cent_id, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(su) AS BIGINT) AS ssu
+       |  FROM su GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(ssu) AS BIGINT) AS ts FROM byc
+       |)
+       |SELECT cent_id, n,
+       |       ${TextFunctions.round4Sql(
+                "CAST(ssu AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6)")} AS avg_sil,
+       |       ${TextFunctions.round4Sql(
+                "CAST(ts AS DOUBLE) / (CAST(tn AS DOUBLE) * 1e6)")} AS overall_sil
+       |FROM byc CROSS JOIN tot ORDER BY cent_id""") { (s, dir) =>
+    Similarity.centroidSilhouette(t(s, dir, "embeddings"), "vec_id", "embedding",
+        centroidPred = col("vec_id") < 8)
+      .orderBy("cent_id")
+  }
+
+  // -------------------------------------------------------------- Q185
+  /** CLASSIFIER ROC-AUC ([[graft.operators.Calibration.rocAuc]]):
+    * tie-corrected Mann–Whitney AUC of q117's margin against q181's
+    * weak label — 2U = Σ_m p_m·(2·neg_below + q_m) in pure BIGINT,
+    * the cumulative negative count via the range-exchange prefix sum
+    * (q163's idiom — never a single-partition window), one round4
+    * division at the end. Output: one row. */
+  val q185 = {
+    val stops = "'the','be','to','of','and','that','have','with'"
+    QueryDef("q185_classifier_auc",
+      s"""WITH $docwCte, $classifierScoreCte, lab AS (
+         |  SELECT doc_id, coalesce(len(list_intersect(w, [$stops])) >= 2, false) AS y
+         |  FROM docw
+         |), d AS (
+         |  SELECT sc.margin_units AS m,
+         |         CAST(sum(CASE WHEN lab.y THEN 1 ELSE 0 END) AS BIGINT) AS p,
+         |         CAST(sum(CASE WHEN lab.y THEN 0 ELSE 1 END) AS BIGINT) AS q
+         |  FROM sc JOIN lab USING (doc_id) GROUP BY 1
+         |), c AS (
+         |  SELECT m, p, q, CAST(sum(q) OVER (ORDER BY m) AS BIGINT) AS cq FROM d
+         |), u AS (
+         |  SELECT CAST(sum(p) AS BIGINT) AS n_pos, CAST(sum(q) AS BIGINT) AS n_neg,
+         |         CAST(sum(p * (2*(cq - q) + q)) AS BIGINT) AS u2
+         |  FROM c
+         |)
+         |SELECT n_pos, n_neg, u2,
+         |       CASE WHEN n_pos > 0 AND n_neg > 0 THEN ${TextFunctions.round4Sql(
+                  "CAST(u2 AS DOUBLE) / (CAST(n_pos AS DOUBLE) * n_neg * 2.0)")} END AS auc,
+         |       CASE WHEN n_pos > 0 AND n_neg > 0 THEN ${TextFunctions.round4Sql(
+                  "CAST(u2 AS DOUBLE) / (CAST(n_pos AS DOUBLE) * n_neg) - 1.0")} END AS gini_auc
+         |FROM u""") { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val m = graft.operators.QualityClassifier
+        .hashedBigramScore(docs, "doc_id", "text")
+        .select(col("doc_id"), col("margin_units"))
+      val stopArr = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      val lab = docs.select(col("doc_id"),
+        coalesce(size(array_intersect(TextFunctions.normalizedWords(col("text")),
+          array(stopArr.map(lit): _*))) >= 2, lit(false)).as("y"))
+      graft.operators.Calibration
+        .rocAuc(m.join(lab, Seq("doc_id")), "margin_units", "y")
+    }
+  }
+
+  private def LabelStopsSql: String =
+    graft.operators.LabelModel.stops.map(s => s"'$s'").mkString(",")
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -5819,5 +6017,5 @@ object Extensions {
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175,
-    q176, q177, q178, q179, q180, q181)
+    q176, q177, q178, q179, q180, q181, q182, q183, q184, q185)
 }

@@ -66,7 +66,12 @@ class CartesianGuardSpec extends SparkSuite {
     "q180_ranking_metrics",
     // q181: 1-row (ece, brier) release-totals attachment
     // (crossJoin(broadcast(tt)))
-    "q181_calibration")
+    "q181_calibration",
+    // q183: 1-row Fleiss-kappa totals attachment (crossJoin(broadcast(tot)))
+    "q183_label_model",
+    // q184: broadcast centroid scoring scan (the ivfTopK/q79 contract)
+    // + 1-row overall-silhouette attachment
+    "q184_silhouette")
 
   test("no declared query plans a CartesianProduct; NLJ only where documented") {
     val sf = sfDir
