@@ -6008,6 +6008,46 @@ object Extensions {
   private def LabelStopsSql: String =
     graft.operators.LabelModel.stops.map(s => s"'$s'").mkString(",")
 
+  /** Overlap-heavy audit list for q186 (see its scaladoc). */
+  private val blocklistPatterns: Seq[String] = Seq(
+    "a a", "agg", "ark", "data line", "low",
+    "merge", "par", "slow", "sort merge", "spark")
+
+  // -------------------------------------------------------------- Q186
+  /** BLOCKLIST SCREEN ([[graft.operators.Blocklist]]): per-pattern
+    * document-frequency and occurrence totals of a 10-term list over
+    * the corpus, matched by the single-pass Aho–Corasick DFA expression
+    * ([[graft.plans.AhoCorasick]]) — one O(len) byte walk per document
+    * regardless of pattern count, vs. one scan PER PATTERN for the
+    * composed `contains` form. The list deliberately contains
+    * overlapping ("merge" ⊂ "sort merge", "par"/"ark" ⊂ "spark",
+    * "low" ⊂ "slow") and self-overlapping ("a a" in "a a a" counts
+    * twice) patterns, so the oracle must count every end position —
+    * the positional-scan SQL below, not a replace() trick. All counts
+    * BIGINT; zero-hit patterns still appear. */
+  val q186 = {
+    val pats = blocklistPatterns.map(p => s"'$p'").mkString(", ")
+    QueryDef("q186_blocklist_screen",
+      s"""WITH p AS (
+         |  SELECT unnest([$pats]) AS pattern
+         |), d AS (
+         |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+         |), m AS (
+         |  SELECT p.pattern,
+         |         CAST(len(list_filter(range(1, len(d.text) - len(p.pattern) + 2),
+         |           i -> substr(d.text, i, len(p.pattern)) = p.pattern)) AS BIGINT) AS cnt
+         |  FROM d CROSS JOIN p
+         |)
+         |SELECT pattern,
+         |       CAST(count(*) FILTER (WHERE cnt > 0) AS BIGINT) AS n_docs,
+         |       CAST(sum(cnt) AS BIGINT) AS n_hits
+         |FROM m GROUP BY 1 ORDER BY pattern""") { (s, dir) =>
+      graft.operators.Blocklist
+        .summary(t(s, dir, "documents"), "doc_id", "text", blocklistPatterns)
+        .orderBy("pattern")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -6017,5 +6057,5 @@ object Extensions {
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175,
-    q176, q177, q178, q179, q180, q181, q182, q183, q184, q185)
+    q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186)
 }
