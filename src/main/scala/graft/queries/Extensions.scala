@@ -6013,6 +6013,76 @@ object Extensions {
     "a a", "agg", "ark", "data line", "low",
     "merge", "par", "slow", "sort merge", "spark")
 
+  // -------------------------------------------------------------- Q187
+  /** RECORD LINKAGE ([[graft.operators.RecordLinkage]], Fellegi–Sunter
+    * 1969): link `customer` against a deterministic "dirty twin" of
+    * itself (hash-keyed per-record corruption: name-suffix
+    * transposition, balance floored to whole dollars, segment wiped —
+    * the classic different-upstream-system artifacts), blocking on
+    * nation, scoring name/cents/segment agreement with fixed-point
+    * integer log-odds weights, and classifying into match / clerical
+    * review / non-match. Output: the (decision, score) histogram with
+    * true-match counts (custkey equality is the planted ground truth) —
+    * the linkage-quality audit a real ER pipeline reads first. All
+    * scores are BIGINT sums; balances compare as DECIMAL-derived cents
+    * (no float equality). The name-transposed twins land in the review
+    * band (9000) by construction — the FS three-way decision working
+    * as designed. */
+  val q187 = {
+    val bkt = md5Bucket16Sql("c_custkey")
+    QueryDef("q187_record_linkage",
+      s"""WITH base AS (
+         |  SELECT c_custkey, c_nationkey, c_name, c_mktsegment,
+         |         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         |         $bkt % 4 AS b
+         |  FROM customer
+         |), dirty AS (
+         |  SELECT c_custkey, c_nationkey,
+         |         CASE WHEN b = 0 THEN substr(c_name, 1, len(c_name)-2)
+         |                || substr(c_name, len(c_name), 1)
+         |                || substr(c_name, len(c_name)-1, 1)
+         |              ELSE c_name END AS c_name,
+         |         CASE WHEN b = 1 THEN cents - (cents % 100) ELSE cents END AS cents,
+         |         CASE WHEN b = 2 THEN 'UNKNOWN' ELSE c_mktsegment END AS c_mktsegment
+         |  FROM base
+         |), pairs AS (
+         |  SELECT l.c_custkey AS lid, r.c_custkey AS rid,
+         |         (CASE WHEN l.c_name IS NOT DISTINCT FROM r.c_name THEN 12000 ELSE -3000 END
+         |        + CASE WHEN l.cents IS NOT DISTINCT FROM r.cents THEN 10000 ELSE -2000 END
+         |        + CASE WHEN l.c_mktsegment IS NOT DISTINCT FROM r.c_mktsegment THEN 2000 ELSE -4000 END
+         |         ) AS score
+         |  FROM base l JOIN dirty r ON l.c_nationkey = r.c_nationkey
+         |)
+         |SELECT CASE WHEN score >= 12000 THEN 'match'
+         |            WHEN score <= 0 THEN 'nonmatch' ELSE 'review' END AS decision,
+         |       CAST(score AS BIGINT) AS score,
+         |       CAST(count(*) AS BIGINT) AS n_pairs,
+         |       CAST(sum(CASE WHEN lid = rid THEN 1 ELSE 0 END) AS BIGINT) AS n_true
+         |FROM pairs GROUP BY 1, 2 ORDER BY decision, score""") { (s, dir) =>
+      import graft.operators.RecordLinkage
+      val c = t(s, dir, "customer")
+      val cents = (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+      val clean = c.select(col("c_custkey"), col("c_nationkey"), col("c_name"),
+        cents.as("cents"), col("c_mktsegment"))
+      val bucket = graft.operators.Splits.hashBucket(col("c_custkey")) % 4
+      val transposed = expr("concat(substring(c_name, 1, length(c_name)-2), " +
+        "substring(c_name, length(c_name), 1), substring(c_name, length(c_name)-1, 1))")
+      val dirty = c.select(col("c_custkey"), col("c_nationkey"),
+        when(bucket === 0, transposed).otherwise(col("c_name")).as("c_name"),
+        when(bucket === 1, cents - (cents % 100)).otherwise(cents).as("cents"),
+        when(bucket === 2, lit("UNKNOWN")).otherwise(col("c_mktsegment")).as("c_mktsegment"))
+      RecordLinkage.link(clean, dirty, "c_custkey", Seq("c_nationkey"),
+          Seq(RecordLinkage.LinkRule("c_name", 12000L, -3000L),
+            RecordLinkage.LinkRule("cents", 10000L, -2000L),
+            RecordLinkage.LinkRule("c_mktsegment", 2000L, -4000L)),
+          lower = 0L, upper = 12000L)
+        .groupBy("decision", "score")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("l_c_custkey") === col("r_c_custkey"), 1L).otherwise(0L)).as("n_true"))
+        .orderBy("decision", "score")
+    }
+  }
+
   // -------------------------------------------------------------- Q186
   /** BLOCKLIST SCREEN ([[graft.operators.Blocklist]]): per-pattern
     * document-frequency and occurrence totals of a 10-term list over
@@ -6057,5 +6127,5 @@ object Extensions {
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175,
-    q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186)
+    q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187)
 }
