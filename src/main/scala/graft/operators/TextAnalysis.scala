@@ -479,6 +479,45 @@ object TextAnalysis {
           lit(false))).as("flag_low_entropy"))
   }
 
+  /** Per-domain KL divergence KL(P_domain ‖ P_corpus) over unigram
+    * distributions — the data-mixing diagnostic (how far each
+    * language/source/epoch drifts from the corpus-level token
+    * distribution; the quantity mixture-reweighting methods like
+    * DoReMi steer on). Per-(domain, word) contribution
+    * p·ln(p/q) (p = c_dw/N_d, q = c_w/N) is quantized to 1e-6 units
+    * per TERM — [[lmNllScore]]'s `lp6` idiom — so the per-domain sum
+    * is an exact BIGINT total; ln's 1-ulp JVM-vs-libm risk is the same
+    * accepted residual as q48/q91, validated on the gate fixtures.
+    * q > 0 always (every domain word is a corpus word), so the log is
+    * total.
+    *
+    * Plan shape: tokenize once; (domain, word) counts are ONE hash
+    * aggregation; the corpus marginals derive from those counts (no
+    * second corpus scan); joins are hash equi-joins on word/domain
+    * plus a 1-row total attachment. Everything combines map-side —
+    * the 100 TB cost is the one tokenize + one (domain, word)
+    * shuffle. */
+  def domainKl(docs: DataFrame, domainCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(domainCol).as("dom"),
+      explode(TextFunctions.normalizedWords(col(textCol))).as("word"))
+    val cDw = tok.groupBy("dom", "word").agg(count(lit(1)).as("c_dw"))
+    val nD = cDw.groupBy("dom")
+      .agg(sum("c_dw").as("n_tokens"), count(lit(1)).as("n_types"))
+    val cW = cDw.groupBy("word").agg(sum("c_dw").as("c_w"))
+    val n = cW.agg(sum("c_w").as("n"))
+    val p = col("c_dw").cast("double") / col("n_tokens").cast("double")
+    val q = col("c_w").cast("double") / col("n").cast("double")
+    val kl6 = cDw
+      .join(cW, Seq("word"))
+      .join(nD.select("dom", "n_tokens"), Seq("dom"))
+      .crossJoin(broadcast(n))
+      .withColumn("t6", floor(p * log(p / q) * 1e6 + 0.5).cast("long"))
+      .groupBy("dom").agg(sum("t6").as("kl6"))
+    nD.join(kl6, Seq("dom"))
+      .select(col("dom").as(domainCol), col("n_tokens"), col("n_types"),
+        TextFunctions.round4(col("kl6").cast("double") / 1e6).as("kl"))
+  }
+
   /** PII scrubbing — the redaction stage of a training-data pipeline:
     * emails, URLs, phone numbers, and IPv4 addresses are replaced with
     * `<EMAIL>`/`<URL>`/`<PHONE>`/`<IPV4>` placeholders, with per-kind

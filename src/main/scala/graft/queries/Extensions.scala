@@ -6013,6 +6013,46 @@ object Extensions {
     "a a", "agg", "ark", "data line", "low",
     "merge", "par", "slow", "sort merge", "spark")
 
+  // -------------------------------------------------------------- Q188
+  /** PER-DOMAIN KL DIVERGENCE ([[TextAnalysis.domainKl]]): unigram
+    * KL(P_lang ‖ P_corpus) per language — the data-mixing drift
+    * diagnostic (the quantity mixture-reweighting steers on). Each
+    * (lang, word) term p·ln(p/q) quantizes to 1e-6 units (q91's lp6
+    * idiom) so per-language totals are exact BIGINT sums; one
+    * tokenize, corpus marginals derived from the (lang, word) counts,
+    * hash equi-joins + a 1-row total attachment. */
+  val q188 = QueryDef("q188_domain_kl",
+    s"""WITH $docwCte, tok AS (
+       |  SELECT lang AS dom, unnest(w) AS word FROM docw
+       |), cdw AS (
+       |  SELECT dom, word, CAST(count(*) AS BIGINT) AS c_dw FROM tok GROUP BY 1, 2
+       |), nd AS (
+       |  SELECT dom, CAST(sum(c_dw) AS BIGINT) AS n_tokens,
+       |         CAST(count(*) AS BIGINT) AS n_types
+       |  FROM cdw GROUP BY 1
+       |), cw AS (
+       |  SELECT word, CAST(sum(c_dw) AS BIGINT) AS c_w FROM cdw GROUP BY 1
+       |), n AS (
+       |  SELECT CAST(sum(c_w) AS BIGINT) AS n FROM cw
+       |), terms AS (
+       |  SELECT cdw.dom,
+       |         CAST(floor((CAST(c_dw AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+       |           * ln((CAST(c_dw AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+       |                / (CAST(c_w AS DOUBLE) / CAST(n.n AS DOUBLE)))
+       |           * 1e6 + 0.5) AS BIGINT) AS t6
+       |  FROM cdw JOIN cw USING (word)
+       |       JOIN (SELECT dom, n_tokens FROM nd) d USING (dom)
+       |       CROSS JOIN n
+       |), k AS (
+       |  SELECT dom, CAST(sum(t6) AS BIGINT) AS kl6 FROM terms GROUP BY 1
+       |)
+       |SELECT nd.dom AS lang, nd.n_tokens, nd.n_types,
+       |       ${TextFunctions.round4Sql("CAST(kl6 AS DOUBLE) / 1e6")} AS kl
+       |FROM nd JOIN k USING (dom) ORDER BY lang""") { (s, dir) =>
+    TextAnalysis.domainKl(t(s, dir, "documents"), "lang", "text")
+      .orderBy("lang")
+  }
+
   // -------------------------------------------------------------- Q187
   /** RECORD LINKAGE ([[graft.operators.RecordLinkage]], Fellegi–Sunter
     * 1969): link `customer` against a deterministic "dirty twin" of
@@ -6127,5 +6167,5 @@ object Extensions {
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175,
-    q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187)
+    q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188)
 }

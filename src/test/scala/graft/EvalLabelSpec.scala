@@ -120,4 +120,32 @@ class EvalLabelSpec extends SparkSuite {
     val d = Seq((3L, true), (2L, true), (2L, false), (1L, false)).toDF("m", "y")
     assert(Calibration.rocAuc(d, "m", "y").head.getAs[Double]("auc") === 0.875)
   }
+
+  test("domainKl: a domain distributed like the corpus diverges 0; a skewed one matches the quantized replay") {
+    // two domains with IDENTICAL word mixes -> corpus mix == each
+    // domain's mix -> every term ln(1) = 0 -> KL exactly 0
+    val same = Seq(("a", "x x y"), ("b", "x x y")).toDF("lang", "text")
+    val r0 = TextAnalysis.domainKl(same, "lang", "text")
+      .orderBy("lang").collect()
+    assert(r0.map(_.getAs[Double]("kl")).toSeq === Seq(0.0, 0.0))
+    assert(r0(0).getAs[Long]("n_tokens") === 3L)
+    assert(r0(0).getAs[Long]("n_types") === 2L)
+
+    // skewed: dom a = {x:2, y:1}, dom b = {y:1}; corpus {x:2, y:2}
+    val skew = Seq(("a", "x x y"), ("b", "y")).toDF("lang", "text")
+    val r = TextAnalysis.domainKl(skew, "lang", "text")
+      .orderBy("lang").collect()
+    // independent quantized replay of p*ln(p/q) -> 1e-6-unit terms
+    def t6(cdw: Long, nd: Long, cw: Long, n: Long): Long = {
+      val p = cdw.toDouble / nd.toDouble
+      val q = cw.toDouble / n.toDouble
+      math.floor(p * math.log(p / q) * 1e6 + 0.5).toLong
+    }
+    val klA = (t6(2, 3, 2, 4) + t6(1, 3, 2, 4)) / 1e6
+    val klB = t6(1, 1, 2, 4) / 1e6
+    def round4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    assert(r(0).getAs[Double]("kl") === round4(klA))
+    assert(r(1).getAs[Double]("kl") === round4(klB))
+    assert(r(1).getAs[Double]("kl") > 0.69) // ~ln 2: b is all-y vs half-y corpus
+  }
 }
