@@ -79,6 +79,31 @@ object Sinks {
     spark.read.parquet(dir).repartition(files).write.mode("overwrite").parquet(outDir)
   }
 
+  /** BUCKETED TABLE WRITE — the co-located-join primitive: hash-bucket
+    * the table on its join key at WRITE time so every later join or
+    * aggregation on that key runs with ZERO exchanges (Spark reads the
+    * bucket spec from the catalog and plans a shuffle-free sort-merge
+    * join when both sides bucket on the key with equal counts).
+    *
+    * The 100 TB arithmetic: a fact-fact join shuffles BOTH sides every
+    * query — at 100 TB that is the dominant cost of the whole plan,
+    * paid per query. Bucketing pays one shuffle once, at publish, and
+    * every subsequent join/groupBy on the key rides the layout
+    * (BucketedJoinSpec asserts the zero-Exchange plan; the bench
+    * record measures the break-even). `sortCols` additionally orders
+    * rows within each bucket file (scan-time merge locality).
+    * Managed-table CTAS into the session warehouse — at scale, point
+    * the warehouse at the shared filesystem and this is the standard
+    * bucketed-parquet publish. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      nBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    require(nBuckets > 0, s"writeBucketed: nBuckets must be positive, got $nBuckets")
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, bucketCol)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
   /** PUBLISH WITH A MANIFEST: write parquet, re-read what landed, and
     * record `_MANIFEST.json` — row count, part-file count, and the
     * order-insensitive 48-bit XOR content digest over (id | content
