@@ -71,7 +71,9 @@ class CartesianGuardSpec extends SparkSuite {
     "q183_label_model",
     // q184: broadcast centroid scoring scan (the ivfTopK/q79 contract)
     // + 1-row overall-silhouette attachment
-    "q184_silhouette")
+    "q184_silhouette",
+    // q188: 1-row corpus-token-total attachment (crossJoin(broadcast(n)))
+    "q188_domain_kl")
 
   test("no declared query plans a CartesianProduct; NLJ only where documented") {
     val sf = sfDir

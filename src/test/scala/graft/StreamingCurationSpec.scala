@@ -140,6 +140,22 @@ class StreamingCurationSpec extends SparkSuite {
     assert(streamed.last.getSeq[Long](0) == direct, "final streamed sample != batch")
   }
 
+  test("Aho-Corasick blocklist screen: stream == batch (narrow, zero-state DFA gate)") {
+    val docs = Tables(spark, sfDir, "documents").select("doc_id", "text")
+    val pats = Seq("sort merge", "merge", "spark", "a a")
+    def screen(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      graft.operators.Blocklist.screen(df, "doc_id", "text", pats)
+        .filter(col("flagged"))
+        .select(col("doc_id"), col("hits").cast("string").as("hits"),
+          col("total_hits"), col("n_patterns_hit"))
+    val batch = screen(docs).collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty, "fixture corpus must trip the blocklist")
+    val streamed = EventStreams.replayThroughStream(spark, docs, screen,
+        "blocklist_stream", OutputMode.Append())
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+  }
+
   test("hashed-bigram quality classifier: stream == batch (narrow, zero-state)") {
     val docs = Tables(spark, sfDir, "documents").select("doc_id", "text")
     def score(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
