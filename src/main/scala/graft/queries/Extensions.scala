@@ -6078,6 +6078,67 @@ object Extensions {
       .orderBy("l_orderkey", "l_partkey")
   }
 
+  // -------------------------------------------------------------- Q190
+  /** CROSS-SOURCE DUPLICATION MATRIX: for every (lang, lang) pair, how
+    * many duplicate document pairs link them and across how many
+    * distinct contents — the mirror-site/replication audit that tells
+    * a curation team WHERE its duplication comes from, not just how
+    * much exists (q24 counts it). Content key = md5 of the SORTED
+    * DISTINCT normalized word set (the bag-of-words fingerprint — raw
+    * md5 would be vacuous on the fixture, which plants near-dups, not
+    * byte dups). PAIR-FREE formulation: documents reduce to
+    * (fingerprint, lang, count) group sizes first, then pair counts
+    * are products of group sizes (c_a·c_b cross-lang, C(c,2) within) —
+    * the self-join runs on the tiny (hash, lang) relation, bounded by
+    * langs-per-cluster, never enumerating document pairs. Same shape
+    * as the LSH gate's no-pair-enumeration argument, applied to the
+    * audit itself. */
+  val q190 = QueryDef("q190_dup_matrix",
+    s"""WITH $docwCte, g AS (
+      |  SELECT md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS h,
+      |         lang, CAST(count(*) AS BIGINT) AS c
+      |  FROM docw WHERE text IS NOT NULL GROUP BY 1, 2
+      |), cross_pairs AS (
+      |  SELECT a.lang AS lang_lo, b.lang AS lang_hi,
+      |         CAST(sum(a.c * b.c) AS BIGINT) AS n_pairs,
+      |         CAST(count(*) AS BIGINT) AS n_clusters
+      |  FROM g a JOIN g b ON a.h = b.h AND a.lang < b.lang
+      |  GROUP BY 1, 2
+      |), within_pairs AS (
+      |  SELECT lang AS lang_lo, lang AS lang_hi,
+      |         CAST(sum(c * (c - 1) / 2) AS BIGINT) AS n_pairs,
+      |         CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_clusters
+      |  FROM g GROUP BY 1
+      |)
+      |SELECT * FROM (
+      |  SELECT * FROM cross_pairs
+      |  UNION ALL
+      |  SELECT * FROM within_pairs WHERE n_pairs > 0
+      |) ORDER BY lang_lo, lang_hi""") { (s, dir) =>
+    val fp = md5(concat_ws(" ",
+      array_sort(array_distinct(TextFunctions.normalizedWords(col("text"))))))
+    val g = t(s, dir, "documents").filter(col("text").isNotNull)
+      .groupBy(fp.as("h"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+    val a = g.select(col("h"), col("lang").as("lang_a"), col("c").as("c_a"))
+    val b = g.select(col("h"), col("lang").as("lang_b"), col("c").as("c_b"))
+    val cross = a.join(b, Seq("h"))
+      .filter(col("lang_a") < col("lang_b"))
+      .groupBy(col("lang_a").as("lang_lo"), col("lang_b").as("lang_hi"))
+      .agg(sum(col("c_a") * col("c_b")).as("n_pairs"),
+        count(lit(1)).as("n_clusters"))
+    val within = g
+      .groupBy(col("lang").as("lang_lo"))
+      // c·(c−1) is even, so DIV 2 is exact — and stays in BIGINT
+      // (Column./ would detour through DOUBLE)
+      .agg(sum(expr("c * (c - 1) div 2")).as("n_pairs"),
+        sum(when(col("c") >= 2, 1L).otherwise(0L)).as("n_clusters"))
+      .withColumn("lang_hi", col("lang_lo"))
+      .filter(col("n_pairs") > 0L)
+      .select("lang_lo", "lang_hi", "n_pairs", "n_clusters")
+    cross.unionByName(within).orderBy("lang_lo", "lang_hi")
+  }
+
   // -------------------------------------------------------------- Q187
   /** RECORD LINKAGE ([[graft.operators.RecordLinkage]], Fellegi–Sunter
     * 1969): link `customer` against a deterministic "dirty twin" of
@@ -6192,5 +6253,5 @@ object Extensions {
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175,
-    q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189)
+    q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190)
 }
