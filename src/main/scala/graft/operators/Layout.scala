@@ -30,17 +30,18 @@ object Layout {
 
   /** Morton interleave of the low `bits` bits of two non-negative
     * integer columns: bit i of `a` lands at position 2i, bit i of `b`
-    * at 2i+1. Statically unrolled (bits is a plan-time constant), so
-    * the whole expression is one codegen'd arithmetic chain. */
+    * at 2i+1. Round 9 swapped the statically-unrolled shift/and/or
+    * fold (2·bits nested ops — a deep codegen tree per reference) for
+    * ONE native magic-mask expression ([[graft.plans.ZOrderExpr]],
+    * five shift/mask ops per operand); masking the inputs to the low
+    * `bits` bits first makes the two formulations bit-identical
+    * (ZOrderSpec property-asserts equality, q85 oracle-gates the
+    * value cross-engine against [[zValueSql]]). */
   def zValue(a: Column, b: Column, bits: Int = 21): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
-    val al = a.cast("long")
-    val bl = b.cast("long")
-    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
-      acc
-        .bitwiseOR(shiftleft(shiftright(al, i).bitwiseAND(lit(1L)), 2 * i))
-        .bitwiseOR(shiftleft(shiftright(bl, i).bitwiseAND(lit(1L)), 2 * i + 1))
-    }
+    val mask = lit((1L << bits) - 1)
+    graft.plans.ZOrderExpr.zValue(
+      a.cast("long").bitwiseAND(mask), b.cast("long").bitwiseAND(mask))
   }
 
   /** The identical interleave as portable SQL (DuckDB/ANSI bit

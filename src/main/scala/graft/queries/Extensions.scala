@@ -6053,31 +6053,6 @@ object Extensions {
       .orderBy("lang")
   }
 
-  // -------------------------------------------------------------- Q189
-  /** Z-ORDER VALUES ([[graft.plans.ZOrderExpr]]): Morton-interleaved
-    * (l_orderkey, l_partkey) over a deterministic lineitem slice — the
-    * Verify-surface twin of the z-ordered LAYOUT capability
-    * ([[graft.sources.Sinks.writeZOrdered]], BENCH_ZORDER_r09): the
-    * layout itself is a write-side property (spec- and bench-gated),
-    * but the curve value that drives it hash-checks bit-for-bit here
-    * (oracle replays the interleave with DuckDB's integer bit ops —
-    * disjoint bits, so + == |). */
-  val q189 = QueryDef("q189_zorder_values",
-    """SELECT l_orderkey, l_partkey,
-      |       CAST(list_sum(list_transform(range(0, 31), i ->
-      |         (((l_orderkey >> i) & 1) << (2*i)) + (((l_partkey >> i) & 1) << (2*i+1))
-      |       )) AS BIGINT) AS z,
-      |       CAST(count(*) AS BIGINT) AS n
-      |FROM lineitem WHERE l_orderkey < 100
-      |GROUP BY 1, 2 ORDER BY l_orderkey, l_partkey""") { (s, dir) =>
-    t(s, dir, "lineitem").filter(col("l_orderkey") < 100)
-      .groupBy("l_orderkey", "l_partkey")
-      .agg(count(lit(1)).as("n"))
-      .withColumn("z", graft.plans.ZOrderExpr.zValue(col("l_orderkey"), col("l_partkey")))
-      .select("l_orderkey", "l_partkey", "z", "n")
-      .orderBy("l_orderkey", "l_partkey")
-  }
-
   // -------------------------------------------------------------- Q190
   /** CROSS-SOURCE DUPLICATION MATRIX: for every (lang, lang) pair, how
     * many duplicate document pairs link them and across how many
@@ -6253,5 +6228,5 @@ object Extensions {
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175,
-    q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190)
+    q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q190)
 }

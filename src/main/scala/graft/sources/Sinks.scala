@@ -105,28 +105,6 @@ object Sinks {
       .saveAsTable(table)
   }
 
-  /** Z-ORDERED LAYOUT WRITE — multi-dimensional data skipping: range-
-    * partition and sort the table by the Morton z-value of TWO key
-    * columns ([[graft.plans.ZOrderExpr]]) so parquet min/max row-group
-    * stats prune scans filtered on EITHER column. A single-column sort
-    * prunes one axis perfectly and the other not at all; the z-curve
-    * trades a little of the first for a lot of the second (measured in
-    * BENCH_ZORDER_r09). Columns are cast to BIGINT and taken modulo
-    * 2³¹ (layout-only semantics — see ZOrderExpr). The z column is
-    * projected away after the in-partition sort (a narrow projection,
-    * order preserved), so the written schema is unchanged. */
-  def writeZOrdered(df: DataFrame, outDir: String, colA: String, colB: String,
-      partitions: Int): Unit = {
-    require(partitions > 0, s"writeZOrdered: partitions must be positive, got $partitions")
-    val z = graft.plans.ZOrderExpr.zValue(
-      df(colA).cast("long"), df(colB).cast("long"))
-    df.withColumn("__graft_z", z)
-      .repartitionByRange(partitions, col("__graft_z"))
-      .sortWithinPartitions("__graft_z")
-      .select(df.columns.map(col): _*)
-      .write.mode("overwrite").parquet(outDir)
-  }
-
   /** PUBLISH WITH A MANIFEST: write parquet, re-read what landed, and
     * record `_MANIFEST.json` — row count, part-file count, and the
     * order-insensitive 48-bit XOR content digest over (id | content

@@ -4,11 +4,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Data-skipping economics of the z-ordered layout
-  * ([[graft.sources.Sinks.writeZOrdered]]) vs a single-column sort:
-  * the same selective aggregation filtered on EACH key column, timed
-  * against both layouts. Single-column sort prunes its own axis
-  * perfectly and the other not at all; the z-curve should trade a
-  * little of the first for a lot of the second.
+  * ([[graft.operators.Layout.writeZOrdered]]) vs a single-column sort
+  * AT SCALE (LayoutSpec measures the same property at sf0.001): the
+  * same selective aggregation filtered on EACH key column against both
+  * layouts, reporting rows the parquet reader actually decoded.
+  * Single-column sort prunes its own axis perfectly and the other not
+  * at all; the z-curve should trade a little of the first for a lot of
+  * the second.
   *
   * {{{
   * sbt "runMain graft.tools.ZOrderBench /tmp/sf10 3"
@@ -73,7 +75,7 @@ object ZOrderBench {
     l.repartitionByRange(parts, col("l_orderkey"))
       .sortWithinPartitions("l_orderkey")
       .write.mode("overwrite").parquet(sortedDir)
-    graft.sources.Sinks.writeZOrdered(l, zDir, "l_orderkey", "l_partkey", parts)
+    graft.operators.Layout.writeZOrdered(l, "l_orderkey", "l_partkey", parts, zDir)
 
     def agg(df: DataFrame): DataFrame =
       df.agg(count(lit(1)), sum("l_quantity"))

@@ -2,14 +2,17 @@ package graft
 
 import org.apache.spark.sql.functions._
 
+import graft.operators.Layout
 import graft.plans.ZOrderExpr
-import graft.sources.{Sinks, Tables}
 
-/** Z-order layout specs: Morton kernel semantics (known values, modular
-  * wrap, property vs a naive interleave), eager codegen compile, and
-  * the writeZOrdered layout contract (schema/rows preserved, per-file
-  * z-ranges disjoint). Cross-engine value parity is the q189 gate;
-  * skipping economics are BENCH_ZORDER_r09. */
+/** Specs for the round-9 Morton-kernel upgrade: [[Layout.zValue]] now
+  * delegates to the native magic-mask expression
+  * ([[graft.plans.ZOrderExpr]]) instead of the statically-unrolled
+  * 2·bits-op shift/and/or fold. Asserts the kernel against a naive bit
+  * loop, eager codegen compilation, and — the load-bearing one —
+  * bit-identity of the new delegation with the ORIGINAL composed fold
+  * across bit widths (q85's oracle replay and LayoutSpec's skipping
+  * measurements gate the rest). */
 class ZOrderSpec extends SparkSuite {
   import spark.implicits._
 
@@ -24,15 +27,26 @@ class ZOrderSpec extends SparkSuite {
     z
   }
 
+  /** The pre-round-9 formulation, kept verbatim as the equivalence
+    * baseline. */
+  private def composedFold(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column, bits: Int): org.apache.spark.sql.Column = {
+    val al = a.cast("long")
+    val bl = b.cast("long")
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(al, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(bl, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+  }
+
   test("kernel: known values, axis bits, and modular lo-31 semantics") {
     assert(ZOrderExpr.zValue(0L, 0L) === 0L)
     assert(ZOrderExpr.zValue(1L, 0L) === 1L)
     assert(ZOrderExpr.zValue(0L, 1L) === 2L)
     assert(ZOrderExpr.zValue(5L, 3L) === 27L)
-    // inputs wrap modulo 2^31 (layout-only semantics)
     assert(ZOrderExpr.zValue((1L << 31) + 5L, 3L) === ZOrderExpr.zValue(5L, 3L))
     assert(ZOrderExpr.zValue(-1L, 0L) === ZOrderExpr.zValue((1L << 31) - 1L, 0L))
-    // max operands stay in the non-negative 62-bit range
     val zmax = ZOrderExpr.zValue((1L << 31) - 1L, (1L << 31) - 1L)
     assert(zmax > 0L && zmax < (1L << 62))
   }
@@ -62,29 +76,19 @@ class ZOrderSpec extends SparkSuite {
     assert(proj(InternalRow(null, 1L)).isNullAt(0))
   }
 
-  test("writeZOrdered: schema and row multiset preserved; per-file z-ranges disjoint") {
-    val l = Tables(spark, sfDir, "lineitem")
-      .select("l_orderkey", "l_partkey", "l_quantity")
-    val out = java.nio.file.Files.createTempDirectory("zorder").toString
-    Sinks.writeZOrdered(l, out, "l_orderkey", "l_partkey", partitions = 4)
-    val back = spark.read.parquet(out)
-    assert(back.columns.toSeq === l.columns.toSeq) // z projected away
-    assert(back.count() === l.count())
-    val key = concat_ws("|", col("l_orderkey"), col("l_partkey"), col("l_quantity"))
-    assert(back.select(md5(key).as("h")).agg(count(lit(1)), countDistinct("h"))
-      .head.toString ===
-      l.select(md5(key).as("h")).agg(count(lit(1)), countDistinct("h")).head.toString)
-    // range partitioning by z => per-file z intervals must not overlap
-    val ranges = back
-      .withColumn("z", ZOrderExpr.zValue(col("l_orderkey"), col("l_partkey")))
-      .withColumn("f", input_file_name())
-      .groupBy("f").agg(min("z").as("lo"), max("z").as("hi"))
-      .orderBy("lo").collect()
-    ranges.sliding(2).foreach {
-      case Array(p, n) =>
-        assert(p.getAs[Long]("hi") <= n.getAs[Long]("lo"),
-          s"overlapping z-ranges: $p vs $n")
-      case _ =>
+  test("Layout.zValue delegation is bit-identical to the original composed fold, all widths") {
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 200).map(_ =>
+      (rnd.nextLong() & 0x7FFFFFFFL, rnd.nextLong() & 0x7FFFFFFFL))
+    val df = rows.toDF("a", "b")
+    Seq(1, 8, 21, 31).foreach { bits =>
+      val got = df.select(Layout.zValue(col("a"), col("b"), bits)).as[Long].collect()
+      val want = df.select(composedFold(col("a"), col("b"), bits)).as[Long].collect()
+      assert(got.toSeq === want.toSeq, s"bits=$bits")
     }
+    // out-of-width keys: both formulations truncate to the low bits
+    val big = Seq(((1L << 25) + 9L, (1L << 30) + 4L)).toDF("a", "b")
+    assert(big.select(Layout.zValue(col("a"), col("b"), 21)).as[Long].head ===
+      big.select(composedFold(col("a"), col("b"), 21)).as[Long].head)
   }
 }
