@@ -6053,6 +6053,73 @@ object Extensions {
       .orderBy("lang")
   }
 
+  // -------------------------------------------------------------- Q191
+  /** TOKENIZER FERTILITY PER LANGUAGE: subword tokens per word and
+    * characters per subword token, by language, under the committed
+    * BPE vocab ([[graft.functions.VocabTokenizer]]) — the standard
+    * tokenizer-fit diagnostic (a language whose fertility is ~2× the
+    * corpus mean pays twice the context budget per word; the number
+    * multilingual-tokenizer papers tune on). Counts are exact BIGINTs
+    * (the greedy longest-match count is integer by construction);
+    * the two ratios are one round4 division each at the end. Oracle
+    * replays the identical greedy segmentation via q67's recursive
+    * CTE over the same inlined vocab — each distinct word tokenized
+    * once, counts joined back to occurrences (lang rides along).
+    * The vocab is the committed fixture CAPPED at 3-char pieces: the
+    * full trained vocab holds every fixture word whole (fertility
+    * ≡ 1.0, metric vacuous); the cap forces real multi-piece
+    * segmentation — exactly the small-vocab-pays-more-tokens effect
+    * the metric exists to measure. Shape: ONE narrow
+    * tokenize-and-count map + one few-groups aggregate; nothing else
+    * shuffles. */
+  val q191 = {
+    val smallVocab = graft.functions.VocabTokenizer.default.filter(_.length <= 3)
+    QueryDef("q191_tokenizer_fertility",
+    s"""WITH RECURSIVE $docwCte,
+       |vocab(piece) AS (SELECT * FROM (VALUES ${graft.functions.VocabTokenizer.valuesSql(smallVocab)}) v(piece)),
+       |tok AS (SELECT doc_id, lang, unnest(w) AS word FROM docw),
+       |uw AS (SELECT DISTINCT word FROM tok),
+       |seg AS (
+       |  SELECT word, 1 AS pos, 0 AS ntok FROM uw
+       |  UNION ALL
+       |  SELECT word,
+       |         pos + coalesce((SELECT max(len(piece)) FROM vocab
+       |                         WHERE substr(word, pos, len(piece)) = piece), 1),
+       |         ntok + 1
+       |  FROM seg WHERE pos <= len(word)
+       |),
+       |wtok AS (SELECT word, max(ntok) AS wt FROM seg WHERE pos = len(word) + 1 GROUP BY word)
+       |SELECT lang,
+       |       CAST(count(DISTINCT tok.doc_id) AS BIGINT) AS n_docs,
+       |       CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(wt) AS BIGINT) AS n_subword_tokens,
+       |       CAST(sum(len(word)) AS BIGINT) AS n_chars,
+       |       ${TextFunctions.round4Sql(
+                  "CAST(sum(wt) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS fertility,
+       |       ${TextFunctions.round4Sql(
+                  "CAST(sum(len(word)) AS DOUBLE) / CAST(sum(wt) AS DOUBLE)")} AS chars_per_token
+       |FROM tok JOIN wtok USING (word)
+       |GROUP BY lang ORDER BY lang""") { (s, dir) =>
+    val w = TextFunctions.normalizedWords(col("text"))
+    t(s, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        graft.functions.VocabTokenizer.tokenCount(w, smallVocab).cast("long").as("tok"),
+        size(w).cast("long").as("words"),
+        coalesce(aggregate(transform(w, x => length(x).cast("long")),
+          lit(0L), (a, x) => a + x), lit(0L)).as("chars"))
+      .filter(col("words") > 0L) // docs with no alpha tokens have no words to count
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("words").as("n_words"),
+        sum("tok").as("n_subword_tokens"), sum("chars").as("n_chars"),
+        TextFunctions.round4(sum("tok").cast("double") / sum("words").cast("double"))
+          .as("fertility"),
+        TextFunctions.round4(sum("chars").cast("double") / sum("tok").cast("double"))
+          .as("chars_per_token"))
+      .orderBy("lang")
+    }
+  }
+
   // -------------------------------------------------------------- Q190
   /** CROSS-SOURCE DUPLICATION MATRIX: for every (lang, lang) pair, how
     * many duplicate document pairs link them and across how many
@@ -6228,5 +6295,5 @@ object Extensions {
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175,
-    q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q190)
+    q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q190, q191)
 }

@@ -66,16 +66,22 @@ object Sinks {
     * of KB-sized parquet files per partition destroy scan throughput. */
   def compact(spark: SparkSession, dir: String, outDir: String,
       targetBytes: Long = 128L << 20): Unit = {
-    val root = new java.io.File(dir)
-    require(root.isDirectory, s"compact: $dir is not a directory")
+    // size through the path's own Hadoop FileSystem (same contract as
+    // writeWithManifest) so compaction works where the data lives
+    // (HDFS/S3), not only on the driver's local disk
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.getFileStatus(root).isDirectory, s"compact: $dir is not a directory")
     // recursive walk so partitioned layouts size correctly; the output
     // is a FLAT parquet directory (partition columns become data
     // columns) — re-partition with writePartitioned afterwards if the
     // directory layout must be preserved
-    def bytesOf(f: java.io.File): Long =
-      if (f.isDirectory) f.listFiles().map(bytesOf).sum
-      else if (f.getName.startsWith(".") || f.getName.startsWith("_")) 0L
-      else f.length
+    def bytesOf(p: org.apache.hadoop.fs.Path): Long = {
+      val st = fs.getFileStatus(p)
+      if (st.isDirectory) fs.listStatus(p).map(s => bytesOf(s.getPath)).sum
+      else if (p.getName.startsWith(".") || p.getName.startsWith("_")) 0L
+      else st.getLen
+    }
     val files = math.max(1, math.ceil(bytesOf(root).toDouble / targetBytes).toInt)
     spark.read.parquet(dir).repartition(files).write.mode("overwrite").parquet(outDir)
   }
