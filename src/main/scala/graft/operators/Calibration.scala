@@ -96,6 +96,68 @@ object Calibration {
           (col("n_total").cast("double") * 1e12)).as("brier"))
   }
 
+  /** Isotonic-regression calibration (pool-adjacent-violators) over
+    * score-ordered buckets — the standard PRODUCTION calibrator
+    * ([[binaryCalibration]] diagnoses miscalibration; this FIXES it:
+    * the monotone step function mapping score → P(y) that minimizes
+    * squared error).
+    *
+    * PAV is a sequential pooling algorithm, which doesn't distribute —
+    * so this uses its closed-form minimax characterization instead:
+    *
+    *   iso(i) = max_{j ≤ i} min_{k ≥ i} (Σ pos[j..k] / Σ n[j..k])
+    *
+    * evaluated RELATIONALLY over `bins` score buckets: interval sums
+    * from a triangle join of the bin relation with itself (≤ B·(B+1)/2
+    * interval rows, B ≤ 1024 `require`d), then a min-per-(i,j) /
+    * max-per-i aggregation. Interval sums are exact BIGINTs; each
+    * interval average is ONE double division of exact integers
+    * (identical both engines); min/max over doubles is
+    * order-independent — so the fit hash-checks bit-for-bit, unlike
+    * any sequential-pooling float accumulation. Scores bucket by
+    * exact-integer min/max scaling ((m−lo)·B div (hi−lo+1), operands
+    * non-negative so div == floor-div on both engines).
+    *
+    * Scale shape: one pass over the data for the bin aggregation; ALL
+    * interval/minimax work happens on the ≤B-row bin relation
+    * (broadcast triangle joins — documented bounded NLJ shapes, the
+    * q192 guard entry). Output: one row per non-empty bin:
+    * (bin, n, pos, raw_rate, iso_rate), iso_rate non-decreasing in
+    * bin by construction. */
+  def isotonicFit(scored: DataFrame, scoreCol: String, labelCol: String,
+      bins: Int = 64): DataFrame = {
+    require(bins >= 1 && bins <= 1024,
+      s"isotonicFit: bins must be in [1, 1024], got $bins")
+    val mm = scored.agg(min(col(scoreCol).cast("long")).as("lo"),
+      max(col(scoreCol).cast("long")).as("hi"))
+    val binned = scored
+      .select(col(scoreCol).cast("long").as("m"),
+        col(labelCol).cast("long").as("y"))
+      .crossJoin(broadcast(mm))
+      .select(expr(s"CAST(((m - lo) * $bins) div (hi - lo + 1) AS BIGINT)").as("bin"),
+        col("y"))
+    val b = binned.groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("y").as("pos"))
+    // triangle of (j, k) interval endpoints over PRESENT bins; empty
+    // bins carry no mass, so their absence never changes an interval sum
+    val jk = b.select(col("bin").as("jb"))
+      .join(broadcast(b.select(col("bin").as("kb"))), col("jb") <= col("kb"))
+    val ivl = jk
+      .join(broadcast(b), col("bin").between(col("jb"), col("kb")))
+      .groupBy("jb", "kb")
+      .agg(sum("n").as("ivn"), sum("pos").as("ivp"))
+    val perIJ = b.select(col("bin"))
+      .join(broadcast(ivl), col("jb") <= col("bin") && col("kb") >= col("bin"))
+      .groupBy("bin", "jb")
+      .agg(min(col("ivp").cast("double") / col("ivn").cast("double")).as("mn"))
+    val iso = perIJ.groupBy("bin").agg(max("mn").as("iso"))
+    b.join(iso, Seq("bin"))
+      .select(col("bin"), col("n"), col("pos"),
+        TextFunctions.round4(col("pos").cast("double") / col("n").cast("double"))
+          .as("raw_rate"),
+        TextFunctions.round4(col("iso")).as("iso_rate"))
+  }
+
   /** ROC-AUC of an integer score against a boolean label, via the
     * tie-corrected Mann–Whitney rank statistic — calibration (above)
     * says whether p means p; AUC says whether the score RANKS at all.

@@ -5969,7 +5969,11 @@ object Extensions {
     * (q163's idiom — never a single-partition window), one round4
     * division at the end. Output: one row. */
   val q185 = {
-    val stops = "'the','be','to','of','and','that','have','with'"
+    // the full 8-stopword list intersects this fixture's vocabulary only
+    // at "the", so a >=2-distinct-hits label would be constant-false
+    // (and the AUC/isotonic fit vacuous); "both the AND a present" has
+    // real, length-correlated variance on the corpus
+    val stops = "'the','a'"
     QueryDef("q185_classifier_auc",
       s"""WITH $docwCte, $classifierScoreCte, lab AS (
          |  SELECT doc_id, coalesce(len(list_intersect(w, [$stops])) >= 2, false) AS y
@@ -5996,7 +6000,7 @@ object Extensions {
       val m = graft.operators.QualityClassifier
         .hashedBigramScore(docs, "doc_id", "text")
         .select(col("doc_id"), col("margin_units"))
-      val stopArr = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      val stopArr = Seq("the", "a")
       val lab = docs.select(col("doc_id"),
         coalesce(size(array_intersect(TextFunctions.normalizedWords(col("text")),
           array(stopArr.map(lit): _*))) >= 2, lit(false)).as("y"))
@@ -6051,6 +6055,71 @@ object Extensions {
        |FROM nd JOIN k USING (dom) ORDER BY lang""") { (s, dir) =>
     TextAnalysis.domainKl(t(s, dir, "documents"), "lang", "text")
       .orderBy("lang")
+  }
+
+  // -------------------------------------------------------------- Q192
+  /** ISOTONIC CALIBRATION ([[graft.operators.Calibration.isotonicFit]],
+    * pool-adjacent-violators): the monotone score → P(y) map fitted to
+    * q117's classifier margin against q185's weak label — q181
+    * DIAGNOSES miscalibration (ECE/Brier), this FIXES it. PAV is
+    * sequential and doesn't distribute, so the fit is its closed-form
+    * minimax: iso(i) = max_{j≤i} min_{k≥i} interval-rate[j..k],
+    * evaluated relationally over 64 score buckets (exact-integer
+    * binning, exact BIGINT interval sums, one double division per
+    * interval, min/max order-independent) — the whole fit hash-checks
+    * bit-for-bit, which no sequential-pooling float loop could. */
+  val q192 = {
+    // the full 8-stopword list intersects this fixture's vocabulary only
+    // at "the", so a >=2-distinct-hits label would be constant-false
+    // (and the AUC/isotonic fit vacuous); "both the AND a present" has
+    // real, length-correlated variance on the corpus
+    val stops = "'the','a'"
+    val bins = 64
+    QueryDef("q192_isotonic_calibration",
+      s"""WITH $docwCte, $classifierScoreCte, lab AS (
+         |  SELECT doc_id, coalesce(len(list_intersect(w, [$stops])) >= 2, false) AS y
+         |  FROM docw
+         |), d AS (
+         |  SELECT sc.margin_units AS m, CAST(CASE WHEN lab.y THEN 1 ELSE 0 END AS BIGINT) AS y
+         |  FROM sc JOIN lab USING (doc_id)
+         |), mm AS (
+         |  SELECT min(m) AS lo, max(m) AS hi FROM d
+         |), bn AS (
+         |  SELECT CAST(((m - lo) * $bins) // (hi - lo + 1) AS BIGINT) AS bin, y
+         |  FROM d CROSS JOIN mm
+         |), b AS (
+         |  SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+         |  FROM bn GROUP BY 1
+         |), ivl AS (
+         |  SELECT j.bin AS jb, k.bin AS kb,
+         |         CAST(sum(x.n) AS BIGINT) AS ivn, CAST(sum(x.pos) AS BIGINT) AS ivp
+         |  FROM b j JOIN b k ON j.bin <= k.bin
+         |       JOIN b x ON x.bin BETWEEN j.bin AND k.bin
+         |  GROUP BY 1, 2
+         |), perij AS (
+         |  SELECT i.bin, v.jb,
+         |         min(CAST(v.ivp AS DOUBLE) / CAST(v.ivn AS DOUBLE)) AS mn
+         |  FROM b i JOIN ivl v ON v.jb <= i.bin AND v.kb >= i.bin
+         |  GROUP BY 1, 2
+         |), iso AS (
+         |  SELECT bin, max(mn) AS iso FROM perij GROUP BY 1
+         |)
+         |SELECT b.bin, b.n, b.pos,
+         |       ${TextFunctions.round4Sql("CAST(b.pos AS DOUBLE) / CAST(b.n AS DOUBLE)")} AS raw_rate,
+         |       ${TextFunctions.round4Sql("iso.iso")} AS iso_rate
+         |FROM b JOIN iso USING (bin) ORDER BY bin""") { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val m = graft.operators.QualityClassifier
+        .hashedBigramScore(docs, "doc_id", "text")
+        .select(col("doc_id"), col("margin_units"))
+      val stopArr = Seq("the", "a")
+      val lab = docs.select(col("doc_id"),
+        coalesce(size(array_intersect(TextFunctions.normalizedWords(col("text")),
+          array(stopArr.map(lit): _*))) >= 2, lit(false)).as("y"))
+      graft.operators.Calibration
+        .isotonicFit(m.join(lab, Seq("doc_id")), "margin_units", "y", bins)
+        .orderBy("bin")
+    }
   }
 
   // -------------------------------------------------------------- Q191
@@ -6295,5 +6364,5 @@ object Extensions {
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175,
-    q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q190, q191)
+    q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q190, q191, q192)
 }

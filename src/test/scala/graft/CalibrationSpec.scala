@@ -61,4 +61,64 @@ class CalibrationSpec extends SparkSuite {
     assert(b9.getDouble(2) === 1.0 && b9.getDouble(3) === 0.0)
     assert(b9.getDouble(4) > 0.25, "confidently-wrong must dominate ece")
   }
+
+  /** Classic sequential pool-adjacent-violators over (n, pos) buckets
+    * in order — the independent reference the minimax formulation must
+    * reproduce. */
+  private def referencePav(groups: Seq[(Long, Long)]): Seq[Double] = {
+    // stack of pooled blocks (n, pos)
+    val st = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)] // n, pos, width
+    groups.foreach { case (n, pos) =>
+      var cur = (n, pos, 1)
+      while (st.nonEmpty && {
+        val (pn, pp, _) = st.last
+        pp.toDouble / pn >= cur._2.toDouble / cur._1
+      }) {
+        val (pn, pp, pw) = st.remove(st.length - 1)
+        cur = (pn + cur._1, pp + cur._2, pw + cur._3)
+      }
+      st += cur
+    }
+    st.toSeq.flatMap { case (n, pos, w) => Seq.fill(w)(pos.toDouble / n) }
+  }
+
+  test("isotonicFit: textbook violator pools to the weighted average; monotone output") {
+    import spark.implicits._
+    // 4 score levels, 10 obs each, rates 0.1 / 0.5 / 0.3 / 0.7:
+    // PAV pools levels 2-3 to 0.4; the rest stand
+    val rows = for {
+      (score, rate) <- Seq((0L, 0.1), (1L, 0.5), (2L, 0.3), (3L, 0.7))
+      i <- 0 until 10
+    } yield (score, i < rate * 10)
+    val df = rows.toDF("m", "y")
+    val r = Calibration.isotonicFit(df, "m", "y", bins = 4)
+      .orderBy("bin").collect()
+    assert(r.map(_.getAs[Double]("raw_rate")).toSeq === Seq(0.1, 0.5, 0.3, 0.7))
+    assert(r.map(_.getAs[Double]("iso_rate")).toSeq === Seq(0.1, 0.4, 0.4, 0.7))
+  }
+
+  test("isotonicFit: property — minimax fit == sequential PAV on random bucket data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    (1 to 5).foreach { trial =>
+      val levels = 2 + rnd.nextInt(7)
+      val rows = for {
+        s <- 0 until levels
+        n = 1 + rnd.nextInt(6)
+        i <- 0 until n
+      } yield (s.toLong, rnd.nextInt(4) > 1)
+      val df = rows.toDF("m", "y")
+      val got = Calibration.isotonicFit(df, "m", "y", bins = levels)
+        .orderBy("bin").collect()
+      val groups = rows.groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (_, g) => (g.size.toLong, g.count(_._2).toLong) }
+      val want = referencePav(groups)
+      def round4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+      assert(got.map(_.getAs[Double]("iso_rate")).toSeq === want.map(round4),
+        s"trial $trial: groups $groups")
+      // monotone by construction
+      val iso = got.map(_.getAs[Double]("iso_rate"))
+      assert(iso.zip(iso.tail).forall { case (a, b) => a <= b })
+    }
+  }
 }

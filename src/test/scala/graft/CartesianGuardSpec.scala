@@ -73,7 +73,11 @@ class CartesianGuardSpec extends SparkSuite {
     // + 1-row overall-silhouette attachment
     "q184_silhouette",
     // q188: 1-row corpus-token-total attachment (crossJoin(broadcast(n)))
-    "q188_domain_kl")
+    "q188_domain_kl",
+    // q192: 1-row min/max scalar attach + the isotonic minimax's
+    // bounded triangle joins over the <=64-row bin relation (broadcast
+    // non-equi by construction — see Calibration.isotonicFit)
+    "q192_isotonic_calibration")
 
   test("no declared query plans a CartesianProduct; NLJ only where documented") {
     val sf = sfDir
