@@ -47,15 +47,18 @@ object LabelModel {
     val out = graft.sources.Balance.cpuBound(docs)
       .filter(col(textCol).isNotNull)
       .select(col(idCol), w.as("_w"))
+      .select(col(idCol), col("_w"),
+        // one native hash pass for (distinct, max multiplicity) — the
+        // composed distinct+filter-count form was O(d·n) interpreted
+        // per row (see TextNormExprs.WordMultiplicityExpr)
+        graft.plans.TextNormExprs.wordMultiplicity(col("_w")).as("_dm"))
       .select(col(idCol),
         size(col("_w")).cast("long").as("_n"),
         aggregate(col("_w"), lit(0L), (acc, x) => acc + length(x)).as("_chars"),
         size(array_intersect(col("_w"),
           array(stops.map(lit): _*))).cast("long").as("_sd"),
-        size(array_distinct(col("_w"))).cast("long").as("_d"),
-        coalesce(array_max(transform(array_distinct(col("_w")),
-          c => size(filter(col("_w"), x => x === c)))), lit(0))
-          .cast("long").as("_mx"))
+        col("_dm.d").as("_d"),
+        col("_dm.mx").as("_mx"))
     val lfs = Seq(
       ("lf_wordcount", col("_n") >= 50L && col("_n") <= 100000L),
       ("lf_meanlen", lit(3L) * col("_n") <= col("_chars") &&

@@ -39,20 +39,38 @@ object RecordLinkage {
     * `score` BIGINT and `decision`. */
   def link(left: DataFrame, right: DataFrame, idCol: String,
       blockCols: Seq[String], rules: Seq[LinkRule],
+      lower: Long, upper: Long): DataFrame =
+    linkMultiPass(left, right, idCol, Seq(blockCols), rules, lower, upper)
+
+  /** MULTI-PASS blocking — the production spelling: one coarse key
+    * (nation) bounds nothing when the data piles into few blocks
+    * (measured: nation-only blocking went quadratic at 150 k customers
+    * — 6 000-per-block → 900 M candidate pairs, 15 s where 0.6 s
+    * should be). Real linkers run SEVERAL FINE passes (zip+year,
+    * phonetic-name, exact-amount …), each an equi-join with O(1)
+    * blocks, and union the candidate sets: a true pair only needs to
+    * survive ONE pass, so recall composes across passes while each
+    * pass's volume stays linear. Candidates dedup on the id pair
+    * before scoring. */
+  def linkMultiPass(left: DataFrame, right: DataFrame, idCol: String,
+      passes: Seq[Seq[String]], rules: Seq[LinkRule],
       lower: Long, upper: Long): DataFrame = {
     require(rules.nonEmpty, "record_linkage: no comparison rules")
-    require(blockCols.nonEmpty, "record_linkage: blocking keys required — an unblocked link is an all-pairs join")
+    require(passes.nonEmpty && passes.forall(_.nonEmpty),
+      "record_linkage: blocking keys required — an unblocked link is an all-pairs join")
     require(lower <= upper, s"record_linkage: lower $lower > upper $upper")
-    val fields = (idCol +: (blockCols ++ rules.map(_.field))).distinct
+    val fields = (idCol +: (passes.flatten ++ rules.map(_.field))).distinct
     val l = left.select(fields.map(c => col(c).as(s"l_$c")): _*)
     val r = right.select(fields.map(c => col(c).as(s"r_$c")): _*)
-    val joined = l.join(r,
-      blockCols.map(c => col(s"l_$c") === col(s"r_$c")).reduce(_ && _))
+    val cands = passes.map { bc =>
+      l.join(r, bc.map(c => col(s"l_$c") === col(s"r_$c")).reduce(_ && _))
+    }.reduce(_ unionByName _)
+      .dropDuplicates(s"l_$idCol", s"r_$idCol")
     val score = rules.map { ru =>
       when(col(s"l_${ru.field}") <=> col(s"r_${ru.field}"),
         lit(ru.agreeWeight)).otherwise(lit(ru.disagreeWeight))
     }.reduce(_ + _)
-    joined
+    cands
       .withColumn("score", score)
       .withColumn("decision",
         when(col("score") >= upper, "match")

@@ -440,43 +440,30 @@ object TextAnalysis {
     * all-integer comparison (H < 2 bits ⇔ hnum < 2·L·1e9). One float
     * division at the end under round4.
     *
-    * Scale shape: narrow per-row map (O(distinct·prefix) comparisons
-    * per document), no shuffle — scales with the scan like the other
-    * per-row quality signals. Null text → null signal; empty text →
-    * len_used 0, null entropy.
+    * Scale shape: narrow per-row map — ONE native code-point walk per
+    * document ([[graft.plans.CharEntropyExpr]]; the composed
+    * split/distinct/filter-count formulation was an interpreted
+    * O(distinct·prefix) lambda per row, measured 17.8 s → kernel at
+    * 500 k docs, see BENCH_NEWOPS_r09), no shuffle — scales with the
+    * scan like the other per-row quality signals. Null text → null
+    * signal; empty text → len_used 0, null entropy.
     */
   def charEntropy(docs: DataFrame, idCol: String, textCol: String,
       prefix: Int = 512): DataFrame = {
     require(prefix >= 1 && prefix <= log2UnitsTable.size,
       s"prefix must be in [1, ${log2UnitsTable.size}], got $prefix")
-    val tbl = typedLit(log2UnitsTable)
-    val s = substring(col(textCol), 1, prefix)
-    val chars = when(length(s) > 0, split(s, "")).otherwise(array().cast("array<string>"))
     def nn(c: Column) = when(col(textCol).isNull, lit(null)).otherwise(c)
     graft.sources.Balance.cpuBound(docs)
-      .select(col(idCol), col(textCol), chars.as("_cl"))
       .select(col(idCol), col(textCol),
-        size(col("_cl")).cast("long").as("_l"),
-        transform(array_distinct(col("_cl")),
-          c => size(filter(col("_cl"), x => x === c)).cast("long")).as("_cnt"))
-      .select(col(idCol), col(textCol), col("_l"),
-        size(col("_cnt")).cast("long").as("_d"),
-        // guarded: element_at is 1-based and ANSI-strict, and _l = 0 on
-        // empty/null text — the when() keeps the index expression
-        // un-evaluated there
-        when(col("_l") > 0L,
-          col("_l") * element_at(tbl, col("_l").cast("int")) -
-            coalesce(aggregate(col("_cnt"), lit(0L),
-              (acc, c) => acc + c * element_at(tbl, c.cast("int"))), lit(0L)))
-          .otherwise(0L).as("_hnum"))
+        graft.plans.CharEntropyExpr.charEntropyStats(col(textCol), prefix).as("_st"))
       .select(col(idCol),
-        nn(col("_l")).as("len_used"),
-        nn(col("_d")).as("n_distinct"),
-        when(col("_l") > 0L, TextFunctions.round4(
-          col("_hnum").cast("double") / (col("_l").cast("double") * 1e9)))
+        nn(col("_st.len_used")).as("len_used"),
+        nn(col("_st.n_distinct")).as("n_distinct"),
+        when(col("_st.len_used") > 0L, TextFunctions.round4(
+          col("_st.hnum").cast("double") / (col("_st.len_used").cast("double") * 1e9)))
           .as("entropy"),
-        nn(coalesce(col("_hnum") < lit(2000000000L) * col("_l") && col("_l") > 0L,
-          lit(false))).as("flag_low_entropy"))
+        nn(coalesce(col("_st.hnum") < lit(2000000000L) * col("_st.len_used")
+          && col("_st.len_used") > 0L, lit(false))).as("flag_low_entropy"))
   }
 
   /** Per-domain KL divergence KL(P_domain ‖ P_corpus) over unigram

@@ -130,6 +130,103 @@ final class AhoCorasick(val patterns: Seq[String]) extends Serializable {
   }
 }
 
+/** Native single-pass char-entropy statistics — the kernel behind
+  * [[graft.operators.TextAnalysis.charEntropy]]. The composed form
+  * (split("") → array_distinct → a filter-count per distinct char) is
+  * an interpreted O(distinct × len) lambda per row — measured 17.8 s
+  * over 500 k docs; this kernel is one code-point walk + a bounded
+  * count map per row (≤ `prefix` entries), emitting the exact
+  * integer triple the entropy arithmetic needs:
+  * (len_used, n_distinct, hnum = L·T[L] − Σ cnt·T[cnt]) over the
+  * shared 1e9-scaled log2 table. Code points are iterated over UTF-8
+  * lead bytes — the oracle's (DuckDB) character semantics; identical
+  * to the previous split("")-based path on all non-astral text (the
+  * fixture is ASCII; astral chars would split into surrogate halves
+  * there, a divergence the kernel FIXES rather than preserves). */
+object CharEntropyExpr {
+
+  /** log2(k)·1e9 for k = 1..512 (same formula as the oracle literal —
+    * equality spec-asserted against TextAnalysis.log2UnitsTable). */
+  val log2Units: Array[Long] =
+    (1 to 512).map(k => math.round(math.log(k) / math.log(2) * 1e9)).toArray
+
+  /** Kernel, static-forwarder-reachable from generated Java. Returns
+    * struct(len_used, n_distinct, hnum), all BIGINT. */
+  def charEntropyEval(input: UTF8String, prefix: Int)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = input.getBytes
+    val counts = new java.util.HashMap[Integer, Integer](64)
+    var l = 0L
+    var i = 0
+    while (i < bytes.length && l < prefix) {
+      val b = bytes(i) & 0xff
+      // code point = lead byte + continuation bytes (UTF-8 is
+      // self-synchronizing: continuation bytes are 0b10xxxxxx)
+      val width =
+        if (b < 0x80) 1
+        else if (b < 0xe0) 2
+        else if (b < 0xf0) 3
+        else 4
+      var cp = 0
+      var k = 0
+      while (k < width && i + k < bytes.length) {
+        cp = (cp << 8) | (bytes(i + k) & 0xff)
+        k += 1
+      }
+      val c = counts.get(cp)
+      counts.put(cp, if (c == null) 1 else c + 1)
+      l += 1L
+      i += width
+    }
+    var sum = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c: Int = it.next()
+      sum += c.toLong * log2Units(c - 1)
+    }
+    val hnum = if (l > 0) l * log2Units(l.toInt - 1) - sum else 0L
+    org.apache.spark.sql.catalyst.InternalRow(l, counts.size.toLong, hnum)
+  }
+
+  case class CharEntropyStatsExpr(child: Expression, prefix: Int)
+      extends UnaryExpression {
+    require(prefix >= 1 && prefix <= log2Units.length,
+      s"char_entropy_stats: prefix must be in [1, ${log2Units.length}], got $prefix")
+
+    override def dataType: DataType = StructType(Seq(
+      StructField("len_used", LongType, nullable = false),
+      StructField("n_distinct", LongType, nullable = false),
+      StructField("hnum", LongType, nullable = false)))
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"char_entropy_stats requires a STRING input, got ${other.simpleString}")
+      }
+
+    override protected def nullSafeEval(input: Any): Any =
+      CharEntropyExpr.charEntropyEval(input.asInstanceOf[UTF8String], prefix)
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.plans.CharEntropyExpr.charEntropyEval($c, $prefix);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "char_entropy_stats"
+  }
+
+  def charEntropyStats(text: Column, prefix: Int): Column =
+    GraftColumnBridge.toColumn(
+      CharEntropyStatsExpr(GraftColumnBridge.toExpression(text), prefix))
+}
+
 object AhoCorasickExpr {
 
   /** `multi_pattern_counts(text)` — ARRAY<BIGINT> of per-pattern

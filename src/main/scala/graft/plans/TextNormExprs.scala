@@ -403,6 +403,64 @@ object TextNormExprs {
     GraftColumnBridge.toColumn(
       GramRepetitionExpr(GraftColumnBridge.toExpression(words), ns))
 
+  /** Distinct-word count and maximum word multiplicity in ONE hash
+    * pass — the kernel behind [[graft.operators.LabelModel]]'s
+    * lf_distinct / lf_maxfreq evidence. The composed form
+    * (`array_distinct` + an `array_max(transform(distinct, filter
+    * count))`) is an interpreted O(distinct × n) lambda per row —
+    * the same shape [[GramRepetitionExpr]] replaced for the Gopher
+    * battery. Kernel, static-forwarder-reachable from generated
+    * Java; null array → (0, 0) (callers drop null text first). */
+  def wordMultiplicityEval(arr: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    if (arr == null || arr.numElements() == 0)
+      return org.apache.spark.sql.catalyst.InternalRow(0L, 0L)
+    val counts = new java.util.HashMap[UTF8String, Integer](
+      math.min(arr.numElements(), 1 << 16))
+    var i = 0
+    while (i < arr.numElements()) {
+      val w = arr.getUTF8String(i)
+      val c = counts.get(w)
+      counts.put(w, if (c == null) 1 else c + 1)
+      i += 1
+    }
+    var mx = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) { val c: Int = it.next(); if (c > mx) mx = c }
+    org.apache.spark.sql.catalyst.InternalRow(counts.size.toLong, mx)
+  }
+
+  case class WordMultiplicityExpr(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("d", LongType, nullable = false),
+      StructField("mx", LongType, nullable = false)))
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StringType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"word_multiplicity requires ARRAY<STRING> input, got ${other.simpleString}")
+      }
+    override protected def nullSafeEval(input: Any): Any =
+      wordMultiplicityEval(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.plans.TextNormExprs.wordMultiplicityEval($c);")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "word_multiplicity"
+  }
+
+  def wordMultiplicity(words: Column): Column =
+    GraftColumnBridge.toColumn(
+      WordMultiplicityExpr(GraftColumnBridge.toExpression(words)))
+
   /** Per-language stopword-hit counts over a word array, all languages
     * in ONE pass: one hash lookup per token against a word →
     * per-language increment table, replacing an interpreted

@@ -6254,17 +6254,22 @@ object Extensions {
   /** RECORD LINKAGE ([[graft.operators.RecordLinkage]], Fellegi–Sunter
     * 1969): link `customer` against a deterministic "dirty twin" of
     * itself (hash-keyed per-record corruption: name-suffix
-    * transposition, balance floored to whole dollars, segment wiped —
-    * the classic different-upstream-system artifacts), blocking on
-    * nation, scoring name/cents/segment agreement with fixed-point
-    * integer log-odds weights, and classifying into match / clerical
-    * review / non-match. Output: the (decision, score) histogram with
-    * true-match counts (custkey equality is the planted ground truth) —
-    * the linkage-quality audit a real ER pipeline reads first. All
-    * scores are BIGINT sums; balances compare as DECIMAL-derived cents
-    * (no float equality). The name-transposed twins land in the review
-    * band (9000) by construction — the FS three-way decision working
-    * as designed. */
+    * transposition, balance bumped to the next dollar, segment wiped —
+    * the classic different-upstream-system artifacts), scoring
+    * name/cents/segment agreement with fixed-point integer log-odds
+    * weights into match / clerical review / non-match. Blocking is
+    * MULTI-PASS ([[RecordLinkage.linkMultiPass]]): pass A on
+    * (nation, whole dollars) catches everything that keeps its dollar
+    * amount (name-transposed, segment-wiped, clean twins); pass B on
+    * (nation, exact name) catches the dollar-bumped twins pass A
+    * loses. Every pass is O(1)-block — nation-only blocking measured
+    * QUADRATIC at 150 k customers (6 000-per-block → 900 M pairs,
+    * 15.4 s; multi-pass: linear). Output: the (decision, score)
+    * histogram with true-match counts (custkey equality is the
+    * planted ground truth) — the name-transposed twins land in the
+    * review band (9000) by construction. All scores BIGINT; balances
+    * compare as DECIMAL-derived cents; dollars block via floor
+    * division (identical on both engines). */
   val q187 = {
     val bkt = md5Bucket16Sql("c_custkey")
     QueryDef("q187_record_linkage",
@@ -6273,22 +6278,38 @@ object Extensions {
          |         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
          |         $bkt % 4 AS b
          |  FROM customer
+         |), clean AS (
+         |  SELECT c_custkey, c_nationkey, c_name, c_mktsegment, cents,
+         |         cents // 100 AS dollars
+         |  FROM base
          |), dirty AS (
          |  SELECT c_custkey, c_nationkey,
          |         CASE WHEN b = 0 THEN substr(c_name, 1, len(c_name)-2)
          |                || substr(c_name, len(c_name), 1)
          |                || substr(c_name, len(c_name)-1, 1)
          |              ELSE c_name END AS c_name,
-         |         CASE WHEN b = 1 THEN cents - (cents % 100) ELSE cents END AS cents,
-         |         CASE WHEN b = 2 THEN 'UNKNOWN' ELSE c_mktsegment END AS c_mktsegment
+         |         CASE WHEN b = 2 THEN 'UNKNOWN' ELSE c_mktsegment END AS c_mktsegment,
+         |         CASE WHEN b = 1 THEN cents + 100 ELSE cents END AS cents,
+         |         (CASE WHEN b = 1 THEN cents + 100 ELSE cents END) // 100 AS dollars
          |  FROM base
-         |), pairs AS (
+         |), cands AS (
          |  SELECT l.c_custkey AS lid, r.c_custkey AS rid,
-         |         (CASE WHEN l.c_name IS NOT DISTINCT FROM r.c_name THEN 12000 ELSE -3000 END
-         |        + CASE WHEN l.cents IS NOT DISTINCT FROM r.cents THEN 10000 ELSE -2000 END
-         |        + CASE WHEN l.c_mktsegment IS NOT DISTINCT FROM r.c_mktsegment THEN 2000 ELSE -4000 END
+         |         l.c_name AS ln, r.c_name AS rn, l.cents AS lc, r.cents AS rc,
+         |         l.c_mktsegment AS ls, r.c_mktsegment AS rs
+         |  FROM clean l JOIN dirty r
+         |    ON l.c_nationkey = r.c_nationkey AND l.dollars = r.dollars
+         |  UNION
+         |  SELECT l.c_custkey, r.c_custkey, l.c_name, r.c_name,
+         |         l.cents, r.cents, l.c_mktsegment, r.c_mktsegment
+         |  FROM clean l JOIN dirty r
+         |    ON l.c_nationkey = r.c_nationkey AND l.c_name = r.c_name
+         |), pairs AS (
+         |  SELECT lid, rid,
+         |         (CASE WHEN ln IS NOT DISTINCT FROM rn THEN 12000 ELSE -3000 END
+         |        + CASE WHEN lc IS NOT DISTINCT FROM rc THEN 10000 ELSE -2000 END
+         |        + CASE WHEN ls IS NOT DISTINCT FROM rs THEN 2000 ELSE -4000 END
          |         ) AS score
-         |  FROM base l JOIN dirty r ON l.c_nationkey = r.c_nationkey
+         |  FROM cands
          |)
          |SELECT CASE WHEN score >= 12000 THEN 'match'
          |            WHEN score <= 0 THEN 'nonmatch' ELSE 'review' END AS decision,
@@ -6299,16 +6320,23 @@ object Extensions {
       import graft.operators.RecordLinkage
       val c = t(s, dir, "customer")
       val cents = (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+      // floor division (not Spark's truncating `div`): negative cents
+      // must bucket like DuckDB's `//`; |cents| <= 1e9 so the double
+      // path is exact
+      def dollars(cc: org.apache.spark.sql.Column) =
+        floor(cc.cast("double") / 100.0).cast("long")
       val clean = c.select(col("c_custkey"), col("c_nationkey"), col("c_name"),
-        cents.as("cents"), col("c_mktsegment"))
+        cents.as("cents"), dollars(cents).as("dollars"), col("c_mktsegment"))
       val bucket = graft.operators.Splits.hashBucket(col("c_custkey")) % 4
       val transposed = expr("concat(substring(c_name, 1, length(c_name)-2), " +
         "substring(c_name, length(c_name), 1), substring(c_name, length(c_name)-1, 1))")
+      val dirtyCents = when(bucket === 1, cents + 100L).otherwise(cents)
       val dirty = c.select(col("c_custkey"), col("c_nationkey"),
         when(bucket === 0, transposed).otherwise(col("c_name")).as("c_name"),
-        when(bucket === 1, cents - (cents % 100)).otherwise(cents).as("cents"),
+        dirtyCents.as("cents"), dollars(dirtyCents).as("dollars"),
         when(bucket === 2, lit("UNKNOWN")).otherwise(col("c_mktsegment")).as("c_mktsegment"))
-      RecordLinkage.link(clean, dirty, "c_custkey", Seq("c_nationkey"),
+      RecordLinkage.linkMultiPass(clean, dirty, "c_custkey",
+          Seq(Seq("c_nationkey", "dollars"), Seq("c_nationkey", "c_name")),
           Seq(RecordLinkage.LinkRule("c_name", 12000L, -3000L),
             RecordLinkage.LinkRule("cents", 10000L, -2000L),
             RecordLinkage.LinkRule("c_mktsegment", 2000L, -4000L)),

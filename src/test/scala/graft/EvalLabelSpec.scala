@@ -29,6 +29,39 @@ class EvalLabelSpec extends SparkSuite {
     assert(r(3).isNullAt(r(3).fieldIndex("entropy")))
   }
 
+  test("charEntropyStats kernel: naive replay on random strings; eager codegen; UTF-8 code points") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val T = graft.plans.CharEntropyExpr.log2Units
+    assert(T.toSeq === TextAnalysis.log2UnitsTable, "one table, two views")
+    def naive(s: String, prefix: Int): (Long, Long, Long) = {
+      val cps = s.codePoints().toArray.take(prefix)
+      val l = cps.length.toLong
+      val counts = cps.groupBy(identity).values.map(_.length)
+      val hnum = if (l > 0) l * T(l.toInt - 1) - counts.map(c => c.toLong * T(c - 1)).sum else 0L
+      (l, counts.size.toLong, hnum)
+    }
+    val expr = graft.plans.CharEntropyExpr.CharEntropyStatsExpr(
+      BoundReference(0, StringType, nullable = true), 512)
+    val proj = GenerateUnsafeProjection.generate(Seq(expr)) // compiles eagerly
+    val rnd = new scala.util.Random(3)
+    val samples = (1 to 100).map(_ =>
+      (1 to rnd.nextInt(600)).map(_ => ('a' + rnd.nextInt(5)).toChar).mkString) ++
+      Seq("", "日本語 spark 日本語", "café haché")
+    samples.foreach { s =>
+      val row = InternalRow(UTF8String.fromString(s))
+      val st = proj(row).getStruct(0, 3)
+      val (l, d, h) = naive(s, 512)
+      assert((st.getLong(0), st.getLong(1), st.getLong(2)) === ((l, d, h)), s"input: '$s'")
+      val interp = expr.eval(row).asInstanceOf[InternalRow]
+      assert((interp.getLong(0), interp.getLong(1), interp.getLong(2)) === ((l, d, h)))
+    }
+    assert(proj(InternalRow(null)).isNullAt(0))
+  }
+
   test("charEntropy: bounds to the 512-char prefix and counts distinct chars there") {
     val docs = Seq((1L, "ab" * 600)).toDF("doc_id", "text") // 1200 chars
     val r = TextAnalysis.charEntropy(docs, "doc_id", "text").head()
