@@ -96,6 +96,49 @@ object Calibration {
           (col("n_total").cast("double") * 1e12)).as("brier"))
   }
 
+  /** Split-conformal screen (Vovk et al.; the distribution-free
+    * finite-sample gate): calibrate a nonconformity threshold on a
+    * held-out split and flag test items above it — on exchangeable
+    * data, P(flag) ≤ α on the test split, with NO distributional
+    * assumption on the score. The modern way to turn any quality
+    * score into a gate with a guarantee.
+    *
+    * Mechanics, all exact: nonconformity s = −score (lower score =
+    * less conforming); calibration split = the deterministic md5
+    * bucket ([[Splits.hashBucket]] < 2¹⁵, the engine-replayable coin);
+    * threshold t = the k-th smallest calibration nonconformity with
+    * k = min(n_cal, ⌈(n_cal+1)·(1−α)⌉) — computed by
+    * [[Selection.kthSmallest]]'s counting-scan descent (exact order
+    * statistic, zero shuffles, construction-time like q147/q154 —
+    * never a single-partition sort). α is a rational alphaNum/alphaDen
+    * so k is exact integer arithmetic. Output: one row per split
+    * (calibration, test) with n, n_flagged (s > t), the flag rate
+    * (round4), and the (t, k, n_cal) certificate repeated. */
+  def conformalGate(scored: DataFrame, idCol: String, scoreCol: String,
+      alphaNum: Long = 1L, alphaDen: Long = 10L): DataFrame = {
+    require(alphaNum >= 1 && alphaNum < alphaDen,
+      s"conformalGate: need 0 < alpha < 1, got $alphaNum/$alphaDen")
+    val nonconf = -col(scoreCol).cast("long")
+    val isCal = Splits.hashBucket(col(idCol)) < (1 << 15)
+    val base = scored.select(col(idCol), nonconf.as("s"), isCal.as("is_cal"))
+    val cal = base.filter(col("is_cal")).select(col("s").as("v"))
+    val nCal = cal.count()
+    require(nCal > 0, "conformalGate: empty calibration split")
+    // k = ceil((n_cal + 1) * (1 - alpha)); operands non-negative so
+    // the truncating div is floor and the +den-1 makes it a ceil
+    val k = math.min(nCal,
+      ((nCal + 1) * (alphaDen - alphaNum) + alphaDen - 1) / alphaDen)
+    val t = Selection.kthSmallest(cal, k)
+    base
+      .groupBy(when(col("is_cal"), "calibration").otherwise("test").as("split"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("s") > t, 1L).otherwise(0L)).as("n_flagged"))
+      .select(col("split"), col("n"), col("n_flagged"),
+        graft.functions.TextFunctions.round4(
+          col("n_flagged").cast("double") / col("n").cast("double")).as("flag_rate"),
+        lit(t).as("threshold"), lit(k).as("k_cal"), lit(nCal).as("n_cal"))
+  }
+
   /** Isotonic-regression calibration (pool-adjacent-violators) over
     * score-ordered buckets — the standard PRODUCTION calibrator
     * ([[binaryCalibration]] diagnoses miscalibration; this FIXES it:

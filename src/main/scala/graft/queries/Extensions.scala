@@ -6057,6 +6057,50 @@ object Extensions {
       .orderBy("lang")
   }
 
+  // -------------------------------------------------------------- Q193
+  /** SPLIT-CONFORMAL GATE ([[graft.operators.Calibration
+    * .conformalGate]], Vovk et al.): turn q117's quality margin into a
+    * screen with a distribution-free finite-sample guarantee —
+    * calibrate the nonconformity threshold t (exact k-th order
+    * statistic, k = ⌈(n_cal+1)·0.9⌉, via the counting-scan descent) on
+    * the md5-bucket calibration half, flag anything above it; on
+    * exchangeable data the test flag rate is ≤ α = 0.1 by THEOREM, and
+    * the output shows it empirically. All integer arithmetic
+    * (rational α, exact order statistic); oracle replays the
+    * threshold as ORDER BY/OFFSET. */
+  val q193 = QueryDef("q193_conformal_gate",
+    s"""WITH $docwCte, $classifierScoreCte, d AS (
+       |  SELECT doc_id, -margin_units AS s,
+       |         ${md5Bucket16Sql("doc_id")} < 32768 AS is_cal
+       |  FROM sc
+       |), nc AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_cal FROM d WHERE is_cal
+       |), kk AS (
+       |  SELECT n_cal,
+       |         least(n_cal, ((n_cal + 1) * 9 + 9) // 10) AS k
+       |  FROM nc
+       |), t AS (
+       |  SELECT (SELECT s FROM d WHERE is_cal ORDER BY s
+       |          LIMIT 1 OFFSET (SELECT k - 1 FROM kk)) AS t
+       |)
+       |SELECT CASE WHEN is_cal THEN 'calibration' ELSE 'test' END AS split,
+       |       CAST(count(*) AS BIGINT) AS n,
+       |       CAST(sum(CASE WHEN s > t.t THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       |       ${TextFunctions.round4Sql(
+                "CAST(sum(CASE WHEN s > t.t THEN 1 ELSE 0 END) AS DOUBLE) / count(*)")} AS flag_rate,
+       |       CAST(t.t AS BIGINT) AS threshold,
+       |       CAST(kk.k AS BIGINT) AS k_cal,
+       |       CAST(kk.n_cal AS BIGINT) AS n_cal
+       |FROM d CROSS JOIN t CROSS JOIN kk
+       |GROUP BY 1, t.t, kk.k, kk.n_cal ORDER BY split""") { (s, dir) =>
+    val m = graft.operators.QualityClassifier
+      .hashedBigramScore(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("doc_id"), col("margin_units"))
+    graft.operators.Calibration
+      .conformalGate(m, "doc_id", "margin_units", alphaNum = 1L, alphaDen = 10L)
+      .orderBy("split")
+  }
+
   // -------------------------------------------------------------- Q192
   /** ISOTONIC CALIBRATION ([[graft.operators.Calibration.isotonicFit]],
     * pool-adjacent-violators): the monotone score → P(y) map fitted to
@@ -6392,5 +6436,5 @@ object Extensions {
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175,
-    q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q190, q191, q192)
+    q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q190, q191, q192, q193)
 }

@@ -97,6 +97,35 @@ class CalibrationSpec extends SparkSuite {
     assert(r.map(_.getAs[Double]("iso_rate")).toSeq === Seq(0.1, 0.4, 0.4, 0.7))
   }
 
+  test("conformalGate: threshold is the exact k-th order statistic; guarantee holds; guards fire") {
+    import spark.implicits._
+    // ids 0..999, score = id (nonconformity = -id): calibration split
+    // is the md5 half, threshold replayable by sorting
+    val df = (0L until 1000L).map(i => (i, i)).toDF("id", "score")
+    val r = Calibration.conformalGate(df, "id", "score", 1L, 10L)
+      .orderBy("split").collect()
+    val nCal = r(0).getAs[Long]("n_cal")
+    val k = r(0).getAs[Long]("k_cal")
+    assert(k === math.min(nCal, ((nCal + 1) * 9 + 9) / 10))
+    // independent replay of the k-th smallest calibration nonconformity
+    val calScores = (0L until 1000L).filter { i =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8")).take(2)
+        .map("%02x".format(_)).mkString
+      Integer.parseInt(hex, 16) < 32768
+    }.map(i => -i).sorted
+    assert(nCal === calScores.length.toLong)
+    val t = calScores(k.toInt - 1)
+    assert(r(0).getAs[Long]("threshold") === t)
+    // by construction at most alpha of the calibration split exceeds t
+    assert(r(0).getAs[Long]("n_flagged").toDouble / nCal <= 0.1 + 1e-9)
+    assert(r.map(_.getAs[String]("split")).toSeq === Seq("calibration", "test"))
+    intercept[IllegalArgumentException](
+      Calibration.conformalGate(df, "id", "score", 10L, 10L))
+    intercept[IllegalArgumentException](
+      Calibration.conformalGate(df.limit(0), "id", "score"))
+  }
+
   test("isotonicFit: property — minimax fit == sequential PAV on random bucket data") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
