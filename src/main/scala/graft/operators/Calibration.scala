@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.expressions.IntegralDivide
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -34,15 +35,18 @@ object Calibration {
   /** Rational fast sigmoid in 1e-6 units: 500000 + sign(m)·(500000·|m|
     * div (s+|m|)). Monotone in m, p(0) = 0.5, saturates at 0/1e6;
     * s is the margin scale (the |m| at which p ≈ 0.75). All-integer:
-    * 500000·|m| needs |m| < 1.8e13 — far above any bigram margin. */
+    * the quotient is a true BIGINT `div` (Catalyst IntegralDivide — no
+    * double round-trip anywhere), so exactness holds over the full
+    * Long-overflow range |m| < 2^63/500000 ≈ 1.8e13, not merely the
+    * 2^53 double-mantissa bound the earlier floor(double) spelling
+    * silently depended on. */
   def fastSigmoidUnits(marginCol: Column, s: Long): Column = {
     val am = abs(marginCol.cast("long"))
-    // floor of the double quotient == the integer quotient here: the
-    // numerator stays < 2^53 (exact double) and the true fractional
-    // part is either 0 or >= 1/(s+|m|) >> the division's ulp error,
-    // so the floor can never land on the wrong side — matching the
-    // oracle's exact BIGINT // division
-    val d = floor((lit(500000L) * am).cast("double") / (lit(s) + am)).cast("long")
+    // exact integer quotient, matching the oracle's BIGINT // division
+    // bit-for-bit: operands are non-negative so truncation == floor
+    val d = GraftColumnBridge.toColumn(new IntegralDivide(
+      GraftColumnBridge.toExpression(lit(500000L) * am),
+      GraftColumnBridge.toExpression(lit(s) + am)))
     (lit(500000L) + signum(marginCol).cast("long") * d).cast("long")
   }
 
@@ -121,7 +125,12 @@ object Calibration {
     val nonconf = -col(scoreCol).cast("long")
     val isCal = Splits.hashBucket(col(idCol)) < (1 << 15)
     val base = scored.select(col(idCol), nonconf.as("s"), isCal.as("is_cal"))
-    val cal = base.filter(col("is_cal")).select(col("s").as("v"))
+    // pin the narrow calibration projection ONCE: the count below and
+    // the descent's ≤6 counting scans all read the checkpointed long
+    // column instead of re-scanning (and re-hashing the split of) the
+    // source ~8× — construction now costs one source pass, and the
+    // pinned blocks are a single 8-byte column of ~half the rows
+    val cal = Selection.pin(base.filter(col("is_cal")), "s")
     val nCal = cal.count()
     require(nCal > 0, "conformalGate: empty calibration split")
     // k = ceil((n_cal + 1) * (1 - alpha)); operands non-negative so

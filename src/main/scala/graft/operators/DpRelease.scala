@@ -3,13 +3,33 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Differentially-private aggregate release — the governance step after
-  * k-anonymity (q120) and pseudonymization (q94): publish per-group
-  * counts with calibrated noise so no single row's presence is
-  * identifiable, while keeping the release ENGINE-REPLAYABLE (the
+/** SIMULATED differentially-private aggregate release — the governance
+  * step after k-anonymity (q120) and pseudonymization (q94): publish
+  * per-group counts with calibrated noise so no single row's presence
+  * is identifiable, while keeping the release ENGINE-REPLAYABLE (the
   * repo's sampling contract: every random draw is a pure md5 function
   * of its coordinates, q50/q89/q172's idiom — no RNG state, identical
   * bits on any engine).
+  *
+  * ==NOT a production DP mechanism as committed==
+  * The replayability that makes the mechanism oracle-checkable is
+  * exactly what voids the privacy guarantee if misused: the noise is a
+  * pure function of (seed, group key), so ANYONE WHO KNOWS THE SEED
+  * CAN SUBTRACT THE NOISE and recover the exact counts. The declared
+  * queries q178/q179 commit their seeds as string literals — that is
+  * deliberate (the DuckDB oracle must replay the draw), and it means
+  * those outputs are demonstrations of the mechanism, not releases.
+  * For a REAL release the seed plays the role of the mechanism's
+  * secret randomness and MUST be (a) high-entropy, (b) kept as secret
+  * as the raw data, and (c) single-use per (release, ε-budget) — reuse
+  * across releases correlates the noise and composes ε silently.
+  * Additionally, emitting only OBSERVED groups leaks membership
+  * through presence/absence regardless of noise (a unique group key
+  * appears iff its one row exists): a real release must enumerate a
+  * KNOWN, data-independent key domain — pass `domain` to
+  * [[simulatedNoisyCounts]] so absent groups are published as noised
+  * zeros. The `simulated` naming is the guard rail: there is no
+  * non-simulated spelling in this repo to mistake it for.
   *
   * Mechanism: truncated discrete Laplace (two-sided geometric) with
   * alpha = 1/2, i.e. P(noise = k) ∝ 2^(−|k|) for k ∈ [−B, B] — the
@@ -76,22 +96,43 @@ object DpRelease {
     s"CAST(CASE ${whens.mkString(" ")} ELSE ${ts.last._2} END AS BIGINT)"
   }
 
-  /** DP noisy group counts: exact count per group, plus the
+  /** Simulated DP noisy group counts: exact count per group, plus the
     * deterministic geometric noise, clamped at 0 (post-processing
-    * preserves DP). Output: groupCols*, exact-free `noisy_count` and
-    * the noise actually applied (for specs/audit — a REAL release
-    * would drop `noise` and the exact count; the declared query q178
-    * keeps both so the mechanism itself is oracle-checkable). Group
-    * keys are joined with the \u001f separator (nulls to '' — callers
-    * with null-able keys should pre-coalesce distinctly, the
-    * SnapshotDiff caveat). */
-  def noisyCounts(df: DataFrame, groupCols: Seq[String], seed: String,
-      b: Int = 20): DataFrame = {
+    * preserves DP). Output: groupCols*, `exact_count`, `noise` and
+    * `noisy_count` (for specs/audit — a REAL release would drop
+    * `noise` and the exact count; the declared query q178 keeps both
+    * so the mechanism itself is oracle-checkable). Group keys are
+    * joined with the \u001f separator (nulls to '' — callers with
+    * null-able keys should pre-coalesce distinctly, the SnapshotDiff
+    * caveat). See the object doc: with a committed seed this is a
+    * DEMONSTRATION of the mechanism, not a private release.
+    *
+    * @param domain optional COMPLETE, data-independent key relation
+    *        (rows over exactly `groupCols`): when given, every domain
+    *        key is emitted — absent groups as noised zeros — so a
+    *        key's presence/absence no longer leaks membership.
+    *        Required for anything resembling a real release; None
+    *        reproduces the observed-groups demonstration shape q178
+    *        oracle-checks. */
+  def simulatedNoisyCounts(df: DataFrame, groupCols: Seq[String],
+      seed: String, b: Int = 20,
+      domain: Option[DataFrame] = None): DataFrame = {
     require(groupCols.nonEmpty)
+    val counts = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("exact_count"))
+    val grounded = domain match {
+      case Some(d) =>
+        // the (small, public) domain drives: absent groups surface
+        // with exact_count = 0 and still draw their own noise
+        d.select(groupCols.map(col): _*).distinct()
+          .join(counts, groupCols, "left")
+          .select(groupCols.map(col) :+
+            coalesce(col("exact_count"), lit(0L)).as("exact_count"): _*)
+      case None => counts
+    }
     val key = concat_ws("\u001f",
       groupCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
-    df.groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("exact_count"))
+    grounded
       // alias the draw once so the 2B+1-branch CASE references a single
       // computed column, not 2B+1 copies of the md5 expression
       .withColumn("__graft_u", draw(key, seed, b))
@@ -102,7 +143,9 @@ object DpRelease {
         greatest(col("exact_count") + col("noise"), lit(0L)))
   }
 
-  /** DP noisy group SUMS with per-row contribution clipping: each
+  /** Simulated DP noisy group SUMS with per-row contribution clipping
+    * (same seed-secrecy and observed-groups caveats as
+    * [[simulatedNoisyCounts]] — see the object doc): each
     * row's integer value is clipped to [0, clip] (bounding the
     * sensitivity at `clip`), summed exactly per group, then noised
     * with `clip · k` where k is the same truncated discrete Laplace
@@ -112,7 +155,7 @@ object DpRelease {
     * arithmetic end-to-end. A release combining [[noisyCounts]] and
     * noisySums over the same groups must use DIFFERENT seeds (draws
     * are otherwise identical) and composes ε additively. */
-  def noisySums(df: DataFrame, groupCols: Seq[String], valueCol: String,
+  def simulatedNoisySums(df: DataFrame, groupCols: Seq[String], valueCol: String,
       clip: Long, seed: String, b: Int = 20): DataFrame = {
     require(groupCols.nonEmpty && clip >= 1)
     val key = concat_ws("\u001f",

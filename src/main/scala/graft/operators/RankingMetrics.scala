@@ -56,21 +56,38 @@ object RankingMetrics {
     val wF = wFixed(k)
     val cumF = idealFixed(k)
     val mrrT = mrrTable(k)
-    val relCnt = relevant.groupBy(qidCol)
+    // dedup the ground truth: a duplicated (qid, doc) row would fan
+    // out the hit-join (double-counting hits/DCG) AND inflate rel_cnt
+    // — metrics silently skewed instead of failing. The SET semantics
+    // of binary relevance make dropDuplicates the contract, not a fix.
+    val relSet = relevant.select(col(qidCol), col(docCol))
+      .dropDuplicates(qidCol, docCol)
+    val relCnt = relSet.groupBy(qidCol)
       .agg(count(lit(1)).as("rel_cnt"))
+    // ranks outside [1, k] violate the contract; element_at would
+    // return NULL past the k-entry table and silently DROP that hit's
+    // DCG — raise instead, at execution, on the offending row
+    val rk = col(rankCol).cast("int")
+    val checkedRank = when(rk.between(1, k), rk).otherwise(raise_error(concat(
+      lit(s"binaryMetrics: $rankCol must be in [1, $k], got "), rk.cast("string"))))
     // the match marker must be a REAL attribute from the right side
     // (the doc id itself), not lit(1): a literal marker's isNotNull can
     // be constant-folded to TRUE through the outer join by the
     // optimizer, silently turning misses into hits
     val hits = retrieved
-      .join(relevant.withColumn("__rel", col(docCol)), Seq(qidCol, docCol), "left")
+      .join(relSet.withColumn("__rel", col(docCol)), Seq(qidCol, docCol), "left")
       .groupBy(qidCol)
       .agg(
         count(col("__rel")).as("hits"),
+        // the miss branch contributes checkedRank·0 instead of a bare
+        // 0L: CaseWhen evaluates branches lazily, so this is what makes
+        // a MISS row with an out-of-range rank fail too (an unused
+        // extra aggregate would be column-pruned away by Catalyst —
+        // the guard must live inside a consumed expression)
         sum(when(col("__rel").isNotNull,
-          element_at(array(wF.map(lit): _*), col(rankCol).cast("int")))
-          .otherwise(0L)).as("__dcg_fixed"),
-        min(when(col("__rel").isNotNull, col(rankCol).cast("int"))).as("__first_hit"))
+          element_at(array(wF.map(lit): _*), checkedRank))
+          .otherwise(checkedRank.cast("long") * lit(0L))).as("__dcg_fixed"),
+        min(when(col("__rel").isNotNull, checkedRank)).as("__first_hit"))
     relCnt.join(hits, Seq(qidCol), "left")
       .select(col(qidCol), col("rel_cnt"),
         coalesce(col("hits"), lit(0L)).as("hits"),

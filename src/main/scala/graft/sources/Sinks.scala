@@ -10,6 +10,11 @@ import org.apache.spark.sql.functions.col
   */
 object Sinks {
 
+  /** Manifest row-hash encoding version ([[writeWithManifest]]):
+    * 2 = NULL-distinguishing '1'++value / '0' (round 9+); 1 (implicit,
+    * field absent) = the old coalesce-to-'' encoding. */
+  val DigestVersion = 2
+
   /** Partitioned columnar write — the standard large-scale layout. */
   def writePartitioned(df: DataFrame, outDir: String, partitionCols: Seq[String],
       format: String = "parquet"): Unit = {
@@ -131,8 +136,14 @@ object Sinks {
       .collect().headOption.map(r => (r.getLong(1), r.getLong(2)))
       .getOrElse((0L, 0L)) // an empty snapshot digests as (0, 0)
     val nFiles = back.inputFiles.length
+    // digest_v versions the ROW-HASH ENCODING, not the data: v2 is the
+    // NULL-distinguishing '1'++value / '0' scheme (round 9); v1 (no
+    // field) was coalesce-to-''. Without the version, a v1 manifest
+    // read by a v2 validator reports a digest mismatch that looks
+    // exactly like data corruption instead of a format bump.
     val json =
-      s"""{"rows": ${d._1}, "digest": ${d._2}, "files": $nFiles, """ +
+      s"""{"digest_v": $DigestVersion, "rows": ${d._1}, "digest": ${d._2}, """ +
+        s""""files": $nFiles, """ +
         s""""id_col": "$idCol", "content_cols": "${contentCols.mkString(",")}"}"""
     // through the Hadoop FileSystem of the OUTPUT path — the publish
     // boundary must work where the data landed (HDFS/S3), not only on
@@ -163,6 +174,16 @@ object Sinks {
     def str(name: String): String =
       s""""$name": "([^"]*)"""".r.findFirstMatchIn(text)
         .getOrElse(sys.error(s"manifest missing $name")).group(1)
+    // version gate BEFORE comparing digests: a manifest written under
+    // a different row-hash encoding must fail as "format bump", never
+    // masquerade as corruption (v1 = coalesce-to-'', pre-round-9)
+    val gotV = s""""digest_v": (\\d+)""".r.findFirstMatchIn(text)
+      .map(_.group(1).toInt).getOrElse(1)
+    if (gotV != DigestVersion)
+      sys.error(s"manifest at $outDir uses digest_v=$gotV but this validator " +
+        s"computes digest_v=$DigestVersion (the row-hash NULL encoding changed); " +
+        "re-publish with writeWithManifest — the digests are incomparable, " +
+        "this is a format bump, not data corruption")
     val expRows = field("rows").toLong
     val expDig = field("digest").toLong
     val idCol = str("id_col")

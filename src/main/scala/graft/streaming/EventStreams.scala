@@ -572,8 +572,29 @@ object EventStreams {
       .filter(col(opCol) =!= deleteOp) // oldest level → tombstones drop
     val tmp = new org.apache.hadoop.fs.Path(root, ".compact_tmp")
     base.write.mode("overwrite").parquet(tmp.toString)
-    folded.foreach(s => fs.delete(s.getPath, true))
-    fs.rename(tmp, new org.apache.hadoop.fs.Path(root, s"batch=$upToBatch"))
+    // swap with the narrowest possible failure window, and LOUDLY:
+    // Hadoop FS delete/rename signal failure by RETURNING FALSE (HDFS
+    // rename onto an existing path, flaky object stores), not by
+    // throwing — an unchecked swap here would strand the compacted
+    // base in .compact_tmp AFTER the originals are gone and readers
+    // would see an empty/partial log. So: (1) clear only the
+    // destination dir (it is one of the folded sources), (2) rename
+    // the base into place, (3) only then drop the remaining folded
+    // sources — if (2) fails, every other source batch is still
+    // intact and the exception says where the data sits.
+    val dest = new org.apache.hadoop.fs.Path(root, s"batch=$upToBatch")
+    if (!fs.delete(dest, true))
+      throw new java.io.IOException(
+        s"majorCompact: failed to clear destination $dest; compacted base left at $tmp")
+    if (!fs.rename(tmp, dest))
+      throw new java.io.IOException(
+        s"majorCompact: rename $tmp -> $dest returned false; compacted base left at $tmp")
+    folded.filter(_.getPath.getName != dest.getName).foreach { s =>
+      if (!fs.delete(s.getPath, true))
+        throw new java.io.IOException(
+          s"majorCompact: failed to delete folded source ${s.getPath} after swap; " +
+            "the read-side merge stays correct (base masks it) but space is not reclaimed")
+    }
   }
 
   /** Does `dir` already hold any `batch=` partition? Resolved through

@@ -27,7 +27,7 @@ class DpReleaseSpec extends SparkSuite {
     val b = 20
     val rows = (1 to 4000).map(i => (i.toLong, s"g${i % 200}"))
     val df = rows.toDF("id", "grp")
-    val out = DpRelease.noisyCounts(df, Seq("grp"), "seed-a", b)
+    val out = DpRelease.simulatedNoisyCounts(df, Seq("grp"), "seed-a", b)
       .orderBy("grp").collect()
     assert(out.length === 200)
     // pure-JVM replay of the draw + inverse CDF for every group
@@ -47,10 +47,10 @@ class DpReleaseSpec extends SparkSuite {
       assert(exact === 20L)
     }
     // same seed -> identical release; different seed -> different noise somewhere
-    val again = DpRelease.noisyCounts(df, Seq("grp"), "seed-a", b)
+    val again = DpRelease.simulatedNoisyCounts(df, Seq("grp"), "seed-a", b)
       .orderBy("grp").collect()
     assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
-    val other = DpRelease.noisyCounts(df, Seq("grp"), "seed-b", b)
+    val other = DpRelease.simulatedNoisyCounts(df, Seq("grp"), "seed-b", b)
       .orderBy("grp").collect()
     assert(out.map(_.getLong(2)).toSeq !== other.map(_.getLong(2)).toSeq)
   }
@@ -59,7 +59,7 @@ class DpReleaseSpec extends SparkSuite {
     import spark.implicits._
     // 20k singleton groups = 20k independent draws
     val df = (1 to 20000).map(i => (i.toLong, s"k$i")).toDF("id", "grp")
-    val noises = DpRelease.noisyCounts(df, Seq("grp"), "dist-seed", 20)
+    val noises = DpRelease.simulatedNoisyCounts(df, Seq("grp"), "dist-seed", 20)
       .select("noise").as[Long].collect()
     val p0 = noises.count(_ == 0L).toDouble / noises.length
     val p1 = noises.count(n => math.abs(n) <= 1L).toDouble / noises.length
@@ -78,7 +78,7 @@ class DpReleaseSpec extends SparkSuite {
     // values straddle the clip bound and include negatives (clip to 0)
     val rows = (1 to 3000).map(i => (s"g${i % 50}", (i % 40).toLong - 5))
     val df = rows.toDF("grp", "v")
-    val out = DpRelease.noisySums(df, Seq("grp"), "v", clip, "sum-seed", b)
+    val out = DpRelease.simulatedNoisySums(df, Seq("grp"), "v", clip, "sum-seed", b)
       .orderBy("grp").collect()
     assert(out.length === 50)
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -100,11 +100,34 @@ class DpReleaseSpec extends SparkSuite {
     }
   }
 
+  test("domain grounding: every domain key is emitted, absent groups are " +
+      "noised zeros, present groups identical to the observed-only release") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "grp")
+    val domain = Seq("a", "b", "c", "d").toDF("grp")
+    val out = DpRelease.simulatedNoisyCounts(df, Seq("grp"), "dom-seed", 20,
+      domain = Some(domain)).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.keySet === Set("a", "b", "c", "d"),
+      "the complete domain must drive the release — absence may not leak")
+    assert(out("a")._1 === 2L && out("b")._1 === 1L)
+    assert(out("c")._1 === 0L && out("d")._1 === 0L)
+    // absent groups still draw their own (deterministic) noise + clamp
+    Seq("c", "d").foreach { g =>
+      val (_, n, noisy) = out(g)
+      assert(math.abs(n) <= 20L && noisy === math.max(n, 0L))
+    }
+    // present groups: identical rows to the observed-groups release
+    val obs = DpRelease.simulatedNoisyCounts(df, Seq("grp"), "dom-seed", 20)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    Seq("a", "b").foreach(g => assert(out(g) === obs(g)))
+  }
+
   test("clamp: zero-heavy groups never release negative counts") {
     import spark.implicits._
     // 1-row groups: exact_count = 1, noise can reach -20 -> clamp to 0
     val df = (1 to 5000).map(i => (i.toLong, s"solo$i")).toDF("id", "grp")
-    val out = DpRelease.noisyCounts(df, Seq("grp"), "clamp-seed", 20)
+    val out = DpRelease.simulatedNoisyCounts(df, Seq("grp"), "clamp-seed", 20)
     assert(out.filter(col("noisy_count") < 0).count() === 0)
     assert(out.filter(col("noisy_count") === 0).count() > 0,
       "some 1-row groups must clamp (P(noise <= -1) ~ 1/3)")
