@@ -93,7 +93,7 @@ object Bench {
     }
     val loadWaitSec = (System.nanoTime() - waitT0) / 1e9
     val loadStart = loadavg()
-    val contended = loadStart > maxLoad
+    val contendedStart = loadStart > maxLoad
 
     // JVM/codegen warmup outside the timed region.
     SparkEntry.queries("q03_agg_tpch1")(spark, sfDir).count()
@@ -246,7 +246,17 @@ object Bench {
       else headlineAdj.map { case (k, s1, s2, prev) =>
         f""""$k":{"first":$s1%.3f,"resample":$s2%.3f,"prev":$prev%.3f}"""
       }.mkString(""","headline_adjudicated":{""", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","q27_pairs":$q27Pairs,"reps":$reps,"median":$medians,"spread":$spreads$fullJson$adjJson$headAdjJson,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"load_wait_sec":${f"$loadWaitSec%.1f"},"contended":$contended}"""
+    // HONEST self-grade (the r9 record needed 11 adjudications yet said
+    // contended:false — too generous): a run that had to re-measure ≥4
+    // entries was, by its own evidence, not running on a quiet box,
+    // whatever the loadavg bookends claimed. Such a record stays usable
+    // (the adjudication samples are all in it) but self-marks contended
+    // so it is never read as a clean baseline. loadavg_end is reported
+    // but NOT graded on: the bench's own local[32] sweep legitimately
+    // leaves the 1-min load high (a clean-box r10 cut ended at 6.2).
+    val nAdjudications = adjudicated.length + headlineAdj.length
+    val contended = contendedStart || nAdjudications >= 4
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","q27_pairs":$q27Pairs,"reps":$reps,"median":$medians,"spread":$spreads$fullJson$adjJson$headAdjJson,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"load_wait_sec":${f"$loadWaitSec%.1f"},"adjudications":$nAdjudications,"contended":$contended}"""
     // The FULL record (medians, spreads, the 60+-entry full-inventory map)
     // is several KB — longer than the driver's stdout tail window, which is
     // why BENCH_r04/r05 recorded `parsed: null`. So: the full record goes to
@@ -255,7 +265,7 @@ object Bench {
     // always survive the tail capture whole.
     val compactQs = results.map { case (k, t) => f""""$k":${t.min}%.3f""" }
       .mkString("{", ",", "}")
-    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$compactQs,"sf":"$sfDir","q27_pairs":$q27Pairs,"reps":$reps,"adjudicated":${adjudicated.length + headlineAdj.length},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"contended":$contended,"full":"BENCH_LAST.json"}"""
+    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$compactQs,"sf":"$sfDir","q27_pairs":$q27Pairs,"reps":$reps,"adjudicated":$nAdjudications,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"contended":$contended,"full":"BENCH_LAST.json"}"""
     System.err.println(json)
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
