@@ -6431,6 +6431,125 @@ object Extensions {
     }
   }
 
+  // -------------------------------------------------------------- Q194
+  /** HTML MAIN-CONTENT EXTRACTION ([[graft.operators.HtmlExtract]]):
+    * the curation chain's FRONT DOOR — real pipelines start from
+    * crawled HTML, not `documents.text`. A deterministic fixture page
+    * is synthesized per document (title/nav chrome, 12-word `<p>`
+    * paragraphs, a link-wall, an entity-bearing tag line, an "Ad"
+    * stub, a link-heavy footer — every boilerplate class the rules
+    * must reject, planted IDENTICALLY in both engines), then the
+    * rule-based extractor (tag mechanics + block length ≥ 25 + link
+    * density ≤ 1/3, the jusText/Kohlschütter shallow features) keeps
+    * the payload paragraphs and the entity line and drops the chrome.
+    * Pure narrow regex/HOF projection — zero exchanges at any scale. */
+  val q194 = QueryDef("q194_html_extract",
+    s"""WITH $docwCte, d AS (
+       |  SELECT doc_id, lang, w FROM docw WHERE len(w) >= 1
+       |), h AS (
+       |  SELECT doc_id, lang, ${graft.operators.HtmlExtract.synthHtmlSql} AS html
+       |  FROM d
+       |), ext AS (
+       |  SELECT doc_id, ${graft.operators.HtmlExtract.blocksSql("html")} AS pl
+       |  FROM h
+       |), k AS (
+       |  SELECT doc_id,
+       |         list_filter(pl, s -> ${graft.operators.HtmlExtract.keepRuleSql("s")}) AS kept,
+       |         pl
+       |  FROM ext
+       |), m AS (
+       |  SELECT doc_id,
+       |         CAST(len(list_filter(pl, s -> length(struct_extract(s, 'txt')) > 0)) AS BIGINT) AS n_blocks,
+       |         CAST(len(kept) AS BIGINT) AS n_kept,
+       |         array_to_string(list_transform(kept, s -> struct_extract(s, 'txt')), chr(10)) AS main_text
+       |  FROM k
+       |)
+       |SELECT doc_id, n_blocks, n_kept,
+       |       CAST(length(main_text) AS BIGINT) AS main_len, main_text
+       |FROM m ORDER BY doc_id""") { (s, dir) =>
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextFunctions.normalizedWords(col("text")).as("w"))
+      .filter(size(col("w")) >= 1)
+    val h = d.withColumn("html",
+      graft.operators.HtmlExtract.synthHtml(col("doc_id"), col("w"), col("lang")))
+    graft.operators.HtmlExtract.extract(h, "html")
+      .select(col("doc_id"), col("n_blocks"), col("n_kept"),
+        col("main_len"), col("main_text"))
+      .orderBy("doc_id")
+  }
+
+  // -------------------------------------------------------------- Q195
+  /** CURATION v4 — the chain STARTS FROM HTML (q128/q150 assume
+    * extracted text; this is the crawl-shaped composition): synthesize
+    * the HTML fixture → [[graft.operators.HtmlExtract]] main content →
+    * q117's hashed-bigram classifier gate on the EXTRACTED text +
+    * a main_len ≥ 100 floor → exact dedup by md5(main_text) (chrome is
+    * already stripped, so two mirrors of one article dedup even when
+    * their nav/footer differed) → per-language rollup. Scale shape:
+    * extraction and scoring are narrow projections; the only
+    * exchanges are the doc_id equi-join and the 5-group rollup. */
+  val q195 = QueryDef("q195_curation_v4",
+    s"""WITH $docwCte, d AS (
+       |  SELECT doc_id, lang, w FROM docw WHERE len(w) >= 1
+       |), h AS (
+       |  SELECT doc_id, lang, ${graft.operators.HtmlExtract.synthHtmlSql} AS html
+       |  FROM d
+       |), ext AS (
+       |  SELECT doc_id, lang, ${graft.operators.HtmlExtract.blocksSql("html")} AS pl
+       |  FROM h
+       |), m AS (
+       |  SELECT doc_id, lang,
+       |         array_to_string(list_transform(
+       |           list_filter(pl, s -> ${graft.operators.HtmlExtract.keepRuleSql("s")}),
+       |           s -> struct_extract(s, 'txt')), chr(10)) AS main_text
+       |  FROM ext
+       |), wm AS (
+       |  SELECT doc_id, lang, main_text,
+       |         CAST(length(main_text) AS BIGINT) AS main_len,
+       |         list_filter(list_transform(regexp_split_to_array(lower(main_text), '\\s+'),
+       |                     x -> regexp_replace(x, '[^a-z]', '', 'g')),
+       |                     x -> x <> '') AS mw
+       |  FROM m
+       |), bg AS (
+       |  SELECT doc_id, lang, main_text, main_len,
+       |         CASE WHEN len(mw) < 2 THEN CAST([] AS VARCHAR[])
+       |              ELSE list_transform(range(1, len(mw)), i -> mw[i] || ' ' || mw[i+1]) END AS bgs
+       |  FROM wm
+       |), g AS (
+       |  SELECT doc_id, lang, main_len, md5(main_text) AS sig,
+       |         coalesce(list_sum(list_transform(bgs, b ->
+       |           CAST((${md5Bucket16Sql("b")}) - 32768 AS BIGINT))), 0) AS margin
+       |  FROM bg
+       |)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(count(*) FILTER (WHERE margin > 0 AND main_len >= 100) AS BIGINT) AS n_pass,
+       |       CAST(count(DISTINCT sig) FILTER (WHERE margin > 0 AND main_len >= 100) AS BIGINT) AS n_unique_pass,
+       |       CAST(sum(main_len) AS BIGINT) AS sum_main_len
+       |FROM g GROUP BY lang ORDER BY lang""") { (s, dir) =>
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextFunctions.normalizedWords(col("text")).as("w"))
+      .filter(size(col("w")) >= 1)
+    val h = d.withColumn("html",
+      graft.operators.HtmlExtract.synthHtml(col("doc_id"), col("w"), col("lang")))
+    val ext = graft.operators.HtmlExtract.extract(h, "html")
+      .select(col("doc_id"), col("lang"), col("main_text"), col("main_len"))
+    val scored = graft.operators.QualityClassifier
+      .hashedBigramScore(ext, "doc_id", "main_text")
+      .select(col("doc_id"), col("margin_units"))
+    ext.join(scored, Seq("doc_id"))
+      .select(col("lang"), col("main_len"),
+        md5(col("main_text")).as("sig"),
+        (col("margin_units") > 0 && col("main_len") >= 100).as("pass"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
+        countDistinct(when(col("pass"), col("sig"))).as("n_unique_pass"),
+        sum(col("main_len")).as("sum_main_len"))
+      .orderBy("lang")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -6440,5 +6559,5 @@ object Extensions {
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175,
-    q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q190, q191, q192, q193)
+    q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q190, q191, q192, q193, q194, q195)
 }

@@ -123,6 +123,18 @@ class PlanAssertionsSpec extends SparkSuite {
     }
   }
 
+  test("q194: HTML extraction is a pure narrow projection — no join, no " +
+      "aggregation, the final global sort is the only exchange") {
+    val p = plan("q194_html_extract")
+    assert(!p.contains("Join"), s"extraction must not join\n$p")
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"),
+      s"extraction must not aggregate\n$p")
+    // formatted explain prints each operator once in the tree ("Exchange (8)")
+    // and once in the details ("(8) Exchange") — count tree entries only
+    assert(p.sliding("Exchange (".length).count(_ == "Exchange (") <= 1,
+      s"only the declared ORDER BY exchange allowed\n$p")
+  }
+
   test("q169: the bucket packing runs on the group-keyed prefix sum's range " +
       "exchange — no single-partition window") {
     val p = plan("q169_length_batching")
