@@ -36,6 +36,29 @@ object TextFunctions {
   def normalizedWordsReference(text: Column): Column =
     filter(transform(whitespaceTokens(text), t => normalizeWord(t)), w => w =!= "")
 
+  /** UNICODE tokenizer mode (NFKC fold + `\p{L}` classes) for
+    * multilingual curation — per whitespace token: NFKC-normalize,
+    * lower, keep only letter code points. The byte-wise `[a-z]`
+    * [[normalizedWords]] stays the default (reference parity,
+    * `/root/reference/src/main.cc:33-42`); the two modes agree on
+    * pure-ASCII text by construction. Native single-pass expression
+    * ([[graft.plans.TextNormExprs.NormalizedWordsUnicodeExpr]]). */
+  def normalizedWordsUnicode(text: Column): Column =
+    graft.plans.TextNormExprs.normalizedWordsUnicode(text)
+
+  /** Composed executable spec of the unicode mode. Spark has no NFKC
+    * built-in, so this REFERENCE form (spec assertions only — never a
+    * query path) carries the one UDF in the repo for that step; lower
+    * and the `\p{L}` strip stay Spark built-ins so the property spec
+    * exercises the same lowering path the native kernel uses. */
+  def normalizedWordsUnicodeReference(text: Column): Column = {
+    val nfkc = udf((s: String) =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFKC))
+    filter(transform(whitespaceTokens(text),
+      t => regexp_replace(lower(nfkc(t)), "[^\\p{L}]", "")), w => w =!= "")
+  }
+
   /** Word n-gram shingles over a (already normalized) word array.
     * Documents with fewer than `n` words produce an empty array.
     * Native single-pass expression (see

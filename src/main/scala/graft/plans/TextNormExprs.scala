@@ -129,6 +129,105 @@ object TextNormExprs {
   def normalizedWords(text: Column): Column =
     GraftColumnBridge.toColumn(NormalizedWordsExpr(GraftColumnBridge.toExpression(text)))
 
+  // ---- UNICODE tokenizer mode (NFKC + \p{L}) ------------------------
+
+  /** One token under the UNICODE mode: NFKC-normalize → lower (the
+    * same `UTF8String.toLowerCase` path Spark's `lower()` takes, so
+    * the composed-form property spec holds byte-for-byte) → keep only
+    * `\p{L}` code points (Character.isLetter == general categories
+    * Lu/Ll/Lt/Lm/Lo — exactly Java regex `\p{L}`). Pure-ASCII tokens
+    * take the byte kernel fast path: NFKC is the identity on ASCII,
+    * ASCII lower+`\p{L}` is exactly the `[a-z]` rule — so THE TWO
+    * MODES AGREE ON ASCII TEXT by construction, which is what lets
+    * q196's oracle replay the ASCII body through the shared `docw`
+    * pipeline and splice the non-ASCII expectations as literals. */
+  private def normalizeTokenUnicode(bytes: Array[Byte], from: Int,
+      until: Int, buf: Array[Byte]): UTF8String = {
+    var ascii = true
+    var i = from
+    while (ascii && i < until) { if (bytes(i) < 0) ascii = false; i += 1 }
+    if (ascii) {
+      val w = normalizeToken(bytes, from, until, buf)
+      if (w == 0) null
+      else UTF8String.fromBytes(java.util.Arrays.copyOfRange(buf, 0, w))
+    } else {
+      val nfkc = java.text.Normalizer.normalize(
+        UTF8String.fromBytes(bytes, from, until - from).toString,
+        java.text.Normalizer.Form.NFKC)
+      // the SAME lowering Spark's lower() resolves to for UTF8_BINARY
+      // under the default ICU case mappings — NOT UTF8String
+      // .toLowerCase, whose Java-semantics fallback disagrees with
+      // lower() on Unicode conditional mappings (Greek final sigma in
+      // "xΣ9b": ICU says ς, Java says σ). Property-spec'd against
+      // lower() itself, so a Spark-side change would surface there.
+      val lowered = org.apache.spark.sql.catalyst.util.CollationSupport.Lower
+        .exec(UTF8String.fromString(nfkc), 0, true).toString
+      val sb = new java.lang.StringBuilder(lowered.length)
+      var j = 0
+      while (j < lowered.length) {
+        val cp = lowered.codePointAt(j)
+        if (Character.isLetter(cp)) sb.appendCodePoint(cp)
+        j += Character.charCount(cp)
+      }
+      if (sb.length == 0) null else UTF8String.fromString(sb.toString)
+    }
+  }
+
+  /** Unicode-mode tokenizer kernel (static forwarder for codegen):
+    * whitespace split is the SAME `\s` = {0x20, 0x09–0x0D} byte rule
+    * as the default mode (UTF-8 continuation bytes are never ws, so
+    * the byte walk is UTF-8-safe); only per-token normalization
+    * differs. The `[a-z]` default mode is untouched — reference
+    * parity (/root/reference/src/main.cc:33-42) stays byte-exact. */
+  def normalizeWordsUnicodeEval(input: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val bytes = input.getBytes
+    val out = new java.util.ArrayList[UTF8String]()
+    val buf = new Array[Byte](math.max(16, bytes.length * 3))
+    var start = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || isWs(bytes(i))) {
+        if (i > start) {
+          val t = normalizeTokenUnicode(bytes, start, i, buf)
+          if (t != null) out.add(t)
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  case class NormalizedWordsUnicodeExpr(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"normalized_words_unicode requires a STRING input, got ${other.simpleString}")
+      }
+    override protected def nullSafeEval(input: Any): Any =
+      normalizeWordsUnicodeEval(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.plans.TextNormExprs.normalizeWordsUnicodeEval($c);")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "normalized_words_unicode"
+  }
+
+  /** The NFKC + `\p{L}` tokenizer mode for multilingual curation; the
+    * byte-wise `[a-z]` [[normalizedWords]] stays the default. */
+  def normalizedWordsUnicode(text: Column): Column =
+    GraftColumnBridge.toColumn(
+      NormalizedWordsUnicodeExpr(GraftColumnBridge.toExpression(text)))
+
   /** Count of whitespace-delimited tokens — the COUNT-ONLY twin of
     * `size(filter(split(text, "\\s+"), _ =!= ""))`: one byte scan, no
     * array materialization, no regex. Java regex `\s` is exactly

@@ -6550,6 +6550,100 @@ object Extensions {
       .orderBy("lang")
   }
 
+  // -------------------------------------------------------------- Q196
+  /** Per-language raw decorations for the multilingual fixture: real
+    * diacritics, an NFKC-rich English line (ligature ﬁ, №, ℕ, ¼ —
+    * compatibility forms that only fold under NFKC), CJK with a
+    * planted duplicate (per-OCCURRENCE counting), uppercase needing
+    * Unicode lowering. Appended to each doc's (pure-ASCII) text. */
+  private val unicodeDecorations: Seq[(String, String)] = Seq(
+    "en" -> "Ωmega ﬁne №42 ℕice ¼cup",
+    "de" -> "Größe Straße ÜBER Fußball",
+    "fr" -> "Éléphant déjà Çavoilà œuvre",
+    "es" -> "Niño MAÑANA años",
+    "zh" -> "中文 数据 中文")
+
+  /** Expected post-normalization token list per language, computed
+    * ONCE at query-build time with an inline NFKC → ICU-lower →
+    * `\p{L}` chain (the mode's definition, written out independently
+    * of the kernel; the kernel itself is pinned by hand literals in
+    * NormalizerPropertySpec). Spliced into the oracle as literals —
+    * DuckDB has no NFKC, so the oracle replays the ASCII body through
+    * the shared docw pipeline (the two modes agree on ASCII by
+    * construction, property-spec'd) and takes the non-ASCII
+    * expectations as compile-time constants. */
+  private def unicodeExpected(raw: String): Seq[String] =
+    raw.split("\\s+").toSeq.filter(_.nonEmpty).flatMap { tok =>
+      val nfkc = java.text.Normalizer.normalize(tok, java.text.Normalizer.Form.NFKC)
+      val lowered = org.apache.spark.sql.catalyst.util.CollationSupport.Lower
+        .exec(org.apache.spark.unsafe.types.UTF8String.fromString(nfkc), 0, true)
+        .toString
+      val kept = new StringBuilder
+      var j = 0
+      while (j < lowered.length) {
+        val cp = lowered.codePointAt(j)
+        if (Character.isLetter(cp)) kept.appendAll(Character.toChars(cp))
+        j += Character.charCount(cp)
+      }
+      if (kept.isEmpty) None else Some(kept.toString)
+    }
+
+  /** UNICODE TOKENIZER MODE (NFKC fold + `\p{L}`,
+    * [[graft.plans.TextNormExprs.NormalizedWordsUnicodeExpr]]): the
+    * multilingual complement of the byte-wise `[a-z]` default — real
+    * multilingual curation cannot drop every non-ASCII letter. Each
+    * document gets its language's decoration appended (diacritics,
+    * NFKC compatibility forms, CJK), the unicode mode tokenizes the
+    * whole thing, and the per-language rollup checks (1) the ASCII
+    * body still tokenizes exactly like docw — mode equivalence on
+    * ASCII, (2) every decoration token lands as the NFKC+lower+\p{L}
+    * expectation, per occurrence, (3) the non-ASCII vocabulary is
+    * byte-exact. Narrow tokenize map + 5-group aggregate. */
+  val q196 = QueryDef("q196_unicode_tokens", {
+    val expected: Seq[(String, Seq[String])] =
+      unicodeDecorations.map { case (lg, raw) => lg -> unicodeExpected(raw) }
+    def caseOver(f: Seq[String] => String): String =
+      expected.map { case (lg, toks) => s"WHEN '$lg' THEN ${f(toks)}" }
+        .mkString("CASE lang ", " ", " ELSE NULL END")
+    val nToks = caseOver(t => t.length.toString)
+    val nNonAscii = caseOver(t => t.count(_.exists(_ > 'z')).toString)
+    // BMP-only decorations: Scala string sort == UTF8String byte sort
+    val vocab = caseOver(t =>
+      "'" + t.filter(_.exists(_ > 'z')).distinct.sorted.mkString(" ") + "'")
+    s"""WITH $docwCte, b AS (
+       |  SELECT lang, coalesce(len(w), 0) AS n FROM docw
+       |), a AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(n) AS BIGINT) AS base_toks
+       |  FROM b GROUP BY lang
+       |)
+       |SELECT lang, n_docs,
+       |       CAST(base_toks + n_docs * ($nToks) AS BIGINT) AS n_tokens,
+       |       CAST(n_docs * ($nNonAscii) AS BIGINT) AS n_nonascii,
+       |       $vocab AS nonascii_vocab
+       |FROM a ORDER BY lang""".stripMargin
+  }) { (s, dir) =>
+    val deco = unicodeDecorations.foldLeft(lit(null).cast("string")) {
+      case (acc, (lg, raw)) => when(col("lang") === lg, lit(" " + raw)).otherwise(acc)
+    }
+    val toks = graft.functions.TextFunctions
+      .normalizedWordsUnicode(concat(col("text"), deco))
+    t(s, dir, "documents")
+      .select(col("lang"), toks.as("tk"))
+      .select(col("lang"), size(col("tk")).cast("long").as("n_tok"),
+        filter(col("tk"), tk => octet_length(tk) > length(tk)).as("na"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(size(col("na")).cast("long")).as("n_nonascii"),
+        // decorations are constant per lang -> the set of per-doc
+        // non-ASCII arrays has ONE element per group; flatten+sort
+        // stays a few-token constant, never a per-doc accumulation
+        array_join(array_sort(array_distinct(flatten(collect_set(col("na"))))), " ")
+          .as("nonascii_vocab"))
+      .orderBy("lang")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -6559,5 +6653,5 @@ object Extensions {
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175,
-    q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q190, q191, q192, q193, q194, q195)
+    q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q190, q191, q192, q193, q194, q195, q196)
 }

@@ -70,6 +70,49 @@ object NormalizerPropertySpec extends Properties("normalizer") {
       } finally java.util.Locale.setDefault(prev)
     }
 
+  // ---- UNICODE mode (NFKC + \p{L}) ----------------------------------
+
+  property("unicode mode: native == composed reference formulation") =
+    forAll(Gen.listOfN(5, weird)) { ss =>
+      import spark.implicits._
+      val df = (ss :+ "ﬁre №5 Ωmega İSTANBUL ¼cup Straße déjà 漢字 x1y")
+        .toDF("s")
+      val native = df.select(TextFunctions.normalizedWordsUnicode(col("s")))
+        .as[Seq[String]].collect().toSeq
+      val ref = df.select(TextFunctions.normalizedWordsUnicodeReference(col("s")))
+        .as[Seq[String]].collect().toSeq
+      native == ref
+    }
+
+  property("unicode mode == [a-z] mode on pure-ASCII input (the q196 oracle's load-bearing fact)") =
+    forAll(Gen.listOfN(5, Gen.listOf(Gen.oneOf(Gen.alphaNumChar,
+        Gen.oneOf(' ', '\t', '-', '.', '\''), Gen.asciiPrintableChar)).map(_.mkString))) { ss =>
+      import spark.implicits._
+      val ascii = ss.map(_.filter(_ < 0x80))
+      val df = ascii.toDF("s")
+      val uni = df.select(TextFunctions.normalizedWordsUnicode(col("s")))
+        .as[Seq[String]].collect().toSeq
+      val asc = df.select(TextFunctions.normalizedWords(col("s")))
+        .as[Seq[String]].collect().toSeq
+      uni == asc
+    }
+
+  property("unicode mode emits only letter code points, never empty tokens") =
+    forAll(Gen.listOfN(3, weird)) { ss =>
+      import spark.implicits._
+      ss.toDF("s")
+        .select(explode(TextFunctions.normalizedWordsUnicode(col("s"))).as("w")).as[String]
+        .collect().forall(w => w.nonEmpty && w.codePoints().toArray.forall(Character.isLetter))
+    }
+
+  property("unicode mode folds NFKC compatibility forms (ligature, numero, fractions)") = {
+    import spark.implicits._
+    val got = Seq("ﬁre №5 Ωmega ¼cup Straße MAÑANA 中文42")
+      .toDF("s").select(TextFunctions.normalizedWordsUnicode(col("s")))
+      .as[Seq[String]].head()
+    got == Seq("fire", "no", "ωmega", "cup", "straße", "mañana", "中文")
+  }
+
   property("tokenizer emits no whitespace-containing tokens") =
     forAll(Gen.listOfN(3, weird)) { ss =>
       import spark.implicits._
