@@ -180,19 +180,32 @@ object Similarity {
     * `transform` assignment pass touches the full corpus. */
   def ivfKMeansTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int,
       nProbe: Int, nCentroids: Int, queryPred: org.apache.spark.sql.Column,
-      seed: Long = 42L, trainCap: Int = 100000, maxIter: Int = 10): DataFrame = {
-    // cluster on UNIT vectors so Euclidean k-means ordering agrees with
-    // cosine (spherical k-means); probe with the same Euclidean metric
-    // the assignment used — a cosine probe against non-unit centroids
-    // would rank different lists than the assignment map filled.
-    // Fit is driver-local over a capped sample ([[LocalKMeans]]);
-    // assignment is ONE narrow map with the centroid matrix as a plan
-    // constant — no transform pass, no shuffle.
+      seed: Long = 42L, trainCap: Int = 100000, maxIter: Int = 10): DataFrame =
+    ivfSearchSpherical(emb, idCol, vecCol, k, nProbe,
+      ivfKMeansFit(emb, vecCol, nCentroids, seed, trainCap, maxIter), queryPred)
+
+  /** The k-means codebook fit alone (driver-local over a capped
+    * sample, [[LocalKMeans]]) — exposed so q45 can feed the SAME
+    * frozen centers to both search spellings and gate bit-equality. */
+  def ivfKMeansFit(emb: DataFrame, vecCol: String, nCentroids: Int,
+      seed: Long = 42L, trainCap: Int = 100000, maxIter: Int = 10): Array[Array[Double]] = {
+    val sample = LocalKMeans.sample(emb, vecCol, trainCap, unit = true)
+    LocalKMeans.fit(sample, 0, sample.head.length, nCentroids, seed, maxIter)
+  }
+
+  /** Spherical IVF search against FROZEN centers. Clusters were fit on
+    * UNIT vectors so Euclidean ordering agrees with cosine (spherical
+    * k-means); assignment and probe both use that Euclidean-on-unit
+    * metric — a cosine probe against non-unit centroids would rank
+    * different lists than the assignment map filled. Assignment is ONE
+    * narrow map with the centroid matrix as a plan constant (native
+    * [[graft.plans.VectorExprs.NearestCentroidExpr]]) — no join, no
+    * shuffle on the corpus side. */
+  def ivfSearchSpherical(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, nProbe: Int, centers: Array[Array[Double]],
+      queryPred: org.apache.spark.sql.Column): DataFrame = {
     def unit(c: org.apache.spark.sql.Column) =
       transform(c, x => x.cast("double") / VectorFunctions.norm(c))
-    val sample = LocalKMeans.sample(emb, vecCol, trainCap, unit = true)
-    val centers = LocalKMeans.fit(
-      sample, 0, sample.head.length, nCentroids, seed, maxIter)
     val assigned = emb.filter(VectorFunctions.norm(col(vecCol)) > 0)
       .select(col(idCol).as("vid"), col(vecCol).as("v"))
       .withColumn("cent_id", LocalKMeans.nearestCentId(unit(col("v")), centers))
@@ -205,6 +218,51 @@ object Similarity {
       .join(broadcast(centDf))
       .withColumn("prn", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(dist2.asc, col("cent_id"))))
+      .filter(col("prn") <= nProbe)
+      .select("q_id", "qv", "cent_id")
+    val qcos = VectorFunctions.cosine(col("qv"), col("v"))
+    val wTop = Window.partitionBy(col("q_id")).orderBy(qcos.desc, col("vid"))
+    probes.join(assigned, Seq("cent_id"))
+      .filter(col("q_id") =!= col("vid"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vid").as("c_id"), col("rn"), TextFunctions.round4(qcos).as("cos"))
+  }
+
+  /** CROSS-CHECK TWIN of [[ivfSearchSpherical]] — the generic
+    * fixed-centroid spelling (broadcast centroid JOIN + struct-min
+    * argmin AGGREGATE over the composed HOF distance), sharing NO
+    * assignment code with the native-kernel path. Given the same
+    * frozen centers the two spellings must agree BIT-FOR-BIT: the
+    * HOF `aggregate(zip_with(...))` sums squared diffs left-to-right
+    * exactly like the native loop (same IEEE adds, same order), and
+    * both tie-break argmin to the lowest cent_id. q45's
+    * `ivf_eq_fixed` gate rides on that — the q155 "two constructions,
+    * one answer" idiom for the path a SQL oracle can't reach. */
+  def ivfSearchSphericalTwin(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, nProbe: Int, centers: Array[Array[Double]],
+      queryPred: org.apache.spark.sql.Column): DataFrame = {
+    def unit(c: org.apache.spark.sql.Column) =
+      transform(c, x => x.cast("double") / VectorFunctions.norm(c))
+    def d2(u: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
+      aggregate(zip_with(u, c, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    val centDf = LocalKMeans.centersDf(emb.sparkSession, centers)
+    val nonZero = emb.filter(VectorFunctions.norm(col(vecCol)) > 0)
+    val assigned = nonZero
+      .select(col(idCol).as("vid"), col(vecCol).as("v"))
+      .join(broadcast(centDf))
+      .select(col("vid"), col("v"),
+        struct(d2(unit(col("v")), col("centv")).as("dd"), col("cent_id")).as("sc"))
+      .groupBy("vid")
+      .agg(first(col("v")).as("v"), min(col("sc")).as("m"))
+      .select(col("vid"), col("v"), col("m").getField("cent_id").as("cent_id"))
+    val probes = nonZero.filter(queryPred)
+      .select(col(idCol).as("q_id"), col(vecCol).as("qv"))
+      .join(broadcast(centDf))
+      .withColumn("prn", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(d2(unit(col("qv")), col("centv")).asc, col("cent_id"))))
       .filter(col("prn") <= nProbe)
       .select("q_id", "qv", "cent_id")
     val qcos = VectorFunctions.cosine(col("qv"), col("v"))

@@ -644,17 +644,27 @@ object Extensions {
 
   // --------------------------------------------------------------- Q45
   /** IVF with k-means-learned centroids (rows-only: the model isn't
-    * SQL-reproducible). The gate row is made quantitative by computing
-    * recall@3 against the exact brute-force result in-query: every row
-    * carries its query's recall, the corpus-mean recall, and a
-    * `recall_ok` flag (mean ≥ 0.25 floor). Deterministic: the k-means
-    * seed is fixed and both rankings tie-break on id. */
+    * SQL-reproducible). TWO gates make the row self-certifying:
+    * (1) `ivf_eq_fixed` — the q155 "two constructions, one answer"
+    * idiom: the learned-centroid search must agree BIT-FOR-BIT with
+    * [[Similarity.ivfSearchSphericalTwin]], the generic fixed-centroid
+    * spelling (broadcast-join + struct-min argmin over the composed
+    * HOF distance) fed the SAME frozen centers — the assignment/probe/
+    * rank mechanics have nowhere to hide even though the codebook
+    * itself isn't oracle-expressible; (2) `recall_ok` — recall@3
+    * against the exact brute-force result in-query (mean ≥ 0.25
+    * floor). Deterministic: fixed k-means seed, id tie-breaks. */
   val q45 = QueryDef.noOracle("q45_ann_ivf_kmeans") { (s, dir) =>
     val emb = t(s, dir, "embeddings")
     val qPred = col("vec_id") < 10
     val k = 3
-    val ivf = Similarity.ivfKMeansTopK(emb, "vec_id", "embedding",
-      k = k, nProbe = 2, nCentroids = 8, queryPred = qPred)
+    val centers = Similarity.ivfKMeansFit(emb, "embedding", nCentroids = 8)
+    val ivf = Similarity.ivfSearchSpherical(emb, "vec_id", "embedding",
+      k = k, nProbe = 2, centers, queryPred = qPred)
+    val twin = Similarity.ivfSearchSphericalTwin(emb, "vec_id", "embedding",
+      k = k, nProbe = 2, centers, queryPred = qPred)
+    val mech = ivf.exceptAll(twin).unionByName(twin.exceptAll(ivf))
+      .agg(count(lit(1)).as("n_mech_mismatch"))
     val exact = Similarity.bruteForceTopK(emb.filter(qPred), emb,
         "vec_id", "embedding", k = k)
       .groupBy("q_id").agg(collect_set(col("c_id")).as("exact_ids"))
@@ -672,9 +682,11 @@ object Extensions {
     val mean = perQ.agg(round(avg(col("recall_q")), 4).as("mean_recall"))
     ivf.join(broadcast(perQ), Seq("q_id"))
       .crossJoin(broadcast(mean))
+      .crossJoin(broadcast(mech))
       .select(col("q_id"), col("c_id"), col("rn"), col("cos"),
         TextFunctions.round4(col("recall_q")).as("recall_q"),
-        col("mean_recall"), (col("mean_recall") >= 0.25).as("recall_ok"))
+        col("mean_recall"), (col("mean_recall") >= 0.25).as("recall_ok"),
+        (col("n_mech_mismatch") === 0).as("ivf_eq_fixed"))
       .orderBy("q_id", "rn")
   }
 
