@@ -521,4 +521,72 @@ object TextAnalysis {
     graft.sources.Balance.cpuBound(docs)
       .select(col(idCol) +: counts :+ scrubbed.as("clean_text"): _*)
   }
+
+  /** 16-digit candidate pattern for [[luhnScreen]] — shared with the
+    * oracle verbatim. */
+  val ccCandidatePat = "[0-9]{16}"
+
+  /** Luhn checksum validity of a 16-digit string column: from the
+    * LEFT of a 16-length string, digits at odd 1-based positions
+    * double (9-fold back), sum ≡ 0 (mod 10). Pure integer HOF
+    * arithmetic — identical literals both engines. */
+  def luhnValid16(c: Column): Column = {
+    val s = aggregate(sequence(lit(1), lit(16)), lit(0), (acc, i) => {
+      val d = substring(c, i.cast("int"), lit(1)).cast("int")
+      acc + when(i % 2 === 1,
+        when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+    })
+    pmod(s, lit(10)) === 0
+  }
+
+  /** SQL twin of [[luhnValid16]] over a VARCHAR expression. */
+  def luhnValid16Sql(expr: String): String =
+    s"list_sum(list_transform(range(1, 17), i -> CASE WHEN i % 2 = 1 " +
+      s"THEN CASE WHEN 2 * CAST(substr($expr, CAST(i AS INT), 1) AS INT) > 9 " +
+      s"THEN 2 * CAST(substr($expr, CAST(i AS INT), 1) AS INT) - 9 " +
+      s"ELSE 2 * CAST(substr($expr, CAST(i AS INT), 1) AS INT) END " +
+      s"ELSE CAST(substr($expr, CAST(i AS INT), 1) AS INT) END)) % 10 = 0"
+
+  /** CREDIT-CARD SCREEN with Luhn validation — the PII detector q68's
+    * regex battery cannot be trusted with: a bare 16-digit regex
+    * flags order numbers and hashes alongside real PANs; the Luhn
+    * checksum (ISO/IEC 7812) rejects ~90% of random digit runs, which
+    * is the difference between a usable redaction queue and noise.
+    * Per doc: candidate count, Luhn-valid count, and the valid digit
+    * runs themselves (sorted, joined) for the redaction stage.
+    * Narrow per-row regex + integer HOFs — zero exchanges. */
+  def luhnScreen(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val cands = regexp_extract_all(col(textCol), lit(ccCandidatePat), lit(0))
+    graft.sources.Balance.cpuBound(docs)
+      .select(col(idCol), cands.as("__c"))
+      .select(col(idCol),
+        size(col("__c")).cast("long").as("n_candidates"),
+        filter(col("__c"), c => luhnValid16(c)).as("__v"))
+      .select(col(idCol), col("n_candidates"),
+        size(col("__v")).cast("long").as("n_valid"),
+        array_join(array_sort(col("__v")), " ").as("valid_pans"))
+  }
+
+  /** Code-ish symbol class and keyword alternation for
+    * [[codeSignals]] — shared with the oracle verbatim (RE2 ∩ Java:
+    * `\b` boundaries and character classes only). */
+  val codeSymPat = "[{}\\[\\]();=<>*&|+%/]"
+  val codeKwPat = "\\b(def|return|import|function|var|const|class)\\b"
+
+  /** CODE/MARKUP CONTENT DETECTION — the router gate in front of a
+    * text-only curation chain: natural-language quality rules (q31,
+    * q177) mis-score source code, so pipelines first split code out
+    * (to its own pipeline) by cheap surface signals: code-symbol
+    * density and reserved-keyword hits. Both are single-regex counts;
+    * the gate is deterministic integer arithmetic. Narrow per-row
+    * projection — zero exchanges. */
+  def codeSignals(docs: DataFrame, idCol: String, textCol: String,
+      minKw: Int = 2, minSym: Int = 8): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    graft.sources.Balance.cpuBound(docs)
+      .select(col(idCol),
+        size(regexp_extract_all(t, lit(codeSymPat), lit(0))).cast("long").as("n_sym"),
+        size(regexp_extract_all(t, lit(codeKwPat), lit(0))).cast("long").as("n_kw"))
+      .withColumn("is_code", col("n_kw") >= minKw && col("n_sym") >= minSym)
+  }
 }

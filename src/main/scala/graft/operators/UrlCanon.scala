@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL CANONICALIZATION — the crawl-frontier companion of
+  * [[HtmlExtract]]: a crawler sees the same resource under
+  * mixed-case hosts, explicit default ports, tracking parameters and
+  * fragments; URL-level dedup (and polite refetch scheduling, and
+  * host-level aggregation) all need ONE canonical spelling first.
+  * Rules (the conservative, semantics-preserving subset of RFC 3986
+  * normalization + the universal tracking-param strip):
+  *   1. drop the fragment (`#…` — never sent to the server)
+  *   2. lowercase scheme and host (case-insensitive by spec)
+  *   3. strip explicit default ports (`:443` on https, `:80` on http)
+  *   4. drop tracking query params (`utm_*`, `gclid`, `fbclid`,
+  *      `ref`), preserving the relative order of the survivors; a
+  *      query left empty loses its `?`
+  *   5. strip one trailing `/`
+  *
+  * Deterministic string mechanics only — regex literals kept to the
+  * RE2 ∩ Java dialect and shared with the SQL twin, so the DuckDB
+  * oracle replays every rule byte-for-byte. Scale shape: pure narrow
+  * per-row expressions; canonical-group dedup downstream is the only
+  * exchange, keyed on the (much smaller) canonical string.
+  */
+object UrlCanon {
+
+  val fragPat = "#.*$"
+  val schemeHostPat = "^(https?://[^/?#]*)"
+  val port443Pat = "^(https://[^/?#:]*):443([/?#].*)?$"
+  val port80Pat = "^(http://[^/?#:]*):80([/?#].*)?$"
+  val trackerPat = "^(utm_[a-zA-Z0-9_]*|gclid|fbclid|ref)="
+  val trailingSlashPat = "/$"
+
+  /** Canonical form of one URL column (Spark spelling). */
+  def canonicalizeUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, fragPat, "")
+    // lowercase scheme+host, keep the rest byte-identical ($ vs \
+    // replacement syntax is the ONLY engine difference — patterns are
+    // the shared constants above)
+    val lowered = concat(
+      lower(regexp_extract(noFrag, schemeHostPat, 1)),
+      regexp_replace(noFrag, schemeHostPat, ""))
+    val noPort = regexp_replace(
+      regexp_replace(lowered, port443Pat, "$1$2"), port80Pat, "$1$2")
+    val parts = split(noPort, "\\?")
+    val path = regexp_replace(element_at(parts, 1), trailingSlashPat, "")
+    val kept = when(size(parts) >= 2,
+      filter(split(element_at(parts, 2), "&"), p => !p.rlike(trackerPat)))
+      .otherwise(array().cast("array<string>"))
+    concat(path,
+      when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
+        .otherwise(lit("")))
+  }
+
+  /** DuckDB twin, step 1 (fragment → lowercase scheme+host → default
+    * ports), over a VARCHAR expression — same pattern literals, `\1\2`
+    * instead of `$1$2` in replacements (dialect, not rule). Meant for
+    * a CTE column; [[canonFromNoPortSql]] finishes from that column. */
+  def noPortSql(expr: String): String = {
+    val noFrag = s"regexp_replace($expr, '$fragPat', '', 'g')"
+    val lowered = s"lower(regexp_extract($noFrag, '$schemeHostPat', 1)) || " +
+      s"regexp_replace($noFrag, '$schemeHostPat', '', 'g')"
+    s"regexp_replace(regexp_replace($lowered, '$port443Pat', '\\1\\2', 'g'), " +
+      s"'$port80Pat', '\\1\\2', 'g')"
+  }
+
+  /** DuckDB twin, step 2 (tracker strip + trailing slash) over the
+    * [[noPortSql]] CTE column. */
+  def canonFromNoPortSql(expr: String): String =
+    s"""regexp_replace(string_split($expr, '?')[1], '$trailingSlashPat', '', 'g') ||
+       |  CASE WHEN len(string_split($expr, '?')) >= 2
+       |       AND len(list_filter(string_split(string_split($expr, '?')[2], '&'),
+       |             p -> NOT regexp_matches(p, '$trackerPat'))) > 0
+       |  THEN '?' || array_to_string(list_filter(string_split(string_split($expr, '?')[2], '&'),
+       |             p -> NOT regexp_matches(p, '$trackerPat')), '&')
+       |  ELSE '' END""".stripMargin
+
+  /** Per-canonical-URL rollup of a (id, url) relation: how many raw
+    * spellings collapsed, over how many distinct raws/ids. */
+  def canonicalGroups(df: DataFrame, idCol: String, urlCol: String): DataFrame =
+    df.select(col(idCol), col(urlCol).as("raw"),
+        canonicalizeUrl(col(urlCol)).as("canon_url"))
+      .groupBy("canon_url")
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("raw")).as("n_raw_variants"),
+        countDistinct(col(idCol)).as("n_ids"))
+}

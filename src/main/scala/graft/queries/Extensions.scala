@@ -6656,6 +6656,179 @@ object Extensions {
       .orderBy("lang")
   }
 
+  // -------------------------------------------------------------- Q197
+  /** URL CANONICALIZATION + collapse ([[graft.operators.UrlCanon]]):
+    * the crawl-frontier companion of q194's extraction — the same
+    * resource arrives under mixed-case hosts, explicit default ports,
+    * tracking params and fragments; URL-level dedup needs ONE
+    * canonical spelling first. Four planted raw variants per doc
+    * (three of which must collapse, one distinct by a real `page`
+    * param) canonicalize and roll up per canonical URL. Pure narrow
+    * string mechanics; the group-by on the canonical string is the
+    * only exchange. */
+  val q197 = {
+    val U = graft.operators.UrlCanon
+    def raws(idExpr: String, m50: String, m4: String) = Seq(
+      s"'https://Shop.Example.COM:443/products/' || $m50 || '/?utm_source=feed&fbclid=ab' || $idExpr",
+      s"'https://shop.example.com/products/' || $m50 || '/'",
+      s"'https://SHOP.example.com/products/' || $m50 || '?gclid=z#frag'",
+      s"'https://shop.example.com/products/' || $m50 || '?page=' || $m4 || '&utm_medium=m'")
+    QueryDef("q197_url_canonicalize",
+      s"""WITH r AS (
+         |  SELECT doc_id, unnest([${raws("CAST(doc_id AS VARCHAR)",
+                "CAST(doc_id % 50 AS VARCHAR)", "CAST(doc_id % 4 AS VARCHAR)")
+                .mkString(", ")}]) AS url
+         |  FROM documents
+         |), u AS (
+         |  SELECT doc_id, url, ${U.noPortSql("url")} AS np FROM r
+         |), c AS (
+         |  SELECT doc_id, url, ${U.canonFromNoPortSql("np")} AS canon_url FROM u
+         |)
+         |SELECT canon_url, CAST(count(*) AS BIGINT) AS n_urls,
+         |       CAST(count(DISTINCT url) AS BIGINT) AS n_raw_variants,
+         |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_ids
+         |FROM c GROUP BY canon_url ORDER BY canon_url""") { (s, dir) =>
+      val d = col("doc_id").cast("string")
+      val m50 = (col("doc_id") % 50).cast("string")
+      val m4 = (col("doc_id") % 4).cast("string")
+      val urls = array(
+        concat(lit("https://Shop.Example.COM:443/products/"), m50,
+          lit("/?utm_source=feed&fbclid=ab"), d),
+        concat(lit("https://shop.example.com/products/"), m50, lit("/")),
+        concat(lit("https://SHOP.example.com/products/"), m50, lit("?gclid=z#frag")),
+        concat(lit("https://shop.example.com/products/"), m50,
+          lit("?page="), m4, lit("&utm_medium=m")))
+      U.canonicalGroups(
+        t(s, dir, "documents").select(col("doc_id"), explode(urls).as("url")),
+        "doc_id", "url")
+        .orderBy("canon_url")
+    }
+  }
+
+  // -------------------------------------------------------------- Q198
+  /** CREDIT-CARD SCREEN WITH LUHN VALIDATION
+    * ([[graft.operators.TextAnalysis.luhnScreen]]): q68's regex
+    * battery flags every 16-digit run; the ISO/IEC 7812 checksum is
+    * what separates a redaction queue from noise. Each doc plants one
+    * VALID PAN (check digit computed by the same integer chain in
+    * both engines) and one INVALID twin (check digit shifted by 5 —
+    * the last digit is undoubled, so the sum moves off 0 mod 10 by
+    * exactly 5); the screen must count both candidates and validate
+    * exactly one. All-integer HOF arithmetic, zero exchanges. */
+  val q198 = {
+    val TA = TextAnalysis
+    // fixture check digit: Luhn sum of the 15-digit base (doubling at
+    // odd 1-based positions, same rule as the 16-digit validator)
+    val b15Sql = "'4' || lpad(CAST((doc_id * 2654435761) % 100000000000000 AS VARCHAR), 14, '0')"
+    val s15Sql = "list_sum(list_transform(range(1, 16), i -> CASE WHEN i % 2 = 1 " +
+      "THEN CASE WHEN 2 * CAST(substr(b15, CAST(i AS INT), 1) AS INT) > 9 " +
+      "THEN 2 * CAST(substr(b15, CAST(i AS INT), 1) AS INT) - 9 " +
+      "ELSE 2 * CAST(substr(b15, CAST(i AS INT), 1) AS INT) END " +
+      "ELSE CAST(substr(b15, CAST(i AS INT), 1) AS INT) END))"
+    QueryDef("q198_luhn_screen",
+      s"""WITH b AS (
+         |  SELECT doc_id, text, $b15Sql AS b15 FROM documents
+         |), f AS (
+         |  SELECT doc_id, text, b15, (10 - $s15Sql % 10) % 10 AS chk FROM b
+         |), fx AS (
+         |  SELECT doc_id,
+         |         coalesce(text, '') || ' pay ' || b15 || CAST(chk AS VARCHAR)
+         |           || ' ref ' || b15 || CAST((chk + 5) % 10 AS VARCHAR) AS t
+         |  FROM f
+         |), det AS (
+         |  SELECT doc_id, regexp_extract_all(t, '${TA.ccCandidatePat}') AS cand FROM fx
+         |)
+         |SELECT doc_id, CAST(len(cand) AS BIGINT) AS n_candidates,
+         |       CAST(len(list_filter(cand, c -> ${TA.luhnValid16Sql("c")})) AS BIGINT) AS n_valid,
+         |       array_to_string(list_sort(list_filter(cand, c -> ${TA.luhnValid16Sql("c")})), ' ') AS valid_pans
+         |FROM det ORDER BY doc_id""") { (s, dir) =>
+      val b15 = concat(lit("4"),
+        lpad(((col("doc_id") * 2654435761L) % 100000000000000L).cast("string"), 14, "0"))
+      val s15 = aggregate(sequence(lit(1), lit(15)), lit(0), (acc, i) => {
+        val dg = substring(b15, i.cast("int"), lit(1)).cast("int")
+        acc + when(i % 2 === 1,
+          when(dg * 2 > 9, dg * 2 - 9).otherwise(dg * 2)).otherwise(dg)
+      })
+      val chk = pmod(lit(10) - pmod(s15, lit(10)), lit(10))
+      val planted = t(s, dir, "documents").select(col("doc_id"), concat(
+        coalesce(col("text"), lit("")),
+        lit(" pay "), b15, chk.cast("string"),
+        lit(" ref "), b15, pmod(chk + 5, lit(10)).cast("string")).as("text"))
+      TA.luhnScreen(planted, "doc_id", "text").orderBy("doc_id")
+    }
+  }
+
+  // -------------------------------------------------------------- Q199
+  /** WITHIN-DOCUMENT LINE DEDUP, keep-first
+    * ([[graft.operators.Dedup.dedupLinesKeepFirst]]): crawled pages
+    * repeat their own headers/banners; this in-doc pass is the
+    * shuffle-free complement of q116's cross-document df rule. Docs
+    * split into 10-word lines with their first two lines re-appended
+    * (the planted in-doc duplicates); the keep-first filter must drop
+    * exactly those and preserve order (position-indexed filter — NOT
+    * array_distinct, whose order guarantee differs across engines). */
+  val q199 = QueryDef("q199_line_dedup",
+    s"""WITH $docwCte, d AS (
+       |  SELECT doc_id, w FROM docw WHERE len(w) >= 1
+       |), ln AS (
+       |  SELECT doc_id,
+       |         list_transform(range(0, (len(w) + 9) // 10),
+       |           k -> array_to_string(w[(k * 10 + 1):(k * 10 + 10)], ' ')) AS lines
+       |  FROM d
+       |), fx AS (
+       |  SELECT doc_id, list_concat(lines, lines[1:2]) AS lines FROM ln
+       |), dd AS (
+       |  SELECT doc_id, lines,
+       |         list_filter(lines, (x, i) -> list_position(lines, x) = i) AS kept
+       |  FROM fx
+       |)
+       |SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+       |       CAST(len(kept) AS BIGINT) AS n_kept,
+       |       md5(array_to_string(kept, chr(10))) AS dedup_md5
+       |FROM dd ORDER BY doc_id""") { (s, dir) =>
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), TextFunctions.normalizedWords(col("text")).as("w"))
+      .filter(size(col("w")) >= 1)
+    val nL = floor((size(col("w")) + 9).cast("double") / 10).cast("int")
+    val lines = transform(sequence(lit(0), nL - 1),
+      k => array_join(slice(col("w"), k * 10 + 1, lit(10)), " "))
+    val planted = d.select(col("doc_id"),
+      concat(lines, slice(lines, lit(1), least(lit(2), size(lines)))).as("lines"))
+    graft.operators.Dedup.dedupLinesKeepFirst(planted, "lines")
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        md5(col("dedup_text")).as("dedup_md5"))
+      .orderBy("doc_id")
+  }
+
+  // -------------------------------------------------------------- Q200
+  /** CODE/MARKUP DETECTION
+    * ([[graft.operators.TextAnalysis.codeSignals]]): the router gate
+    * in front of a text-only curation chain — natural-language rules
+    * (q31/q177) mis-score source code, so pipelines split it out by
+    * cheap surface signals first. Every fourth doc gets a code
+    * snippet planted (keywords + symbol soup); the detector's
+    * symbol-density and keyword counts must flag exactly those. */
+  val q200 = {
+    val snip = " def load(x): return x*2; import os; {key: val} => arr[i] == 0 && ptr != null"
+    QueryDef("q200_code_detect",
+      s"""WITH fx AS (
+         |  SELECT doc_id,
+         |         coalesce(text, '') || CASE WHEN doc_id % 4 = 0 THEN '$snip' ELSE '' END AS t
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |       CAST(len(regexp_extract_all(t, '${TextAnalysis.codeSymPat}')) AS BIGINT) AS n_sym,
+         |       CAST(len(regexp_extract_all(t, '${TextAnalysis.codeKwPat}')) AS BIGINT) AS n_kw,
+         |       len(regexp_extract_all(t, '${TextAnalysis.codeKwPat}')) >= 2
+         |         AND len(regexp_extract_all(t, '${TextAnalysis.codeSymPat}')) >= 8 AS is_code
+         |FROM fx ORDER BY doc_id""") { (s, dir) =>
+      val planted = t(s, dir, "documents").select(col("doc_id"), concat(
+        coalesce(col("text"), lit("")),
+        when(col("doc_id") % 4 === 0, lit(snip)).otherwise(lit(""))).as("text"))
+      TextAnalysis.codeSignals(planted, "doc_id", "text").orderBy("doc_id")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -6665,5 +6838,5 @@ object Extensions {
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175,
-    q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q190, q191, q192, q193, q194, q195, q196)
+    q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200)
 }

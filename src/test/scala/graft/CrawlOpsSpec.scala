@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextAnalysis, UrlCanon}
+
+/** Crawl-side operators: URL canonicalization rules, Luhn screening on
+  * known vectors, within-doc line dedup order preservation, code
+  * detection signals. */
+class CrawlOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toDF("u").select(UrlCanon.canonicalizeUrl(col("u"))).as[String].collect().toSeq
+
+  test("url canonicalization: case, default ports, fragments, trackers, trailing slash") {
+    assert(canon(
+      "https://Shop.Example.COM:443/products/7/?utm_source=feed&fbclid=ab12",
+      "https://shop.example.com/products/7/",
+      "https://SHOP.example.com/products/7?gclid=z#frag")
+      .toSet === Set("https://shop.example.com/products/7"))
+    // real params survive in order; tracking params vanish from the middle
+    assert(canon("https://x.com/a?utm_source=s&page=2&ref=r&sort=asc")
+      === Seq("https://x.com/a?page=2&sort=asc"))
+    // http :80 strips; https :8443 (non-default) does NOT
+    assert(canon("http://Host.example.com:80/a#x") === Seq("http://host.example.com/a"))
+    assert(canon("https://host.example.com:8443/a") === Seq("https://host.example.com:8443/a"))
+    // bare host with trailing slash
+    assert(canon("https://x.com/") === Seq("https://x.com"))
+  }
+
+  test("luhn: known-valid test PANs pass, off-by-one twins fail") {
+    val rows = Seq(
+      "4111111111111111", // classic Visa test number: valid
+      "4111111111111112", // last digit bumped: invalid
+      "5500005555555559", // valid MC test number
+      "5500005555555550").toDF("c")
+      .select(col("c"), TextAnalysis.luhnValid16(col("c")).as("ok"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(rows("4111111111111111") && rows("5500005555555559"))
+    assert(!rows("4111111111111112") && !rows("5500005555555550"))
+  }
+
+  test("luhnScreen: counts candidates, validates only real checksums") {
+    val df = Seq((1L, "order 1234567890123456 card 4111111111111111 ok"))
+      .toDF("id", "text")
+    val r = TextAnalysis.luhnScreen(df, "id", "text").head
+    assert(r.getAs[Long]("n_candidates") === 2L)
+    assert(r.getAs[Long]("n_valid") === 1L)
+    assert(r.getAs[String]("valid_pans") === "4111111111111111")
+  }
+
+  test("dedupLinesKeepFirst: keeps FIRST occurrence, preserves order") {
+    val df = Seq((1L, Seq("b line", "a line", "b line", "c line", "a line")))
+      .toDF("id", "lines")
+    val r = Dedup.dedupLinesKeepFirst(df, "lines").head
+    assert(r.getAs[Long]("n_lines") === 5L)
+    assert(r.getAs[Long]("n_kept") === 3L)
+    assert(r.getAs[String]("dedup_text") === "b line\na line\nc line",
+      "order must be first-occurrence order, not sorted")
+  }
+
+  test("codeSignals: snippet flags, prose doesn't") {
+    val df = Seq(
+      (1L, "def load(x): return x*2; import os; {key: val} => arr[i] == 0"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("id", "text")
+    val m = TextAnalysis.codeSignals(df, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("is_code")).toMap
+    assert(m(1L) && !m(2L))
+  }
+}
