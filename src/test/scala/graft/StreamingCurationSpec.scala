@@ -53,6 +53,31 @@ class StreamingCurationSpec extends SparkSuite {
     assert(qualStream === qualBatch)
   }
 
+  test("HTML extraction is streaming-composable: crawl-ingest extract gate, stream == batch") {
+    import graft.operators.HtmlExtract
+    // the extractor is a pure narrow projection (plan-asserted in
+    // PlanAssertionsSpec), so it slots into an Append-mode crawl
+    // ingest with no state and no watermark — the front door of the
+    // streaming curation chain, same batch-equivalence contract
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"),
+        graft.functions.TextFunctions.normalizedWords(col("text")).as("w"))
+      .filter(size(col("w")) >= 1)
+      .withColumn("html",
+        HtmlExtract.synthHtml(col("doc_id"), col("w"), col("lang")))
+      .select("doc_id", "lang", "html")
+    def extractGate(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      HtmlExtract.extract(df, "html")
+        .filter(col("n_kept") >= 1 && col("main_len") >= 100)
+        .select("doc_id", "lang", "n_kept", "main_len", "main_text")
+    val batch = extractGate(docs).collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty, "the fixture pages must pass the extract gate")
+    val streamed = EventStreams.replayThroughStream(spark, docs, extractGate,
+        "html_extract_stream", OutputMode.Append())
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+  }
+
   test("LSH gate: band-directory ingest == batch gate under in-order replay; real stream agrees") {
     import graft.operators.Dedup
     val docs = Tables(spark, sfDir, "documents").select("doc_id", "text")
