@@ -90,16 +90,27 @@ class ManifestCorpusTable(manifestPath: String, maxBytes: Long)
 }
 
 class ManifestCorpusScanBuilder(manifestPath: String, maxBytes: Long)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
   private var required: StructType = ManifestCorpusSource.Schema
+  private var limit: Option[Int] = None
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new ManifestCorpusScan(manifestPath, maxBytes, required)
+  // PARTIALLY pushed (the inherited isPartiallyPushed default): each
+  // partition reader stops after `limit` lines — rows per corpus file
+  // are unknowable at planning, so partitions can't be dropped, but
+  // CollectLimit executes partitions incrementally and the pushed
+  // reader bound means a smoke-check `limit(5)` reads ~5 lines, not
+  // the whole corpus
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def build(): Scan =
+    new ManifestCorpusScan(manifestPath, maxBytes, required, limit)
 }
 
 case class CorpusFilesPartition(files: Seq[(String, Int)]) extends InputPartition
 
-class ManifestCorpusScan(manifestPath: String, maxBytes: Long, required: StructType)
-    extends Scan with Batch {
+class ManifestCorpusScan(manifestPath: String, maxBytes: Long,
+    required: StructType, private[sources] val pushedLimit: Option[Int])
+    extends Scan with Batch with SupportsReportStatistics {
   // captured at planning on the driver: session FS settings/credentials
   // ride along to executors for the reader's FileSystem lookups
   private val confCarrier =
@@ -108,15 +119,28 @@ class ManifestCorpusScan(manifestPath: String, maxBytes: Long, required: StructT
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"manifest-corpus $manifestPath, cols=${required.fieldNames.mkString(",")}"
+    s"manifest-corpus $manifestPath, cols=${required.fieldNames.mkString(",")}" +
+      pushedLimit.map(n => s", limit=$n").getOrElse("")
 
-  /** Size-binned file groups: greedy packing in manifest order keeps
-    * partition count ≈ totalBytes / maxBytes instead of one task per
-    * (typically tiny) corpus file. Sizes come from Hadoop
-    * `getFileStatus`, which doubles as the existence check: a manifest
-    * entry with no file behind it fails HERE, at planning, with the
-    * offending path — not at task time. */
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** Planner statistics: total corpus bytes (the stat pass below,
+    * shared lazily with partition planning — one round of HEADs, not
+    * two). Without this a manifest-corpus relation has UNKNOWN size,
+    * which Catalyst treats as huge — a small corpus joined against a
+    * big table would never broadcast. numRows stays empty: line
+    * counts are unknowable without reading. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(stattedFiles.map(_._2).sum)
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+  }
+
+  /** The stat pass: (manifest entry, size) in manifest order — lazy
+    * and shared, so estimateStatistics during optimization and
+    * planInputPartitions at execution pay ONE round of HEADs between
+    * them. Doubles as the existence check: a manifest entry with no
+    * file behind it fails HERE, at planning, with the offending path
+    * — not at task time. */
+  private lazy val stattedFiles: Seq[((String, Int), Long)] = {
     val conf = confCarrier.value
     val files = graft.operators.InvertedIndex.readManifest(manifestPath, conf)
     // stat the manifest entries with a bounded thread pool (the same
@@ -156,10 +180,17 @@ class ManifestCorpusScan(manifestPath: String, maxBytes: Long, required: StructT
           }
         }
       } finally pool.shutdown()
+    files.zip(sizes)
+  }
+
+  /** Size-binned file groups: greedy packing in manifest order keeps
+    * partition count ≈ totalBytes / maxPartitionBytes instead of one
+    * task per (typically tiny) corpus file. */
+  override def planInputPartitions(): Array[InputPartition] = {
     val partitions = scala.collection.mutable.ArrayBuffer.empty[CorpusFilesPartition]
     var current = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
     var bytes = 0L
-    files.zip(sizes).foreach { case ((path, id), sz) =>
+    stattedFiles.foreach { case ((path, id), sz) =>
       // 0-byte files still occupy one slot so they are assigned a reader
       if (bytes > 0 && bytes + sz > maxBytes) {
         partitions += CorpusFilesPartition(current.toSeq)
@@ -174,10 +205,12 @@ class ManifestCorpusScan(manifestPath: String, maxBytes: Long, required: StructT
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ManifestCorpusReaderFactory(required, confCarrier)
+    new ManifestCorpusReaderFactory(required, confCarrier, pushedLimit)
 }
 
-class ManifestCorpusReaderFactory(required: StructType, confCarrier: SerializableHadoopConf)
+class ManifestCorpusReaderFactory(required: StructType,
+    confCarrier: SerializableHadoopConf,
+    pushedLimit: Option[Int] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val files = partition.asInstanceOf[CorpusFilesPartition].files
@@ -206,11 +239,16 @@ class ManifestCorpusReaderFactory(required: StructType, confCarrier: Serializabl
         buf.toByteArray
       }
 
+      private var emitted = 0L
+
       override def next(): Boolean = {
+        // pushed (partial) limit: this partition never reads past the
+        // bound — CollectLimit on top takes the global prefix
+        if (pushedLimit.exists(emitted >= _)) { close(); return false }
         while (true) {
           if (in != null) {
             line = readLineBytes()
-            if (line != null) return true
+            if (line != null) { emitted += 1; return true }
             in.close(); in = null
           }
           if (!fileIter.hasNext) return false

@@ -70,6 +70,34 @@ class ManifestCorpusSourceSpec extends SparkSuite {
     assert(fnf.get.getMessage.contains("file #2"), fnf.get.getMessage)
   }
 
+  test("planner statistics: optimized-plan size == total corpus bytes " +
+      "(what lets a small corpus broadcast)") {
+    val files = InvertedIndex.readManifest(manifest)
+    val totalBytes = files.map { case (p, _) => new java.io.File(p).length() }.sum
+    val df = spark.read.format("manifest-corpus").load(manifest)
+    val stats = df.queryExecution.optimizedPlan.stats
+    assert(stats.sizeInBytes === BigInt(totalBytes),
+      s"expected $totalBytes corpus bytes, planner saw ${stats.sizeInBytes}")
+    // and the planner actually USES it: a join against this tiny
+    // corpus must broadcast the corpus side
+    val dim = spark.range(100).selectExpr("CAST(id AS INT) AS file_id")
+    val plan = df.join(dim, "file_id").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"tiny corpus should broadcast\n$plan")
+  }
+
+  test("limit pushdown: pushed to the scan (visible in description), " +
+      "readers stop early, results correct") {
+    val df = spark.read.format("manifest-corpus").load(manifest).limit(2)
+    val desc = df.queryExecution.executedPlan.toString
+    assert(desc.contains("limit=2"), s"pushed limit must reach the scan\n$desc")
+    assert(df.count() === 2)
+    // partial-pushdown contract: a limit larger than the corpus
+    // returns everything
+    val all = spark.read.format("manifest-corpus").load(manifest)
+    assert(all.limit(1000000).count() === all.count())
+  }
+
   test("index built through the connector matches the legacy formulation") {
     val viaV2 = InvertedIndex.buildIndexFromManifest(spark, manifest).select("line")
     val legacy = InvertedIndex.buildIndex(spark, InvertedIndex.readManifest(manifest))
