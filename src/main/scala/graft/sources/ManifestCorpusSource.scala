@@ -91,9 +91,10 @@ class ManifestCorpusTable(manifestPath: String, maxBytes: Long)
 
 class ManifestCorpusScanBuilder(manifestPath: String, maxBytes: Long)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit with SupportsPushDownFilters {
   private var required: StructType = ManifestCorpusSource.Schema
   private var limit: Option[Int] = None
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
   // PARTIALLY pushed (the inherited isPartiallyPushed default): each
   // partition reader stops after `limit` lines — rows per corpus file
@@ -102,15 +103,87 @@ class ManifestCorpusScanBuilder(manifestPath: String, maxBytes: Long)
   // reader bound means a smoke-check `limit(5)` reads ~5 lines, not
   // the whole corpus
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  // filters over file_id/path prune WHOLE FILES at planning (every row
+  // of a file shares them); ALL filters are also returned as residual
+  // so Spark re-applies them row-level — pruning is an optimization,
+  // never the correctness carrier
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    pushed = filters.filter(ManifestCorpusScan.prunable)
+    filters
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
   override def build(): Scan =
-    new ManifestCorpusScan(manifestPath, maxBytes, required, limit)
+    new ManifestCorpusScan(manifestPath, maxBytes, required, limit, pushed)
 }
 
 case class CorpusFilesPartition(files: Seq[(String, Int)]) extends InputPartition
 
+object ManifestCorpusScan {
+  import org.apache.spark.sql.sources._
+
+  /** Can this filter contribute to file-level pruning? (references
+    * only file_id/path in shapes [[eval3]] understands) */
+  def prunable(f: Filter): Boolean = f match {
+    case EqualTo(a, _) => a == "file_id" || a == "path"
+    case In(a, _) => a == "file_id" || a == "path"
+    case GreaterThan("file_id", _) | GreaterThanOrEqual("file_id", _) |
+         LessThan("file_id", _) | LessThanOrEqual("file_id", _) => true
+    case IsNotNull(a) => a == "file_id" || a == "path"
+    case IsNull(a) => a == "file_id" || a == "path"
+    case And(l, r) => prunable(l) || prunable(r)
+    case Or(l, r) => prunable(l) && prunable(r)
+    case Not(c) => prunable(c)
+    case _ => false
+  }
+
+  /** Three-valued evaluation of a filter against ONE FILE's constant
+    * (path, file_id): Some(false) = definitely no row of this file can
+    * pass → the file is skippable; None = can't tell (e.g. the filter
+    * touches `value`) → keep. file_id/path are never null. */
+  def eval3(path: String, id: Int, f: Filter): Option[Boolean] = f match {
+    case EqualTo("file_id", v: Number) => Some(id == v.intValue)
+    case EqualTo("path", v) => Some(path == String.valueOf(v))
+    case In("file_id", vs) =>
+      Some(vs.exists { case v: Number => v.intValue == id; case _ => false })
+    case In("path", vs) => Some(vs.exists(v => String.valueOf(v) == path))
+    case GreaterThan("file_id", v: Number) => Some(id > v.intValue)
+    case GreaterThanOrEqual("file_id", v: Number) => Some(id >= v.intValue)
+    case LessThan("file_id", v: Number) => Some(id < v.intValue)
+    case LessThanOrEqual("file_id", v: Number) => Some(id <= v.intValue)
+    case IsNotNull(a) if a == "file_id" || a == "path" => Some(true)
+    case IsNull(a) if a == "file_id" || a == "path" => Some(false)
+    case And(l, r) => (eval3(path, id, l), eval3(path, id, r)) match {
+      case (Some(false), _) | (_, Some(false)) => Some(false)
+      case (Some(true), Some(true)) => Some(true)
+      case _ => None
+    }
+    case Or(l, r) => (eval3(path, id, l), eval3(path, id, r)) match {
+      case (Some(true), _) | (_, Some(true)) => Some(true)
+      case (Some(false), Some(false)) => Some(false)
+      case _ => None
+    }
+    case Not(c) => eval3(path, id, c).map(!_)
+    case _ => None
+  }
+}
+
 class ManifestCorpusScan(manifestPath: String, maxBytes: Long,
-    required: StructType, private[sources] val pushedLimit: Option[Int])
-    extends Scan with Batch with SupportsReportStatistics {
+    required: StructType, private[sources] val pushedLimit: Option[Int],
+    pushedFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
+
+  /** Runtime filters (DPP-style, e.g. `In(file_id, …)` built from a
+    * join's other side) land here between planning and execution;
+    * [[planInputPartitions]] prunes with them exactly like the static
+    * pushed filters. */
+  @volatile private var runtimeFilters: Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("file_id"))
+  override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    runtimeFilters = filters
   // captured at planning on the driver: session FS settings/credentials
   // ride along to executors for the reader's FileSystem lookups
   private val confCarrier =
@@ -120,17 +193,29 @@ class ManifestCorpusScan(manifestPath: String, maxBytes: Long,
   override def toBatch: Batch = this
   override def description(): String =
     s"manifest-corpus $manifestPath, cols=${required.fieldNames.mkString(",")}" +
-      pushedLimit.map(n => s", limit=$n").getOrElse("")
+      pushedLimit.map(n => s", limit=$n").getOrElse("") +
+      (if (pushedFilters.isEmpty) ""
+       else s", pruneFilters=[${pushedFilters.mkString(", ")}]")
 
-  /** Planner statistics: total corpus bytes (the stat pass below,
-    * shared lazily with partition planning — one round of HEADs, not
-    * two). Without this a manifest-corpus relation has UNKNOWN size,
-    * which Catalyst treats as huge — a small corpus joined against a
-    * big table would never broadcast. numRows stays empty: line
-    * counts are unknowable without reading. */
+  /** Does any row of this file survive every pushed + runtime filter?
+    * (three-valued: unknown keeps the file — pruning is never the
+    * correctness carrier, Spark re-applies all filters row-level) */
+  private def keepFile(path: String, id: Int): Boolean =
+    (pushedFilters ++ runtimeFilters).forall(f =>
+      ManifestCorpusScan.eval3(path, id, f).getOrElse(true))
+
+  /** Planner statistics: total corpus bytes surviving the static
+    * pushed filters (the stat pass below, shared lazily with partition
+    * planning — one round of HEADs, not two). Without this a
+    * manifest-corpus relation has UNKNOWN size, which Catalyst treats
+    * as huge — a small corpus joined against a big table would never
+    * broadcast; and a `file_id = k` probe reports one file's bytes,
+    * not the corpus's. numRows stays empty: line counts are
+    * unknowable without reading. */
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): java.util.OptionalLong =
-      java.util.OptionalLong.of(stattedFiles.map(_._2).sum)
+      java.util.OptionalLong.of(
+        stattedFiles.collect { case ((p, id), sz) if keepFile(p, id) => sz }.sum)
     override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
   }
 
@@ -185,12 +270,15 @@ class ManifestCorpusScan(manifestPath: String, maxBytes: Long,
 
   /** Size-binned file groups: greedy packing in manifest order keeps
     * partition count ≈ totalBytes / maxPartitionBytes instead of one
-    * task per (typically tiny) corpus file. */
+    * task per (typically tiny) corpus file. Files failing the pushed
+    * or runtime filters are skipped ENTIRELY — a `file_id = k` probe
+    * or a DPP-filtered join opens one file, not the corpus. */
   override def planInputPartitions(): Array[InputPartition] = {
     val partitions = scala.collection.mutable.ArrayBuffer.empty[CorpusFilesPartition]
     var current = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
     var bytes = 0L
-    stattedFiles.foreach { case ((path, id), sz) =>
+    stattedFiles.filter { case ((p, id), _) => keepFile(p, id) }
+      .foreach { case ((path, id), sz) =>
       // 0-byte files still occupy one slot so they are assigned a reader
       if (bytes > 0 && bytes + sz > maxBytes) {
         partitions += CorpusFilesPartition(current.toSeq)

@@ -98,6 +98,40 @@ class ManifestCorpusSourceSpec extends SparkSuite {
     assert(all.limit(1000000).count() === all.count())
   }
 
+  test("filter pushdown prunes whole files: file_id predicate plans one " +
+      "partition, rows stay correct (filter re-applied row-level)") {
+    def scattered = spark.read.format("manifest-corpus")
+      .option("maxPartitionBytes", "1").load(manifest) // one file per partition
+    val all = scattered.collect().length
+    val probe = scattered.filter(col("file_id") === 2)
+    assert(probe.rdd.getNumPartitions === 1,
+      "a file_id probe must open ONE file, not the corpus")
+    val viaFull = scattered.collect().count(_.getInt(0) == 2)
+    assert(probe.count() === viaFull && viaFull > 0)
+    // range + IN shapes prune too; value predicates never prune
+    assert(scattered.filter(col("file_id") >= 2).rdd.getNumPartitions === 2)
+    assert(scattered.filter(col("file_id").isin(1, 3)).rdd.getNumPartitions === 2)
+    assert(scattered.filter(col("value").contains("x")).rdd.getNumPartitions === 3)
+    // OR mixing a value predicate must NOT prune (3-valued unknown)
+    val mixed = scattered.filter(col("file_id") === 2 || col("value").contains("x"))
+    assert(mixed.rdd.getNumPartitions === 3)
+    assert(mixed.count() ===
+      scattered.collect().count(r => r.getInt(0) == 2 || r.getString(2).contains("x")))
+    assert(all === scattered.count())
+  }
+
+  test("runtime filtering: a DPP-style In(file_id) arriving after planning " +
+      "re-prunes the partitions") {
+    val builder = new graft.sources.ManifestCorpusScanBuilder(manifest, 1L)
+    val scan = builder.build().asInstanceOf[graft.sources.ManifestCorpusScan]
+    assert(scan.toBatch.planInputPartitions().length === 3)
+    assert(scan.filterAttributes().map(_.describe()).toSeq === Seq("file_id"))
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("file_id", Array(1, 3))))
+    assert(scan.toBatch.planInputPartitions().length === 2,
+      "runtime In(file_id) must drop the unreferenced file's partition")
+  }
+
   test("index built through the connector matches the legacy formulation") {
     val viaV2 = InvertedIndex.buildIndexFromManifest(spark, manifest).select("line")
     val legacy = InvertedIndex.buildIndex(spark, InvertedIndex.readManifest(manifest))
