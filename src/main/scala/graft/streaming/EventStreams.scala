@@ -243,6 +243,49 @@ object EventStreams {
       }
   }
 
+  // ---- transformWithState (the Spark 4 arbitrary-state API) ---------
+
+  case class HashedDoc(content_hash: String, doc_id: Long)
+
+  /** First-seen gate as a Spark 4 [[org.apache.spark.sql.streaming
+    * .StatefulProcessor]]: one ValueState[Boolean] per content hash,
+    * with an OPTIONAL state TTL — the state-eviction policy
+    * `dropDuplicates` cannot express (its state lives and dies with
+    * the event-time watermark; a crawl-dedup window of "suppress
+    * re-fetches for 7 days" is processing-time TTL, not lateness).
+    * Within a batch, equal-hash rows resolve to the LOWEST doc_id
+    * (deterministic under any partition order). Requires the RocksDB
+    * state-store provider (the transformWithState contract in Spark
+    * 4) — which BENCH_STREAM_r10 shows is what you run anyway. */
+  class FirstSeenProcessor(ttlMillis: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, HashedDoc, HashedDoc] {
+    @transient private var seen: org.apache.spark.sql.streaming.ValueState[Boolean] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean]("seen",
+        org.apache.spark.sql.Encoders.scalaBoolean,
+        if (ttlMillis <= 0) org.apache.spark.sql.streaming.TTLConfig.NONE
+        else org.apache.spark.sql.streaming.TTLConfig(
+          java.time.Duration.ofMillis(ttlMillis)))
+    override def handleInputRows(key: String, rows: Iterator[HashedDoc],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[HashedDoc] =
+      if (seen.exists() || !rows.hasNext) Iterator.empty
+      else { seen.update(true); Iterator.single(rows.minBy(_.doc_id)) }
+  }
+
+  /** Streaming first-seen dedup over (content_hash, doc_id) rows —
+    * `ttlMillis > 0` turns on processing-time state TTL (the state
+    * store forgets a hash after the window, re-admitting the next
+    * occurrence); `0` keeps state forever like batch exact dedup. */
+  def firstSeenStream(docs: Dataset[HashedDoc], ttlMillis: Long = 0L): Dataset[HashedDoc] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.content_hash)
+      .transformWithState(new FirstSeenProcessor(ttlMillis),
+        if (ttlMillis <= 0) org.apache.spark.sql.streaming.TimeMode.None()
+        else org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        OutputMode.Append())
+  }
+
   case class ClosedSession(user_id: Long, start_s: Long, end_s: Long, n_events: Long)
   case class OpenSession(start: Long, last: Long, n: Long)
 
