@@ -60,6 +60,21 @@ class CrawlOpsSpec extends SparkSuite {
       "order must be first-occurrence order, not sorted")
   }
 
+  test("keep-first native kernel == composed position-filter on random arrays " +
+      "(incl. empty, all-dup, all-distinct)") {
+    val rnd = new scala.util.Random(42)
+    val cases: Seq[Seq[String]] = Seq(
+      Seq.empty[String], Seq("x"), Seq.fill(50)("same"),
+      (1 to 60).map(_.toString)) ++
+      (1 to 30).map(_ => Seq.fill(rnd.nextInt(40))(s"w${rnd.nextInt(8)}"))
+    val df = cases.zipWithIndex.map { case (ls, i) => (i.toLong, ls) }.toDF("id", "lines")
+    val native = Dedup.dedupLinesKeepFirst(df, "lines")
+      .select("id", "n_lines", "n_kept", "dedup_text").collect().map(_.toSeq).toSet
+    val composed = Dedup.dedupLinesKeepFirstComposed(df, "lines")
+      .select("id", "n_lines", "n_kept", "dedup_text").collect().map(_.toSeq).toSet
+    assert(native === composed)
+  }
+
   test("codeSignals: snippet flags, prose doesn't") {
     val df = Seq(
       (1L, "def load(x): return x*2; import os; {key: val} => arr[i] == 0"),
