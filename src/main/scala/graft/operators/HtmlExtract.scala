@@ -20,7 +20,8 @@ import org.apache.spark.sql.functions._
   *
   * Mechanics (identical literals both engines, RE2 ∩ Java regex — no
   * backreferences, no lookaround):
-  *   1. `<script>…</script>` and `<style>…</style>` blobs → ' '
+  *   1. `<script>…</script>`/`<style>…</style>` blobs, then HTML
+  *      comments (which may contain '>'), → ' '
   *   2. every BLOCK-LEVEL closing tag (and `<br>`) → '\n': blocks
   *      are the candidate units, exactly jusText's segmentation
   *   3. per block: anchor-text length (chars inside `<a>…</a>`,
@@ -48,6 +49,10 @@ object HtmlExtract {
   // -- shared regex literals (kept to the RE2 ∩ Java dialect) --------
   val scriptPat = "(?is)<script[^>]*>.*?</script>"
   val stylePat = "(?is)<style[^>]*>.*?</style>"
+  /** Stripped AFTER script/style (whose bodies may quote comment
+    * openers); a comment may contain '>' — the bare tag regex would
+    * leave its tail behind as phantom text. */
+  val commentPat = "(?s)<!--.*?-->"
   val blockClosePat =
     "(?i)</(p|div|li|h1|h2|h3|h4|h5|h6|tr|ul|ol|table|blockquote|nav|footer|header|section|article|head|body|html|title)>|<br[^>]*>"
   val anchorPat = "(?is)<a[^>]*>(.*?)</a>"
@@ -68,8 +73,9 @@ object HtmlExtract {
     * entity-decoded, whitespace-collapsed block text; alen = chars of
     * anchor inner text, inner tags stripped). */
   def blocks(html: Column): Column = {
-    val noScript =
-      regexp_replace(regexp_replace(html, scriptPat, " "), stylePat, " ")
+    val noScript = regexp_replace(
+      regexp_replace(regexp_replace(html, scriptPat, " "), stylePat, " "),
+      commentPat, " ")
     val lines = split(regexp_replace(noScript, blockClosePat, "\n"), "\n")
     transform(lines, l => {
       val txt = trim(regexp_replace(
@@ -110,8 +116,9 @@ object HtmlExtract {
       s"replace($acc, '$e', $rr)"
     }
     s"""list_transform(
-       |  string_split(regexp_replace(regexp_replace(regexp_replace($htmlExpr,
+       |  string_split(regexp_replace(regexp_replace(regexp_replace(regexp_replace($htmlExpr,
        |    '$scriptPat', ' ', 'g'), '$stylePat', ' ', 'g'),
+       |    '$commentPat', ' ', 'g'),
        |    '$blockClosePat', chr(10), 'g'), chr(10)),
        |  l -> struct_pack(
        |    txt := trim(regexp_replace($decoded, '$wsPat', ' ', 'g')),
@@ -150,7 +157,7 @@ object HtmlExtract {
       lit("<script>var t = \""), md5(docId.cast("string")), lit("\"; track(t);</script></head>"),
       lit("<body><nav><a href=\"/\">Home</a> | <a href=\"/"), lang,
       lit("/\">"), lang, lit(" edition</a> | <a href=\"/about/\">About us</a></nav>"),
-      lit("<div id=\"main\">"), paras,
+      lit("<div id=\"main\"><!-- rendered v2; cache ttl > 60s -->"), paras,
       lit("<p>Read more: <a href=\"/doc/"), docId.cast("string"),
       lit("/next\">continue reading this article</a></p>"),
       lit("<p>Tags &amp; topics:&nbsp;"), lang,
@@ -168,7 +175,7 @@ object HtmlExtract {
        |'<script>var t = "' || md5(CAST(doc_id AS VARCHAR)) || '"; track(t);</script></head>' ||
        |'<body><nav><a href="/">Home</a> | <a href="/' || lang || '/">' || lang ||
        |' edition</a> | <a href="/about/">About us</a></nav>' ||
-       |'<div id="main">' ||
+       |'<div id="main"><!-- rendered v2; cache ttl > 60s -->' ||
        |array_to_string(list_transform(range(0, (len(w) + ${paraWords - 1}) // $paraWords),
        |  k -> '<p>' || array_to_string(w[(k * $paraWords + 1):(k * $paraWords + $paraWords)], ' ') || '</p>'), '') ||
        |'<p>Read more: <a href="/doc/' || CAST(doc_id AS VARCHAR) ||

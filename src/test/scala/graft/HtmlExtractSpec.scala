@@ -24,6 +24,16 @@ class HtmlExtractSpec extends SparkSuite {
     assert(txt === "an actual paragraph of readable content here")
   }
 
+  test("HTML comments vanish even when they contain '>' — no phantom text") {
+    val (_, kept, txt) = extractOne(
+      "<body><!-- rendered by builder; ttl > 60s; do not edit -->" +
+        "<p>the real paragraph content is long enough to survive here</p>" +
+        "<p>second block <!-- inline note > marker --> keeps its own words around it</p></body>")
+    assert(kept === 2L)
+    assert(txt === "the real paragraph content is long enough to survive here\n" +
+      "second block keeps its own words around it")
+  }
+
   test("block-closing tags segment; short blocks and link walls drop; " +
       "long low-link-density blocks survive") {
     val (blocks, kept, txt) = extractOne(
