@@ -191,6 +191,27 @@ object NormalizerPropertySpec extends Properties("normalizer") {
       }
     }
 
+  property("keep_first_distinct GENERATED code compiles and equals interpreted eval") =
+    forAll(Gen.listOf(Gen.oneOf("a", "bb", "ccc", "dd", "", "bb"))) { words =>
+      import org.apache.spark.sql.catalyst.InternalRow
+      import org.apache.spark.sql.catalyst.expressions.BoundReference
+      import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      import org.apache.spark.sql.types.{ArrayType, StringType}
+      import org.apache.spark.unsafe.types.UTF8String
+      val expr = graft.plans.TextNormExprs.KeepFirstDistinctExpr(
+        BoundReference(0, ArrayType(StringType, containsNull = false), nullable = true))
+      val proj = GenerateUnsafeProjection.generate(Seq(expr))
+      val row = InternalRow(new GenericArrayData(
+        words.map(UTF8String.fromString).toArray[Any]))
+      val gen = proj(row).getArray(0)
+      val interp = expr.eval(row)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val genSeq = (0 until gen.numElements()).map(gen.getUTF8String(_).toString)
+      val interpSeq = (0 until interp.numElements()).map(interp.getUTF8String(_).toString)
+      genSeq == interpSeq && genSeq == words.distinct
+    }
+
   property("word_shingles GENERATED code compiles, equals interpreted, null-folds to empty") =
     forAll(Gen.listOf(Gen.alphaLowerStr), Gen.choose(1, 4)) { (words, n) =>
       import org.apache.spark.sql.catalyst.InternalRow
