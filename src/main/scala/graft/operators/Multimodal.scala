@@ -287,4 +287,46 @@ object Multimodal {
       .select(col("asset_id"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(everyN))).as("frame_idx"))
   }
+
+  /** Magic-byte signatures for [[sniffType]] — UPPERCASE hex prefixes
+    * (both engines' hex() emit uppercase), ordered longest-first so
+    * the CASE chain resolves the PNG/GIF/ZIP family unambiguously.
+    * Shared with the oracle verbatim. */
+  val magicSignatures: Seq[(String, String)] = Seq(
+    "89504E470D0A1A0A" -> "image/png",
+    "474946383961" -> "image/gif",
+    "255044462D" -> "application/pdf",
+    "504B0304" -> "application/zip",
+    "FFD8FF" -> "image/jpeg")
+
+  /** CONTENT-TYPE SNIFFING on an opaque binary column — the first gate
+    * of any multimodal ingest: the declared extension/mime of crawled
+    * assets lies constantly; the file's own magic bytes don't. Pure
+    * narrow projection (hex of the first 8 bytes against a literal
+    * signature chain); unknown prefixes report
+    * 'application/octet-stream'. The binary column itself never moves
+    * — only the verdict does. */
+  def sniffType(df: DataFrame, binCol: String): DataFrame = {
+    val head = hex(substring(col(binCol), 1, 8))
+    val verdict = magicSignatures.foldRight(
+        lit("application/octet-stream"): org.apache.spark.sql.Column) {
+      case ((sig, mime), rest) =>
+        when(head.startsWith(sig), mime).otherwise(rest)
+    }
+    df.withColumn("sniffed_type",
+      when(col(binCol).isNull, lit(null).cast("string")).otherwise(verdict))
+  }
+
+  /** DuckDB twin of [[sniffType]] over a BLOB expression. DuckDB has
+    * no BLOB substring, so the twin hexes the whole blob before the
+    * prefix check — fine for oracle-sized fixtures; the Spark side
+    * keeps the 8-byte slice (signatures are ≤ 8 bytes, so the
+    * verdicts agree). */
+  def sniffTypeSql(expr: String): String = {
+    val whens = magicSignatures.map { case (sig, mime) =>
+      s"WHEN starts_with(hex($expr), '$sig') THEN '$mime'"
+    }
+    s"CASE WHEN $expr IS NULL THEN NULL ${whens.mkString(" ")} " +
+      "ELSE 'application/octet-stream' END"
+  }
 }

@@ -6829,6 +6829,102 @@ object Extensions {
     }
   }
 
+  // -------------------------------------------------------------- Q201
+  /** ROBOTS EXCLUSION GATE ([[graft.operators.Robots]]): the
+    * crawl-frontier policy step after q197's canonicalization — per
+    * host, (path prefix, allow/deny) rules; verdict = the MOST
+    * SPECIFIC (longest) matching prefix, allow winning length ties
+    * (RFC 9309 §2.2.2 precedence, prefix subset), default-allow when
+    * nothing matches. Rules broadcast; winner is a struct-max
+    * aggregate per URL — never a frontier-wide window. The planted
+    * rule matrix exercises every branch: a global /private/ deny, an
+    * even-host /private/reports/ allow that OVERRIDES it by length, a
+    * full-site '/' deny on one host, and unmatched paths. */
+  val q201 = {
+    val ruleRows: Seq[(String, String, Boolean)] = (0 to 6).flatMap { m =>
+      val host = s"h$m.example.com"
+      Seq((host, "/private/", false)) ++
+        (if (m % 2 == 0) Seq((host, "/private/reports/", true)) else Nil) ++
+        (if (m == 3) Seq((host, "/", false)) else Nil) ++
+        (if (m % 3 == 0) Seq((host, "/tmp/", false)) else Nil)
+    }
+    val valuesSql = ruleRows.map { case (h, p, a) => s"('$h', '$p', $a)" }.mkString(", ")
+    QueryDef("q201_robots_gate",
+      s"""WITH u AS (
+         |  SELECT doc_id,
+         |         'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host,
+         |         CASE CAST(doc_id % 5 AS INT)
+         |           WHEN 0 THEN '/public/a' || CAST(doc_id AS VARCHAR)
+         |           WHEN 1 THEN '/private/x' || CAST(doc_id AS VARCHAR)
+         |           WHEN 2 THEN '/private/reports/r' || CAST(doc_id AS VARCHAR)
+         |           WHEN 3 THEN '/tmp/t' || CAST(doc_id AS VARCHAR)
+         |           ELSE '/' END AS path
+         |  FROM documents
+         |), r(host, prefix, allow) AS (VALUES $valuesSql),
+         |m AS (
+         |  SELECT u.doc_id, r.prefix, r.allow,
+         |         row_number() OVER (PARTITION BY u.doc_id
+         |           ORDER BY length(r.prefix) DESC, r.allow DESC, r.prefix DESC) AS rn
+         |  FROM u JOIN r ON r.host = u.host AND starts_with(u.path, r.prefix)
+         |)
+         |SELECT u.doc_id, u.host, u.path, m.prefix AS matched,
+         |       coalesce(m.allow, TRUE) AS allowed
+         |FROM u LEFT JOIN (SELECT doc_id, prefix, allow FROM m WHERE rn = 1) m
+         |  USING (doc_id)
+         |ORDER BY doc_id""") { (s, dir) =>
+      import s.implicits._
+      val d = col("doc_id").cast("string")
+      val urls = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("h"), (col("doc_id") % 7).cast("string"), lit(".example.com")).as("host"),
+        when(col("doc_id") % 5 === 0, concat(lit("/public/a"), d))
+          .when(col("doc_id") % 5 === 1, concat(lit("/private/x"), d))
+          .when(col("doc_id") % 5 === 2, concat(lit("/private/reports/r"), d))
+          .when(col("doc_id") % 5 === 3, concat(lit("/tmp/t"), d))
+          .otherwise(lit("/")).as("path"))
+      val rules = ruleRows.toDF("host", "prefix", "allow")
+      graft.operators.Robots.gate(urls, rules, "doc_id", "host", "path")
+        .select("doc_id", "host", "path", "matched", "allowed")
+        .orderBy("doc_id")
+    }
+  }
+
+  // -------------------------------------------------------------- Q202
+  /** CONTENT-TYPE SNIFFING on binary payloads
+    * ([[graft.operators.Multimodal.sniffType]]): the first gate of a
+    * multimodal ingest — declared extensions lie, magic bytes don't.
+    * Each doc gets a binary payload (deterministic md5 body) stamped
+    * with one of five real signatures (PNG/GIF/PDF/ZIP/JPEG) or an
+    * unknown prefix; the sniffer's hex-prefix chain must classify all
+    * six classes exactly. Narrow projection; the payload bytes never
+    * move — only the verdict reaches the rollup. */
+  val q202 = {
+    val M = graft.operators.Multimodal
+    val cases = M.magicSignatures.map(_._1) :+ "DEADBEEF"
+    val caseSql = cases.zipWithIndex.map { case (sig, i) =>
+      s"WHEN $i THEN '$sig'"
+    }.mkString("CASE CAST(doc_id % 6 AS INT) ", " ", " END")
+    QueryDef("q202_magic_sniff",
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |         unhex(($caseSql) || md5(CAST(doc_id AS VARCHAR))) AS payload
+         |  FROM documents
+         |)
+         |SELECT ${M.sniffTypeSql("payload")} AS sniffed_type,
+         |       CAST(count(*) AS BIGINT) AS n_assets,
+         |       CAST(min(doc_id) AS BIGINT) AS first_doc
+         |FROM b GROUP BY 1 ORDER BY sniffed_type""") { (s, dir) =>
+      val sigCol = cases.zipWithIndex.foldRight(lit(null).cast("string")) {
+        case ((sig, i), rest) => when(col("doc_id") % 6 === i, lit(sig)).otherwise(rest)
+      }
+      val withBin = t(s, dir, "documents").select(col("doc_id"),
+        unhex(concat(sigCol, md5(col("doc_id").cast("string")))).as("payload"))
+      M.sniffType(withBin, "payload")
+        .groupBy("sniffed_type")
+        .agg(count(lit(1)).as("n_assets"), min(col("doc_id")).as("first_doc"))
+        .orderBy("sniffed_type")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -6838,5 +6934,5 @@ object Extensions {
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175,
-    q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200)
+    q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202)
 }

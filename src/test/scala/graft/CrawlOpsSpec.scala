@@ -75,6 +75,48 @@ class CrawlOpsSpec extends SparkSuite {
     assert(native === composed)
   }
 
+  test("robots gate: longest prefix wins, allow beats deny on ties, " +
+      "default-allow without a match") {
+    import graft.operators.Robots
+    val urls = Seq(
+      (1L, "a.com", "/private/reports/r1"), // allow overrides /private/ by length
+      (2L, "a.com", "/private/other"),      // deny
+      (3L, "a.com", "/public/x"),           // no rule -> allow
+      (4L, "b.com", "/private/reports/r2"), // b.com has no allow rule -> deny
+      (5L, "a.com", "/dup/tie")             // equal-length allow+deny -> allow wins
+    ).toDF("id", "host", "path")
+    val rules = Seq(
+      ("a.com", "/private/", false), ("a.com", "/private/reports/", true),
+      ("a.com", "/dup/", false), ("a.com", "/dup/", true),
+      ("b.com", "/private/", false)).toDF("host", "prefix", "allow")
+    val got = Robots.gate(urls, rules, "id", "host", "path")
+      .select("id", "allowed", "matched").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), Option(r.getString(2))))).toMap
+    assert(got(1L) === ((true, Some("/private/reports/"))))
+    assert(got(2L) === ((false, Some("/private/"))))
+    assert(got(3L) === ((true, None)))
+    assert(got(4L) === ((false, Some("/private/"))))
+    assert(got(5L) === ((true, Some("/dup/"))))
+  }
+
+  test("magic sniff: real signatures classify, unknown falls through, null stays null") {
+    import graft.operators.Multimodal
+    val df = Seq(
+      ("89504E470D0A1A0A" + "00" * 8, "image/png"),
+      ("FFD8FFE1002845786966", "image/jpeg"),
+      ("255044462D312E37", "application/pdf"),
+      ("504B030414000000", "application/zip"),
+      ("474946383961AABB", "image/gif"),
+      ("CAFEBABE00000000", "application/octet-stream"))
+      .toDF("hex", "expected")
+      .select(unhex(col("hex")).as("payload"), col("expected"))
+    val got = Multimodal.sniffType(df, "payload").collect()
+    got.foreach(r => assert(r.getAs[String]("sniffed_type") === r.getAs[String]("expected")))
+    val nul = Multimodal.sniffType(
+      Seq(Tuple1(null: Array[Byte])).toDF("payload"), "payload").head
+    assert(nul.isNullAt(nul.fieldIndex("sniffed_type")))
+  }
+
   test("codeSignals: snippet flags, prose doesn't") {
     val df = Seq(
       (1L, "def load(x): return x*2; import os; {key: val} => arr[i] == 0"),
