@@ -6840,15 +6840,22 @@ object Extensions {
     * rule matrix exercises every branch: a global /private/ deny, an
     * even-host /private/reports/ allow that OVERRIDES it by length, a
     * full-site '/' deny on one host, and unmatched paths. */
+  /** Shared robots rule matrix (q201 + q203): global /private/ deny,
+    * even-host /private/reports/ allow (overrides by length), full
+    * '/' deny on h3, /tmp/ deny on every third host. */
+  private val robotsRuleRows: Seq[(String, String, Boolean)] = (0 to 6).flatMap { m =>
+    val host = s"h$m.example.com"
+    Seq((host, "/private/", false)) ++
+      (if (m % 2 == 0) Seq((host, "/private/reports/", true)) else Nil) ++
+      (if (m == 3) Seq((host, "/", false)) else Nil) ++
+      (if (m % 3 == 0) Seq((host, "/tmp/", false)) else Nil)
+  }
+  private val robotsValuesSql =
+    robotsRuleRows.map { case (h, p, a) => s"('$h', '$p', $a)" }.mkString(", ")
+
   val q201 = {
-    val ruleRows: Seq[(String, String, Boolean)] = (0 to 6).flatMap { m =>
-      val host = s"h$m.example.com"
-      Seq((host, "/private/", false)) ++
-        (if (m % 2 == 0) Seq((host, "/private/reports/", true)) else Nil) ++
-        (if (m == 3) Seq((host, "/", false)) else Nil) ++
-        (if (m % 3 == 0) Seq((host, "/tmp/", false)) else Nil)
-    }
-    val valuesSql = ruleRows.map { case (h, p, a) => s"('$h', '$p', $a)" }.mkString(", ")
+    val ruleRows = robotsRuleRows
+    val valuesSql = robotsValuesSql
     QueryDef("q201_robots_gate",
       s"""WITH u AS (
          |  SELECT doc_id,
@@ -6925,6 +6932,92 @@ object Extensions {
     }
   }
 
+  // -------------------------------------------------------------- Q203
+  /** CRAWL FRONTIER v1 — the capstone composition of the round-10
+    * crawl family, the way q195 caps the HTML family: raw URLs (mixed
+    * case, explicit :443, tracking params, fragments) →
+    * [[graft.operators.UrlCanon]] canonical form → frontier DEDUP on
+    * the canonical string (the '/' pages collapse across docs) →
+    * host/path re-extraction → [[graft.operators.Robots]] gate (q201's
+    * rule matrix) → [[graft.operators.Splits.rendezvousShard]] stable
+    * fetcher assignment over 8 fetchers (adding one later moves only
+    * ~1/9 of the keys — the crawler-fleet resharding property).
+    * Per-fetcher rollup: frontier size, allowed count, distinct
+    * hosts. Everything before the dedup groupBy is narrow; rules
+    * broadcast; the shard argmax is a per-row expression. */
+  val q203 = {
+    val shards = (0 until 8).map(i => s"fetcher$i")
+    val structs = shards.map(s =>
+      s"{'b': ${md5Bucket16Sql(s"'$s|' || canon")}, 's': '$s'}").mkString(", ")
+    val U = graft.operators.UrlCanon
+    QueryDef("q203_crawl_frontier",
+      s"""WITH u AS (
+         |  SELECT doc_id,
+         |         'https://H' || CAST(doc_id % 7 AS VARCHAR) || '.Example.COM:443' ||
+         |         CASE CAST(doc_id % 5 AS INT)
+         |           WHEN 0 THEN '/public/a' || CAST(doc_id AS VARCHAR)
+         |           WHEN 1 THEN '/private/x' || CAST(doc_id AS VARCHAR)
+         |           WHEN 2 THEN '/private/reports/r' || CAST(doc_id AS VARCHAR)
+         |           WHEN 3 THEN '/tmp/t' || CAST(doc_id AS VARCHAR)
+         |           ELSE '/' END ||
+         |         '?utm_campaign=c' || CAST(doc_id AS VARCHAR) || '#top' AS raw
+         |  FROM documents
+         |), np AS (
+         |  SELECT ${U.noPortSql("raw")} AS np FROM u
+         |), c AS (
+         |  SELECT DISTINCT ${U.canonFromNoPortSql("np")} AS canon FROM np
+         |), hp AS (
+         |  SELECT canon,
+         |         regexp_extract(canon, '^https://([^/?#]+)', 1) AS host,
+         |         CASE WHEN regexp_replace(canon, '^https://[^/?#]+', '', 'g') = ''
+         |              THEN '/' ELSE regexp_replace(canon, '^https://[^/?#]+', '', 'g') END AS path
+         |  FROM c
+         |), r(host, prefix, allow) AS (VALUES $robotsValuesSql),
+         |m AS (
+         |  SELECT hp.canon, r.allow,
+         |         row_number() OVER (PARTITION BY hp.canon
+         |           ORDER BY length(r.prefix) DESC, r.allow DESC, r.prefix DESC) AS rn
+         |  FROM hp JOIN r ON r.host = hp.host AND starts_with(hp.path, r.prefix)
+         |), g AS (
+         |  SELECT hp.canon, hp.host, coalesce(m.allow, TRUE) AS allowed,
+         |         list_aggregate([$structs], 'max').s AS shard
+         |  FROM hp LEFT JOIN (SELECT canon, allow FROM m WHERE rn = 1) m USING (canon)
+         |)
+         |SELECT shard, CAST(count(*) AS BIGINT) AS n_urls,
+         |       CAST(count(*) FILTER (WHERE allowed) AS BIGINT) AS n_allowed,
+         |       CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+         |FROM g GROUP BY shard ORDER BY shard""") { (s, dir) =>
+      import s.implicits._
+      val d = col("doc_id").cast("string")
+      val raw = concat(
+        lit("https://H"), (col("doc_id") % 7).cast("string"), lit(".Example.COM:443"),
+        when(col("doc_id") % 5 === 0, concat(lit("/public/a"), d))
+          .when(col("doc_id") % 5 === 1, concat(lit("/private/x"), d))
+          .when(col("doc_id") % 5 === 2, concat(lit("/private/reports/r"), d))
+          .when(col("doc_id") % 5 === 3, concat(lit("/tmp/t"), d))
+          .otherwise(lit("/")),
+        lit("?utm_campaign=c"), d, lit("#top"))
+      val frontier = t(s, dir, "documents")
+        .select(graft.operators.UrlCanon.canonicalizeUrl(raw).as("canon"))
+        .distinct()
+        .withColumn("host", regexp_extract(col("canon"), "^https://([^/?#]+)", 1))
+        .withColumn("path", {
+          val p = regexp_replace(col("canon"), "^https://[^/?#]+", "")
+          when(p === "", "/").otherwise(p)
+        })
+      val gated = graft.operators.Robots.gate(frontier,
+        robotsRuleRows.toDF("host", "prefix", "allow"), "canon", "host", "path")
+      gated
+        .withColumn("shard",
+          graft.operators.Splits.rendezvousShard(col("canon"), shards))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_urls"),
+          sum(when(col("allowed"), 1L).otherwise(0L)).as("n_allowed"),
+          countDistinct(col("host")).as("n_hosts"))
+        .orderBy("shard")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -6934,5 +7027,5 @@ object Extensions {
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175,
-    q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202)
+    q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203)
 }
