@@ -152,9 +152,9 @@ object DpRelease {
     * draw — the scaled geometric mechanism keeps ε = ln 2 for the
     * clipped sum (neighboring sums differ by ≤ clip; the distribution
     * ratio under a clip-sized shift is ≤ 2). Still pure integer
-    * arithmetic end-to-end. A release combining [[noisyCounts]] and
-    * noisySums over the same groups must use DIFFERENT seeds (draws
-    * are otherwise identical) and composes ε additively. */
+    * arithmetic end-to-end. A release combining [[simulatedNoisyCounts]]
+    * and simulatedNoisySums over the same groups must use DIFFERENT
+    * seeds (draws are otherwise identical) and composes ε additively. */
   def simulatedNoisySums(df: DataFrame, groupCols: Seq[String], valueCol: String,
       clip: Long, seed: String, b: Int = 20): DataFrame = {
     require(groupCols.nonEmpty && clip >= 1)

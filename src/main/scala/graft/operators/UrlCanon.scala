@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions._
   * Rules (the conservative, semantics-preserving subset of RFC 3986
   * normalization + the universal tracking-param strip):
   *   1. drop the fragment (`#…` — never sent to the server)
-  *   2. lowercase scheme and host (case-insensitive by spec)
+  *   2. lowercase scheme and host (case-insensitive by spec —
+  *      including an UPPERCASE scheme, matched with (?i))
   *   3. strip explicit default ports (`:443` on https, `:80` on http)
   *   4. drop tracking query params (`utm_*`, `gclid`, `fbclid`,
   *      `ref`), preserving the relative order of the survivors; a
@@ -27,7 +28,7 @@ import org.apache.spark.sql.functions._
 object UrlCanon {
 
   val fragPat = "#.*$"
-  val schemeHostPat = "^(https?://[^/?#]*)"
+  val schemeHostPat = "(?i)^(https?://[^/?#]*)"
   val port443Pat = "^(https://[^/?#:]*):443([/?#].*)?$"
   val port80Pat = "^(http://[^/?#:]*):80([/?#].*)?$"
   val trackerPat = "^(utm_[a-zA-Z0-9_]*|gclid|fbclid|ref)="
@@ -44,7 +45,10 @@ object UrlCanon {
       regexp_replace(noFrag, schemeHostPat, ""))
     val noPort = regexp_replace(
       regexp_replace(lowered, port443Pat, "$1$2"), port80Pat, "$1$2")
-    val parts = split(noPort, "\\?")
+    // split at the FIRST '?' only: '?' is legal inside a query
+    // (RFC 3986), so a plain split would silently truncate everything
+    // after a second one
+    val parts = split(noPort, "\\?", 2)
     val path = regexp_replace(element_at(parts, 1), trailingSlashPat, "")
     val kept = when(size(parts) >= 2,
       filter(split(element_at(parts, 2), "&"), p => !p.rlike(trackerPat)))
@@ -67,13 +71,17 @@ object UrlCanon {
   }
 
   /** DuckDB twin, step 2 (tracker strip + trailing slash) over the
-    * [[noPortSql]] CTE column. */
+    * [[noPortSql]] CTE column. Splits at the FIRST '?' only (strpos),
+    * matching the Spark side's limit-2 split — '?' is legal inside a
+    * query string. */
   def canonFromNoPortSql(expr: String): String =
-    s"""regexp_replace(string_split($expr, '?')[1], '$trailingSlashPat', '', 'g') ||
-       |  CASE WHEN len(string_split($expr, '?')) >= 2
-       |       AND len(list_filter(string_split(string_split($expr, '?')[2], '&'),
+    s"""regexp_replace(CASE WHEN strpos($expr, '?') > 0
+       |    THEN substr($expr, 1, strpos($expr, '?') - 1) ELSE $expr END,
+       |    '$trailingSlashPat', '', 'g') ||
+       |  CASE WHEN strpos($expr, '?') > 0
+       |       AND len(list_filter(string_split(substr($expr, strpos($expr, '?') + 1), '&'),
        |             p -> NOT regexp_matches(p, '$trackerPat'))) > 0
-       |  THEN '?' || array_to_string(list_filter(string_split(string_split($expr, '?')[2], '&'),
+       |  THEN '?' || array_to_string(list_filter(string_split(substr($expr, strpos($expr, '?') + 1), '&'),
        |             p -> NOT regexp_matches(p, '$trackerPat')), '&')
        |  ELSE '' END""".stripMargin
 

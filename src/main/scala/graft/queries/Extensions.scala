@@ -6614,14 +6614,16 @@ object Extensions {
   val q196 = QueryDef("q196_unicode_tokens", {
     val expected: Seq[(String, Seq[String])] =
       unicodeDecorations.map { case (lg, raw) => lg -> unicodeExpected(raw) }
-    def caseOver(f: Seq[String] => String): String =
+    def caseOver(f: Seq[String] => String, default: String): String =
       expected.map { case (lg, toks) => s"WHEN '$lg' THEN ${f(toks)}" }
-        .mkString("CASE lang ", " ", " ELSE NULL END")
-    val nToks = caseOver(t => t.length.toString)
-    val nNonAscii = caseOver(t => t.count(_.exists(_ > 'z')).toString)
+        .mkString("CASE lang ", " ", s" ELSE $default END")
+    // defaults 0/'' keep parity with the Spark side's empty-decoration
+    // fallback for a lang outside the decorated five
+    val nToks = caseOver(t => t.length.toString, "0")
+    val nNonAscii = caseOver(t => t.count(_.exists(_ > 'z')).toString, "0")
     // BMP-only decorations: Scala string sort == UTF8String byte sort
     val vocab = caseOver(t =>
-      "'" + t.filter(_.exists(_ > 'z')).distinct.sorted.mkString(" ") + "'")
+      "'" + t.filter(_.exists(_ > 'z')).distinct.sorted.mkString(" ") + "'", "''")
     s"""WITH $docwCte, b AS (
        |  SELECT lang, coalesce(len(w), 0) AS n FROM docw
        |), a AS (
@@ -6635,11 +6637,14 @@ object Extensions {
        |       $vocab AS nonascii_vocab
        |FROM a ORDER BY lang""".stripMargin
   }) { (s, dir) =>
-    val deco = unicodeDecorations.foldLeft(lit(null).cast("string")) {
+    // empty-string fallbacks (not NULL): a NULL text or an undecorated
+    // lang must not null-propagate the whole token array — the oracle
+    // counts that doc as base_toks + 0
+    val deco = unicodeDecorations.foldLeft(lit(""): org.apache.spark.sql.Column) {
       case (acc, (lg, raw)) => when(col("lang") === lg, lit(" " + raw)).otherwise(acc)
     }
     val toks = graft.functions.TextFunctions
-      .normalizedWordsUnicode(concat(col("text"), deco))
+      .normalizedWordsUnicode(concat(coalesce(col("text"), lit("")), deco))
     t(s, dir, "documents")
       .select(col("lang"), toks.as("tk"))
       .select(col("lang"), size(col("tk")).cast("long").as("n_tok"),

@@ -626,7 +626,10 @@ object EventStreams {
     // sources — if (2) fails, every other source batch is still
     // intact and the exception says where the data sits.
     val dest = new org.apache.hadoop.fs.Path(root, s"batch=$upToBatch")
-    if (!fs.delete(dest, true))
+    // delete() returns false for a MISSING path too — only a present
+    // destination that refuses to go is a failure (the fold target id
+    // need not be a landed batch)
+    if (fs.exists(dest) && !fs.delete(dest, true))
       throw new java.io.IOException(
         s"majorCompact: failed to clear destination $dest; compacted base left at $tmp")
     if (!fs.rename(tmp, dest))

@@ -27,6 +27,12 @@ class CrawlOpsSpec extends SparkSuite {
     assert(canon("https://host.example.com:8443/a") === Seq("https://host.example.com:8443/a"))
     // bare host with trailing slash
     assert(canon("https://x.com/") === Seq("https://x.com"))
+    // UPPERCASE scheme still lowercases and strips the default port
+    assert(canon("HTTPS://Host.Example.com:443/a", "Https://X.COM/b#f")
+      === Seq("https://host.example.com/a", "https://x.com/b"))
+    // a second '?' is query CONTENT (RFC 3986), never a split point
+    assert(canon("https://x.com/r?target=https://y.com/p?a=1&utm_source=s&b=2")
+      === Seq("https://x.com/r?target=https://y.com/p?a=1&b=2"))
   }
 
   test("luhn: known-valid test PANs pass, off-by-one twins fail") {
