@@ -41,6 +41,11 @@ object Calibration {
     * 2^53 double-mantissa bound the earlier floor(double) spelling
     * silently depended on. */
   def fastSigmoidUnits(marginCol: Column, s: Long): Column = {
+    // s <= 0 would make the divisor (s + |m|) zero or negative for
+    // small |m| — under ANSI that's a runtime divide-by-zero, and the
+    // oracle twin assumes a positive scale. Fail loudly at BUILD time
+    // instead of degrading differently per engine on a degenerate scale.
+    require(s >= 1, s"fastSigmoidUnits: margin scale s must be >= 1, got $s")
     val am = abs(marginCol.cast("long"))
     // exact integer quotient, matching the oracle's BIGINT // division
     // bit-for-bit: operands are non-negative so truncation == floor

@@ -111,9 +111,29 @@ object DpRelease {
     *        (rows over exactly `groupCols`): when given, every domain
     *        key is emitted — absent groups as noised zeros — so a
     *        key's presence/absence no longer leaks membership.
-    *        Required for anything resembling a real release; None
-    *        reproduces the observed-groups demonstration shape q178
-    *        oracle-checks. */
+    *        Observed groups ABSENT from the domain are intentionally
+    *        suppressed — emitting a key the public domain doesn't
+    *        contain would itself leak membership, so the domain is
+    *        authoritative by design. The flip side: an accidentally
+    *        incomplete domain silently loses real counts; callers
+    *        should gate with [[outOfDomainKeys]].isEmpty in a spec
+    *        (kept out of the release path so the hot path stays one
+    *        job, no extra action). Required for anything resembling a
+    *        real release; None reproduces the observed-groups
+    *        demonstration shape q178 oracle-checks. */
+  /** Audit companion for the `domain` parameter of
+    * [[simulatedNoisyCounts]]: the OBSERVED group keys that the given
+    * domain does NOT contain (i.e. the keys a domain-grounded release
+    * would suppress). Empty ⇔ the domain is complete for this data.
+    * Deliberately a separate relation rather than an assert inside the
+    * release — checking emptiness forces a Spark action, which belongs
+    * in the caller's validation step, not in the release plan. */
+  def outOfDomainKeys(df: DataFrame, groupCols: Seq[String],
+      domain: DataFrame): DataFrame =
+    df.select(groupCols.map(col): _*).distinct()
+      .join(domain.select(groupCols.map(col): _*).distinct(),
+        groupCols, "left_anti")
+
   def simulatedNoisyCounts(df: DataFrame, groupCols: Seq[String],
       seed: String, b: Int = 20,
       domain: Option[DataFrame] = None): DataFrame = {

@@ -70,6 +70,13 @@ object RankingMetrics {
     val rk = col(rankCol).cast("int")
     val checkedRank = when(rk.between(1, k), rk).otherwise(raise_error(concat(
       lit(s"binaryMetrics: $rankCol must be in [1, $k], got "), rk.cast("string"))))
+    // the miss branch's copy of the guard, spelled LOAD-BEARINGLY as
+    // its own CASE (in-range → 0L, out-of-range → raise): the earlier
+    // `checkedRank * 0L` idiom only worked because Catalyst currently
+    // has no x*0 simplification rule (null semantics) — a future
+    // optimizer rule would have silently disabled the check for misses
+    val checkedZero = when(rk.between(1, k), lit(0L)).otherwise(raise_error(concat(
+      lit(s"binaryMetrics: $rankCol must be in [1, $k], got "), rk.cast("string"))))
     // the match marker must be a REAL attribute from the right side
     // (the doc id itself), not lit(1): a literal marker's isNotNull can
     // be constant-folded to TRUE through the outer join by the
@@ -79,14 +86,14 @@ object RankingMetrics {
       .groupBy(qidCol)
       .agg(
         count(col("__rel")).as("hits"),
-        // the miss branch contributes checkedRank·0 instead of a bare
+        // the miss branch contributes checkedZero instead of a bare
         // 0L: CaseWhen evaluates branches lazily, so this is what makes
         // a MISS row with an out-of-range rank fail too (an unused
         // extra aggregate would be column-pruned away by Catalyst —
         // the guard must live inside a consumed expression)
         sum(when(col("__rel").isNotNull,
           element_at(array(wF.map(lit): _*), checkedRank))
-          .otherwise(checkedRank.cast("long") * lit(0L))).as("__dcg_fixed"),
+          .otherwise(checkedZero)).as("__dcg_fixed"),
         min(when(col("__rel").isNotNull, checkedRank)).as("__first_hit"))
     relCnt.join(hits, Seq(qidCol), "left")
       .select(col(qidCol), col("rel_cnt"),

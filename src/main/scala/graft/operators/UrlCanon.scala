@@ -27,6 +27,14 @@ import org.apache.spark.sql.functions._
   */
 object UrlCanon {
 
+  /** Pre-strip: raw control chars / space / DEL are illegal in a URL
+    * (RFC 3986 requires percent-encoding), and a trailing `\n` would
+    * otherwise split the dialects on every `$`-anchored rule below —
+    * Java `$` matches before a final line terminator, RE2 (DuckDB)
+    * only at end-of-text. Removing them FIRST (plain char class, no
+    * anchors — identical semantics in both engines) makes the
+    * byte-for-byte parity claim hold for whitespace-polluted input. */
+  val wsCtlPat = "[\\x00-\\x20\\x7f]"
   val fragPat = "#.*$"
   val schemeHostPat = "(?i)^(https?://[^/?#]*)"
   val port443Pat = "^(https://[^/?#:]*):443([/?#].*)?$"
@@ -36,7 +44,7 @@ object UrlCanon {
 
   /** Canonical form of one URL column (Spark spelling). */
   def canonicalizeUrl(u: Column): Column = {
-    val noFrag = regexp_replace(u, fragPat, "")
+    val noFrag = regexp_replace(regexp_replace(u, wsCtlPat, ""), fragPat, "")
     // lowercase scheme+host, keep the rest byte-identical ($ vs \
     // replacement syntax is the ONLY engine difference — patterns are
     // the shared constants above)
@@ -63,7 +71,7 @@ object UrlCanon {
     * instead of `$1$2` in replacements (dialect, not rule). Meant for
     * a CTE column; [[canonFromNoPortSql]] finishes from that column. */
   def noPortSql(expr: String): String = {
-    val noFrag = s"regexp_replace($expr, '$fragPat', '', 'g')"
+    val noFrag = s"regexp_replace(regexp_replace($expr, '$wsCtlPat', '', 'g'), '$fragPat', '', 'g')"
     val lowered = s"lower(regexp_extract($noFrag, '$schemeHostPat', 1)) || " +
       s"regexp_replace($noFrag, '$schemeHostPat', '', 'g')"
     s"regexp_replace(regexp_replace($lowered, '$port443Pat', '\\1\\2', 'g'), " +

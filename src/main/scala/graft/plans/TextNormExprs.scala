@@ -189,9 +189,13 @@ object TextNormExprs {
 
   // ---- UNICODE tokenizer mode (NFKC + \p{L}) ------------------------
 
-  /** One token under the UNICODE mode: NFKC-normalize → lower (the
-    * same `UTF8String.toLowerCase` path Spark's `lower()` takes, so
-    * the composed-form property spec holds byte-for-byte) → keep only
+  /** One token under the UNICODE mode: NFKC-normalize → lower via
+    * `CollationSupport.Lower.exec(…, useICU = true)` — the exact path
+    * Spark 4's `lower()` resolves to for UTF8_BINARY, NOT
+    * `UTF8String.toLowerCase`, whose Java fallback disagrees on
+    * Unicode conditional mappings like Greek final sigma (see the
+    * inline comment below); the composed-form property spec therefore
+    * holds byte-for-byte — → keep only
     * `\p{L}` code points (Character.isLetter == general categories
     * Lu/Ll/Lt/Lm/Lo — exactly Java regex `\p{L}`). Pure-ASCII tokens
     * take the byte kernel fast path: NFKC is the identity on ASCII,

@@ -5195,6 +5195,17 @@ object Extensions {
       .coalesce(1)
   }
 
+  /** DISCRIMINATING EXPERIMENT for the q169 three-round driver-only hash
+    * mismatch (r8/r9/r10 all red in the driver ledger while three
+    * independent local replays were bit-equal): the IDENTICAL plan and
+    * IDENTICAL oracle SQL re-declared under a fresh name, so the driver
+    * evaluates a brand-new ledger row. Outcomes: q169b green + q169 red
+    * with byte-identical SQL ⇒ the mismatch is stale driver-side state
+    * keyed by query name; q169b also red ⇒ the one shared dependency
+    * left is the `docw` CTE, and the next bisect step is an oracle
+    * spelling that inlines the tokenizer replay. */
+  val q169b: QueryDef = q169.copy(name = "q169b_length_batching")
+
   // -------------------------------------------------------------- Q170
   /** U-SHAPED MULTI-TOUCH ATTRIBUTION (position-based 40/20/40 — the
     * credit model between last-touch (q73) and linear: first and last
@@ -7023,6 +7034,59 @@ object Extensions {
     }
   }
 
+  // -------------------------------------------------------------- Q204
+  /** TIME TRAVEL ([[graft.sources.VersionedTable]]) — the commit-log
+    * table end-to-end, oracle-proven: snapshot v1 = the documents
+    * corpus, snapshot v2 = q106's EXACT deterministic md5-bucket churn
+    * (5% removed, 10% edited, ~5% added under shifted ids), both
+    * COMMITTED through the versioned table's atomic manifest-swap
+    * publish into a scratch dir, then read back via `readAsOf(1)` /
+    * `readAsOf(2)` and classified by [[graft.operators.SnapshotDiff]].
+    * The oracle is q106's diff computed directly from the source
+    * table — the match proves the commit-log round trip is byte-exact
+    * per row AND that time travel reconstructs each version precisely
+    * (a lost part-file, a clobbered version dir, or a manifest listing
+    * the wrong dirs would all surface as a diff mismatch). Scale
+    * shape: two publishes (one scan each — the writeWithManifest
+    * digest contract) + q106's one full-outer id join over (id, md5)
+    * reductions; the commit log itself is O(versions) driver-side
+    * JSON, exactly the Delta `_delta_log` recipe. */
+  val q204 = QueryDef("q204_time_travel",
+    s"""WITH b AS (
+       |  SELECT doc_id, text, ${md5Bucket16Sql("doc_id")} AS bkt FROM documents
+       |), o AS (
+       |  SELECT doc_id, md5(coalesce(text, '')) AS oh FROM documents
+       |), n AS (
+       |  SELECT doc_id,
+       |         md5(coalesce(CASE WHEN bkt < 9831 THEN text || ' v2' ELSE text END, '')) AS nh
+       |  FROM b WHERE bkt >= 3277
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, md5(coalesce('new ' || text, '')) FROM b WHERE bkt >= 62259
+       |)
+       |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       |       CASE WHEN o.oh IS NULL THEN 'added'
+       |            WHEN n.nh IS NULL THEN 'removed'
+       |            WHEN o.oh = n.nh THEN 'unchanged'
+       |            ELSE 'changed' END AS status
+       |FROM o FULL JOIN n ON o.doc_id = n.doc_id
+       |ORDER BY doc_id""") { (s, dir) =>
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val bkt = graft.operators.Splits.hashBucket(col("doc_id"))
+    val newSnap = docs.filter(bkt >= 3277)
+      .select(col("doc_id"),
+        when(bkt < 9831, concat(col("text"), lit(" v2"))).otherwise(col("text")).as("text"))
+      .unionByName(docs.filter(bkt >= 62259)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(lit("new "), col("text")).as("text")))
+    val tdir = java.nio.file.Files.createTempDirectory("q204").toString + "/t"
+    val vt = graft.sources.VersionedTable
+    vt.commit(docs, tdir, "doc_id", Seq("text"), expectedVersion = 0L)
+    vt.commit(newSnap, tdir, "doc_id", Seq("text"), expectedVersion = 1L)
+    graft.operators.SnapshotDiff.diff(
+        vt.readAsOf(s, tdir, 1L), vt.readAsOf(s, tdir, 2L), "doc_id", Seq("text"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -7031,6 +7095,6 @@ object Extensions {
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
-    q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175,
-    q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203)
+    q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q169b, q170, q171, q172, q173, q174, q175,
+    q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204)
 }

@@ -204,9 +204,14 @@ class ManifestCorpusScan(manifestPath: String, maxBytes: Long,
     (pushedFilters ++ runtimeFilters).forall(f =>
       ManifestCorpusScan.eval3(path, id, f).getOrElse(true))
 
-  /** Planner statistics: total corpus bytes surviving the static
-    * pushed filters (the stat pass below, shared lazily with partition
-    * planning — one round of HEADs, not two). Without this a
+  /** Planner statistics: total corpus bytes surviving every filter
+    * known at the time of the call — the static pushed filters, plus
+    * any runtime (DPP/bloom) filters if Spark has already delivered
+    * them via filter(); in Spark's lifecycle stats are read during
+    * optimization, BEFORE runtime filtering, so in practice this
+    * reflects the static set (the stat pass below is shared lazily
+    * with partition planning — one round of HEADs, not two). Without
+    * this a
     * manifest-corpus relation has UNKNOWN size, which Catalyst treats
     * as huge — a small corpus joined against a big table would never
     * broadcast; and a `file_id = k` probe reports one file's bytes,

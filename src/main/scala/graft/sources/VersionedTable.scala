@@ -1,0 +1,271 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** VERSIONED SNAPSHOT TABLE WITH TIME TRAVEL — the commit-log layer
+  * that ties the repo's storage pieces ([[Sinks.writeWithManifest]]'s
+  * digest contract, [[graft.operators.SnapshotDiff]],
+  * [[graft.operators.MerkleDiff]], the rename-return-checked swap
+  * discipline of `EventStreams.majorCompact`) into the read-AS-OF
+  * table every 100 TB lakehouse pipeline leans on daily. The design is
+  * the public Delta/Iceberg recipe (Armbrust et al., "Delta Lake:
+  * High-Performance ACID Table Storage over Cloud Object Stores",
+  * VLDB 2020) reduced to its load-bearing core:
+  *
+  * ```
+  * table/
+  *   _commits/v00000001.json   one manifest per committed version:
+  *   _commits/v00000002.json   the data dirs composing the version +
+  *   ...                       (rows, digest) over the snapshot
+  *   data/v00000001-<uid>/     immutable once committed — a commit
+  *   data/v00000002-<uid>/     NEVER rewrites another version's files
+  * ```
+  *
+  * The three properties that make it a TABLE rather than a directory:
+  *
+  *  - **Atomic commit.** Data lands in a fresh uniquely-named dir
+  *    first; the version exists only once `_commits/vN.json` appears,
+  *    and that appearance is one rename of a staged temp file (the
+  *    narrowest commit point a filesystem offers; rename returning
+  *    FALSE — e.g. the destination already exists — is checked and
+  *    raised, never ignored). A reader never sees a half-written
+  *    version: either vN.json is there (and its data dirs were fully
+  *    written before the rename) or it isn't.
+  *  - **Optimistic concurrency / stale-writer detection.** A writer
+  *    declares `expectedVersion` (what it based its work on). It is
+  *    checked twice: up front (fail fast before the data write) and
+  *    structurally at the commit point — two racing writers both
+  *    targeting vN+1 stage different temp files but rename onto the
+  *    SAME destination; HDFS rename-onto-existing returns false, so
+  *    exactly one wins and the loser gets
+  *    [[java.util.ConcurrentModificationException]] with its staged
+  *    data intact for retry-on-latest. (On a filesystem whose rename
+  *    overwrites — raw S3 without a consistency layer — substitute a
+  *    conditional PUT; stated, not hidden, same as majorCompact's
+  *    manifest-swap note.)
+  *  - **Content accountability.** Every manifest carries the
+  *    [[graft.operators.MerkleDiff]] order-insensitive (rows, digest)
+  *    over (id | content cols) — [[validateAsOf]] re-derives both from
+  *    the current bytes, so "version N is exactly what was committed"
+  *    is a two-number check, same contract as `_MANIFEST.json`.
+  *
+  * Modes: `overwrite` (the new version IS the new DataFrame) and
+  * `append` (the new version = previous version's dirs + the new dir —
+  * the log-structured shape; no data is ever copied forward, so a
+  * 100 TB table appends a day's partition without touching history).
+  *
+  * [[vacuum]] retains the last `retain` versions: data dirs referenced
+  * by NO retained manifest are deleted (delete-return-checked), and
+  * the expired manifests are dropped so a time travel past the
+  * horizon fails with "vacuumed", never with a silent partial read.
+  *
+  * Scale shape: the commit log is O(versions) tiny JSON files read on
+  * the driver at plan time (exactly Delta's `_delta_log`); the data
+  * path is untouched parquet — pruning/pushdown/AQE all apply to
+  * [[readAsOf]] output unchanged. Nothing here scans data except the
+  * digest pass at commit (the price of a publish boundary, paid once —
+  * the writeWithManifest contract) and validateAsOf on demand.
+  */
+object VersionedTable {
+
+  private val CommitsDir = "_commits"
+  private val DataDir = "data"
+
+  private def fsOf(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def commitPath(root: Path, v: Long): Path =
+    new Path(new Path(root, CommitsDir), f"v$v%08d.json")
+
+  /** Committed versions present in the log, ascending (empty ⇒ no
+    * table yet). One driver-side listing of tiny files — O(versions). */
+  def versions(spark: SparkSession, tableDir: String): Seq[Long] = {
+    val dir = new Path(new Path(tableDir), CommitsDir)
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+        n.stripPrefix("v").stripSuffix(".json").toLong }
+      .sorted
+  }
+
+  /** Latest committed version, 0 if the table does not exist yet. */
+  def currentVersion(spark: SparkSession, tableDir: String): Long =
+    versions(spark, tableDir).lastOption.getOrElse(0L)
+
+  private case class Manifest(version: Long, mode: String, dirs: Seq[String],
+      rows: Long, digest: Long, idCol: String, contentCols: Seq[String])
+
+  private def readManifest(spark: SparkSession, tableDir: String, v: Long): Manifest = {
+    val p = commitPath(new Path(tableDir), v)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) {
+      val have = versions(spark, tableDir)
+      sys.error(s"versioned table $tableDir has no version $v " +
+        (if (have.isEmpty) "(no commits at all)"
+         else s"(committed: ${have.mkString(",")} — older versions may have been vacuumed)"))
+    }
+    val text = {
+      val in = fs.open(p)
+      try org.apache.commons.io.IOUtils.toString(in, java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    def field(name: String): String =
+      s""""$name": (-?\\w+)""".r.findFirstMatchIn(text)
+        .getOrElse(sys.error(s"commit $p missing $name")).group(1)
+    def str(name: String): String =
+      s""""$name": "([^"]*)"""".r.findFirstMatchIn(text)
+        .getOrElse(sys.error(s"commit $p missing $name")).group(1)
+    val gotV = field("digest_v").toInt
+    if (gotV != Sinks.DigestVersion)
+      sys.error(s"commit $p uses digest_v=$gotV, validator computes " +
+        s"digest_v=${Sinks.DigestVersion} — format bump, re-commit (not corruption)")
+    Manifest(field("version").toLong, str("mode"),
+      str("dirs").split(",").toSeq.filter(_.nonEmpty),
+      field("rows").toLong, field("digest").toLong,
+      str("id_col"), str("content_cols").split(",").toSeq.filter(_.nonEmpty))
+  }
+
+  /** Commit `df` as the next version of the table under optimistic
+    * concurrency. Returns the committed version number.
+    *
+    * @param expectedVersion the version this writer READ before
+    *        producing `df` (0 for creating a new table). A mismatch
+    *        with the log — up front, or a rename collision at the
+    *        commit point — raises ConcurrentModificationException and
+    *        leaves every committed version untouched.
+    * @param mode `"overwrite"` (snapshot replace) or `"append"`
+    *        (previous dirs + this delta — nothing copied forward).
+    * @param onBeforePublish test seam: runs after the data write +
+    *        digest but before the commit point, i.e. inside the
+    *        optimistic-concurrency window — a spec injects a racing
+    *        winner here to exercise the loser path DETERMINISTICALLY
+    *        (a wall-clock thread race would be flaky, and local-fs
+    *        rename overwrites, so only the exists-guard is testable
+    *        locally anyway). No-op in production use. */
+  def commit(df: DataFrame, tableDir: String, idCol: String,
+      contentCols: Seq[String], expectedVersion: Long,
+      mode: String = "overwrite",
+      onBeforePublish: () => Unit = () => ()): Long = {
+    require(mode == "overwrite" || mode == "append",
+      s"commit: mode must be overwrite|append, got $mode")
+    val spark = df.sparkSession
+    val root = new Path(tableDir)
+    val fs = fsOf(spark, root)
+    val cur = currentVersion(spark, tableDir)
+    if (cur != expectedVersion)
+      throw new java.util.ConcurrentModificationException(
+        s"versioned table $tableDir is at v$cur but this writer expected " +
+          s"v$expectedVersion — rebase on v$cur and retry")
+    val next = cur + 1
+    // the new data dir is uniquely named per ATTEMPT (not per version):
+    // two racing writers for vNext stage disjoint dirs, and the loser's
+    // orphan dir is invisible (no manifest references it) until vacuum
+    // sweeps it
+    val uid = java.util.UUID.randomUUID.toString.take(8)
+    val dataRel = f"$DataDir/v$next%08d-$uid"
+    val dataPath = new Path(root, dataRel)
+    df.write.mode("error").parquet(dataPath.toString)
+    // re-read what LANDED (the writeWithManifest discipline): rows and
+    // digest describe the committed bytes, not the intended DataFrame
+    val dirsForVersion: Seq[String] =
+      if (mode == "overwrite" || cur == 0) Seq(dataRel)
+      else readManifest(spark, tableDir, cur).dirs :+ dataRel
+    val snap = spark.read.parquet(
+      dirsForVersion.map(d => new Path(root, d).toString): _*)
+    val dg = graft.operators.MerkleDiff
+      .leafDigests(snap, idCol, contentCols, leaves = 1)
+      .collect().headOption.map(r => (r.getLong(1), r.getLong(2)))
+      .getOrElse((0L, 0L))
+    val json =
+      s"""{"digest_v": ${Sinks.DigestVersion}, "version": $next, """ +
+        s""""mode": "$mode", "dirs": "${dirsForVersion.mkString(",")}", """ +
+        s""""rows": ${dg._1}, "digest": ${dg._2}, """ +
+        s""""id_col": "$idCol", "content_cols": "${contentCols.mkString(",")}"}"""
+    onBeforePublish()
+    // stage-then-rename: the rename IS the commit point. The staged
+    // name is attempt-unique so racing losers never clobber each
+    // other's staging either.
+    val commitsDir = new Path(root, CommitsDir)
+    if (!fs.exists(commitsDir)) fs.mkdirs(commitsDir)
+    val tmp = new Path(commitsDir, f".tmp-v$next%08d-$uid.json")
+    val out = fs.create(tmp, false)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dest = commitPath(root, next)
+    // HDFS/local rename onto an existing destination returns FALSE —
+    // that is the concurrency loser's signal, checked, never dropped
+    if (fs.exists(dest) || !fs.rename(tmp, dest)) {
+      fs.delete(tmp, false) // the staged manifest; data dir left for vacuum
+      throw new java.util.ConcurrentModificationException(
+        s"versioned table $tableDir: commit of v$next lost the race " +
+          s"(another writer published first) — staged data at $dataRel is " +
+          "unreferenced and will be reclaimed by vacuum; rebase and retry")
+    }
+    next
+  }
+
+  /** Time travel: the table exactly as of committed version `v`.
+    * Plain parquet read over the version's dirs — pruning, pushdown
+    * and AQE apply unchanged. */
+  def readAsOf(spark: SparkSession, tableDir: String, v: Long): DataFrame = {
+    val m = readManifest(spark, tableDir, v)
+    val root = new Path(tableDir)
+    spark.read.parquet(m.dirs.map(d => new Path(root, d).toString): _*)
+  }
+
+  /** The latest committed version (the plain `SELECT * FROM t` path). */
+  def read(spark: SparkSession, tableDir: String): DataFrame =
+    readAsOf(spark, tableDir, currentVersion(spark, tableDir))
+
+  /** Re-derive (rows, digest) of version `v` from the CURRENT bytes and
+    * compare to its manifest: (ok, expRows, gotRows, expDigest,
+    * gotDigest) — the validateManifest contract, per version. */
+  def validateAsOf(spark: SparkSession, tableDir: String,
+      v: Long): (Boolean, Long, Long, Long, Long) = {
+    val m = readManifest(spark, tableDir, v)
+    val d = graft.operators.MerkleDiff
+      .leafDigests(readAsOf(spark, tableDir, v), m.idCol, m.contentCols, leaves = 1)
+      .collect().headOption.map(r => (r.getLong(1), r.getLong(2)))
+      .getOrElse((0L, 0L))
+    (d._1 == m.rows && d._2 == m.digest, m.rows, d._1, m.digest, d._2)
+  }
+
+  /** Retain the newest `retain` versions; delete (checked) every data
+    * dir referenced by NO retained manifest — including orphan dirs
+    * staged by concurrency losers — then drop the expired manifests
+    * themselves, so an out-of-horizon readAsOf fails loudly as
+    * "vacuumed" instead of reading a partially-deleted version.
+    * Returns (dataDirsDeleted, manifestsDeleted). Order matters:
+    * data first, manifests second — if a data delete fails midway the
+    * expired manifests still exist and name exactly what a retry must
+    * reclaim. */
+  def vacuum(spark: SparkSession, tableDir: String, retain: Int): (Int, Int) = {
+    require(retain >= 1, s"vacuum: retain must be >= 1, got $retain")
+    val root = new Path(tableDir)
+    val fs = fsOf(spark, root)
+    val vs = versions(spark, tableDir)
+    if (vs.isEmpty) return (0, 0)
+    val keep = vs.takeRight(retain).toSet
+    val referenced: Set[String] =
+      keep.flatMap(v => readManifest(spark, tableDir, v).dirs)
+    val dataRoot = new Path(root, DataDir)
+    val deadDirs =
+      if (!fs.exists(dataRoot)) Seq.empty
+      else fs.listStatus(dataRoot).toSeq.filter(_.isDirectory)
+        .filterNot(s => referenced.contains(s"$DataDir/${s.getPath.getName}"))
+    deadDirs.foreach { s =>
+      if (!fs.delete(s.getPath, true))
+        throw new java.io.IOException(
+          s"vacuum: failed to delete unreferenced data dir ${s.getPath}")
+    }
+    val deadManifests = vs.filterNot(keep)
+    deadManifests.foreach { v =>
+      val p = commitPath(root, v)
+      if (!fs.delete(p, false))
+        throw new java.io.IOException(s"vacuum: failed to delete expired manifest $p")
+    }
+    (deadDirs.size, deadManifests.size)
+  }
+}

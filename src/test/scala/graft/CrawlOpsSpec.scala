@@ -33,6 +33,12 @@ class CrawlOpsSpec extends SparkSuite {
     // a second '?' is query CONTENT (RFC 3986), never a split point
     assert(canon("https://x.com/r?target=https://y.com/p?a=1&utm_source=s&b=2")
       === Seq("https://x.com/r?target=https://y.com/p?a=1&b=2"))
+    // whitespace pollution (trailing newline / embedded tab / leading
+    // space) is pre-stripped BEFORE the $-anchored rules — without the
+    // pre-strip, Java '$' matches before a final newline while RE2
+    // (the DuckDB twin) matches only end-of-text, splitting the engines
+    assert(canon("https://x.com/a/\n", " https://x.com/a#f\n", "https://x.com/\ta")
+      === Seq("https://x.com/a", "https://x.com/a", "https://x.com/a"))
   }
 
   test("luhn: known-valid test PANs pass, off-by-one twins fail") {

@@ -1,0 +1,125 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.VersionedTable
+
+/** The commit-log table end-to-end: multi-version write (overwrite +
+  * append), readAsOf time travel, optimistic-concurrency conflict
+  * detection (both the fail-fast and the commit-point race), digest
+  * validation per version, and vacuum of unreferenced data dirs
+  * (including a concurrency loser's orphan). */
+class VersionedTableSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def freshDir() = Files.createTempDirectory("vtab").toString + "/t"
+
+  test("overwrite + append commits; readAsOf reproduces each version exactly") {
+    val dir = freshDir()
+    val v1df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")
+    assert(VersionedTable.commit(v1df, dir, "id", Seq("text"), expectedVersion = 0L) == 1L)
+    // v2 = append a delta: v2 must be v1 ∪ delta with v1's files untouched
+    val delta = Seq((4L, "d")).toDF("id", "text")
+    assert(VersionedTable.commit(delta, dir, "id", Seq("text"),
+      expectedVersion = 1L, mode = "append") == 2L)
+    // v3 = overwrite with an edited snapshot
+    val v3df = Seq((1L, "a"), (2L, "B2"), (4L, "d")).toDF("id", "text")
+    assert(VersionedTable.commit(v3df, dir, "id", Seq("text"), expectedVersion = 2L) == 3L)
+
+    def snap(v: Long) = VersionedTable.readAsOf(spark, dir, v)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(snap(1) == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+    assert(snap(2) == Map(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"))
+    assert(snap(3) == Map(1L -> "a", 2L -> "B2", 4L -> "d"))
+    assert(VersionedTable.currentVersion(spark, dir) == 3L)
+    // read() is readAsOf(latest)
+    assert(VersionedTable.read(spark, dir).count() == 3L)
+    // every version's manifest digest matches its current bytes
+    (1L to 3L).foreach { v =>
+      val (ok, _, _, _, _) = VersionedTable.validateAsOf(spark, dir, v)
+      assert(ok, s"digest of v$v")
+    }
+  }
+
+  test("snapshot diff across versions classifies added/removed/changed/unchanged") {
+    val dir = freshDir()
+    VersionedTable.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text"),
+      dir, "id", Seq("text"), 0L)
+    VersionedTable.commit(Seq((1L, "a"), (2L, "B2"), (4L, "d")).toDF("id", "text"),
+      dir, "id", Seq("text"), 1L)
+    val d = graft.operators.SnapshotDiff.diff(
+        VersionedTable.readAsOf(spark, dir, 1L),
+        VersionedTable.readAsOf(spark, dir, 2L), "id", Seq("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
+
+  test("stale writer fails fast; a commit-point race has exactly one winner") {
+    val dir = freshDir()
+    VersionedTable.commit(Seq((1L, "a")).toDF("id", "text"), dir, "id", Seq("text"), 0L)
+    VersionedTable.commit(Seq((1L, "a2")).toDF("id", "text"), dir, "id", Seq("text"), 1L)
+    // fail fast: a writer that based its work on v1 can't commit over v2
+    intercept[java.util.ConcurrentModificationException] {
+      VersionedTable.commit(Seq((1L, "stale")).toDF("id", "text"), dir, "id", Seq("text"), 1L)
+    }
+    // committed state untouched by the failed commit
+    assert(VersionedTable.currentVersion(spark, dir) == 2L)
+    assert(VersionedTable.read(spark, dir).collect().map(_.getString(1)).toSeq == Seq("a2"))
+    // commit-point race, DETERMINISTIC via the publish seam: the loser
+    // passes its up-front expectedVersion=2 check and writes its data;
+    // inside its concurrency window the winner commits v3; the loser's
+    // publish then finds the destination taken and raises, leaving every
+    // committed version untouched and its own staged dir as an orphan
+    var winnerV = 0L
+    intercept[java.util.ConcurrentModificationException] {
+      VersionedTable.commit(Seq((1L, "loser")).toDF("id", "text"),
+        dir, "id", Seq("text"), expectedVersion = 2L,
+        onBeforePublish = () => {
+          winnerV = VersionedTable.commit(Seq((1L, "winner")).toDF("id", "text"),
+            dir, "id", Seq("text"), expectedVersion = 2L)
+        })
+    }
+    assert(winnerV == 3L)
+    assert(VersionedTable.currentVersion(spark, dir) == 3L)
+    // v3 is the winner's data, intact and digest-valid
+    assert(VersionedTable.read(spark, dir).collect().map(_.getString(1)).toSeq == Seq("winner"))
+    assert(VersionedTable.validateAsOf(spark, dir, 3L)._1)
+    // the loser's staged data dir is an orphan — present but unreferenced —
+    // and vacuum reclaims exactly it (all 3 versions retained)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staged = fs.listStatus(new org.apache.hadoop.fs.Path(dir, "data"))
+      .map(_.getPath.getName).count(_.startsWith("v00000003-"))
+    assert(staged == 2, "winner's dir + loser's orphan staged for v3")
+    val (reclaimed, expired) = VersionedTable.vacuum(spark, dir, retain = 3)
+    assert(reclaimed == 1 && expired == 0, "vacuum sweeps only the orphan")
+    assert(VersionedTable.validateAsOf(spark, dir, 3L)._1)
+  }
+
+  test("vacuum keeps retained versions readable, reclaims orphans, fails loudly past horizon") {
+    val dir = freshDir()
+    VersionedTable.commit(Seq((1L, "a")).toDF("id", "text"), dir, "id", Seq("text"), 0L)
+    VersionedTable.commit(Seq((1L, "b")).toDF("id", "text"), dir, "id", Seq("text"), 1L)
+    VersionedTable.commit(Seq((1L, "c")).toDF("id", "text"), dir, "id", Seq("text"), 2L)
+    val (dataDeleted, manifestsDeleted) = VersionedTable.vacuum(spark, dir, retain = 2)
+    assert(dataDeleted == 1 && manifestsDeleted == 1) // v1's dir + manifest
+    // retained versions still read and still validate
+    assert(VersionedTable.readAsOf(spark, dir, 2L).collect().head.getString(1) == "b")
+    assert(VersionedTable.readAsOf(spark, dir, 3L).collect().head.getString(1) == "c")
+    assert(VersionedTable.validateAsOf(spark, dir, 3L)._1)
+    // out-of-horizon time travel fails with the vacuumed diagnostic
+    val e = intercept[RuntimeException] { VersionedTable.readAsOf(spark, dir, 1L) }
+    assert(e.getMessage.contains("vacuumed"))
+    // append-mode safety: an appended version's dirs overlap its parent's —
+    // vacuum must not delete a dir still referenced by ANY retained version
+    val dir2 = freshDir()
+    VersionedTable.commit(Seq((1L, "x")).toDF("id", "text"), dir2, "id", Seq("text"), 0L)
+    VersionedTable.commit(Seq((2L, "y")).toDF("id", "text"), dir2, "id", Seq("text"), 1L, "append")
+    VersionedTable.commit(Seq((3L, "z")).toDF("id", "text"), dir2, "id", Seq("text"), 2L, "append")
+    val (d2, m2) = VersionedTable.vacuum(spark, dir2, retain = 1)
+    assert(d2 == 0 && m2 == 2) // v3 references ALL dirs — nothing reclaimable
+    assert(VersionedTable.read(spark, dir2).count() == 3L)
+  }
+}
