@@ -7087,6 +7087,92 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  // -------------------------------------------------------------- Q205
+  /** WARC INGEST ([[graft.sources.WarcSource]]) — the crawl family's
+    * REAL front door: q194–q203 start from a synthesized `html`
+    * column; this chain starts from CONTAINER BYTES. Per document, a
+    * deterministic WARC/1.1 resource record is built (target URI
+    * carries the doc id; the declared Content-Type lies —
+    * `application/octet-stream` for everything; payload = the q194
+    * HTML fixture, except every 4th doc gets a PNG-stamped binary
+    * asset, the q202 fixture), written as real WARC part files via
+    * [[graft.sources.WarcSource.writeRecords]], then read back
+    * through the DSv2 connector: record-header parse → doc id from
+    * the target URI → [[graft.operators.Multimodal.sniffType]] on the
+    * payload (magic bytes reveal what the declared type hid) → the
+    * octet-stream (text) route continues into
+    * [[graft.operators.HtmlExtract]]. `content_length` comes from the
+    * parsed WARC header, so the oracle match proves the container
+    * round trip is length- and byte-exact, the sniffer routes on
+    * PAYLOAD bytes (not metadata), and extraction off container bytes
+    * equals extraction off the source column. Scale shape: the write
+    * is one narrow pass; the read is the packed-partition connector
+    * scan; everything downstream is the q194/q202 narrow projections
+    * — the only exchange is the final ORDER BY. */
+  val q205 = {
+    val M = graft.operators.Multimodal
+    val H = graft.operators.HtmlExtract
+    QueryDef("q205_warc_ingest",
+      s"""WITH $docwCte, d AS (
+         |  SELECT doc_id, lang, w FROM docw WHERE len(w) >= 1
+         |), h AS (
+         |  SELECT doc_id, lang, ${H.synthHtmlSql} AS html
+         |  FROM d
+         |), rec AS (
+         |  SELECT doc_id, html,
+         |         CASE WHEN doc_id % 4 = 0
+         |              THEN unhex('89504E470D0A1A0A' || md5(CAST(doc_id AS VARCHAR)))
+         |              ELSE encode(html) END AS payload
+         |  FROM h
+         |), sn AS (
+         |  SELECT doc_id, html, ${M.sniffTypeSql("payload")} AS sniffed_type,
+         |         CAST(octet_length(payload) AS BIGINT) AS content_length
+         |  FROM rec
+         |), ext AS (
+         |  SELECT doc_id, sniffed_type, content_length,
+         |         ${H.blocksSql("CASE WHEN sniffed_type = 'application/octet-stream' THEN html END")} AS pl
+         |  FROM sn
+         |), k AS (
+         |  SELECT doc_id, sniffed_type, content_length,
+         |         list_filter(pl, s -> ${H.keepRuleSql("s")}) AS kept
+         |  FROM ext
+         |)
+         |SELECT doc_id, sniffed_type, content_length,
+         |       CAST(coalesce(len(kept), 0) AS BIGINT) AS n_kept,
+         |       coalesce(array_to_string(list_transform(kept, s -> struct_extract(s, 'txt')), chr(10)), '') AS main_text
+         |FROM k ORDER BY doc_id""") { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.normalizedWords(col("text")).as("w"))
+        .filter(size(col("w")) >= 1)
+      val html = H.synthHtml(col("doc_id"), col("w"), col("lang"))
+      val records = d.select(
+          concat(lit("urn:graft:doc:"), col("doc_id").cast("string")).as("record_id"),
+          lit("resource").as("warc_type"),
+          concat(lit("https://h"), (col("doc_id") % 7).cast("string"),
+            lit(".example.com/doc/"), col("doc_id").cast("string")).as("target_uri"),
+          lit("application/octet-stream").as("content_type"), // the declared lie
+          when(col("doc_id") % 4 === 0,
+              unhex(concat(lit("89504E470D0A1A0A"), md5(col("doc_id").cast("string")))))
+            .otherwise(encode(html, "UTF-8")).as("payload"))
+        .repartitionByRange(4, col("record_id"))
+        .sortWithinPartitions("record_id")
+      val wdir = java.nio.file.Files.createTempDirectory("q205").toString + "/warc"
+      graft.sources.WarcSource.writeRecords(records, wdir)
+      val back = graft.sources.WarcSource.read(s, wdir)
+        .withColumn("doc_id",
+          regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1).cast("long"))
+      val routed = M.sniffType(back, "payload")
+        .withColumn("__html", when(col("sniffed_type") === "application/octet-stream",
+          col("payload").cast("string")))
+      H.extract(routed, "__html")
+        .select(col("doc_id"), col("sniffed_type"), col("content_length"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("main_text"), lit("")).as("main_text"))
+        .orderBy("doc_id")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -7096,5 +7182,5 @@ object Extensions {
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q169b, q170, q171, q172, q173, q174, q175,
-    q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204)
+    q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205)
 }

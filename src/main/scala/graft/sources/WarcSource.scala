@@ -1,0 +1,370 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, ByteArrayOutputStream, EOFException, InputStream}
+import java.nio.charset.StandardCharsets
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector for WARC record files — the container
+  * format every real crawl corpus ships in (ISO 28500 / WARC 1.1; the
+  * public spec at iipc.github.io/warc-specifications). This is the
+  * crawl family's REAL front door: round 10's q194–q203 start from a
+  * synthesized `html` column; with this source the chain starts from
+  * container bytes on disk, exactly like a production ingest.
+  *
+  * `spark.read.format("warc-records").load(dirOrFile)` yields one row
+  * per WARC record:
+  * `(warc_file STRING, record_offset LONG, warc_type STRING,
+  *   record_id STRING, target_uri STRING, content_type STRING,
+  *   content_length LONG, payload BINARY)`
+  *
+  * Connector discipline (the [[ManifestCorpusSource]] skills):
+  *  - **partition packing**: `.warc` files are size-binned into input
+  *    partitions (`maxPartitionBytes`, default 128 MiB) — a crawl
+  *    drop of thousands of files doesn't become thousands of tasks,
+  *    and one giant file still gets its own reader. A single WARC
+  *    file is never split below file granularity: records are
+  *    length-prefixed SEQUENTIALLY (and production WARCs are
+  *    per-record gzip members), so mid-file seek points don't exist
+  *    without an external index — the scale unit is the file, which
+  *    is how every public crawl corpus is sharded anyway (~1 GiB
+  *    per file).
+  *  - **column pruning with payload skip**
+  *    (SupportsPushDownRequiredColumns): a query that only counts
+  *    record types never MATERIALIZES payload bytes — the reader
+  *    `skip()`s `Content-Length` bytes instead of buffering them.
+  *    On a 100 TB crawl where headers are <1% of bytes, pruning the
+  *    payload is the difference between a metadata query and a full
+  *    decompress-and-copy pass.
+  *  - **planner statistics** (SupportsReportStatistics): total file
+  *    bytes, so a small WARC fixture joined against a big table
+  *    broadcasts instead of defaulting to "unknown = huge".
+  *  - **fail-fast, loud parsing**: a malformed record (bad magic,
+  *    missing Content-Length, truncated payload, missing CRLF CRLF
+  *    terminator) aborts with file + byte offset in the message —
+  *    never a silently short scan.
+  *
+  * Writer twin [[WarcSource.writeRecords]]: emits deterministic
+  * WARC/1.1 `resource` records (fixed header order, CRLF line ends,
+  * `Content-Length` + double-CRLF framing) from a DataFrame, one
+  * `.warc` part file per partition via the Hadoop FS of the output
+  * path — the fixture builder for specs/queries and a minimal
+  * archive sink. Records with a binary payload round-trip exactly
+  * (payload bytes are written and length-framed verbatim; CRLFs
+  * inside payloads are fine because framing is length-based, not
+  * delimiter-based).
+  */
+class WarcSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "warc-records"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    WarcSource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    val path = Option(properties.get("path")).getOrElse(
+      throw new IllegalArgumentException("warc-records: .load(<dirOrFile>) is required"))
+    val maxBytes = Option(properties.get("maxPartitionBytes")).map(_.toLong)
+      .getOrElse(128L << 20)
+    new WarcTable(path, maxBytes)
+  }
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object WarcSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("warc_file", StringType, nullable = false),
+    StructField("record_offset", LongType, nullable = false),
+    StructField("warc_type", StringType, nullable = false),
+    StructField("record_id", StringType, nullable = false),
+    StructField("target_uri", StringType, nullable = true),
+    StructField("content_type", StringType, nullable = true),
+    StructField("content_length", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = false)))
+
+  private val Crlf = "\r\n".getBytes(StandardCharsets.US_ASCII)
+
+  /** One WARC/1.1 resource record, byte-deterministic: fixed header
+    * order, CRLF line ends, length-framed payload, double-CRLF
+    * terminator. Null target_uri/content_type omit their header line
+    * (the spec's optional headers). */
+  private[sources] def recordBytes(recordId: String, warcType: String,
+      targetUri: String, contentType: String, payload: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(payload.length + 256)
+    def line(s: String): Unit = {
+      out.write(s.getBytes(StandardCharsets.UTF_8)); out.write(Crlf)
+    }
+    line("WARC/1.1")
+    line(s"WARC-Type: $warcType")
+    line(s"WARC-Record-ID: $recordId")
+    if (targetUri != null) line(s"WARC-Target-URI: $targetUri")
+    if (contentType != null) line(s"Content-Type: $contentType")
+    line(s"Content-Length: ${payload.length}")
+    out.write(Crlf)
+    out.write(payload)
+    out.write(Crlf); out.write(Crlf)
+    out.toByteArray
+  }
+
+  /** Write `df` as WARC part files under `outDir` — one
+    * `part-NNNNN.warc` per non-empty partition, through the Hadoop FS
+    * of the output path. Expects columns
+    * `(record_id STRING, warc_type STRING, target_uri STRING,
+    *   content_type STRING, payload BINARY)`; within-file record
+    * order is the partition's row order, so a sorted/range-partitioned
+    * input produces bit-deterministic archives. */
+  def writeRecords(df: DataFrame, outDir: String): Unit = {
+    val spark = df.sparkSession
+    val confCarrier = new SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
+    val root = new HPath(outDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.mkdirs(root))
+      throw new java.io.IOException(s"warc-records: cannot create $outDir")
+    import org.apache.spark.sql.functions.col
+    df.select(col("record_id"), col("warc_type"), col("target_uri"),
+        col("content_type"), col("payload"))
+      .rdd.mapPartitionsWithIndex { (pid, it) =>
+        if (it.isEmpty) Iterator.empty
+        else {
+          val p = new HPath(outDir, f"part-$pid%05d.warc")
+          val out = p.getFileSystem(confCarrier.value).create(p, true)
+          try it.foreach { r =>
+            out.write(recordBytes(r.getString(0), r.getString(1),
+              if (r.isNullAt(2)) null else r.getString(2),
+              if (r.isNullAt(3)) null else r.getString(3),
+              r.getAs[Array[Byte]](4)))
+          } finally out.close()
+          Iterator.single(pid)
+        }
+      }.count(): Unit
+  }
+
+  /** Convenience reader (the `spark.read.format(...)` spelling). */
+  def read(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.format("warc-records").load(dir)
+}
+
+class WarcTable(path: String, maxBytes: Long) extends Table with SupportsRead {
+  override def name(): String = s"warc_records(`$path`)"
+  override def schema(): StructType = WarcSource.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new WarcScanBuilder(path, maxBytes)
+}
+
+class WarcScanBuilder(path: String, maxBytes: Long)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = WarcSource.Schema
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def build(): Scan = new WarcScan(path, maxBytes, required)
+}
+
+case class WarcFilesPartition(files: Seq[String]) extends InputPartition
+
+class WarcScan(path: String, maxBytes: Long, required: StructType)
+    extends Scan with Batch with SupportsReportStatistics {
+
+  private val confCarrier =
+    new SerializableHadoopConf(graft.operators.InvertedIndex.activeHadoopConf())
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"warc-records $path, cols=${required.fieldNames.mkString(",")}"
+
+  /** (path, size) of every .warc under `path` (or `path` itself if a
+    * file), NAME-SORTED for deterministic partition planning. Lazy +
+    * shared between stats and partition planning — one listing. */
+  private lazy val stattedFiles: Seq[(String, Long)] = {
+    val p = new HPath(path)
+    val fs = p.getFileSystem(confCarrier.value)
+    val st = fs.getFileStatus(p) // missing path fails HERE, at planning
+    val files =
+      if (st.isFile) Seq(st)
+      else fs.listStatus(p).toSeq.filter(s => s.isFile &&
+        s.getPath.getName.endsWith(".warc"))
+    files.sortBy(_.getPath.getName)
+      .map(s => (s.getPath.toString, math.max(1L, s.getLen)))
+  }
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(stattedFiles.map(_._2).sum)
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val partitions = scala.collection.mutable.ArrayBuffer.empty[WarcFilesPartition]
+    var current = scala.collection.mutable.ArrayBuffer.empty[String]
+    var bytes = 0L
+    stattedFiles.foreach { case (f, sz) =>
+      if (bytes > 0 && bytes + sz > maxBytes) {
+        partitions += WarcFilesPartition(current.toSeq)
+        current = scala.collection.mutable.ArrayBuffer.empty
+        bytes = 0L
+      }
+      current += f
+      bytes += sz
+    }
+    if (current.nonEmpty) partitions += WarcFilesPartition(current.toSeq)
+    partitions.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WarcReaderFactory(required, confCarrier)
+}
+
+class WarcReaderFactory(required: StructType, confCarrier: SerializableHadoopConf)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val files = partition.asInstanceOf[WarcFilesPartition].files
+    new PartitionReader[InternalRow] {
+      private val fields: Array[Int] =
+        required.fieldNames.map(WarcSource.Schema.fieldIndex)
+      // payload pruned away ⇒ skip Content-Length bytes, never buffer
+      private val needPayload = fields.contains(7)
+
+      private val fileIter = files.iterator
+      private var in: BufferedInputStream = _
+      private var curFile: UTF8String = _
+      private var pos: Long = 0L // byte position in the current file
+
+      // current record's fields
+      private var recOffset = 0L
+      private var recType: UTF8String = _
+      private var recId: UTF8String = _
+      private var recUri: UTF8String = _ // null if absent
+      private var recCt: UTF8String = _ // null if absent
+      private var recLen = 0L
+      private var recPayload: Array[Byte] = _
+
+      private def fail(msg: String): Nothing =
+        throw new java.io.IOException(
+          s"warc-records: $msg at $curFile offset $pos")
+
+      private def readByte(): Int = { val b = in.read(); if (b >= 0) pos += 1; b }
+
+      /** One CRLF-terminated header line as a String (headers are
+        * ASCII/UTF-8 text; payload bytes never go through here). */
+      private def readLine(): String = {
+        val buf = new ByteArrayOutputStream(96)
+        var b = readByte()
+        while (b != -1 && b != '\r') { buf.write(b); b = readByte() }
+        if (b == -1) fail("unexpected EOF inside header line")
+        if (readByte() != '\n') fail("CR not followed by LF in header")
+        new String(buf.toByteArray, StandardCharsets.UTF_8)
+      }
+
+      /** Parse ONE record at the current position; false at clean EOF. */
+      private def parseRecord(): Boolean = {
+        val first = readByte()
+        if (first == -1) return false // clean EOF between records
+        recOffset = pos - 1
+        val magic = (first.toChar +: Iterator.continually(readByte())
+          .takeWhile(b => b != -1 && b != '\r').map(_.toChar).toSeq).mkString
+        if (!magic.startsWith("WARC/")) fail(s"bad record magic '$magic'")
+        if (readByte() != '\n') fail("CR not followed by LF after version")
+        var tpe: String = null; var id: String = null; var uri: String = null
+        var ct: String = null; var len = -1L
+        var line = readLine()
+        while (line.nonEmpty) {
+          val i = line.indexOf(':')
+          if (i < 0) fail(s"malformed header line '$line'")
+          val k = line.substring(0, i).trim.toLowerCase(java.util.Locale.ROOT)
+          val v = line.substring(i + 1).trim
+          k match {
+            case "warc-type" => tpe = v
+            case "warc-record-id" => id = v
+            case "warc-target-uri" => uri = v
+            case "content-type" => ct = v
+            case "content-length" => len = v.toLong
+            case _ => // unknown headers pass through (the spec allows any)
+          }
+          line = readLine()
+        }
+        if (len < 0) fail("record missing Content-Length")
+        if (tpe == null || id == null) fail("record missing WARC-Type/WARC-Record-ID")
+        if (needPayload) {
+          val buf = new Array[Byte](len.toInt)
+          var off = 0
+          while (off < len) {
+            val n = in.read(buf, off, (len - off).toInt)
+            if (n < 0) fail(s"truncated payload (read $off of $len bytes)")
+            off += n; pos += n
+          }
+          recPayload = buf
+        } else {
+          var left = len
+          while (left > 0) {
+            val n = in.skip(left)
+            if (n > 0) { left -= n; pos += n }
+            else if (readByte() == -1) fail(s"truncated payload (skip)")
+            else left -= 1
+          }
+          recPayload = null
+        }
+        if (readByte() != '\r' || readByte() != '\n' ||
+            readByte() != '\r' || readByte() != '\n')
+          fail("record not terminated by CRLF CRLF")
+        recType = UTF8String.fromString(tpe)
+        recId = UTF8String.fromString(id)
+        recUri = if (uri == null) null else UTF8String.fromString(uri)
+        recCt = if (ct == null) null else UTF8String.fromString(ct)
+        recLen = len
+        true
+      }
+
+      override def next(): Boolean = {
+        while (true) {
+          if (in != null) {
+            if (parseRecord()) return true
+            in.close(); in = null
+          }
+          if (!fileIter.hasNext) return false
+          val f = fileIter.next()
+          val hPath = new HPath(f)
+          val fs = hPath.getFileSystem(confCarrier.value)
+          in = new BufferedInputStream(ManifestCorpusSource.openRaw(fs, hPath))
+          curFile = UTF8String.fromString(f)
+          pos = 0L
+        }
+        false
+      }
+
+      private val row =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(fields.length)
+
+      override def get(): InternalRow = {
+        var i = 0
+        while (i < fields.length) {
+          fields(i) match {
+            case 0 => row.update(i, curFile)
+            case 1 => row.update(i, recOffset)
+            case 2 => row.update(i, recType)
+            case 3 => row.update(i, recId)
+            case 4 => row.update(i, recUri)
+            case 5 => row.update(i, recCt)
+            case 6 => row.update(i, recLen)
+            case 7 => row.update(i, recPayload)
+          }
+          i += 1
+        }
+        row
+      }
+
+      override def close(): Unit = if (in != null) { in.close(); in = null }
+    }
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.WarcSource
+
+/** WARC container source/sink: byte round trip (binary payloads with
+  * embedded CRLFs, empty payloads, optional headers), partition
+  * packing, payload-skip column pruning, loud truncation errors. */
+class WarcSourceSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def freshDir() = Files.createTempDirectory("warc").toString + "/w"
+
+  private val cols = Seq("record_id", "warc_type", "target_uri", "content_type", "payload")
+
+  test("round trip: binary payloads with CRLFs, empty payload, optional headers") {
+    val dir = freshDir()
+    val rows = Seq(
+      ("urn:graft:1", "resource", "https://x.com/a", "text/html",
+        "hello\r\nworld\r\n\r\ntrailer".getBytes("UTF-8")),
+      ("urn:graft:2", "resource", null, null, Array.empty[Byte]),
+      ("urn:graft:3", "metadata", "https://x.com/b", "application/json",
+        Array[Byte](0, 1, 2, -1, 13, 10, 13, 10, 127)))
+    WarcSource.writeRecords(
+      rows.toDF(cols: _*).coalesce(1), dir)
+    val back = WarcSource.read(spark, dir)
+      .select("record_id", "warc_type", "target_uri", "content_type",
+        "content_length", "payload")
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), Option(r.getString(2)), Option(r.getString(3)),
+          r.getLong(4), r.getAs[Array[Byte]](5).toSeq))).toMap
+    assert(back.keySet == Set("urn:graft:1", "urn:graft:2", "urn:graft:3"))
+    val (t1, u1, c1, l1, p1) = back("urn:graft:1")
+    assert(t1 == "resource" && u1.contains("https://x.com/a") && c1.contains("text/html"))
+    assert(l1 == rows.head._5.length && p1 == rows.head._5.toSeq)
+    val (_, u2, c2, l2, p2) = back("urn:graft:2")
+    assert(u2.isEmpty && c2.isEmpty && l2 == 0L && p2.isEmpty)
+    assert(back("urn:graft:3")._5 == rows(2)._5.toSeq)
+    // record offsets are strictly increasing within the single file
+    val offs = WarcSource.read(spark, dir).select("record_offset")
+      .collect().map(_.getLong(0)).toSeq
+    assert(offs == offs.sorted && offs.distinct.size == 3 && offs.head == 0L)
+  }
+
+  test("multi-partition write packs into one task per size bin; name-sorted determinism") {
+    val dir = freshDir()
+    val df = (1 to 100).map(i => (s"urn:graft:$i", "resource",
+        s"https://x.com/$i", "text/plain", s"payload $i".getBytes("UTF-8")))
+      .toDF(cols: _*)
+      .repartitionByRange(4, col("record_id"))
+      .sortWithinPartitions("record_id")
+    WarcSource.writeRecords(df, dir)
+    val back = WarcSource.read(spark, dir)
+    assert(back.count() == 100L)
+    assert(back.select("record_id").distinct().count() == 100L)
+    // default 128 MiB bin ⇒ the 4 small part files pack into ONE partition
+    assert(back.rdd.getNumPartitions == 1)
+    // a 1-byte bin ⇒ one partition per file
+    val perFile = spark.read.format("warc-records")
+      .option("maxPartitionBytes", "1").load(dir)
+    assert(perFile.rdd.getNumPartitions == 4)
+    assert(perFile.count() == 100L)
+  }
+
+  test("payload pruning: a metadata-only query skips payload bytes yet counts exactly") {
+    val dir = freshDir()
+    WarcSource.writeRecords(
+      (1 to 10).map(i => (s"urn:graft:$i", if (i % 2 == 0) "resource" else "metadata",
+        null: String, null: String, ("x" * 1000 + "\r\n").getBytes("UTF-8")))
+        .toDF(cols: _*).coalesce(1), dir)
+    val byType = WarcSource.read(spark, dir)
+      .groupBy("warc_type").agg(count(lit(1)).as("n"), sum("content_length").as("b"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(byType == Map("resource" -> ((5L, 5010L)), "metadata" -> ((5L, 5010L))))
+    // the skip path really engaged: the scan's read schema has no payload
+    val plan = WarcSource.read(spark, dir)
+      .select("warc_type").queryExecution.executedPlan.toString
+    assert(plan.contains("warc-records") && !plan.contains("payload"),
+      s"payload should be pruned from the scan:\n$plan")
+  }
+
+  test("malformed records fail loudly with file and offset") {
+    val dir = freshDir()
+    WarcSource.writeRecords(
+      Seq(("urn:graft:1", "resource", null: String, null: String,
+        "hello".getBytes("UTF-8"))).toDF(cols: _*).coalesce(1), dir)
+    // truncate the single part file by 4 bytes (kills the CRLF CRLF frame)
+    val f = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".warc")).head
+    val all = java.nio.file.Files.readAllBytes(f.toPath)
+    java.nio.file.Files.write(f.toPath, all.dropRight(4))
+    val e = intercept[org.apache.spark.SparkException] {
+      WarcSource.read(spark, dir).count()
+    }
+    val msg = e.getCause match { case null => e.getMessage; case c => c.getMessage }
+    assert(msg.contains("warc-records") || e.getMessage.contains("warc-records"))
+  }
+}
