@@ -553,45 +553,126 @@ object Extensions {
   }
 
   // --------------------------------------------------------------- Q40
-  /** Multimodal pipeline smoke (rows-only — a pixel decode is not
-    * SQL-expressible): synthesize two asset kinds (real PNGs + real
-    * PNG-frame video containers, pixels seeded by distinct payload
-    * bytes) → batched javax.imageio decode → resize → frame sample →
-    * per-kind aggregate. The output is one row per kind with a
-    * deterministic md5 checksum over every asset's (id, embedding)
-    * pair, where the embedding is grid-averaged from DECODED pixels —
-    * any change in synthesis, PNG encode/decode, batch shape, or float
-    * math flips the checksum, so the rows-only gate actually pins the
-    * pipeline, not just its row count. */
-  val q40 = QueryDef.noOracle("q40_multimodal") { (s, dir) =>
-    import graft.operators.Multimodal
-    val docs = t(s, dir, "documents")
-    // pre-materialized fixture assets (one-time synth+PNG-encode, cached
-    // as parquet keyed by corpus fingerprint): the timed pipeline is
-    // decode → resize → frame-sample → aggregate, not fixture encoding
-    val assets = Multimodal.cachedCorpusAssets(docs, "doc_id", "text")
-    val feat = Multimodal.resize(
-      Multimodal.decodeFeatures(assets), maxDim = 256)
-    // frames sampled per video asset: every 10th frame index, counted from
-    // the container frame count the metadata decode pass already parsed —
-    // size(sequence(0, n-1, 10)) is exactly [[Multimodal.sampleFrames]]'s
-    // explode+count (spec'd equivalent in MultimodalSpec), computed in the
-    // SAME pass so the CPU-heavy video decode subtree runs once, not twice
-    val sampledPerAsset = when(col("kind") === "video",
-      size(sequence(lit(0), col("n_frames") - 1, lit(10))))
-    // per-asset digest line, collected + sorted so the corpus checksum
-    // is order-independent and deterministic across partitionings
-    val assetDigest = concat_ws(":", col("asset_id").cast("string"),
-      md5(encode(concat_ws(",", transform(col("embedding"),
-        x => x.cast("string"))), "UTF-8")))
-    feat.groupBy("kind")
-      .agg(count(lit(1)).as("n"),
-        round(avg(col("out_w")), 2).as("avg_w"), round(avg(col("out_h")), 2).as("avg_h"),
-        sum(col("n_frames")).as("total_frames"),
-        md5(encode(concat_ws("|",
-          sort_array(collect_list(assetDigest))), "UTF-8")).as("embed_checksum"),
-        sum(sampledPerAsset).as("n_sampled_frames"))
-      .orderBy("kind")
+  /** Multimodal pipeline with a REAL ORACLE (since round 11 — this row
+    * was rows-only through r10): synthesize two asset kinds (real PNGs
+    * + real PNG-frame video containers, pixels seeded by distinct
+    * payload bytes) → batched javax.imageio decode → resize → frame
+    * sample → per-kind aggregate. The oracle replays the q160 idiom
+    * for BOTH kinds: the synth pixel stream is a VARCHAR-md5 chain, so
+    * DuckDB regenerates seed → stream bytes → dims/frame-count header
+    * draws → pixels → integer grid sums → REAL cell means, then the
+    * identical resize rule and per-kind rollup — every emitted number
+    * (counts, summed resized dims, container frame totals, sampled
+    * frames, the md5 checksum over each asset's 1e-8-unit embedding)
+    * hash-checks. What stays self-gated is only the PNG codec
+    * internals: the oracle proves javax.imageio handed back EXACTLY
+    * the synthesized pixels (lossless RGB round trip), which is the
+    * strongest statement SQL can make about a binary codec. Embedding
+    * values ride as exact integer units (floor(e·1e8 + ½)) in the
+    * checksum — float-to-string formatting never crosses engines. */
+  val q40 = {
+    // byte j of a 16-byte md5 block given its hex string (the q160
+    // helper): two hex-digit lookups, strpos is 1-based
+    def hexByte(s: String, j: String): String =
+      s"(16*(strpos('0123456789abcdef', substr($s, 2*($j)+1, 1))-1)" +
+        s" + (strpos('0123456789abcdef', substr($s, 2*($j)+2, 1))-1))"
+    val oracle =
+      s"""WITH corpus AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents),
+         |seeds AS (
+         |  SELECT doc_id, 'image' AS kind, md5(coalesce(text, '')) AS h0 FROM corpus
+         |  UNION ALL
+         |  SELECT doc_id, 'video', md5(reverse(coalesce(text, ''))) FROM corpus
+         |),
+         |hdr AS (SELECT doc_id, kind, h0, md5(h0 || '|0') AS bh0 FROM seeds),
+         |dims AS (
+         |  SELECT doc_id, kind, h0,
+         |         CASE WHEN kind = 'image' THEN 16 + ${hexByte("bh0", "0")} % 48
+         |              ELSE 8 + ${hexByte("bh0", "1")} % 24 END AS w,
+         |         CASE WHEN kind = 'image' THEN 16 + ${hexByte("bh0", "1")} % 48
+         |              ELSE 8 + ${hexByte("bh0", "2")} % 24 END AS ht,
+         |         CASE WHEN kind = 'image' THEN 1
+         |              ELSE 1 + ${hexByte("bh0", "0")} % 24 END AS n_frames,
+         |         CASE WHEN kind = 'image' THEN 2 ELSE 3 END AS off
+         |  FROM hdr
+         |),
+         |nb AS (SELECT doc_id, kind, h0, w, ht, n_frames, off,
+         |              (off + 3*w*ht + 15) // 16 AS nblocks FROM dims),
+         |blocks AS (
+         |  SELECT doc_id, kind, w, ht, n_frames, off, t.k AS k,
+         |         md5(h0 || '|' || CAST(t.k AS VARCHAR)) AS bh
+         |  FROM nb, LATERAL (SELECT unnest(range(0, nblocks)) AS k) t
+         |),
+         |bytes AS (
+         |  SELECT doc_id, kind, w, ht, n_frames, off, k*16 + i.i AS j,
+         |         ${hexByte("bh", "i.i")} AS b
+         |  FROM blocks, LATERAL (SELECT unnest(range(0, 16)) AS i) i
+         |),
+         |px AS (
+         |  SELECT doc_id, kind, w, ht, n_frames, (j - off) // 3 AS p, sum(b) AS rgb
+         |  FROM bytes WHERE j >= off AND j < off + 3*w*ht
+         |  GROUP BY doc_id, kind, w, ht, n_frames, off, (j - off) // 3
+         |),
+         |cells AS (
+         |  SELECT doc_id, kind, w, ht, n_frames,
+         |         least(1, (p // w) * 2 // ht) * 4 + least(3, (p % w) * 4 // w) AS cell,
+         |         CAST(sum(rgb) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+         |  FROM px GROUP BY doc_id, kind, w, ht, n_frames, cell
+         |),
+         |emb AS (
+         |  SELECT doc_id, kind, any_value(w) AS w, any_value(ht) AS ht,
+         |         any_value(n_frames) AS n_frames,
+         |         list(CAST(floor(CAST(CAST(CAST(s AS DOUBLE) / (c * 765.0) AS REAL) AS DOUBLE)
+         |              * 100000000 + 0.5) AS BIGINT) ORDER BY cell) AS units
+         |  FROM cells GROUP BY doc_id, kind
+         |),
+         |per_asset AS (
+         |  SELECT doc_id, kind, n_frames,
+         |         CAST(trunc(w * least(1.0, 256.0 / greatest(w, ht))) AS BIGINT) AS out_w,
+         |         CAST(trunc(ht * least(1.0, 256.0 / greatest(w, ht))) AS BIGINT) AS out_h,
+         |         CAST(doc_id AS VARCHAR) || ':' ||
+         |           array_to_string(list_transform(units, u -> CAST(u AS VARCHAR)), ',') AS line
+         |  FROM emb
+         |)
+         |SELECT kind, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(out_w) AS BIGINT) AS sum_w,
+         |       CAST(sum(out_h) AS BIGINT) AS sum_h,
+         |       CAST(sum(n_frames) AS BIGINT) AS total_frames,
+         |       md5(array_to_string(list(line ORDER BY line), '|')) AS embed_checksum,
+         |       CAST(sum(CASE WHEN kind = 'video' THEN (n_frames - 1) // 10 + 1 END) AS BIGINT) AS n_sampled_frames
+         |FROM per_asset GROUP BY kind ORDER BY kind""".stripMargin
+    QueryDef("q40_multimodal", oracle) { (s, dir) =>
+      import graft.operators.Multimodal
+      val docs = t(s, dir, "documents")
+      // pre-materialized fixture assets (one-time synth+PNG-encode, cached
+      // as parquet keyed by corpus fingerprint): the timed pipeline is
+      // decode → resize → frame-sample → aggregate, not fixture encoding
+      val assets = Multimodal.cachedCorpusAssets(docs, "doc_id", "text")
+      val feat = Multimodal.resize(
+        Multimodal.decodeFeatures(assets), maxDim = 256)
+      // frames sampled per video asset: every 10th frame index, counted from
+      // the container frame count the metadata decode pass already parsed —
+      // size(sequence(0, n-1, 10)) is exactly [[Multimodal.sampleFrames]]'s
+      // explode+count (spec'd equivalent in MultimodalSpec), computed in the
+      // SAME pass so the CPU-heavy video decode subtree runs once, not twice
+      val sampledPerAsset = when(col("kind") === "video",
+        size(sequence(lit(0), col("n_frames") - 1, lit(10))))
+      // per-asset digest line over 1e-8-unit INTEGER embedding values,
+      // collected + sorted so the corpus checksum is order-independent
+      // and float formatting never crosses engines
+      val units = transform(col("embedding"),
+        x => floor(x.cast("double") * 100000000d + 0.5).cast("long"))
+      val line = concat_ws(":", col("asset_id").cast("string"),
+        array_join(transform(units, _.cast("string")), ","))
+      feat.groupBy("kind")
+        .agg(count(lit(1)).as("n"),
+          sum(col("out_w")).cast("long").as("sum_w"),
+          sum(col("out_h")).cast("long").as("sum_h"),
+          sum(col("n_frames")).cast("long").as("total_frames"),
+          md5(encode(concat_ws("|",
+            sort_array(collect_list(line))), "UTF-8")).as("embed_checksum"),
+          sum(sampledPerAsset).cast("long").as("n_sampled_frames"))
+        .orderBy("kind")
+    }
   }
 
   // --------------------------------------------------------------- Q43
