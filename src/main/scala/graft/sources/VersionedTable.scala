@@ -95,7 +95,8 @@ object VersionedTable {
     versions(spark, tableDir).lastOption.getOrElse(0L)
 
   private case class Manifest(version: Long, mode: String, dirs: Seq[String],
-      rows: Long, digest: Long, idCol: String, contentCols: Seq[String])
+      rows: Long, digest: Long, idCol: String, contentCols: Seq[String],
+      batchId: Option[Long])
 
   private def readManifest(spark: SparkSession, tableDir: String, v: Long): Manifest = {
     val p = commitPath(new Path(tableDir), v)
@@ -124,7 +125,8 @@ object VersionedTable {
     Manifest(field("version").toLong, str("mode"),
       str("dirs").split(",").toSeq.filter(_.nonEmpty),
       field("rows").toLong, field("digest").toLong,
-      str("id_col"), str("content_cols").split(",").toSeq.filter(_.nonEmpty))
+      str("id_col"), str("content_cols").split(",").toSeq.filter(_.nonEmpty),
+      s""""batch_id": (-?\\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong))
   }
 
   /** Commit `df` as the next version of the table under optimistic
@@ -147,7 +149,8 @@ object VersionedTable {
   def commit(df: DataFrame, tableDir: String, idCol: String,
       contentCols: Seq[String], expectedVersion: Long,
       mode: String = "overwrite",
-      onBeforePublish: () => Unit = () => ()): Long = {
+      onBeforePublish: () => Unit = () => (),
+      batchId: Option[Long] = None): Long = {
     require(mode == "overwrite" || mode == "append",
       s"commit: mode must be overwrite|append, got $mode")
     val spark = df.sparkSession
@@ -182,6 +185,7 @@ object VersionedTable {
       s"""{"digest_v": ${Sinks.DigestVersion}, "version": $next, """ +
         s""""mode": "$mode", "dirs": "${dirsForVersion.mkString(",")}", """ +
         s""""rows": ${dg._1}, "digest": ${dg._2}, """ +
+        batchId.map(b => s""""batch_id": $b, """).getOrElse("") +
         s""""id_col": "$idCol", "content_cols": "${contentCols.mkString(",")}"}"""
     onBeforePublish()
     // stage-then-rename: the rename IS the commit point. The staged
@@ -204,6 +208,36 @@ object VersionedTable {
           "unreferenced and will be reclaimed by vacuum; rebase and retry")
     }
     next
+  }
+
+  /** EXACTLY-ONCE STREAMING COMMIT — the `foreachBatch` transactional
+    * sink recipe (the public Structured Streaming idempotent-sink
+    * pattern): each micro-batch appends one version stamped with its
+    * `batchId`; a RETRY of an already-committed batch (failure after
+    * commit but before checkpoint advance — the at-least-once window
+    * foreachBatch exposes) is detected by comparing against the LAST
+    * committed manifest's batch id and skipped, so the table observes
+    * each batch once no matter how many times the sink ran it.
+    * Returns Some(version) on commit, None on the idempotent skip.
+    * Single-writer by construction (one streaming query per table);
+    * the optimistic-concurrency guard underneath still protects
+    * against an interloping batch writer. Usage:
+    * {{{
+    * ds.writeStream.foreachBatch { (b: DataFrame, id: Long) =>
+    *   VersionedTable.commitStreamBatch(b, dir, "k", Seq("v"), id): Unit
+    * }
+    * }}} */
+  def commitStreamBatch(batch: DataFrame, tableDir: String, idCol: String,
+      contentCols: Seq[String], batchId: Long,
+      mode: String = "append"): Option[Long] = {
+    val spark = batch.sparkSession
+    val cur = currentVersion(spark, tableDir)
+    val lastBatch =
+      if (cur == 0L) -1L
+      else readManifest(spark, tableDir, cur).batchId.getOrElse(-1L)
+    if (batchId <= lastBatch) None // replayed batch — already committed
+    else Some(commit(batch, tableDir, idCol, contentCols,
+      expectedVersion = cur, mode = mode, batchId = Some(batchId)))
   }
 
   /** Time travel: the table exactly as of committed version `v`.

@@ -31,16 +31,21 @@ import org.apache.spark.unsafe.types.UTF8String
   *   content_length LONG, payload BINARY)`
   *
   * Connector discipline (the [[ManifestCorpusSource]] skills):
-  *  - **partition packing**: `.warc` files are size-binned into input
-  *    partitions (`maxPartitionBytes`, default 128 MiB) — a crawl
-  *    drop of thousands of files doesn't become thousands of tasks,
-  *    and one giant file still gets its own reader. A single WARC
-  *    file is never split below file granularity: records are
-  *    length-prefixed SEQUENTIALLY (and production WARCs are
-  *    per-record gzip members), so mid-file seek points don't exist
-  *    without an external index — the scale unit is the file, which
-  *    is how every public crawl corpus is sharded anyway (~1 GiB
-  *    per file).
+  *  - **partition packing**: `.warc` / `.warc.gz` files are
+  *    size-binned into input partitions (`maxPartitionBytes`, default
+  *    128 MiB) — a crawl drop of thousands of files doesn't become
+  *    thousands of tasks, and one giant file still gets its own
+  *    reader. A single WARC file is never split below file
+  *    granularity: records are length-prefixed SEQUENTIALLY (and
+  *    production WARCs are per-record gzip members), so mid-file seek
+  *    points don't exist without an external index — the scale unit
+  *    is the file, which is how every public crawl corpus is sharded
+  *    anyway (~1 GiB per file).
+  *  - **gzip members**: `.warc.gz` reads transparently — each record
+  *    its own gzip member (the Common Crawl convention), members
+  *    back-to-back, decoded as one stream via GZIPInputStream's
+  *    native concatenated-member handling; the writer twin's
+  *    `gzip = true` produces exactly that layout.
   *  - **column pruning with payload skip**
   *    (SupportsPushDownRequiredColumns): a query that only counts
   *    record types never MATERIALIZES payload bytes — the reader
@@ -117,13 +122,20 @@ object WarcSource {
   }
 
   /** Write `df` as WARC part files under `outDir` — one
-    * `part-NNNNN.warc` per non-empty partition, through the Hadoop FS
-    * of the output path. Expects columns
+    * `part-NNNNN.warc` (or `.warc.gz`) per non-empty partition,
+    * through the Hadoop FS of the output path. Expects columns
     * `(record_id STRING, warc_type STRING, target_uri STRING,
     *   content_type STRING, payload BINARY)`; within-file record
     * order is the partition's row order, so a sorted/range-partitioned
-    * input produces bit-deterministic archives. */
-  def writeRecords(df: DataFrame, outDir: String): Unit = {
+    * input produces bit-deterministic archives.
+    *
+    * `gzip = true` writes EACH RECORD AS ITS OWN GZIP MEMBER
+    * (header + deflate + trailer per record, members back-to-back) —
+    * the production WARC convention (ISO 28500 annex; what Common
+    * Crawl etc. ship): per-record members are what make record-level
+    * random access possible given an external offset index, and are
+    * why a `.warc.gz` can never be split mid-file without one. */
+  def writeRecords(df: DataFrame, outDir: String, gzip: Boolean = false): Unit = {
     val spark = df.sparkSession
     val confCarrier = new SerializableHadoopConf(
       spark.sparkContext.hadoopConfiguration)
@@ -132,18 +144,26 @@ object WarcSource {
     if (!fs.mkdirs(root))
       throw new java.io.IOException(s"warc-records: cannot create $outDir")
     import org.apache.spark.sql.functions.col
+    val ext = if (gzip) "warc.gz" else "warc"
     df.select(col("record_id"), col("warc_type"), col("target_uri"),
         col("content_type"), col("payload"))
       .rdd.mapPartitionsWithIndex { (pid, it) =>
         if (it.isEmpty) Iterator.empty
         else {
-          val p = new HPath(outDir, f"part-$pid%05d.warc")
+          val p = new HPath(outDir, f"part-$pid%05d.$ext")
           val out = p.getFileSystem(confCarrier.value).create(p, true)
           try it.foreach { r =>
-            out.write(recordBytes(r.getString(0), r.getString(1),
+            val rec = recordBytes(r.getString(0), r.getString(1),
               if (r.isNullAt(2)) null else r.getString(2),
               if (r.isNullAt(3)) null else r.getString(3),
-              r.getAs[Array[Byte]](4)))
+              r.getAs[Array[Byte]](4))
+            if (gzip) {
+              // one INDEPENDENT member per record: construct writes the
+              // member header, finish() the trailer — and never close
+              // the underlying stream between members
+              val gz = new java.util.zip.GZIPOutputStream(out)
+              gz.write(rec); gz.finish()
+            } else out.write(rec)
           } finally out.close()
           Iterator.single(pid)
         }
@@ -194,7 +214,8 @@ class WarcScan(path: String, maxBytes: Long, required: StructType)
     val files =
       if (st.isFile) Seq(st)
       else fs.listStatus(p).toSeq.filter(s => s.isFile &&
-        s.getPath.getName.endsWith(".warc"))
+        (s.getPath.getName.endsWith(".warc") ||
+          s.getPath.getName.endsWith(".warc.gz")))
     files.sortBy(_.getPath.getName)
       .map(s => (s.getPath.toString, math.max(1L, s.getLen)))
   }
@@ -336,7 +357,16 @@ class WarcReaderFactory(required: StructType, confCarrier: SerializableHadoopCon
           val f = fileIter.next()
           val hPath = new HPath(f)
           val fs = hPath.getFileSystem(confCarrier.value)
-          in = new BufferedInputStream(ManifestCorpusSource.openRaw(fs, hPath))
+          val raw = new BufferedInputStream(ManifestCorpusSource.openRaw(fs, hPath))
+          // per-record gzip members: java's GZIPInputStream reads
+          // concatenated members transparently, so the whole file
+          // parses as one decompressed stream; record_offset then
+          // counts DECOMPRESSED bytes (an offset index over a .warc.gz
+          // keys on compressed member starts — out of scope here)
+          in =
+            if (f.endsWith(".warc.gz"))
+              new BufferedInputStream(new java.util.zip.GZIPInputStream(raw))
+            else raw
           curFile = UTF8String.fromString(f)
           pos = 0L
         }

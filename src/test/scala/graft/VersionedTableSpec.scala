@@ -98,6 +98,51 @@ class VersionedTableSpec extends SparkSuite {
     assert(VersionedTable.validateAsOf(spark, dir, 3L)._1)
   }
 
+  test("exactly-once streaming commits: one version per batch, replays skipped, checkpoint restart continues") {
+    val dir = freshDir()
+    // the foreachBatch contract, driven directly first: commit, commit, replay
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "text")
+    val b1 = Seq((3L, "c")).toDF("id", "text")
+    assert(VersionedTable.commitStreamBatch(b0, dir, "id", Seq("text"), 0L).contains(1L))
+    assert(VersionedTable.commitStreamBatch(b1, dir, "id", Seq("text"), 1L).contains(2L))
+    // retry of batch 1 — the at-least-once window foreachBatch exposes
+    // (failure after commit, before checkpoint advance) — must be a no-op
+    assert(VersionedTable.commitStreamBatch(b1, dir, "id", Seq("text"), 1L).isEmpty)
+    assert(VersionedTable.currentVersion(spark, dir) == 2L)
+    assert(VersionedTable.read(spark, dir).count() == 3L)
+    assert(VersionedTable.validateAsOf(spark, dir, 2L)._1)
+
+    // now through a REAL streaming query with a checkpoint: two runs over
+    // a growing file-source directory; batch ids continue across the
+    // restart and each lands exactly one version
+    val tdir = freshDir()
+    val src = Files.createTempDirectory("vtabsrc").toString
+    val ckpt = Files.createTempDirectory("vtabckpt").toString
+    Seq((10L, "x"), (11L, "y")).toDF("id", "text")
+      .coalesce(1).write.mode("append").parquet(src)
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema("id LONG, text STRING").parquet(src)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          VersionedTable.commitStreamBatch(b, tdir, "id", Seq("text"), id): Unit
+        }.start()
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(VersionedTable.currentVersion(spark, tdir) == 1L)
+    assert(VersionedTable.read(spark, tdir).count() == 2L)
+    Seq((12L, "z")).toDF("id", "text")
+      .coalesce(1).write.mode("append").parquet(src)
+    runOnce() // restart from the checkpoint: only the NEW file is batch 1
+    assert(VersionedTable.currentVersion(spark, tdir) == 2L)
+    assert(VersionedTable.read(spark, tdir)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(10L, 11L, 12L))
+    // time travel still sees the pre-restart table
+    assert(VersionedTable.readAsOf(spark, tdir, 1L).count() == 2L)
+  }
+
   test("vacuum keeps retained versions readable, reclaims orphans, fails loudly past horizon") {
     val dir = freshDir()
     VersionedTable.commit(Seq((1L, "a")).toDF("id", "text"), dir, "id", Seq("text"), 0L)

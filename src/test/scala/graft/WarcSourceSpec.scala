@@ -82,6 +82,36 @@ class WarcSourceSpec extends SparkSuite {
       s"payload should be pruned from the scan:\n$plan")
   }
 
+  test("gzip members: per-record members round-trip; mixed plain+gz dirs read together") {
+    val dir = freshDir()
+    val rows = (1 to 20).map(i => (s"urn:graft:gz:$i", "resource",
+      s"https://x.com/$i", "text/plain",
+      (s"payload $i " + "y" * 50 + "\r\n").getBytes("UTF-8")))
+    WarcSource.writeRecords(rows.toDF(cols: _*).coalesce(1), dir, gzip = true)
+    // the part file really is multi-member gzip: magic at byte 0 and >1
+    // member header in the stream
+    val f = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".warc.gz")).head
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    assert((bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b)
+    val members = bytes.sliding(2).count(p => (p(0) & 0xff) == 0x1f && (p(1) & 0xff) == 0x8b)
+    assert(members >= 20, s"expected >=20 gzip member headers, saw $members")
+    val back = WarcSource.read(spark, dir)
+      .select("record_id", "payload").collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(back.size == 20)
+    rows.foreach { case (id, _, _, _, p) => assert(back(id) == p.toSeq) }
+    // a plain .warc beside the .warc.gz reads in the same scan
+    WarcSource.writeRecords(Seq(("urn:graft:plain:1", "resource",
+      null: String, null: String, "plain".getBytes("UTF-8"))).toDF(cols: _*)
+      .coalesce(1), dir + "_plain")
+    val pf = new java.io.File(dir + "_plain").listFiles()
+      .filter(_.getName.endsWith(".warc")).head
+    java.nio.file.Files.copy(pf.toPath,
+      new java.io.File(dir, "part-99999.warc").toPath)
+    assert(WarcSource.read(spark, dir).count() == 21L)
+  }
+
   test("malformed records fail loudly with file and offset") {
     val dir = freshDir()
     WarcSource.writeRecords(
