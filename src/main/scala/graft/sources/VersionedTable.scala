@@ -266,6 +266,40 @@ object VersionedTable {
     (d._1 == m.rows && d._2 == m.digest, m.rows, d._1, m.digest, d._2)
   }
 
+  /** COMPACTION (Delta's OPTIMIZE shape): rewrite the CURRENT version —
+    * after N streaming appends it spans N small dirs, and every read
+    * pays N× the file-listing/open overhead (the read amplification
+    * the LSM majorCompact note describes) — into ONE fresh data dir,
+    * committed as a new version through the same optimistic publish
+    * path. History is untouched: the compacted version is content-
+    * identical (same rows, same digest — asserted against the source
+    * manifest before publishing), prior versions still time travel,
+    * and the small dirs are reclaimed by [[vacuum]] once they age out
+    * of the retention window. `targetPartitions` controls the output
+    * file count (a real deployment sizes this to ~1 GiB files).
+    * Returns the new version. */
+  def compact(spark: SparkSession, tableDir: String,
+      targetPartitions: Int = 1): Long = {
+    require(targetPartitions >= 1,
+      s"compact: targetPartitions must be >= 1, got $targetPartitions")
+    val cur = currentVersion(spark, tableDir)
+    require(cur >= 1, s"compact: no committed version under $tableDir")
+    val m = readManifest(spark, tableDir, cur)
+    val snap = readAsOf(spark, tableDir, cur).coalesce(targetPartitions)
+    val v = commit(snap, tableDir, m.idCol, m.contentCols,
+      expectedVersion = cur, mode = "overwrite")
+    // content identity gate: the rewrite must carry the EXACT bytes —
+    // same (rows, digest) as the version it replaced, or the commit is
+    // a corruption, not a compaction (digest is order-insensitive, so
+    // the coalesce reshuffle can't trip it)
+    val nm = readManifest(spark, tableDir, v)
+    if (nm.rows != m.rows || nm.digest != m.digest)
+      sys.error(s"compact: rewrite of $tableDir v$cur -> v$v changed content " +
+        s"(rows ${m.rows} -> ${nm.rows}, digest ${m.digest} -> ${nm.digest}); " +
+        s"v$v is NOT content-identical — treat as corruption and time travel to v$cur")
+    v
+  }
+
   /** Retain the newest `retain` versions; delete (checked) every data
     * dir referenced by NO retained manifest — including orphan dirs
     * staged by concurrency losers — then drop the expired manifests

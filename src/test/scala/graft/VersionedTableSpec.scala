@@ -143,6 +143,34 @@ class VersionedTableSpec extends SparkSuite {
     assert(VersionedTable.readAsOf(spark, tdir, 1L).count() == 2L)
   }
 
+  test("compact folds streaming appends into one dir; history intact until vacuumed") {
+    val dir = freshDir()
+    // five micro-batch appends → the current version spans five dirs
+    (0 until 5).foreach { i =>
+      assert(VersionedTable.commitStreamBatch(
+        Seq((i.toLong, s"v$i")).toDF("id", "text"), dir, "id", Seq("text"),
+        batchId = i.toLong).contains(i + 1L))
+    }
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataDirs = fs.listStatus(new org.apache.hadoop.fs.Path(dir, "data")).length
+    assert(dataDirs == 5)
+    val v6 = VersionedTable.compact(spark, dir)
+    assert(v6 == 6L)
+    // content-identical: same rows, digest re-validated, ONE dir backs v6
+    assert(VersionedTable.read(spark, dir).count() == 5L)
+    assert(VersionedTable.validateAsOf(spark, dir, 6L)._1)
+    assert(VersionedTable.readAsOf(spark, dir, 6L).inputFiles
+      .map(_.replaceAll("/[^/]*$", "")).distinct.length == 1)
+    // history still travels (v3 = first three appends)
+    assert(VersionedTable.readAsOf(spark, dir, 3L).count() == 3L)
+    // vacuum to the compacted version: the five small dirs reclaim
+    val (reclaimed, expired) = VersionedTable.vacuum(spark, dir, retain = 1)
+    assert(reclaimed == 5 && expired == 5)
+    assert(dataDirs == 1)
+    assert(VersionedTable.read(spark, dir).count() == 5L)
+  }
+
   test("vacuum keeps retained versions readable, reclaims orphans, fails loudly past horizon") {
     val dir = freshDir()
     VersionedTable.commit(Seq((1L, "a")).toDF("id", "text"), dir, "id", Seq("text"), 0L)
