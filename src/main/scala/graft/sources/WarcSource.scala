@@ -179,7 +179,7 @@ class WarcTable(path: String, maxBytes: Long) extends Table with SupportsRead {
   override def name(): String = s"warc_records(`$path`)"
   override def schema(): StructType = WarcSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WarcScanBuilder(path, maxBytes)
 }
@@ -245,6 +245,96 @@ class WarcScan(path: String, maxBytes: Long, required: StructType)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new WarcReaderFactory(required, confCarrier)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new WarcMicroBatchStream(path, maxBytes, required, confCarrier)
+}
+
+/** Streaming offset for the WARC landing-directory source: the
+  * lexically-largest file name processed so far ("" before any). */
+case class WarcOffset(lastFile: String)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String =
+    s"""{"lastFile":"${lastFile.replace("\\", "\\\\").replace("\"", "\\\"")}"}"""
+}
+
+/** MICRO-BATCH STREAM over a WARC landing directory — the crawl
+  * pipeline's continuous front door: fetchers drop `.warc(.gz)` files
+  * into a directory; each micro-batch picks up every file that landed
+  * since the last committed offset and parses its records through the
+  * same [[WarcReaderFactory]] the batch scan uses (one parser, two
+  * execution modes).
+  *
+  * Offset model: files are tracked by NAME, and the offset is the
+  * lexically-largest name processed so far — a batch reads
+  * `(lastFile, newLastFile]` in name order. The documented contract:
+  * **drops must be append-only with monotonically increasing names**
+  * (`part-00042.warc`, timestamp prefixes — the universal crawl-drop
+  * convention; our own [[WarcSource.writeRecords]] emits exactly
+  * that). A file landing with a name BELOW the committed offset is
+  * ignored, by design — the alternative (a seen-files map, Spark's
+  * FileStreamSource approach) scales the checkpoint with file count;
+  * the monotone-name contract keeps the offset O(1) at any corpus
+  * size, which is the right trade for a 100 TB landing zone. Files
+  * are never deleted by the source (`commit` is a no-op); retention
+  * is the landing zone's own policy. */
+class WarcMicroBatchStream(path: String, maxBytes: Long,
+    required: StructType, confCarrier: SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def listFiles(): Seq[(String, Long)] = {
+    val p = new HPath(path)
+    val fs = p.getFileSystem(confCarrier.value)
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val st = fs.getFileStatus(p)
+      val files =
+        if (st.isFile) Seq(st)
+        else fs.listStatus(p).toSeq.filter(s => s.isFile &&
+          (s.getPath.getName.endsWith(".warc") ||
+            s.getPath.getName.endsWith(".warc.gz")))
+      files.sortBy(_.getPath.getName)
+        .map(s => (s.getPath.toString, math.max(1L, s.getLen)))
+    }
+  }
+  private def nameOf(full: String): String = new HPath(full).getName
+
+  override def initialOffset(): Offset = WarcOffset("")
+  override def latestOffset(): Offset =
+    WarcOffset(listFiles().lastOption.map(f => nameOf(f._1)).getOrElse(""))
+  override def deserializeOffset(json: String): Offset =
+    WarcOffset(""""lastFile":\s*"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(json)
+      .map(m => m.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+      .getOrElse(sys.error(s"warc-records: malformed offset json '$json'")))
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[WarcOffset].lastFile
+    val e = end.asInstanceOf[WarcOffset].lastFile
+    val batchFiles = listFiles().filter { case (f, _) =>
+      val n = nameOf(f); n > s && n <= e }
+    // same greedy size-binning as the batch scan
+    val partitions = scala.collection.mutable.ArrayBuffer.empty[WarcFilesPartition]
+    var current = scala.collection.mutable.ArrayBuffer.empty[String]
+    var bytes = 0L
+    batchFiles.foreach { case (f, sz) =>
+      if (bytes > 0 && bytes + sz > maxBytes) {
+        partitions += WarcFilesPartition(current.toSeq)
+        current = scala.collection.mutable.ArrayBuffer.empty
+        bytes = 0L
+      }
+      current += f
+      bytes += sz
+    }
+    if (current.nonEmpty) partitions += WarcFilesPartition(current.toSeq)
+    partitions.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WarcReaderFactory(required, confCarrier)
+  override def commit(end: Offset): Unit = () // files stay; retention is the landing zone's policy
+  override def stop(): Unit = ()
 }
 
 class WarcReaderFactory(required: StructType, confCarrier: SerializableHadoopConf)
