@@ -7254,6 +7254,78 @@ object Extensions {
     }
   }
 
+  // -------------------------------------------------------------- Q206
+  /** INCREMENTAL VIEW MAINTENANCE OVER THE COMMIT LOG — the pattern a
+    * 100 TB lakehouse runs nightly: a SOURCE table advances v1 → v2
+    * (q106's deterministic churn, committed through
+    * [[graft.sources.VersionedTable]]); a DERIVED table (per-doc
+    * scores: chars + tokenizer count — the expensive pass) is
+    * maintained INCREMENTALLY: [[graft.operators.SnapshotDiff]]
+    * classifies the churn from the two committed versions, ONLY
+    * `added ∪ changed` docs re-tokenize (recompute cost ∝ churn size,
+    * never corpus size), `unchanged` rows carry over from the derived
+    * table's own previous version (a parquet read — no tokenize), and
+    * the merge commits as derived-v2. The oracle recomputes the
+    * derived table FROM SCRATCH on the churned corpus with provenance
+    * derived from the churn rules — the hash match IS the
+    * incremental-equals-full proof, per row, including which rows
+    * were carried vs recomputed. Scale shape: the churn classification
+    * is the q106 (id, md5) outer join; recompute is a narrow tokenize
+    * over the churn subset; the carry is an id equi-join against the
+    * materialized scores. */
+  val q206 = QueryDef("q206_incremental_view",
+    s"""WITH b AS (
+       |  SELECT doc_id, text, ${md5Bucket16Sql("doc_id")} AS bkt FROM documents
+       |), v2 AS (
+       |  SELECT doc_id, CASE WHEN bkt < 9831 THEN text || ' v2' ELSE text END AS text, bkt
+       |  FROM b WHERE bkt >= 3277
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, 'new ' || text, bkt FROM b WHERE bkt >= 62259
+       |)
+       |SELECT doc_id,
+       |       CAST(strlen(text) AS BIGINT) AS n_chars,
+       |       CAST(len(list_filter(list_transform(regexp_split_to_array(lower(text), '\\s+'),
+       |            x -> regexp_replace(x, '[^a-z]', '', 'g')), x -> x <> '')) AS BIGINT) AS n_tok,
+       |       CASE WHEN doc_id >= 1000000 THEN 'recomputed'
+       |            WHEN bkt < 9831 THEN 'recomputed'
+       |            ELSE 'carried' END AS src
+       |FROM v2 ORDER BY doc_id""") { (s, dir) =>
+    val vt = graft.sources.VersionedTable
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val bkt = graft.operators.Splits.hashBucket(col("doc_id"))
+    val newSnap = docs.filter(bkt >= 3277)
+      .select(col("doc_id"),
+        when(bkt < 9831, concat(col("text"), lit(" v2"))).otherwise(col("text")).as("text"))
+      .unionByName(docs.filter(bkt >= 62259)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(lit("new "), col("text")).as("text")))
+    val srcT = java.nio.file.Files.createTempDirectory("q206s").toString + "/src"
+    val drvT = java.nio.file.Files.createTempDirectory("q206d").toString + "/drv"
+    vt.commit(docs, srcT, "doc_id", Seq("text"), expectedVersion = 0L)
+    vt.commit(newSnap, srcT, "doc_id", Seq("text"), expectedVersion = 1L)
+    def scoreOf(df: DataFrame) = df.select(col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      size(TextFunctions.normalizedWords(col("text"))).cast("long").as("n_tok"))
+    // derived v1: the standing materialization (exists already in prod)
+    vt.commit(scoreOf(vt.readAsOf(s, srcT, 1L)), drvT, "doc_id",
+      Seq("n_chars", "n_tok"), expectedVersion = 0L)
+    // the incremental update: classify churn from the two COMMITTED
+    // versions, re-score only added∪changed, carry unchanged from the
+    // derived table's own v1 (no tokenize), publish as derived v2
+    val diff = graft.operators.SnapshotDiff.diff(
+      vt.readAsOf(s, srcT, 1L), vt.readAsOf(s, srcT, 2L), "doc_id", Seq("text"))
+    val recomputed = scoreOf(vt.readAsOf(s, srcT, 2L)
+        .join(diff.filter(col("status").isin("added", "changed")).select("doc_id"),
+          Seq("doc_id")))
+      .withColumn("src", lit("recomputed"))
+    val carried = vt.readAsOf(s, drvT, 1L)
+      .join(diff.filter(col("status") === "unchanged").select("doc_id"), Seq("doc_id"))
+      .withColumn("src", lit("carried"))
+    vt.commit(carried.unionByName(recomputed), drvT, "doc_id",
+      Seq("n_chars", "n_tok", "src"), expectedVersion = 1L)
+    vt.read(s, drvT).orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -7263,5 +7335,5 @@ object Extensions {
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q169b, q170, q171, q172, q173, q174, q175,
-    q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205)
+    q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206)
 }
