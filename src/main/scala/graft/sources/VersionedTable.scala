@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** VERSIONED SNAPSHOT TABLE WITH TIME TRAVEL — the commit-log layer
   * that ties the repo's storage pieces ([[Sinks.writeWithManifest]]'s
@@ -266,6 +267,38 @@ object VersionedTable {
     (d._1 == m.rows && d._2 == m.digest, m.rows, d._1, m.digest, d._2)
   }
 
+  /** COMMIT WITH EXPECTATIONS — the Delta-constraints shape: evaluate a
+    * [[graft.operators.Expectations]] rule set against the WOULD-BE
+    * snapshot (current version's rows under `append`, just `df` under
+    * `overwrite`) BEFORE publishing; any violated rule aborts with the
+    * per-rule violation counts and NO version is committed — the
+    * data-quality gate sits at the publish boundary, where a 100 TB
+    * pipeline wants it (a bad batch never becomes a readable version,
+    * so downstream never needs defensive re-validation). Costs one
+    * aggregate pass over the checked rows — the same order as the
+    * digest pass the publish already pays. */
+  def commitChecked(df: DataFrame, tableDir: String, idCol: String,
+      contentCols: Seq[String], expectedVersion: Long,
+      rules: Seq[graft.operators.Expectations.Rule],
+      unique: Seq[String] = Nil,
+      mode: String = "overwrite"): Long = {
+    val spark = df.sparkSession
+    val toCheck =
+      if (mode == "append" && currentVersion(spark, tableDir) > 0L)
+        read(spark, tableDir).unionByName(df)
+      else df
+    val report = graft.operators.Expectations.check(toCheck, rules, unique)
+      .collect()
+    val failed = report.filterNot(_.getAs[Boolean]("pass"))
+    if (failed.nonEmpty)
+      sys.error(s"commitChecked: ${failed.length} expectation(s) violated on " +
+        s"$tableDir — NO version committed: " +
+        failed.map(r => s"${r.getAs[String]("rule")} " +
+          s"(${r.getAs[Long]("n_violations")}/${r.getAs[Long]("n_rows")} rows)")
+          .mkString("; "))
+    commit(df, tableDir, idCol, contentCols, expectedVersion, mode)
+  }
+
   /** COMPACTION (Delta's OPTIMIZE shape): rewrite the CURRENT version —
     * after N streaming appends it spans N small dirs, and every read
     * pays N× the file-listing/open overhead (the read amplification
@@ -277,15 +310,24 @@ object VersionedTable {
     * and the small dirs are reclaimed by [[vacuum]] once they age out
     * of the retention window. `targetPartitions` controls the output
     * file count (a real deployment sizes this to ~1 GiB files).
-    * Returns the new version. */
+    * `sortCols` additionally RE-CLUSTERS during the rewrite (the
+    * OPTIMIZE ZORDER shape, linearized): range-partition + sort by the
+    * given columns so parquet row-group min/max stats turn point/range
+    * reads on those columns into row-group skips — the digest is
+    * order-insensitive, so re-clustering provably cannot change
+    * content. Returns the new version. */
   def compact(spark: SparkSession, tableDir: String,
-      targetPartitions: Int = 1): Long = {
+      targetPartitions: Int = 1, sortCols: Seq[String] = Nil): Long = {
     require(targetPartitions >= 1,
       s"compact: targetPartitions must be >= 1, got $targetPartitions")
     val cur = currentVersion(spark, tableDir)
     require(cur >= 1, s"compact: no committed version under $tableDir")
     val m = readManifest(spark, tableDir, cur)
-    val snap = readAsOf(spark, tableDir, cur).coalesce(targetPartitions)
+    val base = readAsOf(spark, tableDir, cur)
+    val snap =
+      if (sortCols.isEmpty) base.coalesce(targetPartitions)
+      else base.repartitionByRange(targetPartitions, sortCols.map(col): _*)
+        .sortWithinPartitions(sortCols.map(col): _*)
     val v = commit(snap, tableDir, m.idCol, m.contentCols,
       expectedVersion = cur, mode = "overwrite")
     // content identity gate: the rewrite must carry the EXACT bytes —

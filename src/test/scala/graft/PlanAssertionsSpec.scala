@@ -135,6 +135,26 @@ class PlanAssertionsSpec extends SparkSuite {
       s"only the declared ORDER BY exchange allowed\n$p")
   }
 
+  test("q205: WARC ingest reads through the connector and stays narrow — " +
+      "no join, no aggregation, the declared ORDER BY is the only exchange") {
+    val p = plan("q205_warc_ingest")
+    assert(p.contains("warc-records") || p.contains("BatchScan"),
+      s"expected the DSv2 WARC scan in the plan\n$p")
+    assert(!p.contains("Join"), s"container ingest must not join\n$p")
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"),
+      s"container ingest must not aggregate\n$p")
+    assert(p.sliding("Exchange (".length).count(_ == "Exchange (") <= 1,
+      s"only the declared ORDER BY exchange allowed\n$p")
+  }
+
+  test("q206: the declared incremental-view plan reads the committed derived " +
+      "table back — churn work happened at commit time, not in this plan") {
+    val p = plan("q206_incremental_view")
+    assert(!p.contains("Join"), s"the read-back must not re-join\n$p")
+    assert(p.sliding("Exchange (".length).count(_ == "Exchange (") <= 1,
+      s"only the declared ORDER BY exchange allowed\n$p")
+  }
+
   test("q169: the bucket packing runs on the group-keyed prefix sum's range " +
       "exchange — no single-partition window") {
     val p = plan("q169_length_batching")

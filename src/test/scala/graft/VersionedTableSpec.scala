@@ -171,6 +171,62 @@ class VersionedTableSpec extends SparkSuite {
     assert(VersionedTable.read(spark, dir).count() == 5L)
   }
 
+  test("commitChecked gates the publish: violations abort with counts, no version lands") {
+    import graft.operators.Expectations.Rule
+    val dir = freshDir()
+    val rules = Seq(
+      Rule("id_positive", col("id") > 0L),
+      Rule("text_nonempty", length(col("text")) > 0))
+    // clean batch publishes
+    assert(VersionedTable.commitChecked(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "text"), dir, "id", Seq("text"),
+      expectedVersion = 0L, rules = rules, unique = Seq("id")) == 1L)
+    // a bad APPEND batch (violates id_positive AND duplicates an id
+    // against the STANDING rows — the append check sees the union)
+    val bad = Seq((-5L, "x"), (2L, "dup")).toDF("id", "text")
+    val e = intercept[RuntimeException] {
+      VersionedTable.commitChecked(bad, dir, "id", Seq("text"),
+        expectedVersion = 1L, rules = rules, unique = Seq("id"), mode = "append")
+    }
+    assert(e.getMessage.contains("id_positive") && e.getMessage.contains("unique(id)"))
+    // nothing landed: still v1, still 2 rows, digest still valid
+    assert(VersionedTable.currentVersion(spark, dir) == 1L)
+    assert(VersionedTable.read(spark, dir).count() == 2L)
+    assert(VersionedTable.validateAsOf(spark, dir, 1L)._1)
+    // the fixed batch goes through
+    assert(VersionedTable.commitChecked(
+      Seq((5L, "x")).toDF("id", "text"), dir, "id", Seq("text"),
+      expectedVersion = 1L, rules = rules, unique = Seq("id"), mode = "append") == 2L)
+    assert(VersionedTable.read(spark, dir).count() == 3L)
+  }
+
+  test("sorted compaction re-clusters without changing content") {
+    val dir = freshDir()
+    // three appends with interleaved keys — the standing version's row
+    // order is append order, useless for range pruning
+    VersionedTable.commitStreamBatch(Seq((5L, "e"), (1L, "a")).toDF("id", "text"),
+      dir, "id", Seq("text"), 0L)
+    VersionedTable.commitStreamBatch(Seq((4L, "d"), (2L, "b")).toDF("id", "text"),
+      dir, "id", Seq("text"), 1L)
+    VersionedTable.commitStreamBatch(Seq((3L, "c"), (6L, "f")).toDF("id", "text"),
+      dir, "id", Seq("text"), 2L)
+    val v = VersionedTable.compact(spark, dir, targetPartitions = 2, sortCols = Seq("id"))
+    assert(v == 4L)
+    // content identity held (compact()'s own digest gate passed), and the
+    // rewrite is clustered: each output file's ids are contiguous ranges
+    assert(VersionedTable.validateAsOf(spark, dir, 4L)._1)
+    val byFile = VersionedTable.read(spark, dir)
+      .select(col("id"), org.apache.spark.sql.functions
+        .input_file_name().as("f"))
+      .collect().groupBy(_.getString(1)).values.map(_.map(_.getLong(0)).sorted.toSeq)
+    assert(byFile.size == 2)
+    val ranges = byFile.map(ids => (ids.min, ids.max)).toSeq.sortBy(_._1)
+    assert(ranges.sliding(2).forall {
+      case Seq((_, hi), (lo2, _)) => hi < lo2
+      case _ => true
+    }, s"files must hold disjoint id ranges, got $ranges")
+  }
+
   test("vacuum keeps retained versions readable, reclaims orphans, fails loudly past horizon") {
     val dir = freshDir()
     VersionedTable.commit(Seq((1L, "a")).toDF("id", "text"), dir, "id", Seq("text"), 0L)
