@@ -167,6 +167,25 @@ object VersionedTable {
     // two racing writers for vNext stage disjoint dirs, and the loser's
     // orphan dir is invisible (no manifest references it) until vacuum
     // sweeps it
+    // APPEND SCHEMA GATE: the appended dirs are read as ONE parquet
+    // relation, and Spark resolves a multi-dir read against a single
+    // file's footer unless mergeSchema is on — an append with a
+    // different schema would not fail, it would SILENTLY drop or
+    // null-fill columns depending on which file won. Names AND types
+    // must match the standing version exactly (order-insensitive);
+    // schema evolution is an explicit `overwrite` rewrite, not an
+    // accident of append.
+    if (mode == "append" && cur > 0L) {
+      val standing = readAsOf(spark, tableDir, cur).schema
+      def sig(s: org.apache.spark.sql.types.StructType) =
+        s.fields.map(f => (f.name, f.dataType.sql)).sortBy(_._1).toSeq
+      if (sig(df.schema) != sig(standing))
+        sys.error(s"versioned table $tableDir: append schema " +
+          s"${df.schema.simpleString} does not match version v$cur's " +
+          s"${standing.simpleString} — a mixed-schema append would read " +
+          "silently wrong (parquet resolves multi-dir scans from one " +
+          "footer); evolve the schema with an explicit overwrite commit")
+    }
     val uid = java.util.UUID.randomUUID.toString.take(8)
     val dataRel = f"$DataDir/v$next%08d-$uid"
     val dataPath = new Path(root, dataRel)

@@ -171,6 +171,30 @@ class VersionedTableSpec extends SparkSuite {
     assert(VersionedTable.read(spark, dir).count() == 5L)
   }
 
+  test("append schema gate: a mismatched-schema append fails loudly, never lands") {
+    val dir = freshDir()
+    VersionedTable.commit(Seq((1L, "a")).toDF("id", "text"), dir, "id", Seq("text"), 0L)
+    // extra column, missing column, and type change all refuse
+    val e1 = intercept[RuntimeException] {
+      VersionedTable.commit(Seq((2L, "b", 9L)).toDF("id", "text", "extra"),
+        dir, "id", Seq("text"), 1L, mode = "append")
+    }
+    assert(e1.getMessage.contains("append schema"))
+    intercept[RuntimeException] {
+      VersionedTable.commit(Seq((2L, 7)).toDF("id", "text"), // text INT, not STRING
+        dir, "id", Seq("text"), 1L, mode = "append")
+    }
+    assert(VersionedTable.currentVersion(spark, dir) == 1L)
+    // column ORDER is not schema: a reordered append is fine
+    assert(VersionedTable.commit(Seq(("b", 2L)).toDF("text", "id"),
+      dir, "id", Seq("text"), 1L, mode = "append") == 2L)
+    assert(VersionedTable.read(spark, dir).count() == 2L)
+    // schema evolution goes through an explicit overwrite
+    assert(VersionedTable.commit(
+      Seq((1L, "a", 0L)).toDF("id", "text", "extra"),
+      dir, "id", Seq("text", "extra"), 2L) == 3L)
+  }
+
   test("commitChecked gates the publish: violations abort with counts, no version lands") {
     import graft.operators.Expectations.Rule
     val dir = freshDir()
