@@ -252,9 +252,19 @@ object VersionedTable {
       mode: String = "append"): Option[Long] = {
     val spark = batch.sparkSession
     val cur = currentVersion(spark, tableDir)
-    val lastBatch =
-      if (cur == 0L) -1L
-      else readManifest(spark, tableDir, cur).batchId.getOrElse(-1L)
+    // the replay watermark is the most RECENT manifest carrying a batch
+    // id — not just the head manifest: a compact()/maintenance commit
+    // interleaved between micro-batches has no batch id, and reading
+    // only the head would reset the watermark to -1 and let a replayed
+    // batch double-commit. O(versions) tiny driver-side reads, and the
+    // scan stops at the first stamped manifest. Caveat (documented):
+    // vacuum must retain enough versions to cover the longest possible
+    // stream downtime, or a replay older than the horizon loses its
+    // watermark — retention policy is part of the exactly-once contract.
+    val lastBatch = versions(spark, tableDir).reverseIterator
+      .map(v => readManifest(spark, tableDir, v).batchId)
+      .collectFirst { case Some(b) => b }
+      .getOrElse(-1L)
     if (batchId <= lastBatch) None // replayed batch — already committed
     else Some(commit(batch, tableDir, idCol, contentCols,
       expectedVersion = cur, mode = mode, batchId = Some(batchId)))

@@ -143,6 +143,26 @@ class VersionedTableSpec extends SparkSuite {
     assert(VersionedTable.readAsOf(spark, tdir, 1L).count() == 2L)
   }
 
+  test("a compact between micro-batches does not reset the replay watermark") {
+    val dir = freshDir()
+    VersionedTable.commitStreamBatch(Seq((1L, "a")).toDF("id", "text"),
+      dir, "id", Seq("text"), 0L)
+    VersionedTable.commitStreamBatch(Seq((2L, "b")).toDF("id", "text"),
+      dir, "id", Seq("text"), 1L)
+    // maintenance commit with NO batch id lands on top
+    VersionedTable.compact(spark, dir)
+    assert(VersionedTable.currentVersion(spark, dir) == 3L)
+    // a replay of batch 1 after the compact must STILL be recognized —
+    // the watermark scans back past unstamped manifests
+    assert(VersionedTable.commitStreamBatch(Seq((2L, "b")).toDF("id", "text"),
+      dir, "id", Seq("text"), 1L).isEmpty)
+    assert(VersionedTable.currentVersion(spark, dir) == 3L)
+    assert(VersionedTable.read(spark, dir).count() == 2L)
+    // and the next REAL batch advances normally
+    assert(VersionedTable.commitStreamBatch(Seq((3L, "c")).toDF("id", "text"),
+      dir, "id", Seq("text"), 2L).contains(4L))
+  }
+
   test("compact folds streaming appends into one dir; history intact until vacuumed") {
     val dir = freshDir()
     // five micro-batch appends → the current version spans five dirs
