@@ -143,6 +143,28 @@ class VersionedTableSpec extends SparkSuite {
     assert(VersionedTable.readAsOf(spark, tdir, 1L).count() == 2L)
   }
 
+  test("crash atomicity: dying between data write and publish leaves no version") {
+    val dir = freshDir()
+    VersionedTable.commit(Seq((1L, "a")).toDF("id", "text"), dir, "id", Seq("text"), 0L)
+    // simulate the process dying INSIDE the commit window (data written,
+    // digest computed, manifest never published) via the publish seam
+    intercept[RuntimeException] {
+      VersionedTable.commit(Seq((2L, "b")).toDF("id", "text"), dir, "id", Seq("text"), 1L,
+        onBeforePublish = () => sys.error("simulated crash before publish"))
+    }
+    // readers never saw a half-commit: still v1, digest valid
+    assert(VersionedTable.currentVersion(spark, dir) == 1L)
+    assert(VersionedTable.read(spark, dir).count() == 1L)
+    assert(VersionedTable.validateAsOf(spark, dir, 1L)._1)
+    // the crash's staged dir is an unreferenced orphan; vacuum reclaims it
+    // and a retry of the same commit then succeeds as v2
+    val (reclaimed, _) = VersionedTable.vacuum(spark, dir, retain = 1)
+    assert(reclaimed == 1)
+    assert(VersionedTable.commit(Seq((2L, "b")).toDF("id", "text"),
+      dir, "id", Seq("text"), 1L) == 2L)
+    assert(VersionedTable.read(spark, dir).count() == 1L) // overwrite semantics
+  }
+
   test("a compact between micro-batches does not reset the replay watermark") {
     val dir = freshDir()
     VersionedTable.commitStreamBatch(Seq((1L, "a")).toDF("id", "text"),
