@@ -7326,6 +7326,58 @@ object Extensions {
     vt.read(s, drvT).orderBy("doc_id")
   }
 
+  // -------------------------------------------------------------- Q207
+  /** ROW-LEVEL DML ON THE VERSIONED TABLE, oracle-proven — the Delta
+    * daily driver pair on top of the q204 commit log: v1 = the corpus
+    * committed; v2 = `deleteWhere` (the GDPR copy-on-write path — the
+    * 5% md5-bucket band q106 uses for "removed"); v3 = `upsert`
+    * (MERGE: the 10% "changed" band updates in place, ~5% inserts
+    * under shifted ids). The output is the v1→v3 CHANGE FEED
+    * ([[graft.sources.VersionedTable.changes]]) joined with the final
+    * table's byte lengths — removed ids carry NULL. The oracle
+    * replays the whole DML story from the churn rules: the hash match
+    * proves delete/merge/change-feed semantics AND that three
+    * copy-on-write rewrites kept every surviving byte intact. Scale
+    * shape: each DML op is one anti-join/filter + publish; the feed is
+    * the (id, md5) outer join; the final join is id-keyed. */
+  val q207 = QueryDef("q207_versioned_dml",
+    s"""WITH b AS (
+       |  SELECT doc_id, text, ${md5Bucket16Sql("doc_id")} AS bkt FROM documents
+       |), allrows AS (
+       |  SELECT doc_id,
+       |         CASE WHEN bkt < 3277 THEN 'removed'
+       |              WHEN bkt < 9831 THEN 'changed'
+       |              ELSE 'unchanged' END AS status,
+       |         CASE WHEN bkt < 3277 THEN NULL
+       |              WHEN bkt < 9831 THEN strlen(text) + 4
+       |              ELSE strlen(text) END AS n_chars
+       |  FROM b
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, 'added', strlen(text) + 4 FROM b WHERE bkt >= 62259
+       |)
+       |SELECT doc_id, status, CAST(n_chars AS BIGINT) AS n_chars
+       |FROM allrows ORDER BY doc_id""") { (s, dir) =>
+    val vt = graft.sources.VersionedTable
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val bkt = graft.operators.Splits.hashBucket(col("doc_id"))
+    val tdir = java.nio.file.Files.createTempDirectory("q207").toString + "/t"
+    vt.commit(docs, tdir, "doc_id", Seq("text"), expectedVersion = 0L)
+    vt.deleteWhere(s, tdir,
+      graft.operators.Splits.hashBucket(col("doc_id")) < 3277)
+    val updates = docs.filter(bkt >= 3277 && bkt < 9831)
+      .select(col("doc_id"), concat(col("text"), lit(" upd")).as("text"))
+      .unionByName(docs.filter(bkt >= 62259)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(lit("ins "), col("text")).as("text")))
+    vt.upsert(updates, tdir)
+    vt.changes(s, tdir, 1L, 3L)
+      .join(vt.read(s, tdir)
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars")),
+        Seq("doc_id"), "left")
+      .select("doc_id", "status", "n_chars")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -7335,5 +7387,5 @@ object Extensions {
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q169b, q170, q171, q172, q173, q174, q175,
-    q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206)
+    q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207)
 }

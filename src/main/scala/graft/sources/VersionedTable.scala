@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{coalesce, col, lit}
 
 /** VERSIONED SNAPSHOT TABLE WITH TIME TRAVEL — the commit-log layer
   * that ties the repo's storage pieces ([[Sinks.writeWithManifest]]'s
@@ -326,6 +326,63 @@ object VersionedTable {
           s"(${r.getAs[Long]("n_violations")}/${r.getAs[Long]("n_rows")} rows)")
           .mkString("; "))
     commit(df, tableDir, idCol, contentCols, expectedVersion, mode)
+  }
+
+  /** ROW-LEVEL DELETE, copy-on-write (the GDPR/right-to-be-forgotten
+    * path, Delta's `DELETE WHERE`): rewrite the current version minus
+    * the matching rows as a NEW version through the same optimistic
+    * publish. History note, stated not hidden: prior versions still
+    * contain the deleted rows until [[vacuum]] ages them out — a
+    * compliance delete is `deleteWhere` + `vacuum(retain = 1)`, which
+    * together physically remove the bytes. Returns (newVersion,
+    * rowsDeleted). At 100 TB a production engine rewrites only the
+    * FILES containing matches (file-level skipping via min/max stats);
+    * dir granularity here keeps the commit-log semantics identical. */
+  def deleteWhere(spark: SparkSession, tableDir: String,
+      predicate: org.apache.spark.sql.Column): (Long, Long) = {
+    val cur = currentVersion(spark, tableDir)
+    require(cur >= 1, s"deleteWhere: no committed version under $tableDir")
+    val m = readManifest(spark, tableDir, cur)
+    val snap = readAsOf(spark, tableDir, cur)
+    val kept = snap.filter(!coalesce(predicate, lit(false)))
+    val v = commit(kept, tableDir, m.idCol, m.contentCols,
+      expectedVersion = cur, mode = "overwrite")
+    val deleted = m.rows - readManifest(spark, tableDir, v).rows
+    (v, deleted)
+  }
+
+  /** KEYED UPSERT, copy-on-write (Delta's `MERGE INTO` core: matched →
+    * update, unmatched → insert): the current version's rows are
+    * replaced by `updates` where the manifest's id column matches, and
+    * the non-matching updates append. One full-outer-free plan — an
+    * anti-join keeps the untouched rows, a union adds every update row
+    * — committed as a new version. `updates` must carry the table's
+    * exact schema (the append gate's rules apply to the merged
+    * result). Returns the new version. */
+  def upsert(updates: DataFrame, tableDir: String): Long = {
+    val spark = updates.sparkSession
+    val cur = currentVersion(spark, tableDir)
+    require(cur >= 1, s"upsert: no committed version under $tableDir")
+    val m = readManifest(spark, tableDir, cur)
+    val snap = readAsOf(spark, tableDir, cur)
+    val merged = snap.join(updates.select(col(m.idCol)), Seq(m.idCol), "left_anti")
+      .unionByName(updates)
+    commit(merged, tableDir, m.idCol, m.contentCols,
+      expectedVersion = cur, mode = "overwrite")
+  }
+
+  /** CHANGE FEED between two committed versions: every id classified
+    * added/removed/changed/unchanged by
+    * [[graft.operators.SnapshotDiff]] over the manifest's OWN id and
+    * content columns — `readAsOf(a) diff readAsOf(b)` as a one-call
+    * API (the CDC read a downstream incremental consumer starts
+    * from; q206 is the worked pattern). */
+  def changes(spark: SparkSession, tableDir: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    val m = readManifest(spark, tableDir, toVersion)
+    graft.operators.SnapshotDiff.diff(
+      readAsOf(spark, tableDir, fromVersion),
+      readAsOf(spark, tableDir, toVersion), m.idCol, m.contentCols)
   }
 
   /** COMPACTION (Delta's OPTIMIZE shape): rewrite the CURRENT version —

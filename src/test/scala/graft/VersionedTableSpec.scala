@@ -143,6 +143,41 @@ class VersionedTableSpec extends SparkSuite {
     assert(VersionedTable.readAsOf(spark, tdir, 1L).count() == 2L)
   }
 
+  test("row-level DML: deleteWhere, upsert, change feed — history intact, bytes gone after vacuum") {
+    val dir = freshDir()
+    VersionedTable.commit(
+      Seq((1L, "keep"), (2L, "purge-me"), (3L, "update-me"), (4L, "keep2"))
+        .toDF("id", "text"), dir, "id", Seq("text"), 0L)
+    // DELETE WHERE (the GDPR path)
+    val (v2, nDel) = VersionedTable.deleteWhere(spark, dir, col("text") === "purge-me")
+    assert(v2 == 2L && nDel == 1L)
+    assert(VersionedTable.read(spark, dir).count() == 3L)
+    // history still holds the row until vacuumed — stated semantics
+    assert(VersionedTable.readAsOf(spark, dir, 1L).count() == 4L)
+    // MERGE: matched id 3 updates, unmatched id 5 inserts
+    val v3 = VersionedTable.upsert(
+      Seq((3L, "updated"), (5L, "inserted")).toDF("id", "text"), dir)
+    assert(v3 == 3L)
+    val now = VersionedTable.read(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(now == Map(1L -> "keep", 3L -> "updated", 4L -> "keep2", 5L -> "inserted"))
+    assert(VersionedTable.validateAsOf(spark, dir, 3L)._1)
+    // CHANGE FEED v1 -> v3 classifies the whole story in one call
+    val feed = VersionedTable.changes(spark, dir, 1L, 3L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(feed == Map(1L -> "unchanged", 2L -> "removed", 3L -> "changed",
+      4L -> "unchanged", 5L -> "added"))
+    // compliance completion: vacuum to the current version physically
+    // removes the purged row's bytes
+    VersionedTable.vacuum(spark, dir, retain = 1)
+    val e = intercept[RuntimeException] { VersionedTable.readAsOf(spark, dir, 1L) }
+    assert(e.getMessage.contains("vacuumed"))
+    val left = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(new org.apache.hadoop.fs.Path(dir, "data")).length
+    assert(left == 1, "only the current version's dir survives")
+  }
+
   test("crash atomicity: dying between data write and publish leaves no version") {
     val dir = freshDir()
     VersionedTable.commit(Seq((1L, "a")).toDF("id", "text"), dir, "id", Seq("text"), 0L)
