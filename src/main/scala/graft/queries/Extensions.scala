@@ -5287,6 +5287,47 @@ object Extensions {
     * spelling that inlines the tokenizer replay. */
   val q169b: QueryDef = q169.copy(name = "q169b_length_batching")
 
+  /** The SECOND branch of the q169 bisect, pre-armed in the same round:
+    * identical Spark plan, but the oracle's SQL BYTES differ — the
+    * tokenizer replay is inlined into the `d` CTE instead of routing
+    * through the shared `docw` spelling, and the n_tok computation is
+    * re-spelled equivalently (no coalesce wrapper; the corpus has no
+    * null texts, and len(w) >= 1 filters identically). Decision table
+    * over the r11 driver ledger: q169 red + q169b green ⇒ stale
+    * per-name driver state (q169c's verdict is then corroboration);
+    * all three red ⇒ the mismatch tracks the SEMANTICS not the name or
+    * the spelling, and the next probe is driver-environment (DuckDB
+    * version / hash function); q169 red + q169b red + q169c green ⇒
+    * the `docw` spelling bytes themselves trip something driver-side. */
+  val q169c: QueryDef = QueryDef("q169c_length_batching",
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         CAST(len(list_filter(list_transform(
+      |           regexp_split_to_array(lower(text), '\s+'),
+      |           x -> regexp_replace(x, '[^a-z]', '', 'g')),
+      |           x -> x <> '')) AS BIGINT) AS n_tok
+      |  FROM documents
+      |  WHERE len(list_filter(list_transform(
+      |          regexp_split_to_array(lower(text), '\s+'),
+      |          x -> regexp_replace(x, '[^a-z]', '', 'g')),
+      |          x -> x <> '')) >= 1
+      |), b AS (
+      |  SELECT doc_id, n_tok, n_tok // 64 AS bucket,
+      |         sum(n_tok) OVER (PARTITION BY n_tok // 64
+      |           ORDER BY n_tok, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM d
+      |), g AS (
+      |  SELECT bucket, (cum - n_tok) // 4096 AS batch_idx, n_tok FROM b
+      |)
+      |SELECT bucket, batch_idx, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+      |       max(n_tok) AS max_tok,
+      |       CAST(max(n_tok) * count(*) - sum(n_tok) AS BIGINT) AS padded_tok,
+      |       CAST(((max(n_tok) * count(*) - sum(n_tok)) * 20000 + max(n_tok) * count(*))
+      |         // (2 * max(n_tok) * count(*)) AS BIGINT) AS waste_4dp
+      |FROM g GROUP BY bucket, batch_idx
+      |ORDER BY bucket, batch_idx""") { q169.fn }
+
   // -------------------------------------------------------------- Q170
   /** U-SHAPED MULTI-TOUCH ATTRIBUTION (position-based 40/20/40 — the
     * credit model between last-touch (q73) and linear: first and last
@@ -7386,6 +7427,6 @@ object Extensions {
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
-    q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q169b, q170, q171, q172, q173, q174, q175,
+    q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q169b, q169c, q170, q171, q172, q173, q174, q175,
     q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207)
 }
