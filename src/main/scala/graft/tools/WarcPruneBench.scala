@@ -77,24 +77,28 @@ object WarcPruneBench {
     require(nMeta == nRecords && nFull == nRecords && nGz == nRecords,
       s"row counts diverge: $nMeta/$nFull/$nGz vs $nRecords")
 
-    // FAT leg: ~2 MiB payloads (media-asset shape) — above the reader's
+    // FAT leg: ~4 MiB payloads (media-asset shape) — above the reader's
     // seek threshold, the pruned scan seeks past each payload instead of
     // copying it; this is where column pruning pays even on a warm local
     // page cache (one lseek replaces 2 MiB of memcpy per record)
-    val nFat = 2000
+    val nFat = 1000
     val fatPayload = encode(repeat(
-      md5(col("id").cast("string")), 65536), "UTF-8") // 32 B hex * 64 Ki = 2 MiB
-    val fatRecords = spark.range(0, nFat).select(
+      md5(col("id").cast("string")), 131072), "UTF-8") // 32 B hex * 128 Ki = 4 MiB
+    // 8 generation partitions, NO repartition: 32 concurrent tasks each
+    // materializing multi-MiB rows through an exchange OOM'd the default
+    // heap; writing straight from 8 range splits streams row-at-a-time
+    val fatRecords = spark.range(0, nFat, 1, 8).select(
         concat(lit("urn:graft:fat:"), col("id").cast("string")).as("record_id"),
         lit("resource").as("warc_type"),
         concat(lit("https://x.com/fat/"), col("id").cast("string")).as("target_uri"),
         lit("application/octet-stream").as("content_type"),
         fatPayload.as("payload"))
-      .repartition(16)
     val fatDir = java.nio.file.Files.createTempDirectory("wpb").toString + "/fat"
     graft.sources.WarcSource.writeRecords(fatRecords, fatDir)
-    val (tFatMeta, nFm) = time(metaAgg(fatDir))
+    // full leg FIRST: it warms the page cache, biasing AGAINST the
+    // pruning claim — the metadata leg wins on seeks, not cold cache
     val (tFatFull, nFf) = time(fullAgg(fatDir))
+    val (tFatMeta, nFm) = time(metaAgg(fatDir))
     require(nFm == nFat && nFf == nFat, s"fat counts diverge: $nFm/$nFf vs $nFat")
 
     println(
@@ -103,7 +107,7 @@ object WarcPruneBench {
          |"metadata_only_sec":$tMeta,"full_payload_sec":$tFull,
          |"gzip_metadata_sec":$tGzMeta,
          |"prune_speedup":${(tFull / tMeta * 100).round / 100.0}},
-         |"fat":{"n_records":$nFat,"payload_b":2097152,
+         |"fat":{"n_records":$nFat,"payload_b":4194304,
          |"metadata_only_sec":$tFatMeta,"full_payload_sec":$tFatFull,
          |"prune_speedup":${(tFatFull / tFatMeta * 100).round / 100.0}},
          |"equal_counts":true}""".stripMargin.replace("\n", ""))
