@@ -74,7 +74,17 @@ object Layout {
     * writers use rank (quantile) scaling for skewed domains; min/max
     * is the right trade here and keeps the write single-shuffle. */
   def writeZOrdered(df: DataFrame, colA: String, colB: String,
-      numFiles: Int, path: String, bits: Int = 21): Unit = {
+      numFiles: Int, path: String, bits: Int = 21): Unit =
+    zOrdered(df, colA, colB, numFiles, bits)
+      .write.mode("overwrite").parquet(path)
+
+  /** The clustering TRANSFORM behind [[writeZOrdered]], factored so
+    * other writers (e.g. the versioned table's z-ordered compaction)
+    * can route the clustered rows through their own publish path:
+    * min/max-scaled Morton interleave → `numFiles` contiguous
+    * z-ranges → in-range sort → helper column dropped. */
+  def zOrdered(df: DataFrame, colA: String, colB: String,
+      numFiles: Int, bits: Int = 21): DataFrame = {
     val mm = df.agg(
       min(col(colA).cast("long")), max(col(colA).cast("long")),
       min(col(colB).cast("long")), max(col(colB).cast("long"))).head()
@@ -94,7 +104,6 @@ object Layout {
       .repartitionByRange(numFiles, col(zc))
       .sortWithinPartitions(zc)
       .drop(zc)
-      .write.mode("overwrite").parquet(path)
   }
 
   /** [[writeZOrdered]] for SKEWED domains: each dimension is bucketed

@@ -428,6 +428,35 @@ object VersionedTable {
     v
   }
 
+  /** Z-ORDERED COMPACTION (the two-dimensional OPTIMIZE ZORDER —
+    * [[compact]]'s `sortCols` linearizes one dimension; this one
+    * routes the rewrite through [[graft.operators.Layout.zOrdered]]:
+    * min/max-scaled Morton interleave of two columns, contiguous
+    * z-ranges per output file, so parquet min/max footers bound BOTH
+    * columns tightly and point/range reads on EITHER column skip
+    * row groups — q85/LayoutSpec measure the skipping). Same content-
+    * identity digest gate as compact: re-clustering provably cannot
+    * change the data. Returns the new version. */
+  def compactZOrdered(spark: SparkSession, tableDir: String,
+      colA: String, colB: String, targetPartitions: Int = 1,
+      bits: Int = 21): Long = {
+    require(targetPartitions >= 1,
+      s"compactZOrdered: targetPartitions must be >= 1, got $targetPartitions")
+    val cur = currentVersion(spark, tableDir)
+    require(cur >= 1, s"compactZOrdered: no committed version under $tableDir")
+    val m = readManifest(spark, tableDir, cur)
+    val snap = graft.operators.Layout.zOrdered(
+      readAsOf(spark, tableDir, cur), colA, colB, targetPartitions, bits)
+    val v = commit(snap, tableDir, m.idCol, m.contentCols,
+      expectedVersion = cur, mode = "overwrite")
+    val nm = readManifest(spark, tableDir, v)
+    if (nm.rows != m.rows || nm.digest != m.digest)
+      sys.error(s"compactZOrdered: rewrite of $tableDir v$cur -> v$v changed " +
+        s"content (rows ${m.rows} -> ${nm.rows}, digest ${m.digest} -> " +
+        s"${nm.digest}) — treat as corruption and time travel to v$cur")
+    v
+  }
+
   /** Retain the newest `retain` versions; delete (checked) every data
     * dir referenced by NO retained manifest — including orphan dirs
     * staged by concurrency losers — then drop the expired manifests

@@ -8,8 +8,8 @@ import org.apache.spark.sql.functions._
   * [[graft.sources.WarcSource]]: a metadata-only query `skip()`s
   * `Content-Length` bytes instead of buffering them, so header scans
   * cost a fraction of full reads. Three legs over the same generated
-  * archive (fat ~8 KiB payloads so the header:payload ratio resembles
-  * a real crawl):
+  * archive (small ~8 KiB payloads — the web-page shape — plus a fat
+  * ~4 MiB media-asset leg):
   *
   *  - `metadata_only`: group/count record types + sum lengths — the
   *    payload column never reaches the scan (plan-asserted in
@@ -80,7 +80,7 @@ object WarcPruneBench {
     // FAT leg: ~4 MiB payloads (media-asset shape) — above the reader's
     // seek threshold, the pruned scan seeks past each payload instead of
     // copying it; this is where column pruning pays even on a warm local
-    // page cache (one lseek replaces 2 MiB of memcpy per record)
+    // page cache (one lseek replaces 4 MiB of memcpy per record)
     val nFat = 1000
     val fatPayload = encode(repeat(
       md5(col("id").cast("string")), 131072), "UTF-8") // 32 B hex * 128 Ki = 4 MiB

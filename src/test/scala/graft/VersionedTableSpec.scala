@@ -178,6 +178,32 @@ class VersionedTableSpec extends SparkSuite {
     assert(left == 1, "only the current version's dir survives")
   }
 
+  test("z-ordered compaction: per-file bounding boxes tighten on BOTH columns, content identical") {
+    val dir = freshDir()
+    // 16x16 grid in row-major append order: a linear sort on x leaves y's
+    // per-file spread at full range; the z-curve localizes both
+    val grid = (0 until 256).map(i => (i.toLong, (i % 16).toLong, (i / 16).toLong))
+      .toDF("id", "x", "y")
+    VersionedTable.commit(grid, dir, "id", Seq("x", "y"), 0L)
+    val v = VersionedTable.compactZOrdered(spark, dir, "x", "y",
+      targetPartitions = 4, bits = 4)
+    assert(v == 2L)
+    assert(VersionedTable.validateAsOf(spark, dir, 2L)._1) // digest gate held
+    val byFile = VersionedTable.read(spark, dir)
+      .select(col("x"), col("y"),
+        org.apache.spark.sql.functions.input_file_name().as("f"))
+      .collect().groupBy(_.getString(2)).values.toSeq
+    assert(byFile.size == 4)
+    // each file's (x, y) bounding box covers at most half of each
+    // dimension's range — a row-major or single-column sort would leave
+    // one dimension's spread at the full 0..15
+    byFile.foreach { rows =>
+      val xs = rows.map(_.getLong(0)); val ys = rows.map(_.getLong(1))
+      assert(xs.max - xs.min <= 8, s"x spread ${xs.min}..${xs.max}")
+      assert(ys.max - ys.min <= 8, s"y spread ${ys.min}..${ys.max}")
+    }
+  }
+
   test("crash atomicity: dying between data write and publish leaves no version") {
     val dir = freshDir()
     VersionedTable.commit(Seq((1L, "a")).toDF("id", "text"), dir, "id", Seq("text"), 0L)
