@@ -97,7 +97,8 @@ object VersionedTable {
 
   private case class Manifest(version: Long, mode: String, dirs: Seq[String],
       rows: Long, digest: Long, idCol: String, contentCols: Seq[String],
-      batchId: Option[Long])
+      batchId: Option[Long],
+      dirStats: Map[String, (Long, Long)])
 
   private def readManifest(spark: SparkSession, tableDir: String, v: Long): Manifest = {
     val p = commitPath(new Path(tableDir), v)
@@ -123,11 +124,20 @@ object VersionedTable {
     if (gotV != Sinks.DigestVersion)
       sys.error(s"commit $p uses digest_v=$gotV, validator computes " +
         s"digest_v=${Sinks.DigestVersion} — format bump, re-commit (not corruption)")
+    val dirStats: Map[String, (Long, Long)] =
+      s""""dir_stats": "([^"]*)"""".r.findFirstMatchIn(text).map(_.group(1))
+        .filter(_.nonEmpty)
+        .map(_.split(";").toSeq.map { entry =>
+          val Array(d, lo, hi) = entry.split(":")
+          d -> ((lo.toLong, hi.toLong))
+        }.toMap)
+        .getOrElse(Map.empty)
     Manifest(field("version").toLong, str("mode"),
       str("dirs").split(",").toSeq.filter(_.nonEmpty),
       field("rows").toLong, field("digest").toLong,
       str("id_col"), str("content_cols").split(",").toSeq.filter(_.nonEmpty),
-      s""""batch_id": (-?\\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong))
+      s""""batch_id": (-?\\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong),
+      dirStats)
   }
 
   /** Commit `df` as the next version of the table under optimistic
@@ -201,11 +211,32 @@ object VersionedTable {
       .leafDigests(snap, idCol, contentCols, leaves = 1)
       .collect().headOption.map(r => (r.getLong(1), r.getLong(2)))
       .getOrElse((0L, 0L))
+    // DATA-SKIPPING STATS (the Delta checkpoint-stats shape, reduced to
+    // the id column): min/max of the NEW dir's id, carried forward for
+    // inherited dirs — [[readAsOfWhere]] prunes whole dirs against an id
+    // range at plan time. Numeric ids only (a null min/max — non-castable
+    // or empty dir — records no stats, and an unstatted dir is always
+    // kept: pruning is an optimization, never the correctness carrier).
+    val newDirStats: Option[(Long, Long)] = {
+      val r = spark.read.parquet(dataPath.toString)
+        .agg(org.apache.spark.sql.functions.min(col(idCol).cast("long")),
+          org.apache.spark.sql.functions.max(col(idCol).cast("long"))).head()
+      if (r.isNullAt(0) || r.isNullAt(1)) None else Some((r.getLong(0), r.getLong(1)))
+    }
+    val carried: Map[String, (Long, Long)] =
+      if (mode == "overwrite" || cur == 0) Map.empty
+      else readManifest(spark, tableDir, cur).dirStats
+    val allStats = carried ++ newDirStats.map(dataRel -> _)
+    val statsJson =
+      if (allStats.isEmpty) ""
+      else s""""dir_stats": "${dirsForVersion.flatMap(d =>
+        allStats.get(d).map { case (lo, hi) => s"$d:$lo:$hi" }).mkString(";")}", """
     val json =
       s"""{"digest_v": ${Sinks.DigestVersion}, "version": $next, """ +
         s""""mode": "$mode", "dirs": "${dirsForVersion.mkString(",")}", """ +
         s""""rows": ${dg._1}, "digest": ${dg._2}, """ +
         batchId.map(b => s""""batch_id": $b, """).getOrElse("") +
+        statsJson +
         s""""id_col": "$idCol", "content_cols": "${contentCols.mkString(",")}"}"""
     onBeforePublish()
     // stage-then-rename: the rename IS the commit point. The staged
@@ -282,6 +313,32 @@ object VersionedTable {
   /** The latest committed version (the plain `SELECT * FROM t` path). */
   def read(spark: SparkSession, tableDir: String): DataFrame =
     readAsOf(spark, tableDir, currentVersion(spark, tableDir))
+
+  /** DATA-SKIPPING point/range read: version `v` restricted to
+    * `idLo <= id <= idHi`, with whole data dirs PRUNED at plan time
+    * against the manifest's per-dir id min/max (the Delta
+    * checkpoint-stats recipe, id column only). A streaming-append
+    * table whose batches arrive in rough id order — the universal
+    * log-shaped ingest — answers a point lookup by opening ONE dir
+    * instead of N. Pruning is never the correctness carrier: the
+    * range filter is re-applied row-level, and a dir without stats
+    * (empty at commit, or a non-numeric id) is always kept. */
+  def readAsOfWhere(spark: SparkSession, tableDir: String, v: Long,
+      idLo: Long, idHi: Long): DataFrame = {
+    val m = readManifest(spark, tableDir, v)
+    val root = new Path(tableDir)
+    val kept = m.dirs.filter(d => m.dirStats.get(d) match {
+      case Some((lo, hi)) => hi >= idLo && lo <= idHi
+      case None => true // unstatted ⇒ conservative keep
+    })
+    val base =
+      if (kept.isEmpty)
+        // every dir provably disjoint from the range: an empty relation
+        // with the version's exact schema (read the first dir's footer)
+        spark.read.parquet(new Path(root, m.dirs.head).toString).limit(0)
+      else spark.read.parquet(kept.map(d => new Path(root, d).toString): _*)
+    base.filter(col(m.idCol).cast("long").between(idLo, idHi))
+  }
 
   /** Re-derive (rows, digest) of version `v` from the CURRENT bytes and
     * compare to its manifest: (ok, expRows, gotRows, expDigest,

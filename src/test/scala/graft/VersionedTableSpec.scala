@@ -178,6 +178,35 @@ class VersionedTableSpec extends SparkSuite {
     assert(left == 1, "only the current version's dir survives")
   }
 
+  test("data skipping: readAsOfWhere prunes whole dirs against manifest id stats") {
+    val dir = freshDir()
+    // log-shaped ingest: three appended batches with disjoint id ranges
+    VersionedTable.commitStreamBatch((1L to 10L).map(i => (i, s"a$i")).toDF("id", "text"),
+      dir, "id", Seq("text"), 0L)
+    VersionedTable.commitStreamBatch((11L to 20L).map(i => (i, s"b$i")).toDF("id", "text"),
+      dir, "id", Seq("text"), 1L)
+    VersionedTable.commitStreamBatch((21L to 30L).map(i => (i, s"c$i")).toDF("id", "text"),
+      dir, "id", Seq("text"), 2L)
+    // point lookup: only the middle batch's dir is opened
+    val hit = VersionedTable.readAsOfWhere(spark, dir, 3L, 15L, 15L)
+    assert(hit.collect().map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((15L, "b15")))
+    val openedDirs = hit.inputFiles.map(_.replaceAll("/[^/]*$", "")).distinct
+    assert(openedDirs.length == 1, s"expected 1 pruned dir, opened $openedDirs")
+    // range spanning two batches opens exactly two dirs
+    val span = VersionedTable.readAsOfWhere(spark, dir, 3L, 9L, 12L)
+    assert(span.count() == 4L)
+    assert(span.inputFiles.map(_.replaceAll("/[^/]*$", "")).distinct.length == 2)
+    // fully out-of-range: zero dirs, empty result, schema intact
+    val none = VersionedTable.readAsOfWhere(spark, dir, 3L, 100L, 200L)
+    assert(none.count() == 0L && none.columns.toSeq == Seq("id", "text"))
+    // pruning never carries correctness: time travel to v1 sees only batch 0
+    assert(VersionedTable.readAsOfWhere(spark, dir, 1L, 1L, 30L).count() == 10L)
+    // stats survive an overwrite (single fresh dir) and compact
+    VersionedTable.compact(spark, dir)
+    val afterCompact = VersionedTable.readAsOfWhere(spark, dir, 4L, 15L, 15L)
+    assert(afterCompact.collect().head.getString(1) == "b15")
+  }
+
   test("z-ordered compaction: per-file bounding boxes tighten on BOTH columns, content identical") {
     val dir = freshDir()
     // 16x16 grid in row-major append order: a linear sort on x leaves y's
