@@ -7419,6 +7419,35 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  // -------------------------------------------------------------- Q208
+  /** DATA-SKIPPING POINT/RANGE READ
+    * ([[graft.sources.VersionedTable.readAsOfWhere]]): the corpus
+    * lands as three streaming appends with DISJOINT id ranges (the
+    * log-shaped ingest every event/crawl table has), then a range
+    * lookup reads the table through the manifest's per-dir id stats —
+    * whole dirs prune at plan time (spec-asserted via inputFiles; at
+    * scale this is "open one dir, not N"). The oracle is the direct
+    * range filter over the source table: the hash match proves the
+    * PRUNED read returns exactly the full-scan answer — data skipping
+    * as optimization, never as the correctness carrier. */
+  val q208 = QueryDef("q208_skipping_read",
+    """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_chars
+      |FROM documents WHERE doc_id BETWEEN 150 AND 250
+      |ORDER BY doc_id""") { (s, dir) =>
+    val vt = graft.sources.VersionedTable
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val tdir = java.nio.file.Files.createTempDirectory("q208").toString + "/t"
+    vt.commitStreamBatch(docs.filter(col("doc_id") < 200),
+      tdir, "doc_id", Seq("text"), batchId = 0L)
+    vt.commitStreamBatch(docs.filter(col("doc_id") >= 200 && col("doc_id") < 400),
+      tdir, "doc_id", Seq("text"), batchId = 1L)
+    vt.commitStreamBatch(docs.filter(col("doc_id") >= 400),
+      tdir, "doc_id", Seq("text"), batchId = 2L)
+    vt.readAsOfWhere(s, tdir, 3L, 150L, 250L)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -7428,5 +7457,5 @@ object Extensions {
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q169b, q169c, q170, q171, q172, q173, q174, q175,
-    q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207)
+    q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208)
 }
