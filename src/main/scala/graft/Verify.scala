@@ -7,8 +7,11 @@ object Verify {
   def main(args: Array[String]): Unit = {
     // args: <sfDir> <outDir> [queryName...] — trailing names restrict the
     // dump to that subset (local iteration); no names = full inventory.
+    // The single flag `--sql-only` skips query execution and dumps just
+    // oracle_sql.json (feeds tools/oracle_type_audit.py cheaply).
     val Array(sfDir, outDir) = args.take(2)
-    val only = args.drop(2).toSet
+    val sqlOnly = args.contains("--sql-only")
+    val only = args.drop(2).filterNot(_ == "--sql-only").toSet
     only.diff(SparkEntry.queries.keySet).foreach(n =>
       System.err.println(s"[verify] WARNING: no such query '$n' — known names: " +
         SparkEntry.queries.keys.toSeq.sorted.mkString(", ")))
@@ -24,7 +27,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
-      .filter { case (name, _) => only.isEmpty || only(name) }
+      .filter { case (name, _) => !sqlOnly && (only.isEmpty || only(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

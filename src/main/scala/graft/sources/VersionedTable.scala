@@ -79,6 +79,13 @@ object VersionedTable {
   private def commitPath(root: Path, v: Long): Path =
     new Path(new Path(root, CommitsDir), f"v$v%08d.json")
 
+  /** Order-insensitive (name, type) signature — the append/upsert
+    * schema gate's comparison key: names AND types must match exactly;
+    * silent unionByName coercion or footer-resolution drift is never
+    * allowed to evolve a table's schema as a side effect. */
+  private def schemaSig(s: org.apache.spark.sql.types.StructType) =
+    s.fields.map(f => (f.name, f.dataType.sql)).sortBy(_._1).toSeq
+
   /** Committed versions present in the log, ascending (empty ⇒ no
     * table yet). One driver-side listing of tiny files — O(versions). */
   def versions(spark: SparkSession, tableDir: String): Seq[Long] = {
@@ -187,9 +194,7 @@ object VersionedTable {
     // accident of append.
     if (mode == "append" && cur > 0L) {
       val standing = readAsOf(spark, tableDir, cur).schema
-      def sig(s: org.apache.spark.sql.types.StructType) =
-        s.fields.map(f => (f.name, f.dataType.sql)).sortBy(_._1).toSeq
-      if (sig(df.schema) != sig(standing))
+      if (schemaSig(df.schema) != schemaSig(standing))
         sys.error(s"versioned table $tableDir: append schema " +
           s"${df.schema.simpleString} does not match version v$cur's " +
           s"${standing.simpleString} — a mixed-schema append would read " +
@@ -414,14 +419,25 @@ object VersionedTable {
     * the non-matching updates append. One full-outer-free plan — an
     * anti-join keeps the untouched rows, a union adds every update row
     * — committed as a new version. `updates` must carry the table's
-    * exact schema (the append gate's rules apply to the merged
-    * result). Returns the new version. */
+    * exact schema: the gate below enforces the append gate's
+    * name+type signature against the CURRENT version directly (the
+    * commit underneath runs in `overwrite` mode, where the append
+    * schema gate never fires — without this check a same-names/
+    * different-types updates frame would be silently type-coerced by
+    * unionByName and rewrite the table under a drifted schema).
+    * Returns the new version. */
   def upsert(updates: DataFrame, tableDir: String): Long = {
     val spark = updates.sparkSession
     val cur = currentVersion(spark, tableDir)
     require(cur >= 1, s"upsert: no committed version under $tableDir")
     val m = readManifest(spark, tableDir, cur)
     val snap = readAsOf(spark, tableDir, cur)
+    if (schemaSig(updates.schema) != schemaSig(snap.schema))
+      sys.error(s"versioned table $tableDir: upsert schema " +
+        s"${updates.schema.simpleString} does not match version v$cur's " +
+        s"${snap.schema.simpleString} — unionByName would silently coerce " +
+        "and rewrite the table under a drifted schema; evolve the schema " +
+        "with an explicit overwrite commit")
     val merged = snap.join(updates.select(col(m.idCol)), Seq(m.idCol), "left_anti")
       .unionByName(updates)
     commit(merged, tableDir, m.idCol, m.contentCols,
@@ -514,6 +530,11 @@ object VersionedTable {
     v
   }
 
+  /** Default vacuum grace for unreferenced data dirs: 6 hours — long
+    * enough that no realistic commit's write-digest-publish window is
+    * still open (Delta's default retention serves the same race). */
+  val DefaultVacuumGraceMs: Long = 6L * 3600 * 1000
+
   /** Retain the newest `retain` versions; delete (checked) every data
     * dir referenced by NO retained manifest — including orphan dirs
     * staged by concurrency losers — then drop the expired manifests
@@ -522,9 +543,26 @@ object VersionedTable {
     * Returns (dataDirsDeleted, manifestsDeleted). Order matters:
     * data first, manifests second — if a data delete fails midway the
     * expired manifests still exist and name exactly what a retry must
-    * reclaim. */
-  def vacuum(spark: SparkSession, tableDir: String, retain: Int): (Int, Int) = {
+    * reclaim.
+    *
+    * CONCURRENT-WRITER SAFETY (round-12 advice closure): an in-flight
+    * commit has written its data dir but not yet renamed its manifest
+    * — during that window (the data write, the digest pass, the
+    * expectation checks) the dir is indistinguishable from a loser's
+    * orphan by reference-counting alone. Reclaiming it would let the
+    * writer's rename still SUCCEED and publish a committed version
+    * pointing at deleted data — silent loss surfaced only at read
+    * time. So an unreferenced dir is only deleted once its
+    * modification time is older than `orphanGraceMs` (default 6 h),
+    * bounding how long any commit attempt may take — the same
+    * modification-time retention cutoff Delta's VACUUM uses. A dir
+    * younger than the grace is simply left for the next vacuum. Pass
+    * `orphanGraceMs = 0` only where no concurrent writer can exist
+    * (tests, single-writer maintenance windows). */
+  def vacuum(spark: SparkSession, tableDir: String, retain: Int,
+      orphanGraceMs: Long = DefaultVacuumGraceMs): (Int, Int) = {
     require(retain >= 1, s"vacuum: retain must be >= 1, got $retain")
+    require(orphanGraceMs >= 0, s"vacuum: orphanGraceMs must be >= 0, got $orphanGraceMs")
     val root = new Path(tableDir)
     val fs = fsOf(spark, root)
     val vs = versions(spark, tableDir)
@@ -532,11 +570,13 @@ object VersionedTable {
     val keep = vs.takeRight(retain).toSet
     val referenced: Set[String] =
       keep.flatMap(v => readManifest(spark, tableDir, v).dirs)
+    val cutoff = System.currentTimeMillis() - orphanGraceMs
     val dataRoot = new Path(root, DataDir)
     val deadDirs =
       if (!fs.exists(dataRoot)) Seq.empty
       else fs.listStatus(dataRoot).toSeq.filter(_.isDirectory)
         .filterNot(s => referenced.contains(s"$DataDir/${s.getPath.getName}"))
+        .filter(_.getModificationTime <= cutoff)
     deadDirs.foreach { s =>
       if (!fs.delete(s.getPath, true))
         throw new java.io.IOException(

@@ -159,10 +159,13 @@ object WarcSource {
               r.getAs[Array[Byte]](4))
             if (gzip) {
               // one INDEPENDENT member per record: construct writes the
-              // member header, finish() the trailer — and never close
-              // the underlying stream between members
-              val gz = new java.util.zip.GZIPOutputStream(out)
-              gz.write(rec); gz.finish()
+              // member header, close() the trailer AND the Deflater —
+              // finish() alone leaks a native Deflater per record until
+              // GC (heavy native-memory churn on large archives). The
+              // close-shield keeps the member close from closing the
+              // underlying part stream between members.
+              val gz = new java.util.zip.GZIPOutputStream(new CloseShield(out))
+              gz.write(rec); gz.close()
             } else out.write(rec)
           } finally out.close()
           Iterator.single(pid)
@@ -173,6 +176,21 @@ object WarcSource {
   /** Convenience reader (the `spark.read.format(...)` spelling). */
   def read(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     spark.read.format("warc-records").load(dir)
+
+  /** Shields an underlying stream from a wrapper's close(): the
+    * per-member GZIPOutputStream must release its Deflater via close()
+    * without closing the part file it shares with the next member.
+    * (Not FilterOutputStream: its array write() degrades to
+    * byte-at-a-time — the deflate buffer flushes must pass through as
+    * single array writes.) */
+  private final class CloseShield(underlying: java.io.OutputStream)
+      extends java.io.OutputStream {
+    override def write(b: Int): Unit = underlying.write(b)
+    override def write(b: Array[Byte], off: Int, len: Int): Unit =
+      underlying.write(b, off, len)
+    override def flush(): Unit = underlying.flush()
+    override def close(): Unit = underlying.flush() // the shield
+  }
 }
 
 class WarcTable(path: String, maxBytes: Long) extends Table with SupportsRead {
@@ -410,6 +428,13 @@ class WarcReaderFactory(required: StructType, confCarrier: SerializableHadoopCon
           line = readLine()
         }
         if (len < 0) fail("record missing Content-Length")
+        // this reader materializes a payload as one Array[Byte]: a
+        // Content-Length at/over 2 GiB would wrap the Int allocation and
+        // surface as a confusing NegativeArraySize/IndexOutOfBounds —
+        // fail loudly with file+offset like every other malformed record
+        if (len > Int.MaxValue - 16)
+          fail(s"Content-Length $len exceeds the 2 GiB single-record " +
+            "materialization limit")
         if (tpe == null || id == null) fail("record missing WARC-Type/WARC-Record-ID")
         if (needPayload) {
           val buf = new Array[Byte](len.toInt)

@@ -658,7 +658,7 @@ object EventStreams {
   def replayThroughStream(spark: SparkSession, batch: DataFrame,
       transform: DataFrame => DataFrame, queryName: String,
       mode: OutputMode = OutputMode.Complete()): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory(s"stream_$queryName").toString
+    val dir = graft.operators.Scratch.dir(s"stream_$queryName")
     batch.write.mode("overwrite").parquet(s"$dir/in")
     val src = spark.readStream.schema(batch.schema).parquet(s"$dir/in")
     val q = transform(src).writeStream

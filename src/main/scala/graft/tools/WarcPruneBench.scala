@@ -51,8 +51,8 @@ object WarcPruneBench {
         lit("application/octet-stream").as("content_type"),
         payloadExpr.as("payload"))
       .repartition(16)
-    val plainDir = java.nio.file.Files.createTempDirectory("wpb").toString + "/plain"
-    val gzDir = java.nio.file.Files.createTempDirectory("wpb").toString + "/gz"
+    val plainDir = graft.operators.Scratch.dir("wpb") + "/plain"
+    val gzDir = graft.operators.Scratch.dir("wpb") + "/gz"
     graft.sources.WarcSource.writeRecords(records, plainDir)
     graft.sources.WarcSource.writeRecords(records, gzDir, gzip = true)
 
@@ -93,7 +93,7 @@ object WarcPruneBench {
         concat(lit("https://x.com/fat/"), col("id").cast("string")).as("target_uri"),
         lit("application/octet-stream").as("content_type"),
         fatPayload.as("payload"))
-    val fatDir = java.nio.file.Files.createTempDirectory("wpb").toString + "/fat"
+    val fatDir = graft.operators.Scratch.dir("wpb") + "/fat"
     graft.sources.WarcSource.writeRecords(fatRecords, fatDir)
     // full leg FIRST: it warms the page cache, biasing AGAINST the
     // pruning claim — the metadata leg wins on seeks, not cold cache

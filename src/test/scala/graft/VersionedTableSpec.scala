@@ -93,7 +93,7 @@ class VersionedTableSpec extends SparkSuite {
     val staged = fs.listStatus(new org.apache.hadoop.fs.Path(dir, "data"))
       .map(_.getPath.getName).count(_.startsWith("v00000003-"))
     assert(staged == 2, "winner's dir + loser's orphan staged for v3")
-    val (reclaimed, expired) = VersionedTable.vacuum(spark, dir, retain = 3)
+    val (reclaimed, expired) = VersionedTable.vacuum(spark, dir, retain = 3, orphanGraceMs = 0L)
     assert(reclaimed == 1 && expired == 0, "vacuum sweeps only the orphan")
     assert(VersionedTable.validateAsOf(spark, dir, 3L)._1)
   }
@@ -158,6 +158,15 @@ class VersionedTableSpec extends SparkSuite {
     val v3 = VersionedTable.upsert(
       Seq((3L, "updated"), (5L, "inserted")).toDF("id", "text"), dir)
     assert(v3 == 3L)
+    // UPSERT SCHEMA GATE: the commit underneath runs overwrite-mode, so
+    // the append gate can't fire — upsert enforces the same name+type
+    // signature itself. Same names, drifted type (text -> bigint): must
+    // refuse before unionByName silently coerces, and commit nothing.
+    val eUp = intercept[RuntimeException] {
+      VersionedTable.upsert(Seq((3L, 99L)).toDF("id", "text"), dir)
+    }
+    assert(eUp.getMessage.contains("does not match"))
+    assert(VersionedTable.currentVersion(spark, dir) == 3L, "no version committed")
     val now = VersionedTable.read(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(now == Map(1L -> "keep", 3L -> "updated", 4L -> "keep2", 5L -> "inserted"))
@@ -169,7 +178,7 @@ class VersionedTableSpec extends SparkSuite {
       4L -> "unchanged", 5L -> "added"))
     // compliance completion: vacuum to the current version physically
     // removes the purged row's bytes
-    VersionedTable.vacuum(spark, dir, retain = 1)
+    VersionedTable.vacuum(spark, dir, retain = 1, orphanGraceMs = 0L)
     val e = intercept[RuntimeException] { VersionedTable.readAsOf(spark, dir, 1L) }
     assert(e.getMessage.contains("vacuumed"))
     val left = new org.apache.hadoop.fs.Path(dir)
@@ -248,7 +257,7 @@ class VersionedTableSpec extends SparkSuite {
     assert(VersionedTable.validateAsOf(spark, dir, 1L)._1)
     // the crash's staged dir is an unreferenced orphan; vacuum reclaims it
     // and a retry of the same commit then succeeds as v2
-    val (reclaimed, _) = VersionedTable.vacuum(spark, dir, retain = 1)
+    val (reclaimed, _) = VersionedTable.vacuum(spark, dir, retain = 1, orphanGraceMs = 0L)
     assert(reclaimed == 1)
     assert(VersionedTable.commit(Seq((2L, "b")).toDF("id", "text"),
       dir, "id", Seq("text"), 1L) == 2L)
@@ -297,7 +306,7 @@ class VersionedTableSpec extends SparkSuite {
     // history still travels (v3 = first three appends)
     assert(VersionedTable.readAsOf(spark, dir, 3L).count() == 3L)
     // vacuum to the compacted version: the five small dirs reclaim
-    val (reclaimed, expired) = VersionedTable.vacuum(spark, dir, retain = 1)
+    val (reclaimed, expired) = VersionedTable.vacuum(spark, dir, retain = 1, orphanGraceMs = 0L)
     assert(reclaimed == 5 && expired == 5)
     assert(dataDirs == 1)
     assert(VersionedTable.read(spark, dir).count() == 5L)
@@ -388,7 +397,7 @@ class VersionedTableSpec extends SparkSuite {
     VersionedTable.commit(Seq((1L, "a")).toDF("id", "text"), dir, "id", Seq("text"), 0L)
     VersionedTable.commit(Seq((1L, "b")).toDF("id", "text"), dir, "id", Seq("text"), 1L)
     VersionedTable.commit(Seq((1L, "c")).toDF("id", "text"), dir, "id", Seq("text"), 2L)
-    val (dataDeleted, manifestsDeleted) = VersionedTable.vacuum(spark, dir, retain = 2)
+    val (dataDeleted, manifestsDeleted) = VersionedTable.vacuum(spark, dir, retain = 2, orphanGraceMs = 0L)
     assert(dataDeleted == 1 && manifestsDeleted == 1) // v1's dir + manifest
     // retained versions still read and still validate
     assert(VersionedTable.readAsOf(spark, dir, 2L).collect().head.getString(1) == "b")
@@ -403,8 +412,30 @@ class VersionedTableSpec extends SparkSuite {
     VersionedTable.commit(Seq((1L, "x")).toDF("id", "text"), dir2, "id", Seq("text"), 0L)
     VersionedTable.commit(Seq((2L, "y")).toDF("id", "text"), dir2, "id", Seq("text"), 1L, "append")
     VersionedTable.commit(Seq((3L, "z")).toDF("id", "text"), dir2, "id", Seq("text"), 2L, "append")
-    val (d2, m2) = VersionedTable.vacuum(spark, dir2, retain = 1)
+    val (d2, m2) = VersionedTable.vacuum(spark, dir2, retain = 1, orphanGraceMs = 0L)
     assert(d2 == 0 && m2 == 2) // v3 references ALL dirs — nothing reclaimable
     assert(VersionedTable.read(spark, dir2).count() == 3L)
+  }
+
+  test("vacuum grace window spares a fresh unreferenced dir (in-flight commit safety)") {
+    // The race the grace closes: a concurrent writer has written its data
+    // dir but not yet renamed its manifest — reference-counting alone
+    // calls that dir an orphan, reclaims it, and the writer's rename then
+    // publishes a version pointing at deleted data. Under the default
+    // modification-time grace the young dir survives; only an explicit
+    // orphanGraceMs = 0 (no-concurrent-writers mode) reclaims it.
+    val dir = freshDir()
+    VersionedTable.commit(Seq((1L, "a")).toDF("id", "text"), dir, "id", Seq("text"), 0L)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate the in-flight writer's staged (not yet published) data dir
+    val staged = new org.apache.hadoop.fs.Path(dir, "data/v00000002-inflight")
+    assert(fs.mkdirs(staged))
+    val (keptPass, _) = VersionedTable.vacuum(spark, dir, retain = 1)
+    assert(keptPass == 0, "default grace must spare the seconds-old staged dir")
+    assert(fs.exists(staged), "in-flight dir survives the graced vacuum")
+    val (reclaimed, _) = VersionedTable.vacuum(spark, dir, retain = 1, orphanGraceMs = 0L)
+    assert(reclaimed == 1, "grace 0 (single-writer mode) reclaims the orphan")
+    assert(!fs.exists(staged))
   }
 }

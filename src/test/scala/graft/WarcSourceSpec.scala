@@ -127,4 +127,26 @@ class WarcSourceSpec extends SparkSuite {
     val msg = e.getCause match { case null => e.getMessage; case c => c.getMessage }
     assert(msg.contains("warc-records") || e.getMessage.contains("warc-records"))
   }
+
+  test("a >=2GiB Content-Length fails as a loud parse error, not an allocation wrap") {
+    // The reader materializes one payload as one Array[Byte]: an
+    // Int-overflowing length must route through fail() (file + offset)
+    // instead of surfacing as NegativeArraySize/IndexOutOfBounds.
+    val dir = freshDir()
+    new java.io.File(dir).mkdirs()
+    val rec = "WARC/1.1\r\n" +
+      "WARC-Type: resource\r\n" +
+      "WARC-Record-ID: urn:graft:huge\r\n" +
+      "Content-Length: 3000000000\r\n" +
+      "\r\n"
+    java.nio.file.Files.write(
+      new java.io.File(dir, "part-00000.warc").toPath,
+      rec.getBytes("UTF-8"))
+    val e = intercept[org.apache.spark.SparkException] {
+      WarcSource.read(spark, dir).count()
+    }
+    val msg = e.getCause match { case null => e.getMessage; case c => c.getMessage }
+    assert(msg.contains("2 GiB") || e.getMessage.contains("2 GiB"),
+      s"expected the designed limit error, got: $msg")
+  }
 }
