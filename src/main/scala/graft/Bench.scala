@@ -137,6 +137,17 @@ object Bench {
         }
       } catch { case _: Throwable => Map.empty }
     val prevHeadline = readPrevMap("queries")
+    // ADJUDICATION TRIGGER (round 12, verdict task 4): the r11 record
+    // carried four full-sweep entries at 1.40–1.47× prev that the old 2×
+    // trigger never re-measured, so the record could not say whether they
+    // were box noise or regressions. The trigger is now the same 1.35×
+    // the round ledger discipline uses. The CONTENDED self-grade keeps
+    // counting only the SEVERE (>2×) class — a 1.35–2× re-measure is
+    // routine drift-vs-regression bookkeeping, not evidence the box was
+    // loaded, and grading on it would mark every slightly-drifty clean
+    // run contended.
+    val adjFactor = 1.35
+    val severeFactor = 2.0
     def timeQuery(name: String): Timing =
       if (name == "ref_inverted_index")
         time(name)(InvertedIndex.buildIndexFromManifest(spark, refManifest)
@@ -147,14 +158,14 @@ object Bench {
     val firstPass: Seq[(String, Timing)] = headline.filterNot(skip).map { name =>
       name -> timeQuery(name)
     } ++ refEntry
-    // Headline adjudication: an entry whose min-of-reps still exceeds 2×
+    // Headline adjudication: an entry whose min-of-reps exceeds 1.35×
     // its previous committed min (and 0.5 s, to keep scheduler noise on
     // sub-second queries out) is re-timed once after a GC settle; the
     // better full Timing is recorded and both mins land in the record.
     val headlineAdj = collection.mutable.ListBuffer.empty[(String, Double, Double, Double)]
     val results: Seq[(String, Timing)] = firstPass.map { case (name, t1) =>
       prevHeadline.get(name) match {
-        case Some(prev) if prev > 0 && t1.min > 2 * prev && t1.min > 0.5 =>
+        case Some(prev) if prev > 0 && t1.min > adjFactor * prev && t1.min > 0.5 =>
           System.gc(); Thread.sleep(500); System.gc()
           val t2 = timeQuery(name)
           headlineAdj += ((name, t1.min, t2.min, prev))
@@ -174,13 +185,14 @@ object Bench {
     // SELF-ADJUDICATION: a single warm-session sample in a long-lived
     // JVM can carry up to 10× GC aftermath from whatever ran before it
     // (measured: q28b 24.7 s in-sweep vs 2.27 s fresh-JVM). So any
-    // entry whose sample exceeds 2× its previous committed value
+    // entry whose sample exceeds 1.35× its previous committed value
     // (BENCH_LAST.json's `full` map) is re-measured once after a
     // System.gc() settle, the BETTER sample is recorded, and both
     // samples land in `full_adjudicated` — the record dismisses its own
     // phantom regressions instead of requiring a fresh-JVM re-run to
-    // read. An entry still >2× prev after re-measurement is a real
-    // regression (or a real plan change) by construction.
+    // read. An entry still >1.35× prev after re-measurement lands in
+    // the record's `regressed` list — a real regression (or a real
+    // plan/work change) by construction, named in the record itself.
     val prevFull: Map[String, Double] = readPrevMap("full")
     val headlineMins = results.toMap
     // (name, best sample, Some((first, resample)) when adjudicated)
@@ -195,9 +207,10 @@ object Bench {
         headlineMins.get(name).map(t => (name, t.min, None)).getOrElse {
           val s1 = run()
           prevFull.get(name) match {
-            // the 0.5 s floor keeps sub-second queries (where 2× is
-            // scheduler noise, not GC aftermath) out of the re-measure
-            case Some(prev) if prev > 0 && s1 > 2 * prev && s1 > 0.5 =>
+            // the 0.5 s floor keeps sub-second queries (where a ratio
+            // trigger is scheduler noise, not GC aftermath) out of the
+            // re-measure
+            case Some(prev) if prev > 0 && s1 > adjFactor * prev && s1 > 0.5 =>
               System.gc(); Thread.sleep(500); System.gc()
               val s2 = run()
               (name, if (s2 >= 0) math.min(s1, s2) else s1, Some((s1, s2)))
@@ -248,15 +261,33 @@ object Bench {
       }.mkString(""","headline_adjudicated":{""", ",", "}")
     // HONEST self-grade (the r9 record needed 11 adjudications yet said
     // contended:false — too generous): a run that had to re-measure ≥4
-    // entries was, by its own evidence, not running on a quiet box,
-    // whatever the loadavg bookends claimed. Such a record stays usable
-    // (the adjudication samples are all in it) but self-marks contended
-    // so it is never read as a clean baseline. loadavg_end is reported
-    // but NOT graded on: the bench's own local[32] sweep legitimately
-    // leaves the 1-min load high (a clean-box r10 cut ended at 6.2).
-    val nAdjudications = adjudicated.length + headlineAdj.length
+    // entries in the SEVERE (>2× prev first-sample) class was, by its
+    // own evidence, not running on a quiet box, whatever the loadavg
+    // bookends claimed. Such a record stays usable (the adjudication
+    // samples are all in it) but self-marks contended so it is never
+    // read as a clean baseline. The 1.35–2× re-measures are counted
+    // separately (`outliers_135`): drift bookkeeping, not contention
+    // evidence. loadavg_end is reported but NOT graded on: the bench's
+    // own local[32] sweep legitimately leaves the 1-min load high (a
+    // clean-box r10 cut ended at 6.2).
+    val severeFull = fullResults.count { case (k, _, Some((s1, _))) =>
+      prevFull.get(k).exists(p => p > 0 && s1 > severeFactor * p)
+      case _ => false
+    }
+    val severeHead = headlineAdj.count { case (k, s1, _, prev) =>
+      prev > 0 && s1 > severeFactor * prev }
+    val nAdjudications = severeFull + severeHead
+    val outliers135 = adjudicated.length + headlineAdj.length
+    // verdict-per-query: anything STILL >1.35× prev after its resample is
+    // a named regression in the record, not a footnote a reader derives
+    val regressed = (fullResults.collect {
+      case (k, best, Some(_)) if prevFull.get(k).exists(p => p > 0 && best > adjFactor * p) => k
+    } ++ headlineAdj.collect { case (k, s1, s2, prev)
+        if prev > 0 && math.min(s1, if (s2 >= 0) s2 else s1) > adjFactor * prev => k
+    }).distinct.sorted
+    val regressedJson = regressed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val contended = contendedStart || nAdjudications >= 4
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","q27_pairs":$q27Pairs,"reps":$reps,"median":$medians,"spread":$spreads$fullJson$adjJson$headAdjJson,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"load_wait_sec":${f"$loadWaitSec%.1f"},"adjudications":$nAdjudications,"contended":$contended}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","q27_pairs":$q27Pairs,"reps":$reps,"median":$medians,"spread":$spreads$fullJson$adjJson$headAdjJson,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"load_wait_sec":${f"$loadWaitSec%.1f"},"adjudications":$nAdjudications,"outliers_135":$outliers135,"regressed":$regressedJson,"contended":$contended}"""
     // The FULL record (medians, spreads, the 60+-entry full-inventory map)
     // is several KB — longer than the driver's stdout tail window, which is
     // why BENCH_r04/r05 recorded `parsed: null`. So: the full record goes to
