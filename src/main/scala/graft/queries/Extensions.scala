@@ -1356,35 +1356,73 @@ object Extensions {
   // --------------------------------------------------------------- Q77
   /** QUANTILE SKETCH (Greenwald–Khanna via `approx_percentile`): the
     * remaining sketch family alongside HLL/MinHash/SimHash/Bloom/
-    * Misra–Gries. Rows-only gated (a sketch value is not DuckDB-
-    * reproducible) but SELF-ASSERTING like q04b: the GK contract —
-    * the returned value's rank interval [count(<v), count(≤v)] must
-    * intersect target·n ± n/accuracy — is verified in-query against
-    * exact rank counts, and the query fails loudly if violated. */
-  val q77 = QueryDef.noOracle("q77_quantile_sketch") { (s, dir) =>
+    * Misra–Gries. ORACLE-CHECKED since round 12 (graduated from
+    * rows-only, the q193 ORDER BY/OFFSET trick): the sketch VALUE
+    * isn't DuckDB-reproducible, but the GK guarantee's exact rank BAND
+    * is — for each target q the released row is the exact order
+    * statistics at ranks ⌈q·n − n/acc⌉ and ⌊q·n + n/acc⌋+1 (computed
+    * distributed via [[graft.operators.Selection.kthSmallestMulti]]'s
+    * counting-scan descent — no global sort, no single-partition
+    * window), which DuckDB replays with row_number() over the sorted
+    * relation. The sketch itself is asserted IN-QUERY on two levels —
+    * the rank interval [count(<v), count(≤v)] must intersect
+    * q·n ± n/acc (the GK contract) AND the estimate must lie inside
+    * the released band (the implied value form) — so the ledger row is
+    * a real hash match and the approximation contract still fails
+    * loudly if violated. All columns BIGINT (l_quantity is integral;
+    * the OracleTypeDisciplineSpec discipline). */
+  val q77 = QueryDef("q77_quantile_sketch",
+    """WITH li AS (
+      |  SELECT CAST(l_quantity AS BIGINT) AS v FROM lineitem
+      |), nn AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n FROM li
+      |), qs AS (
+      |  SELECT * FROM (VALUES (CAST(25 AS BIGINT)), (50), (90), (99)) AS q(pct)
+      |), b AS (
+      |  SELECT pct, nn.n,
+      |         greatest(1, CAST(ceil(pct * nn.n / 100.0 - nn.n / 1000.0) AS BIGINT)) AS lo_rank,
+      |         least(nn.n, CAST(floor(pct * nn.n / 100.0 + nn.n / 1000.0) AS BIGINT) + 1) AS hi_rank
+      |  FROM qs CROSS JOIN nn
+      |), r AS (
+      |  SELECT v, row_number() OVER (ORDER BY v) AS rk FROM li
+      |)
+      |SELECT b.pct AS quantile_pct, b.n, b.lo_rank, b.hi_rank,
+      |       rl.v AS lo_val, rh.v AS hi_val
+      |FROM b JOIN r rl ON rl.rk = b.lo_rank JOIN r rh ON rh.rk = b.hi_rank
+      |ORDER BY quantile_pct""") { (s, dir) =>
     import s.implicits._
     val acc = 1000
-    val li = t(s, dir, "lineitem").select(col("l_quantity").cast("double").as("v"))
+    val li = t(s, dir, "lineitem").select(col("l_quantity").cast("long").as("v"))
     val agg = li.agg(
-      expr(s"approx_percentile(v, array(0.25, 0.5, 0.9, 0.99), $acc)").as("ap"),
+      expr(s"approx_percentile(CAST(v AS DOUBLE), array(0.25, 0.5, 0.9, 0.99), $acc)").as("ap"),
       count(lit(1)).as("n")).head()
     val ap = agg.getSeq[Double](0); val n = agg.getLong(1)
-    val qs = Seq(0.25, 0.5, 0.9, 0.99)
+    val pcts = Seq(25L, 50L, 90L, 99L)
+    val eps = n.toDouble / acc
+    // exact GK band ranks (same double arithmetic as the oracle spelling)
+    val loK = pcts.map(p => math.max(1L, math.ceil(p * n / 100.0 - eps).toLong))
+    val hiK = pcts.map(p => math.min(n, math.floor(p * n / 100.0 + eps).toLong + 1))
+    val stat = graft.operators.Selection.kthSmallestMulti(li, loK ++ hiK)
     // exact rank interval of each sketched value, in ONE pass
     val rankCols =
-      qs.indices.map(i => sum(when(col("v") < ap(i), 1L).otherwise(0L)).as(s"lt$i")) ++
-      qs.indices.map(i => sum(when(col("v") <= ap(i), 1L).otherwise(0L)).as(s"le$i"))
+      pcts.indices.map(i => sum(when(col("v") < ap(i), 1L).otherwise(0L)).as(s"lt$i")) ++
+      pcts.indices.map(i => sum(when(col("v") <= ap(i), 1L).otherwise(0L)).as(s"le$i"))
     val ranks = li.agg(rankCols.head, rankCols.tail: _*).head()
-    val eps = n.toDouble / acc
-    val rows = qs.zipWithIndex.map { case (q, i) =>
-      val lt = ranks.getLong(i); val le = ranks.getLong(qs.size + i)
-      val ok = le >= q * n - eps && lt <= q * n + eps
-      (q, ap(i), lt, le, n, ok)
+    val rows = pcts.zipWithIndex.map { case (p, i) =>
+      val lt = ranks.getLong(i); val le = ranks.getLong(pcts.size + i)
+      val q = p / 100.0
+      val gkOk = le >= q * n - eps && lt <= q * n + eps
+      val (lo, hi) = (stat(loK(i)), stat(hiK(i)))
+      val bandOk = ap(i) >= lo && ap(i) <= hi
+      (p, n, loK(i), hiK(i), lo, hi, ap(i), gkOk, bandOk)
     }
-    require(rows.forall(_._6),
+    require(rows.forall(_._8),
       s"approx_percentile outside the GK rank guarantee: $rows")
-    rows.toDF("quantile", "approx_value", "rank_lt", "rank_le", "n", "within_bound")
-      .orderBy("quantile")
+    require(rows.forall(_._9),
+      s"approx_percentile outside the exact rank band: $rows")
+    rows.map(r => (r._1, r._2, r._3, r._4, r._5, r._6))
+      .toDF("quantile_pct", "n", "lo_rank", "hi_rank", "lo_val", "hi_val")
+      .orderBy("quantile_pct")
   }
 
   // --------------------------------------------------------------- Q78
@@ -7472,6 +7510,37 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  // -------------------------------------------------------------- Q209
+  /** SECONDARY-COLUMN DATA-SKIPPING READ
+    * ([[graft.sources.VersionedTable.readAsOfWhereEq]], round 12): the
+    * corpus lands as per-language appends (the partitioned-ingest
+    * shape a multilingual crawl produces), each commit recording
+    * `lang` min/max per dir in the manifest (`statCols`), then a
+    * lang-filtered curation read prunes whole dirs at plan time —
+    * the read an id-only stats index can't serve (Delta keeps
+    * per-column stats for exactly this). Oracle = the direct lang
+    * filter over the source table: the hash match proves the pruned
+    * read returns exactly the full-scan answer; dir-count pruning
+    * itself is spec-asserted in VersionedTableSpec via inputFiles. */
+  val q209 = QueryDef("q209_lang_skipping_read",
+    """SELECT doc_id, lang, CAST(strlen(text) AS BIGINT) AS n_chars
+      |FROM documents WHERE lang = 'fr'
+      |ORDER BY doc_id""") { (s, dir) =>
+    val vt = graft.sources.VersionedTable
+    val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
+    val tdir = graft.operators.Scratch.dir("q209") + "/t"
+    // per-language appends: each dir's lang min == max == the language,
+    // so the manifest's string band is exact per dir
+    Seq("de", "en", "es", "fr", "zh").zipWithIndex.foreach { case (l, i) =>
+      vt.commit(docs.filter(col("lang") === l), tdir, "doc_id", Seq("text", "lang"),
+        expectedVersion = i.toLong, mode = "append", statCols = Seq("lang"))
+    }
+    vt.readAsOfWhereEq(s, tdir, 5L, "lang", "fr")
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("n_chars"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -7481,5 +7550,5 @@ object Extensions {
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q169b, q169c, q170, q171, q172, q173, q174, q175,
-    q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208)
+    q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209)
 }

@@ -105,7 +105,13 @@ object VersionedTable {
   private case class Manifest(version: Long, mode: String, dirs: Seq[String],
       rows: Long, digest: Long, idCol: String, contentCols: Seq[String],
       batchId: Option[Long],
-      dirStats: Map[String, (Long, Long)])
+      dirStats: Map[String, (Long, Long)],
+      dirStrStats: Map[String, Map[String, (String, String)]])
+
+  private def urlEnc(s: String): String =
+    java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
+  private def urlDec(s: String): String =
+    java.net.URLDecoder.decode(s, java.nio.charset.StandardCharsets.UTF_8)
 
   private def readManifest(spark: SparkSession, tableDir: String, v: Long): Manifest = {
     val p = commitPath(new Path(tableDir), v)
@@ -139,12 +145,26 @@ object VersionedTable {
           d -> ((lo.toLong, hi.toLong))
         }.toMap)
         .getOrElse(Map.empty)
+    // secondary (string-typed) per-dir column stats, every token
+    // URL-encoded so arbitrary column VALUES can't collide with the
+    // `;  =  |  :` separators or break the manifest's JSON framing
+    val dirStrStats: Map[String, Map[String, (String, String)]] =
+      s""""dir_str_stats": "([^"]*)"""".r.findFirstMatchIn(text).map(_.group(1))
+        .filter(_.nonEmpty)
+        .map(_.split(";").toSeq.map { entry =>
+          val Array(d, cols) = entry.split("=", 2)
+          urlDec(d) -> cols.split("\\|").toSeq.map { cs =>
+            val Array(c, lo, hi) = cs.split(":")
+            urlDec(c) -> ((urlDec(lo), urlDec(hi)))
+          }.toMap
+        }.toMap)
+        .getOrElse(Map.empty)
     Manifest(field("version").toLong, str("mode"),
       str("dirs").split(",").toSeq.filter(_.nonEmpty),
       field("rows").toLong, field("digest").toLong,
       str("id_col"), str("content_cols").split(",").toSeq.filter(_.nonEmpty),
       s""""batch_id": (-?\\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong),
-      dirStats)
+      dirStats, dirStrStats)
   }
 
   /** Commit `df` as the next version of the table under optimistic
@@ -168,7 +188,8 @@ object VersionedTable {
       contentCols: Seq[String], expectedVersion: Long,
       mode: String = "overwrite",
       onBeforePublish: () => Unit = () => (),
-      batchId: Option[Long] = None): Long = {
+      batchId: Option[Long] = None,
+      statCols: Seq[String] = Nil): Long = {
     require(mode == "overwrite" || mode == "append",
       s"commit: mode must be overwrite|append, got $mode")
     val spark = df.sparkSession
@@ -236,12 +257,44 @@ object VersionedTable {
       if (allStats.isEmpty) ""
       else s""""dir_stats": "${dirsForVersion.flatMap(d =>
         allStats.get(d).map { case (lo, hi) => s"$d:$lo:$hi" }).mkString(";")}", """
+    // SECONDARY STATTED COLUMNS (round-12: Delta keeps per-column stats
+    // for a reason — an id-only index can't serve the curation reads
+    // that filter by language/source): min/max of each requested column
+    // AS A STRING on the new dir, carried forward for inherited dirs
+    // exactly like the id stats. One tiny aggregate over the already-
+    // written dir; a null min/max (empty dir / all-null col) records no
+    // stats and [[readAsOfWhereEq]] keeps the dir — pruning stays an
+    // optimization, never the correctness carrier.
+    val newStrStats: Map[String, (String, String)] =
+      if (statCols.isEmpty) Map.empty
+      else {
+        val newDf = spark.read.parquet(dataPath.toString)
+        statCols.flatMap { c =>
+          val r = newDf.agg(
+            org.apache.spark.sql.functions.min(col(c).cast("string")),
+            org.apache.spark.sql.functions.max(col(c).cast("string"))).head()
+          if (r.isNullAt(0) || r.isNullAt(1)) None
+          else Some(c -> ((r.getString(0), r.getString(1))))
+        }.toMap
+      }
+    val carriedStr: Map[String, Map[String, (String, String)]] =
+      if (mode == "overwrite" || cur == 0) Map.empty
+      else readManifest(spark, tableDir, cur).dirStrStats
+    val allStrStats = carriedStr ++
+      (if (newStrStats.isEmpty) Map.empty else Map(dataRel -> newStrStats))
+    val strStatsJson =
+      if (allStrStats.forall(_._2.isEmpty)) ""
+      else s""""dir_str_stats": "${dirsForVersion.flatMap(d =>
+        allStrStats.get(d).filter(_.nonEmpty).map { cols =>
+          urlEnc(d) + "=" + cols.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+            s"${urlEnc(c)}:${urlEnc(lo)}:${urlEnc(hi)}" }.mkString("|")
+        }).mkString(";")}", """
     val json =
       s"""{"digest_v": ${Sinks.DigestVersion}, "version": $next, """ +
         s""""mode": "$mode", "dirs": "${dirsForVersion.mkString(",")}", """ +
         s""""rows": ${dg._1}, "digest": ${dg._2}, """ +
         batchId.map(b => s""""batch_id": $b, """).getOrElse("") +
-        statsJson +
+        statsJson + strStatsJson +
         s""""id_col": "$idCol", "content_cols": "${contentCols.mkString(",")}"}"""
     onBeforePublish()
     // stage-then-rename: the rename IS the commit point. The staged
@@ -285,7 +338,8 @@ object VersionedTable {
     * }}} */
   def commitStreamBatch(batch: DataFrame, tableDir: String, idCol: String,
       contentCols: Seq[String], batchId: Long,
-      mode: String = "append"): Option[Long] = {
+      mode: String = "append",
+      statCols: Seq[String] = Nil): Option[Long] = {
     val spark = batch.sparkSession
     val cur = currentVersion(spark, tableDir)
     // the replay watermark is the most RECENT manifest carrying a batch
@@ -303,7 +357,8 @@ object VersionedTable {
       .getOrElse(-1L)
     if (batchId <= lastBatch) None // replayed batch — already committed
     else Some(commit(batch, tableDir, idCol, contentCols,
-      expectedVersion = cur, mode = mode, batchId = Some(batchId)))
+      expectedVersion = cur, mode = mode, batchId = Some(batchId),
+      statCols = statCols))
   }
 
   /** Time travel: the table exactly as of committed version `v`.
@@ -343,6 +398,31 @@ object VersionedTable {
         spark.read.parquet(new Path(root, m.dirs.head).toString).limit(0)
       else spark.read.parquet(kept.map(d => new Path(root, d).toString): _*)
     base.filter(col(m.idCol).cast("long").between(idLo, idHi))
+  }
+
+  /** DATA-SKIPPING EQUALITY READ on a SECONDARY statted column
+    * (round-12: the id index can't serve a language/source-filtered
+    * curation read): version `v` restricted to `column = value`, with
+    * whole data dirs pruned at plan time against the manifest's
+    * per-dir string min/max for that column (recorded when the commit
+    * passed it in `statCols`). Lexicographic band check — exactly the
+    * parquet row-group min/max discipline lifted to dir granularity.
+    * Same correctness contract as [[readAsOfWhere]]: the equality
+    * filter is re-applied row-level, and a dir with no recorded stats
+    * for the column is always kept. */
+  def readAsOfWhereEq(spark: SparkSession, tableDir: String, v: Long,
+      column: String, value: String): DataFrame = {
+    val m = readManifest(spark, tableDir, v)
+    val root = new Path(tableDir)
+    val kept = m.dirs.filter(d => m.dirStrStats.get(d).flatMap(_.get(column)) match {
+      case Some((lo, hi)) => lo <= value && value <= hi
+      case None => true // unstatted ⇒ conservative keep
+    })
+    val base =
+      if (kept.isEmpty)
+        spark.read.parquet(new Path(root, m.dirs.head).toString).limit(0)
+      else spark.read.parquet(kept.map(d => new Path(root, d).toString): _*)
+    base.filter(col(column).cast("string") === value)
   }
 
   /** Re-derive (rows, digest) of version `v` from the CURRENT bytes and

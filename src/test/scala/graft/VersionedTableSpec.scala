@@ -216,6 +216,33 @@ class VersionedTableSpec extends SparkSuite {
     assert(afterCompact.collect().head.getString(1) == "b15")
   }
 
+  test("data skipping on a secondary statted column: readAsOfWhereEq opens only matching dirs") {
+    val dir = freshDir()
+    // partitioned-ingest shape: one append per language, lang statted
+    Seq("de", "en", "fr").zipWithIndex.foreach { case (l, i) =>
+      VersionedTable.commit(
+        (1L to 5L).map(j => (i * 10L + j, s"$l-doc$j", l)).toDF("id", "text", "lang"),
+        dir, "id", Seq("text", "lang"), expectedVersion = i.toLong,
+        mode = "append", statCols = Seq("lang"))
+    }
+    // equality lookup: only the matching language's dir is opened
+    val hit = VersionedTable.readAsOfWhereEq(spark, dir, 3L, "lang", "en")
+    assert(hit.collect().map(_.getString(2)).forall(_ == "en") && hit.count() == 5L)
+    val openedDirs = hit.inputFiles.map(_.replaceAll("/[^/]*$", "")).distinct
+    assert(openedDirs.length == 1, s"expected 1 pruned dir, opened ${openedDirs.toSeq}")
+    // no matching language: zero rows, schema intact, no dirs needed
+    val none = VersionedTable.readAsOfWhereEq(spark, dir, 3L, "lang", "zz")
+    assert(none.count() == 0L && none.columns.toSeq == Seq("id", "text", "lang"))
+    // pruning never carries correctness: an UNSTATTED column keeps every
+    // dir (conservative) and still answers exactly
+    val unstatted = VersionedTable.readAsOfWhereEq(spark, dir, 3L, "text", "fr-doc3")
+    assert(unstatted.count() == 1L)
+    assert(unstatted.inputFiles.map(_.replaceAll("/[^/]*$", "")).distinct.length == 3)
+    // the id stats coexist: both indexes recorded on the same commits
+    assert(VersionedTable.readAsOfWhere(spark, dir, 3L, 21L, 25L)
+      .inputFiles.map(_.replaceAll("/[^/]*$", "")).distinct.length == 1)
+  }
+
   test("z-ordered compaction: per-file bounding boxes tighten on BOTH columns, content identical") {
     val dir = freshDir()
     // 16x16 grid in row-major append order: a linear sort on x leaves y's
