@@ -128,6 +128,49 @@ class WarcSourceSpec extends SparkSuite {
     assert(msg.contains("warc-records") || e.getMessage.contains("warc-records"))
   }
 
+  test("cdx offset index: record-level random access into .warc.gz equals the full scan") {
+    val dir = freshDir()
+    // 40 records across 2 partitions, binary payloads, some optional
+    // headers absent — the member boundaries the index must pin exactly
+    val rows = (1 to 40).map { i =>
+      (f"urn:graft:cdx:$i%03d", "resource",
+        if (i % 3 == 0) null else s"https://x.com/$i",
+        if (i % 5 == 0) null else "text/plain",
+        (s"payload-$i\r\n" * (i % 7 + 1)).getBytes("UTF-8"))
+    }
+    WarcSource.writeRecords(rows.toDF(cols: _*).repartition(2), dir,
+      gzip = true, cdxIndex = true)
+    // the index covers every record with sane ranges
+    val idx = WarcSource.readIndex(spark, dir).collect()
+    assert(idx.length == 40)
+    assert(idx.forall(r => r.getLong(2) >= 0 && r.getLong(3) > 0))
+    // point reads: every column equal to the full scan's row (except
+    // record_offset, whose coordinate system differs by design: cdx =
+    // compressed member offset, scan = decoded-stream offset)
+    val wanted = Seq("urn:graft:cdx:001", "urn:graft:cdx:017", "urn:graft:cdx:040")
+    def key(r: org.apache.spark.sql.Row) = (r.getString(0),
+      Option(r.getString(1)), Option(r.getString(2)), r.getLong(3),
+      r.getAs[Array[Byte]](4).toSeq)
+    val point = WarcSource.readAt(spark, dir, wanted)
+      .select("record_id", "target_uri", "content_type", "content_length", "payload")
+      .collect().map(key).sortBy(_._1)
+    val full = WarcSource.read(spark, dir)
+      .filter(col("record_id").isin(wanted: _*))
+      .select("record_id", "target_uri", "content_type", "content_length", "payload")
+      .collect().map(key).sortBy(_._1)
+    assert(point.length == 3 && point.toSeq == full.toSeq)
+    // an id absent from the archive simply returns no row
+    assert(WarcSource.readAt(spark, dir, Seq("urn:graft:nope")).count() == 0L)
+    // plain .warc indexes too (raw byte ranges)
+    val dirP = freshDir()
+    WarcSource.writeRecords(rows.take(5).toDF(cols: _*).coalesce(1), dirP,
+      gzip = false, cdxIndex = true)
+    val p1 = WarcSource.readAt(spark, dirP, Seq("urn:graft:cdx:002"))
+      .select("record_id", "payload").collect()
+    assert(p1.length == 1 && p1.head.getString(0) == "urn:graft:cdx:002"
+      && p1.head.getAs[Array[Byte]](1).toSeq == rows(1)._5.toSeq)
+  }
+
   test("a >=2GiB Content-Length fails as a loud parse error, not an allocation wrap") {
     // The reader materializes one payload as one Array[Byte]: an
     // Int-overflowing length must route through fail() (file + offset)
