@@ -66,7 +66,12 @@ import org.apache.spark.sql.functions.{coalesce, col, lit}
   * path is untouched parquet — pruning/pushdown/AQE all apply to
   * [[readAsOf]] output unchanged. Nothing here scans data except the
   * digest pass at commit (the price of a publish boundary, paid once —
-  * the writeWithManifest contract) and validateAsOf on demand.
+  * the writeWithManifest contract; APPENDS pay it only on the new
+  * batch, since the (count, XOR) digest combines associatively with
+  * the previous manifest's — commit cost O(batch), not O(table)) and
+  * validateAsOf on demand. Each manifest is SNAPSHOT-COMPLETE, so no
+  * Delta-style log checkpoint is ever needed: there is no action chain
+  * to replay — BENCH_VTDEPTH_r12 measures 120-deep histories flat.
   */
 object VersionedTable {
 
@@ -226,17 +231,33 @@ object VersionedTable {
     val dataRel = f"$DataDir/v$next%08d-$uid"
     val dataPath = new Path(root, dataRel)
     df.write.mode("error").parquet(dataPath.toString)
-    // re-read what LANDED (the writeWithManifest discipline): rows and
-    // digest describe the committed bytes, not the intended DataFrame
+    // previous manifest, read once (driver-side tiny file) — append mode
+    // needs its dirs, stats, and digest below
+    val prevManifest: Option[Manifest] =
+      if (mode == "append" && cur > 0) Some(readManifest(spark, tableDir, cur))
+      else None
     val dirsForVersion: Seq[String] =
-      if (mode == "overwrite" || cur == 0) Seq(dataRel)
-      else readManifest(spark, tableDir, cur).dirs :+ dataRel
-    val snap = spark.read.parquet(
-      dirsForVersion.map(d => new Path(root, d).toString): _*)
-    val dg = graft.operators.MerkleDiff
-      .leafDigests(snap, idCol, contentCols, leaves = 1)
+      prevManifest.map(_.dirs :+ dataRel).getOrElse(Seq(dataRel))
+    // re-read what LANDED (the writeWithManifest discipline): rows and
+    // digest describe the committed bytes, not the intended DataFrame.
+    // INCREMENTAL DIGEST ON APPEND (round 12 — the depth-scaling fix):
+    // the snapshot digest is (count, XOR of row hashes) — both combine
+    // associatively, and committed dirs are immutable by contract — so
+    // an append digests ONLY the new dir's landed bytes and folds it
+    // into the previous manifest's pair. Commit cost is O(batch), not
+    // O(table): day 365 of a daily-append table digests one day, where
+    // a full re-digest would scan a year. The combined value equals the
+    // full re-derivation exactly (validateAsOf recomputes from complete
+    // bytes on demand, so silent history corruption stays detectable —
+    // the explicit-validation split Delta makes too).
+    val newDg = graft.operators.MerkleDiff
+      .leafDigests(spark.read.parquet(dataPath.toString), idCol, contentCols,
+        leaves = 1)
       .collect().headOption.map(r => (r.getLong(1), r.getLong(2)))
       .getOrElse((0L, 0L))
+    val dg = prevManifest
+      .map(p => (p.rows + newDg._1, p.digest ^ newDg._2))
+      .getOrElse(newDg)
     // DATA-SKIPPING STATS (the Delta checkpoint-stats shape, reduced to
     // the id column): min/max of the NEW dir's id, carried forward for
     // inherited dirs — [[readAsOfWhere]] prunes whole dirs against an id
@@ -250,8 +271,7 @@ object VersionedTable {
       if (r.isNullAt(0) || r.isNullAt(1)) None else Some((r.getLong(0), r.getLong(1)))
     }
     val carried: Map[String, (Long, Long)] =
-      if (mode == "overwrite" || cur == 0) Map.empty
-      else readManifest(spark, tableDir, cur).dirStats
+      prevManifest.map(_.dirStats).getOrElse(Map.empty)
     val allStats = carried ++ newDirStats.map(dataRel -> _)
     val statsJson =
       if (allStats.isEmpty) ""
@@ -278,8 +298,7 @@ object VersionedTable {
         }.toMap
       }
     val carriedStr: Map[String, Map[String, (String, String)]] =
-      if (mode == "overwrite" || cur == 0) Map.empty
-      else readManifest(spark, tableDir, cur).dirStrStats
+      prevManifest.map(_.dirStrStats).getOrElse(Map.empty)
     val allStrStats = carriedStr ++
       (if (newStrStats.isEmpty) Map.empty else Map(dataRel -> newStrStats))
     val strStatsJson =
