@@ -1535,7 +1535,25 @@ object Extensions {
     *    background cosine, so edges cross clusters freely — measured
     *    ~0.5–0.7 here); real embedding spaces cluster, which is the
     *    regime SemDeDup's own 0.99+-θ operates in. */
-  val q79b = QueryDef.noOracle("q79b_semantic_dedup_kmeans") { (s, dir) =>
+  val q79b = QueryDef("q79b_semantic_dedup_kmeans",
+    s"""WITH RECURSIVE nz AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE ${normSql("embedding")} > 0
+       |), e AS (
+       |  SELECT a.vec_id AS ia, b.vec_id AS ib
+       |  FROM nz a JOIN nz b ON a.vec_id < b.vec_id
+       |  WHERE floor(${dotSql("a.embedding", "b.embedding")}
+       |          / (${normSql("a.embedding")} * ${normSql("b.embedding")}) * 10000 + 0.5) / 10000 >= 0.3
+       |), ee AS (SELECT ia, ib FROM e UNION SELECT ib, ia FROM e),
+       |reach(node, lbl) AS (
+       |  SELECT vec_id, vec_id FROM nz
+       |  UNION
+       |  SELECT ee.ib, reach.lbl FROM reach JOIN ee ON reach.node = ee.ia
+       |), cc AS (SELECT node, min(lbl) AS rep_id FROM reach GROUP BY node)
+       |SELECT node AS vec_id, rep_id AS exact_rep,
+       |       CAST(node <> rep_id AS INT) AS exact_dup,
+       |       false AS km_violates_subset
+       |FROM cc ORDER BY vec_id""") { (s, dir) =>
     val theta = 0.3
     val emb = t(s, dir, "embeddings")
     val km = Similarity.semanticDedupKMeans(emb, "vec_id", "embedding",
@@ -1545,7 +1563,7 @@ object Extensions {
     val exactPairs = Similarity.nearDupPairs(nz, "vec_id", "embedding", "whole", theta)
     val exact = Dedup.dedupClusters(exactPairs.select("id_a", "id_b"),
         nz.select(col("vec_id").as("doc_id")))
-      .select(col("doc_id").as("vec_id"),
+      .select(col("doc_id").as("vec_id"), col("cluster_id").as("exact_rep"),
         (col("doc_id") =!= col("cluster_id")).cast("int").as("exact_dup"))
     val joined = km.join(exact, Seq("vec_id")).cache()
     val gate = joined.agg(
@@ -1559,10 +1577,19 @@ object Extensions {
       s"$violations k-means-flagged duplicates are NOT duplicates under the exact closure " +
         "— blocking can only drop edges, so this is a pipeline bug, not a recall miss")
     require(recall >= 0.4, f"semantic-dedup recall collapsed to $recall%.3f")
+    // Released surface = the ORACLE-EXPRESSIBLE core (round 12, the q77
+    // graduation discipline): the exact all-pairs closure (vec_id,
+    // exact_rep, exact_dup) replayed by the recursive CTE, PLUS the
+    // subset invariant as a per-row released value — km_violates_subset
+    // is computed from the real k-means path and the oracle spells the
+    // invariant's expected constant false, so a blocking-pipeline bug
+    // hash-mismatches the driver row by row (not just the in-query
+    // require). The k-means columns themselves (cent_id/rep_id/recall)
+    // stay in-query — the model isn't SQL-expressible; recall keeps its
+    // floor require above.
     joined
-      .withColumn("recall", round(lit(recall), 4))
-      .select(col("vec_id"), col("cent_id"), col("rep_id"), col("is_dup"),
-        col("exact_dup"), col("recall"))
+      .select(col("vec_id"), col("exact_rep"), col("exact_dup"),
+        (col("is_dup") === 1 && col("exact_dup") === 0).as("km_violates_subset"))
       .orderBy("vec_id")
   }
 
