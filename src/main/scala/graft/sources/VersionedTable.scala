@@ -489,6 +489,58 @@ object VersionedTable {
     commit(df, tableDir, idCol, contentCols, expectedVersion, mode)
   }
 
+  /** COMMIT WITH EXPECTATIONS, ZERO-EXTRA-SCAN (round 12): the same
+    * publish-boundary gate as [[commitChecked]], but the row-level
+    * rules ride the WRITE PASS itself via Spark's `Observation`
+    * (`CollectMetrics` — per-partition aggregates merged on the
+    * driver as the write job runs), so a gated commit costs exactly
+    * what an ungated one does. At 100 TB that is the difference
+    * between paying the table scan once or twice per publish.
+    *
+    * The gate fires inside the optimistic-concurrency window (after
+    * the data write, BEFORE the manifest rename): violations abort
+    * with per-rule counts, no version is published, and the staged
+    * data dir is an unreferenced orphan for [[vacuum]] — the same
+    * crash-atomicity story the spec proves for a mid-commit death.
+    *
+    * Scope, stated: ROW-LEVEL rules over the rows being written —
+    * the full snapshot under `overwrite`, the NEW BATCH under
+    * `append` (row-level rules are per-row, so a batch-gated append
+    * onto a gated table keeps the whole snapshot conformant by
+    * induction; a table with ungated history needs [[commitChecked]],
+    * which checks the merged snapshot). Uniqueness rules need a
+    * distinct aggregate, which `observe` disallows — use
+    * [[commitChecked]] for those. */
+  def commitCheckedObserved(df: DataFrame, tableDir: String, idCol: String,
+      contentCols: Seq[String], expectedVersion: Long,
+      rules: Seq[graft.operators.Expectations.Rule],
+      mode: String = "overwrite"): Long = {
+    require(rules.nonEmpty, "commitCheckedObserved: need at least one rule")
+    val obs = org.apache.spark.sql.Observation(
+      s"graft-expect-${java.util.UUID.randomUUID.toString.take(8)}")
+    val aggs =
+      coalesce(org.apache.spark.sql.functions.count(lit(1)), lit(0L)).as("__n") +:
+        rules.map(r => coalesce(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.when(coalesce(r.holds, lit(false)), 0L)
+            .otherwise(1L)), lit(0L)).as(s"__v_${r.name}"))
+    val instrumented = df.observe(obs, aggs.head, aggs.tail: _*)
+    commit(instrumented, tableDir, idCol, contentCols, expectedVersion, mode,
+      onBeforePublish = () => {
+        // the data write already ran inside commit, so the metrics are
+        // final; this abort leaves the staged dir unpublished
+        val m = obs.get
+        val n = m("__n").asInstanceOf[Long]
+        val failed = rules
+          .map(r => r.name -> m(s"__v_${r.name}").asInstanceOf[Long])
+          .filter(_._2 > 0)
+        if (failed.nonEmpty)
+          sys.error(s"commitCheckedObserved: ${failed.length} expectation(s) " +
+            s"violated on $tableDir — NO version committed (staged dir left " +
+            "for vacuum): " +
+            failed.map { case (r, v) => s"$r ($v/$n rows)" }.mkString("; "))
+      })
+  }
+
   /** ROW-LEVEL DELETE, copy-on-write (the GDPR/right-to-be-forgotten
     * path, Delta's `DELETE WHERE`): rewrite the current version minus
     * the matching rows as a NEW version through the same optimistic

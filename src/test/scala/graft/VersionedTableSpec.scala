@@ -392,6 +392,64 @@ class VersionedTableSpec extends SparkSuite {
     assert(VersionedTable.read(spark, dir).count() == 3L)
   }
 
+  test("commitCheckedObserved gates on the write pass itself: zero extra scan") {
+    import graft.operators.Expectations.Rule
+    val rules = Seq(
+      Rule("id_positive", col("id") > 0L),
+      Rule("text_nonempty", length(col("text")) > 0))
+    // job-count proof of the zero-extra-scan claim: a gated observed
+    // commit launches EXACTLY the jobs an ungated commit does (the
+    // expectations ride the write job's CollectMetrics), while the
+    // collect()-based commitChecked pays an extra aggregate job
+    def jobsIn(group: String)(body: => Unit): Int = {
+      spark.sparkContext.setJobGroup(group, group)
+      try body finally spark.sparkContext.clearJobGroup()
+      // the status store is fed asynchronously off the listener bus —
+      // poll until the count is stable so a lagging event can't undercount
+      def read() = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+      var prev = -1; var cur = read(); var waited = 0
+      while (cur != prev && waited < 5000) {
+        Thread.sleep(200); waited += 200; prev = cur; cur = read()
+      }
+      cur
+    }
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "text")
+    val plainJobs = jobsIn("vt-plain") {
+      VersionedTable.commit(df, freshDir(), "id", Seq("text"), 0L): Unit
+    }
+    val dirObs = freshDir()
+    val observedJobs = jobsIn("vt-observed") {
+      assert(VersionedTable.commitCheckedObserved(df, dirObs, "id", Seq("text"),
+        expectedVersion = 0L, rules = rules) == 1L)
+    }
+    val checkedJobs = jobsIn("vt-checked") {
+      VersionedTable.commitChecked(df, freshDir(), "id", Seq("text"),
+        expectedVersion = 0L, rules = rules): Unit
+    }
+    assert(observedJobs == plainJobs,
+      s"observed gate must add no job: plain=$plainJobs observed=$observedJobs")
+    assert(checkedJobs > plainJobs,
+      s"collect()-based gate pays an extra pass: plain=$plainJobs checked=$checkedJobs")
+    // violations abort INSIDE the publish window: no version lands, the
+    // staged dir is an orphan, vacuum(grace 0) reclaims it
+    val e = intercept[RuntimeException] {
+      VersionedTable.commitCheckedObserved(
+        Seq((-7L, ""), (3L, "ok")).toDF("id", "text"), dirObs, "id", Seq("text"),
+        expectedVersion = 1L, rules = rules, mode = "append")
+    }
+    assert(e.getMessage.contains("id_positive") && e.getMessage.contains("text_nonempty"))
+    assert(e.getMessage.contains("1/2 rows"))
+    assert(VersionedTable.currentVersion(spark, dirObs) == 1L)
+    assert(VersionedTable.validateAsOf(spark, dirObs, 1L)._1)
+    val (reclaimed, _) = VersionedTable.vacuum(spark, dirObs, retain = 1, orphanGraceMs = 0L)
+    assert(reclaimed == 1, "the aborted commit's staged dir is vacuum-reclaimable")
+    // the fixed append batch goes through the observed gate
+    assert(VersionedTable.commitCheckedObserved(
+      Seq((3L, "ok")).toDF("id", "text"), dirObs, "id", Seq("text"),
+      expectedVersion = 1L, rules = rules, mode = "append") == 2L)
+    assert(VersionedTable.read(spark, dirObs).count() == 3L)
+  }
+
   test("sorted compaction re-clusters without changing content") {
     val dir = freshDir()
     // three appends with interleaved keys — the standing version's row
