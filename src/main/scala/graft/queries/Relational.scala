@@ -117,25 +117,41 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
-  /** HLL sketch variant — sketches differ across engines, so rows-only;
-    * but the gate row is made quantitative by emitting the exact count
-    * alongside the sketch and asserting the relative error in-query.
-    * The bound is 3× the sketch's rsd (0.05 is a standard DEVIATION,
-    * not a hard bound — a different scale factor or sketch revision can
-    * legitimately exceed 1σ, so the gate asserts the 3σ envelope and
-    * reports the raw rel_err for anyone applying a tighter tolerance). */
-  val q04b = QueryDef.noOracle("q04b_approx_distinct") { (s, dir) =>
-    t(s, dir, "lineitem")
+  /** HLL sketch variant — ORACLE-CHECKED since round 12 (the q77
+    * rank-band graduation trick): the sketch VALUE differs across
+    * engines, but its accuracy contract's band does not — the released
+    * row is the exact distinct count plus the ±3·rsd envelope
+    * (rsd = 0.05, Spark's default; 3σ because rsd is a standard
+    * DEVIATION, not a hard bound), all derived from the exact count and
+    * so DuckDB-replayable, plus `within_3rsd` computed from the REAL
+    * HLL++ estimate with the oracle spelling the contract's expected
+    * constant true — a sketch-accuracy collapse hash-mismatches the
+    * driver row (HLL++ register-max merge is order-insensitive, so the
+    * estimate is deterministic for fixed input and the gate can never
+    * flake). The estimate itself stays in-query behind a loud require. */
+  val q04b = QueryDef("q04b_approx_distinct",
+    """SELECT l_returnflag,
+      |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+      |       CAST(floor(count(DISTINCT l_partkey) * 0.85) AS BIGINT) AS band_lo,
+      |       CAST(ceil(count(DISTINCT l_partkey) * 1.15) AS BIGINT) AS band_hi,
+      |       true AS within_3rsd
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, dir) =>
+    val gated = t(s, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
       .select(
-        col("l_returnflag"), col("approx_parts"), col("exact_parts"),
-        round(abs(col("approx_parts") - col("exact_parts"))
-          .cast("double") / col("exact_parts"), 4).as("rel_err"),
-        (abs(col("approx_parts") - col("exact_parts"))
-          .cast("double") / col("exact_parts") <= 0.15).as("within_3rsd"))
+        col("l_returnflag"), col("exact_parts"),
+        floor(col("exact_parts") * 0.85).cast("long").as("band_lo"),
+        ceil(col("exact_parts") * 1.15).cast("long").as("band_hi"),
+        col("approx_parts"),
+        (col("approx_parts") >= floor(col("exact_parts") * 0.85) &&
+          col("approx_parts") <= ceil(col("exact_parts") * 1.15)).as("within_3rsd"))
+    val bad = gated.filter(!col("within_3rsd")).collect()
+    require(bad.isEmpty,
+      s"approx_count_distinct outside the 3*rsd envelope: ${bad.mkString("; ")}")
+    gated.select("l_returnflag", "exact_parts", "band_lo", "band_hi", "within_3rsd")
       .orderBy("l_returnflag")
   }
 
