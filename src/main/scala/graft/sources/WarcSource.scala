@@ -270,17 +270,9 @@ object WarcSource {
           in = fp.getFileSystem(confCarrier.value).open(fp)
           curFile = fname
         }
-        require(len <= Int.MaxValue - 16,
-          s"warc-records: cdx length $len for $fname@$off exceeds 2 GiB")
-        val buf = new Array[Byte](len.toInt)
-        in.readFully(off, buf) // positioned ranged read — the seek path
-        val recBytes =
-          if (fname.endsWith(".gz")) {
-            val gz = new java.util.zip.GZIPInputStream(
-              new java.io.ByteArrayInputStream(buf))
-            try gz.readAllBytes() finally gz.close()
-          } else buf
-        parseSingleRecord(recBytes, fname, off)
+        val (tpe, rid, uri, ct, clen, payload) =
+          readMemberFields(in, fname, off, len) // positioned ranged read
+        org.apache.spark.sql.Row(fname, off, tpe, rid, uri, ct, clen, payload)
       }
       // exhaust-then-close without buffering: wrap so the final hasNext
       // closes the stream
@@ -297,10 +289,13 @@ object WarcSource {
   }
 
   /** Parse ONE complete WARC record from `bytes` (exactly the framing
-    * [[recordBytes]] emits / a single decoded gzip member carries).
-    * Loud, file+offset diagnostics like the streaming parser. */
-  private def parseSingleRecord(bytes: Array[Byte], file: String,
-      offset: Long): org.apache.spark.sql.Row = {
+    * [[recordBytes]] emits / a single decoded gzip member carries) into
+    * its raw fields (warc_type, record_id, target_uri, content_type,
+    * content_length, payload) — shared by [[readAt]]'s Row path and the
+    * point-partition InternalRow reader. Loud, file+offset diagnostics
+    * like the streaming parser. */
+  private[sources] def parseSingleFields(bytes: Array[Byte], file: String,
+      offset: Long): (String, String, String, String, Long, Array[Byte]) = {
     def fail(msg: String): Nothing =
       sys.error(s"warc-records: $msg in $file at cdx offset $offset")
     // header block ends at the first CRLF CRLF
@@ -340,7 +335,26 @@ object WarcSource {
     if (bytes(pStart + len.toInt) != '\r' || bytes(pStart + len.toInt + 1) != '\n' ||
         bytes(pStart + len.toInt + 2) != '\r' || bytes(pStart + len.toInt + 3) != '\n')
       fail("record missing CRLF CRLF terminator")
-    org.apache.spark.sql.Row(file, offset, tpe, id, uri, ct, len, payload)
+    (tpe, id, uri, ct, len, payload)
+  }
+
+  /** Read + decode ONE indexed member range: positioned ranged read of
+    * `length` bytes at `offset`, gunzip for `.gz` files, parse. Shared
+    * by [[readAt]] and the point-partition reader. */
+  private[sources] def readMemberFields(in: org.apache.hadoop.fs.FSDataInputStream,
+      file: String, offset: Long, length: Long)
+      : (String, String, String, String, Long, Array[Byte]) = {
+    require(length <= Int.MaxValue - 16,
+      s"warc-records: cdx length $length for $file@$offset exceeds 2 GiB")
+    val buf = new Array[Byte](length.toInt)
+    in.readFully(offset, buf)
+    val recBytes =
+      if (file.endsWith(".gz")) {
+        val gz = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(buf))
+        try gz.readAllBytes() finally gz.close()
+      } else buf
+    parseSingleFields(recBytes, file, offset)
   }
 
   /** Byte counter for the cdx offsets — wraps the part stream so
@@ -381,16 +395,54 @@ class WarcTable(path: String, maxBytes: Long) extends Table with SupportsRead {
     new WarcScanBuilder(path, maxBytes)
 }
 
+/** Filter pushdown (round 12): `record_id` equality/IN predicates are
+  * captured as an ACCESS-PATH HINT — when every data file carries its
+  * cdx sibling ([[WarcSource.writeRecords]] `cdxIndex = true`), the
+  * scan plans POINT partitions (seek + ranged member reads) instead of
+  * full-file scans, so `spark.read.format("warc-records").load(dir)
+  * .filter($"record_id".isin(...))` gets [[WarcSource.readAt]]'s O(K)
+  * I/O through plain SQL. Every filter is also returned as residual:
+  * Spark re-applies them row-level, so the pushdown is never the
+  * correctness carrier (missing/partial indexes just fall back to the
+  * full scan — the ManifestCorpusSource discipline). */
 class WarcScanBuilder(path: String, maxBytes: Long)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  import org.apache.spark.sql.sources.{EqualTo, Filter, In}
   private var required: StructType = WarcSource.Schema
+  private var pointIds: Option[Seq[String]] = None
+  private var pushedArr: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new WarcScan(path, maxBytes, required)
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val idSets: Seq[Seq[String]] = filters.toSeq.collect {
+      case EqualTo("record_id", v: String) => Seq(v)
+      case In("record_id", vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+        vs.toSeq.map(_.asInstanceOf[String])
+    }
+    if (idSets.nonEmpty) {
+      // several record_id predicates AND together ⇒ intersect their sets
+      pointIds = Some(idSets.reduce(_ intersect _).distinct)
+      pushedArr = filters.filter {
+        case EqualTo("record_id", _) => true
+        case In("record_id", _) => true
+        case _ => false
+      }
+    }
+    filters // ALL residual — re-applied row-level, pushdown is a hint
+  }
+  override def pushedFilters(): Array[Filter] = pushedArr
+  override def build(): Scan = new WarcScan(path, maxBytes, required, pointIds)
 }
 
 case class WarcFilesPartition(files: Seq[String]) extends InputPartition
 
-class WarcScan(path: String, maxBytes: Long, required: StructType)
+/** A planned point read: (offset, length) member ranges within one
+  * part file, from the cdx index. */
+case class WarcPointPartition(file: String, ranges: Seq[(Long, Long)])
+    extends InputPartition
+
+class WarcScan(path: String, maxBytes: Long, required: StructType,
+    pointIds: Option[Seq[String]] = None)
     extends Scan with Batch with SupportsReportStatistics {
 
   private val confCarrier =
@@ -399,7 +451,8 @@ class WarcScan(path: String, maxBytes: Long, required: StructType)
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"warc-records $path, cols=${required.fieldNames.mkString(",")}"
+    s"warc-records $path, cols=${required.fieldNames.mkString(",")}" +
+      pointHits.map(h => s", point_lookup=${h.size}").getOrElse("")
 
   /** (path, size) of every .warc under `path` (or `path` itself if a
     * file), NAME-SORTED for deterministic partition planning. Lazy +
@@ -423,21 +476,67 @@ class WarcScan(path: String, maxBytes: Long, required: StructType)
     override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val partitions = scala.collection.mutable.ArrayBuffer.empty[WarcFilesPartition]
-    var current = scala.collection.mutable.ArrayBuffer.empty[String]
-    var bytes = 0L
-    stattedFiles.foreach { case (f, sz) =>
-      if (bytes > 0 && bytes + sz > maxBytes) {
-        partitions += WarcFilesPartition(current.toSeq)
-        current = scala.collection.mutable.ArrayBuffer.empty
-        bytes = 0L
-      }
-      current += f
-      bytes += sz
+  /** Point hits (file, offset, length) for pushed record_id filters,
+    * resolved through the cdx index at PLAN time — None when no ids
+    * were pushed, any data file lacks its index sibling, or the probe
+    * fails for any reason (fall back to the full scan: pushdown is an
+    * access path, never the correctness carrier). The index probe is a
+    * distributed text scan + broadcast id join — the same shape as
+    * [[WarcSource.readAt]] — so a billion-record archive's index never
+    * lands on the driver; only the K hits do. */
+  private lazy val pointHits: Option[Seq[(String, Long, Long)]] =
+    pointIds.flatMap { ids =>
+      try {
+        val fs = new HPath(path).getFileSystem(confCarrier.value)
+        val idxFiles = stattedFiles.map(_._1 + ".cdx")
+        if (stattedFiles.isEmpty ||
+            !idxFiles.forall(f => fs.exists(new HPath(f)))) None
+        else {
+          val spark = org.apache.spark.sql.SparkSession.active
+          import org.apache.spark.sql.functions.{broadcast, col,
+            input_file_name, split, udf}
+          import spark.implicits._
+          val dec = udf((s: String) =>
+            java.net.URLDecoder.decode(s, StandardCharsets.UTF_8))
+          val hits = spark.read.textFile(idxFiles: _*)
+            .select(split(col("value"), " ").as("t"),
+              input_file_name().as("idx_file"))
+            .select(dec(col("t").getItem(0)).as("record_id"),
+              col("idx_file"),
+              col("t").getItem(2).cast("long").as("offset"),
+              col("t").getItem(3).cast("long").as("length"))
+            .join(broadcast(ids.toDF("record_id")), Seq("record_id"))
+            .select("idx_file", "offset", "length")
+            .collect()
+            .map(r => (r.getString(0).stripSuffix(".cdx"),
+              r.getLong(1), r.getLong(2)))
+          Some(hits.toSeq)
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
     }
-    if (current.nonEmpty) partitions += WarcFilesPartition(current.toSeq)
-    partitions.toArray
+
+  override def planInputPartitions(): Array[InputPartition] = pointHits match {
+    case Some(hits) =>
+      // one partition per touched file, ranges offset-sorted so seeks
+      // advance monotonically; zero hits plans zero partitions
+      hits.groupBy(_._1).toSeq.sortBy(_._1).map { case (f, hs) =>
+        WarcPointPartition(f, hs.map(h => (h._2, h._3)).sortBy(_._1))
+      }.toArray
+    case None =>
+      val partitions = scala.collection.mutable.ArrayBuffer.empty[WarcFilesPartition]
+      var current = scala.collection.mutable.ArrayBuffer.empty[String]
+      var bytes = 0L
+      stattedFiles.foreach { case (f, sz) =>
+        if (bytes > 0 && bytes + sz > maxBytes) {
+          partitions += WarcFilesPartition(current.toSeq)
+          current = scala.collection.mutable.ArrayBuffer.empty
+          bytes = 0L
+        }
+        current += f
+        bytes += sz
+      }
+      if (current.nonEmpty) partitions += WarcFilesPartition(current.toSeq)
+      partitions.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -536,8 +635,61 @@ class WarcMicroBatchStream(path: String, maxBytes: Long,
 
 class WarcReaderFactory(required: StructType, confCarrier: SerializableHadoopConf)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val files = partition.asInstanceOf[WarcFilesPartition].files
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case p: WarcPointPartition => pointReader(p)
+      case p: WarcFilesPartition => scanReader(p.files)
+      case other => throw new IllegalArgumentException(
+        s"warc-records: unexpected partition ${other.getClass.getName}")
+    }
+
+  /** Indexed point reads: one positioned ranged read + single-member
+    * decode per hit — never touches the rest of the file. */
+  private def pointReader(p: WarcPointPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val fields: Array[Int] =
+        required.fieldNames.map(WarcSource.Schema.fieldIndex)
+      private val row = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(fields.length)
+      private lazy val in = {
+        val fp = new HPath(p.file)
+        fp.getFileSystem(confCarrier.value).open(fp)
+      }
+      private val it = p.ranges.iterator
+      private var cur: (String, String, String, String, Long, Array[Byte]) = _
+      private var curOffset = 0L
+      override def next(): Boolean = {
+        if (!it.hasNext) false
+        else {
+          val (off, len) = it.next()
+          curOffset = off
+          cur = WarcSource.readMemberFields(in, p.file, off, len)
+          true
+        }
+      }
+      override def get(): InternalRow = {
+        var i = 0
+        while (i < fields.length) {
+          fields(i) match {
+            case 0 => row.update(i, UTF8String.fromString(p.file))
+            case 1 => row.update(i, curOffset)
+            case 2 => row.update(i, UTF8String.fromString(cur._1))
+            case 3 => row.update(i, UTF8String.fromString(cur._2))
+            case 4 => row.update(i,
+              if (cur._3 == null) null else UTF8String.fromString(cur._3))
+            case 5 => row.update(i,
+              if (cur._4 == null) null else UTF8String.fromString(cur._4))
+            case 6 => row.update(i, cur._5)
+            case 7 => row.update(i, cur._6)
+          }
+          i += 1
+        }
+        row
+      }
+      override def close(): Unit = in.close()
+    }
+
+  private def scanReader(files: Seq[String]): PartitionReader[InternalRow] = {
     new PartitionReader[InternalRow] {
       private val fields: Array[Int] =
         required.fieldNames.map(WarcSource.Schema.fieldIndex)

@@ -171,6 +171,46 @@ class WarcSourceSpec extends SparkSuite {
       && p1.head.getAs[Array[Byte]](1).toSeq == rows(1)._5.toSeq)
   }
 
+  test("record_id filter pushdown plans cdx point partitions through plain SQL") {
+    val dir = freshDir()
+    val rows = (1 to 30).map(i => (f"urn:graft:pd:$i%03d", "resource",
+      s"https://x.com/$i", "text/plain", (s"body-$i" * 20).getBytes("UTF-8")))
+    WarcSource.writeRecords(rows.toDF(cols: _*).repartition(2), dir,
+      gzip = true, cdxIndex = true)
+    val wanted = Seq("urn:graft:pd:003", "urn:graft:pd:021")
+    // the DECLARATIVE spelling — no readAt call, just a filter
+    val df = WarcSource.read(spark, dir).filter(col("record_id").isin(wanted: _*))
+    val got = df.select("record_id", "target_uri", "content_length", "payload")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getAs[Array[Byte]](3).toSeq)).sortBy(_._1)
+    assert(got.map(_._1).toSeq == wanted)
+    assert(got(0)._4 == rows(2)._5.toSeq && got(1)._4 == rows(20)._5.toSeq)
+    // the plan really took the point path: the scan advertises the hits
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("point_lookup=2"), s"expected point partitions:\n$plan")
+    // EqualTo pushes too
+    val one = WarcSource.read(spark, dir).filter(col("record_id") === "urn:graft:pd:007")
+    assert(one.queryExecution.executedPlan.toString.contains("point_lookup=1"))
+    assert(one.count() == 1L)
+    // two ANDed record_id predicates intersect their id sets
+    val conj = WarcSource.read(spark, dir)
+      .filter(col("record_id").isin(wanted: _*) &&
+        col("record_id") === "urn:graft:pd:021")
+    assert(conj.queryExecution.executedPlan.toString.contains("point_lookup=1"))
+    assert(conj.collect().map(_.getString(3)).toSeq == Seq("urn:graft:pd:021"))
+    // a NON-record_id filter does not take the point path
+    val byType = WarcSource.read(spark, dir).filter(col("warc_type") === "resource")
+    assert(!byType.queryExecution.executedPlan.toString.contains("point_lookup"))
+    assert(byType.count() == 30L)
+    // an UNINDEXED archive falls back to the full scan, same answer —
+    // pushdown is an access path, never the correctness carrier
+    val dirNoIdx = freshDir()
+    WarcSource.writeRecords(rows.toDF(cols: _*).coalesce(1), dirNoIdx, gzip = true)
+    val fb = WarcSource.read(spark, dirNoIdx).filter(col("record_id").isin(wanted: _*))
+    assert(!fb.queryExecution.executedPlan.toString.contains("point_lookup"))
+    assert(fb.collect().map(_.getString(3)).sorted.toSeq == wanted)
+  }
+
   test("a >=2GiB Content-Length fails as a loud parse error, not an allocation wrap") {
     // The reader materializes one payload as one Array[Byte]: an
     // Int-overflowing length must route through fail() (file + offset)
