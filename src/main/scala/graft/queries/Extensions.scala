@@ -7568,6 +7568,47 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  // -------------------------------------------------------------- Q210
+  /** WARC POINT READ THROUGH FILTER PUSHDOWN (round 12 — the declared
+    * twin of [[graft.sources.WarcSource.readAt]]): documents land as a
+    * per-record-gzipped, cdx-indexed archive; the read is plain SQL —
+    * `filter(record_id IN ...)` on the DSv2 connector — which the scan
+    * builder turns into member-range POINT partitions (the in-query
+    * require asserts the executed plan advertises `point_lookup=`, so
+    * a silent fallback to the full scan fails the gate rather than
+    * hiding behind identical answers). `content_length` comes from the
+    * parsed WARC header of the ranged member read, so the oracle match
+    * proves the index's byte ranges land on exactly the right records
+    * with byte-exact framing. Scale shape: O(K) ranged reads against
+    * an archive the indexless scan would fully inflate
+    * (BENCH_WARCCDX_r12: 17.2× on fat payloads). */
+  val q210 = QueryDef("q210_warc_point_read",
+    """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS content_length
+      |FROM documents WHERE doc_id BETWEEN 10 AND 29
+      |ORDER BY doc_id""") { (s, dir) =>
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val records = docs.select(
+        concat(lit("urn:graft:doc:"), col("doc_id").cast("string")).as("record_id"),
+        lit("resource").as("warc_type"),
+        lit(null).cast("string").as("target_uri"),
+        lit("text/plain").as("content_type"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .repartitionByRange(4, col("record_id"))
+      .sortWithinPartitions("record_id")
+    val wdir = graft.operators.Scratch.dir("q210") + "/warc"
+    graft.sources.WarcSource.writeRecords(records, wdir,
+      gzip = true, cdxIndex = true)
+    val ids = (10L to 29L).map(i => s"urn:graft:doc:$i")
+    val back = graft.sources.WarcSource.read(s, wdir)
+      .filter(col("record_id").isin(ids: _*))
+    require(back.queryExecution.executedPlan.toString.contains("point_lookup="),
+      "warc point read did not plan cdx point partitions")
+    back.select(
+        regexp_extract(col("record_id"), "doc:([0-9]+)$", 1).cast("long").as("doc_id"),
+        col("content_length"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -7577,5 +7618,5 @@ object Extensions {
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q169b, q169c, q170, q171, q172, q173, q174, q175,
-    q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209)
+    q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210)
 }
