@@ -105,6 +105,47 @@ object HtmlExtract {
       .drop("__blocks", "__kept")
   }
 
+  // -- link extraction (the WAT side of a crawl: web-graph + anchors) --
+
+  /** Whole-anchor-tag pattern (group 0 = `<a …>…</a>`). */
+  val anchorTagPat = "(?is)<a[^>]*>.*?</a>"
+
+  /** href attribute inside one anchor tag (group 1 = the URL; the
+    * double-quoted form only — the fixture and real canonical HTML
+    * emit it, and a laxer pattern would diverge across engines on
+    * pathological markup). */
+  val hrefPat = "(?is)href=\"([^\"]*)\""
+
+  /** Per-anchor struct array for one html column: (href = the raw
+    * href attribute, '' when absent; atxt = the anchor's inner text,
+    * tags stripped, entities decoded, whitespace collapsed). This is
+    * the WAT-extraction primitive (Common Crawl ships exactly these
+    * per-page link records): the web graph, anchor-text retrieval
+    * signals, and frontier discovery all start here. Pure narrow
+    * projection — regex + array ops per row, zero exchanges. */
+  def links(html: Column): Column =
+    transform(regexp_extract_all(html, lit(anchorTagPat), lit(0)), a => {
+      val inner = regexp_extract(a, anchorPat, 1)
+      val atxt = trim(regexp_replace(
+        decodeEntities(regexp_replace(inner, tagPat, " ")), wsPat, " "))
+      struct(regexp_extract(a, hrefPat, 1).as("href"), atxt.as("atxt"))
+    })
+
+  /** Resolve an href against its page's host: absolute `https://…`
+    * keeps its own (host, path); anything else is treated as
+    * host-relative (the fixture's hrefs are all root-relative; a
+    * fuller RFC 3986 resolver drops in behind the same two columns).
+    * Returns a (host, path) struct; empty path normalizes to "/". */
+  def resolveHref(srcHost: Column, href: Column): Column = {
+    val isAbs = href.startsWith("https://")
+    val absHost = regexp_extract(href, "^https://([^/?#]+)", 1)
+    val absPath = regexp_replace(href, "^https://[^/?#]+", "")
+    val host = when(isAbs, absHost).otherwise(srcHost)
+    val path0 = when(isAbs, absPath).otherwise(href)
+    val path = when(path0 === "", "/").otherwise(path0)
+    struct(host.as("host"), path.as("path"))
+  }
+
   // -- DuckDB twins (same literals, spliced by reference) -------------
 
   /** SQL expression for the per-block struct list over `htmlExpr` —
@@ -126,6 +167,36 @@ object HtmlExtract {
        |      regexp_extract_all(l, '$anchorPat', 1),
        |      a -> length(regexp_replace(a, '$tagPat', '', 'g')))), 0) AS BIGINT)))""".stripMargin
   }
+
+  /** SQL expression for the per-anchor struct list over `htmlExpr` —
+    * the [[links]] twin (same literals, same decode order). */
+  def linksSql(htmlExpr: String): String = {
+    val decoded = entities.foldLeft(
+      s"regexp_replace(regexp_extract(a, '$anchorPat', 1), '$tagPat', ' ', 'g')") {
+      case (acc, (e, r)) =>
+        val rr = if (r == "'") "chr(39)" else s"'$r'"
+        s"replace($acc, '$e', $rr)"
+    }
+    s"""list_transform(
+       |  regexp_extract_all($htmlExpr, '$anchorTagPat', 0),
+       |  a -> struct_pack(
+       |    href := regexp_extract(a, '(?is)href="([^"]*)"', 1),
+       |    atxt := trim(regexp_replace($decoded, '$wsPat', ' ', 'g'))))""".stripMargin
+  }
+
+  /** SQL (host, path) resolution twin of [[resolveHref]] over columns
+    * `srcHost` and an href expression `h`. */
+  def resolveHrefSql(srcHost: String, h: String): String =
+    s"""struct_pack(
+       |  host := CASE WHEN starts_with($h, 'https://')
+       |               THEN regexp_extract($h, '^https://([^/?#]+)', 1)
+       |               ELSE $srcHost END,
+       |  path := CASE WHEN CASE WHEN starts_with($h, 'https://')
+       |                         THEN regexp_replace($h, '^https://[^/?#]+', '')
+       |                         ELSE $h END = '' THEN '/'
+       |               ELSE CASE WHEN starts_with($h, 'https://')
+       |                         THEN regexp_replace($h, '^https://[^/?#]+', '')
+       |                         ELSE $h END END)""".stripMargin
 
   /** SQL keep-rule over a block struct `s` — the [[extract]] twin. */
   def keepRuleSql(s: String): String =

@@ -589,4 +589,45 @@ object TextAnalysis {
         size(regexp_extract_all(t, lit(codeKwPat), lit(0))).cast("long").as("n_kw"))
       .withColumn("is_code", col("n_kw") >= minKw && col("n_sym") >= minSym)
   }
+
+  // ---- encoding-damage (mojibake) screening --------------------------
+
+  /** Double-encoded UTF-8 signature pattern (shared with oracles
+    * verbatim): UTF-8 bytes of a common accented Latin-1 char
+    * re-decoded as Latin-1/cp1252 and re-encoded — `é`→`Ã©`,
+    * `’`→`â€™` etc., the classic mojibake a mixed-encoding crawl
+    * produces. Spelled as two signature families: `Ã` + a Latin-1
+    * accent tail, and `â€` + a cp1252 punctuation tail. */
+  val doubleEncPat: String =
+    "Ã[§¨©±¶¼]|â€[œ’“™]"
+
+  /** The U+FFFD replacement character a lossy transcode leaves behind. */
+  val replacementPat: String = "�"
+
+  /** Stray C1 control characters (U+0080–U+009F) — the Latin-1/cp1252
+    * confusion band; hex-escape spelling is the RE2 ∩ Java dialect, so
+    * the identical pattern TEXT runs in both engines. */
+  val c1Pat: String = "[\\x{0080}-\\x{009F}]"
+
+  /** ENCODING-DAMAGE SCREEN: per-doc counts of the three mojibake
+    * signatures above plus the aggregate verdict — the curation gate
+    * that catches transcoding damage BEFORE it poisons tokenizer
+    * training (a double-encoded corpus teaches the BPE learner `Ã©`
+    * merges) or dedup (damaged and clean copies of one page hash
+    * apart). Heuristic by design — signature families, not a full
+    * chardet — so the whole gate stays oracle-expressible and runs as
+    * a pure narrow projection: three codegen'd regex counts per row,
+    * ZERO exchanges at any corpus size. */
+  def encodingDamage(docs: DataFrame, textCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    graft.sources.Balance.cpuBound(docs)
+      .withColumn("n_double_enc",
+        size(regexp_extract_all(t, lit(doubleEncPat), lit(0))).cast("long"))
+      .withColumn("n_replacement",
+        size(regexp_extract_all(t, lit(replacementPat), lit(0))).cast("long"))
+      .withColumn("n_c1",
+        size(regexp_extract_all(t, lit(c1Pat), lit(0))).cast("long"))
+      .withColumn("is_damaged",
+        col("n_double_enc") + col("n_replacement") + col("n_c1") > 0)
+  }
 }

@@ -787,9 +787,12 @@ object Extensions {
     *    rounds; the cheap path for clique-ish near-dup blobs)
     *  - q63b: [[Dedup.dedupClustersStar]], large-star/small-star
     *    contraction (O(log n) rounds; the adversarial-diameter path) */
-  /** Shared CTE chain for q63/q63b/q121: shingles → Jaccard edges →
-    * transitive closure → per-doc min-label cluster ids (`cc`). */
-  private val dedupClustersCte =
+  /** Shingles → verified-Jaccard edge CTE chain (symmetrized `ee`) —
+    * the shared graph fixture for the cluster-resolution oracles
+    * (q63/q63b/q121 transitive closure) and the q211 label-propagation
+    * oracle: ONE copy so the edge semantics cannot desynchronize
+    * between the component and community views of the same graph. */
+  private val jaccardEdgesCte =
     s"""$docwCte, sh AS (
        |  SELECT DISTINCT doc_id, shingle FROM (
        |    SELECT doc_id, unnest(list_transform(range(1, len(w)),
@@ -804,7 +807,12 @@ object Extensions {
        |  SELECT doc_a AS a, doc_b AS b
        |  FROM p0 JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
        |  WHERE floor(CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) * 10000 + 0.5) / 10000 >= 0.3
-       |), ee AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+       |), ee AS (SELECT a, b FROM e UNION SELECT b, a FROM e)""".stripMargin
+
+  /** Shared CTE chain for q63/q63b/q121: shingles → Jaccard edges →
+    * transitive closure → per-doc min-label cluster ids (`cc`). */
+  private val dedupClustersCte =
+    s"""$jaccardEdgesCte,
        |reach(node, lbl) AS (
        |  SELECT doc_id, doc_id FROM documents
        |  UNION
@@ -7609,6 +7617,409 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  // -------------------------------------------------------------- Q211
+  /** LABEL-PROPAGATION COMMUNITIES
+    * ([[graft.operators.Communities.labelPropagation]], round 12): the
+    * COMMUNITY view of the exact graph q63/q63b resolve into connected
+    * components — 3 synchronous deterministic LPA rounds (most frequent
+    * neighbor label, ties to the smallest, isolated nodes keep their
+    * own) over the verified-Jaccard near-dup edges. Where CC merges two
+    * tight blobs across one bridge edge, LPA keeps them apart (each
+    * blob out-votes the bridge) — the split a curation pipeline wants
+    * when "transitively similar" chains distinct articles together.
+    * The oracle unrolls the same 3 rounds as plain CTEs (frequency →
+    * row_number argmax → coalesce), so the hash match proves round
+    * semantics, tie order, and isolated-node behavior exactly. Scale
+    * shape: per round ONE edge⋈label hash join + one combine-able
+    * two-level aggregate (partial counts map-side, per-node argmax as
+    * `max(struct(cnt,-lbl))` — no window sort); rounds are a fixed
+    * small constant, labels localCheckpoint-ed so the plan stays O(1). */
+  val q211 = {
+    val rounds = 3
+    val steps = (1 to rounds).map { k =>
+      s"""n$k AS (
+         |  SELECT ee.a AS node, l.lbl, count(*) AS cnt
+         |  FROM ee JOIN l${k - 1} l ON ee.b = l.node GROUP BY 1, 2
+         |), w$k AS (
+         |  SELECT node, lbl, row_number() OVER (PARTITION BY node
+         |           ORDER BY cnt DESC, lbl ASC) AS rn
+         |  FROM n$k
+         |), l$k AS (
+         |  SELECT p.node, coalesce(w.lbl, p.lbl) AS lbl
+         |  FROM l${k - 1} p LEFT JOIN (SELECT node, lbl FROM w$k WHERE rn = 1) w
+         |    ON p.node = w.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    QueryDef("q211_label_propagation",
+      s"""WITH $jaccardEdgesCte,
+         |l0 AS (SELECT doc_id AS node, doc_id AS lbl FROM documents),
+         |$steps
+         |SELECT node AS doc_id, CAST(lbl AS BIGINT) AS community,
+         |       CAST(count(*) OVER (PARTITION BY lbl) AS BIGINT) AS community_size
+         |FROM l$rounds ORDER BY doc_id""") { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val pairs = graft.operators.Dedup
+        .ngramJaccardPairsPrefix(docs, "doc_id", "text", n = 2, theta = 0.3)
+      graft.operators.Communities
+        .labelPropagation(pairs.select("doc_a", "doc_b"), docs.select("doc_id"),
+          rounds = rounds)
+        .select(col("node").as("doc_id"), col("community"),
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy("community")).as("community_size"))
+        .orderBy("doc_id")
+    }
+  }
+
+  // -------------------------------------------------------------- Q212
+  /** WEB-GRAPH + ANCHOR-TEXT EXTRACTION
+    * ([[graft.operators.HtmlExtract.links]], round 12) — the WAT side
+    * of a crawl (Common Crawl ships per-page link records for exactly
+    * this): q194 extracts what a page SAYS, this extracts what it
+    * POINTS AT. Each doc's q194 HTML fixture gains a cross-host
+    * "see also" block (rotating target hosts ≠ source hosts, plus a
+    * per-doc deep link), anchors are extracted as (href, anchor text)
+    * structs — inner tags stripped, entities decoded — hrefs resolved
+    * against the page host (absolute keeps its own host, relative
+    * inherits), and the result is the inlink table every web-graph
+    * consumer starts from: per target (host, path) the in-degree,
+    * distinct source hosts/docs, and the most frequent anchor text
+    * (ties to the smallest — the retrieval-signal aggregation BM25F
+    * anchor fields use). Scale shape: link extraction is a pure
+    * narrow projection (regex + array ops, zero exchanges); the
+    * rollup is one shuffle on (host, path) + a combine-able distinct
+    * pair; the top-anchor pick is a per-key window over the already
+    * reduced (host, path, atxt) counts, never over raw links. */
+  val q212 = {
+    val H = graft.operators.HtmlExtract
+    QueryDef("q212_anchor_text",
+      s"""WITH $docwCte, d AS (
+         |  SELECT doc_id, lang, w FROM docw WHERE len(w) >= 1
+         |), pg AS (
+         |  SELECT doc_id,
+         |         'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS src_host,
+         |         ${H.synthHtmlSql} ||
+         |         '<p>See also <a href="https://h' || CAST(doc_id % 3 AS VARCHAR) ||
+         |         '.example.com/topic/' || lang || '">' || lang ||
+         |         CASE WHEN doc_id % 5 = 0 THEN ' hub' ELSE ' topic hub' END ||
+         |         '</a> and <a href="/doc/' || CAST(doc_id AS VARCHAR) ||
+         |         '/related">notes for ' || CAST(doc_id AS VARCHAR) || '</a>.</p>' AS html
+         |  FROM d
+         |), ln AS (
+         |  SELECT doc_id, src_host, unnest(${H.linksSql("html")}) AS lnk FROM pg
+         |), rv AS (
+         |  SELECT doc_id, src_host,
+         |         ${H.resolveHrefSql("src_host", "struct_extract(lnk, 'href')")} AS t,
+         |         struct_extract(lnk, 'atxt') AS atxt
+         |  FROM ln WHERE struct_extract(lnk, 'href') <> ''
+         |), r2 AS (
+         |  SELECT doc_id, src_host, struct_extract(t, 'host') AS host,
+         |         struct_extract(t, 'path') AS path, atxt
+         |  FROM rv
+         |), pa AS (
+         |  SELECT host, path, atxt, count(*) AS cnt FROM r2 GROUP BY 1, 2, 3
+         |), tp AS (
+         |  SELECT host, path, atxt, cnt,
+         |         row_number() OVER (PARTITION BY host, path
+         |           ORDER BY cnt DESC, atxt ASC) AS rn
+         |  FROM pa
+         |), ag AS (
+         |  SELECT host, path, CAST(count(*) AS BIGINT) AS n_inlinks,
+         |         CAST(count(DISTINCT src_host) AS BIGINT) AS n_src_hosts,
+         |         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_src_docs
+         |  FROM r2 GROUP BY 1, 2
+         |)
+         |SELECT ag.host, ag.path, ag.n_inlinks, ag.n_src_hosts, ag.n_src_docs,
+         |       tp.atxt AS top_anchor, CAST(tp.cnt AS BIGINT) AS top_anchor_n
+         |FROM ag JOIN tp ON ag.host = tp.host AND ag.path = tp.path AND tp.rn = 1
+         |ORDER BY ag.host, ag.path""") { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.normalizedWords(col("text")).as("w"))
+        .filter(size(col("w")) >= 1)
+      val did = col("doc_id").cast("string")
+      val page = concat(
+        H.synthHtml(col("doc_id"), col("w"), col("lang")),
+        lit("<p>See also <a href=\"https://h"), (col("doc_id") % 3).cast("string"),
+        lit(".example.com/topic/"), col("lang"), lit("\">"), col("lang"),
+        when(col("doc_id") % 5 === 0, lit(" hub")).otherwise(lit(" topic hub")),
+        lit("</a> and <a href=\"/doc/"), did, lit("/related\">notes for "), did,
+        lit("</a>.</p>"))
+      val resolved = d
+        .select(col("doc_id"),
+          concat(lit("h"), (col("doc_id") % 7).cast("string"),
+            lit(".example.com")).as("src_host"),
+          explode(H.links(page)).as("lnk"))
+        .filter(col("lnk.href") =!= "")
+        .select(col("doc_id"), col("src_host"),
+          H.resolveHref(col("src_host"), col("lnk.href")).as("t"),
+          col("lnk.atxt").as("atxt"))
+        .select(col("doc_id"), col("src_host"),
+          col("t.host").as("host"), col("t.path").as("path"), col("atxt"))
+      val perAnchor = resolved.groupBy("host", "path", "atxt")
+        .agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("host", "path").orderBy(col("cnt").desc, col("atxt").asc)
+      val top = perAnchor.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("host"), col("path"),
+          col("atxt").as("top_anchor"), col("cnt").as("top_anchor_n"))
+      resolved.groupBy("host", "path")
+        .agg(count(lit(1)).as("n_inlinks"),
+          countDistinct(col("src_host")).as("n_src_hosts"),
+          countDistinct(col("doc_id")).as("n_src_docs"))
+        .join(top, Seq("host", "path"))
+        .orderBy("host", "path")
+    }
+  }
+
+  // -------------------------------------------------------------- Q213
+  /** SCHEMA EVOLUTION ON THE VERSIONED TABLE
+    * ([[graft.sources.VersionedTable.commit]] `allowSchemaEvolution`,
+    * round 12 — the Delta mergeSchema move): v1 = half the corpus as
+    * (doc_id, text); v2 = an EVOLVING append of the other half carrying
+    * a new `lang` column. The latest read resolves the union schema —
+    * pre-evolution rows surface `lang` as NULL — while `readAsOf(1)`
+    * still shows the original two columns (asserted in-query), and
+    * `validateAsOf` must stay exact across the evolution boundary (the
+    * digest folds the new dir over the STANDING content cols — also
+    * asserted). The oracle replays the story as a null-padded UNION:
+    * the hash match proves null backfill, union-schema resolution, and
+    * that neither half lost a byte crossing the boundary. Scale shape:
+    * the evolving append writes ONLY its batch (nothing is rewritten —
+    * the entire point vs. the copy-forward alternative at 100 TB); the
+    * merge-read flag costs footer reads, not data. */
+  val q213 = QueryDef("q213_schema_evolution",
+    s"""WITH b AS (
+       |  SELECT doc_id, text, lang, ${md5Bucket16Sql("doc_id")} AS bkt FROM documents
+       |), u AS (
+       |  SELECT doc_id, text, NULL AS lang2 FROM b WHERE bkt < 32768
+       |  UNION ALL
+       |  SELECT doc_id, text, lang AS lang2 FROM b WHERE bkt >= 32768
+       |)
+       |SELECT coalesce(lang2, '<pre-evolution>') AS lang,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(strlen(text)) AS BIGINT) AS n_chars
+       |FROM u GROUP BY 1 ORDER BY lang""") { (s, dir) =>
+    val vt = graft.sources.VersionedTable
+    val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
+    val bkt = graft.operators.Splits.hashBucket(col("doc_id"))
+    val tdir = graft.operators.Scratch.dir("q213") + "/t"
+    vt.commit(docs.filter(bkt < 32768).select("doc_id", "text"),
+      tdir, "doc_id", Seq("text"), expectedVersion = 0L)
+    vt.commit(docs.filter(bkt >= 32768), tdir, "doc_id", Seq("text"),
+      expectedVersion = 1L, mode = "append", allowSchemaEvolution = true)
+    // the evolution contract, gated in-query: v1 is untouched (original
+    // schema), and the digest chain survives the boundary exactly
+    require(vt.readAsOf(s, tdir, 1L).columns.toSeq == Seq("doc_id", "text"),
+      "schema evolution must not rewrite the pre-evolution version")
+    require(vt.validateAsOf(s, tdir, 2L)._1,
+      "evolved snapshot digest must re-derive exactly")
+    vt.read(s, tdir)
+      .groupBy(coalesce(col("lang"), lit("<pre-evolution>")).as("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast("long").as("n_chars"))
+      .orderBy("lang")
+  }
+
+  // -------------------------------------------------------------- Q214
+  /** ENCODING-DAMAGE (MOJIBAKE) SCREEN
+    * ([[graft.operators.TextAnalysis.encodingDamage]], round 12): the
+    * transcoding-damage gate a mixed-encoding crawl needs before
+    * tokenizer training or dedup — double-encoded UTF-8 signatures
+    * (`é`→`Ã©`, `’`→`â€™`), U+FFFD replacement chars, and stray C1
+    * controls. Damage is PLANTED deterministically (three doc bands
+    * get one damage class each appended; the rest stay clean), the
+    * detector counts each signature family per doc, and the rollup
+    * reports per (source, lang) doc/damage/signature counts — the
+    * triage table an ingest operator reads to decide which feed needs
+    * re-fetching. Identical pattern literals both engines (the C1
+    * class in hex-escape spelling, the RE2 ∩ Java dialect). Scale
+    * shape: three codegen'd regex counts per row — a pure narrow
+    * projection, zero exchanges — then one combine-able rollup. */
+  val q214 = {
+    val TA = graft.operators.TextAnalysis
+    // " été résumé" double-encoded (é → Ã©), and a replacement-char tail
+    val dbl = " Ã©tÃ© rÃ©sumÃ©"
+    val repl = " bad�byte�"
+    QueryDef("q214_mojibake_screen",
+      s"""WITH dmg AS (
+         |  SELECT source, lang,
+         |         CASE WHEN doc_id % 9 = 0 THEN text || '$dbl'
+         |              WHEN doc_id % 9 = 3 THEN text || '$repl'
+         |              WHEN doc_id % 9 = 6 THEN text || chr(133) || 'line' || chr(133)
+         |              ELSE text END AS t
+         |  FROM documents
+         |), c AS (
+         |  SELECT source, lang,
+         |         len(regexp_extract_all(t, '${TA.doubleEncPat}', 0)) AS nd,
+         |         len(regexp_extract_all(t, '${TA.replacementPat}', 0)) AS nr,
+         |         len(regexp_extract_all(t, '${TA.c1Pat}', 0)) AS nc
+         |  FROM dmg
+         |)
+         |SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(count(*) FILTER (WHERE nd + nr + nc > 0) AS BIGINT) AS n_damaged,
+         |       CAST(sum(nd) AS BIGINT) AS n_double_enc,
+         |       CAST(sum(nr) AS BIGINT) AS n_replacement,
+         |       CAST(sum(nc) AS BIGINT) AS n_c1
+         |FROM c GROUP BY 1, 2 ORDER BY source, lang""") { (s, dir) =>
+      val m9 = col("doc_id") % 9
+      val damaged = t(s, dir, "documents")
+        .select(col("source"), col("lang"),
+          when(m9 === 0, concat(col("text"), lit(dbl)))
+            .when(m9 === 3, concat(col("text"), lit(repl)))
+            .when(m9 === 6, concat(col("text"), lit("\u0085line\u0085")))
+            .otherwise(col("text")).as("t"))
+      TA.encodingDamage(damaged, "t")
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("is_damaged"), 1L).otherwise(0L)).as("n_damaged"),
+          sum(col("n_double_enc")).as("n_double_enc"),
+          sum(col("n_replacement")).as("n_replacement"),
+          sum(col("n_c1")).as("n_c1"))
+        .orderBy("source", "lang")
+    }
+  }
+
+  // -------------------------------------------------------------- Q215
+  /** EVENT-PATTERN MATCHING (MATCH_RECOGNIZE-lite CEP, round 12): each
+    * user's event stream becomes a deterministic journey STRING (one
+    * char per event — the distinct first letters of the five event
+    * types — ordered by (ts, event_id)), and the pattern layer is
+    * plain regex over that string: `direct_funnel` =
+    * view→click→purchase with no intervening error, `n_error_runs` =
+    * maximal error bursts, `abandoned_cart` = a click never followed
+    * by a purchase. This is the sequence-pattern primitive SQL:2016
+    * MATCH_RECOGNIZE / Flink CEP provide, re-expressed as
+    * encode-then-regex so the SAME pattern literals run in both
+    * engines (RE2 ∩ Java: char classes + anchors only — no lookaround,
+    * which RE2 lacks). Scale shape: ONE shuffle on user_id; the
+    * per-user sort is bounded by journey length (sessionize first at
+    * crawl scale — q23's operator — and the same encode applies per
+    * session); the regex layer is a pure narrow projection. */
+  val q215 = {
+    val funnelPat = "v[^e]*c[^e]*p"
+    val errRunPat = "e+"
+    val abandonPat = "c[^p]*$"
+    QueryDef("q215_event_pattern",
+      s"""WITH c AS (
+         |  SELECT user_id, event_id, ts, substr(event_type, 1, 1) AS code FROM events
+         |), j AS (
+         |  SELECT user_id, string_agg(code, '' ORDER BY ts, event_id) AS journey,
+         |         CAST(count(*) AS BIGINT) AS n_events
+         |  FROM c GROUP BY user_id
+         |)
+         |SELECT user_id, journey, n_events,
+         |       regexp_matches(journey, '$funnelPat') AS direct_funnel,
+         |       CAST(len(regexp_extract_all(journey, '$errRunPat', 0)) AS BIGINT) AS n_error_runs,
+         |       regexp_matches(journey, '$abandonPat') AS abandoned_cart
+         |FROM j ORDER BY user_id""") { (s, dir) =>
+      t(s, dir, "events")
+        .select(col("user_id"),
+          struct(col("ts"), col("event_id"),
+            substring(col("event_type"), 1, 1).as("code")).as("ev"))
+        .groupBy("user_id")
+        .agg(
+          array_join(transform(array_sort(collect_list(col("ev"))),
+            e => e.getField("code")), "").as("journey"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("journey"), col("n_events"),
+          col("journey").rlike(funnelPat).as("direct_funnel"),
+          size(regexp_extract_all(col("journey"), lit(errRunPat), lit(0)))
+            .cast("long").as("n_error_runs"),
+          col("journey").rlike(abandonPat).as("abandoned_cart"))
+        .orderBy("user_id")
+    }
+  }
+
+  // -------------------------------------------------------------- Q216
+  /** K-CORE GRAPH CLEANING ([[graft.operators.Communities.kCore]],
+    * round 12): the 2-core of the verified-Jaccard near-dup graph —
+    * synchronous peel rounds dropping every node whose degree within
+    * the surviving set is < 2 — the strip-pendants-first step
+    * published web-graph pipelines run before centrality/community
+    * passes (a pendant chain peels one link per round, which is why
+    * the round count matters and why the oracle replays the SAME
+    * rounds). Output: every doc with its in-core verdict and its
+    * degree within the core. Scale shape: per round one semi-join of
+    * the persisted symmetric edge set against the survivor frame + a
+    * combine-able degree count — node-id shuffles only. */
+  val q216 = {
+    val k = 2
+    val rounds = 4
+    val steps = (1 to rounds).map { r =>
+      s"""d$r AS (
+         |  SELECT ee.a AS node, count(*) AS deg FROM ee
+         |  JOIN a${r - 1} s ON ee.a = s.node JOIN a${r - 1} t ON ee.b = t.node
+         |  GROUP BY 1
+         |), a$r AS (SELECT node FROM d$r WHERE deg >= $k)""".stripMargin
+    }.mkString(",\n")
+    QueryDef("q216_kcore",
+      s"""WITH $jaccardEdgesCte,
+         |a0 AS (SELECT doc_id AS node FROM documents),
+         |$steps,
+         |cd AS (
+         |  SELECT ee.a AS node, count(*) AS deg FROM ee
+         |  JOIN a$rounds s ON ee.a = s.node JOIN a$rounds t ON ee.b = t.node
+         |  GROUP BY 1
+         |)
+         |SELECT n.node AS doc_id, (a.node IS NOT NULL) AS in_core,
+         |       CAST(coalesce(cd.deg, 0) AS BIGINT) AS core_degree
+         |FROM a0 n LEFT JOIN a$rounds a ON n.node = a.node
+         |LEFT JOIN cd ON n.node = cd.node
+         |ORDER BY doc_id""") { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val pairs = graft.operators.Dedup
+        .ngramJaccardPairsPrefix(docs, "doc_id", "text", n = 2, theta = 0.3)
+      graft.operators.Communities
+        .kCore(pairs.select("doc_a", "doc_b"), docs.select("doc_id"),
+          k = k, rounds = rounds)
+        .select(col("node").as("doc_id"), col("in_core"), col("core_degree"))
+        .orderBy("doc_id")
+    }
+  }
+
+  // -------------------------------------------------------------- Q217
+  /** MALFORMED-RECORD QUARANTINE ON JSON INGEST (round 12): real feeds
+    * arrive as JSONL with a damage rate, and the ingest contract is
+    * "parse what parses, QUARANTINE the rest with the raw line intact"
+    * — never drop, never abort (Spark's PERMISSIVE +
+    * columnNameOfCorruptRecord recipe). The corpus is round-tripped
+    * through actual JSONL bytes (to_json per row, so quotes/newlines
+    * in text exercise real escaping) with every 7th line truncated
+    * mid-string; the read classifies each line and the rollup counts
+    * rows + surviving text bytes per status. The oracle replays the
+    * planting rule — the match proves the parser quarantined EXACTLY
+    * the damaged lines and parsed text byte-identically through the
+    * JSON escape round trip. Scale shape: write one narrow text pass,
+    * read one schema-pinned json scan (no inference pass — schema is
+    * explicit, which at 100 TB is the difference between one read and
+    * two) + a combine-able rollup. */
+  val q217 = QueryDef("q217_json_quarantine",
+    """SELECT CASE WHEN doc_id % 7 = 0 THEN 'quarantined' ELSE 'ok' END AS status,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(CASE WHEN doc_id % 7 <> 0 THEN strlen(text) END) AS BIGINT) AS n_chars
+      |FROM documents GROUP BY 1 ORDER BY status""") { (s, dir) =>
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val line = when(col("doc_id") % 7 === 0,
+        // truncated mid-string: unterminated JSON — must quarantine
+        concat(lit("{\"doc_id\": "), col("doc_id").cast("string"),
+          lit(", \"text\": \"broken")))
+      .otherwise(to_json(struct(col("doc_id"), col("text"))))
+    val jdir = graft.operators.Scratch.dir("q217") + "/jsonl"
+    docs.select(line.as("value")).write.text(jdir)
+    s.read
+      .schema("doc_id LONG, text STRING, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(jdir)
+      .select(when(col("_corrupt_record").isNull, lit("ok"))
+        .otherwise(lit("quarantined")).as("status"),
+        length(col("text")).cast("long").as("len"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_rows"), sum(col("len")).as("n_chars"))
+      .orderBy("status")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -7618,5 +8029,6 @@ object Extensions {
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q169b, q169c, q170, q171, q172, q173, q174, q175,
-    q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210)
+    q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215,
+    q216, q217)
 }

@@ -111,7 +111,8 @@ object VersionedTable {
       rows: Long, digest: Long, idCol: String, contentCols: Seq[String],
       batchId: Option[Long],
       dirStats: Map[String, (Long, Long)],
-      dirStrStats: Map[String, Map[String, (String, String)]])
+      dirStrStats: Map[String, Map[String, (String, String)]],
+      mergeRead: Boolean)
 
   private def urlEnc(s: String): String =
     java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
@@ -169,7 +170,20 @@ object VersionedTable {
       field("rows").toLong, field("digest").toLong,
       str("id_col"), str("content_cols").split(",").toSeq.filter(_.nonEmpty),
       s""""batch_id": (-?\\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong),
-      dirStats, dirStrStats)
+      dirStats, dirStrStats,
+      text.contains("\"merge_read\": true"))
+  }
+
+  /** Parquet read over a version's dirs, honoring its manifest's
+    * merge-read flag: an evolved table's dirs carry HETEROGENEOUS
+    * schemas, and without mergeSchema Spark resolves a multi-dir scan
+    * from a single footer — the new column would silently vanish or
+    * null out depending on which file won. Unevolved tables keep the
+    * cheap single-footer resolution. */
+  private def parquetRead(spark: SparkSession, m: Manifest,
+      paths: Seq[String]): DataFrame = {
+    val r = spark.read
+    (if (m.mergeRead) r.option("mergeSchema", "true") else r).parquet(paths: _*)
   }
 
   /** Commit `df` as the next version of the table under optimistic
@@ -194,7 +208,8 @@ object VersionedTable {
       mode: String = "overwrite",
       onBeforePublish: () => Unit = () => (),
       batchId: Option[Long] = None,
-      statCols: Seq[String] = Nil): Long = {
+      statCols: Seq[String] = Nil,
+      allowSchemaEvolution: Boolean = false): Long = {
     require(mode == "overwrite" || mode == "append",
       s"commit: mode must be overwrite|append, got $mode")
     val spark = df.sparkSession
@@ -216,26 +231,51 @@ object VersionedTable {
     // different schema would not fail, it would SILENTLY drop or
     // null-fill columns depending on which file won. Names AND types
     // must match the standing version exactly (order-insensitive);
-    // schema evolution is an explicit `overwrite` rewrite, not an
-    // accident of append.
+    // the one sanctioned relaxation is explicit column ADDITION under
+    // `allowSchemaEvolution` (below), which flips the manifest's
+    // merge-read flag so every read resolves the union schema.
+    // previous manifest, read once up front (driver-side tiny file) —
+    // the evolution gate needs its content cols, and append mode needs
+    // its dirs, stats, and digest below
+    val prevManifest: Option[Manifest] =
+      if (mode == "append" && cur > 0) Some(readManifest(spark, tableDir, cur))
+      else None
+    // SCHEMA EVOLUTION (round 12, the Delta mergeSchema move): with
+    // `allowSchemaEvolution`, an append may ADD columns — every standing
+    // (name, type) must still be present exactly (type drift and column
+    // loss stay hard errors; evolution is widening the schema, never
+    // mutating it). Old rows read back NULL for the new columns via the
+    // manifest's merge-read flag. Digest discipline: the new dir is
+    // digested over the STANDING content cols (enforced below), so
+    // validateAsOf stays exact across the evolution boundary; the new
+    // column joins the digest at the next snapshot `overwrite`, which
+    // re-bases content cols — stated, not hidden.
+    var evolvedNow = false
     if (mode == "append" && cur > 0L) {
       val standing = readAsOf(spark, tableDir, cur).schema
-      if (schemaSig(df.schema) != schemaSig(standing))
-        sys.error(s"versioned table $tableDir: append schema " +
-          s"${df.schema.simpleString} does not match version v$cur's " +
-          s"${standing.simpleString} — a mixed-schema append would read " +
-          "silently wrong (parquet resolves multi-dir scans from one " +
-          "footer); evolve the schema with an explicit overwrite commit")
+      if (schemaSig(df.schema) != schemaSig(standing)) {
+        val missing = schemaSig(standing).toSet -- schemaSig(df.schema).toSet
+        if (allowSchemaEvolution && missing.isEmpty) {
+          evolvedNow = true
+          val standingContent = prevManifest.map(_.contentCols).getOrElse(Nil)
+          require(contentCols == standingContent,
+            s"versioned table $tableDir: an evolving append must keep the " +
+              s"standing content cols ${standingContent.mkString(",")} for the " +
+              s"digest (got ${contentCols.mkString(",")}) — the added column " +
+              "joins the digest at the next overwrite commit")
+        } else
+          sys.error(s"versioned table $tableDir: append schema " +
+            s"${df.schema.simpleString} does not match version v$cur's " +
+            s"${standing.simpleString} — a mixed-schema append would read " +
+            "silently wrong (parquet resolves multi-dir scans from one " +
+            "footer); add columns with allowSchemaEvolution=true, or evolve " +
+            "types with an explicit overwrite commit")
+      }
     }
     val uid = java.util.UUID.randomUUID.toString.take(8)
     val dataRel = f"$DataDir/v$next%08d-$uid"
     val dataPath = new Path(root, dataRel)
     df.write.mode("error").parquet(dataPath.toString)
-    // previous manifest, read once (driver-side tiny file) — append mode
-    // needs its dirs, stats, and digest below
-    val prevManifest: Option[Manifest] =
-      if (mode == "append" && cur > 0) Some(readManifest(spark, tableDir, cur))
-      else None
     val dirsForVersion: Seq[String] =
       prevManifest.map(_.dirs :+ dataRel).getOrElse(Seq(dataRel))
     // re-read what LANDED (the writeWithManifest discipline): rows and
@@ -308,11 +348,18 @@ object VersionedTable {
           urlEnc(d) + "=" + cols.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
             s"${urlEnc(c)}:${urlEnc(lo)}:${urlEnc(hi)}" }.mkString("|")
         }).mkString(";")}", """
+    // the merge-read flag is STICKY across appends: once any retained
+    // dir carries an evolved schema, every later append's read of this
+    // version chain needs union resolution; an overwrite starts a
+    // single-schema dir set and drops the flag naturally
+    val mergeRead =
+      mode == "append" && (prevManifest.exists(_.mergeRead) || evolvedNow)
     val json =
       s"""{"digest_v": ${Sinks.DigestVersion}, "version": $next, """ +
         s""""mode": "$mode", "dirs": "${dirsForVersion.mkString(",")}", """ +
         s""""rows": ${dg._1}, "digest": ${dg._2}, """ +
         batchId.map(b => s""""batch_id": $b, """).getOrElse("") +
+        (if (mergeRead) """"merge_read": true, """ else "") +
         statsJson + strStatsJson +
         s""""id_col": "$idCol", "content_cols": "${contentCols.mkString(",")}"}"""
     onBeforePublish()
@@ -386,7 +433,7 @@ object VersionedTable {
   def readAsOf(spark: SparkSession, tableDir: String, v: Long): DataFrame = {
     val m = readManifest(spark, tableDir, v)
     val root = new Path(tableDir)
-    spark.read.parquet(m.dirs.map(d => new Path(root, d).toString): _*)
+    parquetRead(spark, m, m.dirs.map(d => new Path(root, d).toString))
   }
 
   /** The latest committed version (the plain `SELECT * FROM t` path). */
@@ -413,9 +460,12 @@ object VersionedTable {
     val base =
       if (kept.isEmpty)
         // every dir provably disjoint from the range: an empty relation
-        // with the version's exact schema (read the first dir's footer)
-        spark.read.parquet(new Path(root, m.dirs.head).toString).limit(0)
-      else spark.read.parquet(kept.map(d => new Path(root, d).toString): _*)
+        // with the version's exact schema (single footer, or the union
+        // schema over all dirs when the chain has evolved)
+        parquetRead(spark, m,
+          (if (m.mergeRead) m.dirs else Seq(m.dirs.head))
+            .map(d => new Path(root, d).toString)).limit(0)
+      else parquetRead(spark, m, kept.map(d => new Path(root, d).toString))
     base.filter(col(m.idCol).cast("long").between(idLo, idHi))
   }
 
@@ -439,8 +489,10 @@ object VersionedTable {
     })
     val base =
       if (kept.isEmpty)
-        spark.read.parquet(new Path(root, m.dirs.head).toString).limit(0)
-      else spark.read.parquet(kept.map(d => new Path(root, d).toString): _*)
+        parquetRead(spark, m,
+          (if (m.mergeRead) m.dirs else Seq(m.dirs.head))
+            .map(d => new Path(root, d).toString)).limit(0)
+      else parquetRead(spark, m, kept.map(d => new Path(root, d).toString))
     base.filter(col(column).cast("string") === value)
   }
 

@@ -93,4 +93,55 @@ class HtmlExtractSpec extends SparkSuite {
     // the tag line survives per doc (it is > 25 chars, zero links)
     assert(out.filter(col("main_text").contains("Tags & topics:")).count() === out.count())
   }
+
+  // ---- link extraction (q212's WAT primitive) ------------------------
+
+  private def linksOf(html: String): Seq[(String, String)] =
+    Seq(html).toDF("html")
+      .select(explode(HtmlExtract.links(col("html"))).as("l"))
+      .select(col("l.href"), col("l.atxt"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+
+  test("links: href + inner text per anchor, inner tags stripped, entities decoded") {
+    val got = linksOf(
+      "<body><p>See <a href=\"/a/b\">the <b>first</b> page</a> and " +
+        "<a class='x' href=\"https://h2.example.com/c\">Q&amp;A  archive</a>; " +
+        "also <a name='no-href-anchor'>unlinked text</a>.</p></body>")
+    assert(got === Seq(
+      ("/a/b", "the first page"),
+      ("https://h2.example.com/c", "Q&A archive"),
+      ("", "unlinked text")))
+  }
+
+  test("links: the synthetic fixture page yields exactly its planted anchors") {
+    val d = graft.sources.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"),
+        graft.functions.TextFunctions.normalizedWords(col("text")).as("w"))
+      .filter(size(col("w")) >= 1)
+    val n = d.count()
+    val anchors = d
+      .select(col("lang"), explode(HtmlExtract.links(
+        HtmlExtract.synthHtml(col("doc_id"), col("w"), col("lang")))).as("l"))
+    // 7 anchors per fixture page: 3 nav + read-more + 3 footer
+    assert(anchors.count() === 7L * n)
+    assert(anchors.filter(col("l.atxt") === "Home").count() === n)
+    assert(anchors.filter(col("l.href") === "/contact").count() === n)
+    assert(anchors.filter(col("l.atxt") === concat(col("lang"), lit(" edition")))
+      .count() === n)
+  }
+
+  test("resolveHref: absolute keeps its host/path, relative inherits, empty -> '/'") {
+    val rows = Seq(
+      ("h1.example.com", "https://h9.example.com/x/y"),
+      ("h1.example.com", "/about/"),
+      ("h1.example.com", "https://h9.example.com"))
+      .toDF("src", "href")
+      .select(HtmlExtract.resolveHref(col("src"), col("href")).as("t"))
+      .select(col("t.host"), col("t.path"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows === Seq(
+      ("h9.example.com", "/x/y"),
+      ("h1.example.com", "/about/"),
+      ("h9.example.com", "/")))
+  }
 }

@@ -363,6 +363,66 @@ class VersionedTableSpec extends SparkSuite {
       dir, "id", Seq("text", "extra"), 2L) == 3L)
   }
 
+  test("schema evolution: allowSchemaEvolution appends a new column; " +
+      "old rows read NULL, old versions keep the old schema, digests hold") {
+    val dir = freshDir()
+    VersionedTable.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "text"),
+      dir, "id", Seq("text"), 0L)
+    // evolving append: adds `lang`; must keep the standing content cols
+    assert(VersionedTable.commit(
+      Seq((3L, "c", "fr"), (4L, "d", "de")).toDF("id", "text", "lang"),
+      dir, "id", Seq("text"), 1L, mode = "append",
+      allowSchemaEvolution = true) == 2L)
+    // latest resolves the union schema with null backfill
+    val v2 = VersionedTable.read(spark, dir)
+    assert(v2.columns.sorted.toSeq == Seq("id", "lang", "text"))
+    val byId = v2.collect().map(r =>
+      r.getLong(r.fieldIndex("id")) ->
+        Option(r.getAs[String]("lang"))).toMap
+    assert(byId == Map(1L -> None, 2L -> None, 3L -> Some("fr"), 4L -> Some("de")))
+    // time travel to v1 is untouched: original two columns only
+    assert(VersionedTable.readAsOf(spark, dir, 1L).columns.toSeq == Seq("id", "text"))
+    // digest chain crosses the evolution boundary exactly
+    (1L to 2L).foreach { v =>
+      assert(VersionedTable.validateAsOf(spark, dir, v)._1, s"digest of v$v")
+    }
+    // a later matching append carries the merge-read flag forward
+    assert(VersionedTable.commit(
+      Seq((5L, "e", "es")).toDF("id", "text", "lang"),
+      dir, "id", Seq("text"), 2L, mode = "append") == 3L)
+    val v3 = VersionedTable.read(spark, dir)
+    assert(v3.count() == 5L && v3.columns.sorted.toSeq == Seq("id", "lang", "text"))
+    assert(v3.filter(col("lang").isNull).count() == 2L)
+    // skipping reads resolve the union schema too (incl. the all-pruned path)
+    assert(VersionedTable.readAsOfWhere(spark, dir, 3L, 5L, 5L)
+      .columns.sorted.toSeq == Seq("id", "lang", "text"))
+    assert(VersionedTable.readAsOfWhere(spark, dir, 3L, 99L, 100L)
+      .columns.sorted.toSeq == Seq("id", "lang", "text"))
+    // guard rails: type drift stays refused even under the flag, a
+    // dropped column stays refused, and evolving content cols is refused
+    intercept[RuntimeException] {
+      VersionedTable.commit(Seq((6L, 7, "zh")).toDF("id", "text", "lang"),
+        dir, "id", Seq("text"), 3L, mode = "append", allowSchemaEvolution = true)
+    }
+    intercept[RuntimeException] {
+      VersionedTable.commit(Seq((6L, "f", 1.0)).toDF("id", "text", "score")
+          .drop("text").withColumn("score2", lit(1.0)),
+        dir, "id", Seq("text"), 3L, mode = "append", allowSchemaEvolution = true)
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.commit(
+        Seq((6L, "f", "zh", 1.0)).toDF("id", "text", "lang", "score"),
+        dir, "id", Seq("text", "score"), 3L, mode = "append",
+        allowSchemaEvolution = true)
+    }
+    assert(VersionedTable.currentVersion(spark, dir) == 3L)
+    // an overwrite re-bases: single-schema dir set, flag drops, and the
+    // new column can join the digest
+    assert(VersionedTable.commit(v3.select("id", "text", "lang"),
+      dir, "id", Seq("text", "lang"), 3L) == 4L)
+    assert(VersionedTable.validateAsOf(spark, dir, 4L)._1)
+  }
+
   test("commitChecked gates the publish: violations abort with counts, no version lands") {
     import graft.operators.Expectations.Rule
     val dir = freshDir()
