@@ -112,7 +112,13 @@ object VersionedTable {
       batchId: Option[Long],
       dirStats: Map[String, (Long, Long)],
       dirStrStats: Map[String, Map[String, (String, String)]],
-      mergeRead: Boolean)
+      mergeRead: Boolean,
+      committedAtMs: Option[Long])
+
+  /** Wall-clock seam for the commit timestamp — swappable in specs so
+    * timestamp time travel is testable deterministically (the same
+    * role onBeforePublish plays for the concurrency window). */
+  private[graft] var nowMs: () => Long = () => System.currentTimeMillis()
 
   private def urlEnc(s: String): String =
     java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
@@ -171,7 +177,8 @@ object VersionedTable {
       str("id_col"), str("content_cols").split(",").toSeq.filter(_.nonEmpty),
       s""""batch_id": (-?\\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong),
       dirStats, dirStrStats,
-      text.contains("\"merge_read\": true"))
+      text.contains("\"merge_read\": true"),
+      s""""committed_at_ms": (\\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong))
   }
 
   /** Parquet read over a version's dirs, honoring its manifest's
@@ -360,6 +367,7 @@ object VersionedTable {
         s""""rows": ${dg._1}, "digest": ${dg._2}, """ +
         batchId.map(b => s""""batch_id": $b, """).getOrElse("") +
         (if (mergeRead) """"merge_read": true, """ else "") +
+        s""""committed_at_ms": ${nowMs()}, """ +
         statsJson + strStatsJson +
         s""""id_col": "$idCol", "content_cols": "${contentCols.mkString(",")}"}"""
     onBeforePublish()
@@ -439,6 +447,29 @@ object VersionedTable {
   /** The latest committed version (the plain `SELECT * FROM t` path). */
   def read(spark: SparkSession, tableDir: String): DataFrame =
     readAsOf(spark, tableDir, currentVersion(spark, tableDir))
+
+  /** TIMESTAMP time travel (the other half of Delta's `timestampAsOf`):
+    * the table as of the LATEST version whose commit wall-clock is
+    * <= `tsMillis`. Commit timestamps are recorded at publish
+    * (manifest `committed_at_ms`; monotonic per table because commits
+    * serialize through the optimistic-concurrency rename). A target
+    * older than the first surviving commit fails loudly — after a
+    * vacuum that is "horizon exceeded", the same contract version
+    * travel gives. O(versions) tiny driver-side manifest reads. */
+  def readAsOfTimestamp(spark: SparkSession, tableDir: String,
+      tsMillis: Long): DataFrame = {
+    val vs = versions(spark, tableDir)
+    require(vs.nonEmpty, s"versioned table $tableDir has no commits")
+    val qualifying = vs.flatMap { v =>
+      readManifest(spark, tableDir, v).committedAtMs
+        .filter(_ <= tsMillis).map(_ => v)
+    }
+    require(qualifying.nonEmpty,
+      s"versioned table $tableDir has no version committed at or before " +
+        s"epoch-ms $tsMillis (earliest surviving commit is newer, or " +
+        "predates timestamp recording) — use readAsOf with an explicit version")
+    readAsOf(spark, tableDir, qualifying.max)
+  }
 
   /** DATA-SKIPPING point/range read: version `v` restricted to
     * `idLo <= id <= idHi`, with whole data dirs PRUNED at plan time

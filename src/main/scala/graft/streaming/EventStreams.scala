@@ -243,6 +243,52 @@ object EventStreams {
       }
   }
 
+  case class PatState(residual: String, total: Long)
+  case class PatMatch(user_id: Long, n_new: Long, n_total: Long)
+
+  /** STREAMING EVENT-PATTERN MATCHING — q215's CEP twin as a stateful
+    * stream (the Flink-CEP / MATCH_RECOGNIZE-on-streams shape): per
+    * user, the journey string accumulates across micro-batches (batch
+    * rows sorted by (ts, event_id) — the same total order as the batch
+    * twin) and a row is EMITTED each time one or more NEW
+    * non-overlapping completions of `pattern` appear.
+    *
+    * The pattern MUST use RELUCTANT quantifiers (`*?` — the default
+    * does): leftmost-SHORTEST non-overlapping matches are determined
+    * by the prefix alone, so appending future text never changes what
+    * already matched — which is exactly the property that makes the
+    * stream's incremental answer equal the batch full-string answer
+    * under ANY micro-batch slicing. A greedy `[^e]*` is not
+    * prefix-stable: on `vcpvcp` it swallows both completions into one
+    * match, and the same stream sliced `vcp|vcp` would count two —
+    * greedy CEP semantics depend on where the batch boundary fell,
+    * which is not a semantics at all. Matched spans can never
+    * participate in future matches, so state keeps only the RESIDUAL
+    * TAIL after the last match end plus the running total, bounding
+    * state by the longest unmatched suffix, not stream length (the
+    * state-eviction argument a 100 TB/day event stream requires). */
+  def patternMatchStream(events: Dataset[TrEv],
+      pattern: String = "v[^e]*?c[^e]*?p"): Dataset[PatMatch] = {
+    import events.sparkSession.implicits._
+    val compiled = pattern // serialize the string, compile per executor use
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[PatState, PatMatch](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (k, evs, state: GroupState[PatState]) =>
+          val st = state.getOption.getOrElse(PatState("", 0L))
+          val appended = st.residual + evs.toSeq
+            .sortBy(e => (e.ts.getTime, e.event_id))
+            .map(e => e.event_type.substring(0, 1)).mkString
+          val m = java.util.regex.Pattern.compile(compiled).matcher(appended)
+          var n = 0L
+          var lastEnd = 0
+          while (m.find()) { n += 1; lastEnd = m.end() }
+          val next = PatState(appended.substring(lastEnd), st.total + n)
+          state.update(next)
+          if (n > 0) Iterator.single(PatMatch(k, n, next.total)) else Iterator.empty
+      }
+  }
+
   // ---- transformWithState (the Spark 4 arbitrary-state API) ---------
 
   case class HashedDoc(content_hash: String, doc_id: Long)

@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.streaming.EventStreams
+
+/** Streaming event-pattern CEP (q215's stateful twin): cumulative
+  * per-user completion counts must equal the batch full-journey count
+  * under any micro-batch slicing — the reluctant-quantifier
+  * prefix-stability contract — including a completion that spans the
+  * batch boundary. */
+class PatternStreamSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val pat = "v[^e]*?c[^e]*?p"
+
+  private def ev = Tables(spark, sfDir, "events")
+    .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+
+  // batch truth: non-overlapping completions over the full journey
+  private def batchCounts: Map[Long, Long] = {
+    ev.select(col("user_id"),
+        struct(col("ts"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("code")).as("e"))
+      .groupBy("user_id")
+      .agg(array_join(transform(array_sort(collect_list(col("e"))),
+        e => e.getField("code")), "").as("j"))
+      .select(col("user_id"),
+        size(regexp_extract_all(col("j"), lit(pat), lit(0))).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  private def streamTotals(table: String): Map[Long, Long] =
+    spark.table(table).groupBy("user_id").agg(max("n_total").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("streaming totals == batch counts, state carried across micro-batches") {
+    val expected = batchCounts
+    assert(expected.nonEmpty, "fixture must contain completed funnels")
+    val root = Files.createTempDirectory("pat_stream").toString
+    val in = s"$root/in"
+    val cut = "2024-01-15"
+    ev.filter(col("ts") < cut).coalesce(1).write.parquet(s"$in/f0")
+    val src = spark.readStream.schema(ev.schema).parquet(s"$in/*")
+    val q = EventStreams.patternMatchStream(src.as[EventStreams.TrEv])
+      .toDF().writeStream
+      .outputMode("append").format("memory").queryName("pat_stream")
+      .option("checkpointLocation", s"$root/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      ev.filter(col("ts") >= cut).coalesce(1).write.parquet(s"$in/f1")
+      q.processAllAvailable()
+      assert(streamTotals("pat_stream") == expected)
+    } finally q.stop()
+  }
+
+  test("a completion spanning the batch boundary fires once, after the close") {
+    val root = Files.createTempDirectory("pat_span").toString
+    val in = s"$root/in"
+    def rows(startId: Long, types: Seq[String]) =
+      types.zipWithIndex.map { case (t, i) =>
+        (7L, startId + i, new java.sql.Timestamp(1700000000000L + (startId + i) * 1000), t)
+      }.toDF("user_id", "event_id", "ts", "event_type")
+    rows(0L, Seq("view", "click")).coalesce(1).write.parquet(s"$in/f0")
+    val schema = "user_id LONG, event_id LONG, ts TIMESTAMP, event_type STRING"
+    val src = spark.readStream.schema(schema).parquet(s"$in/*")
+    val q = EventStreams.patternMatchStream(src.as[EventStreams.TrEv])
+      .toDF().writeStream
+      .outputMode("append").format("memory").queryName("pat_span")
+      .option("checkpointLocation", s"$root/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("pat_span").count() == 0L, "open funnel must not fire")
+      rows(2L, Seq("purchase", "view", "click", "purchase"))
+        .coalesce(1).write.parquet(s"$in/f1")
+      q.processAllAvailable()
+      val got = spark.table("pat_span").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      // one emission carrying BOTH completions: the boundary-spanning
+      // v..c|..p and the fully-in-batch vcp
+      assert(got == Seq((7L, 2L, 2L)))
+    } finally q.stop()
+  }
+}

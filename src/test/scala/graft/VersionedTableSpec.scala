@@ -423,6 +423,29 @@ class VersionedTableSpec extends SparkSuite {
     assert(VersionedTable.validateAsOf(spark, dir, 4L)._1)
   }
 
+  test("timestamp time travel: latest version at-or-before the target; loud outside the horizon") {
+    val dir = freshDir()
+    val saved = VersionedTable.nowMs
+    try {
+      var clock = 1000L
+      VersionedTable.nowMs = () => clock
+      VersionedTable.commit(Seq((1L, "a")).toDF("id", "text"), dir, "id", Seq("text"), 0L)
+      clock = 2000L
+      VersionedTable.commit(Seq((2L, "b")).toDF("id", "text"), dir, "id", Seq("text"),
+        1L, mode = "append")
+      clock = 3000L
+      VersionedTable.commit(Seq((9L, "z")).toDF("id", "text"), dir, "id", Seq("text"), 2L)
+      def at(ts: Long) = VersionedTable.readAsOfTimestamp(spark, dir, ts)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(at(1000L) == Seq(1L)) // exactly at v1's commit
+      assert(at(1500L) == Seq(1L)) // between v1 and v2 -> v1
+      assert(at(2000L) == Seq(1L, 2L))
+      assert(at(999999L) == Seq(9L)) // future -> latest
+      val e = intercept[IllegalArgumentException] { at(999L) }
+      assert(e.getMessage.contains("no version committed at or before"))
+    } finally VersionedTable.nowMs = saved
+  }
+
   test("commitChecked gates the publish: violations abort with counts, no version lands") {
     import graft.operators.Expectations.Rule
     val dir = freshDir()
