@@ -8020,6 +8020,84 @@ object Extensions {
       .orderBy("status")
   }
 
+  // -------------------------------------------------------------- Q218
+  /** BLOOM-INDEXED POINT READ
+    * ([[graft.sources.VersionedTable.readAsOfPoint]], round 12 — the
+    * Delta/Hudi bloom-index move): the corpus lands as three appends
+    * with INTERLEAVED ids (doc_id mod 3 — every dir spans the full id
+    * range, so the q208 min/max stats can prune NOTHING), each commit
+    * recording a 1 KiB per-dir bloom over doc_id; the point read
+    * consults the blooms at plan time and opens only dirs that might
+    * hold the probes (gated in-query: fewer dirs opened than the
+    * full-scan read). Oracle = the direct IN filter over the source
+    * table: the hash match proves the bloom-pruned read returns
+    * exactly the full answer — a false positive costs one extra dir
+    * open, never a wrong row. Scale shape: the bloom build is one tiny
+    * aggregate per commit over the landed batch; the probe is
+    * driver-side bit tests at plan time — O(dirs), no data touched
+    * before the pruned scan. */
+  val q218 = QueryDef("q218_bloom_point_read",
+    """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_chars
+      |FROM documents WHERE doc_id IN (9, 33, 63, 93, 123)
+      |ORDER BY doc_id""") { (s, dir) =>
+    val vt = graft.sources.VersionedTable
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val tdir = graft.operators.Scratch.dir("q218") + "/t"
+    (0 to 2).foreach { r =>
+      vt.commit(docs.filter(col("doc_id") % 3 === r), tdir, "doc_id", Seq("text"),
+        expectedVersion = r.toLong, mode = "append", bloomCols = Seq("doc_id"))
+    }
+    val probes = Seq("9", "33", "63", "93", "123")
+    val hit = vt.readAsOfPoint(s, tdir, 3L, "doc_id", probes)
+    val dirsOpened = hit.inputFiles.map(f => f.substring(0, f.lastIndexOf('/'))).toSet.size
+    require(dirsOpened < 3,
+      s"bloom point read must prune interleaved dirs, opened $dirsOpened of 3")
+    hit.select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  // -------------------------------------------------------------- Q219
+  /** TABLE HISTORY ([[graft.sources.VersionedTable.history]] — the
+    * DESCRIBE HISTORY surface, round 12): a three-commit story
+    * (overwrite, append of a shifted-id slice, row-level delete) read
+    * back as the history TABLE — version, mode, manifest row count,
+    * dir count. The oracle derives every expected row count from the
+    * churn rules alone: the hash match proves the manifests' row
+    * accounting (the digest pass), the append's dir accumulation, and
+    * the delete's copy-on-write rewrite all landed exactly. Scale
+    * shape: O(versions) tiny driver-side manifest reads — no data
+    * touched. */
+  val q219 = QueryDef("q219_table_history",
+    s"""WITH b AS (
+       |  SELECT doc_id, ${md5Bucket16Sql("doc_id")} AS bkt FROM documents
+       |), n AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_all,
+       |         CAST(count(*) FILTER (WHERE bkt >= 62259) AS BIGINT) AS n_add,
+       |         CAST(count(*) FILTER (WHERE doc_id < 500) AS BIGINT) AS n_del
+       |  FROM b
+       |)
+       |SELECT CAST(1 AS BIGINT) AS version, 'overwrite' AS mode,
+       |       n_all AS n_rows, CAST(1 AS BIGINT) AS n_dirs FROM n
+       |UNION ALL
+       |SELECT CAST(2 AS BIGINT), 'append', n_all + n_add, CAST(2 AS BIGINT) FROM n
+       |UNION ALL
+       |SELECT CAST(3 AS BIGINT), 'overwrite', n_all + n_add - n_del,
+       |       CAST(1 AS BIGINT) FROM n
+       |ORDER BY version""") { (s, dir) =>
+    val vt = graft.sources.VersionedTable
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val bkt = graft.operators.Splits.hashBucket(col("doc_id"))
+    val tdir = graft.operators.Scratch.dir("q219") + "/t"
+    vt.commit(docs, tdir, "doc_id", Seq("text"), expectedVersion = 0L)
+    vt.commit(docs.filter(bkt >= 62259)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text")),
+      tdir, "doc_id", Seq("text"), expectedVersion = 1L, mode = "append")
+    vt.deleteWhere(s, tdir, col("doc_id") < 500)
+    vt.history(s, tdir)
+      .select(col("version"), col("mode"), col("n_rows"), col("n_dirs"))
+      .orderBy("version")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -8030,5 +8108,5 @@ object Extensions {
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q169b, q169c, q170, q171, q172, q173, q174, q175,
     q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215,
-    q216, q217)
+    q216, q217, q218, q219)
 }

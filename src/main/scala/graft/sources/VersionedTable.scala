@@ -113,7 +113,35 @@ object VersionedTable {
       dirStats: Map[String, (Long, Long)],
       dirStrStats: Map[String, Map[String, (String, String)]],
       mergeRead: Boolean,
-      committedAtMs: Option[Long])
+      committedAtMs: Option[Long],
+      dirBlooms: Map[String, Map[String, (Int, String)]])
+
+  /** Bloom-index geometry: m bits per (dir, column) — a POWER OF TWO
+    * sized to >= 16x the dir's distinct count (k=4 probes → load
+    * factor <= 0.25, bits-set fraction <= 0.22, false-positive rate
+    * <= ~0.25%), floored at 8 KiB and capped at 4 Mi bits (512 KiB —
+    * a dir with more distinct keys than that is not a point-read
+    * target; the cap degrades fp rate gracefully, never correctness).
+    * FOUR probe positions are sliced from ONE md5 of the value's
+    * string form — the same digest is computable as a Spark
+    * expression at build time (md5 + conv + substr) and as plain JVM
+    * code at probe time, so no engine-internal hash (Murmur3 seeds
+    * etc.) ever needs replaying. 7 hex chars = 28 bits per slice, and
+    * m is a power of two <= 2^22, so the modulo is unbiased. */
+  private[graft] val BloomMinBits = 8192
+  private[graft] val BloomMaxBits = 1 << 22
+  private[graft] def bloomBitsFor(distinct: Long): Int = {
+    var m = BloomMinBits
+    while (m < BloomMaxBits && m.toLong < 16L * distinct) m <<= 1
+    m
+  }
+  private[graft] def bloomPositions(s: String, m: Int): Seq[Int] = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    Seq(0, 7, 14, 21).map(o =>
+      (java.lang.Long.parseLong(hex.substring(o, o + 7), 16) % m).toInt)
+  }
 
   /** Wall-clock seam for the commit timestamp — swappable in specs so
     * timestamp time travel is testable deterministically (the same
@@ -171,6 +199,20 @@ object VersionedTable {
           }.toMap
         }.toMap)
         .getOrElse(Map.empty)
+    // per-dir bloom filters, same urlEnc framing as dir_str_stats
+    // (base64 payloads carry '+'/'/'/'=' — encoded so the separators
+    // stay unambiguous)
+    val dirBlooms: Map[String, Map[String, (Int, String)]] =
+      s""""dir_blooms": "([^"]*)"""".r.findFirstMatchIn(text).map(_.group(1))
+        .filter(_.nonEmpty)
+        .map(_.split(";").toSeq.map { entry =>
+          val Array(d, cols) = entry.split("=", 2)
+          urlDec(d) -> cols.split("\\|").toSeq.map { cs =>
+            val Array(c, mStr, b) = cs.split(":")
+            urlDec(c) -> ((mStr.toInt, urlDec(b)))
+          }.toMap
+        }.toMap)
+        .getOrElse(Map.empty)
     Manifest(field("version").toLong, str("mode"),
       str("dirs").split(",").toSeq.filter(_.nonEmpty),
       field("rows").toLong, field("digest").toLong,
@@ -178,7 +220,8 @@ object VersionedTable {
       s""""batch_id": (-?\\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong),
       dirStats, dirStrStats,
       text.contains("\"merge_read\": true"),
-      s""""committed_at_ms": (\\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong))
+      s""""committed_at_ms": (\\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong),
+      dirBlooms)
   }
 
   /** Parquet read over a version's dirs, honoring its manifest's
@@ -216,7 +259,8 @@ object VersionedTable {
       onBeforePublish: () => Unit = () => (),
       batchId: Option[Long] = None,
       statCols: Seq[String] = Nil,
-      allowSchemaEvolution: Boolean = false): Long = {
+      allowSchemaEvolution: Boolean = false,
+      bloomCols: Seq[String] = Nil): Long = {
     require(mode == "overwrite" || mode == "append",
       s"commit: mode must be overwrite|append, got $mode")
     val spark = df.sparkSession
@@ -355,6 +399,50 @@ object VersionedTable {
           urlEnc(d) + "=" + cols.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
             s"${urlEnc(c)}:${urlEnc(lo)}:${urlEnc(hi)}" }.mkString("|")
         }).mkString(";")}", """
+    // PER-DIR BLOOM INDEX (the Delta/Hudi bloom-index move): min/max
+    // stats cannot prune a point read when every append spans the full
+    // key range (interleaved ingest — round-robin shards, hash-bucketed
+    // feeds); a 1 KiB bloom per (dir, column) answers "definitely not
+    // in this dir" regardless of value interleaving. Built with ONE
+    // tiny aggregate over the landed dir (<= BloomBits distinct probe
+    // positions collected driver-side); probed driver-side at plan time
+    // by [[readAsOfPoint]]. A dir with no bloom for the column is
+    // always kept — same conservative contract as the other stats.
+    val newBlooms: Map[String, (Int, String)] =
+      if (bloomCols.isEmpty) Map.empty
+      else {
+        val F = org.apache.spark.sql.functions
+        val newDf = spark.read.parquet(dataPath.toString)
+        bloomCols.flatMap { c =>
+          val nDistinct = newDf.filter(col(c).isNotNull)
+            .agg(F.countDistinct(col(c).cast("string"))).head().getLong(0)
+          if (nDistinct == 0L) None
+          else {
+            val m = bloomBitsFor(nDistinct)
+            val hexc = F.md5(col(c).cast("string").cast("binary"))
+            val poss = Seq(0, 7, 14, 21).map(o =>
+              (F.conv(F.substring(hexc, o + 1, 7), 16, 10)
+                .cast("long") % m).cast("int"))
+            val hit = newDf.filter(col(c).isNotNull)
+              .select(F.explode(F.array(poss: _*)).as("p"))
+              .distinct().collect().map(_.getInt(0))
+            val bits = new java.util.BitSet(m)
+            hit.foreach(bits.set)
+            Some(c -> ((m, java.util.Base64.getEncoder.encodeToString(bits.toByteArray))))
+          }
+        }.toMap
+      }
+    val carriedBlooms: Map[String, Map[String, (Int, String)]] =
+      prevManifest.map(_.dirBlooms).getOrElse(Map.empty)
+    val allBlooms = carriedBlooms ++
+      (if (newBlooms.isEmpty) Map.empty else Map(dataRel -> newBlooms))
+    val bloomsJson =
+      if (allBlooms.forall(_._2.isEmpty)) ""
+      else s""""dir_blooms": "${dirsForVersion.flatMap(d =>
+        allBlooms.get(d).filter(_.nonEmpty).map { cols =>
+          urlEnc(d) + "=" + cols.toSeq.sortBy(_._1).map { case (c, (m, b)) =>
+            s"${urlEnc(c)}:$m:${urlEnc(b)}" }.mkString("|")
+        }).mkString(";")}", """
     // the merge-read flag is STICKY across appends: once any retained
     // dir carries an evolved schema, every later append's read of this
     // version chain needs union resolution; an overwrite starts a
@@ -368,7 +456,7 @@ object VersionedTable {
         batchId.map(b => s""""batch_id": $b, """).getOrElse("") +
         (if (mergeRead) """"merge_read": true, """ else "") +
         s""""committed_at_ms": ${nowMs()}, """ +
-        statsJson + strStatsJson +
+        statsJson + strStatsJson + bloomsJson +
         s""""id_col": "$idCol", "content_cols": "${contentCols.mkString(",")}"}"""
     onBeforePublish()
     // stage-then-rename: the rename IS the commit point. The staged
@@ -525,6 +613,53 @@ object VersionedTable {
             .map(d => new Path(root, d).toString)).limit(0)
       else parquetRead(spark, m, kept.map(d => new Path(root, d).toString))
     base.filter(col(column).cast("string") === value)
+  }
+
+  /** TABLE HISTORY (the DESCRIBE HISTORY surface): one row per
+    * SURVIVING version — version, mode, manifest row count, dir count,
+    * the streaming batch id (null for batch commits), and the commit
+    * wall-clock. Driver-built from the O(versions) tiny manifests; no
+    * data is touched. Vacuumed versions are absent by definition — the
+    * history is what time travel can still reach, not an audit log
+    * (an audit log must live OUTSIDE the thing being vacuumed). */
+  def history(spark: SparkSession, tableDir: String): DataFrame = {
+    import spark.implicits._
+    versions(spark, tableDir).map { v =>
+      val m = readManifest(spark, tableDir, v)
+      (v, m.mode, m.rows, m.dirs.size.toLong, m.batchId, m.committedAtMs)
+    }.toDF("version", "mode", "n_rows", "n_dirs", "batch_id", "committed_at_ms")
+  }
+
+  /** BLOOM-INDEXED POINT/SET READ: version `v` restricted to
+    * `column IN values`, with whole data dirs pruned at plan time
+    * against the manifest's per-dir bloom for that column (recorded
+    * when the commit passed it in `bloomCols`). This is the read
+    * min/max stats CANNOT serve: when every append spans the full key
+    * range (round-robin shards, hash-bucketed feeds — the interleaved
+    * ingest shape), every dir's [lo, hi] band contains every probe, but
+    * the bloom still answers "definitely not here" per dir. A dir with
+    * no bloom for the column is always kept, and the IN filter is
+    * re-applied row-level — pruning is an optimization, never the
+    * correctness carrier (a false positive costs one extra dir open).
+    */
+  def readAsOfPoint(spark: SparkSession, tableDir: String, v: Long,
+      column: String, values: Seq[String]): DataFrame = {
+    require(values.nonEmpty, "readAsOfPoint: values must be non-empty")
+    val m = readManifest(spark, tableDir, v)
+    val root = new Path(tableDir)
+    val kept = m.dirs.filter(d => m.dirBlooms.get(d).flatMap(_.get(column)) match {
+      case Some((mBits, b64)) =>
+        val bits = java.util.BitSet.valueOf(java.util.Base64.getDecoder.decode(b64))
+        values.exists(v => bloomPositions(v, mBits).forall(bits.get))
+      case None => true // unindexed ⇒ conservative keep
+    })
+    val base =
+      if (kept.isEmpty)
+        parquetRead(spark, m,
+          (if (m.mergeRead) m.dirs else Seq(m.dirs.head))
+            .map(d => new Path(root, d).toString)).limit(0)
+      else parquetRead(spark, m, kept.map(d => new Path(root, d).toString))
+    base.filter(col(column).cast("string").isin(values: _*))
   }
 
   /** Re-derive (rows, digest) of version `v` from the CURRENT bytes and
