@@ -8005,8 +8005,17 @@ object Extensions {
         concat(lit("{\"doc_id\": "), col("doc_id").cast("string"),
           lit(", \"text\": \"broken")))
       .otherwise(to_json(struct(col("doc_id"), col("text"))))
-    val jdir = graft.operators.Scratch.dir("q217") + "/jsonl"
+    val root = graft.operators.Scratch.dir("q217")
+    val jdir = root + "/jsonl"
     docs.select(line.as("value")).write.text(jdir)
+    // the parse result LANDS before anything queries it — partly because
+    // that is what a quarantine actually is (classified rows on storage,
+    // the bad lines kept for refetch triage), and partly because Spark
+    // refuses plans whose pruned read schema is only the internal
+    // corrupt-record column (QUERY_ONLY_CORRUPT_RECORD_COLUMN — an agg
+    // like count() prunes exactly that way); landing the classification
+    // is the documented recipe and the honest pipeline shape
+    val pdir = root + "/classified"
     s.read
       .schema("doc_id LONG, text STRING, _corrupt_record STRING")
       .option("mode", "PERMISSIVE")
@@ -8015,6 +8024,8 @@ object Extensions {
       .select(when(col("_corrupt_record").isNull, lit("ok"))
         .otherwise(lit("quarantined")).as("status"),
         length(col("text")).cast("long").as("len"))
+      .write.parquet(pdir)
+    s.read.parquet(pdir)
       .groupBy("status")
       .agg(count(lit(1)).as("n_rows"), sum(col("len")).as("n_chars"))
       .orderBy("status")
