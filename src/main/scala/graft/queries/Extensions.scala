@@ -8109,6 +8109,39 @@ object Extensions {
       .orderBy("version")
   }
 
+  // -------------------------------------------------------------- Q220
+  /** INDEX-SERVED COUNT ([[graft.sources.WarcSource]] aggregate
+    * pushdown, round 12): `SELECT count(*)` over a cdx-indexed archive
+    * is answered from the INDEX — one line per record by the writer's
+    * construction — without inflating a single payload byte
+    * (SupportsPushDownAggregates, partial pushdown: per-file line
+    * counts merged by Spark's final agg). The in-query require asserts
+    * the executed plan advertises `pushed_agg=count_star_via_cdx`, so
+    * a silent fallback to the row scan fails the gate rather than
+    * hiding behind an identical answer. At crawl scale this is a
+    * metadata read (KBs of index) vs a full decompress (TBs). */
+  val q220 = QueryDef("q220_warc_index_count",
+    """SELECT CAST(count(*) AS BIGINT) AS n_records FROM documents
+      |ORDER BY n_records""") { (s, dir) =>
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val records = docs.select(
+        concat(lit("urn:graft:doc:"), col("doc_id").cast("string")).as("record_id"),
+        lit("resource").as("warc_type"),
+        lit(null).cast("string").as("target_uri"),
+        lit("text/plain").as("content_type"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .repartition(4)
+    val wdir = graft.operators.Scratch.dir("q220") + "/warc"
+    graft.sources.WarcSource.writeRecords(records, wdir,
+      gzip = true, cdxIndex = true)
+    val counted = graft.sources.WarcSource.read(s, wdir)
+      .groupBy().agg(count(lit(1)).as("n_records"))
+    require(counted.queryExecution.executedPlan.toString
+        .contains("pushed_agg=count_star_via_cdx"),
+      "warc count did not push to the cdx index")
+    counted.orderBy("n_records")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -8119,5 +8152,5 @@ object Extensions {
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q169b, q169c, q170, q171, q172, q173, q174, q175,
     q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215,
-    q216, q217, q218, q219)
+    q216, q217, q218, q219, q220)
 }

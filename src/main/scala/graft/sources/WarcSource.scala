@@ -407,11 +407,48 @@ class WarcTable(path: String, maxBytes: Long) extends Table with SupportsRead {
   * full scan — the ManifestCorpusSource discipline). */
 class WarcScanBuilder(path: String, maxBytes: Long)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   import org.apache.spark.sql.sources.{EqualTo, Filter, In}
   private var required: StructType = WarcSource.Schema
   private var pointIds: Option[Seq[String]] = None
   private var pushedArr: Array[Filter] = Array.empty
+  private var countViaIndex = false
+
+  /** AGGREGATE PUSHDOWN, COUNT(*) ONLY (round 12): `SELECT count(*)`
+    * over an archive is answered from the cdx INDEX — one line per
+    * record by construction — without inflating a single payload byte.
+    * PARTIAL pushdown (supportCompletePushDown stays false): each
+    * partition returns its file's line count and Spark's final agg
+    * merges them, so the pushdown composes with whatever sits above.
+    * Served only when NO filter survived pushdown (a residual filter
+    * means rows must be materialized to evaluate it — counting the
+    * index would be WRONG, not just slow) and every data file carries
+    * its index sibling; otherwise declined and Spark counts the
+    * ordinary row scan. */
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate.CountStar
+    val isBareCountStar = agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions()(0).isInstanceOf[CountStar]
+    if (!isBareCountStar || pointIds.nonEmpty || pushedArr.nonEmpty) false
+    else {
+      countViaIndex = try {
+        val p = new HPath(path)
+        val fs = p.getFileSystem(graft.operators.InvertedIndex.activeHadoopConf())
+        val st = fs.getFileStatus(p)
+        val files =
+          if (st.isFile) Seq(st)
+          else fs.listStatus(p).toSeq.filter(s => s.isFile &&
+            (s.getPath.getName.endsWith(".warc") ||
+              s.getPath.getName.endsWith(".warc.gz")))
+        files.nonEmpty &&
+          files.forall(s => fs.exists(new HPath(s.getPath.toString + ".cdx")))
+      } catch { case scala.util.control.NonFatal(_) => false }
+      countViaIndex
+    }
+  }
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val idSets: Seq[Seq[String]] = filters.toSeq.collect {
@@ -431,10 +468,72 @@ class WarcScanBuilder(path: String, maxBytes: Long)
     filters // ALL residual — re-applied row-level, pushdown is a hint
   }
   override def pushedFilters(): Array[Filter] = pushedArr
-  override def build(): Scan = new WarcScan(path, maxBytes, required, pointIds)
+  override def build(): Scan =
+    if (countViaIndex) new WarcCountScan(path)
+    else new WarcScan(path, maxBytes, required, pointIds)
 }
 
 case class WarcFilesPartition(files: Seq[String]) extends InputPartition
+
+/** One pushed-count partition: a single cdx index file to line-count. */
+case class WarcCountPartition(idxFile: String) extends InputPartition
+
+/** The COUNT(*)-pushdown scan: one partition per part file, each
+  * emitting ONE row — the line count of that file's cdx sibling (one
+  * line per record by the writer's construction). The archive itself
+  * is never opened: at crawl scale that is the difference between a
+  * metadata read (KBs of index) and a full decompress (TBs). */
+class WarcCountScan(path: String) extends Scan with Batch {
+  private val confCarrier =
+    new SerializableHadoopConf(graft.operators.InvertedIndex.activeHadoopConf())
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("count(*)", org.apache.spark.sql.types.LongType, false)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"warc-records $path, pushed_agg=count_star_via_cdx"
+  override def planInputPartitions(): Array[InputPartition] = {
+    val p = new HPath(path)
+    val fs = p.getFileSystem(confCarrier.value)
+    val st = fs.getFileStatus(p)
+    val files =
+      if (st.isFile) Seq(st)
+      else fs.listStatus(p).toSeq.filter(s => s.isFile &&
+        (s.getPath.getName.endsWith(".warc") ||
+          s.getPath.getName.endsWith(".warc.gz")))
+    files.sortBy(_.getPath.getName)
+      .map(s => WarcCountPartition(s.getPath.toString + ".cdx"): InputPartition)
+      .toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val carrier = confCarrier
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+        val idx = partition.asInstanceOf[WarcCountPartition].idxFile
+        new PartitionReader[InternalRow] {
+          private var done = false
+          override def next(): Boolean = !done
+          override def get(): InternalRow = {
+            done = true
+            val fs = new HPath(idx).getFileSystem(carrier.value)
+            val in = fs.open(new HPath(idx))
+            var n = 0L
+            try {
+              val buf = new Array[Byte](64 * 1024)
+              var r = in.read(buf)
+              while (r > 0) {
+                var i = 0
+                while (i < r) { if (buf(i) == '\n') n += 1; i += 1 }
+                r = in.read(buf)
+              }
+            } finally in.close()
+            InternalRow(n)
+          }
+          override def close(): Unit = ()
+        }
+      }
+    }
+  }
+}
 
 /** A planned point read: (offset, length) member ranges within one
   * part file, from the cdx index. */

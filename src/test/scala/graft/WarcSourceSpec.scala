@@ -211,6 +211,40 @@ class WarcSourceSpec extends SparkSuite {
     assert(fb.collect().map(_.getString(3)).sorted.toSeq == wanted)
   }
 
+  test("count(*) pushes to the cdx index: exact count, archive bytes untouched; " +
+      "filters and unindexed dirs decline the pushdown") {
+    val dir = freshDir()
+    val rows = (1 to 40).map(i => (f"urn:graft:ct:$i%03d", "resource",
+      s"https://x.com/$i", "text/plain", (s"payload-$i" * 30).getBytes("UTF-8")))
+    WarcSource.writeRecords(rows.toDF(cols: _*).repartition(3), dir,
+      gzip = true, cdxIndex = true)
+    val counted = WarcSource.read(spark, dir).groupBy().count()
+    val plan = counted.queryExecution.executedPlan.toString
+    assert(plan.contains("pushed_agg=count_star_via_cdx"),
+      s"expected index-served count:\n$plan")
+    assert(counted.head.getLong(0) == 40L)
+    // Dataset.count() takes the same path
+    assert(WarcSource.read(spark, dir).count() == 40L)
+    // a residual filter must DECLINE the pushdown (counting the index
+    // would be wrong, not just slow)
+    val filtered = WarcSource.read(spark, dir)
+      .filter(col("warc_type") === "resource").groupBy().count()
+    assert(!filtered.queryExecution.executedPlan.toString
+      .contains("pushed_agg"), "filtered count must not be index-served")
+    assert(filtered.head.getLong(0) == 40L)
+    // record_id point filters also decline (point partitions win instead)
+    val pointCount = WarcSource.read(spark, dir)
+      .filter(col("record_id") === "urn:graft:ct:007").groupBy().count()
+    assert(!pointCount.queryExecution.executedPlan.toString.contains("pushed_agg"))
+    assert(pointCount.head.getLong(0) == 1L)
+    // an unindexed archive counts through the ordinary row scan
+    val dirNoIdx = freshDir()
+    WarcSource.writeRecords(rows.toDF(cols: _*).coalesce(1), dirNoIdx, gzip = true)
+    val fb = WarcSource.read(spark, dirNoIdx).groupBy().count()
+    assert(!fb.queryExecution.executedPlan.toString.contains("pushed_agg"))
+    assert(fb.head.getLong(0) == 40L)
+  }
+
   test("a >=2GiB Content-Length fails as a loud parse error, not an allocation wrap") {
     // The reader materializes one payload as one Array[Byte]: an
     // Int-overflowing length must route through fail() (file + offset)
