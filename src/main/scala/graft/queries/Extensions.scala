@@ -7634,22 +7634,28 @@ object Extensions {
     * two-level aggregate (partial counts map-side, per-node argmax as
     * `max(struct(cnt,-lbl))` — no window sort); rounds are a fixed
     * small constant, labels localCheckpoint-ed so the plan stays O(1). */
+  /** Unrolled synchronous-LPA round CTEs (l0 assumed defined; produces
+    * n1/w1/l1 … l`rounds` over the `ee` edge CTE) — ONE copy shared by
+    * q211 and the q221 capstone so the round semantics cannot
+    * desynchronize between the standalone and composed views. */
+  private def lpaStepsSql(rounds: Int): String = (1 to rounds).map { k =>
+    s"""n$k AS (
+       |  SELECT ee.a AS node, l.lbl, count(*) AS cnt
+       |  FROM ee JOIN l${k - 1} l ON ee.b = l.node GROUP BY 1, 2
+       |), w$k AS (
+       |  SELECT node, lbl, row_number() OVER (PARTITION BY node
+       |           ORDER BY cnt DESC, lbl ASC) AS rn
+       |  FROM n$k
+       |), l$k AS (
+       |  SELECT p.node, coalesce(w.lbl, p.lbl) AS lbl
+       |  FROM l${k - 1} p LEFT JOIN (SELECT node, lbl FROM w$k WHERE rn = 1) w
+       |    ON p.node = w.node
+       |)""".stripMargin
+  }.mkString(",\n")
+
   val q211 = {
     val rounds = 3
-    val steps = (1 to rounds).map { k =>
-      s"""n$k AS (
-         |  SELECT ee.a AS node, l.lbl, count(*) AS cnt
-         |  FROM ee JOIN l${k - 1} l ON ee.b = l.node GROUP BY 1, 2
-         |), w$k AS (
-         |  SELECT node, lbl, row_number() OVER (PARTITION BY node
-         |           ORDER BY cnt DESC, lbl ASC) AS rn
-         |  FROM n$k
-         |), l$k AS (
-         |  SELECT p.node, coalesce(w.lbl, p.lbl) AS lbl
-         |  FROM l${k - 1} p LEFT JOIN (SELECT node, lbl FROM w$k WHERE rn = 1) w
-         |    ON p.node = w.node
-         |)""".stripMargin
-    }.mkString(",\n")
+    val steps = lpaStepsSql(rounds)
     QueryDef("q211_label_propagation",
       s"""WITH $jaccardEdgesCte,
          |l0 AS (SELECT doc_id AS node, doc_id AS lbl FROM documents),
@@ -8142,6 +8148,71 @@ object Extensions {
     counted.orderBy("n_records")
   }
 
+  // -------------------------------------------------------------- Q221
+  /** CURATION v5 — COMMUNITY-CANONICAL DEDUP (round 12): the capstone
+    * composing this session's graph family with the quality gate. v2–v4
+    * (q128/q150/q195) keep one doc per CONNECTED COMPONENT; at crawl
+    * scale that over-deletes — one bridge pair chains two distinct
+    * articles into one cluster and drops a keeper. v5 resolves the
+    * near-dup graph with 3 LPA rounds instead (q211's operator —
+    * bridged blobs stay separate communities), keeps each community's
+    * canonical (min id) doc, gates the keepers through the q117 hashed
+    * bigram classifier, and rolls up per language: docs, canonicals,
+    * final keeps, surviving token budget. The oracle replays the WHOLE
+    * chain (shared edge CTE + shared LPA rounds + the classifier's
+    * margin replay). Scale shape: edge generation is the prefix-
+    * filtered join (the declared scale path); LPA rounds are bounded
+    * node-id shuffles; classifier + rollup are narrow + one exchange. */
+  val q221 = QueryDef("q221_curation_v5",
+    s"""WITH $jaccardEdgesCte,
+       |l0 AS (SELECT doc_id AS node, doc_id AS lbl FROM documents),
+       |${lpaStepsSql(3)},
+       |com AS (SELECT node AS doc_id, lbl AS community FROM l3),
+       |can AS (SELECT community, min(doc_id) AS canonical FROM com GROUP BY community),
+       |q AS (
+       |  SELECT doc_id, lang, CAST(len(w) AS BIGINT) AS n_tok,
+       |         coalesce(list_sum(list_transform(
+       |           CASE WHEN len(w) < 2 THEN CAST([] AS VARCHAR[])
+       |                ELSE list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) END,
+       |           b -> CAST((${md5Bucket16Sql("b")}) - 32768 AS BIGINT))), 0) AS margin
+       |  FROM docw
+       |), j AS (
+       |  SELECT q.lang, q.n_tok, q.margin,
+       |         (q.doc_id = can.canonical) AS is_canonical
+       |  FROM q JOIN com ON q.doc_id = com.doc_id
+       |  JOIN can ON com.community = can.community
+       |)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(count(*) FILTER (WHERE is_canonical) AS BIGINT) AS n_canonical,
+       |       CAST(count(*) FILTER (WHERE is_canonical AND margin > 0) AS BIGINT) AS n_final,
+       |       CAST(coalesce(sum(n_tok) FILTER (WHERE is_canonical AND margin > 0), 0) AS BIGINT) AS tok_final
+       |FROM j GROUP BY lang ORDER BY lang""") { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val pairs = graft.operators.Dedup
+      .ngramJaccardPairsPrefix(docs, "doc_id", "text", n = 2, theta = 0.3)
+    val com = graft.operators.Communities
+      .labelPropagation(pairs.select("doc_a", "doc_b"), docs.select("doc_id"), rounds = 3)
+    val can = com.groupBy("community").agg(min(col("node")).as("canonical"))
+    val scored = graft.operators.QualityClassifier
+      .hashedBigramScore(docs, "doc_id", "text")
+      .select(col("doc_id"), col("margin_units"))
+    docs.select(col("doc_id"), col("lang"),
+        size(TextFunctions.normalizedWords(col("text"))).cast("long").as("n_tok"))
+      .join(com.withColumnRenamed("node", "doc_id"), Seq("doc_id"))
+      .join(can, Seq("community"))
+      .join(scored, Seq("doc_id"))
+      .select(col("lang"), col("n_tok"),
+        (col("doc_id") === col("canonical")).as("is_canonical"),
+        (col("margin_units") > 0).as("q_ok"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_canonical"), 1L).otherwise(0L)).as("n_canonical"),
+        sum(when(col("is_canonical") && col("q_ok"), 1L).otherwise(0L)).as("n_final"),
+        coalesce(sum(when(col("is_canonical") && col("q_ok"), col("n_tok"))),
+          lit(0L)).as("tok_final"))
+      .orderBy("lang")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -8152,5 +8223,5 @@ object Extensions {
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q169b, q169c, q170, q171, q172, q173, q174, q175,
     q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215,
-    q216, q217, q218, q219, q220)
+    q216, q217, q218, q219, q220, q221)
 }
