@@ -8213,6 +8213,37 @@ object Extensions {
       .orderBy("lang")
   }
 
+  // -------------------------------------------------------------- Q222
+  /** FILES METADATA TABLE ([[graft.sources.VersionedTable.files]] —
+    * the Iceberg `files` companion to q219's history, round 12): the
+    * corpus lands as three interleaved-id appends (doc_id mod 3, each
+    * with id stats and a doc_id bloom recorded), then the files
+    * surface is read back: per dir in version order, the id band and
+    * bloom presence a skipping read would consult. The oracle derives
+    * each dir's expected id band from the residue rule alone — the
+    * hash match proves the commit-side stats collection landed the
+    * true per-dir min/max and the bloom registration is where it
+    * should be. Driver-side metadata only; no data scanned. */
+  val q222 = QueryDef("q222_table_files",
+    """WITH r AS (
+      |  SELECT doc_id % 3 AS pos, min(doc_id) AS id_lo, max(doc_id) AS id_hi
+      |  FROM documents GROUP BY 1
+      |)
+      |SELECT CAST(pos AS BIGINT) AS dir_pos, CAST(id_lo AS BIGINT) AS id_lo,
+      |       CAST(id_hi AS BIGINT) AS id_hi, TRUE AS has_bloom
+      |FROM r ORDER BY dir_pos""") { (s, dir) =>
+    val vt = graft.sources.VersionedTable
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val tdir = graft.operators.Scratch.dir("q222") + "/t"
+    (0 to 2).foreach { r =>
+      vt.commit(docs.filter(col("doc_id") % 3 === r), tdir, "doc_id", Seq("text"),
+        expectedVersion = r.toLong, mode = "append", bloomCols = Seq("doc_id"))
+    }
+    vt.files(s, tdir, 3L)
+      .select(col("dir_pos"), col("id_lo"), col("id_hi"), col("has_bloom"))
+      .orderBy("dir_pos")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -8223,5 +8254,5 @@ object Extensions {
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q169b, q169c, q170, q171, q172, q173, q174, q175,
     q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215,
-    q216, q217, q218, q219, q220, q221)
+    q216, q217, q218, q219, q220, q221, q222)
 }

@@ -630,6 +630,26 @@ object VersionedTable {
     }.toDF("version", "mode", "n_rows", "n_dirs", "batch_id", "committed_at_ms")
   }
 
+  /** FILES metadata table (the Iceberg `files` companion to
+    * [[history]]): one row per data dir of version `v`, in
+    * version-chain order — the manifest's per-dir skipping metadata
+    * made user-visible, i.e. "what would a point/range/equality read
+    * prune?". `id_lo`/`id_hi` are the per-dir id stats (null when
+    * unstatted), `n_stat_cols` counts secondary string-statted
+    * columns, `has_bloom` whether any bloom is recorded. Dir names are
+    * attempt-unique (uid-suffixed) — exposed for operators, but
+    * position is the stable coordinate. Driver-side, no data touched. */
+  def files(spark: SparkSession, tableDir: String, v: Long): DataFrame = {
+    import spark.implicits._
+    val m = readManifest(spark, tableDir, v)
+    m.dirs.zipWithIndex.map { case (d, i) =>
+      val stats = m.dirStats.get(d)
+      (i.toLong, d, stats.map(_._1), stats.map(_._2),
+        m.dirStrStats.get(d).map(_.size.toLong).getOrElse(0L),
+        m.dirBlooms.get(d).exists(_.nonEmpty))
+    }.toDF("dir_pos", "dir", "id_lo", "id_hi", "n_stat_cols", "has_bloom")
+  }
+
   /** BLOOM-INDEXED POINT/SET READ: version `v` restricted to
     * `column IN values`, with whole data dirs pruned at plan time
     * against the manifest's per-dir bloom for that column (recorded

@@ -59,6 +59,46 @@ class PatternStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("checkpoint restart: state survives a stop/start, totals stay exact") {
+    val root = Files.createTempDirectory("pat_restart").toString
+    val in = s"$root/in"
+    def rows(startId: Long, types: Seq[String]) =
+      types.zipWithIndex.map { case (t, i) =>
+        (3L, startId + i, new java.sql.Timestamp(1700000000000L + (startId + i) * 1000), t)
+      }.toDF("user_id", "event_id", "ts", "event_type")
+    val schema = "user_id LONG, event_id LONG, ts TIMESTAMP, event_type STRING"
+    val outDir = s"$root/out"
+    // memory sinks cannot recover from a checkpoint; the recoverable
+    // spelling is foreachBatch appending emissions to storage
+    def start() = EventStreams.patternMatchStream(
+        spark.readStream.schema(schema).parquet(s"$in/*").as[EventStreams.TrEv])
+      .toDF().writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("append").parquet(outDir)
+      }
+      .start()
+    // batch 1: one full completion + an open v..c tail, then STOP
+    rows(0L, Seq("view", "click", "purchase", "view", "click"))
+      .coalesce(1).write.parquet(s"$in/f0")
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    // restart from the checkpoint; batch 2 closes the carried tail
+    rows(5L, Seq("purchase")).coalesce(1).write.parquet(s"$in/f1")
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val got = spark.read.parquet(outDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._3).toSeq
+      // emission 1 pre-stop (1 completion, total 1); emission 2 after the
+      // restart (1 new completion, cumulative total 2) — the carried
+      // residual "vc" state closed across the restart
+      assert(got == Seq((3L, 1L, 1L), (3L, 1L, 2L)))
+    } finally q2.stop()
+  }
+
   test("a completion spanning the batch boundary fires once, after the close") {
     val root = Files.createTempDirectory("pat_span").toString
     val in = s"$root/in"
