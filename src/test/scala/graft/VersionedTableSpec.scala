@@ -451,6 +451,49 @@ class VersionedTableSpec extends SparkSuite {
     assert(dirsOf(unidx).size == 3 && unidx.count() == 1L)
   }
 
+  test("bloom probe positions: the driver JVM and the Spark expression agree exactly") {
+    // the cross-engine contract the whole index rests on: build-side
+    // (Spark md5+conv+substr) and probe-side (MessageDigest slicing)
+    // must land on identical bit positions for any value and any m
+    val rnd = new scala.util.Random(42)
+    val vals = (1 to 300).map { i =>
+      if (i % 3 == 0) rnd.nextLong().toString
+      else if (i % 3 == 1) rnd.alphanumeric.take(rnd.nextInt(40) + 1).mkString
+      else s"urn:graft:doc:${rnd.nextInt(1 << 20)} é€${rnd.nextInt(99)}"
+    }.distinct
+    Seq(8192, 1 << 16, 1 << 22).foreach { m =>
+      val F = org.apache.spark.sql.functions
+      val hexc = F.md5(col("v").cast("string").cast("binary"))
+      val poss = Seq(0, 7, 14, 21).map(o =>
+        (F.conv(F.substring(hexc, o + 1, 7), 16, 10).cast("long") % m).cast("int"))
+      val sparkSide = vals.toDF("v")
+        .select(col("v"), F.array(poss: _*).as("p"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Int](1).toSeq).toMap
+      vals.foreach { v =>
+        assert(sparkSide(v) == VersionedTable.bloomPositions(v, m),
+          s"position mismatch for '$v' at m=$m")
+      }
+    }
+  }
+
+  test("bloom index after compaction: blooms drop with the rewrite, reads stay correct") {
+    val dir = freshDir()
+    (0 to 2).foreach { r =>
+      val rows = (0L until 90L).filter(_ % 3 == r).map(i => (i, s"t$i")).toDF("id", "text")
+      VersionedTable.commit(rows, dir, "id", Seq("text"), expectedVersion = r.toLong,
+        mode = "append", bloomCols = Seq("id"))
+    }
+    VersionedTable.compact(spark, dir)
+    // the compacted version has one dir and NO blooms -> conservative keep,
+    // row filter still exact: pruning is never the correctness carrier
+    val v = VersionedTable.currentVersion(spark, dir)
+    val f = VersionedTable.files(spark, dir, v)
+    assert(f.count() == 1L && f.filter(col("has_bloom")).count() == 0L)
+    val got = VersionedTable.readAsOfPoint(spark, dir, v, "id", Seq("7", "41"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(7L, 41L))
+  }
+
   test("timestamp time travel: latest version at-or-before the target; loud outside the horizon") {
     val dir = freshDir()
     val saved = VersionedTable.nowMs
