@@ -105,6 +105,52 @@ object Communities {
     labels.withColumnRenamed("lbl", "community")
   }
 
+  /** WEIGHTED label propagation (the weighted-network variant Raghavan
+    * et al. '07 §4 describe): identical round structure to
+    * [[labelPropagation]], but each neighbor's vote counts its EDGE
+    * WEIGHT (integer units — e.g. Jaccard similarity in 1e-4 units —
+    * so the argmax is exact, never float-order-dependent). Ties on
+    * total weight break to the smallest label. The practical
+    * difference for near-dup curation: a weak bridge pair (barely over
+    * the θ threshold) is out-voted by strong in-blob edges even when
+    * COUNTS tie — weighted LPA splits what unweighted LPA would let a
+    * single strong-count bridge flip. `pairs` = (a, b, weight); same
+    * scale shape as the unweighted rounds (the weight rides the edge
+    * row; the per-(node, label) reduce becomes a sum instead of a
+    * count — still combine-able map-side). */
+  def labelPropagationWeighted(pairs: DataFrame, nodes: DataFrame,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"labelPropagationWeighted: rounds must be >= 1, got $rounds")
+    val idCol = nodes.columns.head
+    require(nodes.schema.head.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"labelPropagationWeighted requires a numeric id column, got " +
+        nodes.schema.head.dataType.simpleString)
+    val Array(pa, pb, pw) = pairs.columns.take(3)
+    val pairsOnce = pairs.select(col(pa).cast("long").as("src"),
+        col(pb).cast("long").as("dst"), col(pw).cast("long").as("w"))
+      .localCheckpoint(false)
+    val edges = pairsOnce
+      .union(pairsOnce.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .distinct()
+      .persist()
+    var labels = nodes
+      .select(col(idCol).cast("long").as("node"), col(idCol).cast("long").as("lbl"))
+    (1 to rounds).foreach { _ =>
+      val winner = edges
+        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node"), col("lbl"))
+        .agg(sum(col("w")).as("wsum"))
+        .groupBy("node")
+        .agg(max(struct(col("wsum"), (-col("lbl")).as("neg"))).as("m"))
+        .select(col("node"), (-col("m.neg")).as("nbr_lbl"))
+      labels = labels.join(winner, Seq("node"), "left")
+        .select(col("node"), coalesce(col("nbr_lbl"), col("lbl")).as("lbl"))
+        .localCheckpoint(false)
+    }
+    edges.unpersist()
+    labels.withColumnRenamed("lbl", "community")
+  }
+
   /** K-CORE PEELING (Seidman 1983, "Network structure and minimum
     * degree"; the MapReduce peeling shape is the standard BSP
     * spelling): run `rounds` synchronous rounds of "drop every node

@@ -804,10 +804,11 @@ object Extensions {
        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2
        |), e AS (
-       |  SELECT doc_a AS a, doc_b AS b
+       |  SELECT doc_a AS a, doc_b AS b,
+       |         CAST(floor(CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) * 10000 + 0.5) AS BIGINT) AS w4
        |  FROM p0 JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
        |  WHERE floor(CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) * 10000 + 0.5) / 10000 >= 0.3
-       |), ee AS (SELECT a, b FROM e UNION SELECT b, a FROM e)""".stripMargin
+       |), ee AS (SELECT a, b, w4 FROM e UNION SELECT b, a, w4 FROM e)""".stripMargin
 
   /** Shared CTE chain for q63/q63b/q121: shingles → Jaccard edges →
     * transitive closure → per-doc min-label cluster ids (`cc`). */
@@ -8244,6 +8245,53 @@ object Extensions {
       .orderBy("dir_pos")
   }
 
+  // -------------------------------------------------------------- Q223
+  /** WEIGHTED LABEL-PROPAGATION COMMUNITIES
+    * ([[graft.operators.Communities.labelPropagationWeighted]], round
+    * 12 — the weighted-network variant of q211): votes count the edge's
+    * Jaccard similarity in EXACT 1e-4 integer units (the `w4` the
+    * shared edge CTE now carries), so a weak bridge pair barely over θ
+    * is out-voted by strong in-blob edges even when plain counts tie —
+    * the split unweighted LPA can miss. Oracle unrolls the same 3
+    * rounds with `sum(w4)` frequency (ties to the smallest label);
+    * everything integer, bit-stable in any partitioning. */
+  val q223 = {
+    val rounds = 3
+    val steps = (1 to rounds).map { k =>
+      s"""n$k AS (
+         |  SELECT ee.a AS node, l.lbl, CAST(sum(ee.w4) AS BIGINT) AS wsum
+         |  FROM ee JOIN l${k - 1} l ON ee.b = l.node GROUP BY 1, 2
+         |), w$k AS (
+         |  SELECT node, lbl, row_number() OVER (PARTITION BY node
+         |           ORDER BY wsum DESC, lbl ASC) AS rn
+         |  FROM n$k
+         |), l$k AS (
+         |  SELECT p.node, coalesce(w.lbl, p.lbl) AS lbl
+         |  FROM l${k - 1} p LEFT JOIN (SELECT node, lbl FROM w$k WHERE rn = 1) w
+         |    ON p.node = w.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    QueryDef("q223_weighted_communities",
+      s"""WITH $jaccardEdgesCte,
+         |l0 AS (SELECT doc_id AS node, doc_id AS lbl FROM documents),
+         |$steps
+         |SELECT node AS doc_id, CAST(lbl AS BIGINT) AS community,
+         |       CAST(count(*) OVER (PARTITION BY lbl) AS BIGINT) AS community_size
+         |FROM l$rounds ORDER BY doc_id""") { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val pairs = graft.operators.Dedup
+        .ngramJaccardPairsPrefix(docs, "doc_id", "text", n = 2, theta = 0.3)
+        .select(col("doc_a"), col("doc_b"),
+          round(col("jacc") * 10000).cast("long").as("w4"))
+      graft.operators.Communities
+        .labelPropagationWeighted(pairs, docs.select("doc_id"), rounds = rounds)
+        .select(col("node").as("doc_id"), col("community"),
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy("community")).as("community_size"))
+        .orderBy("doc_id")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -8254,5 +8302,5 @@ object Extensions {
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q169b, q169c, q170, q171, q172, q173, q174, q175,
     q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215,
-    q216, q217, q218, q219, q220, q221, q222)
+    q216, q217, q218, q219, q220, q221, q222, q223)
 }

@@ -86,6 +86,34 @@ class CommunitiesSpec extends SparkSuite {
     assert(got == lbl)
   }
 
+  test("weighted LPA: edge weight breaks what plain counts tie away to min") {
+    // node 5's round-1 neighbor labels are all distinct (own ids), so
+    // unweighted LPA ties 3 ways and falls to the SMALLEST label (1);
+    // weights {1:2, 8:3, 9:3} make 8 and 9 out-vote 1, tie -> 8.
+    val wpairs = Seq((1L, 5L, 2L), (8L, 5L, 3L), (9L, 5L, 3L),
+      (8L, 9L, 3L)).toDF("a", "b", "w")
+    val nodes = Seq(1L, 5L, 8L, 9L).toDF("id")
+    val weighted = Communities.labelPropagationWeighted(wpairs, nodes, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(weighted(5L) == 8L, weighted.toString)
+    val unweighted = Communities.labelPropagation(
+        wpairs.select("a", "b"), nodes, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(unweighted(5L) == 1L, unweighted.toString)
+    // a dominant single edge wins over two lighter ones combined
+    val dom = Communities.labelPropagationWeighted(
+        Seq((1L, 5L, 10L), (8L, 5L, 3L), (9L, 5L, 3L)).toDF("a", "b", "w"),
+        nodes, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dom(5L) == 1L)
+    // isolated nodes keep their label; weight ties fall to min label
+    val tie = Communities.labelPropagationWeighted(
+        Seq((1L, 5L, 4L), (9L, 5L, 4L)).toDF("a", "b", "w"),
+        Seq(1L, 5L, 9L, 77L).toDF("id"), rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tie(5L) == 1L && tie(77L) == 77L)
+  }
+
   private def core(es: Seq[(Long, Long)], nodes: Seq[Long], k: Int,
       rounds: Int): Map[Long, (Boolean, Long)] =
     Communities.kCore(pairs(es: _*), nodes.toDF("id"), k, rounds)
