@@ -865,7 +865,8 @@ object VersionedTable {
     * order-insensitive, so re-clustering provably cannot change
     * content. Returns the new version. */
   def compact(spark: SparkSession, tableDir: String,
-      targetPartitions: Int = 1, sortCols: Seq[String] = Nil): Long = {
+      targetPartitions: Int = 1, sortCols: Seq[String] = Nil,
+      statCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long = {
     require(targetPartitions >= 1,
       s"compact: targetPartitions must be >= 1, got $targetPartitions")
     val cur = currentVersion(spark, tableDir)
@@ -876,8 +877,14 @@ object VersionedTable {
       if (sortCols.isEmpty) base.coalesce(targetPartitions)
       else base.repartitionByRange(targetPartitions, sortCols.map(col): _*)
         .sortWithinPartitions(sortCols.map(col): _*)
+    // statCols/bloomCols: the rewrite drops per-dir indexes with the
+    // dirs they described; callers that keep point-reading the table
+    // re-register them on the compacted dir here (the OPTIMIZE
+    // re-index move) — omitted, the read paths degrade to conservative
+    // keeps, never to wrong rows
     val v = commit(snap, tableDir, m.idCol, m.contentCols,
-      expectedVersion = cur, mode = "overwrite")
+      expectedVersion = cur, mode = "overwrite",
+      statCols = statCols, bloomCols = bloomCols)
     // content identity gate: the rewrite must carry the EXACT bytes —
     // same (rows, digest) as the version it replaced, or the commit is
     // a corruption, not a compaction (digest is order-insensitive, so

@@ -492,6 +492,16 @@ class VersionedTableSpec extends SparkSuite {
     val got = VersionedTable.readAsOfPoint(spark, dir, v, "id", Seq("7", "41"))
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(got == Seq(7L, 41L))
+    // re-indexing compaction: compact(bloomCols=...) registers a fresh
+    // bloom on the compacted dir and point reads use it again
+    val v2 = VersionedTable.compact(spark, dir, bloomCols = Seq("id"))
+    val f2 = VersionedTable.files(spark, dir, v2)
+    assert(f2.count() == 1L && f2.filter(col("has_bloom")).count() == 1L)
+    val miss2 = VersionedTable.readAsOfPoint(spark, dir, v2, "id", Seq("100000007"))
+    assert(miss2.count() == 0L &&
+      miss2.inputFiles.isEmpty, "fresh bloom must answer a miss with zero dirs")
+    assert(VersionedTable.readAsOfPoint(spark, dir, v2, "id", Seq("7"))
+      .collect().map(_.getLong(0)).toSeq == Seq(7L))
   }
 
   test("timestamp time travel: latest version at-or-before the target; loud outside the horizon") {
