@@ -39,7 +39,9 @@ import org.apache.spark.sql.functions._
   * against the label frame (shuffle on node id) + one two-level
   * aggregation (partial counts map-side, the per-node argmax is a
   * `max(struct(cnt, -lbl))` — a single combine-able aggregate, NOT a
-  * window sort). Edges are persisted once; labels are
+  * window sort). Edges are eagerly localCheckpoint-ed — the
+  * symmetrize+distinct shuffle runs exactly once, before the round
+  * loop; labels are
   * lazily localCheckpoint-ed per round so the logical plan stays O(1)
   * deep (the same driver-OOM discipline as the CC loop). At 100 TB the
   * edge frame is the big side and stays partitioned on `dst` across
@@ -74,10 +76,15 @@ object Communities {
     // symmetrizing — same discipline as dedupClusters
     val pairsOnce = pairs.select(col(pa).cast("long").as("src"), col(pb).cast("long").as("dst"))
       .localCheckpoint(false)
+    // EAGER localCheckpoint: materialize the symmetrize+distinct shuffle
+    // ONCE before the round loop (ADVICE r12 — a lazy persist under a
+    // loop whose rounds are themselves lazy never materializes before
+    // the terminal action, recomputing the shuffle once per round);
+    // every round then rejoins the checkpointed blocks
     val edges = pairsOnce
       .union(pairsOnce.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .persist()
+      .localCheckpoint()
     var labels = nodes
       .select(col(idCol).cast("long").as("node"), col(idCol).cast("long").as("lbl"))
     (1 to rounds).foreach { _ =>
@@ -101,7 +108,6 @@ object Communities {
         .select(col("node"), coalesce(col("nbr_lbl"), col("lbl")).as("lbl"))
         .localCheckpoint(false)
     }
-    edges.unpersist()
     labels.withColumnRenamed("lbl", "community")
   }
 
@@ -129,10 +135,12 @@ object Communities {
     val pairsOnce = pairs.select(col(pa).cast("long").as("src"),
         col(pb).cast("long").as("dst"), col(pw).cast("long").as("w"))
       .localCheckpoint(false)
+    // eager: materialize the symmetrize+distinct once (see
+    // labelPropagation's note)
     val edges = pairsOnce
       .union(pairsOnce.select(col("dst").as("src"), col("src").as("dst"), col("w")))
       .distinct()
-      .persist()
+      .localCheckpoint()
     var labels = nodes
       .select(col(idCol).cast("long").as("node"), col(idCol).cast("long").as("lbl"))
     (1 to rounds).foreach { _ =>
@@ -147,7 +155,6 @@ object Communities {
         .select(col("node"), coalesce(col("nbr_lbl"), col("lbl")).as("lbl"))
         .localCheckpoint(false)
     }
-    edges.unpersist()
     labels.withColumnRenamed("lbl", "community")
   }
 
@@ -168,7 +175,7 @@ object Communities {
     *
     * Returns every input node with `in_core` (survived all rounds) and
     * `core_degree` (degree within the surviving set; 0 for peeled
-    * nodes). Scale shape: per round one semi-join of the persisted
+    * nodes). Scale shape: per round one semi-join of the checkpointed
     * symmetric edge set against the survivor frame + one combine-able
     * degree count — shuffles on node id only, survivor frame is one
     * row per node. */
@@ -179,10 +186,12 @@ object Communities {
     val Array(pa, pb) = pairs.columns.take(2)
     val pairsOnce = pairs.select(col(pa).cast("long").as("src"), col(pb).cast("long").as("dst"))
       .localCheckpoint(false)
+    // eager: materialize the symmetrize+distinct once (see
+    // labelPropagation's note)
     val edges = pairsOnce
       .union(pairsOnce.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .persist()
+      .localCheckpoint()
     val all = nodes.select(col(idCol).cast("long").as("node"))
     var alive = all
     (1 to rounds).foreach { _ =>
@@ -206,7 +215,6 @@ object Communities {
       .select(col("node"),
         coalesce(col("in_core"), lit(false)).as("in_core"),
         coalesce(col("core_degree"), lit(0L)).as("core_degree"))
-    edges.unpersist()
     out
   }
 }

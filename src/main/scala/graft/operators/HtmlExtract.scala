@@ -131,18 +131,35 @@ object HtmlExtract {
       struct(regexp_extract(a, hrefPat, 1).as("href"), atxt.as("atxt"))
     })
 
-  /** Resolve an href against its page's host: absolute `https://…`
-    * keeps its own (host, path); anything else is treated as
-    * host-relative (the fixture's hrefs are all root-relative; a
-    * fuller RFC 3986 resolver drops in behind the same two columns).
-    * Returns a (host, path) struct; empty path normalizes to "/". */
+  /** Resolve an href against its page's host (ADVICE r12 — the
+    * operator is a general API, not just the fixture's shape):
+    * absolute `http(s)://…` keeps its own (host, path);
+    * protocol-relative `//host/path` inherits the page's scheme and
+    * keeps its own (host, path); any OTHER scheme (`mailto:`,
+    * `javascript:`, `ftp:`, …) is not a web link — it resolves to the
+    * `("", "")` sentinel so callers can filter `host <> ''` instead
+    * of attributing foreign links to the source host; everything else
+    * is host-relative. Returns a (host, path) struct; an empty path
+    * on a web link normalizes to "/". A fuller RFC 3986 resolver
+    * (dot-segment removal, relative-path merges) drops in behind the
+    * same two columns. */
   def resolveHref(srcHost: Column, href: Column): Column = {
-    val isAbs = href.startsWith("https://")
-    val absHost = regexp_extract(href, "^https://([^/?#]+)", 1)
-    val absPath = regexp_replace(href, "^https://[^/?#]+", "")
-    val host = when(isAbs, absHost).otherwise(srcHost)
-    val path0 = when(isAbs, absPath).otherwise(href)
-    val path = when(path0 === "", "/").otherwise(path0)
+    val isHttp = href.rlike("^https?://")
+    val isProtoRel = href.startsWith("//")
+    // http(s):// matches the generic scheme pattern too — non-web is
+    // "has a scheme AND that scheme is not http(s)"
+    val isNonWeb = href.rlike("^[A-Za-z][A-Za-z0-9+.-]*:") && !isHttp
+    val host = when(isHttp, regexp_extract(href, "^https?://([^/?#]+)", 1))
+      .when(isProtoRel, regexp_extract(href, "^//([^/?#]+)", 1))
+      .when(isNonWeb, lit(""))
+      .otherwise(srcHost)
+    val path0 = when(isHttp, regexp_replace(href, "^https?://[^/?#]+", ""))
+      .when(isProtoRel, regexp_replace(href, "^//[^/?#]+", ""))
+      .otherwise(href)
+    // the non-web sentinel bypasses the ''→'/' normalization: ("", "")
+    // must stay distinguishable from a root link ("host", "/")
+    val path = when(isNonWeb, lit(""))
+      .otherwise(when(path0 === "", "/").otherwise(path0))
     struct(host.as("host"), path.as("path"))
   }
 
@@ -186,17 +203,29 @@ object HtmlExtract {
 
   /** SQL (host, path) resolution twin of [[resolveHref]] over columns
     * `srcHost` and an href expression `h`. */
-  def resolveHrefSql(srcHost: String, h: String): String =
+  def resolveHrefSql(srcHost: String, h: String): String = {
+    // same branch ORDER as [[resolveHref]]: http(s) and // match the
+    // other-scheme regex too, so the CASE must test them first
+    val path0 =
+      s"""CASE WHEN regexp_matches($h, '^https?://')
+         |       THEN regexp_replace($h, '^https?://[^/?#]+', '')
+         |     WHEN starts_with($h, '//')
+         |       THEN regexp_replace($h, '^//[^/?#]+', '')
+         |     ELSE $h END""".stripMargin
     s"""struct_pack(
-       |  host := CASE WHEN starts_with($h, 'https://')
-       |               THEN regexp_extract($h, '^https://([^/?#]+)', 1)
+       |  host := CASE WHEN regexp_matches($h, '^https?://')
+       |               THEN regexp_extract($h, '^https?://([^/?#]+)', 1)
+       |               WHEN starts_with($h, '//')
+       |               THEN regexp_extract($h, '^//([^/?#]+)', 1)
+       |               WHEN regexp_matches($h, '^[A-Za-z][A-Za-z0-9+.-]*:')
+       |               THEN ''
        |               ELSE $srcHost END,
-       |  path := CASE WHEN CASE WHEN starts_with($h, 'https://')
-       |                         THEN regexp_replace($h, '^https://[^/?#]+', '')
-       |                         ELSE $h END = '' THEN '/'
-       |               ELSE CASE WHEN starts_with($h, 'https://')
-       |                         THEN regexp_replace($h, '^https://[^/?#]+', '')
-       |                         ELSE $h END END)""".stripMargin
+       |  path := CASE WHEN regexp_matches($h, '^[A-Za-z][A-Za-z0-9+.-]*:')
+       |                    AND NOT regexp_matches($h, '^https?://')
+       |                    AND NOT starts_with($h, '//') THEN ''
+       |               WHEN $path0 = '' THEN '/'
+       |               ELSE $path0 END)""".stripMargin
+  }
 
   /** SQL keep-rule over a block struct `s` — the [[extract]] twin. */
   def keepRuleSql(s: String): String =

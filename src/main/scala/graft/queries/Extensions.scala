@@ -431,6 +431,63 @@ object Extensions {
         col("mean_recall"), (col("mean_recall") >= floorV).as("recall_ok"))
   }
 
+  /** Oracle for the k-means-backed ANN family (q87/q90/q92/q95/q96 —
+    * the q04b/q77 band graduation applied to ANN): the codebooks and
+    * coarse centroids aren't SQL-reproducible, so the RELEASED rows are
+    * the exact brute-force top-k per query — fully DuckDB-replayable,
+    * the q35 oracle shape — plus the accuracy contract spelled as
+    * constants: the floor the plan declares and `recall_ok = true`.
+    * The Spark side computes `recall_ok` from the REAL ANN result
+    * (mean recall@k vs these exact rows), so a recall collapse
+    * hash-mismatches the driver row instead of hiding behind a
+    * rows-only check. */
+  private def annBandSql(k: Int, nq: Int, floorV: Double): String =
+    s"""WITH p AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |         ${dotSql("q.embedding", "c.embedding")} AS dt,
+       |         ${normSql("q.embedding")} AS na, ${normSql("c.embedding")} AS nb
+       |  FROM embeddings q JOIN embeddings c
+       |    ON q.vec_id < $nq AND q.vec_id <> c.vec_id
+       |  WHERE ${normSql("q.embedding")} > 0 AND ${normSql("c.embedding")} > 0
+       |), r AS (
+       |  SELECT q_id, c_id, dt/(na*nb) AS cs,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY dt/(na*nb) DESC, c_id) AS rn
+       |  FROM p
+       |)
+       |SELECT q_id, c_id, rn, floor(cs * 10000 + 0.5) / 10000 AS cos,
+       |       CAST($floorV AS DOUBLE) AS recall_floor, true AS recall_ok
+       |FROM r WHERE rn <= $k
+       |ORDER BY q_id, rn""".stripMargin
+
+  /** Spark twin of [[annBandSql]]: measure the ANN frame's mean
+    * recall@k against the exact brute-force top-k, gate it twice
+    * (a loud require AND the released `recall_ok` bit the oracle
+    * expects true), and release the exact rows. Integer intersection
+    * counts with one final division — no float-summation hazard —
+    * and the mean is collected once so the ANN search runs exactly
+    * one time per evaluation (q77's driver-side gating pattern). */
+  private def annBandRelease(ann: DataFrame, emb: DataFrame, k: Int,
+      floorV: Double, qPred: org.apache.spark.sql.Column): DataFrame = {
+    val exactRows =
+      Similarity.bruteForceTopK(emb.filter(qPred), emb, "vec_id", "embedding", k)
+    // LEFT join from exact (q45/q87's long-standing rationale): a query
+    // the ANN returned nothing for counts as recall 0, not a missing row
+    val perQ = exactRows.groupBy("q_id").agg(collect_set(col("c_id")).as("exact_ids"))
+      .join(ann.groupBy("q_id").agg(collect_set(col("c_id")).as("ann_ids")),
+        Seq("q_id"), "left")
+      .select(coalesce(size(array_intersect(col("ann_ids"), col("exact_ids"))), lit(0))
+        .as("inter_cnt"))
+    val meanRecall = perQ
+      .agg((sum(col("inter_cnt")).cast("double") / (lit(k) * count(lit(1)))).as("m"))
+      .head().getDouble(0)
+    require(meanRecall >= floorV,
+      s"ANN mean recall@$k $meanRecall below the declared floor $floorV")
+    exactRows
+      .select(col("q_id"), col("c_id"), col("rn"), col("cos"),
+        lit(floorV).as("recall_floor"), lit(meanRecall >= floorV).as("recall_ok"))
+      .orderBy("q_id", "rn")
+  }
+
   val q36 = {
     val bucketBits = lshBucketBitsSql
     QueryDef("q36_ann_lsh",
@@ -1740,17 +1797,21 @@ object Extensions {
     * the corpus is compressed to 8 code bytes + a norm per 64-dim
     * vector (m=8 subspaces × 32 centroids ≈ 21× smaller than FLOAT),
     * and search scores candidates with the asymmetric-distance lookup
-    * (native expr, no float math on the corpus side). Rows-only (the
-    * k-means codebooks aren't SQL-reproducible); the gate is
-    * quantitative like q45: per-query recall@5 against the exact
-    * brute-force top-5 is computed in-query, with a mean-recall floor.
-    * The declared path is the production shape — ADC shortlist (the
-    * compressed scan) + exact re-rank of the 100-candidate shortlist
+    * (native expr, no float math on the corpus side). ORACLE-CHECKED
+    * since round 13 ([[annBandSql]] — the q04b/q77 band graduation):
+    * the k-means codebooks aren't SQL-reproducible, so the released
+    * rows are the exact brute-force top-5 (DuckDB-replayable) plus
+    * the declared floor and the `recall_ok` bit computed from the
+    * REAL PQ search — a recall collapse now hash-mismatches the
+    * driver row. The declared path is the production shape — ADC
+    * shortlist (the compressed scan) + exact re-rank of the
+    * 100-candidate shortlist
     * ([[graft.operators.ProductQuantization.adcTopKReranked]]): float
     * reads are O(queries × shortlist), never corpus-sized, and recall
     * is restored even on near-uniform embeddings where pure ADC
     * collapses (quantization error ≫ neighbor cosine gaps). */
-  val q87 = QueryDef.noOracle("q87_pq_ann") { (s, dir) =>
+  val q87 = QueryDef("q87_pq_ann",
+    annBandSql(k = 5, nq = 10, floorV = 0.5)) { (s, dir) =>
     val emb = t(s, dir, "embeddings")
     val qPred = col("vec_id") < 10
     val k = 5
@@ -1758,24 +1819,7 @@ object Extensions {
     val encoded = graft.operators.ProductQuantization.encode(emb, "vec_id", "embedding", model)
     val pq = graft.operators.ProductQuantization.adcTopKReranked(
       emb.filter(qPred), encoded, emb, "vec_id", "embedding", k, shortlist = 100, model)
-    val exact = Similarity.bruteForceTopK(emb.filter(qPred), emb,
-        "vec_id", "embedding", k = k)
-      .groupBy("q_id").agg(collect_set(col("c_id")).as("exact_ids"))
-    // LEFT join from exact (q45's rationale): a query PQ returns nothing
-    // for must count as recall 0, not vanish from the mean
-    val perQ = exact
-      .join(pq.groupBy("q_id").agg(collect_set(col("c_id")).as("pq_ids")),
-        Seq("q_id"), "left")
-      .select(col("q_id"),
-        (coalesce(size(array_intersect(col("pq_ids"), col("exact_ids"))), lit(0))
-          .cast("double") / k).as("recall_q"))
-    val mean = perQ.agg(round(avg(col("recall_q")), 4).as("mean_recall"))
-    pq.join(broadcast(perQ), Seq("q_id"))
-      .crossJoin(broadcast(mean))
-      .select(col("q_id"), col("c_id"), col("rn"), col("cos"),
-        TextFunctions.round4(col("recall_q")).as("recall_q"),
-        col("mean_recall"), (col("mean_recall") >= 0.5).as("recall_ok"))
-      .orderBy("q_id", "rn")
+    annBandRelease(pq, emb, k = k, floorV = 0.5, qPred = qPred)
   }
 
   // --------------------------------------------------------------- Q92
@@ -1784,14 +1828,15 @@ object Extensions {
     * the full production stack (FAISS IVFPQ shape): coarse k-means
     * lists prune the scan to nProbe/nCentroids of the corpus, PQ
     * codes compress the probed lists ~21×, ADC scores bytes, exact
-    * re-rank restores recall on a bounded shortlist. Rows-only
-    * (k-means + codebooks aren't SQL-reproducible); gated like
-    * q45/q87: per-query recall@5 vs exact brute force computed
-    * in-query with a mean floor — recall here is bounded by list
-    * probing (a true neighbor in an unprobed list is unreachable), so
-    * the floor sits under the q45 IVF gate's, not the q87 full-scan
-    * gate's. */
-  val q92 = QueryDef.noOracle("q92_ivfpq_ann") { (s, dir) =>
+    * re-rank restores recall on a bounded shortlist. ORACLE-CHECKED
+    * since round 13 ([[annBandSql]] band graduation — released rows
+    * are the exact top-5 plus the declared floor and the recall_ok
+    * bit computed from the real IVFPQ search); recall here is bounded
+    * by list probing (a true neighbor in an unprobed list is
+    * unreachable), so the floor sits under the q45 IVF gate's, not
+    * the q87 full-scan gate's. */
+  val q92 = QueryDef("q92_ivfpq_ann",
+    annBandSql(k = 5, nq = 10, floorV = 0.4)) { (s, dir) =>
     val emb = t(s, dir, "embeddings")
     val qPred = col("vec_id") < 10
     val k = 5
@@ -1799,22 +1844,7 @@ object Extensions {
     val ivfpq = graft.operators.ProductQuantization.ivfAdcTopKReranked(
       emb.filter(qPred), emb, "vec_id", "embedding", k,
       nProbe = 4, nCentroids = 16, shortlist = 100, model)
-    val exact = Similarity.bruteForceTopK(emb.filter(qPred), emb,
-        "vec_id", "embedding", k = k)
-      .groupBy("q_id").agg(collect_set(col("c_id")).as("exact_ids"))
-    val perQ = exact
-      .join(ivfpq.groupBy("q_id").agg(collect_set(col("c_id")).as("got_ids")),
-        Seq("q_id"), "left")
-      .select(col("q_id"),
-        (coalesce(size(array_intersect(col("got_ids"), col("exact_ids"))), lit(0))
-          .cast("double") / k).as("recall_q"))
-    val mean = perQ.agg(round(avg(col("recall_q")), 4).as("mean_recall"))
-    ivfpq.join(broadcast(perQ), Seq("q_id"))
-      .crossJoin(broadcast(mean))
-      .select(col("q_id"), col("c_id"), col("rn"), col("cos"),
-        TextFunctions.round4(col("recall_q")).as("recall_q"),
-        col("mean_recall"), (col("mean_recall") >= 0.4).as("recall_ok"))
-      .orderBy("q_id", "rn")
+    annBandRelease(ivfpq, emb, k = k, floorV = 0.4, qPred = qPred)
   }
 
   // --------------------------------------------------------------- Q97
@@ -1861,9 +1891,11 @@ object Extensions {
     * much smaller-magnitude signal; search decomposes dot(q,v) =
     * dot(q,c) + dot(q,r) with the first term exact per probed list and
     * one shared LUT per query. Storage and probe volume identical to
-    * q92; only the code semantics change. Gated like q92: mean
-    * recall@5 ≥ 0.4 in-query. */
-  val q96 = QueryDef.noOracle("q96_ivfpq_residual") { (s, dir) =>
+    * q92; only the code semantics change. ORACLE-CHECKED since round
+    * 13 ([[annBandSql]] band graduation), gated like q92: mean
+    * recall@5 ≥ 0.4 via require AND the released recall_ok bit. */
+  val q96 = QueryDef("q96_ivfpq_residual",
+    annBandSql(k = 5, nq = 10, floorV = 0.4)) { (s, dir) =>
     val emb = t(s, dir, "embeddings")
     val qPred = col("vec_id") < 10
     val k = 5
@@ -1873,22 +1905,7 @@ object Extensions {
     val got = graft.operators.ProductQuantization.ivfPQResidualSearch(
       emb.filter(qPred), index, emb, "vec_id", "embedding", k,
       nProbe = 4, shortlist = 100, model)
-    val exact = Similarity.bruteForceTopK(emb.filter(qPred), emb,
-        "vec_id", "embedding", k = k)
-      .groupBy("q_id").agg(collect_set(col("c_id")).as("exact_ids"))
-    val perQ = exact
-      .join(got.groupBy("q_id").agg(collect_set(col("c_id")).as("got_ids")),
-        Seq("q_id"), "left")
-      .select(col("q_id"),
-        (coalesce(size(array_intersect(col("got_ids"), col("exact_ids"))), lit(0))
-          .cast("double") / k).as("recall_q"))
-    val mean = perQ.agg(round(avg(col("recall_q")), 4).as("mean_recall"))
-    got.join(broadcast(perQ), Seq("q_id"))
-      .crossJoin(broadcast(mean))
-      .select(col("q_id"), col("c_id"), col("rn"), col("cos"),
-        TextFunctions.round4(col("recall_q")).as("recall_q"),
-        col("mean_recall"), (col("mean_recall") >= 0.4).as("recall_ok"))
-      .orderBy("q_id", "rn")
+    annBandRelease(got, emb, k = k, floorV = 0.4, qPred = qPred)
   }
 
   // --------------------------------------------------------------- Q95
@@ -1897,9 +1914,12 @@ object Extensions {
     * recall floor is unacceptable — coarse k-means lists prune the
     * scan (q92's lever), int8 codes score the probed lists with
     * near-exact ranking (q90's lever), so recall is bounded only by
-    * list probing, not quantization. Rows-only, gated like q92: mean
-    * recall@5 vs exact brute force ≥ 0.4 in-query. */
-  val q95 = QueryDef.noOracle("q95_ivf_int8_ann") { (s, dir) =>
+    * list probing, not quantization. ORACLE-CHECKED since round 13
+    * ([[annBandSql]] band graduation): mean recall@5 vs exact brute
+    * force ≥ 0.4, enforced by require AND the released recall_ok bit
+    * the oracle expects true. */
+  val q95 = QueryDef("q95_ivf_int8_ann",
+    annBandSql(k = 5, nq = 10, floorV = 0.4)) { (s, dir) =>
     val emb = t(s, dir, "embeddings")
     val qPred = col("vec_id") < 10
     val k = 5
@@ -1907,22 +1927,7 @@ object Extensions {
     val got = graft.operators.Int8Quant.ivfTopK(
       emb.filter(qPred), emb, "vec_id", "embedding", k,
       nProbe = 4, nCentroids = 16, scale = scale)
-    val exact = Similarity.bruteForceTopK(emb.filter(qPred), emb,
-        "vec_id", "embedding", k = k)
-      .groupBy("q_id").agg(collect_set(col("c_id")).as("exact_ids"))
-    val perQ = exact
-      .join(got.groupBy("q_id").agg(collect_set(col("c_id")).as("got_ids")),
-        Seq("q_id"), "left")
-      .select(col("q_id"),
-        (coalesce(size(array_intersect(col("got_ids"), col("exact_ids"))), lit(0))
-          .cast("double") / k).as("recall_q"))
-    val mean = perQ.agg(round(avg(col("recall_q")), 4).as("mean_recall"))
-    got.join(broadcast(perQ), Seq("q_id"))
-      .crossJoin(broadcast(mean))
-      .select(col("q_id"), col("c_id"), col("rn"), col("cos"),
-        TextFunctions.round4(col("recall_q")).as("recall_q"),
-        col("mean_recall"), (col("mean_recall") >= 0.4).as("recall_ok"))
-      .orderBy("q_id", "rn")
+    annBandRelease(got, emb, k = k, floorV = 0.4, qPred = qPred)
   }
 
   // --------------------------------------------------------------- Q94
@@ -2047,14 +2052,14 @@ object Extensions {
     * cheap tier of the embedding-compression pair (PQ q87 is the
     * aggressive tier) — one global symmetric scale, TINYINT codes +
     * exact norm (≈3.6× smaller than FLOAT), symmetric integer-dot
-    * search via the native `dot_i8` loop. Rows-only (the corpus max
-    * that sets the scale is one float — reproducible — but the gate
-    * is quantitative like q87): per-query recall@5 vs the exact
-    * brute-force top-5 computed in-query with a mean floor of 0.9 —
-    * int8's 127-level grid keeps quantization error far below
-    * neighbor cosine gaps, which is exactly the property this gate
-    * pins every round. */
-  val q90 = QueryDef.noOracle("q90_int8_ann") { (s, dir) =>
+    * search via the native `dot_i8` loop. ORACLE-CHECKED since round
+    * 13 ([[annBandSql]] band graduation): per-query recall@5 vs the
+    * exact brute-force top-5 with a mean floor of 0.9 — int8's
+    * 127-level grid keeps quantization error far below neighbor
+    * cosine gaps, which is exactly the property the released
+    * recall_ok bit pins under the driver's hash check every round. */
+  val q90 = QueryDef("q90_int8_ann",
+    annBandSql(k = 5, nq = 10, floorV = 0.9)) { (s, dir) =>
     val emb = t(s, dir, "embeddings")
     val qPred = col("vec_id") < 10
     val k = 5
@@ -2062,24 +2067,7 @@ object Extensions {
     val encoded = graft.operators.Int8Quant.encode(emb, "vec_id", "embedding", scale)
     val i8 = graft.operators.Int8Quant.topK(
       emb.filter(qPred), encoded, "vec_id", "embedding", k, scale)
-    val exact = Similarity.bruteForceTopK(emb.filter(qPred), emb,
-        "vec_id", "embedding", k = k)
-      .groupBy("q_id").agg(collect_set(col("c_id")).as("exact_ids"))
-    // LEFT join from exact (q45/q87's rationale): a query int8 returns
-    // nothing for must count as recall 0, not vanish from the mean
-    val perQ = exact
-      .join(i8.groupBy("q_id").agg(collect_set(col("c_id")).as("i8_ids")),
-        Seq("q_id"), "left")
-      .select(col("q_id"),
-        (coalesce(size(array_intersect(col("i8_ids"), col("exact_ids"))), lit(0))
-          .cast("double") / k).as("recall_q"))
-    val mean = perQ.agg(round(avg(col("recall_q")), 4).as("mean_recall"))
-    i8.join(broadcast(perQ), Seq("q_id"))
-      .crossJoin(broadcast(mean))
-      .select(col("q_id"), col("c_id"), col("rn"), col("cos"),
-        TextFunctions.round4(col("recall_q")).as("recall_q"),
-        col("mean_recall"), (col("mean_recall") >= 0.9).as("recall_ok"))
-      .orderBy("q_id", "rn")
+    annBandRelease(i8, emb, k = k, floorV = 0.9, qPred = qPred)
   }
 
   // --------------------------------------------------------------- Q88
@@ -8292,6 +8280,46 @@ object Extensions {
     }
   }
 
+  // -------------------------------------------------------------- Q224
+  /** DSv2 LAKEHOUSE READ ([[graft.sources.GraftVersionedSource]] —
+    * round-13 verdict task 3, the q210 move applied to the versioned
+    * table): the same interleaved three-commit table as q218, but the
+    * point read goes through PLAIN SQL over
+    * `spark.read.format("graft-versioned").option("versionAsOf", 3)` —
+    * no dedicated entry point. The connector resolves the version
+    * through the same manifest chain as the Scala API, captures the
+    * `IN` filter in pushFilters, probes the per-dir doc_id blooms, and
+    * plans input partitions for the surviving dirs only; the filter is
+    * re-applied row-level (returned residual), so pruning is never the
+    * correctness carrier. The in-query require reads the built scan's
+    * kept_dirs off the optimized plan — a silent prune regression
+    * fails the gate, not just a bench. */
+  val q224 = QueryDef("q224_dsv2_versioned_read",
+    """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_chars
+      |FROM documents WHERE doc_id IN (9, 33, 63, 93, 123)
+      |ORDER BY doc_id""") { (s, dir) =>
+    val vt = graft.sources.VersionedTable
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val tdir = graft.operators.Scratch.dir("q224") + "/t"
+    (0 to 2).foreach { r =>
+      vt.commit(docs.filter(col("doc_id") % 3 === r), tdir, "doc_id", Seq("text"),
+        expectedVersion = r.toLong, mode = "append", bloomCols = Seq("doc_id"))
+    }
+    s.read.format("graft-versioned").option("versionAsOf", "3").load(tdir)
+      .createOrReplaceTempView("q224_vt")
+    val out = s.sql(
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+        |FROM q224_vt WHERE doc_id IN (9, 33, 63, 93, 123)
+        |ORDER BY doc_id""".stripMargin)
+    val desc = out.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan.description()
+    }.getOrElse("")
+    require(desc.contains("kept_dirs=1/3") || desc.contains("kept_dirs=2/3"),
+      s"DSv2 bloom pruning must drop interleaved dirs, scan: $desc")
+    out
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -8302,5 +8330,5 @@ object Extensions {
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q169b, q169c, q170, q171, q172, q173, q174, q175,
     q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215,
-    q216, q217, q218, q219, q220, q221, q222, q223)
+    q216, q217, q218, q219, q220, q221, q222, q223, q224)
 }

@@ -1,0 +1,329 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.api.ReadSupport
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 front door for [[VersionedTable]] — the lakehouse's
+  * plain-SQL surface (round-13, the q210 move applied to the
+  * versioned table):
+  *
+  * {{{
+  * spark.read.format("graft-versioned")
+  *   .option("versionAsOf", 3)          // or timestampAsOf = epoch ms
+  *   .load(tableDir)
+  *   .filter($"doc_id".isin(9, 33, 63)) // bloom/stat dirs pruned at plan time
+  * }}}
+  *
+  * resolves through the SAME manifest chain as the Scala API
+  * ([[VersionedTable.resolveVersion]]), so SQL and Scala can never
+  * read different snapshots for the same options — and gets the
+  * manifest's data skipping through ordinary filters instead of the
+  * dedicated `readAsOfWhere`/`readAsOfWhereEq`/`readAsOfPoint`
+  * entry points:
+  *
+  *  - **id range/point pruning**: `=`, `IN`, `<`, `<=`, `>`, `>=` on
+  *    the table's id column intersect against the manifest's per-dir
+  *    id min/max (the Delta checkpoint-stats recipe).
+  *  - **string-stat equality pruning**: `=`/`IN` on a `statCols`
+  *    column checks the per-dir lexicographic band.
+  *  - **bloom point pruning**: `=`/`IN` on a `bloomCols` column probes
+  *    the per-dir bloom (md5-sliced positions — the same digest the
+  *    commit computed, [[VersionedTable.bloomPositions]]).
+  *
+  * Every filter is also RETURNED as residual from `pushFilters`, so
+  * Spark re-applies it row-level: pruning is an access-path hint,
+  * never the correctness carrier (a dir without stats/bloom for the
+  * column is conservatively kept — the [[VersionedTable]] contract,
+  * verbatim). Column pruning pushes the projection into the parquet
+  * readers (`SupportsPushDownRequiredColumns`), and the scan reports
+  * kept-file byte statistics so a pruned fixture joined against a big
+  * table broadcasts.
+  *
+  * Schema-evolution (merge-read) chains work by construction: each
+  * partition reader emits the snapshot's UNION schema and NULL-fills
+  * fields its file predates — the same shape
+  * [[VersionedTable.prunedRead]] guarantees, enforced here per file
+  * rather than per plan.
+  *
+  * Supported column types are the versioned table's committed shapes:
+  * flat BOOLEAN/INT/BIGINT/FLOAT/DOUBLE/STRING/BINARY columns
+  * (everything the declared fixtures and queries commit). A chain
+  * whose schema falls outside that is rejected LOUDLY at resolution
+  * time — never a silently wrong scan.
+  *
+  * Scale shape: one input partition per data FILE, size-binned like
+  * the WARC connector is not needed here because the commit path
+  * already controls file sizes (one dir per commit, files from the
+  * writing job's partitioning); at 1000 executors the per-file
+  * partitions ARE the parallelism, and dir pruning removes whole
+  * commits from the scan before a single task launches.
+  */
+class GraftVersionedSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-versioned"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val spark = SparkSession.active
+    val path = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft-versioned: .load(<tableDir>) is required"))
+    val v = GraftVersionedSource.resolvedVersion(spark, path, options)
+    val schema = VersionedTable.readAsOf(spark, path, v).schema
+    schema.fields.foreach { f =>
+      require(GraftVersionedSource.supported(f.dataType),
+        s"graft-versioned: unsupported column type ${f.dataType.simpleString} " +
+          s"for '${f.name}' — the connector reads the flat primitive schemas " +
+          "the versioned table commits (boolean/int/bigint/float/double/string/binary)")
+    }
+    schema
+  }
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    val spark = SparkSession.active
+    val path = Option(properties.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft-versioned: .load(<tableDir>) is required"))
+    val opts = new CaseInsensitiveStringMap(properties)
+    val v = GraftVersionedSource.resolvedVersion(spark, path, opts)
+    new GraftVersionedTable(path, v,
+      VersionedTable.readManifest(spark, path, v), schema)
+  }
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object GraftVersionedSource {
+  private[sources] def resolvedVersion(spark: SparkSession, path: String,
+      options: CaseInsensitiveStringMap): Long =
+    VersionedTable.resolveVersion(spark, path,
+      Option(options.get("versionAsOf")).map(_.toLong),
+      Option(options.get("timestampAsOf")).map(_.toLong))
+
+  private[sources] def supported(dt: DataType): Boolean = dt match {
+    case BooleanType | IntegerType | LongType | FloatType | DoubleType |
+         StringType | BinaryType => true
+    case _ => false
+  }
+}
+
+class GraftVersionedTable(path: String, version: Long,
+    m: VersionedTable.Manifest, tableSchema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft_versioned(`$path`@v$version)"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftVersionedScanBuilder(path, m, tableSchema)
+}
+
+class GraftVersionedScanBuilder(path: String, m: VersionedTable.Manifest,
+    tableSchema: StructType)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  private var required: StructType = tableSchema
+  private var pushedArr: Array[Filter] = Array.empty
+  // accumulated dir-level constraints, ANDed at build():
+  private var idBands: Seq[(Long, Long)] = Nil      // any-overlap per band set? see below
+  private var strEqs: Seq[(String, Seq[String])] = Nil
+  private var bloomProbes: Seq[(String, Seq[String])] = Nil
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Capture prunable predicates as dir-pruning hints. Conjunction
+    * semantics: each captured filter must independently allow a dir
+    * to survive (they are ANDed, matching WHERE semantics). For `IN`,
+    * a dir survives if ANY value might be present. ALL filters are
+    * returned residual — Spark re-applies them row-level. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val captured = scala.collection.mutable.ArrayBuffer.empty[Filter]
+    def num(v: Any): Option[Long] = v match {
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case s: Short => Some(s.toLong)
+      case b: Byte => Some(b.toLong)
+      case _ => None
+    }
+    val strStatted = (c: String) => m.dirStrStats.values.exists(_.contains(c))
+    val bloomed = (c: String) => m.dirBlooms.values.exists(_.contains(c))
+    // a filter can feed SEVERAL indexes at once: an IN on the id column
+    // checks the id band AND probes the id bloom if one was committed
+    // (interleaved ingest defeats min/max but not the bloom — q218's
+    // whole point); capture every applicable hint per filter
+    def onEquality(f: Filter, c: String, vs: Seq[Any]): Unit = {
+      var used = false
+      if (c == m.idCol && vs.forall(num(_).nonEmpty)) {
+        val ls = vs.flatMap(num)
+        idBands :+= ((ls.min, ls.max)); used = true
+      }
+      if (strStatted(c)) { strEqs :+= ((c, vs.map(_.toString))); used = true }
+      if (bloomed(c)) { bloomProbes :+= ((c, vs.map(_.toString))); used = true }
+      if (used) captured += f
+    }
+    filters.foreach {
+      case f @ EqualTo(c, v) if v != null => onEquality(f, c, Seq(v))
+      case f @ In(c, vs) if vs.nonEmpty && vs.forall(_ != null) =>
+        onEquality(f, c, vs.toSeq)
+      case f @ GreaterThanOrEqual(c, v) if c == m.idCol && num(v).nonEmpty =>
+        idBands :+= ((num(v).get, Long.MaxValue)); captured += f
+      case f @ GreaterThan(c, v) if c == m.idCol && num(v).nonEmpty =>
+        idBands :+= ((num(v).get, Long.MaxValue)); captured += f
+      case f @ LessThanOrEqual(c, v) if c == m.idCol && num(v).nonEmpty =>
+        idBands :+= ((Long.MinValue, num(v).get)); captured += f
+      case f @ LessThan(c, v) if c == m.idCol && num(v).nonEmpty =>
+        idBands :+= ((Long.MinValue, num(v).get)); captured += f
+      case _ => ()
+    }
+    pushedArr = captured.toArray
+    filters // ALL residual — pruning is a hint, never the correctness carrier
+  }
+  override def pushedFilters(): Array[Filter] = pushedArr
+
+  override def build(): Scan = {
+    val kept = m.dirs.filter { d =>
+      val idOk = idBands.forall { case (lo, hi) =>
+        m.dirStats.get(d) match {
+          case Some((dLo, dHi)) => dHi >= lo && dLo <= hi
+          case None => true // unstatted ⇒ conservative keep
+        }
+      }
+      val strOk = strEqs.forall { case (c, vs) =>
+        m.dirStrStats.get(d).flatMap(_.get(c)) match {
+          case Some((lo, hi)) => vs.exists(v => lo <= v && v <= hi)
+          case None => true
+        }
+      }
+      val bloomOk = bloomProbes.forall { case (c, vs) =>
+        m.dirBlooms.get(d).flatMap(_.get(c)) match {
+          case Some((mBits, b64)) =>
+            val bits = java.util.BitSet.valueOf(
+              java.util.Base64.getDecoder.decode(b64))
+            vs.exists(v =>
+              VersionedTable.bloomPositions(v, mBits).forall(bits.get))
+          case None => true
+        }
+      }
+      idOk && strOk && bloomOk
+    }
+    new GraftVersionedScan(path, m.dirs.size, kept, required)
+  }
+}
+
+case class GraftVersionedFilePartition(file: String) extends InputPartition
+
+class GraftVersionedScan(path: String, totalDirs: Int, keptDirs: Seq[String],
+    required: StructType)
+    extends Scan with Batch with SupportsReportStatistics {
+  private val confCarrier = new SerializableHadoopConf(
+    graft.operators.InvertedIndex.activeHadoopConf())
+
+  private lazy val files: Seq[org.apache.hadoop.fs.FileStatus] = {
+    val fs = new HPath(path).getFileSystem(confCarrier.value)
+    keptDirs.flatMap { d =>
+      fs.listStatus(new HPath(new HPath(path), d)).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.getName)
+    }
+  }
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-versioned $path, kept_dirs=${keptDirs.size}/$totalDirs"
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes = files.map(_.getLen).sum
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.empty()
+  }
+  override def planInputPartitions(): Array[InputPartition] =
+    files.map(s => GraftVersionedFilePartition(s.getPath.toString): InputPartition)
+      .toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftVersionedReaderFactory(required, confCarrier)
+}
+
+/** Per-file reader: parquet-mr `GroupReadSupport` with the projection
+  * pushed into the parquet read schema (column pruning reaches the
+  * page level), fields the file predates (merge-read chains) emitted
+  * as NULL. The example-Group path is not vectorized — the connector
+  * is the SQL access-path layer; bulk analytics reads go through
+  * [[VersionedTable.readAsOf]]'s native parquet scan, and the
+  * point/pruned reads this serves touch few dirs by construction. */
+class GraftVersionedReaderFactory(required: StructType,
+    confCarrier: SerializableHadoopConf) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[GraftVersionedFilePartition].file
+    new PartitionReader[InternalRow] {
+      private val conf = new Configuration(confCarrier.value)
+      private val fileFields: Set[String] = {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new HPath(file), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getFooter.getFileMetaData.getSchema.getFields.asScala
+          .map(_.getName).toSet
+        finally r.close()
+      }
+      private val reader: ParquetReader[org.apache.parquet.example.data.Group] = {
+        // push the projection into parquet: only requested fields the
+        // file actually has; an empty intersection (pure-evolved
+        // projection) still needs row COUNT, so fall back to full
+        // schema in that rare shape
+        val want = required.fieldNames.filter(fileFields)
+        if (want.nonEmpty) {
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new HPath(file), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          val full = try r.getFooter.getFileMetaData.getSchema finally r.close()
+          val fields: java.util.List[org.apache.parquet.schema.Type] =
+            want.map(n => full.getType(Seq(n): _*)).toBuffer.asJava
+          val proj = new org.apache.parquet.schema.MessageType(full.getName, fields)
+          conf.set(ReadSupport.PARQUET_READ_SCHEMA, proj.toString)
+        }
+        ParquetReader.builder(new GroupReadSupport(), new HPath(file))
+          .withConf(conf).build()
+      }
+      private var current: org.apache.parquet.example.data.Group = _
+      override def next(): Boolean = { current = reader.read(); current != null }
+      override def get(): InternalRow = {
+        val vals = new Array[Any](required.length)
+        var i = 0
+        while (i < required.length) {
+          val f = required.fields(i)
+          vals(i) =
+            if (!fileFields(f.name) ||
+                current.getType.getFields.asScala.forall(_.getName != f.name) ||
+                current.getFieldRepetitionCount(f.name) == 0) null
+            else f.dataType match {
+              case LongType => current.getLong(f.name, 0)
+              case IntegerType => current.getInteger(f.name, 0)
+              case DoubleType => current.getDouble(f.name, 0)
+              case FloatType => current.getFloat(f.name, 0)
+              case BooleanType => current.getBoolean(f.name, 0)
+              case StringType => UTF8String.fromString(current.getString(f.name, 0))
+              case BinaryType => current.getBinary(f.name, 0).getBytes
+              case other => sys.error(
+                s"graft-versioned: unsupported type ${other.simpleString}")
+            }
+          i += 1
+        }
+        new GenericInternalRow(vals)
+      }
+      override def close(): Unit = reader.close()
+    }
+  }
+}

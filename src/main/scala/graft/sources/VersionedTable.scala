@@ -107,7 +107,7 @@ object VersionedTable {
   def currentVersion(spark: SparkSession, tableDir: String): Long =
     versions(spark, tableDir).lastOption.getOrElse(0L)
 
-  private case class Manifest(version: Long, mode: String, dirs: Seq[String],
+  private[sources] case class Manifest(version: Long, mode: String, dirs: Seq[String],
       rows: Long, digest: Long, idCol: String, contentCols: Seq[String],
       batchId: Option[Long],
       dirStats: Map[String, (Long, Long)],
@@ -153,7 +153,7 @@ object VersionedTable {
   private def urlDec(s: String): String =
     java.net.URLDecoder.decode(s, java.nio.charset.StandardCharsets.UTF_8)
 
-  private def readManifest(spark: SparkSession, tableDir: String, v: Long): Manifest = {
+  private[sources] def readManifest(spark: SparkSession, tableDir: String, v: Long): Manifest = {
     val p = commitPath(new Path(tableDir), v)
     val fs = fsOf(spark, p)
     if (!fs.exists(p)) {
@@ -234,6 +234,36 @@ object VersionedTable {
       paths: Seq[String]): DataFrame = {
     val r = spark.read
     (if (m.mergeRead) r.option("mergeSchema", "true") else r).parquet(paths: _*)
+  }
+
+  /** Dir-pruned read that preserves the version's FULL union schema
+    * (ADVICE r12): on a merge-read (schema-evolved) chain, pruning to
+    * dirs that all predate an evolution must NOT drop the evolved
+    * column — the row-level re-filter contract ("pruning is never the
+    * correctness carrier") extends to the result's SHAPE. The pruned
+    * scan is padded to the union schema with typed NULL columns,
+    * mirroring what the unpruned mergeSchema read produces for
+    * pre-evolution rows. Union-schema resolution touches parquet
+    * FOOTERS only (no data), and only on the evolved+partially-pruned
+    * path — unevolved tables keep the single-footer fast path. */
+  private def prunedRead(spark: SparkSession, m: Manifest, root: Path,
+      kept: Seq[String]): DataFrame = {
+    val all = m.dirs.map(d => new Path(root, d).toString)
+    if (kept.isEmpty)
+      // every dir provably pruned: empty relation with the version's
+      // exact schema (single footer, or the union over all dirs when
+      // the chain has evolved)
+      parquetRead(spark, m, if (m.mergeRead) all else Seq(all.head)).limit(0)
+    else if (!m.mergeRead || kept.size == m.dirs.size)
+      parquetRead(spark, m, kept.map(d => new Path(root, d).toString))
+    else {
+      val full = parquetRead(spark, m, all).schema
+      val part = parquetRead(spark, m, kept.map(d => new Path(root, d).toString))
+      val have = part.columns.toSet
+      part.select(full.fields.toSeq.map(f =>
+        if (have(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)): _*)
+    }
   }
 
   /** Commit `df` as the next version of the table under optimistic
@@ -403,11 +433,15 @@ object VersionedTable {
     // stats cannot prune a point read when every append spans the full
     // key range (interleaved ingest — round-robin shards, hash-bucketed
     // feeds); a 1 KiB bloom per (dir, column) answers "definitely not
-    // in this dir" regardless of value interleaving. Built with ONE
-    // tiny aggregate over the landed dir (<= BloomBits distinct probe
-    // positions collected driver-side); probed driver-side at plan time
-    // by [[readAsOfPoint]]. A dir with no bloom for the column is
-    // always kept — same conservative contract as the other stats.
+    // in this dir" regardless of value interleaving. The bitmap is
+    // built EXECUTOR-SIDE (ADVICE r12): each partition ORs probe
+    // positions into a local byte array and treeAggregate ships the
+    // driver one <= 512 KiB bitmap — never the up-to-4M distinct
+    // position Rows the old distinct().collect() materialized, so the
+    // 2^22 cap is a bitmap-size knob, not a driver-memory ceiling.
+    // Probed driver-side at plan time by [[readAsOfPoint]]. A dir with
+    // no bloom for the column is always kept — same conservative
+    // contract as the other stats.
     val newBlooms: Map[String, (Int, String)] =
       if (bloomCols.isEmpty) Map.empty
       else {
@@ -423,11 +457,24 @@ object VersionedTable {
             val poss = Seq(0, 7, 14, 21).map(o =>
               (F.conv(F.substring(hexc, o + 1, 7), 16, 10)
                 .cast("long") % m).cast("int"))
-            val hit = newDf.filter(col(c).isNotNull)
+            // per-partition byte-array bitmap, OR-merged up the tree;
+            // BitSet.valueOf uses the same little-endian-within-byte
+            // layout as the (p >>> 3, 1 << (p & 7)) writes, so the
+            // manifest bytes are identical to the old driver-side build
+            val nBytes = (m + 7) / 8
+            val bytes = newDf.filter(col(c).isNotNull)
               .select(F.explode(F.array(poss: _*)).as("p"))
-              .distinct().collect().map(_.getInt(0))
-            val bits = new java.util.BitSet(m)
-            hit.foreach(bits.set)
+              .rdd.map(_.getInt(0))
+              .treeAggregate(new Array[Byte](nBytes))(
+                (acc, p) => {
+                  acc(p >>> 3) = (acc(p >>> 3) | (1 << (p & 7))).toByte; acc
+                },
+                (a, b) => {
+                  var i = 0
+                  while (i < nBytes) { a(i) = (a(i) | b(i)).toByte; i += 1 }
+                  a
+                })
+            val bits = java.util.BitSet.valueOf(bytes)
             Some(c -> ((m, java.util.Base64.getEncoder.encodeToString(bits.toByteArray))))
           }
         }.toMap
@@ -544,20 +591,39 @@ object VersionedTable {
     * older than the first surviving commit fails loudly — after a
     * vacuum that is "horizon exceeded", the same contract version
     * travel gives. O(versions) tiny driver-side manifest reads. */
-  def readAsOfTimestamp(spark: SparkSession, tableDir: String,
-      tsMillis: Long): DataFrame = {
-    val vs = versions(spark, tableDir)
-    require(vs.nonEmpty, s"versioned table $tableDir has no commits")
-    val qualifying = vs.flatMap { v =>
-      readManifest(spark, tableDir, v).committedAtMs
-        .filter(_ <= tsMillis).map(_ => v)
+  /** Resolve the version a read addresses: an explicit `versionAsOf`
+    * wins, else `timestampAsOf` picks the newest version committed at
+    * or before it (the [[readAsOfTimestamp]] rule), else latest.
+    * Shared by the API reads and the DSv2 connector
+    * ([[GraftVersionedSource]]) so SQL and Scala can never resolve the
+    * same option pair to different snapshots. */
+  private[sources] def resolveVersion(spark: SparkSession, tableDir: String,
+      versionAsOf: Option[Long], timestampAsOf: Option[Long]): Long = {
+    require(versionAsOf.isEmpty || timestampAsOf.isEmpty,
+      "versionAsOf and timestampAsOf are mutually exclusive")
+    versionAsOf.getOrElse {
+      val vs = versions(spark, tableDir)
+      require(vs.nonEmpty, s"versioned table $tableDir has no commits")
+      timestampAsOf match {
+        case None => vs.max
+        case Some(tsMillis) =>
+          val qualifying = vs.flatMap { v =>
+            readManifest(spark, tableDir, v).committedAtMs
+              .filter(_ <= tsMillis).map(_ => v)
+          }
+          require(qualifying.nonEmpty,
+            s"versioned table $tableDir has no version committed at or before " +
+              s"epoch-ms $tsMillis (earliest surviving commit is newer, or " +
+              "predates timestamp recording) — use versionAsOf explicitly")
+          qualifying.max
+      }
     }
-    require(qualifying.nonEmpty,
-      s"versioned table $tableDir has no version committed at or before " +
-        s"epoch-ms $tsMillis (earliest surviving commit is newer, or " +
-        "predates timestamp recording) — use readAsOf with an explicit version")
-    readAsOf(spark, tableDir, qualifying.max)
   }
+
+  def readAsOfTimestamp(spark: SparkSession, tableDir: String,
+      tsMillis: Long): DataFrame =
+    readAsOf(spark, tableDir,
+      resolveVersion(spark, tableDir, None, Some(tsMillis)))
 
   /** DATA-SKIPPING point/range read: version `v` restricted to
     * `idLo <= id <= idHi`, with whole data dirs PRUNED at plan time
@@ -576,16 +642,8 @@ object VersionedTable {
       case Some((lo, hi)) => hi >= idLo && lo <= idHi
       case None => true // unstatted ⇒ conservative keep
     })
-    val base =
-      if (kept.isEmpty)
-        // every dir provably disjoint from the range: an empty relation
-        // with the version's exact schema (single footer, or the union
-        // schema over all dirs when the chain has evolved)
-        parquetRead(spark, m,
-          (if (m.mergeRead) m.dirs else Seq(m.dirs.head))
-            .map(d => new Path(root, d).toString)).limit(0)
-      else parquetRead(spark, m, kept.map(d => new Path(root, d).toString))
-    base.filter(col(m.idCol).cast("long").between(idLo, idHi))
+    prunedRead(spark, m, root, kept)
+      .filter(col(m.idCol).cast("long").between(idLo, idHi))
   }
 
   /** DATA-SKIPPING EQUALITY READ on a SECONDARY statted column
@@ -606,13 +664,8 @@ object VersionedTable {
       case Some((lo, hi)) => lo <= value && value <= hi
       case None => true // unstatted ⇒ conservative keep
     })
-    val base =
-      if (kept.isEmpty)
-        parquetRead(spark, m,
-          (if (m.mergeRead) m.dirs else Seq(m.dirs.head))
-            .map(d => new Path(root, d).toString)).limit(0)
-      else parquetRead(spark, m, kept.map(d => new Path(root, d).toString))
-    base.filter(col(column).cast("string") === value)
+    prunedRead(spark, m, root, kept)
+      .filter(col(column).cast("string") === value)
   }
 
   /** TABLE HISTORY (the DESCRIBE HISTORY surface): one row per
@@ -673,13 +726,8 @@ object VersionedTable {
         values.exists(v => bloomPositions(v, mBits).forall(bits.get))
       case None => true // unindexed ⇒ conservative keep
     })
-    val base =
-      if (kept.isEmpty)
-        parquetRead(spark, m,
-          (if (m.mergeRead) m.dirs else Seq(m.dirs.head))
-            .map(d => new Path(root, d).toString)).limit(0)
-      else parquetRead(spark, m, kept.map(d => new Path(root, d).toString))
-    base.filter(col(column).cast("string").isin(values: _*))
+    prunedRead(spark, m, root, kept)
+      .filter(col(column).cast("string").isin(values: _*))
   }
 
   /** Re-derive (rows, digest) of version `v` from the CURRENT bytes and

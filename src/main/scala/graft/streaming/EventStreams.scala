@@ -266,7 +266,22 @@ object EventStreams {
     * participate in future matches, so state keeps only the RESIDUAL
     * TAIL after the last match end plus the running total, bounding
     * state by the longest unmatched suffix, not stream length (the
-    * state-eviction argument a 100 TB/day event stream requires). */
+    * state-eviction argument a 100 TB/day event stream requires).
+    *
+    * PRECONDITION — in-order arrival across batches: events are
+    * totally ordered by (ts, event_id) only WITHIN a micro-batch; the
+    * prefix-stability argument assumes a user's later batch carries
+    * later events. An event arriving in a later batch with an EARLIER
+    * timestamp is appended after the residual (there is no watermark
+    * or late-event reordering here), silently diverging from the
+    * batch twin — feed this operator a source that preserves per-user
+    * order (a keyed log like Kafka partitions-by-user does; an
+    * unordered backfill does not).
+    *
+    * Unbounded state on the long tail of one-visit users is the cost
+    * of keeping exact totals forever; when an idle-eviction policy is
+    * acceptable, use [[patternMatchStreamTtl]] — the same matcher on
+    * `transformWithState` with a declarative state TTL. */
   def patternMatchStream(events: Dataset[TrEv],
       pattern: String = "v[^e]*?c[^e]*?p"): Dataset[PatMatch] = {
     import events.sparkSession.implicits._
@@ -276,17 +291,81 @@ object EventStreams {
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         (k, evs, state: GroupState[PatState]) =>
           val st = state.getOption.getOrElse(PatState("", 0L))
-          val appended = st.residual + evs.toSeq
-            .sortBy(e => (e.ts.getTime, e.event_id))
-            .map(e => e.event_type.substring(0, 1)).mkString
-          val m = java.util.regex.Pattern.compile(compiled).matcher(appended)
-          var n = 0L
-          var lastEnd = 0
-          while (m.find()) { n += 1; lastEnd = m.end() }
-          val next = PatState(appended.substring(lastEnd), st.total + n)
+          val (n, next) = PatternLogic.advance(compiled, st, evs)
           state.update(next)
           if (n > 0) Iterator.single(PatMatch(k, n, next.total)) else Iterator.empty
       }
+  }
+
+  /** Shared CEP step: fold one micro-batch of a user's events into the
+    * carried [[PatState]] — used by BOTH the flatMapGroupsWithState
+    * and the transformWithState spellings so their semantics can never
+    * drift. */
+  private[streaming] object PatternLogic {
+    def advance(pattern: String, st: PatState,
+        evs: Iterator[TrEv]): (Long, PatState) = {
+      val appended = st.residual + evs.toSeq
+        .sortBy(e => (e.ts.getTime, e.event_id))
+        // take(1), not substring: an empty event_type encodes to ""
+        // instead of throwing (matches the batch twin, whose SQL
+        // substring returns '' on '')
+        .map(e => e.event_type.take(1)).mkString
+      val m = java.util.regex.Pattern.compile(pattern).matcher(appended)
+      var n = 0L
+      var lastEnd = 0
+      while (m.find()) { n += 1; lastEnd = m.end() }
+      (n, PatState(appended.substring(lastEnd), st.total + n))
+    }
+  }
+
+  /** [[patternMatchStream]] with IDLE-STATE EVICTION via
+    * `transformWithState` + `TTLConfig` (round-13 verdict task — the
+    * [[FirstSeenProcessor]] recipe): the one unbounded-state surface
+    * in the streaming family gets a declared bound. A state TTL, not
+    * a group-state timer, because expiry is LAZY (the store treats a
+    * stale value as absent on read and cleans it in maintenance) — no
+    * timer batches, and the query drains normally under
+    * Trigger.AvailableNow.
+    *
+    * Eviction contract (declared, not silent): an idle-past-TTL user
+    * loses residual AND running total TOGETHER (they live in one
+    * state value — a half-evicted state would be a third semantics
+    * nobody declared). A re-appearing user's journey RESTARTS: an
+    * incomplete funnel spanning the idle gap is never completed, and
+    * `n_total` restarts from zero. `ttlMillis <= 0` keeps state
+    * forever — exact equality with the batch twin under the in-order
+    * precondition, identical to [[patternMatchStream]].
+    * Requires the RocksDB state-store provider (the transformWithState
+    * contract in Spark 4). */
+  class PatternProcessor(pattern: String, ttlMillis: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TrEv, PatMatch] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[PatState] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[PatState]("pat",
+        org.apache.spark.sql.Encoders.product[PatState],
+        if (ttlMillis <= 0) org.apache.spark.sql.streaming.TTLConfig.NONE
+        else org.apache.spark.sql.streaming.TTLConfig(
+          java.time.Duration.ofMillis(ttlMillis)))
+    override def handleInputRows(key: Long, rows: Iterator[TrEv],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[PatMatch] = {
+      val prev = if (st.exists()) st.get() else PatState("", 0L)
+      val (n, next) = PatternLogic.advance(pattern, prev, rows)
+      st.update(next)
+      if (n > 0) Iterator.single(PatMatch(key, n, next.total)) else Iterator.empty
+    }
+  }
+
+  /** See [[PatternProcessor]]. */
+  def patternMatchStreamTtl(events: Dataset[TrEv],
+      pattern: String = "v[^e]*?c[^e]*?p",
+      ttlMillis: Long = 0L): Dataset[PatMatch] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new PatternProcessor(pattern, ttlMillis),
+        if (ttlMillis <= 0) org.apache.spark.sql.streaming.TimeMode.None()
+        else org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        OutputMode.Append())
   }
 
   // ---- transformWithState (the Spark 4 arbitrary-state API) ---------

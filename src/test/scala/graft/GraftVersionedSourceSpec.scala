@@ -1,0 +1,150 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+import graft.sources.VersionedTable
+
+/** DSv2 front door for the versioned table (`graft-versioned`):
+  * version/timestamp resolution through the same manifest as the
+  * Scala API, id/stat/bloom dir pruning in planInputPartitions
+  * (PLAN-asserted via BatchScanExec partition counts), merge-read
+  * union schemas, and the residual-filter correctness contract. */
+class GraftVersionedSourceSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def freshDir(): String =
+    Files.createTempDirectory("gvs").toString + "/t"
+
+  private def scanPartitions(df: DataFrame): Int =
+    df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.inputPartitions.length
+    }.getOrElse(fail("no BatchScanExec in the plan"))
+
+  private def scanDesc(df: DataFrame): String =
+    df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.description()
+    }.getOrElse("")
+
+  test("reads the latest version by default; versionAsOf time-travels") {
+    val dir = freshDir()
+    VersionedTable.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "text"),
+      dir, "id", Seq("text"), 0L)
+    VersionedTable.commit(Seq((3L, "c")).toDF("id", "text"),
+      dir, "id", Seq("text"), 1L, mode = "append")
+    val latest = spark.read.format("graft-versioned").load(dir)
+    assert(latest.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    val v1 = spark.read.format("graft-versioned")
+      .option("versionAsOf", "1").load(dir)
+    assert(v1.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("timestampAsOf resolves through the same manifest rule as readAsOfTimestamp") {
+    val dir = freshDir()
+    val t0 = 1700000000000L
+    VersionedTable.nowMs = () => t0
+    try {
+      VersionedTable.commit(Seq((1L, "a")).toDF("id", "text"), dir, "id", Seq("text"), 0L)
+      VersionedTable.nowMs = () => t0 + 60000L
+      VersionedTable.commit(Seq((2L, "b")).toDF("id", "text"),
+        dir, "id", Seq("text"), 1L, mode = "append")
+    } finally VersionedTable.nowMs = () => System.currentTimeMillis()
+    val asOf = spark.read.format("graft-versioned")
+      .option("timestampAsOf", (t0 + 1000L).toString).load(dir)
+    assert(asOf.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // matches the Scala API resolution exactly
+    assert(VersionedTable.readAsOfTimestamp(spark, dir, t0 + 1000L)
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("id-stat pruning: a range filter plans only the overlapping dirs " +
+      "and the residual filter keeps row-level exactness") {
+    val dir = freshDir()
+    // three id-banded commits: [0,99], [100,199], [200,299]
+    (0 to 2).foreach { b =>
+      VersionedTable.commit(
+        spark.range(b * 100L, b * 100L + 100L)
+          .select(col("id"), concat(lit("t"), col("id")).as("text")),
+        dir, "id", Seq("text"), b.toLong, mode = "append")
+    }
+    val df = spark.read.format("graft-versioned").load(dir)
+      .filter(col("id") >= 120L && col("id") <= 130L)
+    assert(scanDesc(df).contains("kept_dirs=1/3"), scanDesc(df))
+    assert(scanPartitions(df) < scanPartitions(
+      spark.read.format("graft-versioned").load(dir)))
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == (120L to 130L))
+  }
+
+  test("bloom pruning: IN on a bloomCols column over interleaved commits " +
+      "opens fewer dirs; equality on an unindexed column keeps all (conservative)") {
+    val dir = freshDir()
+    // interleaved ids: every dir spans the full range, so min/max can't prune
+    (0 to 2).foreach { r =>
+      VersionedTable.commit(
+        spark.range(0L, 300L).filter(col("id") % 3 === r)
+          .select(col("id"), concat(lit("t"), col("id")).as("text")),
+        dir, "id", Seq("text"), r.toLong, mode = "append",
+        bloomCols = Seq("id"))
+    }
+    val probe = spark.read.format("graft-versioned").load(dir)
+      .filter(col("id").isin(9L, 33L, 63L)) // all ≡ 0 mod 3 → dir 0
+    val desc = scanDesc(probe)
+    assert(desc.contains("kept_dirs=1/3") || desc.contains("kept_dirs=2/3"), desc)
+    assert(probe.collect().map(_.getLong(0)).sorted.toSeq == Seq(9L, 33L, 63L))
+    // text has no bloom/stat: conservative keep-all, values still exact
+    val unindexed = spark.read.format("graft-versioned").load(dir)
+      .filter(col("text") === "t9")
+    assert(scanDesc(unindexed).contains("kept_dirs=3/3"), scanDesc(unindexed))
+    assert(unindexed.collect().map(_.getLong(0)).toSeq == Seq(9L))
+  }
+
+  test("merge-read chain: the connector NULL-fills pre-evolution files, " +
+      "even when pruning keeps only pre-evolution dirs") {
+    val dir = freshDir()
+    VersionedTable.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "text"),
+      dir, "id", Seq("text"), 0L)
+    VersionedTable.commit(
+      Seq((100L, "c", "fr")).toDF("id", "text", "lang"),
+      dir, "id", Seq("text"), 1L, mode = "append", allowSchemaEvolution = true)
+    val all = spark.read.format("graft-versioned").load(dir)
+    assert(all.columns.sorted.toSeq == Seq("id", "lang", "text"))
+    assert(all.collect().map(r =>
+        (r.getLong(r.fieldIndex("id")), Option(r.getAs[String]("lang")))).toSet
+      == Set((1L, None), (2L, None), (100L, Some("fr"))))
+    // prune to the PRE-evolution dir only: lang still present, NULL
+    val pre = spark.read.format("graft-versioned").load(dir)
+      .filter(col("id") <= 2L)
+    assert(scanDesc(pre).contains("kept_dirs=1/2"), scanDesc(pre))
+    assert(pre.columns.sorted.toSeq == Seq("id", "lang", "text"))
+    assert(pre.collect().map(r =>
+        (r.getLong(r.fieldIndex("id")), Option(r.getAs[String]("lang")))).toSet
+      == Set((1L, None), (2L, None)))
+  }
+
+  test("column pruning reaches the reader: projecting one column reads " +
+      "only it and SQL over a temp view works end-to-end") {
+    val dir = freshDir()
+    VersionedTable.commit(
+      spark.range(0L, 50L)
+        .select(col("id"), concat(lit("t"), col("id")).as("text"),
+          (col("id") % 7).as("grp")),
+      dir, "id", Seq("text"), 0L)
+    val df = spark.read.format("graft-versioned").load(dir)
+    df.createOrReplaceTempView("gv_t")
+    val agg = spark.sql(
+      "SELECT grp, count(*) AS n FROM gv_t WHERE id < 21 GROUP BY grp ORDER BY grp")
+    assert(agg.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      (0L to 6L).map(g => (g, 3L)))
+    // the scan's readSchema shrank to the referenced columns (read off
+    // the optimized plan's scan relation — AQE hides BatchScanExec
+    // inside query stages once an exchange is present)
+    val scanSchema = agg.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan.readSchema().fieldNames.toSet
+    }.get
+    assert(scanSchema == Set("id", "grp"), scanSchema.toString)
+  }
+}

@@ -144,4 +144,27 @@ class HtmlExtractSpec extends SparkSuite {
       ("h1.example.com", "/about/"),
       ("h9.example.com", "/")))
   }
+
+  test("resolveHref: http/protocol-relative keep their host; non-web schemes -> sentinel") {
+    val cases = Seq(
+      ("h1.example.com", "http://h2.example.com/a"),    // plain http: foreign host kept
+      ("h1.example.com", "//h3.example.com/b?q=1"),     // protocol-relative: foreign host kept
+      ("h1.example.com", "//h3.example.com"),           // protocol-relative, empty path -> '/'
+      ("h1.example.com", "mailto:x@example.com"),       // non-web scheme -> ("", "")
+      ("h1.example.com", "javascript:void(0)"),         // non-web scheme -> ("", "")
+      ("h1.example.com", "git+ssh://host/repo"),        // exotic scheme -> ("", "")
+      ("h1.example.com", "about/relative"))             // no scheme: host-relative
+    val rows = cases.toDF("src", "href")
+      .select(HtmlExtract.resolveHref(col("src"), col("href")).as("t"))
+      .select(col("t.host"), col("t.path"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows === Seq(
+      ("h2.example.com", "/a"),
+      ("h3.example.com", "/b?q=1"),
+      ("h3.example.com", "/"),
+      ("", ""),
+      ("", ""),
+      ("", ""),
+      ("h1.example.com", "about/relative")))
+  }
 }

@@ -127,4 +127,67 @@ class PatternStreamSpec extends SparkSuite {
       assert(got == Seq((7L, 2L, 2L)))
     } finally q.stop()
   }
+
+  test("TTL variant evicts residual AND total: the journey restarts (declared state loss)") {
+    // transformWithState + TTLConfig (patternMatchStreamTtl): lazy
+    // state expiry, so the query drains under Trigger.AvailableNow —
+    // but a ProcessingTime-mode query still schedules maintenance
+    // batches, so wait on the SINK, not on termination (the
+    // TransformWithStateSpec recipe). RocksDB provider required.
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val root = Files.createTempDirectory("pat_ttl").toString
+      val in = s"$root/in"
+      val outDir = s"$root/out"
+      def rows(user: Long, startId: Long, types: Seq[String]) =
+        types.zipWithIndex.map { case (t, i) =>
+          (user, startId + i, new java.sql.Timestamp(1700000000000L + (startId + i) * 1000), t)
+        }.toDF("user_id", "event_id", "ts", "event_type")
+      val schema = "user_id LONG, event_id LONG, ts TIMESTAMP, event_type STRING"
+      def sinkRows(): Seq[(Long, Long, Long)] =
+        try spark.read.parquet(outDir)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        catch { case _: org.apache.spark.sql.AnalysisException => Seq.empty }
+      def runOnce(expectRows: Int): Unit = {
+        val q = EventStreams.patternMatchStreamTtl(
+            spark.readStream.schema(schema).parquet(s"$in/*").as[EventStreams.TrEv],
+            ttlMillis = 100L)
+          .toDF().writeStream.outputMode("append")
+          .format("parquet").option("path", outDir)
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        try {
+          val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+          while (sinkRows().size < expectRows && q.isActive && System.nanoTime() < deadline)
+            Thread.sleep(250)
+          assert(sinkRows().size >= expectRows,
+            s"sink never reached $expectRows rows (query active=${q.isActive})")
+        } finally q.stop()
+      }
+      // run 1: user 11 completes once and leaves an open "vc" tail
+      rows(11L, 0L, Seq("view", "click", "purchase", "view", "click"))
+        .coalesce(1).write.parquet(s"$in/f0")
+      runOnce(expectRows = 1)
+      // idle past the TTL, then user 11 re-appears: with the residual
+      // evicted, this "purchase" does NOT close the pre-gap funnel —
+      // only the sentinel user's fresh completion emits
+      Thread.sleep(500L)
+      (rows(11L, 20L, Seq("purchase"))
+        union rows(50L, 30L, Seq("view", "click", "purchase")))
+        .coalesce(1).write.parquet(s"$in/f1")
+      runOnce(expectRows = 2)
+      // user 11's fresh completion restarts n_total at 1, not 2
+      rows(11L, 40L, Seq("view", "click", "purchase"))
+        .coalesce(1).write.parquet(s"$in/f2")
+      runOnce(expectRows = 3)
+      val got = sinkRows().sorted
+      assert(got == Seq((11L, 1L, 1L), (11L, 1L, 1L), (50L, 1L, 1L)),
+        s"expected eviction to restart user 11's journey, got $got")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }

@@ -398,6 +398,14 @@ class VersionedTableSpec extends SparkSuite {
       .columns.sorted.toSeq == Seq("id", "lang", "text"))
     assert(VersionedTable.readAsOfWhere(spark, dir, 3L, 99L, 100L)
       .columns.sorted.toSeq == Seq("id", "lang", "text"))
+    // PARTIAL prune keeping only PRE-evolution dirs (ADVICE r13 fix):
+    // the evolved column must still appear, NULL-filled — pruning can
+    // never change the result's shape
+    val preOnly = VersionedTable.readAsOfWhere(spark, dir, 3L, 1L, 2L)
+    assert(preOnly.columns.sorted.toSeq == Seq("id", "lang", "text"))
+    assert(preOnly.collect().map(r =>
+      (r.getLong(r.fieldIndex("id")), Option(r.getAs[String]("lang")))).toSet
+      == Set((1L, None), (2L, None)))
     // guard rails: type drift stays refused even under the flag, a
     // dropped column stays refused, and evolving content cols is refused
     intercept[RuntimeException] {
