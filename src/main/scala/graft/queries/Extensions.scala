@@ -8320,6 +8320,158 @@ object Extensions {
     out
   }
 
+  // -------------------------------------------------------------- Q225
+  /** PERSONALIZED PAGERANK ([[graft.operators.PageRank
+    * .runPersonalized]] — random-walk-with-restart over the q101
+    * nation trade graph, teleporting to the seed set nationkey < 5):
+    * the graph-proximity score recommenders and crawl-frontier
+    * prioritizers run per topic/user, where q101's global PageRank is
+    * one ranking for everyone. Same exact-integer fixed-point
+    * discipline as q101 (floor-divided contributions, rational 17/20
+    * damping, dangling mass to seeds), so the oracle replays every
+    * rank bit-for-bit through the identical unrolled rounds; the
+    * released ordering ranks seeds' neighborhoods above far nodes —
+    * the personalization q101 cannot express. */
+  val q225 = {
+    val scale = graft.operators.PageRank.scale
+    val iters = 3
+    val steps = (1 to iters).map { k =>
+      s"""d$k AS (
+         |  SELECT coalesce(sum(r.rank), 0) AS dang
+         |  FROM r${k - 1} r LEFT JOIN ow ON r.node = ow.src WHERE ow.src IS NULL
+         |),
+         |c$k AS (
+         |  SELECT en.dst AS node, sum((r.rank * en.w) // en.outw) AS in_sum
+         |  FROM en JOIN r${k - 1} r ON en.src = r.node GROUP BY en.dst
+         |),
+         |r$k AS (
+         |  SELECT nd.node, nd.is_seed,
+         |         CASE WHEN nd.is_seed
+         |              THEN ((CAST($scale AS BIGINT) * 3) // 20) // p.ns
+         |              ELSE 0 END
+         |         + (17 * (coalesce(c.in_sum, 0) +
+         |              CASE WHEN nd.is_seed
+         |                   THEN (SELECT dang FROM d$k) // p.ns ELSE 0 END)) // 20
+         |           AS rank
+         |  FROM nodes nd CROSS JOIN sparams p LEFT JOIN c$k c ON nd.node = c.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    QueryDef("q225_personalized_pagerank",
+      s"""WITH e AS (
+         |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, CAST(count(*) AS BIGINT) AS w
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  GROUP BY 1, 2
+         |),
+         |n0 AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |nodes AS (SELECT node, node < 5 AS is_seed FROM n0),
+         |ow AS (SELECT src, sum(w) AS outw FROM e GROUP BY src),
+         |en AS (SELECT e.src, e.dst, e.w, ow.outw FROM e JOIN ow ON e.src = ow.src),
+         |sparams AS (SELECT count(*) AS ns FROM nodes WHERE is_seed),
+         |r0 AS (
+         |  SELECT node, is_seed,
+         |         CASE WHEN is_seed THEN $scale // p.ns ELSE 0 END AS rank
+         |  FROM nodes CROSS JOIN sparams p
+         |),
+         |$steps
+         |SELECT CAST(node AS BIGINT) AS node, is_seed,
+         |       CAST(rank AS BIGINT) AS rank
+         |FROM r$iters ORDER BY rank DESC, node""") { (s, dir) =>
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val ord = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val supp = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val edges = li
+        .join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val nodes = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct()
+      val seeds = nodes.filter(col("node") < 5)
+      graft.operators.PageRank.runPersonalized(edges, seeds, iterations = 3)
+        .join(nodes.select(col("node"), (col("node") < 5).as("is_seed")), "node")
+        .select(col("node").cast("long").as("node"), col("is_seed"), col("rank"))
+        .orderBy(col("rank").desc, col("node"))
+    }
+  }
+
+  // -------------------------------------------------------------- Q226
+  /** WET CONVERSION RECORDS (the Common Crawl WARC→WET pipeline — ISO
+    * 28500 `conversion` records): a response archive is read through
+    * the DSv2 WARC source, main text is extracted
+    * ([[graft.operators.HtmlExtract.extract]]), and ONE `conversion`
+    * record per page — text/plain payload, same target URI — is
+    * written back as a WET file and re-read for the released rollup.
+    * This closes the archive loop the crawl family opened: q205
+    * proved WARC→rows, q226 proves rows→WET→rows (writer and reader
+    * are inverse bijections over the conversion payload). The oracle
+    * replays the extraction from `documents` and checks byte lengths
+    * of every conversion payload — a drifting writer (framing, CRLF,
+    * truncation) or extractor changes the lengths and hash-fails.
+    * Scale shape: extract is a narrow projection; both WARC writes
+    * are per-partition sequential appends; the rollup is one shuffle
+    * on doc_id. */
+  val q226 = {
+    val H = graft.operators.HtmlExtract
+    QueryDef("q226_wet_conversion",
+      s"""WITH $docwCte, d AS (
+         |  SELECT doc_id, lang, w FROM docw WHERE len(w) >= 1
+         |), h AS (
+         |  SELECT doc_id, ${H.synthHtmlSql} AS html FROM d
+         |), ext AS (
+         |  SELECT doc_id, list_filter(${H.blocksSql("html")},
+         |           s -> ${H.keepRuleSql("s")}) AS kept
+         |  FROM h
+         |)
+         |SELECT doc_id, 'conversion' AS warc_type,
+         |       CAST(octet_length(encode(coalesce(array_to_string(
+         |         list_transform(kept, s -> struct_extract(s, 'txt')), chr(10)), '')))
+         |         AS BIGINT) AS wet_len
+         |FROM ext ORDER BY doc_id""") { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.normalizedWords(col("text")).as("w"))
+        .filter(size(col("w")) >= 1)
+      val html = H.synthHtml(col("doc_id"), col("w"), col("lang"))
+      val responses = d.select(
+          concat(lit("urn:graft:doc:"), col("doc_id").cast("string")).as("record_id"),
+          lit("response").as("warc_type"),
+          concat(lit("https://h"), (col("doc_id") % 7).cast("string"),
+            lit(".example.com/doc/"), col("doc_id").cast("string")).as("target_uri"),
+          lit("text/html").as("content_type"),
+          encode(html, "UTF-8").as("payload"))
+        .repartitionByRange(4, col("record_id"))
+        .sortWithinPartitions("record_id")
+      val warcDir = graft.operators.Scratch.dir("q226") + "/warc"
+      val wetDir = graft.operators.Scratch.dir("q226") + "/wet"
+      graft.sources.WarcSource.writeRecords(responses, warcDir)
+      val back = graft.sources.WarcSource.read(s, warcDir)
+        .withColumn("__html", col("payload").cast("string"))
+      val wet = H.extract(back, "__html")
+        .select(
+          regexp_replace(col("record_id"), lit("urn:graft:doc:"),
+            lit("urn:graft:wet:")).as("record_id"),
+          lit("conversion").as("warc_type"),
+          col("target_uri"),
+          lit("text/plain").as("content_type"),
+          encode(coalesce(col("main_text"), lit("")), "UTF-8").as("payload"))
+        .repartitionByRange(4, col("record_id"))
+        .sortWithinPartitions("record_id")
+      graft.sources.WarcSource.writeRecords(wet, wetDir)
+      graft.sources.WarcSource.read(s, wetDir)
+        .select(
+          regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1).cast("long")
+            .as("doc_id"),
+          col("warc_type"),
+          col("content_length").as("wet_len"))
+        .orderBy("doc_id")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -8330,5 +8482,5 @@ object Extensions {
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q169b, q169c, q170, q171, q172, q173, q174, q175,
     q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215,
-    q216, q217, q218, q219, q220, q221, q222, q223, q224)
+    q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226)
 }

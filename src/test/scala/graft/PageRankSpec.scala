@@ -54,4 +54,33 @@ class PageRankSpec extends SparkSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(a == b)
   }
+
+  test("personalized: matches the PPR reference; non-seeds start at zero " +
+      "and seeds dominate their neighborhood") {
+    val seeds = Seq("1").toDF("node")
+    val got = PageRank.runPersonalized(toy.toDF("src", "dst", "w"), seeds,
+        iterations = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ref = PageRank.runPersonalizedReference(toy, Set("1"), iterations = 5)
+    assert(got.keySet == ref.keySet)
+    got.foreach { case (node, units) =>
+      val fp = units.toDouble / PageRank.scale
+      assert(math.abs(fp - ref(node)) < 1e-6,
+        s"node $node: fixed-point $fp vs reference ${ref(node)}")
+    }
+    // the seed's direct successors outrank the far node reached only
+    // through two hops (the personalization property itself)
+    assert(got("2") > got("4") && got("3") > got("4"))
+  }
+
+  test("personalized: an all-nodes seed set degenerates to global PageRank") {
+    val df = toy.toDF("src", "dst", "w")
+    val allNodes = df.select(col("src").as("node"))
+      .union(df.select(col("dst"))).distinct()
+    val ppr = PageRank.runPersonalized(df, allNodes, 4)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val pr = PageRank.run(df, 4)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(ppr == pr)
+  }
 }
