@@ -84,22 +84,66 @@ object AnchorScaleBench {
       d.select(size(H.links(page)).cast("long").as("n")).agg(sum("n")).head().getLong(0)
     }
 
-    val ks = Seq(1, 2, 4, 8)
-    val results = ks.map { k =>
-      val n = links(k)
-      pipeline(k).count() // warm
-      val sec = (1 to 3).map { _ =>
+    // body-scaled leg: REPLICATE the page body b times at FIXED link
+    // count — if the wall tracks b, the cost driver is html BYTES
+    // scanned by the anchor/tag regexes, not the links extracted
+    def pipelineBody(b: Int): DataFrame = {
+      val did = col("doc_id").cast("string")
+      val body = H.synthHtml(col("doc_id"), col("w"), col("lang"))
+      // strip the body's own anchors so replication holds links fixed:
+      // keep the raw text blocks only (no <a ...> survives the strip)
+      val bodyNoLinks = regexp_replace(body, "(?is)<a[^>]*>.*?</a>", " ")
+      val tail = concat(
+        lit("<p>See also <a href=\"https://h"), (col("doc_id") % 3).cast("string"),
+        lit(".example.com/topic/"), col("lang"), lit("\">"), col("lang"),
+        lit(" hub</a> and <a href=\"/doc/"), did, lit("/related\">notes for "),
+        did, lit("</a>.</p>"))
+      val page = concat((Seq.fill(b)(bodyNoLinks) :+ tail): _*)
+      val resolved = d
+        .select(col("doc_id"),
+          concat(lit("h"), (col("doc_id") % 7).cast("string"),
+            lit(".example.com")).as("src_host"),
+          explode(H.links(page)).as("lnk"))
+        .filter(col("lnk.href") =!= "")
+        .select(col("doc_id"), col("src_host"),
+          H.resolveHref(col("src_host"), col("lnk.href")).as("t"),
+          col("lnk.atxt").as("atxt"))
+        .select(col("doc_id"), col("src_host"),
+          col("t.host").as("host"), col("t.path").as("path"), col("atxt"))
+      val perAnchor = resolved.groupBy("host", "path", "atxt")
+        .agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("host", "path").orderBy(col("cnt").desc, col("atxt").asc)
+      val top = perAnchor.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      resolved.groupBy("host", "path")
+        .agg(count(lit(1)).as("n_inlinks"))
+        .join(top.select("host", "path", "cnt"), Seq("host", "path"))
+    }
+
+    def timed(mk: () => DataFrame): Double = {
+      mk().count() // warm
+      (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        pipeline(k).count()
+        mk().count()
         (System.nanoTime() - t0) / 1e9
       }.min
-      (k, n, sec)
     }
-    val base = results.head
-    val rows = results.map { case (k, n, sec) =>
-      f""""k$k":{"links":$n,"sec":$sec%.3f,"links_ratio":${n.toDouble / base._2}%.2f,"sec_ratio":${sec / base._3}%.2f}"""
+
+    pipeline(1).count(); pipeline(1).count() // global JVM/codegen warmup
+
+    val ks = Seq(1, 2, 4, 8)
+    val linkLeg = ks.map { k => (k, links(k), timed(() => pipeline(k))) }
+    val bodyLeg = ks.map { b => (b, timed(() => pipelineBody(b))) }
+    val lb = linkLeg.head
+    val bb = bodyLeg.head
+    val linkRows = linkLeg.map { case (k, n, sec) =>
+      f""""k$k":{"links":$n,"sec":$sec%.3f,"links_ratio":${n.toDouble / lb._2}%.2f,"sec_ratio":${sec / lb._3}%.2f}"""
     }
-    println(s"""{"metric":"anchor_scale","sf":"$sfDir",${rows.mkString(",")}}""")
+    val bodyRows = bodyLeg.map { case (b, sec) =>
+      f""""b$b":{"bytes_ratio":$b.0,"sec":$sec%.3f,"sec_ratio":${sec / bb._2}%.2f}"""
+    }
+    println(s"""{"metric":"anchor_scale","sf":"$sfDir","links_scaled":{${linkRows.mkString(",")}},"body_scaled":{${bodyRows.mkString(",")}}}""")
     spark.stop()
   }
 }
