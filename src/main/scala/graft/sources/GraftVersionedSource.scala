@@ -124,13 +124,83 @@ class GraftVersionedTable(path: String, version: Long,
   override def name(): String = s"graft_versioned(`$path`@v$version)"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftVersionedScanBuilder(path, m, tableSchema)
+    new GraftVersionedScanBuilder(path, m, tableSchema,
+      Option(options.get("startingVersion")).map(_.toLong))
+}
+
+/** Version offset for the streaming read: "everything committed up to
+  * and including manifest `v` has been delivered". */
+case class GraftVersionedOffset(v: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s"""{"version":$v}"""
+}
+
+/** STREAMING SOURCE over the commit log (the Delta streaming-source
+  * shape): each micro-batch delivers the data dirs that ENTERED the
+  * manifest between two versions — offsets are version numbers, so
+  * exactly-once across restarts is the checkpoint replaying the same
+  * (start, end] version window. Contract: incremental consumption is
+  * defined for APPEND chains (a batch = the appended dirs); an
+  * overwrite/delete version contributes its fresh dirs (the rewritten
+  * snapshot enters as new data) — the same "streaming reads of a
+  * table with rewrites need explicit handling" caveat Delta documents.
+  * No data is ever re-read: dirs are immutable and identified by
+  * attempt-unique names, so set difference over manifest dir lists is
+  * exact. `startingVersion` (default 0 = from the beginning) sets the
+  * initial offset for a fresh checkpoint. */
+class GraftVersionedMicroBatchStream(path: String, required: StructType,
+    startingVersion: Long, confCarrier: SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def spark = SparkSession.active
+
+  override def initialOffset(): Offset = GraftVersionedOffset(startingVersion)
+  override def latestOffset(): Offset =
+    GraftVersionedOffset(VersionedTable.currentVersion(spark, path))
+  override def deserializeOffset(json: String): Offset = {
+    val m = """\{"version":(\d+)\}""".r
+    json.trim match {
+      case m(v) => GraftVersionedOffset(v.toLong)
+      case other => sys.error(s"graft-versioned: bad offset json: $other")
+    }
+  }
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val v0 = start.asInstanceOf[GraftVersionedOffset].v
+    val v1 = end.asInstanceOf[GraftVersionedOffset].v
+    if (v1 <= v0) return Array.empty
+    val prevDirs: Set[String] =
+      if (v0 == 0L) Set.empty
+      else VersionedTable.readManifest(spark, path, v0).dirs.toSet
+    // union of dirs across (v0, v1] minus what v0 already had: covers
+    // chains where an intermediate version's dirs were later rewritten
+    // (its fresh dirs still entered the log and must be delivered once)
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    ((v0 + 1) to v1).foreach { v =>
+      VersionedTable.readManifest(spark, path, v).dirs
+        .filterNot(prevDirs).foreach(seen += _)
+    }
+    val fs = new HPath(path).getFileSystem(confCarrier.value)
+    seen.toSeq.flatMap { d =>
+      val p = new HPath(new HPath(path), d)
+      if (!fs.exists(p)) Seq.empty // vacuumed mid-window: rows were rewritten forward
+      else fs.listStatus(p).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.getName)
+        .map(s => GraftVersionedFilePartition(s.getPath.toString): InputPartition)
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftVersionedReaderFactory(required, confCarrier)
 }
 
 class GraftVersionedScanBuilder(path: String, m: VersionedTable.Manifest,
-    tableSchema: StructType)
+    tableSchema: StructType, startingVersion: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private var required: StructType = tableSchema
@@ -218,14 +288,14 @@ class GraftVersionedScanBuilder(path: String, m: VersionedTable.Manifest,
       }
       idOk && strOk && bloomOk
     }
-    new GraftVersionedScan(path, m.dirs.size, kept, required)
+    new GraftVersionedScan(path, m.dirs.size, kept, required, startingVersion)
   }
 }
 
 case class GraftVersionedFilePartition(file: String) extends InputPartition
 
 class GraftVersionedScan(path: String, totalDirs: Int, keptDirs: Seq[String],
-    required: StructType)
+    required: StructType, startingVersion: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics {
   private val confCarrier = new SerializableHadoopConf(
     graft.operators.InvertedIndex.activeHadoopConf())
@@ -255,6 +325,10 @@ class GraftVersionedScan(path: String, totalDirs: Int, keptDirs: Seq[String],
       .toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftVersionedReaderFactory(required, confCarrier)
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftVersionedMicroBatchStream(path, required,
+      startingVersion.getOrElse(0L), confCarrier)
 }
 
 /** Per-file reader: parquet-mr `GroupReadSupport` with the projection
