@@ -186,14 +186,13 @@ class GraftVersionedMicroBatchStream(path: String, required: StructType,
         .filterNot(prevDirs).foreach(seen += _)
     }
     val fs = new HPath(path).getFileSystem(confCarrier.value)
-    seen.toSeq.flatMap { d =>
+    GraftVersionedFilePartition.pack(seen.toSeq.flatMap { d =>
       val p = new HPath(new HPath(path), d)
       if (!fs.exists(p)) Seq.empty // vacuumed mid-window: rows were rewritten forward
       else fs.listStatus(p).toSeq
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
         .sortBy(_.getPath.getName)
-        .map(s => GraftVersionedFilePartition(s.getPath.toString): InputPartition)
-    }.toArray
+    })
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftVersionedReaderFactory(required, confCarrier)
@@ -292,7 +291,32 @@ class GraftVersionedScanBuilder(path: String, m: VersionedTable.Manifest,
   }
 }
 
-case class GraftVersionedFilePartition(file: String) extends InputPartition
+/** One input partition = a size-binned PACK of parquet files (the
+  * WarcSource discipline): a year of small appends must not become a
+  * task per tiny file — files are first-fit packed into
+  * `maxPartitionBytes` bins (default 128 MiB), so task count tracks
+  * data volume, not commit count, while one giant compacted file
+  * still gets its own reader. */
+case class GraftVersionedFilePartition(files: Seq[String]) extends InputPartition
+
+object GraftVersionedFilePartition {
+  val DefaultMaxPartitionBytes: Long = 128L << 20
+  def pack(files: Seq[org.apache.hadoop.fs.FileStatus],
+      maxBytes: Long = DefaultMaxPartitionBytes): Array[InputPartition] = {
+    val bins = scala.collection.mutable.ArrayBuffer.empty[
+      (scala.collection.mutable.ArrayBuffer[String], Long)]
+    files.foreach { f =>
+      bins.indexWhere(_._2 + f.getLen <= maxBytes) match {
+        case -1 =>
+          bins += ((scala.collection.mutable.ArrayBuffer(f.getPath.toString), f.getLen))
+        case i =>
+          bins(i)._1 += f.getPath.toString
+          bins(i) = (bins(i)._1, bins(i)._2 + f.getLen)
+      }
+    }
+    bins.map(b => GraftVersionedFilePartition(b._1.toSeq): InputPartition).toArray
+  }
+}
 
 class GraftVersionedScan(path: String, totalDirs: Int, keptDirs: Seq[String],
     required: StructType, startingVersion: Option[Long] = None)
@@ -321,8 +345,7 @@ class GraftVersionedScan(path: String, totalDirs: Int, keptDirs: Seq[String],
       java.util.OptionalLong.empty()
   }
   override def planInputPartitions(): Array[InputPartition] =
-    files.map(s => GraftVersionedFilePartition(s.getPath.toString): InputPartition)
-      .toArray
+    GraftVersionedFilePartition.pack(files)
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftVersionedReaderFactory(required, confCarrier)
   override def toMicroBatchStream(checkpointLocation: String)
@@ -341,7 +364,26 @@ class GraftVersionedScan(path: String, totalDirs: Int, keptDirs: Seq[String],
 class GraftVersionedReaderFactory(required: StructType,
     confCarrier: SerializableHadoopConf) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val file = partition.asInstanceOf[GraftVersionedFilePartition].file
+    val files = partition.asInstanceOf[GraftVersionedFilePartition].files
+    // chain the pack's files sequentially behind one PartitionReader
+    new PartitionReader[InternalRow] {
+      private var idx = -1
+      private var cur: PartitionReader[InternalRow] = _
+      override def next(): Boolean = {
+        while (cur == null || !cur.next()) {
+          if (cur != null) cur.close()
+          idx += 1
+          if (idx >= files.length) { cur = null; return false }
+          cur = fileReader(files(idx))
+        }
+        true
+      }
+      override def get(): InternalRow = cur.get()
+      override def close(): Unit = if (cur != null) cur.close()
+    }
+  }
+
+  private def fileReader(file: String): PartitionReader[InternalRow] = {
     new PartitionReader[InternalRow] {
       private val conf = new Configuration(confCarrier.value)
       private val fileFields: Set[String] = {

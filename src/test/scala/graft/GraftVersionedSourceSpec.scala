@@ -19,9 +19,12 @@ class GraftVersionedSourceSpec extends SparkSuite {
   private def freshDir(): String =
     Files.createTempDirectory("gvs").toString + "/t"
 
-  private def scanPartitions(df: DataFrame): Int =
+  private def scanFiles(df: DataFrame): Int =
     df.queryExecution.executedPlan.collectFirst {
-      case b: BatchScanExec => b.inputPartitions.length
+      case b: BatchScanExec => b.inputPartitions.map {
+        case p: graft.sources.GraftVersionedFilePartition => p.files.length
+        case _ => 0
+      }.sum
     }.getOrElse(fail("no BatchScanExec in the plan"))
 
   private def scanDesc(df: DataFrame): String =
@@ -73,7 +76,7 @@ class GraftVersionedSourceSpec extends SparkSuite {
     val df = spark.read.format("graft-versioned").load(dir)
       .filter(col("id") >= 120L && col("id") <= 130L)
     assert(scanDesc(df).contains("kept_dirs=1/3"), scanDesc(df))
-    assert(scanPartitions(df) < scanPartitions(
+    assert(scanFiles(df) < scanFiles(
       spark.read.format("graft-versioned").load(dir)))
     assert(df.collect().map(_.getLong(0)).sorted.toSeq == (120L to 130L))
   }
