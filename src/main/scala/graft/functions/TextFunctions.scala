@@ -125,8 +125,13 @@ object TextFunctions {
     * normalized word array `w`). Every text-query oracle must reference
     * this, never re-inline the regex pipeline: a normalization change
     * edited in one copy but not another would silently diverge oracles. */
+  /** MATERIALIZED (round 13): DuckDB inlines CTEs per reference, and
+    * several oracles reference `docw` more than once — inlining
+    * re-tokenizes the corpus per reference (and inside unrolled-round
+    * oracles, per ROUND). A pure planner hint; the hash gate re-proves
+    * value equality. */
   val docwCteSql: String =
-    """docw AS (
+    """docw AS MATERIALIZED (
       |  SELECT doc_id, text, lang,
       |         list_filter(list_transform(regexp_split_to_array(lower(text), '\s+'),
       |                     x -> regexp_replace(x, '[^a-z]', '', 'g')),

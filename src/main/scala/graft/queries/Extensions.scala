@@ -849,23 +849,32 @@ object Extensions {
     * (q63/q63b/q121 transitive closure) and the q211 label-propagation
     * oracle: ONE copy so the edge semantics cannot desynchronize
     * between the component and community views of the same graph. */
+  /** NOTE the MATERIALIZED hints (round 13): DuckDB INLINES a CTE at
+    * every reference by default, and the LPA oracles reference `ee`
+    * once per unrolled round while each round's `l$k` references
+    * `l${k-1}` TWICE — inlining turns the shingle pair join into an
+    * exponentially replicated subtree (observed: >75 GB of spill and
+    * a >40-minute single query at sf0.1, vs 13 s materialized; the
+    * r13 sf0.1 sweep died on disk exactly here). MATERIALIZED is a
+    * planner hint, not a semantics change — the sf0.01 hash gate
+    * re-proves equality. */
   private val jaccardEdgesCte =
-    s"""$docwCte, sh AS (
+    s"""$docwCte, sh AS MATERIALIZED (
        |  SELECT DISTINCT doc_id, shingle FROM (
        |    SELECT doc_id, unnest(list_transform(range(1, len(w)),
        |           i -> w[i] || ' ' || w[i+1])) AS shingle
        |    FROM docw WHERE len(w) >= 2)
-       |), sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-       |p0 AS (
+       |), sz AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |p0 AS MATERIALIZED (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2
-       |), e AS (
+       |), e AS MATERIALIZED (
        |  SELECT doc_a AS a, doc_b AS b,
        |         CAST(floor(CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) * 10000 + 0.5) AS BIGINT) AS w4
        |  FROM p0 JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
        |  WHERE floor(CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) * 10000 + 0.5) / 10000 >= 0.3
-       |), ee AS (SELECT a, b, w4 FROM e UNION SELECT b, a, w4 FROM e)""".stripMargin
+       |), ee AS MATERIALIZED (SELECT a, b, w4 FROM e UNION SELECT b, a, w4 FROM e)""".stripMargin
 
   /** Shared CTE chain for q63/q63b/q121: shingles → Jaccard edges →
     * transitive closure → per-doc min-label cluster ids (`cc`). */
@@ -7628,14 +7637,16 @@ object Extensions {
     * q211 and the q221 capstone so the round semantics cannot
     * desynchronize between the standalone and composed views. */
   private def lpaStepsSql(rounds: Int): String = (1 to rounds).map { k =>
-    s"""n$k AS (
+    // MATERIALIZED: l${k-1} is referenced twice per round — inlining
+    // doubles the whole upstream subtree per round (see jaccardEdgesCte)
+    s"""n$k AS MATERIALIZED (
        |  SELECT ee.a AS node, l.lbl, count(*) AS cnt
        |  FROM ee JOIN l${k - 1} l ON ee.b = l.node GROUP BY 1, 2
-       |), w$k AS (
+       |), w$k AS MATERIALIZED (
        |  SELECT node, lbl, row_number() OVER (PARTITION BY node
        |           ORDER BY cnt DESC, lbl ASC) AS rn
        |  FROM n$k
-       |), l$k AS (
+       |), l$k AS MATERIALIZED (
        |  SELECT p.node, coalesce(w.lbl, p.lbl) AS lbl
        |  FROM l${k - 1} p LEFT JOIN (SELECT node, lbl FROM w$k WHERE rn = 1) w
        |    ON p.node = w.node
@@ -7942,11 +7953,13 @@ object Extensions {
     val k = 2
     val rounds = 4
     val steps = (1 to rounds).map { r =>
-      s"""d$r AS (
+      // MATERIALIZED: a${r-1} is referenced twice per peel round (see
+      // jaccardEdgesCte's inlining note)
+      s"""d$r AS MATERIALIZED (
          |  SELECT ee.a AS node, count(*) AS deg FROM ee
          |  JOIN a${r - 1} s ON ee.a = s.node JOIN a${r - 1} t ON ee.b = t.node
          |  GROUP BY 1
-         |), a$r AS (SELECT node FROM d$r WHERE deg >= $k)""".stripMargin
+         |), a$r AS MATERIALIZED (SELECT node FROM d$r WHERE deg >= $k)""".stripMargin
     }.mkString(",\n")
     QueryDef("q216_kcore",
       s"""WITH $jaccardEdgesCte,
@@ -8156,8 +8169,8 @@ object Extensions {
     s"""WITH $jaccardEdgesCte,
        |l0 AS (SELECT doc_id AS node, doc_id AS lbl FROM documents),
        |${lpaStepsSql(3)},
-       |com AS (SELECT node AS doc_id, lbl AS community FROM l3),
-       |can AS (SELECT community, min(doc_id) AS canonical FROM com GROUP BY community),
+       |com AS MATERIALIZED (SELECT node AS doc_id, lbl AS community FROM l3),
+       |can AS MATERIALIZED (SELECT community, min(doc_id) AS canonical FROM com GROUP BY community),
        |q AS (
        |  SELECT doc_id, lang, CAST(len(w) AS BIGINT) AS n_tok,
        |         coalesce(list_sum(list_transform(
@@ -8246,14 +8259,15 @@ object Extensions {
   val q223 = {
     val rounds = 3
     val steps = (1 to rounds).map { k =>
-      s"""n$k AS (
+      // MATERIALIZED: see jaccardEdgesCte's inlining note
+      s"""n$k AS MATERIALIZED (
          |  SELECT ee.a AS node, l.lbl, CAST(sum(ee.w4) AS BIGINT) AS wsum
          |  FROM ee JOIN l${k - 1} l ON ee.b = l.node GROUP BY 1, 2
-         |), w$k AS (
+         |), w$k AS MATERIALIZED (
          |  SELECT node, lbl, row_number() OVER (PARTITION BY node
          |           ORDER BY wsum DESC, lbl ASC) AS rn
          |  FROM n$k
-         |), l$k AS (
+         |), l$k AS MATERIALIZED (
          |  SELECT p.node, coalesce(w.lbl, p.lbl) AS lbl
          |  FROM l${k - 1} p LEFT JOIN (SELECT node, lbl FROM w$k WHERE rn = 1) w
          |    ON p.node = w.node
