@@ -136,7 +136,29 @@ object Bench {
           }
         }
       } catch { case _: Throwable => Map.empty }
-    val prevHeadline = readPrevMap("queries")
+    // SCALE-FACTOR GUARD (r13 verdict: the round-13 "clean cut" ran at
+    // sf0.001 against sf0.1 history and was narrated as a 27% win — 100×
+    // less data, not a speedup). A comparison record whose `sf` differs
+    // from this run's sfDir is NOT a baseline: every ratio it would feed
+    // (adjudication triggers, the `regressed` list) is cross-scale
+    // garbage, so the prev maps are dropped entirely and the mismatch is
+    // stamped into this record's JSON — a record can never again claim
+    // faster/slower against a different scale.
+    val prevSf: Option[String] =
+      try {
+        val p = java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", "BENCH_LAST.json"))
+        if (!java.nio.file.Files.isReadable(p)) None
+        else Option(new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readString(p)).path("sf").asText(null))
+      } catch { case _: Throwable => None }
+    val prevSfMismatch = prevSf.exists(_ != sfDir)
+    if (prevSfMismatch)
+      System.err.println(s"[bench] REFUSING cross-sf comparison: prev record is " +
+        s"sf=${prevSf.get}, this run is sf=$sfDir — no adjudication ratios " +
+        "will be computed; re-run against a matching-sf baseline")
+    val prevHeadline =
+      if (prevSfMismatch) Map.empty[String, Double] else readPrevMap("queries")
     // ADJUDICATION TRIGGER (round 12, verdict task 4): the r11 record
     // carried four full-sweep entries at 1.40–1.47× prev that the old 2×
     // trigger never re-measured, so the record could not say whether they
@@ -193,7 +215,8 @@ object Bench {
     // read. An entry still >1.35× prev after re-measurement lands in
     // the record's `regressed` list — a real regression (or a real
     // plan/work change) by construction, named in the record itself.
-    val prevFull: Map[String, Double] = readPrevMap("full")
+    val prevFull: Map[String, Double] =
+      if (prevSfMismatch) Map.empty else readPrevMap("full")
     val headlineMins = results.toMap
     // (name, best sample, Some((first, resample)) when adjudicated)
     val fullResults: Seq[(String, Double, Option[(Double, Double)])] =
@@ -287,7 +310,7 @@ object Bench {
     }).distinct.sorted
     val regressedJson = regressed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val contended = contendedStart || nAdjudications >= 4
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","q27_pairs":$q27Pairs,"reps":$reps,"median":$medians,"spread":$spreads$fullJson$adjJson$headAdjJson,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"load_wait_sec":${f"$loadWaitSec%.1f"},"adjudications":$nAdjudications,"outliers_135":$outliers135,"regressed":$regressedJson,"contended":$contended}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","q27_pairs":$q27Pairs,"reps":$reps,"median":$medians,"spread":$spreads$fullJson$adjJson$headAdjJson,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"load_wait_sec":${f"$loadWaitSec%.1f"},"adjudications":$nAdjudications,"outliers_135":$outliers135,"regressed":$regressedJson,"prev_sf_mismatch":$prevSfMismatch,"contended":$contended}"""
     // The FULL record (medians, spreads, the 60+-entry full-inventory map)
     // is several KB — longer than the driver's stdout tail window, which is
     // why BENCH_r04/r05 recorded `parsed: null`. So: the full record goes to

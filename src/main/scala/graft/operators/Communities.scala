@@ -39,9 +39,11 @@ import org.apache.spark.sql.functions._
   * against the label frame (shuffle on node id) + one two-level
   * aggregation (partial counts map-side, the per-node argmax is a
   * `max(struct(cnt, -lbl))` — a single combine-able aggregate, NOT a
-  * window sort). Edges are eagerly localCheckpoint-ed — the
+  * window sort). Edges are eagerly persisted (persist + count) — the
   * symmetrize+distinct shuffle runs exactly once, before the round
-  * loop; labels are
+  * loop — and unpersisted once the result frame has materialized, so
+  * repeated calls in a long-lived driver never accumulate executor
+  * storage (ADVICE r13); labels are
   * lazily localCheckpoint-ed per round so the logical plan stays O(1)
   * deep (the same driver-OOM discipline as the CC loop). At 100 TB the
   * edge frame is the big side and stays partitioned on `dst` across
@@ -73,18 +75,24 @@ object Communities {
         nodes.schema.head.dataType.simpleString)
     val Array(pa, pb) = pairs.columns.take(2)
     // single-evaluate the (possibly expensive) pair generator before
-    // symmetrizing — same discipline as dedupClusters
-    val pairsOnce = pairs.select(col(pa).cast("long").as("src"), col(pb).cast("long").as("dst"))
-      .localCheckpoint(false)
-    // EAGER localCheckpoint: materialize the symmetrize+distinct shuffle
+    // symmetrizing, then materialize the symmetrize+distinct shuffle
     // ONCE before the round loop (ADVICE r12 — a lazy persist under a
     // loop whose rounds are themselves lazy never materializes before
-    // the terminal action, recomputing the shuffle once per round);
-    // every round then rejoins the checkpointed blocks
+    // the terminal action, recomputing the shuffle once per round).
+    // EAGER persist + count, not localCheckpoint (ADVICE r13): a
+    // localCheckpoint's blocks cannot be recomputed and so could never
+    // be unpersisted safely — repeated calls in a long-lived driver
+    // would accumulate executor storage until GC. persist keeps the
+    // lineage, so after the result below is materialized the blocks
+    // are released deterministically.
+    val pairsOnce = pairs.select(col(pa).cast("long").as("src"), col(pb).cast("long").as("dst"))
+      .persist()
     val edges = pairsOnce
       .union(pairsOnce.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint()
+      .persist()
+    edges.count() // one job: pair generator once, symmetrize+distinct once
+    pairsOnce.unpersist()
     var labels = nodes
       .select(col(idCol).cast("long").as("node"), col(idCol).cast("long").as("lbl"))
     (1 to rounds).foreach { _ =>
@@ -102,13 +110,18 @@ object Communities {
         .select(col("node"), (-col("m.neg")).as("nbr_lbl"))
       // lazy localCheckpoint: truncate lineage per round (the frame is
       // referenced by the next round's join AND the final select); the
-      // terminal action materializes the chain — one job per round is
-      // not needed since no per-round convergence test exists here
+      // final eager checkpoint below materializes the chain — one job
+      // per round is not needed since no per-round convergence test
+      // exists here
       labels = labels.join(winner, Seq("node"), "left")
         .select(col("node"), coalesce(col("nbr_lbl"), col("lbl")).as("lbl"))
         .localCheckpoint(false)
     }
-    labels.withColumnRenamed("lbl", "community")
+    // materialize the rounds (one job), then release the edge blocks —
+    // the returned frame reads its own checkpoint, never edges again
+    val out = labels.withColumnRenamed("lbl", "community").localCheckpoint()
+    edges.unpersist()
+    out
   }
 
   /** WEIGHTED label propagation (the weighted-network variant Raghavan
@@ -132,15 +145,17 @@ object Communities {
       s"labelPropagationWeighted requires a numeric id column, got " +
         nodes.schema.head.dataType.simpleString)
     val Array(pa, pb, pw) = pairs.columns.take(3)
+    // eager persist + count, released after the result materializes
+    // (see labelPropagation's note)
     val pairsOnce = pairs.select(col(pa).cast("long").as("src"),
         col(pb).cast("long").as("dst"), col(pw).cast("long").as("w"))
-      .localCheckpoint(false)
-    // eager: materialize the symmetrize+distinct once (see
-    // labelPropagation's note)
+      .persist()
     val edges = pairsOnce
       .union(pairsOnce.select(col("dst").as("src"), col("src").as("dst"), col("w")))
       .distinct()
-      .localCheckpoint()
+      .persist()
+    edges.count()
+    pairsOnce.unpersist()
     var labels = nodes
       .select(col(idCol).cast("long").as("node"), col(idCol).cast("long").as("lbl"))
     (1 to rounds).foreach { _ =>
@@ -155,7 +170,9 @@ object Communities {
         .select(col("node"), coalesce(col("nbr_lbl"), col("lbl")).as("lbl"))
         .localCheckpoint(false)
     }
-    labels.withColumnRenamed("lbl", "community")
+    val out = labels.withColumnRenamed("lbl", "community").localCheckpoint()
+    edges.unpersist()
+    out
   }
 
   /** K-CORE PEELING (Seidman 1983, "Network structure and minimum
@@ -184,14 +201,16 @@ object Communities {
     require(rounds >= 1, s"kCore: rounds must be >= 1, got $rounds")
     val idCol = nodes.columns.head
     val Array(pa, pb) = pairs.columns.take(2)
+    // eager persist + count, released after the result materializes
+    // (see labelPropagation's note)
     val pairsOnce = pairs.select(col(pa).cast("long").as("src"), col(pb).cast("long").as("dst"))
-      .localCheckpoint(false)
-    // eager: materialize the symmetrize+distinct once (see
-    // labelPropagation's note)
+      .persist()
     val edges = pairsOnce
       .union(pairsOnce.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint()
+      .persist()
+    edges.count()
+    pairsOnce.unpersist()
     val all = nodes.select(col(idCol).cast("long").as("node"))
     var alive = all
     (1 to rounds).foreach { _ =>
@@ -215,6 +234,8 @@ object Communities {
       .select(col("node"),
         coalesce(col("in_core"), lit(false)).as("in_core"),
         coalesce(col("core_degree"), lit(0L)).as("core_degree"))
+      .localCheckpoint()
+    edges.unpersist()
     out
   }
 }

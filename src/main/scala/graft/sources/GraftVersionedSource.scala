@@ -12,10 +12,11 @@ import org.apache.parquet.hadoop.example.GroupReadSupport
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, InsertableRelation, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -76,20 +77,54 @@ import org.apache.spark.unsafe.types.UTF8String
   * commits from the scan before a single task launches.
   */
 class GraftVersionedSource extends TableProvider with DataSourceRegister {
+  // VERSION PIN (ADVICE r13): inferSchema and getTable are two separate
+  // driver calls; without a pin, a commit landing between them would
+  // make the scan read a NEWER snapshot than the one the schema was
+  // inferred from (a schema-evolved column silently absent). The first
+  // resolution per (path, versionAsOf, timestampAsOf) option set is
+  // cached on this provider instance — Spark constructs a fresh
+  // provider per read, so the pin's lifetime is one resolution, which
+  // is exactly the window that needs the consistency.
+  @volatile private var pinned: Map[String, Long] = Map.empty
+  private def pinKey(path: String, options: CaseInsensitiveStringMap): String =
+    path + "|" + Option(options.get("versionAsOf")).getOrElse("") +
+      "|" + Option(options.get("timestampAsOf")).getOrElse("")
+  private def pinnedVersion(spark: SparkSession, path: String,
+      options: CaseInsensitiveStringMap): Long = {
+    val key = pinKey(path, options)
+    pinned.getOrElse(key, {
+      val v = GraftVersionedSource.resolvedVersion(spark, path, options)
+      pinned += key -> v
+      v
+    })
+  }
+
   override def shortName(): String = "graft-versioned"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
     val path = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("graft-versioned: .load(<tableDir>) is required"))
-    val v = GraftVersionedSource.resolvedVersion(spark, path, options)
-    val schema = VersionedTable.readAsOf(spark, path, v).schema
-    schema.fields.foreach { f =>
-      require(GraftVersionedSource.supported(f.dataType),
-        s"graft-versioned: unsupported column type ${f.dataType.simpleString} " +
-          s"for '${f.name}' — the connector reads the flat primitive schemas " +
-          "the versioned table commits (boolean/int/bigint/float/double/string/binary)")
+    GraftVersionedSource.metadataKind(options) match {
+      case Some(kind) => GraftVersionedMetadataTable.schemaOf(kind)
+      case None =>
+        if (VersionedTable.versions(spark, path).isEmpty)
+          // no commits yet: an EMPTY schema enables create-on-first-write
+          // (the write path takes the data schema; ACCEPT_ANY_SCHEMA skips
+          // output resolution against this placeholder) — a READ of the
+          // empty table still fails loudly in newScanBuilder
+          new StructType()
+        else {
+          val v = pinnedVersion(spark, path, options)
+          val schema = VersionedTable.readAsOf(spark, path, v).schema
+          schema.fields.foreach { f =>
+            require(GraftVersionedSource.supported(f.dataType),
+              s"graft-versioned: unsupported column type ${f.dataType.simpleString} " +
+                s"for '${f.name}' — the connector reads the flat primitive schemas " +
+                "the versioned table commits (boolean/int/bigint/float/double/string/binary)")
+          }
+          schema
+        }
     }
-    schema
   }
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table = {
@@ -97,9 +132,21 @@ class GraftVersionedSource extends TableProvider with DataSourceRegister {
     val path = Option(properties.get("path")).getOrElse(
       throw new IllegalArgumentException("graft-versioned: .load(<tableDir>) is required"))
     val opts = new CaseInsensitiveStringMap(properties)
-    val v = GraftVersionedSource.resolvedVersion(spark, path, opts)
-    new GraftVersionedTable(path, v,
-      VersionedTable.readManifest(spark, path, v), schema)
+    GraftVersionedSource.metadataKind(opts) match {
+      case Some(kind) =>
+        val v = pinnedVersion(spark, path, opts)
+        new GraftVersionedMetadataTable(path, kind, v)
+      case None =>
+        if (VersionedTable.versions(spark, path).isEmpty)
+          new GraftVersionedTable(path, 0L, None, schema)
+        else {
+          // reuse the schema-time resolution (the pin): schema and scan
+          // always address the same snapshot
+          val v = pinnedVersion(spark, path, opts)
+          new GraftVersionedTable(path, v,
+            Some(VersionedTable.readManifest(spark, path, v)), schema)
+        }
+    }
   }
   override def supportsExternalMetadata(): Boolean = false
 }
@@ -111,6 +158,13 @@ object GraftVersionedSource {
       Option(options.get("versionAsOf")).map(_.toLong),
       Option(options.get("timestampAsOf")).map(_.toLong))
 
+  private[sources] def metadataKind(options: CaseInsensitiveStringMap): Option[String] =
+    Option(options.get("metadata")).map { k =>
+      require(k == "history" || k == "files",
+        s"graft-versioned: unknown metadata table '$k' — supported: history, files")
+      k
+    }
+
   private[sources] def supported(dt: DataType): Boolean = dt match {
     case BooleanType | IntegerType | LongType | FloatType | DoubleType |
          StringType | BinaryType => true
@@ -119,15 +173,185 @@ object GraftVersionedSource {
 }
 
 class GraftVersionedTable(path: String, version: Long,
-    m: VersionedTable.Manifest, tableSchema: StructType)
-    extends Table with SupportsRead {
+    m: Option[VersionedTable.Manifest], tableSchema: StructType)
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft_versioned(`$path`@v$version)"
   override def schema(): StructType = tableSchema
+  // ACCEPT_ANY_SCHEMA: output resolution is delegated to
+  // [[VersionedTable.commit]]'s own gates (exact name+type signature on
+  // append, explicit allowSchemaEvolution) — the same division of labor
+  // Delta declares; without it a create-on-first-write (empty placeholder
+  // schema) could never resolve.
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val manifest = m.getOrElse(sys.error(
+      s"graft-versioned: $path has no committed versions — nothing to read " +
+        "(write first, or check the path)"))
+    new GraftVersionedScanBuilder(path, manifest, tableSchema,
+      Option(options.get("startingVersion")).map(_.toLong),
+      Option(options.get("ignoreChanges")).exists(_.toBoolean))
+  }
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftVersionedWriteBuilder(path, info)
+}
+
+/** SQL-NATIVE WRITE PATH (round-14 verdict task 2): routes
+  * `df.write.format("graft-versioned").mode("append"|"overwrite")
+  * .save(tableDir)` through the SAME commit protocol as the Scala API
+  * ([[VersionedTable.commit]]) — optimistic concurrency, digest
+  * accounting, stats/bloom registration, append schema gate — via
+  * Spark's V1Write bridge (`V1_BATCH_WRITE`): the commit protocol is a
+  * whole-DataFrame publish (write dir → digest → stage manifest →
+  * rename), so the InsertableRelation surface that hands the planner's
+  * DataFrame to the driver IS the right granularity; per-row
+  * DataWriters would have to reassemble exactly this.
+  *
+  * Options (all optional on an existing table):
+  *  - `idCol` — manifest id column; default: the standing manifest's.
+  *    REQUIRED on first write (table creation).
+  *  - `contentCols` — comma-separated digest columns; default: the
+  *    standing manifest's (creation default: every non-id column).
+  *  - `expectedVersion` — the optimistic-concurrency base; default:
+  *    the table's current version at insert time. Pass explicitly to
+  *    surface the loser path through SQL (a stale writer raises
+  *    [[java.util.ConcurrentModificationException]]).
+  *  - `statCols`, `bloomCols` — comma-separated index registrations,
+  *    same as the Scala API.
+  *  - `allowSchemaEvolution` — append may ADD columns (merge-read).
+  *
+  * `mode("overwrite")` arrives as the truncate() call (Spark's
+  * OverwriteByExpression with the always-true filter) and maps to the
+  * commit's `overwrite` mode; `mode("append")` maps to `append`. */
+class GraftVersionedWriteBuilder(path: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var overwrite = false
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: org.apache.spark.sql.DataFrame,
+            ignored: Boolean): Unit = {
+          val opts = info.options()
+          val spark = data.sparkSession
+          val cur = VersionedTable.currentVersion(spark, path)
+          val standing: Option[VersionedTable.Manifest] =
+            if (cur > 0) Some(VersionedTable.readManifest(spark, path, cur)) else None
+          val idCol = Option(opts.get("idCol"))
+            .orElse(standing.map(_.idCol))
+            .getOrElse(throw new IllegalArgumentException(
+              s"graft-versioned: first write to $path must declare " +
+                ".option(\"idCol\", …) — the manifest digest needs an id column"))
+          require(data.columns.contains(idCol),
+            s"graft-versioned: idCol '$idCol' is not a column of the written " +
+              s"data (${data.columns.mkString(", ")})")
+          val contentCols = Option(opts.get("contentCols"))
+            .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+            .orElse(standing.map(_.contentCols))
+            .getOrElse(data.columns.filterNot(_ == idCol).toSeq)
+          def csv(k: String): Seq[String] = Option(opts.get(k))
+            .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+          val expected = Option(opts.get("expectedVersion")).map(_.toLong)
+            .getOrElse(cur)
+          VersionedTable.commit(data, path, idCol, contentCols,
+            expectedVersion = expected,
+            mode = if (overwrite) "overwrite" else "append",
+            statCols = csv("statCols"),
+            allowSchemaEvolution =
+              Option(opts.get("allowSchemaEvolution")).exists(_.toBoolean),
+            bloomCols = csv("bloomCols")): Unit
+        }
+      }
+  }
+}
+
+/** METADATA TABLES through the connector (round-14 verdict task 3 —
+  * the Delta `DESCRIBE HISTORY` / Iceberg `.files` surface):
+  * `.option("metadata", "history")` serves [[VersionedTable.history]]'s
+  * rows, `"files"` serves [[VersionedTable.files]] for the resolved
+  * version (versionAsOf/timestampAsOf compose). Rows are derived from
+  * the O(versions) driver-side manifests at PLAN time and shipped in
+  * the single input partition — metadata scale, no data files touched,
+  * same as the library calls they mirror. */
+class GraftVersionedMetadataTable(path: String, kind: String, version: Long)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft_versioned(`$path`@v$version).$kind"
+  override def schema(): StructType = GraftVersionedMetadataTable.schemaOf(kind)
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftVersionedScanBuilder(path, m, tableSchema,
-      Option(options.get("startingVersion")).map(_.toLong))
+    new ScanBuilder {
+      override def build(): Scan = new GraftVersionedMetadataScan(path, kind, version)
+    }
+}
+
+object GraftVersionedMetadataTable {
+  def schemaOf(kind: String): StructType = kind match {
+    case "history" => StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("mode", StringType, nullable = false),
+      StructField("n_rows", LongType, nullable = false),
+      StructField("n_dirs", LongType, nullable = false),
+      StructField("batch_id", LongType, nullable = true),
+      StructField("committed_at_ms", LongType, nullable = true)))
+    case "files" => StructType(Seq(
+      StructField("dir_pos", LongType, nullable = false),
+      StructField("dir", StringType, nullable = false),
+      StructField("id_lo", LongType, nullable = true),
+      StructField("id_hi", LongType, nullable = true),
+      StructField("n_stat_cols", LongType, nullable = false),
+      StructField("has_bloom", BooleanType, nullable = false)))
+    case other => sys.error(s"graft-versioned: unknown metadata table '$other'")
+  }
+}
+
+/** One partition carrying the driver-derived metadata rows (tiny by
+  * construction: one row per version or per data dir). */
+case class GraftVersionedMetadataPartition(rows: Seq[Seq[Any]]) extends InputPartition
+
+class GraftVersionedMetadataScan(path: String, kind: String, version: Long)
+    extends Scan with Batch {
+  override def readSchema(): StructType = GraftVersionedMetadataTable.schemaOf(kind)
+  override def toBatch: Batch = this
+  override def description(): String = s"graft-versioned $path metadata=$kind"
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val rows: Seq[Seq[Any]] = kind match {
+      case "history" =>
+        VersionedTable.versions(spark, path).map { v =>
+          val m = VersionedTable.readManifest(spark, path, v)
+          Seq[Any](v, m.mode, m.rows, m.dirs.size.toLong,
+            m.batchId.orNull, m.committedAtMs.orNull)
+        }
+      case "files" =>
+        val m = VersionedTable.readManifest(spark, path, version)
+        m.dirs.zipWithIndex.map { case (d, i) =>
+          val stats = m.dirStats.get(d)
+          Seq[Any](i.toLong, d, stats.map(_._1).orNull, stats.map(_._2).orNull,
+            m.dirStrStats.get(d).map(_.size.toLong).getOrElse(0L),
+            m.dirBlooms.get(d).exists(_.nonEmpty))
+        }
+    }
+    Array(GraftVersionedMetadataPartition(rows))
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+        val rows = partition.asInstanceOf[GraftVersionedMetadataPartition].rows
+        new PartitionReader[InternalRow] {
+          private var i = -1
+          override def next(): Boolean = { i += 1; i < rows.length }
+          override def get(): InternalRow = new GenericInternalRow(
+            rows(i).map {
+              case s: String => UTF8String.fromString(s)
+              case other => other
+            }.toArray)
+          override def close(): Unit = ()
+        }
+      }
+    }
 }
 
 /** Version offset for the streaming read: "everything committed up to
@@ -142,16 +366,21 @@ case class GraftVersionedOffset(v: Long)
   * manifest between two versions — offsets are version numbers, so
   * exactly-once across restarts is the checkpoint replaying the same
   * (start, end] version window. Contract: incremental consumption is
-  * defined for APPEND chains (a batch = the appended dirs); an
-  * overwrite/delete version contributes its fresh dirs (the rewritten
-  * snapshot enters as new data) — the same "streaming reads of a
-  * table with rewrites need explicit handling" caveat Delta documents.
-  * No data is ever re-read: dirs are immutable and identified by
-  * attempt-unique names, so set difference over manifest dir lists is
-  * exact. `startingVersion` (default 0 = from the beginning) sets the
-  * initial offset for a fresh checkpoint. */
+  * defined for APPEND chains (a batch = the appended dirs). A
+  * NON-APPEND version in the window (overwrite / delete / compaction —
+  * a REWRITE) is a hard error by default, exactly Delta's behavior:
+  * the rewritten snapshot's fresh dirs re-enter the log as new data,
+  * so delivering them silently would duplicate every surviving row
+  * downstream. `.option("ignoreChanges", true)` opts in explicitly —
+  * the fresh dirs are delivered and the duplicate-delivery semantics
+  * become the CALLER'S declared choice (Delta's option of the same
+  * name). No data is ever re-read otherwise: dirs are immutable and
+  * identified by attempt-unique names, so set difference over
+  * manifest dir lists is exact. `startingVersion` (default 0 = from
+  * the beginning) sets the initial offset for a fresh checkpoint. */
 class GraftVersionedMicroBatchStream(path: String, required: StructType,
-    startingVersion: Long, confCarrier: SerializableHadoopConf)
+    startingVersion: Long, confCarrier: SerializableHadoopConf,
+    ignoreChanges: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
@@ -182,8 +411,20 @@ class GraftVersionedMicroBatchStream(path: String, required: StructType,
     // (its fresh dirs still entered the log and must be delivered once)
     val seen = scala.collection.mutable.LinkedHashSet.empty[String]
     ((v0 + 1) to v1).foreach { v =>
-      VersionedTable.readManifest(spark, path, v).dirs
-        .filterNot(prevDirs).foreach(seen += _)
+      val mv = VersionedTable.readManifest(spark, path, v)
+      // REWRITE GUARD: an overwrite version's dirs are a re-publish of
+      // rows already delivered by earlier batches — refusing is the
+      // default (Delta's contract); ignoreChanges delivers them as the
+      // caller's explicit duplicate-accepting choice. Version 1 is
+      // exempt: the CREATION commit (mode "overwrite" by default) has
+      // no prior rows to duplicate.
+      if (mv.mode != "append" && v > 1L && !ignoreChanges)
+        sys.error(s"graft-versioned streaming: version $v of $path is a " +
+          s"'${mv.mode}' (rewrite) — a streaming read past a rewrite would " +
+          "re-deliver surviving rows as fresh data. Set " +
+          ".option(\"ignoreChanges\", true) to accept duplicate delivery, " +
+          "or restart the stream from a fresh startingVersion past the rewrite")
+      mv.dirs.filterNot(prevDirs).foreach(seen += _)
     }
     val fs = new HPath(path).getFileSystem(confCarrier.value)
     GraftVersionedFilePartition.pack(seen.toSeq.flatMap { d =>
@@ -199,7 +440,8 @@ class GraftVersionedMicroBatchStream(path: String, required: StructType,
 }
 
 class GraftVersionedScanBuilder(path: String, m: VersionedTable.Manifest,
-    tableSchema: StructType, startingVersion: Option[Long] = None)
+    tableSchema: StructType, startingVersion: Option[Long] = None,
+    ignoreChanges: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private var required: StructType = tableSchema
@@ -228,6 +470,25 @@ class GraftVersionedScanBuilder(path: String, m: VersionedTable.Manifest,
     }
     val strStatted = (c: String) => m.dirStrStats.values.exists(_.contains(c))
     val bloomed = (c: String) => m.dirBlooms.values.exists(_.contains(c))
+    // STRING-KEYED index probes (str stats, blooms) may only take
+    // literals whose JVM rendering provably equals Spark's
+    // `cast(col AS string)` — the form the COMMIT side statted/hashed.
+    // An Array[Byte] EqualTo literal (BinaryType is a supported column
+    // type) stringifies as "[B@…": the bloom would answer "definitely
+    // absent" and prune dirs that HOLD matching rows, and dir pruning
+    // runs before the residual row filter can save correctness. Any
+    // literal outside the proven set simply doesn't feed the string
+    // indexes — the dirs fall back to the conservative keep.
+    def strCastStable(v: Any): Option[String] = v match {
+      case s: String => Some(s)
+      case s: UTF8String => Some(s.toString)
+      case l: Long => Some(l.toString)
+      case i: Int => Some(i.toString)
+      case s: Short => Some(s.toString)
+      case b: Byte => Some(b.toString)
+      case b: Boolean => Some(b.toString)
+      case _ => None // Array[Byte], floats (sci-notation drift), dates, …
+    }
     // a filter can feed SEVERAL indexes at once: an IN on the id column
     // checks the id band AND probes the id bloom if one was committed
     // (interleaved ingest defeats min/max but not the bloom — q218's
@@ -238,8 +499,12 @@ class GraftVersionedScanBuilder(path: String, m: VersionedTable.Manifest,
         val ls = vs.flatMap(num)
         idBands :+= ((ls.min, ls.max)); used = true
       }
-      if (strStatted(c)) { strEqs :+= ((c, vs.map(_.toString))); used = true }
-      if (bloomed(c)) { bloomProbes :+= ((c, vs.map(_.toString))); used = true }
+      val stable = vs.map(strCastStable)
+      if (stable.forall(_.nonEmpty)) {
+        val ss = stable.flatten
+        if (strStatted(c)) { strEqs :+= ((c, ss)); used = true }
+        if (bloomed(c)) { bloomProbes :+= ((c, ss)); used = true }
+      }
       if (used) captured += f
     }
     filters.foreach {
@@ -271,7 +536,17 @@ class GraftVersionedScanBuilder(path: String, m: VersionedTable.Manifest,
       }
       val strOk = strEqs.forall { case (c, vs) =>
         m.dirStrStats.get(d).flatMap(_.get(c)) match {
-          case Some((lo, hi)) => vs.exists(v => lo <= v && v <= hi)
+          // compare in UTF8String (UTF-8 byte) order — the order the
+          // commit's Spark min/max aggregates used. Java String UTF-16
+          // order disagrees on supplementary-plane code points (U+FFFF
+          // sorts above U+10000 in UTF-16, below in UTF-8), so a
+          // UTF-16 band check could wrongly prune a dir holding the
+          // probe value (ADVICE r13).
+          case Some((lo, hi)) => vs.exists { v =>
+            val u = UTF8String.fromString(v)
+            UTF8String.fromString(lo).compareTo(u) <= 0 &&
+              u.compareTo(UTF8String.fromString(hi)) <= 0
+          }
           case None => true
         }
       }
@@ -287,7 +562,8 @@ class GraftVersionedScanBuilder(path: String, m: VersionedTable.Manifest,
       }
       idOk && strOk && bloomOk
     }
-    new GraftVersionedScan(path, m.dirs.size, kept, required, startingVersion)
+    new GraftVersionedScan(path, m.dirs.size, kept, required, startingVersion,
+      ignoreChanges)
   }
 }
 
@@ -319,7 +595,8 @@ object GraftVersionedFilePartition {
 }
 
 class GraftVersionedScan(path: String, totalDirs: Int, keptDirs: Seq[String],
-    required: StructType, startingVersion: Option[Long] = None)
+    required: StructType, startingVersion: Option[Long] = None,
+    ignoreChanges: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics {
   private val confCarrier = new SerializableHadoopConf(
     graft.operators.InvertedIndex.activeHadoopConf())
@@ -351,7 +628,7 @@ class GraftVersionedScan(path: String, totalDirs: Int, keptDirs: Seq[String],
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftVersionedMicroBatchStream(path, required,
-      startingVersion.getOrElse(0L), confCarrier)
+      startingVersion.getOrElse(0L), confCarrier, ignoreChanges)
 }
 
 /** Per-file reader: parquet-mr `GroupReadSupport` with the projection

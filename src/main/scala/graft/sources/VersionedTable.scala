@@ -661,7 +661,14 @@ object VersionedTable {
     val m = readManifest(spark, tableDir, v)
     val root = new Path(tableDir)
     val kept = m.dirs.filter(d => m.dirStrStats.get(d).flatMap(_.get(column)) match {
-      case Some((lo, hi)) => lo <= value && value <= hi
+      // UTF8String (UTF-8 byte) order — the order the commit's min/max
+      // aggregates ran under; Java UTF-16 order disagrees on
+      // supplementary-plane code points and could wrongly prune a dir
+      // holding the value (ADVICE r13)
+      case Some((lo, hi)) =>
+        val u = org.apache.spark.unsafe.types.UTF8String.fromString(value)
+        org.apache.spark.unsafe.types.UTF8String.fromString(lo).compareTo(u) <= 0 &&
+          u.compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(hi)) <= 0
       case None => true // unstatted ⇒ conservative keep
     })
     prunedRead(spark, m, root, kept)

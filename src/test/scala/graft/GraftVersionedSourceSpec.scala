@@ -127,6 +127,134 @@ class GraftVersionedSourceSpec extends SparkSuite {
       == Set((1L, None), (2L, None)))
   }
 
+  test("write path: format(\"graft-versioned\") creates, appends and " +
+      "overwrites through the commit protocol; reads compose") {
+    val dir = freshDir()
+    // CREATE on first write — idCol declared, contentCols defaulted
+    Seq((1L, "a"), (2L, "b")).toDF("id", "text")
+      .write.format("graft-versioned").option("idCol", "id")
+      .mode("append").save(dir)
+    assert(VersionedTable.currentVersion(spark, dir) == 1L)
+    // plain append: manifest metadata (idCol/contentCols) inherited
+    Seq((3L, "c")).toDF("id", "text")
+      .write.format("graft-versioned").mode("append").save(dir)
+    val m2 = spark.read.format("graft-versioned").load(dir)
+    assert(m2.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    // the SQL write went through the SAME protocol as the Scala API:
+    // digest accounting validates
+    assert(VersionedTable.validateAsOf(spark, dir, 2L)._1)
+    // overwrite: snapshot replace as v3; v2 still time travels
+    Seq((9L, "z")).toDF("id", "text")
+      .write.format("graft-versioned").mode("overwrite").save(dir)
+    assert(spark.read.format("graft-versioned").load(dir)
+      .collect().map(_.getLong(0)).toSeq == Seq(9L))
+    assert(spark.read.format("graft-versioned").option("versionAsOf", "2")
+      .load(dir).count() == 3L)
+  }
+
+  test("write path: statCols/bloomCols options register prunable indexes " +
+      "and a stale expectedVersion loses the optimistic-concurrency race") {
+    val dir = freshDir()
+    (0 to 2).foreach { r =>
+      spark.range(0L, 300L).filter(col("id") % 3 === r)
+        .select(col("id"), concat(lit("t"), col("id")).as("text"))
+        .write.format("graft-versioned")
+        .option("idCol", "id").option("bloomCols", "id")
+        .mode("append").save(dir)
+    }
+    // the SQL-registered blooms prune exactly like Scala-registered ones
+    val probe = spark.read.format("graft-versioned").load(dir)
+      .filter(col("id").isin(9L, 33L, 63L))
+    assert(scanDesc(probe).contains("kept_dirs=1/3"), scanDesc(probe))
+    assert(probe.collect().map(_.getLong(0)).sorted.toSeq == Seq(9L, 33L, 63L))
+    // CONCURRENCY LOSER through the SQL surface: a writer that based
+    // its work on v1 while the table moved to v3 must fail with
+    // ConcurrentModificationException, committing nothing
+    val ex = intercept[Exception] {
+      Seq((999L, "x")).toDF("id", "text")
+        .write.format("graft-versioned").option("expectedVersion", "1")
+        .mode("append").save(dir)
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8).toSeq
+    assert(chain(ex).exists(_.isInstanceOf[java.util.ConcurrentModificationException]),
+      s"expected ConcurrentModificationException in cause chain, got $ex")
+    assert(VersionedTable.currentVersion(spark, dir) == 3L)
+    assert(spark.read.format("graft-versioned").load(dir)
+      .filter(col("id") === 999L).count() == 0L)
+  }
+
+  test("metadata tables: .option(\"metadata\", history|files) resolves " +
+      "through the same provider and matches the library surfaces") {
+    val dir = freshDir()
+    (0 to 1).foreach { r =>
+      VersionedTable.commit(
+        spark.range(r * 100L, r * 100L + 100L)
+          .select(col("id"), concat(lit("t"), col("id")).as("text")),
+        dir, "id", Seq("text"), r.toLong, mode = "append",
+        bloomCols = Seq("id"))
+    }
+    val hist = spark.read.format("graft-versioned")
+      .option("metadata", "history").load(dir)
+    assert(hist.columns.toSeq ==
+      Seq("version", "mode", "n_rows", "n_dirs", "batch_id", "committed_at_ms"))
+    assert(hist.select("version", "mode", "n_rows", "n_dirs")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq ==
+      Seq((1L, "append", 100L, 1L), (2L, "append", 200L, 2L)))
+    // files of an explicit version (versionAsOf composes)
+    val f1 = spark.read.format("graft-versioned")
+      .option("metadata", "files").option("versionAsOf", "1").load(dir)
+    assert(f1.count() == 1L)
+    val f2 = spark.read.format("graft-versioned")
+      .option("metadata", "files").load(dir)
+    assert(f2.select("dir_pos", "id_lo", "id_hi", "has_bloom")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1).toSeq ==
+      Seq((0L, 0L, 99L, true), (1L, 100L, 199L, true)))
+    // SQL over a view — the metadata surface IS a table
+    f2.createOrReplaceTempView("gv_files")
+    assert(spark.sql("SELECT count(*) FROM gv_files WHERE has_bloom")
+      .head().getLong(0) == 2L)
+  }
+
+  test("binary equality literals never feed the string-keyed indexes " +
+      "(conservative keep, rows exact) — ADVICE r13") {
+    val dir = freshDir()
+    (0 to 1).foreach { r =>
+      VersionedTable.commit(
+        spark.range(r * 10L, r * 10L + 10L)
+          .select(col("id"), encode(concat(lit("k"), col("id")), "UTF-8").as("key")),
+        dir, "id", Seq("key"), r.toLong, mode = "append",
+        statCols = Seq("key"), bloomCols = Seq("key"))
+    }
+    // EqualTo with an Array[Byte] literal: toString is "[B@…", which the
+    // commit-side hash never saw — the filter must NOT prune (keep-all)
+    // and the residual row filter delivers the exact row
+    val probe = spark.read.format("graft-versioned").load(dir)
+      .filter(col("key") === lit("k13".getBytes("UTF-8")))
+    assert(scanDesc(probe).contains("kept_dirs=2/2"), scanDesc(probe))
+    assert(probe.collect().map(_.getLong(0)).toSeq == Seq(13L))
+  }
+
+  test("str-stat bands compare in UTF-8 byte order, not UTF-16 " +
+      "(supplementary-plane probe survives pruning) — ADVICE r13") {
+    val dir = freshDir()
+    val gclef = new String(Character.toChars(0x1D11E)) // U+1D11E, 4-byte UTF-8
+    // dir stats: lo="￿", hi=gclef under UTF-8 order (Spark min/max);
+    // UTF-16 order would call gclef < "￿" and prune the dir
+    VersionedTable.commit(
+      Seq((1L, "￿"), (2L, gclef)).toDF("id", "key"),
+      dir, "id", Seq("key"), 0L, statCols = Seq("key"))
+    val probe = spark.read.format("graft-versioned").load(dir)
+      .filter(col("key") === gclef)
+    assert(scanDesc(probe).contains("kept_dirs=1/1"), scanDesc(probe))
+    assert(probe.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // the dedicated equality read takes the same UTF-8-ordered band
+    assert(VersionedTable.readAsOfWhereEq(spark, dir, 1L, "key", gclef)
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("column pruning reaches the reader: projecting one column reads " +
       "only it and SQL over a temp view works end-to-end") {
     val dir = freshDir()

@@ -51,6 +51,40 @@ class GraftVersionedStreamSpec extends SparkSuite {
     assert(sinkIds() == (1L to 6L), "idle restart delivers nothing (exactly-once)")
   }
 
+  test("rewrite guard: a mid-stream overwrite version fails the read by " +
+      "default; ignoreChanges opts in to duplicate delivery (Delta semantics)") {
+    val root = Files.createTempDirectory("gvstream3").toString
+    val dir = s"$root/t"
+    VersionedTable.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "text"),
+      dir, "id", Seq("text"), 0L)
+    def runOnce(ignoreChanges: Boolean, out: String, ckpt: String): Unit = {
+      val r = spark.readStream.format("graft-versioned")
+      val q = (if (ignoreChanges) r.option("ignoreChanges", "true") else r)
+        .load(dir)
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", s"$root/$out")
+        .option("checkpointLocation", s"$root/$ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    runOnce(ignoreChanges = false, "out", "ckpt") // v1 creation: exempt
+    // v2 is a REWRITE (compaction = overwrite): default must refuse
+    VersionedTable.compact(spark, dir)
+    val ex = intercept[Exception] { runOnce(ignoreChanges = false, "out", "ckpt") }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8).toSeq
+    assert(chain(ex).exists(e =>
+        e.getMessage != null && e.getMessage.contains("ignoreChanges")),
+      s"expected the rewrite-guard error naming ignoreChanges, got $ex")
+    // with ignoreChanges: the rewrite's fresh dirs ARE delivered — the
+    // surviving rows appear twice across the stream's lifetime, exactly
+    // the documented duplicate-delivery choice
+    runOnce(ignoreChanges = true, "out", "ckpt")
+    val ids = spark.read.parquet(s"$root/out").select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 1L, 2L, 2L), s"expected duplicate delivery, got $ids")
+  }
+
   test("startingVersion skips history: a fresh checkpoint from v1 sees only later appends") {
     val root = Files.createTempDirectory("gvstream2").toString
     val dir = s"$root/t"
