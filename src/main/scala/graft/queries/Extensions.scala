@@ -8614,6 +8614,106 @@ object Extensions {
       .orderBy("dir_pos")
   }
 
+  // -------------------------------------------------------------- Q230
+  /** HITS OVER THE ANCHOR GRAPH ([[graft.operators.Hits]] — Kleinberg
+    * hubs/authorities on q212's host→page link graph, round-14 verdict
+    * task 7): the crawl family's seed scorer. Source hosts are the
+    * hubs, resolved (host, path) landing pages the authorities; two
+    * full rounds of the exact-integer max-normalized iteration rank
+    * landing pages by WEIGHTED HUB ENDORSEMENT — a page linked by a
+    * host that itself points at high-authority pages outranks one with
+    * the same raw indegree from weak hubs (the signal indegree alone
+    * cannot express). Everything integer (scores in 1e6 units, floors
+    * against per-half-round max scalars), so the oracle replays every
+    * score bit-for-bit through unrolled MATERIALIZED rounds — the q225
+    * discipline. Scale shape: edge generation is the linear corpus
+    * scan (dominates, as q212 measured); each half-round is one hash
+    * join of the materialized-once edge set against a one-row-per-node
+    * score frame + a combine-able sum. */
+  val q230 = {
+    val H = graft.operators.HtmlExtract
+    val S = graft.operators.Hits.scale
+    val rounds = 2
+    val steps = (1 to rounds).map { k =>
+      s"""ra$k AS MATERIALIZED (
+         |  SELECT e.dst AS node, CAST(sum(h.h * e.w) AS BIGINT) AS raw
+         |  FROM e JOIN h${k - 1} h ON e.src = h.node GROUP BY 1
+         |), ma$k AS (SELECT greatest(max(raw), 1) AS m FROM ra$k),
+         |a$k AS MATERIALIZED (
+         |  SELECT n.node, coalesce((ra.raw * $S) // (SELECT m FROM ma$k), 0) AS a
+         |  FROM nodes n LEFT JOIN ra$k ra ON n.node = ra.node
+         |), rh$k AS MATERIALIZED (
+         |  SELECT e.src AS node, CAST(sum(a.a * e.w) AS BIGINT) AS raw
+         |  FROM e JOIN a$k a ON e.dst = a.node GROUP BY 1
+         |), mh$k AS (SELECT greatest(max(raw), 1) AS m FROM rh$k),
+         |h$k AS MATERIALIZED (
+         |  SELECT n.node, coalesce((rh.raw * $S) // (SELECT m FROM mh$k), 0) AS h
+         |  FROM nodes n LEFT JOIN rh$k rh ON n.node = rh.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    QueryDef("q230_hits_anchor",
+      s"""WITH $docwCte, d AS (
+         |  SELECT doc_id, lang, w FROM docw WHERE len(w) >= 1
+         |), pg AS (
+         |  SELECT doc_id,
+         |         'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS src_host,
+         |         ${H.synthHtmlSql} ||
+         |         '<p>See also <a href="https://h' || CAST(doc_id % 3 AS VARCHAR) ||
+         |         '.example.com/topic/' || lang || '">' || lang ||
+         |         CASE WHEN doc_id % 5 = 0 THEN ' hub' ELSE ' topic hub' END ||
+         |         '</a> and <a href="/doc/' || CAST(doc_id AS VARCHAR) ||
+         |         '/related">notes for ' || CAST(doc_id AS VARCHAR) || '</a>.</p>' AS html
+         |  FROM d
+         |), ln AS (
+         |  SELECT doc_id, src_host, unnest(${H.linksSql("html")}) AS lnk FROM pg
+         |), rv AS (
+         |  SELECT doc_id, src_host,
+         |         ${H.resolveHrefSql("src_host", "struct_extract(lnk, 'href')")} AS t
+         |  FROM ln WHERE struct_extract(lnk, 'href') <> ''
+         |), e AS MATERIALIZED (
+         |  SELECT src_host AS src,
+         |         struct_extract(t, 'host') || struct_extract(t, 'path') AS dst,
+         |         CAST(count(*) AS BIGINT) AS w
+         |  FROM rv GROUP BY 1, 2
+         |),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |h0 AS (SELECT node, CAST($S AS BIGINT) AS h FROM nodes),
+         |$steps
+         |SELECT n.node, CAST(hh.h AS BIGINT) AS hub_units,
+         |       CAST(aa.a AS BIGINT) AS auth_units
+         |FROM nodes n
+         |JOIN h$rounds hh ON n.node = hh.node
+         |JOIN a$rounds aa ON n.node = aa.node
+         |ORDER BY auth_units DESC, hub_units DESC, n.node""") { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.normalizedWords(col("text")).as("w"))
+        .filter(size(col("w")) >= 1)
+      val did = col("doc_id").cast("string")
+      val page = concat(
+        H.synthHtml(col("doc_id"), col("w"), col("lang")),
+        lit("<p>See also <a href=\"https://h"), (col("doc_id") % 3).cast("string"),
+        lit(".example.com/topic/"), col("lang"), lit("\">"), col("lang"),
+        when(col("doc_id") % 5 === 0, lit(" hub")).otherwise(lit(" topic hub")),
+        lit("</a> and <a href=\"/doc/"), did, lit("/related\">notes for "), did,
+        lit("</a>.</p>"))
+      val edges = d
+        .select(
+          concat(lit("h"), (col("doc_id") % 7).cast("string"),
+            lit(".example.com")).as("src_host"),
+          explode(H.links(page)).as("lnk"))
+        .filter(col("lnk.href") =!= "")
+        .select(col("src_host"),
+          H.resolveHref(col("src_host"), col("lnk.href")).as("t"))
+        .groupBy(col("src_host").as("src"),
+          concat(col("t.host"), col("t.path")).as("dst"))
+        .agg(count(lit(1)).as("w"))
+      graft.operators.Hits.run(edges, iterations = 2)
+        .select(col("node"), col("hub_units"), col("auth_units"))
+        .orderBy(col("auth_units").desc, col("hub_units").desc, col("node"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -8625,5 +8725,5 @@ object Extensions {
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q169b, q169c, q170, q171, q172, q173, q174, q175,
     q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215,
     q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227,
-    q228, q229)
+    q228, q229, q230)
 }
