@@ -8714,6 +8714,122 @@ object Extensions {
     }
   }
 
+  // -------------------------------------------------------------- Q231
+  /** UNIGRAM-LM TOKENIZER TRAINING ([[graft.operators.UnigramLm]] —
+    * the SentencePiece counterpart to BPE q100, round-14 verdict task
+    * 4): substring seed → Viterbi-EM rounds → pruned piece vocabulary,
+    * under the operator's documented INTEGER surrogate objective
+    * (fewest pieces, then highest summed piece frequency, then the
+    * lexicographically smallest U+0001-joined path), so the lattice DP
+    * replays bit-for-bit in SQL: the oracle unrolls one CTE per word
+    * POSITION per round (the q225 unrolled-round discipline applied to
+    * a Viterbi lattice — transitions from the previous ≤ maxPieceLen
+    * positions, winner by the same three-key ORDER BY), re-derives
+    * piece counts from the sep-joined winning paths, and replays the
+    * force-keep-singles / top-M-multis prune. A drift anywhere — seed
+    * counting, DP tie-break, prune order — hash-fails the released
+    * vocabulary. Scale shape: one corpus-sized word count; everything
+    * after is vocabulary-bounded (distinct words), with the per-round
+    * vocab a broadcast map (bounded collect, the k-means-sample
+    * class). */
+  private def unigramLmOracleSql(P: Int, W: Int, N: Int, M: Int, R: Int): String = {
+    val dpRounds = (1 to R).map { r =>
+      val positions = (1 to W).map { j =>
+        val legs = (math.max(0, j - P) until j).map { i =>
+          s"""  SELECT d.word, d.cnt, d.np + 1 AS np, d.sf + v.freq AS sf,
+             |         d.path || chr(1) || v.piece AS path
+             |  FROM dp${r}_$i d JOIN voc$r v ON v.piece = substr(d.word, ${i + 1}, ${j - i})
+             |  WHERE len(d.word) >= $j""".stripMargin
+        }.mkString("\n  UNION ALL\n")
+        s"""c${r}_$j AS (
+           |$legs
+           |), dp${r}_$j AS MATERIALIZED (
+           |  SELECT word, cnt, np, sf, path FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY word
+           |             ORDER BY np ASC, sf DESC, path ASC) AS rn
+           |    FROM c${r}_$j) WHERE rn = 1
+           |)""".stripMargin
+      }.mkString(",\n")
+      val segLegs = (1 to W).map(j =>
+        s"  SELECT word, cnt, path FROM dp${r}_$j WHERE len(word) = $j")
+        .mkString("\n  UNION ALL\n")
+      s"""dp${r}_0 AS (
+         |  SELECT word, cnt, CAST(0 AS BIGINT) AS np, CAST(0 AS BIGINT) AS sf,
+         |         '' AS path
+         |  FROM words
+         |),
+         |$positions,
+         |seg$r AS MATERIALIZED (
+         |$segLegs
+         |),
+         |pc$r AS MATERIALIZED (
+         |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS freq
+         |  FROM (SELECT unnest(string_split(substr(path, 2), chr(1))) AS piece, cnt
+         |        FROM seg$r)
+         |  GROUP BY piece
+         |),
+         |voc${r + 1} AS MATERIALIZED (
+         |  SELECT v.piece, coalesce(p.freq, 0) AS freq
+         |  FROM voc$r v LEFT JOIN pc$r p ON v.piece = p.piece
+         |  WHERE len(v.piece) = 1
+         |  UNION ALL
+         |  SELECT piece, freq FROM (
+         |    SELECT piece, freq, row_number() OVER (ORDER BY freq DESC, piece ASC) AS rn
+         |    FROM pc$r WHERE len(piece) >= 2) WHERE rn <= $M
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $docwCte,
+       |words AS MATERIALIZED (
+       |  SELECT w_ AS word, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(w) AS w_ FROM docw)
+       |  WHERE len(w_) BETWEEN 1 AND $W
+       |  GROUP BY 1
+       |),
+       |sub AS MATERIALIZED (
+       |  SELECT substr(word, st, ln) AS piece, CAST(sum(cnt) AS BIGINT) AS freq
+       |  FROM words
+       |  CROSS JOIN (SELECT unnest(range(1, ${W + 1})) AS st) s
+       |  CROSS JOIN (SELECT unnest(range(1, ${P + 1})) AS ln) l
+       |  WHERE st + ln - 1 <= len(word)
+       |  GROUP BY 1
+       |),
+       |voc1 AS MATERIALIZED (
+       |  SELECT piece, freq FROM sub WHERE len(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, freq FROM (
+       |    SELECT piece, freq, row_number() OVER (ORDER BY freq DESC, piece ASC) AS rn
+       |    FROM sub WHERE len(piece) >= 2) WHERE rn <= $N
+       |),
+       |$dpRounds
+       |SELECT CAST(piece_rank AS BIGINT) AS piece_rank, piece,
+       |       CAST(freq AS BIGINT) AS freq
+       |FROM (SELECT piece, freq,
+       |        row_number() OVER (ORDER BY freq DESC, piece ASC) AS piece_rank
+       |      FROM voc${R + 1})
+       |ORDER BY piece_rank""".stripMargin
+  }
+
+  val q231 = {
+    val p = graft.operators.UnigramLm.Params()
+    QueryDef("q231_unigram_lm_train",
+      unigramLmOracleSql(p.maxPieceLen, p.maxWordLen, p.seedSize, p.keepSize,
+        p.rounds)) { (s, dir) =>
+      val wc = t(s, dir, "documents")
+        .select(explode(TextFunctions.normalizedWords(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+      val out = graft.operators.UnigramLm.train(wc, p)
+      // coverage invariants the surrogate objective must preserve: the
+      // alphabet floor survived both prunes, and EM actually promoted
+      // multi-char pieces into the working vocabulary
+      val singles = out.filter(length(col("piece")) === 1).count()
+      val multis = out.filter(length(col("piece")) >= 2).count()
+      require(singles >= 20 && multis >= 10,
+        s"unigram-LM vocabulary degenerate: $singles singles, $multis multis")
+      out.select(col("rank").as("piece_rank"), col("piece"), col("freq"))
+        .orderBy("piece_rank")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -8725,5 +8841,5 @@ object Extensions {
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q169b, q169c, q170, q171, q172, q173, q174, q175,
     q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215,
     q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227,
-    q228, q229, q230)
+    q228, q229, q230, q231)
 }
