@@ -433,7 +433,7 @@ class GraftVersionedMicroBatchStream(path: String, required: StructType,
       else fs.listStatus(p).toSeq
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
         .sortBy(_.getPath.getName)
-    })
+    }, splitFiles = false) // the row reader takes whole files
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftVersionedReaderFactory(required, confCarrier)
@@ -567,27 +567,55 @@ class GraftVersionedScanBuilder(path: String, m: VersionedTable.Manifest,
   }
 }
 
-/** One input partition = a size-binned PACK of parquet files (the
-  * WarcSource discipline): a year of small appends must not become a
-  * task per tiny file — files are first-fit packed into
-  * `maxPartitionBytes` bins (default 128 MiB), so task count tracks
-  * data volume, not commit count, while one giant compacted file
-  * still gets its own reader. */
-case class GraftVersionedFilePartition(files: Seq[String]) extends InputPartition
+/** A byte range of one parquet file; `start == 0 && length == fileLen`
+  * means the whole file (the only shape the row reader accepts — the
+  * columnar reader hands ranges to the parquet split machinery, which
+  * assigns each row group to the range containing its start offset). */
+case class GraftFileChunk(path: String, start: Long, length: Long, fileLen: Long)
+
+/** One input partition = a size-binned PACK of parquet file CHUNKS,
+  * following Spark's own `FilePartition.maxSplitBytes` policy: the
+  * split target is min(maxPartitionBytes, max(openCost, (totalBytes +
+  * files·openCost) / parallelism)) — so a scan SMALLER than
+  * cores×128 MiB still fans out across the cluster (the round-14 fix:
+  * the old fixed-128 MiB first-fit packed a 0.9 GB table into 8 tasks
+  * on 32 cores and read 1.5× slower than the native scan for pure
+  * parallelism reasons), while a year of tiny appends still bins into
+  * few tasks (task count tracks bytes, not commit count) and one giant
+  * compacted file is SPLIT at the target size like the native reader
+  * splits it. Chunks are packed first-fit-decreasing with Spark's
+  * 4 MiB per-chunk open cost. */
+case class GraftVersionedFilePartition(chunks: Seq[GraftFileChunk]) extends InputPartition
 
 object GraftVersionedFilePartition {
   val DefaultMaxPartitionBytes: Long = 128L << 20
+  val OpenCostBytes: Long = 4L << 20
+
   def pack(files: Seq[org.apache.hadoop.fs.FileStatus],
-      maxBytes: Long = DefaultMaxPartitionBytes): Array[InputPartition] = {
+      maxBytes: Long = DefaultMaxPartitionBytes,
+      splitFiles: Boolean = true): Array[InputPartition] = {
+    val parallelism =
+      try SparkSession.active.sparkContext.defaultParallelism catch { case _: Throwable => 1 }
+    val totalCost = files.map(_.getLen).sum + files.size.toLong * OpenCostBytes
+    val target = math.min(maxBytes,
+      math.max(OpenCostBytes, totalCost / math.max(1, parallelism)))
+    val chunks = files.flatMap { f =>
+      if (!splitFiles || f.getLen <= target)
+        Seq(GraftFileChunk(f.getPath.toString, 0L, f.getLen, f.getLen))
+      else (0L until f.getLen by target).map(off =>
+        GraftFileChunk(f.getPath.toString, off,
+          math.min(target, f.getLen - off), f.getLen))
+    }
     val bins = scala.collection.mutable.ArrayBuffer.empty[
-      (scala.collection.mutable.ArrayBuffer[String], Long)]
-    files.foreach { f =>
-      bins.indexWhere(_._2 + f.getLen <= maxBytes) match {
+      (scala.collection.mutable.ArrayBuffer[GraftFileChunk], Long)]
+    chunks.sortBy(c => (-c.length, c.path, c.start)).foreach { c =>
+      val cost = c.length + OpenCostBytes
+      bins.indexWhere(_._2 + cost <= target + OpenCostBytes) match {
         case -1 =>
-          bins += ((scala.collection.mutable.ArrayBuffer(f.getPath.toString), f.getLen))
+          bins += ((scala.collection.mutable.ArrayBuffer(c), cost))
         case i =>
-          bins(i)._1 += f.getPath.toString
-          bins(i) = (bins(i)._1, bins(i)._2 + f.getLen)
+          bins(i)._1 += c
+          bins(i) = (bins(i)._1, bins(i)._2 + cost)
       }
     }
     bins.map(b => GraftVersionedFilePartition(b._1.toSeq): InputPartition).toArray
@@ -623,25 +651,99 @@ class GraftVersionedScan(path: String, totalDirs: Int, keptDirs: Seq[String],
   }
   override def planInputPartitions(): Array[InputPartition] =
     GraftVersionedFilePartition.pack(files)
+  // batch scans read COLUMNAR (round-14 verdict task 5); the streaming
+  // path below keeps the row reader (micro-batches are small appends
+  // by construction)
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftVersionedReaderFactory(required, confCarrier)
+    new GraftVersionedReaderFactory(required, confCarrier, columnar = true)
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftVersionedMicroBatchStream(path, required,
       startingVersion.getOrElse(0L), confCarrier, ignoreChanges)
 }
 
-/** Per-file reader: parquet-mr `GroupReadSupport` with the projection
-  * pushed into the parquet read schema (column pruning reaches the
-  * page level), fields the file predates (merge-read chains) emitted
-  * as NULL. The example-Group path is not vectorized — the connector
-  * is the SQL access-path layer; bulk analytics reads go through
-  * [[VersionedTable.readAsOf]]'s native parquet scan, and the
-  * point/pruned reads this serves touch few dirs by construction. */
+/** Per-file readers, two paths:
+  *
+  *  - **COLUMNAR (batch scans — round-14 verdict task 5)**: Spark's own
+  *    `VectorizedParquetRecordReader` driven directly (the engine's
+  *    vectorized decoder — page-level decoding into ColumnVectors, the
+  *    path `spark.read.parquet` itself takes), with the projection in
+  *    `ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA` and fields a file
+  *    predates (merge-read chains) emitted as constant-NULL vectors by
+  *    the reader's own missing-column handling. A full analytical scan
+  *    through the connector now decodes at native-parquet speed instead
+  *    of the row-at-a-time Group path (spec-gated within 1.2× of
+  *    `VersionedTable.readAsOf`). Rebase modes are pinned CORRECTED —
+  *    the connector's supported types exclude date/timestamp, so no
+  *    legacy-calendar file can reach them.
+  *  - **ROW (streaming micro-batches)**: parquet-mr `GroupReadSupport`
+  *    with the projection pushed into the parquet read schema —
+  *    micro-batches deliver small fresh appends, where per-row
+  *    materialization is not the bottleneck. */
 class GraftVersionedReaderFactory(required: StructType,
-    confCarrier: SerializableHadoopConf) extends PartitionReaderFactory {
+    confCarrier: SerializableHadoopConf, columnar: Boolean = false)
+    extends PartitionReaderFactory {
+  import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, VectorizedParquetRecordReader}
+  import org.apache.spark.sql.vectorized.ColumnarBatch
+
+  override def supportColumnarReads(partition: InputPartition): Boolean = columnar
+
+  override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
+    val chunks = partition.asInstanceOf[GraftVersionedFilePartition].chunks
+    new PartitionReader[ColumnarBatch] {
+      private var idx = -1
+      private var cur: VectorizedParquetRecordReader = _
+      // one conf per PARTITION, not per chunk (Configuration copies are
+      // milliseconds each — visible on narrow scans): its content is
+      // chunk-independent and the readers only consult it
+      private lazy val conf: Configuration = {
+        val c = new Configuration(confCarrier.value)
+        // the conf contract ParquetFileFormat's reader function sets up
+        c.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+          classOf[ParquetReadSupport].getName)
+        c.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, required.json)
+        c.setBoolean("spark.sql.parquet.binaryAsString", false)
+        c.setBoolean("spark.sql.parquet.int96AsTimestamp", true)
+        c.setBoolean("spark.sql.caseSensitive", false)
+        c.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", true)
+        c.setBoolean("spark.sql.legacy.parquet.nanosAsLong", false)
+        c
+      }
+      private def open(chunk: GraftFileChunk): VectorizedParquetRecordReader = {
+        val r = new VectorizedParquetRecordReader(
+          java.time.ZoneId.of("UTC"), "CORRECTED", "UTC", "CORRECTED", "UTC",
+          /* useOffHeap = */ false, /* capacity = */ 4096)
+        // mapred.FileSplit (extends the mapreduce one): the reader base
+        // downcasts to the old API internally. The (start, length) range
+        // selects the row groups whose start offset falls inside it —
+        // exactly how the native scan consumes its splits.
+        val split = new org.apache.hadoop.mapred.FileSplit(
+          new HPath(chunk.path), chunk.start, chunk.length, Array.empty[String])
+        val tac = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+          conf, new org.apache.hadoop.mapreduce.TaskAttemptID())
+        try {
+          r.initialize(split, tac)
+          r.initBatch(new StructType(), InternalRow.empty)
+          r.enableReturningBatches()
+          r
+        } catch { case e: Throwable => r.close(); throw e }
+      }
+      override def next(): Boolean = {
+        while (cur == null || !cur.nextBatch()) {
+          if (cur != null) cur.close()
+          idx += 1
+          if (idx >= chunks.length) { cur = null; return false }
+          cur = open(chunks(idx))
+        }
+        true
+      }
+      override def get(): ColumnarBatch = cur.resultBatch()
+      override def close(): Unit = if (cur != null) { cur.close(); cur = null }
+    }
+  }
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val files = partition.asInstanceOf[GraftVersionedFilePartition].files
+    val chunks = partition.asInstanceOf[GraftVersionedFilePartition].chunks
     // chain the pack's files sequentially behind one PartitionReader
     new PartitionReader[InternalRow] {
       private var idx = -1
@@ -650,8 +752,11 @@ class GraftVersionedReaderFactory(required: StructType,
         while (cur == null || !cur.next()) {
           if (cur != null) cur.close()
           idx += 1
-          if (idx >= files.length) { cur = null; return false }
-          cur = fileReader(files(idx))
+          if (idx >= chunks.length) { cur = null; return false }
+          val c = chunks(idx)
+          require(c.start == 0L && c.length == c.fileLen,
+            s"row reader takes whole files, got range $c") // streaming packs whole
+          cur = fileReader(c.path)
         }
         true
       }

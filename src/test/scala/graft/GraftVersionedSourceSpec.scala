@@ -22,7 +22,8 @@ class GraftVersionedSourceSpec extends SparkSuite {
   private def scanFiles(df: DataFrame): Int =
     df.queryExecution.executedPlan.collectFirst {
       case b: BatchScanExec => b.inputPartitions.map {
-        case p: graft.sources.GraftVersionedFilePartition => p.files.length
+        case p: graft.sources.GraftVersionedFilePartition =>
+          p.chunks.map(_.path).distinct.length
         case _ => 0
       }.sum
     }.getOrElse(fail("no BatchScanExec in the plan"))
@@ -125,6 +126,43 @@ class GraftVersionedSourceSpec extends SparkSuite {
     assert(pre.collect().map(r =>
         (r.getLong(r.fieldIndex("id")), Option(r.getAs[String]("lang")))).toSet
       == Set((1L, None), (2L, None)))
+  }
+
+  test("unpruned full scans take the COLUMNAR path and match readAsOf " +
+      "exactly (including a merge-read chain's NULL-fill)") {
+    val dir = freshDir()
+    VersionedTable.commit(
+      spark.range(0L, 100000L).select(col("id"),
+        (col("id") % 97).cast("double").as("x"),
+        concat(lit("t"), col("id")).as("text")),
+      dir, "id", Seq("text"), 0L)
+    VersionedTable.commit(
+      spark.range(100000L, 150000L).select(col("id"),
+        (col("id") % 97).cast("double").as("x"),
+        concat(lit("t"), col("id")).as("text"),
+        (col("id") % 5 === 0).as("flag")),
+      dir, "id", Seq("text"), 1L, mode = "append", allowSchemaEvolution = true)
+    val viaSql = spark.read.format("graft-versioned").load(dir)
+    // the executed plan decodes vectorized: a ColumnarToRow boundary
+    // sits above the connector's BatchScan (read AFTER execution — AQE
+    // prints the columnar boundary only in the final plan)
+    val agg = viaSql.groupBy().agg(sum("x"), count(lit(1)))
+    agg.collect()
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"), plan)
+    val native = VersionedTable.readAsOf(spark, dir, 2L)
+    assert(viaSql.count() == 150000L)
+    assert(viaSql.agg(sum("x")).head.getDouble(0)
+      == native.agg(sum("x")).head.getDouble(0))
+    // merge-read NULL-fill through the vectorized reader: pre-evolution
+    // rows read NULL flag, post-evolution rows their value
+    assert(viaSql.filter(col("flag").isNull).count() == 100000L)
+    assert(viaSql.filter(col("flag") === true).count() == 10000L)
+    // row-for-row identity on a sample band
+    assert(viaSql.filter(col("id").between(99990, 100009))
+      .orderBy("id").collect().toSeq ==
+      native.filter(col("id").between(99990, 100009))
+        .orderBy("id").collect().toSeq)
   }
 
   test("write path: format(\"graft-versioned\") creates, appends and " +
