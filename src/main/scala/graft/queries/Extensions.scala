@@ -8830,6 +8830,60 @@ object Extensions {
     }
   }
 
+  // -------------------------------------------------------------- Q232
+  /** SQL CATALOG LIFECYCLE ([[graft.sources.GraftCatalog]] — the
+    * TableCatalog front door above q224's path reads and q227's path
+    * writes): CREATE NAMESPACE / CREATE TABLE (declared schema +
+    * idCol) / two INSERT INTO appends / INSERT OVERWRITE, then the
+    * released read runs `VERSION AS OF` TIME TRAVEL THROUGH SQL SYNTAX
+    * — no load(), no temp view over the table, no library call. The
+    * oracle derives both snapshots' aggregates from `documents`
+    * directly, so a catalog that resolved the wrong version, a write
+    * path that committed under the wrong mode, or an overwrite that
+    * leaked prior dirs all hash-fail. The in-query require pins the
+    * three manifest modes. A fresh catalog NAME per invocation: Spark
+    * caches catalog instances by name, and each run's table root is a
+    * fresh scratch dir. */
+  val q232 = QueryDef("q232_sql_catalog_table",
+    """SELECT 'v2_all' AS snap, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(strlen(text)) AS BIGINT) AS n_chars
+      |FROM documents
+      |UNION ALL
+      |SELECT 'v3_cur', CAST(count(*) FILTER (WHERE doc_id < 100) AS BIGINT),
+      |       CAST(sum(strlen(text)) FILTER (WHERE doc_id < 100) AS BIGINT)
+      |FROM documents
+      |ORDER BY snap""") { (s, dir) =>
+    val cat = s"gq232_${java.util.UUID.randomUUID.toString.take(8)}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root",
+      graft.operators.Scratch.dir("q232") + "/cat")
+    t(s, dir, "documents").select("doc_id", "text")
+      .createOrReplaceTempView("q232_docs")
+    s.sql(s"CREATE NAMESPACE $cat.lake")
+    s.sql(s"CREATE TABLE $cat.lake.docs (doc_id BIGINT, text STRING) " +
+      "TBLPROPERTIES ('idCol' = 'doc_id')")
+    s.sql(s"INSERT INTO $cat.lake.docs SELECT doc_id, text FROM q232_docs " +
+      "WHERE doc_id % 2 = 0")
+    s.sql(s"INSERT INTO $cat.lake.docs SELECT doc_id, text FROM q232_docs " +
+      "WHERE doc_id % 2 = 1")
+    s.sql(s"INSERT OVERWRITE $cat.lake.docs SELECT doc_id, text FROM q232_docs " +
+      "WHERE doc_id < 100")
+    val root = s.conf.get(s"spark.sql.catalog.$cat.root")
+    val modes = graft.sources.VersionedTable.history(s, s"$root/lake/docs")
+      .orderBy("version").collect().map(_.getString(1)).toSeq
+    require(modes == Seq("append", "append", "overwrite"),
+      s"catalog writes must commit under the declared modes, got $modes")
+    s.sql(
+      s"""SELECT 'v2_all' AS snap, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(length(text)) AS BIGINT) AS n_chars
+         |FROM $cat.lake.docs VERSION AS OF 2
+         |UNION ALL
+         |SELECT 'v3_cur', CAST(count(*) AS BIGINT),
+         |       CAST(sum(length(text)) AS BIGINT)
+         |FROM $cat.lake.docs
+         |ORDER BY snap""".stripMargin)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -8841,5 +8895,5 @@ object Extensions {
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q169b, q169c, q170, q171, q172, q173, q174, q175,
     q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215,
     q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227,
-    q228, q229, q230, q231)
+    q228, q229, q230, q231, q232)
 }

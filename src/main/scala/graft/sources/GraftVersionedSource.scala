@@ -173,7 +173,8 @@ object GraftVersionedSource {
 }
 
 class GraftVersionedTable(path: String, version: Long,
-    m: Option[VersionedTable.Manifest], tableSchema: StructType)
+    m: Option[VersionedTable.Manifest], tableSchema: StructType,
+    declared: Option[(StructType, String)] = None)
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft_versioned(`$path`@v$version)"
   override def schema(): StructType = tableSchema
@@ -186,16 +187,34 @@ class GraftVersionedTable(path: String, version: Long,
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA).asJava
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val manifest = m.getOrElse(sys.error(
-      s"graft-versioned: $path has no committed versions — nothing to read " +
-        "(write first, or check the path)"))
-    new GraftVersionedScanBuilder(path, manifest, tableSchema,
-      Option(options.get("startingVersion")).map(_.toLong),
-      Option(options.get("ignoreChanges")).exists(_.toBoolean))
-  }
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    m match {
+      case Some(manifest) =>
+        new GraftVersionedScanBuilder(path, manifest, tableSchema,
+          Option(options.get("startingVersion")).map(_.toLong),
+          Option(options.get("ignoreChanges")).exists(_.toBoolean))
+      case None if tableSchema.nonEmpty =>
+        // CREATE TABLE declared, never written: standard SQL reads it as
+        // zero rows of the declared schema
+        new ScanBuilder {
+          override def build(): Scan = new Scan with Batch {
+            override def readSchema(): StructType = tableSchema
+            override def toBatch: Batch = this
+            override def description(): String =
+              s"graft-versioned $path (declared, no commits)"
+            override def planInputPartitions(): Array[InputPartition] = Array.empty
+            override def createReaderFactory(): PartitionReaderFactory =
+              new GraftVersionedReaderFactory(tableSchema,
+                new SerializableHadoopConf(
+                  graft.operators.InvertedIndex.activeHadoopConf()))
+          }
+        }
+      case None => sys.error(
+        s"graft-versioned: $path has no committed versions — nothing to read " +
+          "(write first, or check the path)")
+    }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftVersionedWriteBuilder(path, info)
+    new GraftVersionedWriteBuilder(path, info, declared)
 }
 
 /** SQL-NATIVE WRITE PATH (round-14 verdict task 2): routes
@@ -225,7 +244,8 @@ class GraftVersionedTable(path: String, version: Long,
   * `mode("overwrite")` arrives as the truncate() call (Spark's
   * OverwriteByExpression with the always-true filter) and maps to the
   * commit's `overwrite` mode; `mode("append")` maps to `append`. */
-class GraftVersionedWriteBuilder(path: String, info: LogicalWriteInfo)
+class GraftVersionedWriteBuilder(path: String, info: LogicalWriteInfo,
+    declared: Option[(StructType, String)] = None)
     extends WriteBuilder with SupportsTruncate {
   private var overwrite = false
   override def truncate(): WriteBuilder = { overwrite = true; this }
@@ -239,23 +259,64 @@ class GraftVersionedWriteBuilder(path: String, info: LogicalWriteInfo)
           val cur = VersionedTable.currentVersion(spark, path)
           val standing: Option[VersionedTable.Manifest] =
             if (cur > 0) Some(VersionedTable.readManifest(spark, path, cur)) else None
+          // OUTPUT RESOLUTION (ACCEPT_ANY_SCHEMA means the analyzer
+          // skipped it, so the bridge does Delta's job here): against
+          // the KNOWN target schema (standing version, or the CREATE
+          // TABLE declaration), resolve BY NAME when the incoming
+          // column-name set matches (a df.write with reordered columns
+          // maps by name, never silently by position), else BY POSITION
+          // when the column count matches (SQL `INSERT INTO … VALUES/
+          // SELECT` semantics — literal frames arrive as col1, col2,
+          // …), casting to the target types (ANSI: a narrowing cast
+          // that loses data throws, never corrupts). Any other shape
+          // passes through to the commit protocol's own gates
+          // (schema evolution's extra columns included).
+          import org.apache.spark.sql.functions.col
+          val target: Option[StructType] =
+            (if (cur > 0) Some(VersionedTable.readAsOf(spark, path, cur).schema)
+             else None).orElse(declared.map(_._1))
+          val adapted = target match {
+            case Some(ts) if data.columns.toSet == ts.fieldNames.toSet =>
+              data.select(ts.fields.toSeq.map(f =>
+                col(f.name).cast(f.dataType).as(f.name)): _*)
+            case Some(ts) if data.columns.length == ts.length &&
+                !Option(opts.get("allowSchemaEvolution")).exists(_.toBoolean) =>
+              data.toDF(ts.fieldNames.toSeq: _*)
+                .select(ts.fields.toSeq.map(f =>
+                  col(f.name).cast(f.dataType).as(f.name)): _*)
+            case _ => data
+          }
+          // CATALOG-DECLARED schema gate: the commit protocol's append
+          // gate only fires from v2 on (v1 defines the schema for a
+          // path-based table), but a CREATE TABLE declared the shape —
+          // the FIRST insert must match it (after resolution above), or
+          // the declaration was a lie
+          def sig(s: StructType) =
+            s.fields.map(f => (f.name, f.dataType.sql)).sortBy(_._1).toSeq
+          declared.foreach { case (schema, _) =>
+            if (cur == 0 && sig(adapted.schema) != sig(schema))
+              sys.error(s"graft catalog: first insert into $path has schema " +
+                s"${adapted.schema.simpleString}, but CREATE TABLE declared " +
+                s"${schema.simpleString} — names and types must match exactly")
+          }
           val idCol = Option(opts.get("idCol"))
             .orElse(standing.map(_.idCol))
+            .orElse(declared.map(_._2))
             .getOrElse(throw new IllegalArgumentException(
               s"graft-versioned: first write to $path must declare " +
                 ".option(\"idCol\", …) — the manifest digest needs an id column"))
-          require(data.columns.contains(idCol),
+          require(adapted.columns.contains(idCol),
             s"graft-versioned: idCol '$idCol' is not a column of the written " +
-              s"data (${data.columns.mkString(", ")})")
+              s"data (${adapted.columns.mkString(", ")})")
           val contentCols = Option(opts.get("contentCols"))
             .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
             .orElse(standing.map(_.contentCols))
-            .getOrElse(data.columns.filterNot(_ == idCol).toSeq)
+            .getOrElse(adapted.columns.filterNot(_ == idCol).toSeq)
           def csv(k: String): Seq[String] = Option(opts.get(k))
             .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
           val expected = Option(opts.get("expectedVersion")).map(_.toLong)
             .getOrElse(cur)
-          VersionedTable.commit(data, path, idCol, contentCols,
+          VersionedTable.commit(adapted, path, idCol, contentCols,
             expectedVersion = expected,
             mode = if (overwrite) "overwrite" else "append",
             statCols = csv("statCols"),

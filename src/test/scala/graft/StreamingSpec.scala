@@ -329,7 +329,12 @@ class StreamingSpec extends SparkSuite {
       .option("checkpointLocation", s"$dir/ckpt").start()
     try {
       q.processAllAvailable()
-      Seq(ev(1, 8300), ev(1, 8400), ev(1, 9800)).toDS().toDF()
+      // ONE file for the straggler trio: a multi-file append lands
+      // non-atomically while the stream is live, so a trigger racing
+      // the write can list a subset and process the stragglers across
+      // two batches — a different (valid) streaming outcome than the
+      // single-batch semantics this test pins
+      Seq(ev(1, 8300), ev(1, 8400), ev(1, 9800)).toDS().toDF().coalesce(1)
         .write.mode("append").parquet(s"$dir/in")
       q.processAllAvailable()
       val got = spark.table("sessstrag_mem").as[EventStreams.ClosedSession].collect()
