@@ -275,7 +275,12 @@ class GraftVersionedWriteBuilder(path: String, info: LogicalWriteInfo,
           val target: Option[StructType] =
             (if (cur > 0) Some(VersionedTable.readAsOf(spark, path, cur).schema)
              else None).orElse(declared.map(_._1))
-          val adapted = target match {
+          // a SCHEMA-CHANGING overwrite (Delta's overwriteSchema option):
+          // skip resolution entirely — the incoming frame's schema re-bases
+          // the table, exactly as the Scala API's overwrite commit does
+          val overwriteSchema = overwrite &&
+            Option(opts.get("overwriteSchema")).exists(_.toBoolean)
+          val adapted = if (overwriteSchema) data else target match {
             case Some(ts) if data.columns.toSet == ts.fieldNames.toSet =>
               data.select(ts.fields.toSeq.map(f =>
                 col(f.name).cast(f.dataType).as(f.name)): _*)

@@ -222,6 +222,34 @@ class GraftVersionedSourceSpec extends SparkSuite {
       .filter(col("id") === 999L).count() == 0L)
   }
 
+  test("write resolution: reordered names map BY NAME, positional frames " +
+      "cast to the standing schema, and overwriteSchema re-bases") {
+    val dir = freshDir()
+    Seq((1L, "a")).toDF("id", "text")
+      .write.format("graft-versioned").option("idCol", "id")
+      .mode("append").save(dir)
+    // name-set match, different order: by-name, never positional
+    Seq(("b", 2L)).toDF("text", "id")
+      .write.format("graft-versioned").mode("append").save(dir)
+    assert(spark.read.format("graft-versioned").load(dir)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      == Seq((1L, "a"), (2L, "b")))
+    // positional with int ids: cast to the standing BIGINT
+    Seq((3, "c")).toDF("n", "s")
+      .write.format("graft-versioned").mode("append").save(dir)
+    assert(spark.read.format("graft-versioned").load(dir)
+      .filter(col("id") === 3L).count() == 1L)
+    // schema-changing overwrite needs the explicit option (same count,
+    // different names would otherwise positionally map to the OLD schema)
+    Seq((9L, 42.5)).toDF("id", "score")
+      .write.format("graft-versioned").option("overwriteSchema", "true")
+      .option("contentCols", "score")
+      .mode("overwrite").save(dir)
+    val rebased = spark.read.format("graft-versioned").load(dir)
+    assert(rebased.columns.toSeq == Seq("id", "score"))
+    assert(rebased.head.getDouble(1) == 42.5)
+  }
+
   test("metadata tables: .option(\"metadata\", history|files) resolves " +
       "through the same provider and matches the library surfaces") {
     val dir = freshDir()
