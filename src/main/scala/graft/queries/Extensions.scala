@@ -8884,6 +8884,61 @@ object Extensions {
          |ORDER BY snap""".stripMargin)
   }
 
+  // -------------------------------------------------------------- Q233
+  /** NATIVE STREAMING SINK ([[graft.sources.GraftVersionedStreamingWrite]]
+    * — `writeStream.format("graft-versioned")`, the write-side
+    * completion of the q224 commit-log streaming source): three
+    * residue-sliced input files arrive across three AvailableNow runs
+    * of one checkpointed stream; each micro-batch's executors write
+    * parquet DIRECTLY into an epoch-staging dir and the driver
+    * publishes it through the SAME digest/stats/manifest protocol as
+    * every batch commit, stamped with the epoch id. The released
+    * history table derives every expected row count from the residue
+    * rule alone — a sink that dropped a task's file, double-delivered
+    * a replayed epoch, or mis-stamped a mode hash-fails; the in-query
+    * require re-derives the final snapshot's digest
+    * ([[graft.sources.VersionedTable.validateAsOf]]) so the
+    * executor-written parquet bytes must account exactly. */
+  val q233 = QueryDef("q233_streaming_sink",
+    """WITH n AS (
+      |  SELECT CAST(count(*) FILTER (WHERE doc_id % 3 = 0) AS BIGINT) AS n0,
+      |         CAST(count(*) FILTER (WHERE doc_id % 3 = 1) AS BIGINT) AS n1,
+      |         CAST(count(*) FILTER (WHERE doc_id % 3 = 2) AS BIGINT) AS n2
+      |  FROM documents
+      |)
+      |SELECT CAST(1 AS BIGINT) AS version, 'append' AS mode,
+      |       n0 AS n_rows, CAST(1 AS BIGINT) AS n_dirs FROM n
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), 'append', n0 + n1, CAST(2 AS BIGINT) FROM n
+      |UNION ALL
+      |SELECT CAST(3 AS BIGINT), 'append', n0 + n1 + n2, CAST(3 AS BIGINT) FROM n
+      |ORDER BY version""") { (s, dir) =>
+    val vt = graft.sources.VersionedTable
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val root = graft.operators.Scratch.dir("q233")
+    val in = s"$root/in"
+    val tbl = s"$root/t"
+    def runOnce(): Unit = {
+      val q = s.readStream.schema("doc_id LONG, text STRING").parquet(in)
+        .writeStream.outputMode("append")
+        .format("graft-versioned")
+        .option("path", tbl).option("idCol", "doc_id")
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    (0 to 2).foreach { r =>
+      docs.filter(col("doc_id") % 3 === r).coalesce(1)
+        .write.mode("append").parquet(in)
+      runOnce() // one file per run ⇒ one epoch ⇒ one stamped version
+    }
+    val (ok, expRows, gotRows, _, _) = vt.validateAsOf(s, tbl, 3L)
+    require(ok, s"streamed bytes must digest-validate: rows $expRows vs $gotRows")
+    vt.history(s, tbl)
+      .select(col("version"), col("mode"), col("n_rows"), col("n_dirs"))
+      .orderBy("version")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -8895,5 +8950,5 @@ object Extensions {
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q169b, q169c, q170, q171, q172, q173, q174, q175,
     q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215,
     q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227,
-    q228, q229, q230, q231, q232)
+    q228, q229, q230, q231, q232, q233)
 }

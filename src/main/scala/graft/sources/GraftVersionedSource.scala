@@ -186,6 +186,7 @@ class GraftVersionedTable(path: String, version: Long,
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     m match {
@@ -250,6 +251,13 @@ class GraftVersionedWriteBuilder(path: String, info: LogicalWriteInfo,
   private var overwrite = false
   override def truncate(): WriteBuilder = { overwrite = true; this }
   override def build(): Write = new V1Write {
+    /** `ds.writeStream.format("graft-versioned")` — the NATIVE
+      * streaming sink (outputMode append → one append commit per
+      * micro-batch; outputMode complete arrives via truncate() → one
+      * overwrite commit per micro-batch, the aggregate-snapshot
+      * shape). See [[GraftVersionedStreamingWrite]]. */
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new GraftVersionedStreamingWrite(path, info, declared, overwrite)
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
         override def insert(data: org.apache.spark.sql.DataFrame,
@@ -888,6 +896,177 @@ class GraftVersionedReaderFactory(required: StructType,
         new GenericInternalRow(vals)
       }
       override def close(): Unit = reader.close()
+    }
+  }
+}
+
+/** One successful task's staged file (name + row count) — the only
+  * state that crosses from executors to the streaming commit. */
+case class GraftStreamFileMessage(fileName: String, rows: Long)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+/** NATIVE STREAMING SINK (`ds.writeStream.format("graft-versioned")` —
+  * the write-side completion of the r13 commit-log streaming SOURCE;
+  * the foreachBatch + [[VersionedTable.commitStreamBatch]] recipe made
+  * a first-class sink):
+  *
+  *  - executors write each task's rows DIRECTLY to parquet in an
+  *    epoch-staging dir under the table root
+  *    (`data/stream-<query>-e<epoch>`; attempt-unique file names, so
+  *    task retries never clobber),
+  *  - the driver's `commit(epoch, messages)` keeps exactly the files
+  *    the COMMITTED tasks reported (a failed attempt's orphan file is
+  *    deleted before anything is digested), then publishes the staged
+  *    dir through [[VersionedTable.publishStagedDir]] — the same
+  *    digest / stats / bloom / optimistic-rename protocol every other
+  *    write takes, stamped with the epoch as the manifest `batch_id`,
+  *  - EXACTLY-ONCE across restarts: a replayed epoch (failure after
+  *    publish, before the checkpoint advanced — the at-least-once
+  *    window every sink sees) is detected against the manifest batch
+  *    watermark ([[VersionedTable.lastStampedBatchId]]) and skipped,
+  *    its staged dir reclaimed. An EMPTY micro-batch publishes no
+  *    version (re-running it is harmlessly empty again).
+  *
+  * `outputMode("append")` maps each epoch to an append commit;
+  * `outputMode("complete")` (arriving via truncate()) to an overwrite
+  * commit — the aggregate-snapshot shape. Options mirror the batch
+  * write surface: `idCol` (required on first write), `contentCols`,
+  * `statCols`, `bloomCols`. An aborted epoch's staging is deleted
+  * best-effort; anything missed is an unreferenced dir for
+  * [[VersionedTable.vacuum]] — the same orphan story as a batch
+  * commit's loser. Single-writer per table, like commitStreamBatch. */
+class GraftVersionedStreamingWrite(path: String,
+    info: org.apache.spark.sql.connector.write.LogicalWriteInfo,
+    declared: Option[(StructType, String)], truncateMode: Boolean)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.{PhysicalWriteInfo, WriterCommitMessage}
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  private val schema = info.schema()
+  private val qid = info.queryId().replace("-", "").take(8)
+  schema.fields.foreach { f =>
+    require(GraftVersionedSource.supported(f.dataType),
+      s"graft-versioned streaming sink: unsupported column type " +
+        s"${f.dataType.simpleString} for '${f.name}'")
+  }
+
+  private def stagingRel(epochId: Long): String = f"data/stream-$qid-e$epochId%08d"
+
+  override def createStreamingWriterFactory(
+      pi: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new GraftVersionedStreamingWriterFactory(path, qid, schema,
+      new SerializableHadoopConf(graft.operators.InvertedIndex.activeHadoopConf()))
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val fs = new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stagedRel = stagingRel(epochId)
+    val stagedPath = new HPath(new HPath(path), stagedRel)
+    def dropStaged(): Unit = if (fs.exists(stagedPath)) fs.delete(stagedPath, true): Unit
+    // idempotent replay: this epoch already published (crash between
+    // publish and checkpoint advance) — reclaim the fresh staging, done
+    if (epochId <= VersionedTable.lastStampedBatchId(spark, path)) {
+      dropStaged(); return
+    }
+    // keep exactly the committed tasks' files: a failed attempt's
+    // orphan must never enter the digest
+    val committed = messages.collect {
+      case m: GraftStreamFileMessage => m.fileName
+    }.toSet
+    if (fs.exists(stagedPath))
+      fs.listStatus(stagedPath).foreach { s =>
+        if (s.isFile && !committed(s.getPath.getName))
+          fs.delete(s.getPath, false): Unit
+      }
+    if (committed.isEmpty || !fs.exists(stagedPath)) {
+      dropStaged(); return // empty micro-batch: no version published
+    }
+    val opts = info.options()
+    val cur = VersionedTable.currentVersion(spark, path)
+    val standing: Option[VersionedTable.Manifest] =
+      if (cur > 0) Some(VersionedTable.readManifest(spark, path, cur)) else None
+    val idCol = Option(opts.get("idCol"))
+      .orElse(standing.map(_.idCol))
+      .orElse(declared.map(_._2))
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft-versioned streaming sink: first write to $path must declare " +
+          ".option(\"idCol\", …)"))
+    def csv(k: String): Seq[String] = Option(opts.get(k))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val contentCols = Option(opts.get("contentCols"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .orElse(standing.map(_.contentCols))
+      .getOrElse(schema.fieldNames.filterNot(_ == idCol).toSeq)
+    VersionedTable.publishStagedDir(spark, path, stagedRel, idCol, contentCols,
+      expectedVersion = cur,
+      mode = if (truncateMode) "overwrite" else "append",
+      batchId = Some(epochId),
+      statCols = csv("statCols"),
+      bloomCols = csv("bloomCols")): Unit
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val fs = new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stagedPath = new HPath(new HPath(path), stagingRel(epochId))
+    // best-effort: anything missed is an unreferenced dir for vacuum
+    try { if (fs.exists(stagedPath)) fs.delete(stagedPath, true): Unit }
+    catch { case _: java.io.IOException => () }
+  }
+}
+
+class GraftVersionedStreamingWriterFactory(path: String, qid: String,
+    schema: StructType, confCarrier: SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  import org.apache.spark.sql.connector.write.DataWriter
+  import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+
+  /** Builder shim: parquet-mr's Builder is the non-deprecated way to
+    * construct a writer over a custom WriteSupport (Spark's own
+    * InternalRow one). */
+  private class IRBuilder(file: HPath, support: ParquetWriteSupport)
+      extends org.apache.parquet.hadoop.ParquetWriter.Builder[InternalRow, IRBuilder](file) {
+    override def self(): IRBuilder = this
+    override def getWriteSupport(conf: Configuration)
+        : org.apache.parquet.hadoop.api.WriteSupport[InternalRow] = support
+  }
+
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] = {
+    // attempt-unique name (taskId is unique per attempt): retries never
+    // clobber, and only the committed attempt's name reaches the driver
+    val fileName = f"part-$partitionId%05d-$taskId.parquet"
+    val file = new HPath(new HPath(new HPath(path),
+      f"data/stream-$qid-e$epochId%08d"), fileName)
+    val conf = new Configuration(confCarrier.value)
+    // the conf contract ParquetWriteSupport.init asserts on
+    ParquetWriteSupport.setSchema(schema, conf)
+    conf.set("spark.sql.parquet.writeLegacyFormat", "false")
+    conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    conf.set("spark.sql.parquet.fieldId.write.enabled", "false")
+    conf.set("spark.sql.parquet.variant.annotateLogicalType.enabled", "false")
+    conf.set("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
+    conf.set("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
+    conf.set("spark.sql.session.timeZone", "UTC")
+    new DataWriter[InternalRow] {
+      private var rows = 0L
+      private val writer = new IRBuilder(file, new ParquetWriteSupport)
+        .withConf(conf)
+        .withCompressionCodec(
+          org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+        .build()
+      override def write(row: InternalRow): Unit = { writer.write(row); rows += 1 }
+      override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+        writer.close()
+        GraftStreamFileMessage(fileName, rows)
+      }
+      override def abort(): Unit = {
+        try writer.close() catch { case _: Throwable => () }
+        val fs = file.getFileSystem(conf)
+        try { if (fs.exists(file)) fs.delete(file, false): Unit }
+        catch { case _: java.io.IOException => () }
+      }
+      override def close(): Unit = ()
     }
   }
 }

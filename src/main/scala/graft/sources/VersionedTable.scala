@@ -357,6 +357,66 @@ object VersionedTable {
     val dataRel = f"$DataDir/v$next%08d-$uid"
     val dataPath = new Path(root, dataRel)
     df.write.mode("error").parquet(dataPath.toString)
+    publishStagedDir(spark, tableDir, dataRel, idCol, contentCols,
+      expectedVersion, mode, onBeforePublish, batchId, statCols, bloomCols,
+      prevManifest, evolvedNow)
+  }
+
+  /** PUBLISH an already-staged data dir as the next version — the tail
+    * of [[commit]] split out (round 14) so the STREAMING SINK
+    * ([[GraftVersionedSource]]'s StreamingWrite, whose executors wrote
+    * the parquet files directly) shares the exact digest / stats /
+    * bloom / manifest-rename protocol instead of re-implementing it.
+    * `dataRel` must be a fully-written dir under the table root; the
+    * publish reads its LANDED bytes (the writeWithManifest discipline)
+    * and the optimistic-concurrency rename stays the single commit
+    * point. */
+  private[sources] def publishStagedDir(spark: SparkSession, tableDir: String,
+      dataRel: String, idCol: String, contentCols: Seq[String],
+      expectedVersion: Long, mode: String,
+      onBeforePublish: () => Unit = () => (),
+      batchId: Option[Long] = None,
+      statCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil,
+      prevManifestIn: Option[Manifest] = null,
+      evolvedNowIn: Boolean = false,
+      allowSchemaEvolution: Boolean = false): Long = {
+    val root = new Path(tableDir)
+    val fs = fsOf(spark, root)
+    val cur = currentVersion(spark, tableDir)
+    if (cur != expectedVersion)
+      throw new java.util.ConcurrentModificationException(
+        s"versioned table $tableDir is at v$cur but this writer expected " +
+          s"v$expectedVersion — rebase on v$cur and retry")
+    val next = cur + 1
+    val dataPath = new Path(root, dataRel)
+    // callers arriving through commit() already read the previous
+    // manifest and ran the evolution gate against the DataFrame; a
+    // staged-dir caller (streaming sink) passes null and both are
+    // derived here from the landed bytes
+    val prevManifest: Option[Manifest] =
+      if (prevManifestIn != null) prevManifestIn
+      else if (mode == "append" && cur > 0) Some(readManifest(spark, tableDir, cur))
+      else None
+    var evolvedNow = evolvedNowIn
+    if (prevManifestIn == null && mode == "append" && cur > 0L) {
+      val standing = readAsOf(spark, tableDir, cur).schema
+      val stagedSchema = spark.read.parquet(dataPath.toString).schema
+      if (schemaSig(stagedSchema) != schemaSig(standing)) {
+        val missing = schemaSig(standing).toSet -- schemaSig(stagedSchema).toSet
+        if (allowSchemaEvolution && missing.isEmpty) {
+          evolvedNow = true
+          val standingContent = prevManifest.map(_.contentCols).getOrElse(Nil)
+          require(contentCols == standingContent,
+            s"versioned table $tableDir: an evolving append must keep the " +
+              s"standing content cols ${standingContent.mkString(",")} for the digest")
+        } else
+          sys.error(s"versioned table $tableDir: staged append schema " +
+            s"${stagedSchema.simpleString} does not match version v$cur's " +
+            s"${standing.simpleString} — add columns with allowSchemaEvolution, " +
+            "or evolve types with an explicit overwrite commit")
+      }
+    }
     val dirsForVersion: Seq[String] =
       prevManifest.map(_.dirs :+ dataRel).getOrElse(Seq(dataRel))
     // re-read what LANDED (the writeWithManifest discipline): rows and
@@ -387,8 +447,14 @@ object VersionedTable {
     // kept: pruning is an optimization, never the correctness carrier).
     val newDirStats: Option[(Long, Long)] = {
       val r = spark.read.parquet(dataPath.toString)
-        .agg(org.apache.spark.sql.functions.min(col(idCol).cast("long")),
-          org.apache.spark.sql.functions.max(col(idCol).cast("long"))).head()
+        // try_cast: a NON-NUMERIC id column yields null (⇒ no stats
+        // recorded, the documented conservative path) — a plain cast
+        // under Spark 4's default ANSI mode would THROW and fail the
+        // whole commit for string-keyed tables
+        .agg(org.apache.spark.sql.functions.min(
+            org.apache.spark.sql.functions.expr(s"try_cast(`$idCol` AS BIGINT)")),
+          org.apache.spark.sql.functions.max(
+            org.apache.spark.sql.functions.expr(s"try_cast(`$idCol` AS BIGINT)"))).head()
       if (r.isNullAt(0) || r.isNullAt(1)) None else Some((r.getLong(0), r.getLong(1)))
     }
     val carried: Map[String, (Long, Long)] =
@@ -511,7 +577,10 @@ object VersionedTable {
     // other's staging either.
     val commitsDir = new Path(root, CommitsDir)
     if (!fs.exists(commitsDir)) fs.mkdirs(commitsDir)
-    val tmp = new Path(commitsDir, f".tmp-v$next%08d-$uid.json")
+    // attempt-unique staging for the manifest rename (racing losers
+    // never clobber each other's staged file either)
+    val stageUid = java.util.UUID.randomUUID.toString.take(8)
+    val tmp = new Path(commitsDir, f".tmp-v$next%08d-$stageUid.json")
     val out = fs.create(tmp, false)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
@@ -551,24 +620,29 @@ object VersionedTable {
       statCols: Seq[String] = Nil): Option[Long] = {
     val spark = batch.sparkSession
     val cur = currentVersion(spark, tableDir)
-    // the replay watermark is the most RECENT manifest carrying a batch
-    // id — not just the head manifest: a compact()/maintenance commit
-    // interleaved between micro-batches has no batch id, and reading
-    // only the head would reset the watermark to -1 and let a replayed
-    // batch double-commit. O(versions) tiny driver-side reads, and the
-    // scan stops at the first stamped manifest. Caveat (documented):
-    // vacuum must retain enough versions to cover the longest possible
-    // stream downtime, or a replay older than the horizon loses its
-    // watermark — retention policy is part of the exactly-once contract.
-    val lastBatch = versions(spark, tableDir).reverseIterator
-      .map(v => readManifest(spark, tableDir, v).batchId)
-      .collectFirst { case Some(b) => b }
-      .getOrElse(-1L)
-    if (batchId <= lastBatch) None // replayed batch — already committed
+    if (batchId <= lastStampedBatchId(spark, tableDir))
+      None // replayed batch — already committed
     else Some(commit(batch, tableDir, idCol, contentCols,
       expectedVersion = cur, mode = mode, batchId = Some(batchId),
       statCols = statCols))
   }
+
+  /** The replay watermark: the most RECENT manifest carrying a batch
+    * id — not just the head manifest: a compact()/maintenance commit
+    * interleaved between micro-batches has no batch id, and reading
+    * only the head would reset the watermark to -1 and let a replayed
+    * batch double-commit. O(versions) tiny driver-side reads, and the
+    * scan stops at the first stamped manifest. Caveat (documented):
+    * vacuum must retain enough versions to cover the longest possible
+    * stream downtime, or a replay older than the horizon loses its
+    * watermark — retention policy is part of the exactly-once contract.
+    * Shared by [[commitStreamBatch]] and the native streaming sink. */
+  private[sources] def lastStampedBatchId(spark: SparkSession,
+      tableDir: String): Long =
+    versions(spark, tableDir).reverseIterator
+      .map(v => readManifest(spark, tableDir, v).batchId)
+      .collectFirst { case Some(b) => b }
+      .getOrElse(-1L)
 
   /** Time travel: the table exactly as of committed version `v`.
     * Plain parquet read over the version's dirs — pruning, pushdown

@@ -99,6 +99,20 @@ class GraftCatalogSpec extends SparkSuite {
     }
   }
 
+  test("CTAS: CREATE TABLE AS SELECT declares from the query schema and " +
+      "lands as commit v1 (idCol property honored)") {
+    val c = freshCatalog()
+    spark.sql(s"CREATE TABLE $c.ct TBLPROPERTIES('idCol'='id') AS " +
+      "SELECT id, concat('t', id) AS text FROM range(12)")
+    assert(spark.sql(s"SELECT count(*) FROM $c.ct").head.getLong(0) == 12L)
+    val root = spark.conf.get(s"spark.sql.catalog.$c.root")
+    assert(VersionedTable.currentVersion(spark, s"$root/ct") == 1L)
+    assert(VersionedTable.validateAsOf(spark, s"$root/ct", 1L)._1)
+    // the digest id column came from the property, not the default
+    assert(spark.sql(s"DESCRIBE TABLE $c.ct").collect()
+      .map(_.getString(0)).contains("id"))
+  }
+
   test("one table, three surfaces: SQL-catalog writes are readable through " +
       "the path connector and the Scala API (same manifest chain)") {
     val c = freshCatalog()

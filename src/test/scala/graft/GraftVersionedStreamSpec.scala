@@ -85,6 +85,82 @@ class GraftVersionedStreamSpec extends SparkSuite {
     assert(ids == Seq(1L, 1L, 2L, 2L), s"expected duplicate delivery, got $ids")
   }
 
+  test("NATIVE STREAMING SINK: each micro-batch commits one stamped version " +
+      "exactly-once across restarts; digests validate; idle restart is a no-op") {
+    val root = Files.createTempDirectory("gvsink").toString
+    val in = s"$root/in"
+    val tbl = s"$root/t"
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema("id LONG, text STRING").parquet(in)
+        .writeStream.outputMode("append")
+        .format("graft-versioned")
+        .option("path", tbl).option("idCol", "id")
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    Seq((1L, "a"), (2L, "b")).toDF("id", "text").coalesce(1)
+      .write.mode("append").parquet(in)
+    runOnce()
+    assert(VersionedTable.currentVersion(spark, tbl) == 1L)
+    assert(VersionedTable.validateAsOf(spark, tbl, 1L)._1,
+      "streamed parquet bytes must digest-validate like any other commit")
+    Seq((3L, "c")).toDF("id", "text").coalesce(1)
+      .write.mode("append").parquet(in)
+    runOnce()
+    assert(VersionedTable.currentVersion(spark, tbl) == 2L)
+    assert(VersionedTable.read(spark, tbl).collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L, 3L))
+    assert(VersionedTable.validateAsOf(spark, tbl, 2L)._1)
+    // manifests carry the epoch ids (the exactly-once watermark)
+    val batchIds = VersionedTable.history(spark, tbl)
+      .orderBy("version").collect().map(r => r.getAs[java.lang.Long]("batch_id"))
+    assert(batchIds.forall(_ != null) && batchIds.distinct.length == 2)
+    runOnce() // no new input: no version, no staging leftovers
+    assert(VersionedTable.currentVersion(spark, tbl) == 2L)
+    // the commit-log SOURCE reads what the sink wrote: loop closed
+    val loopOut = s"$root/loopout"
+    val q2 = spark.readStream.format("graft-versioned").load(tbl)
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", loopOut)
+      .option("checkpointLocation", s"$root/ckpt2")
+      .trigger(Trigger.AvailableNow()).start()
+    try q2.awaitTermination() finally q2.stop()
+    assert(spark.read.parquet(loopOut).count() == 3L)
+  }
+
+  test("streaming sink outputMode complete: each epoch OVERWRITES the " +
+      "snapshot (the aggregate-table shape)") {
+    val root = Files.createTempDirectory("gvsinkc").toString
+    val in = s"$root/in"
+    val tbl = s"$root/t"
+    def runOnce(): Unit = {
+      val agg = spark.readStream
+        .schema("id LONG, text STRING").parquet(in)
+        .groupBy(col("text")).agg(count(lit(1)).as("n"))
+      val q = agg.writeStream.outputMode("complete")
+        .format("graft-versioned")
+        .option("path", tbl).option("idCol", "text")
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    Seq((1L, "x"), (2L, "y"), (3L, "x")).toDF("id", "text").coalesce(1)
+      .write.mode("append").parquet(in)
+    runOnce()
+    assert(VersionedTable.read(spark, tbl).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet == Set(("x", 2L), ("y", 1L)))
+    Seq((4L, "x")).toDF("id", "text").coalesce(1)
+      .write.mode("append").parquet(in)
+    runOnce()
+    val lastMode = VersionedTable.history(spark, tbl)
+      .orderBy(col("version").desc).head.getString(1)
+    assert(lastMode == "overwrite", "complete mode must publish snapshot overwrites")
+    assert(VersionedTable.read(spark, tbl).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet == Set(("x", 3L), ("y", 1L)))
+  }
+
   test("startingVersion skips history: a fresh checkpoint from v1 sees only later appends") {
     val root = Files.createTempDirectory("gvstream2").toString
     val dir = s"$root/t"
