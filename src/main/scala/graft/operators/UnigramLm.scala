@@ -138,17 +138,12 @@ object UnigramLm {
       // per-word DP, never joined corpus-side
       val vocabMap: Map[String, Long] = voc.collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
-      val bc = spark.sparkContext.broadcast(vocabMap)
-      val maxLen = p.maxPieceLen
-      val segUdf = udf { (word: String) => viterbi(word, bc.value, maxLen) }
-      val pieceCounts = words
-        .select(col("cnt"), explode(segUdf(col("word"))).as("piece"))
-        .groupBy("piece").agg(sum("cnt").as("freq"))
+      val counts = pieceCounts(words, vocabMap, p.maxPieceLen)
       val singles = voc.filter(length(col("piece")) === 1).select("piece")
-        .join(pieceCounts, Seq("piece"), "left_outer")
+        .join(counts, Seq("piece"), "left_outer")
         .select(col("piece"), coalesce(col("freq"), lit(0L)).as("freq"))
       voc = singles.unionByName(
-          pieceCounts.filter(length(col("piece")) >= 2)
+          counts.filter(length(col("piece")) >= 2)
             .orderBy(col("freq").desc, col("piece")).limit(p.keepSize))
         .localCheckpoint(false)
     }
@@ -160,6 +155,18 @@ object UnigramLm {
       .localCheckpoint()
     words.unpersist()
     out
+  }
+
+  /** Piece-usage counts of a `(word, cnt)` relation under a FIXED
+    * vocabulary — one E-step (the inference-side census every tokenizer
+    * deployment wants: what does the corpus actually use?). Shared by
+    * the training loop and q234. */
+  def pieceCounts(words: DataFrame, vocab: Map[String, Long],
+      maxPieceLen: Int): DataFrame = {
+    val bc = words.sparkSession.sparkContext.broadcast(vocab)
+    val segUdf = udf { (word: String) => viterbi(word, bc.value, maxPieceLen) }
+    words.select(col("cnt"), explode(segUdf(col("word"))).as("piece"))
+      .groupBy("piece").agg(sum("cnt").as("freq"))
   }
 
   /** Segment a text column's words with a trained vocabulary (the

@@ -8732,8 +8732,13 @@ object Extensions {
     * after is vocabulary-bounded (distinct words), with the per-round
     * vocab a broadcast map (bounded collect, the k-means-sample
     * class). */
-  private def unigramLmOracleSql(P: Int, W: Int, N: Int, M: Int, R: Int): String = {
-    val dpRounds = (1 to R).map { r =>
+  /** `segmentTopK = Some(k)`: unroll ONE extra E-step under the FINAL
+    * vocabulary and release its top-k piece-usage census instead of the
+    * vocabulary itself (q234's inference half). */
+  private def unigramLmOracleSql(P: Int, W: Int, N: Int, M: Int, R: Int,
+      segmentTopK: Option[Int] = None): String = {
+    val lastRound = if (segmentTopK.isEmpty) R else R + 1
+    val dpRounds = (1 to lastRound).map { r =>
       val positions = (1 to W).map { j =>
         val legs = (math.max(0, j - P) until j).map { i =>
           s"""  SELECT d.word, d.cnt, d.np + 1 AS np, d.sf + v.freq AS sf,
@@ -8801,12 +8806,23 @@ object Extensions {
        |    FROM sub WHERE len(piece) >= 2) WHERE rn <= $N
        |),
        |$dpRounds
-       |SELECT CAST(piece_rank AS BIGINT) AS piece_rank, piece,
-       |       CAST(freq AS BIGINT) AS freq
-       |FROM (SELECT piece, freq,
-       |        row_number() OVER (ORDER BY freq DESC, piece ASC) AS piece_rank
-       |      FROM voc${R + 1})
-       |ORDER BY piece_rank""".stripMargin
+       |${segmentTopK match {
+           case None =>
+             s"""SELECT CAST(piece_rank AS BIGINT) AS piece_rank, piece,
+                |       CAST(freq AS BIGINT) AS freq
+                |FROM (SELECT piece, freq,
+                |        row_number() OVER (ORDER BY freq DESC, piece ASC) AS piece_rank
+                |      FROM voc${R + 1})
+                |ORDER BY piece_rank""".stripMargin
+           case Some(k) =>
+             s"""SELECT CAST(piece_rank AS BIGINT) AS piece_rank, piece,
+                |       CAST(freq AS BIGINT) AS n_tokens
+                |FROM (SELECT piece, freq,
+                |        row_number() OVER (ORDER BY freq DESC, piece ASC) AS piece_rank
+                |      FROM pc${R + 1})
+                |WHERE piece_rank <= $k
+                |ORDER BY piece_rank""".stripMargin
+         }}""".stripMargin
   }
 
   val q231 = {
@@ -8939,6 +8955,41 @@ object Extensions {
       .orderBy("version")
   }
 
+  // -------------------------------------------------------------- Q234
+  /** UNIGRAM-LM SEGMENTATION CENSUS ([[graft.operators.UnigramLm
+    * .pieceCounts]] — q231's INFERENCE half): the corpus is segmented
+    * under the TRAINED vocabulary (one more E-step, no prune) and the
+    * released rows are the top-40 pieces by count-weighted usage —
+    * the "what does the deployed tokenizer actually emit" census every
+    * tokenizer rollout measures (piece coverage drives vocab-size and
+    * fertility decisions). The oracle unrolls one extra DP round over
+    * the final vocabulary (the q231 lattice discipline, round R+1) and
+    * replays the census bit-for-bit — a drift in the inference DP that
+    * training alone wouldn't catch (e.g. a tie-break divergence on
+    * pieces the prune kept but training's last segmentation never
+    * used) hash-fails here. Scale shape: one corpus word count + one
+    * vocabulary-bounded E-step. */
+  val q234 = {
+    val p = graft.operators.UnigramLm.Params()
+    QueryDef("q234_unigram_segment",
+      unigramLmOracleSql(p.maxPieceLen, p.maxWordLen, p.seedSize, p.keepSize,
+        p.rounds, segmentTopK = Some(40))) { (s, dir) =>
+      val wc = t(s, dir, "documents")
+        .select(explode(TextFunctions.normalizedWords(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+      val vocab = graft.operators.UnigramLm.train(wc, p)
+        .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+      val words = wc.filter(length(col("word")).between(1, p.maxWordLen))
+      graft.operators.UnigramLm.pieceCounts(words, vocab, p.maxPieceLen)
+        .withColumn("piece_rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("freq").desc, col("piece"))).cast("long"))
+        .filter(col("piece_rank") <= 40)
+        .select(col("piece_rank"), col("piece"), col("freq").as("n_tokens"))
+        .orderBy("piece_rank")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -8950,5 +9001,5 @@ object Extensions {
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q169b, q169c, q170, q171, q172, q173, q174, q175,
     q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215,
     q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227,
-    q228, q229, q230, q231, q232, q233)
+    q228, q229, q230, q231, q232, q233, q234)
 }
