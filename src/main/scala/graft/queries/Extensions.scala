@@ -8990,6 +8990,52 @@ object Extensions {
     }
   }
 
+  // -------------------------------------------------------------- Q235
+  /** SQL `DELETE FROM` (SupportsDelete on the catalog table — the
+    * GDPR/right-to-be-forgotten path in pure SQL, completing the q232
+    * lifecycle): the corpus lands through the SQL write path, two
+    * DELETE FROM statements carve it (a range OR-predicate, then an
+    * IN-list), and the released history derives every row count from
+    * the churn rules — each delete is a copy-on-write OVERWRITE
+    * version through the same optimistic publish, so the pre-delete
+    * snapshots still time-travel (gated in-query via VERSION AS OF
+    * counts). A predicate the V1-filter translation can't carry is
+    * REFUSED before anything is touched. */
+  val q235 = QueryDef("q235_sql_delete",
+    """WITH n AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_all,
+      |         CAST(count(*) FILTER (WHERE doc_id < 200) AS BIGINT) AS n_d1,
+      |         CAST(count(*) FILTER (WHERE doc_id >= 200
+      |           AND doc_id IN (333, 334, 335)) AS BIGINT) AS n_d2
+      |  FROM documents
+      |)
+      |SELECT CAST(1 AS BIGINT) AS version, 'append' AS mode, n_all AS n_rows FROM n
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), 'overwrite', n_all - n_d1 FROM n
+      |UNION ALL
+      |SELECT CAST(3 AS BIGINT), 'overwrite', n_all - n_d1 - n_d2 FROM n
+      |ORDER BY version""") { (s, dir) =>
+    val cat = s"gq235_${java.util.UUID.randomUUID.toString.take(8)}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root",
+      graft.operators.Scratch.dir("q235") + "/cat")
+    t(s, dir, "documents").select("doc_id", "text")
+      .createOrReplaceTempView("q235_docs")
+    s.sql(s"CREATE TABLE $cat.t (doc_id BIGINT, text STRING) " +
+      "TBLPROPERTIES ('idCol' = 'doc_id')")
+    s.sql(s"INSERT INTO $cat.t SELECT doc_id, text FROM q235_docs")
+    s.sql(s"DELETE FROM $cat.t WHERE doc_id < 200")
+    s.sql(s"DELETE FROM $cat.t WHERE doc_id IN (333, 334, 335)")
+    // pre-delete snapshots still time travel (copy-on-write, not purge)
+    val v1 = s.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF 1").head.getLong(0)
+    require(v1 == t(s, dir, "documents").count(),
+      s"v1 must still hold the full corpus after deletes, got $v1")
+    val root = s.conf.get(s"spark.sql.catalog.$cat.root")
+    graft.sources.VersionedTable.history(s, s"$root/t")
+      .select(col("version"), col("mode"), col("n_rows"))
+      .orderBy("version")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -9001,5 +9047,5 @@ object Extensions {
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q169b, q169c, q170, q171, q172, q173, q174, q175,
     q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215,
     q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227,
-    q228, q229, q230, q231, q232, q233, q234)
+    q228, q229, q230, q231, q232, q233, q234, q235)
 }

@@ -12,11 +12,11 @@ import org.apache.parquet.hadoop.example.GroupReadSupport
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, InsertableRelation, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{And, DataSourceRegister, EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, InsertableRelation, IsNotNull, IsNull, LessThan, LessThanOrEqual, Not, Or, StringContains, StringEndsWith, StringStartsWith}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -170,12 +170,37 @@ object GraftVersionedSource {
          StringType | BinaryType => true
     case _ => false
   }
+
+  /** V1 Filter → Column, for `DELETE FROM` conditions (None = a shape
+    * this translation doesn't carry — canDeleteWhere then refuses and
+    * the caller falls back to the Scala API). */
+  private[sources] def filterToColumn(f: Filter): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    f match {
+      case EqualTo(c, v) => Some(col(c) === lit(v))
+      case EqualNullSafe(c, v) => Some(col(c) <=> lit(v))
+      case GreaterThan(c, v) => Some(col(c) > lit(v))
+      case GreaterThanOrEqual(c, v) => Some(col(c) >= lit(v))
+      case LessThan(c, v) => Some(col(c) < lit(v))
+      case LessThanOrEqual(c, v) => Some(col(c) <= lit(v))
+      case In(c, vs) => Some(col(c).isin(vs.toIndexedSeq.map(lit(_)): _*))
+      case IsNull(c) => Some(col(c).isNull)
+      case IsNotNull(c) => Some(col(c).isNotNull)
+      case StringStartsWith(c, v) => Some(col(c).startsWith(v))
+      case StringEndsWith(c, v) => Some(col(c).endsWith(v))
+      case StringContains(c, v) => Some(col(c).contains(v))
+      case And(l, r) => for (a <- filterToColumn(l); b <- filterToColumn(r)) yield a && b
+      case Or(l, r) => for (a <- filterToColumn(l); b <- filterToColumn(r)) yield a || b
+      case Not(x) => filterToColumn(x).map(!_)
+      case _ => None
+    }
+  }
 }
 
 class GraftVersionedTable(path: String, version: Long,
     m: Option[VersionedTable.Manifest], tableSchema: StructType,
     declared: Option[(StructType, String)] = None)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
   override def name(): String = s"graft_versioned(`$path`@v$version)"
   override def schema(): StructType = tableSchema
   // ACCEPT_ANY_SCHEMA: output resolution is delegated to
@@ -216,6 +241,23 @@ class GraftVersionedTable(path: String, version: Long,
     }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftVersionedWriteBuilder(path, info, declared)
+
+  /** SQL `DELETE FROM <catalog>.<ns>.<t> WHERE …` — lowers onto
+    * [[VersionedTable.deleteWhere]]'s copy-on-write rewrite (a NEW
+    * version minus the matching rows through the same optimistic
+    * publish; history still time-travels, vacuum ages the bytes out —
+    * the GDPR story stays the library one). A condition this V1-filter
+    * translation can't carry is REFUSED in canDeleteWhere, so Spark
+    * errors loudly instead of deleting the wrong rows. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(GraftVersionedSource.filterToColumn(_).nonEmpty)
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val spark = SparkSession.active
+    val pred = filters.toSeq.flatMap(GraftVersionedSource.filterToColumn)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    VersionedTable.deleteWhere(spark, path, pred): Unit
+  }
 }
 
 /** SQL-NATIVE WRITE PATH (round-14 verdict task 2): routes

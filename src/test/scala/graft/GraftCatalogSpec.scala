@@ -113,6 +113,27 @@ class GraftCatalogSpec extends SparkSuite {
       .map(_.getString(0)).contains("id"))
   }
 
+  test("DELETE FROM: copy-on-write rewrite through SQL; history still " +
+      "time-travels; untranslatable predicates refuse loudly") {
+    val c = freshCatalog()
+    spark.sql(s"CREATE TABLE $c.t (id BIGINT, text STRING) TBLPROPERTIES('idCol'='id')")
+    spark.sql(s"INSERT INTO $c.t SELECT id, concat('t', id) AS text FROM range(20)")
+    spark.sql(s"DELETE FROM $c.t WHERE id < 5 OR id >= 18")
+    assert(spark.sql(s"SELECT count(*) FROM $c.t").head.getLong(0) == 13L)
+    assert(spark.sql(s"SELECT min(id), max(id) FROM $c.t").head.toSeq == Seq(5L, 17L))
+    // the delete is a NEW version; the pre-delete snapshot survives
+    assert(spark.sql(s"SELECT count(*) FROM $c.t VERSION AS OF 1")
+      .head.getLong(0) == 20L)
+    val root = spark.conf.get(s"spark.sql.catalog.$c.root")
+    assert(VersionedTable.validateAsOf(spark, s"$root/t", 2L)._1)
+    // a condition the filter translation can't carry refuses loudly
+    intercept[Exception] {
+      spark.sql(s"DELETE FROM $c.t WHERE length(text) % 2 = 0")
+    }
+    assert(spark.sql(s"SELECT count(*) FROM $c.t").head.getLong(0) == 13L,
+      "a refused delete must not have deleted anything")
+  }
+
   test("one table, three surfaces: SQL-catalog writes are readable through " +
       "the path connector and the Scala API (same manifest chain)") {
     val c = freshCatalog()
