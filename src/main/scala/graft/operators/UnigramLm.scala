@@ -58,8 +58,26 @@ object UnigramLm {
 
   val Sep = "\u0001" // joins DP paths; sorts below every corpus char
 
+  /** Words containing a SUPPLEMENTARY-PLANE code point (emoji, rare
+    * CJK) are EXCLUDED up front, in both engines (ADVICE r14): the JVM
+    * DP indexes by UTF-16 code units and tie-breaks in UTF-16 order,
+    * while Spark's `length`/`substring` and the DuckDB oracle operate
+    * on code points and UTF-8 order — the two only provably agree on
+    * BMP-only words (1 code point = 1 UTF-16 unit; UTF-16 order =
+    * code-point order = UTF-8 byte order). The exclusion is part of
+    * the operator's declared word-eligibility contract, exactly like
+    * `maxWordLen` — stated, not a hidden truncation. */
+  val NonBmpRe = "[\\x{10000}-\\x{10FFFF}]"
+
   final case class Params(maxPieceLen: Int = 4, maxWordLen: Int = 12,
       seedSize: Int = 80, keepSize: Int = 60, rounds: Int = 2)
+
+  /** The shared word-eligibility predicate (the trainer, the q234
+    * census and the oracle all state the same rule): length-capped,
+    * BMP-only. */
+  def eligibleWord(p: Params): org.apache.spark.sql.Column =
+    length(col("word")).between(1, p.maxWordLen) &&
+      !col("word").rlike(NonBmpRe)
 
   /** Candidate substring seed: every substring of length 1..maxPieceLen
     * of every (length-capped) word, frequency = count-weighted number
@@ -128,7 +146,7 @@ object UnigramLm {
     val spark = wordCounts.sparkSession
     val words = wordCounts
       .select(col("word"), col("cnt").cast("long").as("cnt"))
-      .filter(length(col("word")).between(1, p.maxWordLen))
+      .filter(eligibleWord(p))
       .persist()
     words.count() // corpus-sized aggregate runs once; rounds reuse blocks
     var voc = seedVocab(words, p)

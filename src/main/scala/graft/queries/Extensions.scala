@@ -8788,6 +8788,7 @@ object Extensions {
        |  SELECT w_ AS word, CAST(count(*) AS BIGINT) AS cnt
        |  FROM (SELECT unnest(w) AS w_ FROM docw)
        |  WHERE len(w_) BETWEEN 1 AND $W
+       |    AND NOT regexp_matches(w_, '[\\x{10000}-\\x{10FFFF}]')
        |  GROUP BY 1
        |),
        |sub AS MATERIALIZED (
@@ -8979,7 +8980,7 @@ object Extensions {
         .groupBy("word").agg(count(lit(1)).as("cnt"))
       val vocab = graft.operators.UnigramLm.train(wc, p)
         .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
-      val words = wc.filter(length(col("word")).between(1, p.maxWordLen))
+      val words = wc.filter(graft.operators.UnigramLm.eligibleWord(p))
       graft.operators.UnigramLm.pieceCounts(words, vocab, p.maxPieceLen)
         .withColumn("piece_rank", row_number().over(
           org.apache.spark.sql.expressions.Window
@@ -9036,6 +9037,403 @@ object Extensions {
       .orderBy("version")
   }
 
+  // -------------------------------------------------------------- Q236
+  /** SQL `MERGE INTO` ([[graft.sources.GraftRowLevelOperation]] —
+    * `SupportsRowLevelOperations`, round-15 verdict task 2: the single
+    * most-used lakehouse DML verb, now first-class): the corpus lands
+    * through the SQL write path (v1 append), then ONE pure-SQL MERGE
+    * with all three clause kinds — matched+condition → DELETE, matched
+    * → UPDATE with a source expression, not-matched → INSERT — rewrites
+    * the table as ONE copy-on-write `overwrite` version (v2) through
+    * the same optimistic publish as every other write (Spark's
+    * group-based `RewriteMergeIntoTable` plan over the operation's
+    * pruned scan; the staged replacement is executor-written parquet
+    * via the streaming sink's writer). The released slice census
+    * derives every count and char total from the merge rules alone —
+    * a lost clause, a double-applied update, or a cardinality slip
+    * hash-fails; the in-query requires pin the history modes and that
+    * the pre-merge snapshot still time-travels. */
+  val q236 = QueryDef("q236_sql_merge",
+    """WITH n AS (SELECT doc_id, text FROM documents)
+      |SELECT 'inserted' AS slice, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(strlen(text) + 4) AS BIGINT) AS n_chars
+      |FROM n WHERE doc_id % 10 = 3
+      |UNION ALL
+      |SELECT 'untouched', CAST(count(*) AS BIGINT),
+      |       CAST(sum(strlen(text)) AS BIGINT)
+      |FROM n WHERE doc_id % 7 <> 0
+      |UNION ALL
+      |SELECT 'updated', CAST(count(*) AS BIGINT),
+      |       CAST(sum(strlen(text) + 5) AS BIGINT)
+      |FROM n WHERE doc_id % 7 = 0 AND doc_id % 3 <> 0
+      |ORDER BY slice""") { (s, dir) =>
+    val cat = s"gq236_${java.util.UUID.randomUUID.toString.take(8)}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root",
+      graft.operators.Scratch.dir("q236") + "/cat")
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    docs.createOrReplaceTempView("q236_docs")
+    s.sql(s"CREATE TABLE $cat.t (doc_id BIGINT, text STRING) " +
+      "TBLPROPERTIES ('idCol' = 'doc_id')")
+    s.sql(s"INSERT INTO $cat.t SELECT doc_id, text FROM q236_docs")
+    // updates frame: matched rows (every doc_id % 7 = 0) + fresh rows
+    // (shifted ids never collide with standing ones) — ids are unique,
+    // so the MERGE cardinality check cannot fire
+    s.sql(
+      """SELECT doc_id, text || ' [v2]' AS text FROM q236_docs WHERE doc_id % 7 = 0
+        |UNION ALL
+        |SELECT doc_id + 1000000, 'new:' || text FROM q236_docs WHERE doc_id % 10 = 3
+        |""".stripMargin).createOrReplaceTempView("q236_upd")
+    s.sql(
+      s"""MERGE INTO $cat.t AS t USING q236_upd AS u ON t.doc_id = u.doc_id
+         |WHEN MATCHED AND u.doc_id % 3 = 0 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET text = u.text
+         |WHEN NOT MATCHED THEN INSERT (doc_id, text) VALUES (u.doc_id, u.text)
+         |""".stripMargin)
+    val root = s.conf.get(s"spark.sql.catalog.$cat.root")
+    val modes = graft.sources.VersionedTable.history(s, s"$root/t")
+      .orderBy("version").collect().map(_.getString(1)).toSeq
+    require(modes == Seq("append", "overwrite"),
+      s"MERGE must land as one copy-on-write overwrite version, got $modes")
+    // the pre-merge snapshot still time-travels (copy-on-write, not purge)
+    val v1 = s.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF 1").head.getLong(0)
+    require(v1 == docs.count(), s"v1 must still hold the full corpus, got $v1")
+    s.sql(
+      s"""SELECT CASE WHEN doc_id >= 1000000 THEN 'inserted'
+         |            WHEN doc_id % 7 = 0 THEN 'updated'
+         |            ELSE 'untouched' END AS slice,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(length(text)) AS BIGINT) AS n_chars
+         |FROM $cat.t GROUP BY 1 ORDER BY slice""".stripMargin)
+  }
+
+  // -------------------------------------------------------------- Q237
+  /** SQL `UPDATE … SET … WHERE` (round-15 verdict task 3 — the same
+    * [[graft.sources.GraftRowLevelOperation]] machinery as q236,
+    * through Spark's `RewriteUpdateTable`): the SET expression
+    * references ANOTHER column of the row (`text || ' <' || lang ||
+    * '>'`), so a rewrite that lost row context — applying one row's
+    * lang to another's text — hash-fails the char census. One
+    * copy-on-write overwrite version; untouched rows, updated rows and
+    * the pre-update snapshot are all released or pinned. */
+  val q237 = QueryDef("q237_sql_update",
+    """WITH n AS (SELECT doc_id, text, lang FROM documents)
+      |SELECT 'untouched' AS slice, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(strlen(text)) AS BIGINT) AS n_chars
+      |FROM n WHERE doc_id % 5 <> 2
+      |UNION ALL
+      |SELECT 'updated', CAST(count(*) AS BIGINT),
+      |       CAST(sum(strlen(text) + strlen(lang) + 3) AS BIGINT)
+      |FROM n WHERE doc_id % 5 = 2
+      |ORDER BY slice""") { (s, dir) =>
+    val cat = s"gq237_${java.util.UUID.randomUUID.toString.take(8)}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root",
+      graft.operators.Scratch.dir("q237") + "/cat")
+    val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
+    docs.createOrReplaceTempView("q237_docs")
+    s.sql(s"CREATE TABLE $cat.t (doc_id BIGINT, text STRING, lang STRING) " +
+      "TBLPROPERTIES ('idCol' = 'doc_id')")
+    s.sql(s"INSERT INTO $cat.t SELECT doc_id, text, lang FROM q237_docs")
+    val preChars = s.sql(s"SELECT sum(length(text)) FROM $cat.t").head.getLong(0)
+    s.sql(s"UPDATE $cat.t SET text = text || ' <' || lang || '>' " +
+      "WHERE doc_id % 5 = 2")
+    val root = s.conf.get(s"spark.sql.catalog.$cat.root")
+    val modes = graft.sources.VersionedTable.history(s, s"$root/t")
+      .orderBy("version").collect().map(_.getString(1)).toSeq
+    require(modes == Seq("append", "overwrite"),
+      s"UPDATE must land as one copy-on-write overwrite version, got $modes")
+    // time travel to the pre-update snapshot: same rows, original chars
+    val v1Chars = s.sql(
+      s"SELECT sum(length(text)) FROM $cat.t VERSION AS OF 1").head.getLong(0)
+    require(v1Chars == preChars,
+      s"v1 must still read the pre-update text ($preChars chars), got $v1Chars")
+    s.sql(
+      s"""SELECT CASE WHEN doc_id % 5 = 2 THEN 'updated' ELSE 'untouched' END AS slice,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(length(text)) AS BIGINT) AS n_chars
+         |FROM $cat.t GROUP BY 1 ORDER BY slice""".stripMargin)
+  }
+
+  // -------------------------------------------------------------- Q238
+  /** TEMPORAL/DECIMAL TYPES THROUGH EVERY CONNECTOR SURFACE (round-15
+    * verdict task 4): an events-shaped versioned table — TIMESTAMP,
+    * DATE, DECIMAL(12,3) columns, the driver's own `events` fixture
+    * shape — is HALF loaded through catalog SQL (`INSERT INTO`, the
+    * V1Write bridge) and HALF through the NATIVE STREAMING SINK
+    * (`writeStream.format("graft-versioned")` — executor-side
+    * `ParquetWriteSupport` staging), then read back through the SQL
+    * catalog's COLUMNAR DSv2 scan (`VectorizedParquetRecordReader`,
+    * rebase pinned CORRECTED) for a per-type census: counts, epoch-
+    * micro timestamp extremes, date extremes, and the DECIMAL(12,3)
+    * column's sum released in exact integer MILLI-UNITS (DECIMAL output
+    * is outside the oracle type audit's cross-version-stable allowlist;
+    * the decimal itself still round-trips through commit, sink and
+    * columnar read). The oracle derives every value from `events`
+    * directly — a truncated micro, a calendar shift, a decimal scale
+    * slip on ANY of the four surfaces hash-fails. (r14 refused these
+    * types at every connector surface; the Scala `readAsOf` path always
+    * carried them — this closes the parity gap.) */
+  val q238 = QueryDef("q238_temporal_connector",
+    """SELECT event_type,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       epoch_us(CAST(min(ts) AS TIMESTAMP)) AS min_ts_us,
+      |       epoch_us(CAST(max(ts) AS TIMESTAMP)) AS max_ts_us,
+      |       CAST(min(ts) AS DATE) AS first_day,
+      |       CAST(max(ts) AS DATE) AS last_day,
+      |       CAST(sum(CAST(event_id % 1000 AS DECIMAL(12,3))) * 1000 AS BIGINT) AS amount_milli
+      |FROM events GROUP BY event_type ORDER BY event_type""") { (s, dir) =>
+    val cat = s"gq238_${java.util.UUID.randomUUID.toString.take(8)}"
+    val root = graft.operators.Scratch.dir("q238")
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", s"$root/cat")
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("ts"), to_date(col("ts")).as("day"),
+        col("event_type"),
+        (col("event_id") % 1000).cast("decimal(12,3)").as("amount"))
+    ev.createOrReplaceTempView("q238_events")
+    s.sql(s"CREATE TABLE $cat.t (event_id BIGINT, ts TIMESTAMP, day DATE, " +
+      "event_type STRING, amount DECIMAL(12,3)) TBLPROPERTIES ('idCol' = 'event_id')")
+    // surface 1: catalog SQL INSERT (V1Write bridge → commit protocol)
+    s.sql(s"INSERT INTO $cat.t SELECT event_id, ts, day, event_type, amount " +
+      "FROM q238_events WHERE event_id % 2 = 0")
+    // surface 2: the native streaming sink appends the odd half into the
+    // SAME table dir (one table, every surface)
+    ev.filter(col("event_id") % 2 === 1).coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/in")
+    val q = s.readStream
+      .schema("event_id LONG, ts TIMESTAMP, day DATE, event_type STRING, " +
+        "amount DECIMAL(12,3)")
+      .parquet(s"$root/in")
+      .writeStream.outputMode("append")
+      .format("graft-versioned")
+      .option("path", s"$root/cat/t")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val modes = graft.sources.VersionedTable.history(s, s"$root/cat/t")
+      .orderBy("version").collect().map(_.getString(1)).toSeq
+    require(modes == Seq("append", "append"),
+      s"both halves must land as appends, got $modes")
+    // surface 3+4: catalog SQL read → columnar DSv2 scan over ts/date/decimal
+    s.sql(
+      s"""SELECT event_type,
+         |       CAST(count(*) AS BIGINT) AS n_events,
+         |       unix_micros(min(ts)) AS min_ts_us,
+         |       unix_micros(max(ts)) AS max_ts_us,
+         |       min(day) AS first_day,
+         |       max(day) AS last_day,
+         |       CAST(sum(amount) * 1000 AS BIGINT) AS amount_milli
+         |FROM $cat.t GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  // -------------------------------------------------------------- Q239
+  /** TABLE MAINTENANCE THROUGH SQL `CALL` ([[graft.sources.GraftCatalog]]
+    * as a `ProcedureCatalog`, round-15 verdict task 5 — the Iceberg
+    * `CALL catalog.system.<proc>` surface on Spark 4's native stored-
+    * procedure hooks): three residue-sliced INSERTs build a 3-dir
+    * append chain, `CALL …system.compact` rewrites it into ONE dir
+    * (content-identical v4 — the digest re-derivation is compact's own
+    * gate), and `CALL …system.vacuum(retain => 1, grace_ms => 0)`
+    * reclaims the 3 aged dirs and 3 expired manifests. Every released
+    * value derives from the churn rules alone; the procedures' OWN
+    * result rows (removed counts, the new version) are part of the
+    * release, so a vacuum that under- or over-deleted hash-fails. */
+  val q239 = QueryDef("q239_sql_maintenance",
+    """SELECT CAST(4 AS BIGINT) AS cur_version,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(1 AS BIGINT) AS n_dirs,
+      |       CAST(4 AS BIGINT) AS compacted_to,
+      |       CAST(3 AS INTEGER) AS removed_data_dirs,
+      |       CAST(3 AS INTEGER) AS removed_manifests
+      |FROM documents""") { (s, dir) =>
+    val cat = s"gq239_${java.util.UUID.randomUUID.toString.take(8)}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root",
+      graft.operators.Scratch.dir("q239") + "/cat")
+    t(s, dir, "documents").select("doc_id", "text")
+      .createOrReplaceTempView("q239_docs")
+    s.sql(s"CREATE NAMESPACE $cat.lake")
+    s.sql(s"CREATE TABLE $cat.lake.docs (doc_id BIGINT, text STRING) " +
+      "TBLPROPERTIES ('idCol' = 'doc_id')")
+    (0 to 2).foreach { r =>
+      s.sql(s"INSERT INTO $cat.lake.docs SELECT doc_id, text FROM q239_docs " +
+        s"WHERE doc_id % 3 = $r")
+    }
+    val compacted = s.sql(
+      s"CALL $cat.system.compact(table => 'lake.docs', target_partitions => 1)")
+      .head.getLong(0)
+    val vac = s.sql(s"CALL $cat.system.vacuum(table => 'lake.docs', " +
+      "retain => 1, grace_ms => 0)").head
+    val root = s.conf.get(s"spark.sql.catalog.$cat.root")
+    val hist = graft.sources.VersionedTable.history(s, s"$root/lake/docs")
+      .orderBy("version")
+      .select("version", "n_rows", "n_dirs").collect()
+    require(hist.map(_.getLong(0)).toSeq == Seq(4L),
+      s"after vacuum(retain=1) only v4 remains, got ${hist.map(_.getLong(0)).toSeq}")
+    s.sql(
+      s"""SELECT CAST(${hist.head.getLong(0)} AS BIGINT) AS cur_version,
+         |       CAST(${hist.head.getLong(1)} AS BIGINT) AS n_rows,
+         |       CAST(${hist.head.getLong(2)} AS BIGINT) AS n_dirs,
+         |       CAST($compacted AS BIGINT) AS compacted_to,
+         |       CAST(${vac.getInt(0)} AS INTEGER) AS removed_data_dirs,
+         |       CAST(${vac.getInt(1)} AS INTEGER) AS removed_manifests""".stripMargin)
+  }
+
+  // -------------------------------------------------------------- Q240
+  /** SQL `ALTER TABLE … ADD COLUMN` (round-15 verdict task 6 — lowered
+    * onto the commit protocol's schema evolution, never a metadata-only
+    * edit): the corpus lands as v1, ALTER adds a `quality DOUBLE`
+    * column as a ZERO-ROW evolving append (v2 — a real version in the
+    * history, exactly the q213 machinery through SQL syntax), and a
+    * post-evolution INSERT carries the new column (v3). The released
+    * census proves the merge-read contract: every pre-evolution row
+    * reads `quality` as NULL, every new row carries its value, and the
+    * 2-column v1 snapshot still time-travels. */
+  val q240 = QueryDef("q240_sql_add_column",
+    """WITH n AS (SELECT doc_id, text FROM documents)
+      |SELECT 'new' AS slice, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(strlen(text)) AS BIGINT) AS sum_quality
+      |FROM n WHERE doc_id % 4 = 1
+      |UNION ALL
+      |SELECT 'standing', CAST(count(*) AS BIGINT), CAST(0 AS BIGINT)
+      |FROM n
+      |ORDER BY slice""") { (s, dir) =>
+    val cat = s"gq240_${java.util.UUID.randomUUID.toString.take(8)}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root",
+      graft.operators.Scratch.dir("q240") + "/cat")
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    docs.createOrReplaceTempView("q240_docs")
+    s.sql(s"CREATE TABLE $cat.t (doc_id BIGINT, text STRING) " +
+      "TBLPROPERTIES ('idCol' = 'doc_id')")
+    s.sql(s"INSERT INTO $cat.t SELECT doc_id, text FROM q240_docs")
+    s.sql(s"ALTER TABLE $cat.t ADD COLUMN quality DOUBLE")
+    s.sql(s"INSERT INTO $cat.t SELECT doc_id + 1000000 AS doc_id, text, " +
+      "CAST(length(text) AS DOUBLE) AS quality FROM q240_docs WHERE doc_id % 4 = 1")
+    val root = s.conf.get(s"spark.sql.catalog.$cat.root")
+    val hist = graft.sources.VersionedTable.history(s, s"$root/t")
+      .orderBy("version").collect()
+    require(hist.map(_.getString(1)).toSeq == Seq("append", "append", "append"),
+      s"ALTER must land as a real evolving append, got ${hist.map(_.getString(1)).toSeq}")
+    require(hist(1).getLong(2) == hist(0).getLong(2),
+      "the ALTER version carries zero new rows")
+    // the 2-column pre-evolution snapshot still time-travels
+    val v1Cols = s.sql(s"SELECT * FROM $cat.t VERSION AS OF 1").columns.toSeq
+    require(v1Cols == Seq("doc_id", "text"),
+      s"v1 must still read the pre-evolution schema, got $v1Cols")
+    s.sql(
+      s"""SELECT CASE WHEN quality IS NULL THEN 'standing' ELSE 'new' END AS slice,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(coalesce(sum(quality), 0) AS BIGINT) AS sum_quality
+         |FROM $cat.t GROUP BY 1 ORDER BY slice""".stripMargin)
+  }
+
+  // -------------------------------------------------------------- Q241
+  /** METADATA TABLES THROUGH CATALOG IDENTIFIERS (round 15 — the
+    * Iceberg `SELECT * FROM cat.ns.t.history` surface): when an
+    * identifier's name is `history`/`files` and its namespace resolves
+    * to a TABLE, the catalog serves that table's metadata relation —
+    * plain SQL, no options, composing with `VERSION AS OF` (a
+    * time-travelled `files` lists that snapshot's dirs). The released
+    * rows join BOTH metadata tables: per-version rows/dirs from
+    * `history` plus the dir count of the CURRENT snapshot from `files`,
+    * every value derived from the residue rules. */
+  val q241 = QueryDef("q241_catalog_metadata_sql",
+    """WITH n AS (
+      |  SELECT CAST(count(*) FILTER (WHERE doc_id % 3 = 0) AS BIGINT) AS n0,
+      |         CAST(count(*) FILTER (WHERE doc_id % 3 = 1) AS BIGINT) AS n1,
+      |         CAST(count(*) FILTER (WHERE doc_id % 3 = 2) AS BIGINT) AS n2
+      |  FROM documents
+      |)
+      |SELECT CAST(1 AS BIGINT) AS version, 'append' AS mode, n0 AS n_rows,
+      |       CAST(1 AS BIGINT) AS n_dirs, CAST(3 AS BIGINT) AS cur_files
+      |FROM n
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), 'append', n0 + n1, CAST(2 AS BIGINT),
+      |       CAST(3 AS BIGINT) FROM n
+      |UNION ALL
+      |SELECT CAST(3 AS BIGINT), 'append', n0 + n1 + n2, CAST(3 AS BIGINT),
+      |       CAST(3 AS BIGINT) FROM n
+      |ORDER BY version""") { (s, dir) =>
+    val cat = s"gq241_${java.util.UUID.randomUUID.toString.take(8)}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root",
+      graft.operators.Scratch.dir("q241") + "/cat")
+    t(s, dir, "documents").select("doc_id", "text")
+      .createOrReplaceTempView("q241_docs")
+    s.sql(s"CREATE NAMESPACE $cat.lake")
+    s.sql(s"CREATE TABLE $cat.lake.docs (doc_id BIGINT, text STRING) " +
+      "TBLPROPERTIES ('idCol' = 'doc_id')")
+    (0 to 2).foreach { r =>
+      s.sql(s"INSERT INTO $cat.lake.docs SELECT doc_id, text FROM q241_docs " +
+        s"WHERE doc_id % 3 = $r")
+    }
+    // time-travelled files metadata: v1's snapshot had ONE dir
+    val v1Dirs = s.sql(
+      s"SELECT count(*) FROM $cat.lake.docs.files VERSION AS OF 1").head.getLong(0)
+    require(v1Dirs == 1L, s"v1 files must list one dir, got $v1Dirs")
+    s.sql(
+      s"""SELECT h.version, h.mode, h.n_rows, h.n_dirs,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM $cat.lake.docs.files)
+         |         AS cur_files
+         |FROM $cat.lake.docs.history h
+         |ORDER BY h.version""".stripMargin)
+  }
+
+  // -------------------------------------------------------------- Q242
+  /** ROW-PROVENANCE METADATA COLUMNS (round 15 —
+    * `SupportsMetadataColumns`, the Iceberg `_file` move at this
+    * table's dir granularity): `_graft_version` / `_graft_dir` answer
+    * "which commit holds this row" straight from the scan (per-chunk
+    * constants — zero per-row decode cost), the primitive under
+    * incremental consumers, GDPR audits and compaction debugging. The
+    * released census groups the corpus BY the metadata column and
+    * re-derives each commit's rows from the residue rules; the in-query
+    * require pins that `_graft_dir` agrees with the `files` metadata
+    * table (both surfaces, one manifest). */
+  val q242 = QueryDef("q242_metadata_columns",
+    """WITH n AS (SELECT doc_id FROM documents)
+      |SELECT CAST(1 AS BIGINT) AS commit_version,
+      |       CAST(count(*) FILTER (WHERE doc_id % 3 = 0) AS BIGINT) AS n_rows,
+      |       CAST(0 AS BIGINT) AS residue
+      |FROM n
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT),
+      |       CAST(count(*) FILTER (WHERE doc_id % 3 = 1) AS BIGINT),
+      |       CAST(1 AS BIGINT) FROM n
+      |UNION ALL
+      |SELECT CAST(3 AS BIGINT),
+      |       CAST(count(*) FILTER (WHERE doc_id % 3 = 2) AS BIGINT),
+      |       CAST(2 AS BIGINT) FROM n
+      |ORDER BY commit_version""") { (s, dir) =>
+    val cat = s"gq242_${java.util.UUID.randomUUID.toString.take(8)}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root",
+      graft.operators.Scratch.dir("q242") + "/cat")
+    t(s, dir, "documents").select("doc_id", "text")
+      .createOrReplaceTempView("q242_docs")
+    s.sql(s"CREATE TABLE $cat.t (doc_id BIGINT, text STRING) " +
+      "TBLPROPERTIES ('idCol' = 'doc_id')")
+    (0 to 2).foreach { r =>
+      s.sql(s"INSERT INTO $cat.t SELECT doc_id, text FROM q242_docs " +
+        s"WHERE doc_id % 3 = $r")
+    }
+    // both provenance surfaces agree: every _graft_dir the scan reports
+    // is a dir the files metadata table lists
+    val scanDirs = s.sql(s"SELECT DISTINCT _graft_dir FROM $cat.t")
+      .collect().map(_.getString(0)).toSet
+    val fileDirs = s.sql(s"SELECT dir FROM $cat.t.files")
+      .collect().map(_.getString(0)).toSet
+    require(scanDirs == fileDirs && scanDirs.size == 3,
+      s"metadata column dirs $scanDirs must equal files-table dirs $fileDirs")
+    s.sql(
+      s"""SELECT _graft_version AS commit_version,
+         |       CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(min(doc_id % 3) AS BIGINT) AS residue
+         |FROM $cat.t GROUP BY _graft_version ORDER BY commit_version""".stripMargin)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -9047,5 +9445,6 @@ object Extensions {
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q169b, q169c, q170, q171, q172, q173, q174, q175,
     q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215,
     q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227,
-    q228, q229, q230, q231, q232, q233, q234, q235)
+    q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239,
+    q240, q241, q242)
 }

@@ -6,9 +6,13 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, NonEmptyNamespaceException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** CATALOG for versioned tables (the Delta/Iceberg `TableCatalog`
@@ -43,16 +47,20 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * the declaration and becomes commit v1. Partition transforms are
   * rejected loudly: the versioned table's layout mechanisms are its
   * skipping indexes (statCols/bloomCols) and compaction re-clustering,
-  * not hive-style dirs. `ALTER TABLE` is rejected: schema evolution
-  * goes through the commit protocol (`allowSchemaEvolution`), never a
-  * metadata-only edit that would lie about committed bytes.
+  * not hive-style dirs. `ALTER TABLE ADD COLUMN` lowers onto the
+  * commit protocol's schema evolution as a zero-row evolving append
+  * (see [[alterTable]]); every other ALTER is rejected loudly — it
+  * would require rewriting committed bytes, never a metadata-only
+  * edit. Maintenance runs through `CALL <cat>.system.vacuum/compact`
+  * (see the procedures section).
   *
   * Namespaces are directories; a directory is a TABLE iff it has a
   * commit log (or a `CREATE TABLE` declaration awaiting v1). Scale
   * shape: every catalog operation is O(children) driver-side listing
   * of tiny metadata — no data touched.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: HPath = _
@@ -122,7 +130,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def load(ident: Identifier, versionAsOf: Option[Long],
       tsMillis: Option[Long]): Table = {
     val dir = dirOf(ident)
-    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    if (!tableExists(ident)) {
+      // METADATA TABLES through catalog identifiers (the Iceberg
+      // `SELECT * FROM cat.ns.t.history` surface — round 15): when the
+      // identifier's name is a metadata kind and its namespace resolves
+      // to a TABLE, serve that table's history/files relation. Time
+      // travel composes: `cat.ns.t.files VERSION AS OF 2` lists v2's
+      // dirs. Resolution order keeps real tables authoritative — a
+      // directory named `history` that IS a table wins above.
+      val parentIsTable = ident.namespace.nonEmpty && {
+        val p = Identifier.of(ident.namespace.init, ident.namespace.last)
+        tableExists(p)
+      }
+      if (parentIsTable && (ident.name == "history" || ident.name == "files")) {
+        val tDir = pathOf(ident.namespace.toSeq).toString
+        require(VersionedTable.versions(spark, tDir).nonEmpty,
+          s"graft catalog: ${ident.namespace.mkString(".")} has no committed " +
+            "versions — no metadata to read")
+        val v = VersionedTable.resolveVersion(spark, tDir, versionAsOf, tsMillis)
+        return new GraftVersionedMetadataTable(tDir, ident.name, v)
+      }
+      throw new NoSuchTableException(ident)
+    }
     val dirStr = dir.toString
     if (VersionedTable.versions(spark, dirStr).isEmpty) {
       // declared but never written: readable as its empty declared
@@ -131,7 +160,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         s"graft catalog: $ident has no committed versions to time travel to")
       val (schema, idCol) = declared(dir).getOrElse(
         throw new NoSuchTableException(ident))
-      new GraftVersionedTable(dirStr, 0L, None, schema, Some((schema, idCol)))
+      new GraftVersionedTable(dirStr, 0L, None, schema, Some((schema, idCol)),
+        acceptAnySchema = false)
     } else {
       val v = VersionedTable.resolveVersion(spark, dirStr, versionAsOf, tsMillis)
       val schema = VersionedTable.readAsOf(spark, dirStr, v).schema
@@ -141,7 +171,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       }
       new GraftVersionedTable(dirStr, v,
         Some(VersionedTable.readManifest(spark, dirStr, v)), schema,
-        declared(dir))
+        declared(dir), acceptAnySchema = false)
     }
   }
 
@@ -174,14 +204,83 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     fs.mkdirs(dir)
     writeSmall(new HPath(dir, "_schema.json"), schema.json)
     writeSmall(new HPath(dir, "_catalog.json"), s"""{"id_col": "$idCol"}""")
-    new GraftVersionedTable(dir.toString, 0L, None, schema, Some((schema, idCol)))
+    new GraftVersionedTable(dir.toString, 0L, None, schema, Some((schema, idCol)),
+      acceptAnySchema = false)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog: ALTER TABLE is not supported — schema evolution goes " +
-        "through the commit protocol (append with allowSchemaEvolution), " +
-        "never a metadata-only edit")
+  /** `ALTER TABLE … ADD COLUMN` (round-15 verdict task 6), lowered onto
+    * the COMMIT PROTOCOL's declared schema evolution — never a
+    * metadata-only edit that would lie about committed bytes: the new
+    * column lands as a ZERO-ROW evolving append
+    * (`allowSchemaEvolution`, the q213 machinery), so the manifest's
+    * merge-read flag flips and every standing row reads back NULL for
+    * the added column — exactly what an `INSERT` carrying the column
+    * would have done, minus the rows. Only top-level nullable ADDs of
+    * connector-supported types are accepted; every other change (type
+    * evolution, drops, renames, repositioning) stays a loud rejection —
+    * those genuinely require rewriting committed bytes. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
+    require(adds.nonEmpty && adds.size == changes.size,
+      "graft catalog: ALTER TABLE supports only ADD COLUMN — type changes, " +
+        "drops, renames and repositioning would require rewriting committed " +
+        "bytes; evolve those with an explicit overwrite commit")
+    adds.foreach { a =>
+      require(a.fieldNames.length == 1,
+        s"graft catalog: ADD COLUMN ${a.fieldNames.mkString(".")} — nested " +
+          "columns are not supported (the versioned table commits flat schemas)")
+      require(a.isNullable,
+        s"graft catalog: ADD COLUMN ${a.fieldNames.head} must be nullable — " +
+          "standing rows read back NULL for an added column")
+      require(a.position() == null,
+        s"graft catalog: ADD COLUMN ${a.fieldNames.head} with a position is " +
+          "not supported — added columns append at the end of the schema")
+      require(GraftVersionedSource.supported(a.dataType),
+        s"graft catalog: unsupported column type ${a.dataType.simpleString} " +
+          s"for added column '${a.fieldNames.head}'")
+    }
+    val dir = dirOf(ident)
+    val dirStr = dir.toString
+    val cur = VersionedTable.currentVersion(spark, dirStr)
+    if (cur == 0L) {
+      // declared, never written: evolve the declaration itself — v1 will
+      // validate against it
+      val (schema, idCol) = declared(dir).getOrElse(
+        throw new NoSuchTableException(ident))
+      schema.fieldNames.intersect(adds.map(_.fieldNames.head)).headOption.foreach(
+        c => sys.error(s"graft catalog: column '$c' already exists in $ident"))
+      val evolved = StructType(schema.fields ++ adds.map(a =>
+        StructField(a.fieldNames.head, a.dataType, nullable = true)))
+      fs.delete(new HPath(dir, "_schema.json"), false)
+      writeSmall(new HPath(dir, "_schema.json"), evolved.json)
+      new GraftVersionedTable(dirStr, 0L, None, evolved, Some((evolved, idCol)),
+        acceptAnySchema = false)
+    } else {
+      val m = VersionedTable.readManifest(spark, dirStr, cur)
+      val standing = VersionedTable.readAsOf(spark, dirStr, cur).schema
+      standing.fieldNames.intersect(adds.map(_.fieldNames.head)).headOption.foreach(
+        c => sys.error(s"graft catalog: column '$c' already exists in $ident"))
+      val evolved = StructType(standing.fields ++ adds.map(a =>
+        StructField(a.fieldNames.head, a.dataType, nullable = true)))
+      // zero-row evolving append: one empty schema-carrying parquet file
+      // enters the commit log (repartition(1) pins one write task so the
+      // footer lands even with no rows) — history shows the evolution as
+      // a real version, exactly like a row-carrying evolved INSERT
+      val empty = spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), evolved)
+        .repartition(1)
+      VersionedTable.commit(empty, dirStr, m.idCol, m.contentCols,
+        expectedVersion = cur, mode = "append", allowSchemaEvolution = true): Unit
+      // keep a standing declaration (if any) in step, so a later
+      // first-insert gate can never see a stale column list
+      if (fs.exists(new HPath(dir, "_schema.json"))) {
+        fs.delete(new HPath(dir, "_schema.json"), false)
+        writeSmall(new HPath(dir, "_schema.json"), evolved.json)
+      }
+      loadTable(ident)
+    }
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = dirOf(ident)
@@ -246,5 +345,118 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!cascade && fs.listStatus(p).nonEmpty)
       throw new NonEmptyNamespaceException(catalogName +: namespace)
     fs.delete(p, true)
+  }
+
+  // -------------------------------------------------------- procedures
+
+  /** TABLE-MAINTENANCE PROCEDURES (round-15 verdict task 5 — the
+    * Iceberg `CALL catalog.system.<proc>` surface, Spark 4's native
+    * `ProcedureCatalog`): [[VersionedTable.vacuum]] and
+    * [[VersionedTable.compact]] become SQL statements —
+    *
+    * {{{
+    * CALL lake.system.vacuum(table => 'ns.t', retain => 2, grace_ms => 0)
+    * CALL lake.system.compact(table => 'ns.t', target_partitions => 1,
+    *                          sort_cols => 'host,fetched_at')
+    * }}}
+    *
+    * Each returns one LOCAL result row (the driver-side counts the
+    * library call already reports) through Spark's `LocalScan` hook —
+    * procedures are side-effecting maintenance, not data scans. The
+    * `system` namespace is virtual: it never collides with a directory
+    * namespace because procedures and tables resolve through different
+    * hooks. */
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      Array("compact", "vacuum").map(Identifier.of(namespace, _))
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    require(ident.namespace.toSeq == Seq("system"),
+      s"graft catalog: procedures live in the 'system' namespace " +
+        s"(CALL $catalogName.system.<proc>), got $ident")
+    ident.name match {
+      case "vacuum" => GraftCatalog.VacuumProcedure(this)
+      case "compact" => GraftCatalog.CompactProcedure(this)
+      case other => sys.error(
+        s"graft catalog: unknown procedure '$other' — supported: vacuum, compact")
+    }
+  }
+
+  /** Resolve a procedure's `table` argument ('t' or 'ns.t', relative to
+    * this catalog) to its directory. */
+  private[sources] def tableDirOf(tableArg: String): String = {
+    val parts = tableArg.split("\\.").toSeq
+    require(parts.nonEmpty && parts.forall(_.nonEmpty),
+      s"graft catalog: bad table argument '$tableArg' — expected 'ns.table'")
+    val ident = Identifier.of(parts.init.toArray, parts.last)
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    dirOf(ident).toString
+  }
+}
+
+object GraftCatalog {
+  private def oneRowScan(schema: StructType, values: Array[Any]): java.util.Iterator[Scan] = {
+    val scan: Scan = new LocalScan {
+      override def readSchema(): StructType = schema
+      override def rows(): Array[InternalRow] = Array(new GenericInternalRow(values))
+    }
+    java.util.Collections.singletonList(scan).iterator()
+  }
+
+  /** `CALL <cat>.system.vacuum(table, retain, grace_ms)` — age
+    * unreferenced data dirs and expired manifests out of the retention
+    * window. `grace_ms` defaults to the library's 6-hour orphan grace
+    * (an in-flight writer's staged dir must never be swept mid-commit);
+    * pass 0 to reclaim immediately when no writer can be racing. */
+  final case class VacuumProcedure(cat: GraftCatalog)
+      extends BoundProcedure with UnboundProcedure {
+    override def name(): String = "vacuum"
+    override def description(): String =
+      "reclaim data dirs and manifests outside the retention window"
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("retain", IntegerType).build(),
+      ProcedureParameter.in("grace_ms", LongType)
+        .defaultValue(VersionedTable.DefaultVacuumGraceMs.toString).build())
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = cat.tableDirOf(input.getUTF8String(0).toString)
+      val (deadDirs, deadManifests) = VersionedTable.vacuum(
+        SparkSession.active, dir, input.getInt(1), input.getLong(2))
+      oneRowScan(
+        StructType(Seq(StructField("removed_data_dirs", IntegerType, nullable = false),
+          StructField("removed_manifests", IntegerType, nullable = false))),
+        Array[Any](deadDirs, deadManifests))
+    }
+  }
+
+  /** `CALL <cat>.system.compact(table, target_partitions, sort_cols)` —
+    * rewrite the current version into `target_partitions` files
+    * (optionally re-clustered by `sort_cols`, comma-separated) as a new
+    * content-identical version; small dirs age out via vacuum. */
+  final case class CompactProcedure(cat: GraftCatalog)
+      extends BoundProcedure with UnboundProcedure {
+    override def name(): String = "compact"
+    override def description(): String =
+      "rewrite the current version into fewer (optionally re-clustered) files"
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("target_partitions", IntegerType)
+        .defaultValue("1").build(),
+      ProcedureParameter.in("sort_cols", StringType).defaultValue("''").build())
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = cat.tableDirOf(input.getUTF8String(0).toString)
+      val sortCols = input.getUTF8String(2).toString
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val v = VersionedTable.compact(SparkSession.active, dir,
+        targetPartitions = input.getInt(1), sortCols = sortCols)
+      oneRowScan(
+        StructType(Seq(StructField("new_version", LongType, nullable = false))),
+        Array[Any](v))
+    }
   }
 }

@@ -6,17 +6,14 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{Path => HPath}
-import org.apache.parquet.hadoop.ParquetReader
-import org.apache.parquet.hadoop.api.ReadSupport
-import org.apache.parquet.hadoop.example.GroupReadSupport
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
-import org.apache.spark.sql.sources.{And, DataSourceRegister, EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, InsertableRelation, IsNotNull, IsNull, LessThan, LessThanOrEqual, Not, Or, StringContains, StringEndsWith, StringStartsWith}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, V1Write, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.sources.{AlwaysFalse, AlwaysTrue, And, DataSourceRegister, EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, InsertableRelation, IsNotNull, IsNull, LessThan, LessThanOrEqual, Not, Or, StringContains, StringEndsWith, StringStartsWith}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -85,6 +82,16 @@ class GraftVersionedSource extends TableProvider with DataSourceRegister {
   // cached on this provider instance — Spark constructs a fresh
   // provider per read, so the pin's lifetime is one resolution, which
   // is exactly the window that needs the consistency.
+  //
+  // The pin also covers the EMPTY→FIRST-COMMIT race (ADVICE r14): the
+  // "no versions yet" decision is itself part of the resolution — if
+  // inferSchema saw an empty chain (and returned the create-on-first-
+  // write placeholder schema), getTable must take the empty branch too,
+  // even when a first commit landed between the two calls; otherwise
+  // the scan would pair the empty placeholder schema with a manifest
+  // and return rows with zero columns. Sentinel -1 = "no versions at
+  // resolution time".
+  private val EmptyChain = -1L
   @volatile private var pinned: Map[String, Long] = Map.empty
   private def pinKey(path: String, options: CaseInsensitiveStringMap): String =
     path + "|" + Option(options.get("versionAsOf")).getOrElse("") +
@@ -93,7 +100,9 @@ class GraftVersionedSource extends TableProvider with DataSourceRegister {
       options: CaseInsensitiveStringMap): Long = {
     val key = pinKey(path, options)
     pinned.getOrElse(key, {
-      val v = GraftVersionedSource.resolvedVersion(spark, path, options)
+      val v =
+        if (VersionedTable.versions(spark, path).isEmpty) EmptyChain
+        else GraftVersionedSource.resolvedVersion(spark, path, options)
       pinned += key -> v
       v
     })
@@ -107,20 +116,22 @@ class GraftVersionedSource extends TableProvider with DataSourceRegister {
     GraftVersionedSource.metadataKind(options) match {
       case Some(kind) => GraftVersionedMetadataTable.schemaOf(kind)
       case None =>
-        if (VersionedTable.versions(spark, path).isEmpty)
-          // no commits yet: an EMPTY schema enables create-on-first-write
-          // (the write path takes the data schema; ACCEPT_ANY_SCHEMA skips
-          // output resolution against this placeholder) — a READ of the
-          // empty table still fails loudly in newScanBuilder
+        val v = pinnedVersion(spark, path, options)
+        if (v == EmptyChain)
+          // no commits yet at resolution time: an EMPTY schema enables
+          // create-on-first-write (the write path takes the data schema;
+          // ACCEPT_ANY_SCHEMA skips output resolution against this
+          // placeholder) — a READ of the empty table still fails loudly
+          // in newScanBuilder
           new StructType()
         else {
-          val v = pinnedVersion(spark, path, options)
           val schema = VersionedTable.readAsOf(spark, path, v).schema
           schema.fields.foreach { f =>
             require(GraftVersionedSource.supported(f.dataType),
               s"graft-versioned: unsupported column type ${f.dataType.simpleString} " +
-                s"for '${f.name}' — the connector reads the flat primitive schemas " +
-                "the versioned table commits (boolean/int/bigint/float/double/string/binary)")
+                s"for '${f.name}' — the connector reads the flat schemas the " +
+                "versioned table commits (boolean/int/bigint/float/double/string/" +
+                "binary/date/timestamp/timestamp_ntz/decimal)")
           }
           schema
         }
@@ -137,15 +148,16 @@ class GraftVersionedSource extends TableProvider with DataSourceRegister {
         val v = pinnedVersion(spark, path, opts)
         new GraftVersionedMetadataTable(path, kind, v)
       case None =>
-        if (VersionedTable.versions(spark, path).isEmpty)
+        // reuse the schema-time resolution (the pin) for BOTH the
+        // empty-chain decision and the version: schema and scan always
+        // address the same snapshot, even when a first commit lands
+        // between the two driver calls
+        val v = pinnedVersion(spark, path, opts)
+        if (v == EmptyChain)
           new GraftVersionedTable(path, 0L, None, schema)
-        else {
-          // reuse the schema-time resolution (the pin): schema and scan
-          // always address the same snapshot
-          val v = pinnedVersion(spark, path, opts)
+        else
           new GraftVersionedTable(path, v,
             Some(VersionedTable.readManifest(spark, path, v)), schema)
-        }
     }
   }
   override def supportsExternalMetadata(): Boolean = false
@@ -165,9 +177,21 @@ object GraftVersionedSource {
       k
     }
 
+  /** Column types the connector surfaces carry (round 15 widened the
+    * set to date/timestamp/decimal — the events-fixture shapes): both
+    * readers are Spark's own `VectorizedParquetRecordReader` with
+    * rebase modes pinned CORRECTED, which is sound because every write
+    * surface produces proleptic-Gregorian files — the staging writers
+    * set `datetimeRebaseModeInWrite=CORRECTED` explicitly and
+    * [[VersionedTable.commit]]'s native write runs under Spark 4's
+    * default EXCEPTION mode (a legacy-calendar value fails the write
+    * instead of landing ambiguous bytes). Nested types stay rejected
+    * loudly. */
   private[sources] def supported(dt: DataType): Boolean = dt match {
     case BooleanType | IntegerType | LongType | FloatType | DoubleType |
-         StringType | BinaryType => true
+         StringType | BinaryType | DateType | TimestampType |
+         TimestampNTZType => true
+    case _: DecimalType => true
     case _ => false
   }
 
@@ -177,6 +201,11 @@ object GraftVersionedSource {
   private[sources] def filterToColumn(f: Filter): Option[org.apache.spark.sql.Column] = {
     import org.apache.spark.sql.functions.{col, lit}
     f match {
+      // a bare `DELETE FROM t` (no WHERE) arrives as the true-literal
+      // condition → AlwaysTrue (ADVICE r14): full-table delete is a
+      // legal shape, not an untranslatable predicate
+      case AlwaysTrue() => Some(lit(true))
+      case AlwaysFalse() => Some(lit(false))
       case EqualTo(c, v) => Some(col(c) === lit(v))
       case EqualNullSafe(c, v) => Some(col(c) <=> lit(v))
       case GreaterThan(c, v) => Some(col(c) > lit(v))
@@ -199,42 +228,58 @@ object GraftVersionedSource {
 
 class GraftVersionedTable(path: String, version: Long,
     m: Option[VersionedTable.Manifest], tableSchema: StructType,
-    declared: Option[(StructType, String)] = None)
-    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+    declared: Option[(StructType, String)] = None,
+    acceptAnySchema: Boolean = true)
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete
+    with SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.TruncatableTable
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String = s"graft_versioned(`$path`@v$version)"
   override def schema(): StructType = tableSchema
-  // ACCEPT_ANY_SCHEMA: output resolution is delegated to
-  // [[VersionedTable.commit]]'s own gates (exact name+type signature on
-  // append, explicit allowSchemaEvolution) — the same division of labor
-  // Delta declares; without it a create-on-first-write (empty placeholder
-  // schema) could never resolve.
-  override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+  // ACCEPT_ANY_SCHEMA is advertised PER SURFACE (round 15):
+  //  - the PATH-based provider keeps it — a create-on-first-write (empty
+  //    placeholder schema) could never resolve without it, and the
+  //    V1Write bridge then does Delta's job (by-name resolution,
+  //    col1..colN literal frames, the allowSchemaEvolution /
+  //    overwriteSchema options);
+  //  - the CATALOG drops it — a CREATE TABLE always declares a real
+  //    schema, so the ANALYZER's standard output resolution (positional
+  //    SQL INSERT, safe casts, arity errors) is strictly better, and —
+  //    decisive — Spark's MERGE/UPDATE resolution SKIPS any target whose
+  //    relation has `skipSchemaResolution` (= this capability), a hook
+  //    left for Delta-style engines that ship their own resolution
+  //    rules. Dropping it is what makes `MERGE INTO`/`UPDATE` resolve
+  //    at all on catalog tables.
+  override def capabilities(): java.util.Set[TableCapability] = {
+    val base = Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-      TableCapability.STREAMING_WRITE,
-      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA).asJava
+      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
+    (if (acceptAnySchema) base + TableCapability.ACCEPT_ANY_SCHEMA else base).asJava
+  }
+  /** ROW-PROVENANCE METADATA COLUMNS (round 15 — the Iceberg `_file`
+    * move, at this table's dir granularity): `_graft_dir` is the commit
+    * data dir a row was read from and `_graft_version` the version that
+    * INTRODUCED that dir — `SELECT *, _graft_version FROM t` answers
+    * "which commit holds this row" (incremental consumers, GDPR audits,
+    * compaction debugging) without any join. Served as per-chunk
+    * constants by the readers — zero per-row cost; a table column of
+    * the same name hides the metadata column (Spark's conflict rule). */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(
+      GraftVersionedTable.metaCol("_graft_dir", StringType),
+      GraftVersionedTable.metaCol("_graft_version", LongType))
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     m match {
       case Some(manifest) =>
         new GraftVersionedScanBuilder(path, manifest, tableSchema,
           Option(options.get("startingVersion")).map(_.toLong),
-          Option(options.get("ignoreChanges")).exists(_.toBoolean))
+          Option(options.get("ignoreChanges")).exists(_.toBoolean),
+          version)
       case None if tableSchema.nonEmpty =>
         // CREATE TABLE declared, never written: standard SQL reads it as
         // zero rows of the declared schema
-        new ScanBuilder {
-          override def build(): Scan = new Scan with Batch {
-            override def readSchema(): StructType = tableSchema
-            override def toBatch: Batch = this
-            override def description(): String =
-              s"graft-versioned $path (declared, no commits)"
-            override def planInputPartitions(): Array[InputPartition] = Array.empty
-            override def createReaderFactory(): PartitionReaderFactory =
-              new GraftVersionedReaderFactory(tableSchema,
-                new SerializableHadoopConf(
-                  graft.operators.InvertedIndex.activeHadoopConf()))
-          }
-        }
+        new GraftVersionedEmptyScanBuilder(path, tableSchema)
       case None => sys.error(
         s"graft-versioned: $path has no committed versions — nothing to read " +
           "(write first, or check the path)")
@@ -257,6 +302,197 @@ class GraftVersionedTable(path: String, version: Long,
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
     VersionedTable.deleteWhere(spark, path, pred): Unit
+  }
+
+  /** SQL `TRUNCATE TABLE` (round 15): a copy-on-write EMPTY version
+    * through [[VersionedTable.deleteWhere]] — the table reads empty,
+    * prior snapshots still time-travel, vacuum ages the bytes out (the
+    * same non-purge semantics as DELETE; a metadata-only truncate that
+    * dropped the commit log would destroy history). Truncating a
+    * never-written table is a no-op. */
+  override def truncateTable(): Boolean = {
+    if (VersionedTable.currentVersion(SparkSession.active, path) == 0L) true
+    else {
+      VersionedTable.deleteWhere(SparkSession.active, path,
+        org.apache.spark.sql.functions.lit(true))
+      true
+    }
+  }
+
+  /** SQL `MERGE INTO` / `UPDATE … SET` / rewrite-DELETE (round-15
+    * verdict tasks 2–3): group-based COPY-ON-WRITE row-level
+    * operations. The operation's scan is the table's ordinary pruned
+    * scan; with no runtime group filtering declared, Spark's rewrite
+    * (`RewriteMergeIntoTable` / `RewriteUpdateTable` /
+    * `RewriteDeleteFromTable`) treats the WHOLE TABLE as the affected
+    * group and hands the write the COMPLETE post-operation row set —
+    * exactly the granularity [[VersionedTable.deleteWhere]]'s dir-level
+    * copy-on-write already commits at, so the write lowers onto one
+    * `overwrite` commit through the same optimistic publish. The
+    * expected base version is the snapshot the scan read (pinned at
+    * load): a concurrent commit between scan and publish loses with
+    * [[java.util.ConcurrentModificationException]], never silently
+    * merges over changed data. DELETE keeps its cheaper metadata path
+    * (`OptimizeMetadataOnlyDeleteFromTable` → [[deleteWhere]]) whenever
+    * the predicate translates; untranslatable predicates — which the
+    * r14 surface refused loudly — now take this rewrite. */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation =
+        new GraftRowLevelOperation(path, version, m, tableSchema, declared,
+          info.command)
+    }
+}
+
+object GraftVersionedTable {
+  val MetaColNames: Set[String] = Set("_graft_dir", "_graft_version")
+  private[sources] def metaCol(colName: String, dt: DataType)
+      : org.apache.spark.sql.connector.catalog.MetadataColumn =
+    new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = colName
+      override def dataType(): DataType = dt
+      override def isNullable: Boolean = false
+    }
+}
+
+/** One copy-on-write row-level operation over a pinned base snapshot
+  * (see [[GraftVersionedTable.newRowLevelOperationBuilder]]). */
+class GraftRowLevelOperation(path: String, baseVersion: Long,
+    m: Option[VersionedTable.Manifest], tableSchema: StructType,
+    declared: Option[(StructType, String)],
+    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String =
+    s"graft-versioned $cmd (copy-on-write, base v$baseVersion)"
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    m match {
+      case Some(manifest) =>
+        new GraftVersionedScanBuilder(path, manifest, tableSchema,
+          version = baseVersion)
+      case None =>
+        // declared, never written: MERGE INTO an empty table is legal
+        // (every source row is not-matched ⇒ insert-all)
+        new GraftVersionedEmptyScanBuilder(path, tableSchema)
+    }
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new GraftVersionedBatchWrite(path, info.schema(), baseVersion,
+            m, declared)
+      }
+    }
+}
+
+/** V2 BATCH WRITE for row-level operations (`ReplaceDataExec` requires
+  * a genuine `BatchWrite` — Spark's V1 fallback bridge only covers
+  * append/overwrite-by-expression): executors stage each task's rows as
+  * parquet under `data/rlo-<uid>` via the same
+  * [[GraftStagedParquetWriter]] the streaming sink uses, and the
+  * driver's `commit` keeps exactly the COMMITTED tasks' files, then
+  * publishes the staged dir as one `overwrite` version through
+  * [[VersionedTable.publishStagedDir]] — digest accounting, optimistic
+  * concurrency (against the operation's pinned base version), the
+  * works. An operation whose result is EMPTY (e.g. a MERGE whose only
+  * clause deletes every matched row and nothing else survives) still
+  * commits: an all-NULL-task plan stages schema-carrying zero-row
+  * files, and a zero-task plan (AQE can collapse an empty child to no
+  * partitions) publishes an explicitly-written empty dir. */
+class GraftVersionedBatchWrite(path: String, schema: StructType,
+    baseVersion: Long, standing: Option[VersionedTable.Manifest],
+    declared: Option[(StructType, String)]) extends BatchWrite {
+  schema.fields.foreach { f =>
+    require(GraftVersionedSource.supported(f.dataType),
+      s"graft-versioned row-level write: unsupported column type " +
+        s"${f.dataType.simpleString} for '${f.name}'")
+  }
+  private val stagedRel =
+    f"data/rlo-${java.util.UUID.randomUUID.toString.take(8)}"
+
+  override def createBatchWriterFactory(pi: PhysicalWriteInfo): DataWriterFactory =
+    new GraftVersionedBatchWriterFactory(path, stagedRel, schema,
+      new SerializableHadoopConf(graft.operators.InvertedIndex.activeHadoopConf()))
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val fs = new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stagedPath = new HPath(new HPath(path), stagedRel)
+    // keep exactly the committed tasks' files: a failed attempt's
+    // orphan must never enter the digest (the streaming sink's rule)
+    val committed = messages.collect {
+      case m: GraftStreamFileMessage => m.fileName
+    }.toSet
+    if (fs.exists(stagedPath))
+      fs.listStatus(stagedPath).foreach { s =>
+        if (s.isFile && !committed(s.getPath.getName))
+          fs.delete(s.getPath, false): Unit
+      }
+    if (committed.isEmpty)
+      // zero-task plan: the post-operation table is empty — publish an
+      // explicitly-written empty dir so the snapshot still carries the
+      // schema (readAsOf resolves it from the parquet footer)
+      spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        schema).repartition(1).write.mode("overwrite").parquet(stagedPath.toString)
+    val idCol = standing.map(_.idCol)
+      .orElse(declared.map(_._2))
+      .getOrElse(sys.error(s"graft-versioned row-level write: $path has no " +
+        "standing manifest and no declared idCol"))
+    val contentCols = standing.map(_.contentCols)
+      .getOrElse(schema.fieldNames.filterNot(_ == idCol).toSeq)
+    VersionedTable.publishStagedDir(spark, path, stagedRel, idCol, contentCols,
+      expectedVersion = baseVersion, mode = "overwrite"): Unit
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val fs = new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stagedPath = new HPath(new HPath(path), stagedRel)
+    // best-effort: anything missed is an unreferenced dir for vacuum
+    try { if (fs.exists(stagedPath)) fs.delete(stagedPath, true): Unit }
+    catch { case _: java.io.IOException => () }
+  }
+}
+
+/** Batch flavor of the staged parquet writer factory: same executor-side
+  * writer as the streaming sink, fixed staging dir instead of per-epoch.
+  *
+  * ROW-OPERATION MARKER: Spark's group-based UPDATE/MERGE rewrites emit
+  * each replacement row PREFIXED with an `__row_operation` int at
+  * ordinal 0 (`RowDeltaUtils`; the rewrite's own projecting task reads
+  * `row.getInt(0)`), and the engine strips it for the connector ONLY on
+  * the `DataAndMetadataWritingSparkTask` path — which it takes just
+  * when the operation declared `requiredMetadataAttributes` (Iceberg
+  * always does; `ReplaceDataExec.writingTask` in
+  * `WriteToDataSourceV2Exec.scala` falls back to the non-projecting
+  * task otherwise). This table declares none, so the writer does the
+  * ordinal-0 strip itself: a row arriving exactly schema-arity (the
+  * DELETE rewrite's shape — a pure filter emits no marker) writes
+  * as-is; schema-arity+1 projects the marker off; anything else is a
+  * loud contract error, never a silently misaligned parquet. */
+class GraftVersionedBatchWriterFactory(path: String, stagedRel: String,
+    schema: StructType, confCarrier: SerializableHadoopConf)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val inner = GraftStagedParquetWriter.create(path, stagedRel,
+      f"part-$partitionId%05d-$taskId.parquet", schema, confCarrier.value)
+    new DataWriter[InternalRow] {
+      private val proj = org.apache.spark.sql.catalyst.ProjectingInternalRow(
+        schema, (1 to schema.length).toIndexedSeq)
+      override def write(row: InternalRow): Unit =
+        if (row.numFields == schema.length) inner.write(row)
+        else {
+          require(row.numFields == schema.length + 1,
+            s"graft-versioned row-level write: got a ${row.numFields}-field row " +
+              s"for a ${schema.length}-column table — expected the row columns, " +
+              "optionally prefixed by the __row_operation marker")
+          proj.project(row)
+          inner.write(proj)
+        }
+      override def commit(): WriterCommitMessage = inner.commit()
+      override def abort(): Unit = inner.abort()
+      override def close(): Unit = inner.close()
+    }
   }
 }
 
@@ -283,6 +519,9 @@ class GraftVersionedTable(path: String, version: Long,
   *  - `statCols`, `bloomCols` — comma-separated index registrations,
   *    same as the Scala API.
   *  - `allowSchemaEvolution` — append may ADD columns (merge-read).
+  *  - `byPosition` — resolve a name-mismatched same-arity df.write
+  *    positionally (SQL-VALUES literal frames named col1..colN resolve
+  *    positionally without it; anything else must match by name).
   *
   * `mode("overwrite")` arrives as the truncate() call (Spark's
   * OverwriteByExpression with the always-true filter) and maps to the
@@ -330,11 +569,25 @@ class GraftVersionedWriteBuilder(path: String, info: LogicalWriteInfo,
           // the table, exactly as the Scala API's overwrite commit does
           val overwriteSchema = overwrite &&
             Option(opts.get("overwriteSchema")).exists(_.toBoolean)
+          // POSITIONAL resolution is restricted (ADVICE r14) to frames
+          // whose column names are provably auto-generated — SQL
+          // `INSERT INTO … VALUES` literals arrive as col1..colN — or
+          // to an explicit `byPosition` opt-in. ACCEPT_ANY_SCHEMA makes
+          // SQL INSERT and df.write indistinguishable here, so an
+          // unrestricted count-match fallback would silently remap a
+          // df.write whose same-typed columns are merely misnamed
+          // (swapped/renamed) — Delta fails that write by name, and so
+          // does this bridge now: the unmatched frame falls through to
+          // the commit protocol's schema gate, which errors loudly.
+          def autoNamed(cols: Array[String]): Boolean =
+            cols.zipWithIndex.forall { case (n, i) => n.equalsIgnoreCase(s"col${i + 1}") }
+          val byPosition = Option(opts.get("byPosition")).exists(_.toBoolean)
           val adapted = if (overwriteSchema) data else target match {
             case Some(ts) if data.columns.toSet == ts.fieldNames.toSet =>
               data.select(ts.fields.toSeq.map(f =>
                 col(f.name).cast(f.dataType).as(f.name)): _*)
             case Some(ts) if data.columns.length == ts.length &&
+                (autoNamed(data.columns) || byPosition) &&
                 !Option(opts.get("allowSchemaEvolution")).exists(_.toBoolean) =>
               data.toDF(ts.fieldNames.toSeq: _*)
                 .select(ts.fields.toSeq.map(f =>
@@ -557,7 +810,7 @@ class GraftVersionedMicroBatchStream(path: String, required: StructType,
 
 class GraftVersionedScanBuilder(path: String, m: VersionedTable.Manifest,
     tableSchema: StructType, startingVersion: Option[Long] = None,
-    ignoreChanges: Boolean = false)
+    ignoreChanges: Boolean = false, version: Long = 0L)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private var required: StructType = tableSchema
@@ -679,7 +932,7 @@ class GraftVersionedScanBuilder(path: String, m: VersionedTable.Manifest,
       idOk && strOk && bloomOk
     }
     new GraftVersionedScan(path, m.dirs.size, kept, required, startingVersion,
-      ignoreChanges)
+      ignoreChanges, version)
   }
 }
 
@@ -740,10 +993,31 @@ object GraftVersionedFilePartition {
 
 class GraftVersionedScan(path: String, totalDirs: Int, keptDirs: Seq[String],
     required: StructType, startingVersion: Option[Long] = None,
-    ignoreChanges: Boolean = false)
+    ignoreChanges: Boolean = false, version: Long = 0L)
     extends Scan with Batch with SupportsReportStatistics {
   private val confCarrier = new SerializableHadoopConf(
     graft.operators.InvertedIndex.activeHadoopConf())
+
+  /** Dir provenance for the metadata columns, derived at PLAN time
+    * (O(versions) driver-side manifest reads — metadata scale): each
+    * kept dir, keyed by its last path segment, mapped to (manifest dir
+    * string, version that INTRODUCED it — the first remaining manifest
+    * listing it, which under vacuum attributes a surviving dir to the
+    * earliest snapshot that can still serve it). Computed only when the
+    * projection actually asks for a metadata column. */
+  private lazy val dirProvenance: Map[String, (String, Long)] = {
+    val spark = SparkSession.active
+    val seen = scala.collection.mutable.LinkedHashMap.empty[String, (String, Long)]
+    VersionedTable.versions(spark, path).filter(_ <= version).sorted.foreach { v =>
+      VersionedTable.readManifest(spark, path, v).dirs.foreach { d =>
+        val key = d.split('/').last
+        if (!seen.contains(key)) seen += key -> ((d, v))
+      }
+    }
+    seen.toMap
+  }
+  private def needsMeta: Boolean =
+    required.fieldNames.exists(GraftVersionedTable.MetaColNames)
 
   private lazy val files: Seq[org.apache.hadoop.fs.FileStatus] = {
     val fs = new HPath(path).getFileSystem(confCarrier.value)
@@ -771,14 +1045,17 @@ class GraftVersionedScan(path: String, totalDirs: Int, keptDirs: Seq[String],
   // path below keeps the row reader (micro-batches are small appends
   // by construction)
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftVersionedReaderFactory(required, confCarrier, columnar = true)
+    new GraftVersionedReaderFactory(required, confCarrier, columnar = true,
+      dirProvenance = if (needsMeta) dirProvenance else Map.empty)
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftVersionedMicroBatchStream(path, required,
       startingVersion.getOrElse(0L), confCarrier, ignoreChanges)
 }
 
-/** Per-file readers, two paths:
+/** Per-file readers — ONE decoder, two drive modes (round 15 unified
+  * the old parquet-mr Group row path into the vectorized reader so
+  * date/timestamp/decimal columns flow through every surface):
   *
   *  - **COLUMNAR (batch scans — round-14 verdict task 5)**: Spark's own
   *    `VectorizedParquetRecordReader` driven directly (the engine's
@@ -787,73 +1064,127 @@ class GraftVersionedScan(path: String, totalDirs: Int, keptDirs: Seq[String],
   *    `ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA` and fields a file
   *    predates (merge-read chains) emitted as constant-NULL vectors by
   *    the reader's own missing-column handling. A full analytical scan
-  *    through the connector now decodes at native-parquet speed instead
-  *    of the row-at-a-time Group path (spec-gated within 1.2× of
-  *    `VersionedTable.readAsOf`). Rebase modes are pinned CORRECTED —
-  *    the connector's supported types exclude date/timestamp, so no
-  *    legacy-calendar file can reach them.
-  *  - **ROW (streaming micro-batches)**: parquet-mr `GroupReadSupport`
-  *    with the projection pushed into the parquet read schema —
-  *    micro-batches deliver small fresh appends, where per-row
-  *    materialization is not the bottleneck. */
+  *    through the connector decodes at native-parquet speed
+  *    (spec-gated within 1.2× of `VersionedTable.readAsOf`). Rebase
+  *    modes are pinned CORRECTED — sound because every write surface
+  *    produces proleptic-Gregorian files (see
+  *    [[GraftVersionedSource.supported]]).
+  *  - **ROW (streaming micro-batches)**: the SAME vectorized reader
+  *    iterated row-by-row (`nextKeyValue` without
+  *    `enableReturningBatches`) — micro-batches deliver small fresh
+  *    appends, where per-row materialization is not the bottleneck,
+  *    and sharing the decoder means the row path carries exactly the
+  *    column types the batch path does. */
 class GraftVersionedReaderFactory(required: StructType,
-    confCarrier: SerializableHadoopConf, columnar: Boolean = false)
+    confCarrier: SerializableHadoopConf, columnar: Boolean = false,
+    dirProvenance: Map[String, (String, Long)] = Map.empty)
     extends PartitionReaderFactory {
   import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, VectorizedParquetRecordReader}
-  import org.apache.spark.sql.vectorized.ColumnarBatch
+  import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 
   override def supportColumnarReads(partition: InputPartition): Boolean = columnar
+
+  // METADATA COLUMNS (_graft_dir/_graft_version) are served as
+  // PER-CHUNK CONSTANTS — the parquet decoders only ever see the FILE
+  // fields; the assembly below re-interleaves constants into the
+  // required projection order (Spark's own partition-column recipe).
+  // srcIdx: >=0 → file-field index, -1 → _graft_dir, -2 → _graft_version
+  private val fileSchema = StructType(
+    required.filterNot(f => GraftVersionedTable.MetaColNames(f.name)).toArray)
+  private val hasMeta = fileSchema.length != required.length
+  private val srcIdx: Array[Int] = {
+    var j = -1
+    required.fields.map { f =>
+      if (f.name == "_graft_dir") -1
+      else if (f.name == "_graft_version") -2
+      else { j += 1; j }
+    }
+  }
+  private def provenanceOf(chunk: GraftFileChunk): (String, Long) = {
+    val parent = new HPath(chunk.path).getParent.getName
+    dirProvenance.getOrElse(parent, sys.error(
+      s"graft-versioned: no provenance recorded for data dir '$parent' — " +
+        "metadata columns are a batch-scan surface planned against the " +
+        "manifest chain"))
+  }
+
+  // one conf per PARTITION, not per chunk (Configuration copies are
+  // milliseconds each — visible on narrow scans): its content is
+  // chunk-independent and the readers only consult it
+  private def mkConf(): Configuration = {
+    val c = new Configuration(confCarrier.value)
+    // the conf contract ParquetFileFormat's reader function sets up
+    c.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+      classOf[ParquetReadSupport].getName)
+    c.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, fileSchema.json)
+    c.setBoolean("spark.sql.parquet.binaryAsString", false)
+    c.setBoolean("spark.sql.parquet.int96AsTimestamp", true)
+    c.setBoolean("spark.sql.caseSensitive", false)
+    c.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", true)
+    c.setBoolean("spark.sql.legacy.parquet.nanosAsLong", false)
+    c
+  }
+
+  private def open(chunk: GraftFileChunk, conf: Configuration,
+      returnBatches: Boolean): VectorizedParquetRecordReader = {
+    val r = new VectorizedParquetRecordReader(
+      java.time.ZoneId.of("UTC"), "CORRECTED", "UTC", "CORRECTED", "UTC",
+      /* useOffHeap = */ false, /* capacity = */ 4096)
+    // mapred.FileSplit (extends the mapreduce one): the reader base
+    // downcasts to the old API internally. The (start, length) range
+    // selects the row groups whose start offset falls inside it —
+    // exactly how the native scan consumes its splits.
+    val split = new org.apache.hadoop.mapred.FileSplit(
+      new HPath(chunk.path), chunk.start, chunk.length, Array.empty[String])
+    val tac = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+      conf, new org.apache.hadoop.mapreduce.TaskAttemptID())
+    try {
+      r.initialize(split, tac)
+      r.initBatch(new StructType(), InternalRow.empty)
+      if (returnBatches) r.enableReturningBatches()
+      r
+    } catch { case e: Throwable => r.close(); throw e }
+  }
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
     val chunks = partition.asInstanceOf[GraftVersionedFilePartition].chunks
     new PartitionReader[ColumnarBatch] {
       private var idx = -1
       private var cur: VectorizedParquetRecordReader = _
-      // one conf per PARTITION, not per chunk (Configuration copies are
-      // milliseconds each — visible on narrow scans): its content is
-      // chunk-independent and the readers only consult it
-      private lazy val conf: Configuration = {
-        val c = new Configuration(confCarrier.value)
-        // the conf contract ParquetFileFormat's reader function sets up
-        c.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
-          classOf[ParquetReadSupport].getName)
-        c.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, required.json)
-        c.setBoolean("spark.sql.parquet.binaryAsString", false)
-        c.setBoolean("spark.sql.parquet.int96AsTimestamp", true)
-        c.setBoolean("spark.sql.caseSensitive", false)
-        c.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", true)
-        c.setBoolean("spark.sql.legacy.parquet.nanosAsLong", false)
-        c
-      }
-      private def open(chunk: GraftFileChunk): VectorizedParquetRecordReader = {
-        val r = new VectorizedParquetRecordReader(
-          java.time.ZoneId.of("UTC"), "CORRECTED", "UTC", "CORRECTED", "UTC",
-          /* useOffHeap = */ false, /* capacity = */ 4096)
-        // mapred.FileSplit (extends the mapreduce one): the reader base
-        // downcasts to the old API internally. The (start, length) range
-        // selects the row groups whose start offset falls inside it —
-        // exactly how the native scan consumes its splits.
-        val split = new org.apache.hadoop.mapred.FileSplit(
-          new HPath(chunk.path), chunk.start, chunk.length, Array.empty[String])
-        val tac = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
-          conf, new org.apache.hadoop.mapreduce.TaskAttemptID())
-        try {
-          r.initialize(split, tac)
-          r.initBatch(new StructType(), InternalRow.empty)
-          r.enableReturningBatches()
-          r
-        } catch { case e: Throwable => r.close(); throw e }
-      }
+      private var wrapped: ColumnarBatch = _
+      private lazy val conf: Configuration = mkConf()
       override def next(): Boolean = {
         while (cur == null || !cur.nextBatch()) {
           if (cur != null) cur.close()
           idx += 1
           if (idx >= chunks.length) { cur = null; return false }
-          cur = open(chunks(idx))
+          cur = open(chunks(idx), conf, returnBatches = true)
+          if (hasMeta) {
+            // interleave the file columns with per-chunk constant
+            // vectors once per chunk (the vectorized reader reuses its
+            // batch instance, so the wrapper stays valid for the chunk)
+            import org.apache.spark.sql.execution.vectorized.ConstantColumnVector
+            val (dirRel, ver) = provenanceOf(chunks(idx))
+            val base = cur.resultBatch()
+            val cols: Array[ColumnVector] = srcIdx.zipWithIndex.map {
+              case (-1, i) =>
+                val v = new ConstantColumnVector(4096, required.fields(i).dataType)
+                v.setUtf8String(UTF8String.fromString(dirRel)); v: ColumnVector
+              case (-2, i) =>
+                val v = new ConstantColumnVector(4096, required.fields(i).dataType)
+                v.setLong(ver); v: ColumnVector
+              case (j, _) => base.column(j)
+            }
+            wrapped = new ColumnarBatch(cols)
+          }
         }
         true
       }
-      override def get(): ColumnarBatch = cur.resultBatch()
+      override def get(): ColumnarBatch = {
+        val base = cur.resultBatch()
+        if (!hasMeta) base
+        else { wrapped.setNumRows(base.numRows()); wrapped }
+      }
       override def close(): Unit = if (cur != null) { cur.close(); cur = null }
     }
   }
@@ -863,81 +1194,41 @@ class GraftVersionedReaderFactory(required: StructType,
     // chain the pack's files sequentially behind one PartitionReader
     new PartitionReader[InternalRow] {
       private var idx = -1
-      private var cur: PartitionReader[InternalRow] = _
+      private var cur: VectorizedParquetRecordReader = _
+      private var dirRelU: UTF8String = _
+      private var ver: Long = 0L
+      private lazy val conf: Configuration = mkConf()
       override def next(): Boolean = {
-        while (cur == null || !cur.next()) {
+        while (cur == null || !cur.nextKeyValue()) {
           if (cur != null) cur.close()
           idx += 1
           if (idx >= chunks.length) { cur = null; return false }
-          val c = chunks(idx)
-          require(c.start == 0L && c.length == c.fileLen,
-            s"row reader takes whole files, got range $c") // streaming packs whole
-          cur = fileReader(c.path)
+          cur = open(chunks(idx), conf, returnBatches = false)
+          if (hasMeta) {
+            val (dirRel, v) = provenanceOf(chunks(idx))
+            dirRelU = UTF8String.fromString(dirRel); ver = v
+          }
         }
         true
       }
-      override def get(): InternalRow = cur.get()
-      override def close(): Unit = if (cur != null) cur.close()
-    }
-  }
-
-  private def fileReader(file: String): PartitionReader[InternalRow] = {
-    new PartitionReader[InternalRow] {
-      private val conf = new Configuration(confCarrier.value)
-      private val fileFields: Set[String] = {
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile
-          .fromPath(new HPath(file), conf)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try r.getFooter.getFileMetaData.getSchema.getFields.asScala
-          .map(_.getName).toSet
-        finally r.close()
-      }
-      private val reader: ParquetReader[org.apache.parquet.example.data.Group] = {
-        // push the projection into parquet: only requested fields the
-        // file actually has; an empty intersection (pure-evolved
-        // projection) still needs row COUNT, so fall back to full
-        // schema in that rare shape
-        val want = required.fieldNames.filter(fileFields)
-        if (want.nonEmpty) {
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile
-            .fromPath(new HPath(file), conf)
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          val full = try r.getFooter.getFileMetaData.getSchema finally r.close()
-          val fields: java.util.List[org.apache.parquet.schema.Type] =
-            want.map(n => full.getType(Seq(n): _*)).toBuffer.asJava
-          val proj = new org.apache.parquet.schema.MessageType(full.getName, fields)
-          conf.set(ReadSupport.PARQUET_READ_SCHEMA, proj.toString)
-        }
-        ParquetReader.builder(new GroupReadSupport(), new HPath(file))
-          .withConf(conf).build()
-      }
-      private var current: org.apache.parquet.example.data.Group = _
-      override def next(): Boolean = { current = reader.read(); current != null }
       override def get(): InternalRow = {
-        val vals = new Array[Any](required.length)
-        var i = 0
-        while (i < required.length) {
-          val f = required.fields(i)
-          vals(i) =
-            if (!fileFields(f.name) ||
-                current.getType.getFields.asScala.forall(_.getName != f.name) ||
-                current.getFieldRepetitionCount(f.name) == 0) null
-            else f.dataType match {
-              case LongType => current.getLong(f.name, 0)
-              case IntegerType => current.getInteger(f.name, 0)
-              case DoubleType => current.getDouble(f.name, 0)
-              case FloatType => current.getFloat(f.name, 0)
-              case BooleanType => current.getBoolean(f.name, 0)
-              case StringType => UTF8String.fromString(current.getString(f.name, 0))
-              case BinaryType => current.getBinary(f.name, 0).getBytes
-              case other => sys.error(
-                s"graft-versioned: unsupported type ${other.simpleString}")
+        val row = cur.getCurrentValue.asInstanceOf[InternalRow]
+        if (!hasMeta) row
+        else {
+          val vals = new Array[Any](required.length)
+          var i = 0
+          while (i < required.length) {
+            vals(i) = srcIdx(i) match {
+              case -1 => dirRelU
+              case -2 => ver
+              case j => row.get(j, fileSchema.fields(j).dataType)
             }
-          i += 1
+            i += 1
+          }
+          new GenericInternalRow(vals)
         }
-        new GenericInternalRow(vals)
       }
-      override def close(): Unit = reader.close()
+      override def close(): Unit = if (cur != null) { cur.close(); cur = null }
     }
   }
 }
@@ -1060,7 +1351,21 @@ class GraftVersionedStreamingWrite(path: String,
 class GraftVersionedStreamingWriterFactory(path: String, qid: String,
     schema: StructType, confCarrier: SerializableHadoopConf)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
-  import org.apache.spark.sql.connector.write.DataWriter
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    // attempt-unique name (taskId is unique per attempt): retries never
+    // clobber, and only the committed attempt's name reaches the driver
+    GraftStagedParquetWriter.create(path, f"data/stream-$qid-e$epochId%08d",
+      f"part-$partitionId%05d-$taskId.parquet", schema, confCarrier.value)
+}
+
+/** Executor-side STAGED PARQUET WRITER shared by the streaming sink and
+  * the row-level-operation batch write: one task = one attempt-unique
+  * parquet file in a staging dir under the table root, written through
+  * Spark's own `ParquetWriteSupport` (InternalRow → parquet, the full
+  * Spark type coverage of the native write path), SNAPPY-compressed.
+  * Only a COMMITTED attempt's file name reaches the driver. */
+object GraftStagedParquetWriter {
   import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
 
   /** Builder shim: parquet-mr's Builder is the non-deprecated way to
@@ -1073,14 +1378,10 @@ class GraftVersionedStreamingWriterFactory(path: String, qid: String,
         : org.apache.parquet.hadoop.api.WriteSupport[InternalRow] = support
   }
 
-  override def createWriter(partitionId: Int, taskId: Long,
-      epochId: Long): DataWriter[InternalRow] = {
-    // attempt-unique name (taskId is unique per attempt): retries never
-    // clobber, and only the committed attempt's name reaches the driver
-    val fileName = f"part-$partitionId%05d-$taskId.parquet"
-    val file = new HPath(new HPath(new HPath(path),
-      f"data/stream-$qid-e$epochId%08d"), fileName)
-    val conf = new Configuration(confCarrier.value)
+  def create(tableRoot: String, stagedRel: String, fileName: String,
+      schema: StructType, confBase: Configuration): DataWriter[InternalRow] = {
+    val file = new HPath(new HPath(new HPath(tableRoot), stagedRel), fileName)
+    val conf = new Configuration(confBase)
     // the conf contract ParquetWriteSupport.init asserts on
     ParquetWriteSupport.setSchema(schema, conf)
     conf.set("spark.sql.parquet.writeLegacyFormat", "false")
@@ -1098,7 +1399,7 @@ class GraftVersionedStreamingWriterFactory(path: String, qid: String,
           org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
         .build()
       override def write(row: InternalRow): Unit = { writer.write(row); rows += 1 }
-      override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+      override def commit(): WriterCommitMessage = {
         writer.close()
         GraftStreamFileMessage(fileName, rows)
       }
@@ -1110,5 +1411,21 @@ class GraftVersionedStreamingWriterFactory(path: String, qid: String,
       }
       override def close(): Unit = ()
     }
+  }
+}
+
+/** Zero-row scan of a declared schema (CREATE TABLE, no commits yet). */
+private[sources] class GraftVersionedEmptyScanBuilder(path: String,
+    tableSchema: StructType) extends ScanBuilder {
+  override def build(): Scan = new Scan with Batch {
+    override def readSchema(): StructType = tableSchema
+    override def toBatch: Batch = this
+    override def description(): String =
+      s"graft-versioned $path (declared, no commits)"
+    override def planInputPartitions(): Array[InputPartition] = Array.empty
+    override def createReaderFactory(): PartitionReaderFactory =
+      new GraftVersionedReaderFactory(tableSchema,
+        new SerializableHadoopConf(
+          graft.operators.InvertedIndex.activeHadoopConf()))
   }
 }

@@ -87,9 +87,18 @@ class GraftCatalogSpec extends SparkSuite {
     def msgs(t: Throwable): String =
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
         .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
-    assert(msgs(ex).contains("declared"), msgs(ex))
+    // round 15: catalog tables no longer declare ACCEPT_ANY_SCHEMA, so
+    // the ANALYZER's own arity gate fires first (the standard SQL error)
+    // — the commit-side declaration gate remains the backstop for the
+    // path-based surface, which still skips analyzer resolution
+    assert(msgs(ex).contains("ARITY") || msgs(ex).contains("declared"), msgs(ex))
+    // round 15: ADD COLUMN is now SUPPORTED (zero-row evolving append —
+    // CatalogMaintenanceSpec pins the semantics); non-ADD changes stay loud
+    spark.sql(s"ALTER TABLE $c.t ADD COLUMN extra BIGINT")
+    assert(spark.sql(s"SELECT * FROM $c.t").columns.toSeq
+      == Seq("id", "text", "extra"))
     intercept[Exception] {
-      spark.sql(s"ALTER TABLE $c.t ADD COLUMN extra BIGINT")
+      spark.sql(s"ALTER TABLE $c.t RENAME COLUMN extra TO extra2")
     }
     intercept[Exception] {
       spark.sql(s"CREATE TABLE $c.p (id BIGINT, d STRING) PARTITIONED BY (d)")
@@ -114,7 +123,7 @@ class GraftCatalogSpec extends SparkSuite {
   }
 
   test("DELETE FROM: copy-on-write rewrite through SQL; history still " +
-      "time-travels; untranslatable predicates refuse loudly") {
+      "time-travels; untranslatable predicates take the row-level rewrite") {
     val c = freshCatalog()
     spark.sql(s"CREATE TABLE $c.t (id BIGINT, text STRING) TBLPROPERTIES('idCol'='id')")
     spark.sql(s"INSERT INTO $c.t SELECT id, concat('t', id) AS text FROM range(20)")
@@ -126,12 +135,13 @@ class GraftCatalogSpec extends SparkSuite {
       .head.getLong(0) == 20L)
     val root = spark.conf.get(s"spark.sql.catalog.$c.root")
     assert(VersionedTable.validateAsOf(spark, s"$root/t", 2L)._1)
-    // a condition the filter translation can't carry refuses loudly
-    intercept[Exception] {
-      spark.sql(s"DELETE FROM $c.t WHERE length(text) % 2 = 0")
-    }
-    assert(spark.sql(s"SELECT count(*) FROM $c.t").head.getLong(0) == 13L,
-      "a refused delete must not have deleted anything")
+    // round 15: a condition the filter translation can't carry no longer
+    // refuses — it runs through the row-level REWRITE
+    // (SupportsRowLevelOperations; RowLevelDmlSpec pins the semantics).
+    // ids 5..17 have text 't5'..'t17': length 2 for 5..9, 3 for 10..17
+    spark.sql(s"DELETE FROM $c.t WHERE length(text) % 2 = 0")
+    assert(spark.sql(s"SELECT count(*) FROM $c.t").head.getLong(0) == 8L)
+    assert(spark.sql(s"SELECT min(id) FROM $c.t").head.getLong(0) == 10L)
   }
 
   test("one table, three surfaces: SQL-catalog writes are readable through " +

@@ -234,9 +234,21 @@ class GraftVersionedSourceSpec extends SparkSuite {
     assert(spark.read.format("graft-versioned").load(dir)
       .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
       == Seq((1L, "a"), (2L, "b")))
-    // positional with int ids: cast to the standing BIGINT
+    // a name-mismatched same-arity frame is REFUSED by default (ADVICE
+    // r14: an unrestricted positional fallback would silently remap a
+    // df.write whose same-typed columns are merely renamed/swapped —
+    // Delta fails that write by name, and so does this bridge)
+    intercept[Exception] {
+      Seq((3, "c")).toDF("n", "s")
+        .write.format("graft-versioned").mode("append").save(dir)
+    }
+    assert(spark.read.format("graft-versioned").load(dir)
+      .filter(col("id") === 3L).count() == 0L)
+    // …and maps positionally (with casts — int ids to the standing
+    // BIGINT) only under the explicit byPosition opt-in
     Seq((3, "c")).toDF("n", "s")
-      .write.format("graft-versioned").mode("append").save(dir)
+      .write.format("graft-versioned").option("byPosition", "true")
+      .mode("append").save(dir)
     assert(spark.read.format("graft-versioned").load(dir)
       .filter(col("id") === 3L).count() == 1L)
     // schema-changing overwrite needs the explicit option (same count,

@@ -1,0 +1,162 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.{GraftVersionedBatchWrite, VersionedTable}
+
+/** SQL row-level DML on versioned catalog tables (round 15 —
+  * [[graft.sources.GraftRowLevelOperation]] /
+  * `SupportsRowLevelOperations`): MERGE INTO with all three clause
+  * kinds, UPDATE…SET with cross-column expressions, DELETE with
+  * previously-untranslatable predicates, bare DELETE (AlwaysTrue), the
+  * copy-on-write version semantics of each, and the
+  * optimistic-concurrency loser of the staged batch write. */
+class RowLevelDmlSpec extends SparkSuite {
+  import spark.implicits._
+
+  private var n = 0
+  private def freshCatalog(): (String, String) = {
+    n += 1
+    val name = s"rdml$n"
+    val root = Files.createTempDirectory("rdml").toString
+    spark.conf.set(s"spark.sql.catalog.$name", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$name.root", root)
+    (name, root)
+  }
+
+  private def mkDocs(c: String): Unit = {
+    spark.sql(s"CREATE TABLE $c.t (id BIGINT, text STRING) " +
+      "TBLPROPERTIES ('idCol' = 'id')")
+    spark.range(0, 10)
+      .select(col("id"), concat(lit("t"), col("id")).as("text"))
+      .createOrReplaceTempView("rdml_src")
+    spark.sql(s"INSERT INTO $c.t SELECT id, text FROM rdml_src")
+  }
+
+  test("MERGE INTO: matched-delete, matched-update, not-matched-insert land " +
+      "as ONE copy-on-write overwrite version; the base snapshot time-travels") {
+    val (c, root) = freshCatalog()
+    mkDocs(c)
+    Seq((2L, "u2"), (4L, "u4"), (6L, "u6"), (100L, "new100"), (101L, "new101"))
+      .toDF("id", "text").createOrReplaceTempView("rdml_upd")
+    spark.sql(
+      s"""MERGE INTO $c.t AS t USING rdml_upd AS u ON t.id = u.id
+         |WHEN MATCHED AND u.id = 6 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET text = u.text
+         |WHEN NOT MATCHED THEN INSERT (id, text) VALUES (u.id, u.text)
+         |""".stripMargin)
+    val got = spark.sql(s"SELECT id, text FROM $c.t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq(0L -> "t0", 1L -> "t1", 2L -> "u2", 3L -> "t3",
+      4L -> "u4", 5L -> "t5", 7L -> "t7", 8L -> "t8", 9L -> "t9",
+      100L -> "new100", 101L -> "new101"), got)
+    // one overwrite version; v1 still reads the pre-merge rows
+    val modes = VersionedTable.history(spark, s"$root/t")
+      .orderBy("version").collect().map(_.getString(1)).toSeq
+    assert(modes == Seq("append", "overwrite"), modes)
+    assert(spark.sql(s"SELECT count(*) FROM $c.t VERSION AS OF 1")
+      .head.getLong(0) == 10L)
+  }
+
+  test("MERGE INTO a declared-but-empty table: every source row is " +
+      "not-matched and inserts (the bootstrap shape)") {
+    val (c, _) = freshCatalog()
+    spark.sql(s"CREATE TABLE $c.t (id BIGINT, text STRING) " +
+      "TBLPROPERTIES ('idCol' = 'id')")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "text")
+      .createOrReplaceTempView("rdml_boot")
+    spark.sql(
+      s"""MERGE INTO $c.t AS t USING rdml_boot AS u ON t.id = u.id
+         |WHEN MATCHED THEN UPDATE SET text = u.text
+         |WHEN NOT MATCHED THEN INSERT (id, text) VALUES (u.id, u.text)
+         |""".stripMargin)
+    assert(spark.sql(s"SELECT count(*) FROM $c.t").head.getLong(0) == 2L)
+  }
+
+  test("UPDATE … SET with a cross-column expression keeps row context; " +
+      "untouched rows and the pre-update snapshot are intact") {
+    val (c, root) = freshCatalog()
+    mkDocs(c)
+    spark.sql(s"UPDATE $c.t SET text = text || '/' || CAST(id AS STRING) " +
+      "WHERE id >= 8")
+    val got = spark.sql(s"SELECT id, text FROM $c.t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got.take(8) == (0 to 7).map(i => i.toLong -> s"t$i"), got)
+    assert(got.drop(8) == Seq(8L -> "t8/8", 9L -> "t9/9"), got)
+    val modes = VersionedTable.history(spark, s"$root/t")
+      .orderBy("version").collect().map(_.getString(1)).toSeq
+    assert(modes == Seq("append", "overwrite"), modes)
+    assert(spark.sql(s"SELECT text FROM $c.t VERSION AS OF 1 WHERE id = 9")
+      .head.getString(0) == "t9")
+  }
+
+  test("DELETE with an untranslatable predicate (no V1 filter form) now " +
+      "runs through the row-level rewrite instead of being refused") {
+    val (c, _) = freshCatalog()
+    mkDocs(c)
+    // length(text) > 2 has no sources.Filter translation — the r14
+    // surface errored in canDeleteWhere; the rewrite path handles it
+    spark.sql(s"DELETE FROM $c.t WHERE length(text) > 2 OR id % 2 = 1")
+    val got = spark.sql(s"SELECT id FROM $c.t ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq
+    assert(got == Seq(0L, 2L, 4L, 6L, 8L), got)
+  }
+
+  test("bare DELETE FROM (no WHERE → AlwaysTrue) empties the table as a " +
+      "copy-on-write version — history still time-travels") {
+    val (c, root) = freshCatalog()
+    mkDocs(c)
+    spark.sql(s"DELETE FROM $c.t")
+    assert(spark.sql(s"SELECT count(*) FROM $c.t").head.getLong(0) == 0L)
+    assert(spark.sql(s"SELECT count(*) FROM $c.t VERSION AS OF 1")
+      .head.getLong(0) == 10L)
+    val rows = VersionedTable.history(spark, s"$root/t")
+      .orderBy("version").collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(rows == Seq(1L -> 10L, 2L -> 0L), rows)
+  }
+
+  test("concurrency loser: a row-level write whose base version moved " +
+      "underneath fails with ConcurrentModificationException, committing nothing") {
+    val dir = Files.createTempDirectory("rdml-race").toString + "/t"
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("text", StringType)))
+    VersionedTable.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "text"),
+      dir, "id", Seq("text"), expectedVersion = 0L)
+    // a MERGE/UPDATE write pinned at base v1…
+    val bw = new GraftVersionedBatchWrite(dir, schema, 1L, None,
+      Some((schema, "id")))
+    val w = bw.createBatchWriterFactory(null).createWriter(0, 0L)
+    w.write(new GenericInternalRow(
+      Array[Any](9L, UTF8String.fromString("stale"))))
+    val msg = w.commit()
+    // …loses to a commit that landed between its scan and its publish
+    VersionedTable.commit(Seq((3L, "c")).toDF("id", "text"),
+      dir, "id", Seq("text"), expectedVersion = 1L, mode = "append")
+    intercept[java.util.ConcurrentModificationException] {
+      bw.commit(Array(msg))
+    }
+    assert(VersionedTable.currentVersion(spark, dir) == 2L)
+    assert(VersionedTable.read(spark, dir).filter(col("id") === 9L).count() == 0L)
+  }
+
+  test("MERGE duplicate source matches fail the cardinality check " +
+      "(standard SQL MERGE semantics, not silent double-apply)") {
+    val (c, _) = freshCatalog()
+    mkDocs(c)
+    Seq((2L, "x"), (2L, "y")).toDF("id", "text")
+      .createOrReplaceTempView("rdml_dup")
+    val ex = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO $c.t AS t USING rdml_dup AS u ON t.id = u.id
+           |WHEN MATCHED THEN UPDATE SET text = u.text
+           |""".stripMargin)
+    }
+    assert(ex.getMessage.toLowerCase.contains("merge"), ex.getMessage)
+  }
+}
