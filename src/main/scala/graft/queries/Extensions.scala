@@ -9434,6 +9434,71 @@ object Extensions {
          |FROM $cat.t GROUP BY _graft_version ORDER BY commit_version""".stripMargin)
   }
 
+  // -------------------------------------------------------------- Q243
+  /** PARTIAL COPY-ON-WRITE DML (round 15 — runtime group filtering on
+    * [[graft.sources.GraftRowLevelOperation]], the 100 TB shape the
+    * r14 deleteWhere doc declared as the known gap): three
+    * residue-sliced commits build three dirs; a pure-SQL UPDATE whose
+    * predicate touches ONLY residue-1 rows is narrowed by Spark's
+    * dynamic group-filter subquery to the ONE dir holding matches, and
+    * the commit REPLACES that dir alone (mode `replace` — the
+    * incremental digest subtracts the removed dir's re-derived pair
+    * and folds in the staged one). The released provenance census
+    * proves it end-to-end: untouched rows still carry their ORIGINAL
+    * commit versions (their dirs were never rewritten), updated rows
+    * carry v4, and the char totals pin the update content. A rewrite
+    * that touched all dirs — or a group filter that over-pruned —
+    * hash-fails. */
+  val q243 = QueryDef("q243_partial_rewrite",
+    """WITH n AS (SELECT doc_id, text FROM documents)
+      |SELECT CAST(1 AS BIGINT) AS commit_version,
+      |       CAST(count(*) FILTER (WHERE doc_id % 3 = 0) AS BIGINT) AS n_rows,
+      |       CAST(sum(strlen(text)) FILTER (WHERE doc_id % 3 = 0) AS BIGINT) AS n_chars
+      |FROM n
+      |UNION ALL
+      |SELECT CAST(3 AS BIGINT),
+      |       CAST(count(*) FILTER (WHERE doc_id % 3 = 2) AS BIGINT),
+      |       CAST(sum(strlen(text)) FILTER (WHERE doc_id % 3 = 2) AS BIGINT)
+      |FROM n
+      |UNION ALL
+      |SELECT CAST(4 AS BIGINT),
+      |       CAST(count(*) FILTER (WHERE doc_id % 3 = 1) AS BIGINT),
+      |       CAST(sum(strlen(text) + 6) FILTER (WHERE doc_id % 3 = 1) AS BIGINT)
+      |FROM n
+      |ORDER BY commit_version""") { (s, dir) =>
+    val cat = s"gq243_${java.util.UUID.randomUUID.toString.take(8)}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root",
+      graft.operators.Scratch.dir("q243") + "/cat")
+    t(s, dir, "documents").select("doc_id", "text")
+      .createOrReplaceTempView("q243_docs")
+    s.sql(s"CREATE TABLE $cat.t (doc_id BIGINT, text STRING) " +
+      "TBLPROPERTIES ('idCol' = 'doc_id')")
+    (0 to 2).foreach { r =>
+      s.sql(s"INSERT INTO $cat.t SELECT doc_id, text FROM q243_docs " +
+        s"WHERE doc_id % 3 = $r")
+    }
+    s.sql(s"UPDATE $cat.t SET text = text || ' [fix]' WHERE doc_id % 3 = 1")
+    val root = s.conf.get(s"spark.sql.catalog.$cat.root")
+    val vt = graft.sources.VersionedTable
+    val hist = vt.history(s, s"$root/t").orderBy("version").collect()
+    require(hist.map(_.getString(1)).toSeq
+      == Seq("append", "append", "append", "replace"),
+      s"the one-dir update must commit as a REPLACE, got " +
+        hist.map(_.getString(1)).toSeq)
+    // replace keeps the table at 3 dirs (two survivors + one staged)
+    require(hist.last.getLong(3) == 3L,
+      s"v4 must hold 3 dirs, got ${hist.last.getLong(3)}")
+    // the incremental replace digest must equal the full re-derivation
+    val (ok, expRows, gotRows, _, _) = vt.validateAsOf(s, s"$root/t", 4L)
+    require(ok, s"replace digest must validate: $expRows vs $gotRows")
+    s.sql(
+      s"""SELECT _graft_version AS commit_version,
+         |       CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(sum(length(text)) AS BIGINT) AS n_chars
+         |FROM $cat.t GROUP BY _graft_version ORDER BY commit_version""".stripMargin)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -9446,5 +9511,5 @@ object Extensions {
     q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215,
     q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227,
     q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239,
-    q240, q241, q242)
+    q240, q241, q242, q243)
 }

@@ -362,14 +362,41 @@ class GraftRowLevelOperation(path: String, baseVersion: Long,
     m: Option[VersionedTable.Manifest], tableSchema: StructType,
     declared: Option[(StructType, String)],
     cmd: RowLevelOperation.Command) extends RowLevelOperation {
+  // every scan built through this operation: the MAIN rewrite scan
+  // (runtime-filtered when the group-filter rule fires) and, when it
+  // does fire, the matching-rows subquery's scan. The commit asks for
+  // the runtime-filtered one — its final dir set IS the replaced-group
+  // set; with no runtime filter, the single scan's (statically pruned)
+  // set is the answer, and with no scan at all every base dir is.
+  private val builtScans =
+    java.util.Collections.synchronizedList(
+      new java.util.ArrayList[GraftVersionedScan]())
+  private[sources] def replacedDirs: Option[Seq[String]] = {
+    val scans = builtScans.asScala.toSeq
+    scans.find(_.runtimeFiltered).orElse(scans.headOption).map(_.finalDirs)
+  }
+
   override def command(): RowLevelOperation.Command = cmd
   override def description(): String =
     s"graft-versioned $cmd (copy-on-write, base v$baseVersion)"
+  /** `_graft_dir` rides along in the rewrite plan (the Iceberg `_file`
+    * shape): the runtime group-filter rule resolves its filter
+    * attribute against the rewrite scan's OUTPUT, so the provenance
+    * column must be part of it — and declaring it also routes the
+    * write through Spark's metadata-projecting task, which hands the
+    * writer cleanly-projected rows (the metadata itself is not needed
+    * at write time; the replaced-dir set comes from the scan). */
+  override def requiredMetadataAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (m.nonEmpty)
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .column("_graft_dir"))
+    else Array.empty
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     m match {
       case Some(manifest) =>
         new GraftVersionedScanBuilder(path, manifest, tableSchema,
-          version = baseVersion)
+          version = baseVersion, runtimeFilterable = true,
+          onBuild = s => { builtScans.add(s): Unit })
       case None =>
         // declared, never written: MERGE INTO an empty table is legal
         // (every source row is not-matched ⇒ insert-all)
@@ -380,7 +407,7 @@ class GraftRowLevelOperation(path: String, baseVersion: Long,
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
           new GraftVersionedBatchWrite(path, info.schema(), baseVersion,
-            m, declared)
+            m, declared, () => replacedDirs)
       }
     }
 }
@@ -401,7 +428,8 @@ class GraftRowLevelOperation(path: String, baseVersion: Long,
   * partitions) publishes an explicitly-written empty dir. */
 class GraftVersionedBatchWrite(path: String, schema: StructType,
     baseVersion: Long, standing: Option[VersionedTable.Manifest],
-    declared: Option[(StructType, String)]) extends BatchWrite {
+    declared: Option[(StructType, String)],
+    replacedDirsOf: () => Option[Seq[String]] = () => None) extends BatchWrite {
   schema.fields.foreach { f =>
     require(GraftVersionedSource.supported(f.dataType),
       s"graft-versioned row-level write: unsupported column type " +
@@ -440,8 +468,41 @@ class GraftVersionedBatchWrite(path: String, schema: StructType,
         "standing manifest and no declared idCol"))
     val contentCols = standing.map(_.contentCols)
       .getOrElse(schema.fieldNames.filterNot(_ == idCol).toSeq)
-    VersionedTable.publishStagedDir(spark, path, stagedRel, idCol, contentCols,
-      expectedVersion = baseVersion, mode = "overwrite"): Unit
+    // PARTIAL copy-on-write (round 15): the replaced-group set is
+    // exactly the dirs the operation's scan READ. Mapping, in order:
+    //  - scan read a strict subset (the runtime group filter fired and
+    //    narrowed) → mode "replace": the staged dir supplants only
+    //    those dirs, every other standing dir survives untouched;
+    //  - scan read NOTHING and nothing was staged → a no-match
+    //    UPDATE/DELETE: publish NO version (skipping is the only honest
+    //    no-op — an overwrite here would drop the table);
+    //  - scan read NOTHING but rows were staged → an insert-only MERGE:
+    //    a plain APPEND, no rewrite at all;
+    //  - scan read everything / no scan info → plain overwrite (the
+    //    conservative fallback, also cheaper than a full-set replace —
+    //    no removed-dir re-digest).
+    val stagedRows = messages.collect {
+      case m: GraftStreamFileMessage => m.rows
+    }.sum
+    val replaced: Option[Set[String]] =
+      if (standing.isEmpty) None
+      else replacedDirsOf().map(_.toSet)
+    val allDirs = standing.map(_.dirs.toSet).getOrElse(Set.empty)
+    replaced match {
+      case Some(r) if r.isEmpty && stagedRows == 0L =>
+        // true no-op: no version published, staging reclaimed
+        if (fs.exists(stagedPath)) fs.delete(stagedPath, true): Unit
+      case Some(r) if r.isEmpty =>
+        VersionedTable.publishStagedDir(spark, path, stagedRel, idCol,
+          contentCols, expectedVersion = baseVersion, mode = "append"): Unit
+      case Some(r) if r != allDirs =>
+        VersionedTable.publishStagedDir(spark, path, stagedRel, idCol,
+          contentCols, expectedVersion = baseVersion, mode = "replace",
+          removedDirs = standing.get.dirs.filter(r)): Unit
+      case _ =>
+        VersionedTable.publishStagedDir(spark, path, stagedRel, idCol,
+          contentCols, expectedVersion = baseVersion, mode = "overwrite"): Unit
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -489,6 +550,12 @@ class GraftVersionedBatchWriterFactory(path: String, stagedRel: String,
           proj.project(row)
           inner.write(proj)
         }
+      /** The metadata-projecting task's surface (operations declaring
+        * `requiredMetadataAttributes`): the record is already projected
+        * to the row schema; the metadata (provenance) is plan-side
+        * information this writer doesn't need. */
+      override def write(metadata: InternalRow, record: InternalRow): Unit =
+        inner.write(record)
       override def commit(): WriterCommitMessage = inner.commit()
       override def abort(): Unit = inner.abort()
       override def close(): Unit = inner.close()
@@ -810,7 +877,9 @@ class GraftVersionedMicroBatchStream(path: String, required: StructType,
 
 class GraftVersionedScanBuilder(path: String, m: VersionedTable.Manifest,
     tableSchema: StructType, startingVersion: Option[Long] = None,
-    ignoreChanges: Boolean = false, version: Long = 0L)
+    ignoreChanges: Boolean = false, version: Long = 0L,
+    runtimeFilterable: Boolean = false,
+    onBuild: GraftVersionedScan => Unit = _ => ())
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private var required: StructType = tableSchema
@@ -931,8 +1000,10 @@ class GraftVersionedScanBuilder(path: String, m: VersionedTable.Manifest,
       }
       idOk && strOk && bloomOk
     }
-    new GraftVersionedScan(path, m.dirs.size, kept, required, startingVersion,
-      ignoreChanges, version)
+    val scan = new GraftVersionedScan(path, m.dirs.size, kept, required,
+      startingVersion, ignoreChanges, version, runtimeFilterable)
+    onBuild(scan)
+    scan
   }
 }
 
@@ -993,10 +1064,60 @@ object GraftVersionedFilePartition {
 
 class GraftVersionedScan(path: String, totalDirs: Int, keptDirs: Seq[String],
     required: StructType, startingVersion: Option[Long] = None,
-    ignoreChanges: Boolean = false, version: Long = 0L)
-    extends Scan with Batch with SupportsReportStatistics {
+    ignoreChanges: Boolean = false, version: Long = 0L,
+    runtimeFilterable: Boolean = false)
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeV2Filtering {
   private val confCarrier = new SerializableHadoopConf(
     graft.operators.InvertedIndex.activeHadoopConf())
+
+  /** RUNTIME GROUP FILTERING (round 15 — the scan half of partial
+    * copy-on-write DML): a row-level operation's scan declares
+    * `_graft_dir` filterable; Spark's
+    * `RowLevelOperationRuntimeGroupFiltering` then runs the command's
+    * condition as a dynamic IN-subquery over the dirs that actually
+    * hold matching rows and hands the result back here, narrowing the
+    * scan — and therefore the REWRITE and the commit's replaced-dir
+    * set — to the affected dirs only. Only offered on scans built for
+    * a row-level operation (ordinary reads get their pruning from the
+    * static pushdown path; declaring a runtime attribute there would
+    * invite join-DPP plumbing this table doesn't need). */
+  @volatile private var runtimeDirs: Option[Set[String]] = None
+  @volatile private[sources] var runtimeFiltered: Boolean = false
+  private def effectiveDirs: Seq[String] =
+    runtimeDirs.fold(keptDirs)(rd => keptDirs.filter(rd))
+  /** The dirs this scan will actually read — the replaced-dir set a
+    * partial copy-on-write commit must use. */
+  private[sources] def finalDirs: Seq[String] = effectiveDirs
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (runtimeFilterable)
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .column("_graft_dir"))
+    else Array.empty
+
+  override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, NamedReference}
+    predicates.foreach { p =>
+      val children = p.children().toSeq
+      val onDir = children.headOption.exists {
+        case r: NamedReference => r.fieldNames().toSeq == Seq("_graft_dir")
+        case _ => false
+      }
+      val values = children.drop(1).collect {
+        case l: V2Literal[_] => String.valueOf(l.value)
+      }
+      if (onDir && values.length == children.length - 1 &&
+          (p.name() == "IN" || (p.name() == "=" && values.length == 1))) {
+        val ds = values.toSet
+        runtimeDirs = Some(runtimeDirs.fold(ds)(_ intersect ds))
+        runtimeFiltered = true
+      }
+      // any other predicate shape: ignore — runtime filtering is an
+      // optimization; an unfiltered scan replaces every dir it read,
+      // which is always correct
+    }
+  }
 
   /** Dir provenance for the metadata columns, derived at PLAN time
     * (O(versions) driver-side manifest reads — metadata scale): each
@@ -1019,14 +1140,16 @@ class GraftVersionedScan(path: String, totalDirs: Int, keptDirs: Seq[String],
   private def needsMeta: Boolean =
     required.fieldNames.exists(GraftVersionedTable.MetaColNames)
 
-  private lazy val files: Seq[org.apache.hadoop.fs.FileStatus] = {
+  private def listFiles(dirs: Seq[String]): Seq[org.apache.hadoop.fs.FileStatus] = {
     val fs = new HPath(path).getFileSystem(confCarrier.value)
-    keptDirs.flatMap { d =>
+    dirs.flatMap { d =>
       fs.listStatus(new HPath(new HPath(path), d)).toSeq
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
         .sortBy(_.getPath.getName)
     }
   }
+  private lazy val files: Seq[org.apache.hadoop.fs.FileStatus] =
+    listFiles(keptDirs)
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -1040,7 +1163,8 @@ class GraftVersionedScan(path: String, totalDirs: Int, keptDirs: Seq[String],
       java.util.OptionalLong.empty()
   }
   override def planInputPartitions(): Array[InputPartition] =
-    GraftVersionedFilePartition.pack(files)
+    GraftVersionedFilePartition.pack(
+      if (runtimeDirs.isEmpty) files else listFiles(effectiveDirs))
   // batch scans read COLUMNAR (round-14 verdict task 5); the streaming
   // path below keeps the row reader (micro-batches are small appends
   // by construction)

@@ -380,7 +380,19 @@ object VersionedTable {
       bloomCols: Seq[String] = Nil,
       prevManifestIn: Option[Manifest] = null,
       evolvedNowIn: Boolean = false,
-      allowSchemaEvolution: Boolean = false): Long = {
+      allowSchemaEvolution: Boolean = false,
+      removedDirs: Seq[String] = Nil): Long = {
+    // mode "replace" (round 15 — the PARTIAL copy-on-write the runtime
+    // group filter enables): the staged dir REPLACES `removedDirs`
+    // while every other standing dir survives untouched — a MERGE that
+    // matches one shard of a thousand rewrites one shard, not the
+    // table. Digest discipline: the incremental (count, XOR) pair
+    // subtracts the removed dirs' re-derived digests (XOR is
+    // self-inverse; O(affected bytes) — the same cost class as the
+    // rewrite itself) and folds in the staged dir's, so validateAsOf
+    // still recomputes exactly.
+    require(mode != "replace" || removedDirs.nonEmpty,
+      "publishStagedDir: mode=replace needs the removed dir list")
     val root = new Path(tableDir)
     val fs = fsOf(spark, root)
     val cur = currentVersion(spark, tableDir)
@@ -396,10 +408,19 @@ object VersionedTable {
     // derived here from the landed bytes
     val prevManifest: Option[Manifest] =
       if (prevManifestIn != null) prevManifestIn
-      else if (mode == "append" && cur > 0) Some(readManifest(spark, tableDir, cur))
+      else if ((mode == "append" || mode == "replace") && cur > 0)
+        Some(readManifest(spark, tableDir, cur))
       else None
+    if (mode == "replace") {
+      val standing = prevManifest.map(_.dirs.toSet).getOrElse(Set.empty)
+      val ghosts = removedDirs.filterNot(standing)
+      require(prevManifest.nonEmpty && ghosts.isEmpty,
+        s"publishStagedDir: replace must remove standing dirs of v$cur — " +
+          s"not ${ghosts.mkString(", ")}")
+    }
     var evolvedNow = evolvedNowIn
-    if (prevManifestIn == null && mode == "append" && cur > 0L) {
+    if (prevManifestIn == null && (mode == "append" || mode == "replace") &&
+        cur > 0L) {
       val standing = readAsOf(spark, tableDir, cur).schema
       val stagedSchema = spark.read.parquet(dataPath.toString).schema
       if (schemaSig(stagedSchema) != schemaSig(standing)) {
@@ -417,8 +438,12 @@ object VersionedTable {
             "or evolve types with an explicit overwrite commit")
       }
     }
+    val removedSet = removedDirs.toSet
     val dirsForVersion: Seq[String] =
-      prevManifest.map(_.dirs :+ dataRel).getOrElse(Seq(dataRel))
+      if (mode == "replace")
+        prevManifest.map(_.dirs.filterNot(removedSet) :+ dataRel)
+          .getOrElse(Seq(dataRel))
+      else prevManifest.map(_.dirs :+ dataRel).getOrElse(Seq(dataRel))
     // re-read what LANDED (the writeWithManifest discipline): rows and
     // digest describe the committed bytes, not the intended DataFrame.
     // INCREMENTAL DIGEST ON APPEND (round 12 — the depth-scaling fix):
@@ -436,9 +461,20 @@ object VersionedTable {
         leaves = 1)
       .collect().headOption.map(r => (r.getLong(1), r.getLong(2)))
       .getOrElse((0L, 0L))
-    val dg = prevManifest
-      .map(p => (p.rows + newDg._1, p.digest ^ newDg._2))
-      .getOrElse(newDg)
+    val dg =
+      if (mode == "replace") {
+        val p = prevManifest.get
+        val removedDg = removedDirs.map { d =>
+          graft.operators.MerkleDiff
+            .leafDigests(spark.read.parquet(new Path(root, d).toString),
+              idCol, contentCols, leaves = 1)
+            .collect().headOption.map(r => (r.getLong(1), r.getLong(2)))
+            .getOrElse((0L, 0L))
+        }.foldLeft((0L, 0L))((a, b) => (a._1 + b._1, a._2 ^ b._2))
+        (p.rows - removedDg._1 + newDg._1, p.digest ^ removedDg._2 ^ newDg._2)
+      } else prevManifest
+        .map(p => (p.rows + newDg._1, p.digest ^ newDg._2))
+        .getOrElse(newDg)
     // DATA-SKIPPING STATS (the Delta checkpoint-stats shape, reduced to
     // the id column): min/max of the NEW dir's id, carried forward for
     // inherited dirs — [[readAsOfWhere]] prunes whole dirs against an id
@@ -560,8 +596,10 @@ object VersionedTable {
     // dir carries an evolved schema, every later append's read of this
     // version chain needs union resolution; an overwrite starts a
     // single-schema dir set and drops the flag naturally
-    val mergeRead =
-      mode == "append" && (prevManifest.exists(_.mergeRead) || evolvedNow)
+    // (a replace keeps surviving dirs, so an evolved chain stays
+    // union-resolved exactly like an append chain would)
+    val mergeRead = (mode == "append" || mode == "replace") &&
+      (prevManifest.exists(_.mergeRead) || evolvedNow)
     val json =
       s"""{"digest_v": ${Sinks.DigestVersion}, "version": $next, """ +
         s""""mode": "$mode", "dirs": "${dirsForVersion.mkString(",")}", """ +

@@ -145,6 +145,76 @@ class RowLevelDmlSpec extends SparkSuite {
     assert(VersionedTable.read(spark, dir).filter(col("id") === 9L).count() == 0L)
   }
 
+  private def mkResidueDocs(c: String): Unit = {
+    spark.sql(s"CREATE TABLE $c.t (id BIGINT, text STRING) " +
+      "TBLPROPERTIES ('idCol' = 'id')")
+    spark.range(0, 30)
+      .select(col("id"), concat(lit("t"), col("id")).as("text"))
+      .createOrReplaceTempView("rdml_res_src")
+    (0 to 2).foreach { r =>
+      spark.sql(s"INSERT INTO $c.t SELECT id, text FROM rdml_res_src " +
+        s"WHERE id % 3 = $r")
+    }
+  }
+
+  test("PARTIAL rewrite via runtime group filtering: an UPDATE touching one " +
+      "of three dirs replaces ONLY that dir (mode 'replace'), unaffected " +
+      "dirs survive with their provenance; the digest still validates") {
+    val (c, root) = freshCatalog()
+    mkResidueDocs(c)
+    val dirsBefore = spark.sql(s"SELECT dir FROM $c.t.files ORDER BY dir_pos")
+      .collect().map(_.getString(0)).toSeq
+    // every id % 3 = 1 row lives in dir 2 (the residue slicing)
+    spark.sql(s"UPDATE $c.t SET text = text || '!' WHERE id % 3 = 1")
+    val hist = VersionedTable.history(spark, s"$root/t").orderBy("version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(hist.map(_._2) == Seq("append", "append", "append", "replace"), hist)
+    assert(hist.last._3 == 30L, hist)
+    // v4 keeps the two UNAFFECTED dirs byte-identical and replaces dir 2
+    val dirsAfter = spark.sql(s"SELECT dir FROM $c.t.files ORDER BY dir_pos")
+      .collect().map(_.getString(0)).toSeq
+    assert(dirsAfter.size == 3)
+    assert(dirsAfter.toSet.intersect(dirsBefore.toSet)
+      == dirsBefore.toSet - dirsBefore(1),
+      s"only dir 2 may be replaced: before=$dirsBefore after=$dirsAfter")
+    // provenance: untouched rows keep their original commit versions,
+    // rewritten rows carry the new one
+    val census = spark.sql(s"SELECT _graft_version, count(*) FROM $c.t " +
+      "GROUP BY 1 ORDER BY 1").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(census == Seq(1L -> 10L, 3L -> 10L, 4L -> 10L), census)
+    // content correct + incremental replace-digest matches a full re-derive
+    assert(spark.sql(s"SELECT count(*) FROM $c.t WHERE text LIKE '%!'")
+      .head.getLong(0) == 10L)
+    assert(VersionedTable.validateAsOf(spark, s"$root/t", 4L)._1,
+      "replace digest must equal the full re-derivation")
+    // time travel to the pre-update snapshot is intact
+    assert(spark.sql(s"SELECT count(*) FROM $c.t VERSION AS OF 3 " +
+      "WHERE text LIKE '%!'").head.getLong(0) == 0L)
+  }
+
+  test("PARTIAL rewrite: a no-match UPDATE publishes NO version; an " +
+      "insert-only MERGE lands as a plain append (no rewrite)") {
+    val (c, root) = freshCatalog()
+    mkResidueDocs(c)
+    spark.sql(s"UPDATE $c.t SET text = 'x' WHERE id = 999999")
+    assert(VersionedTable.currentVersion(spark, s"$root/t") == 3L,
+      "a no-match update must not publish a version")
+    // insert-only MERGE: no target row matches ⇒ pure append
+    spark.range(100, 105)
+      .select(col("id"), lit("new").as("text"))
+      .createOrReplaceTempView("rdml_ins_src")
+    spark.sql(
+      s"""MERGE INTO $c.t AS t USING rdml_ins_src AS u ON t.id = u.id
+         |WHEN MATCHED THEN UPDATE SET text = u.text
+         |WHEN NOT MATCHED THEN INSERT (id, text) VALUES (u.id, u.text)
+         |""".stripMargin)
+    val hist = VersionedTable.history(spark, s"$root/t").orderBy("version")
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(hist.last == ("append", 35L), hist)
+    assert(VersionedTable.validateAsOf(spark, s"$root/t", 4L)._1)
+  }
+
   test("MERGE duplicate source matches fail the cardinality check " +
       "(standard SQL MERGE semantics, not silent double-apply)") {
     val (c, _) = freshCatalog()
