@@ -9499,6 +9499,67 @@ object Extensions {
          |FROM $cat.t GROUP BY _graft_version ORDER BY commit_version""".stripMargin)
   }
 
+  // -------------------------------------------------------------- Q244
+  /** FIVE-CLAUSE `MERGE INTO` — the TABLE-SYNC idiom (round 15; `WHEN
+    * NOT MATCHED BY SOURCE` on top of q236's three clauses): one
+    * statement reconciles the table against a source snapshot —
+    * matched rows update (or delete by condition), source-only rows
+    * insert, and TARGET-ONLY rows (the "no longer in the source" class
+    * every sync job must handle) update or delete by their own
+    * clauses. The released slice census derives every count and char
+    * total from the clause rules alone — a clause that leaked into
+    * another's row set hash-fails. */
+  val q244 = QueryDef("q244_sql_merge_sync",
+    """WITH n AS (SELECT doc_id, text FROM documents)
+      |SELECT 'inserted' AS slice, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(strlen(text) + 4) AS BIGINT) AS n_chars
+      |FROM n WHERE doc_id % 25 = 7
+      |UNION ALL
+      |SELECT 'stale', CAST(count(*) AS BIGINT),
+      |       CAST(sum(strlen(text) + 8) AS BIGINT)
+      |FROM n WHERE doc_id % 2 = 1 AND doc_id % 9 <> 1
+      |UNION ALL
+      |SELECT 'synced', CAST(count(*) AS BIGINT),
+      |       CAST(sum(strlen(text) + 4) AS BIGINT)
+      |FROM n WHERE doc_id % 2 = 0 AND doc_id % 10 <> 0
+      |ORDER BY slice""") { (s, dir) =>
+    val cat = s"gq244_${java.util.UUID.randomUUID.toString.take(8)}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root",
+      graft.operators.Scratch.dir("q244") + "/cat")
+    t(s, dir, "documents").select("doc_id", "text")
+      .createOrReplaceTempView("q244_docs")
+    s.sql(s"CREATE TABLE $cat.t (doc_id BIGINT, text STRING) " +
+      "TBLPROPERTIES ('idCol' = 'doc_id')")
+    s.sql(s"INSERT INTO $cat.t SELECT doc_id, text FROM q244_docs")
+    // the source snapshot: the even half (refreshed text) + fresh rows
+    s.sql(
+      """SELECT doc_id, text || ' [s]' AS text FROM q244_docs WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT doc_id + 2000000, text || ' [s]' FROM q244_docs WHERE doc_id % 25 = 7
+        |""".stripMargin).createOrReplaceTempView("q244_src")
+    s.sql(
+      s"""MERGE INTO $cat.t AS t USING q244_src AS u ON t.doc_id = u.doc_id
+         |WHEN MATCHED AND u.doc_id % 10 = 0 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET text = u.text
+         |WHEN NOT MATCHED THEN INSERT (doc_id, text) VALUES (u.doc_id, u.text)
+         |WHEN NOT MATCHED BY SOURCE AND t.doc_id % 9 = 1 THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET text = text || ' [stale]'
+         |""".stripMargin)
+    val root = s.conf.get(s"spark.sql.catalog.$cat.root")
+    val modes = graft.sources.VersionedTable.history(s, s"$root/t")
+      .orderBy("version").collect().map(_.getString(1)).toSeq
+    require(modes == Seq("append", "overwrite"),
+      s"a five-clause sync rewrites the whole table in one commit, got $modes")
+    s.sql(
+      s"""SELECT CASE WHEN doc_id >= 2000000 THEN 'inserted'
+         |            WHEN doc_id % 2 = 0 THEN 'synced'
+         |            ELSE 'stale' END AS slice,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(length(text)) AS BIGINT) AS n_chars
+         |FROM $cat.t GROUP BY 1 ORDER BY slice""".stripMargin)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -9511,5 +9572,5 @@ object Extensions {
     q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215,
     q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227,
     q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239,
-    q240, q241, q242, q243)
+    q240, q241, q242, q243, q244)
 }

@@ -368,7 +368,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * hooks. */
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
-      Array("compact", "vacuum").map(Identifier.of(namespace, _))
+      Array("compact", "vacuum", "zorder").map(Identifier.of(namespace, _))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
@@ -378,8 +378,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     ident.name match {
       case "vacuum" => GraftCatalog.VacuumProcedure(this)
       case "compact" => GraftCatalog.CompactProcedure(this)
+      case "zorder" => GraftCatalog.ZOrderProcedure(this)
       case other => sys.error(
-        s"graft catalog: unknown procedure '$other' — supported: vacuum, compact")
+        s"graft catalog: unknown procedure '$other' — supported: vacuum, " +
+          "compact, zorder")
     }
   }
 
@@ -429,6 +431,38 @@ object GraftCatalog {
         StructType(Seq(StructField("removed_data_dirs", IntegerType, nullable = false),
           StructField("removed_manifests", IntegerType, nullable = false))),
         Array[Any](deadDirs, deadManifests))
+    }
+  }
+
+  /** `CALL <cat>.system.zorder(table, col_a, col_b, target_partitions,
+    * bits)` — rewrite the current version re-clustered on the
+    * INTERLEAVED bits of two columns ([[VersionedTable.compactZOrdered]]
+    * — the OPTIMIZE ZORDER shape): point/range reads on EITHER column
+    * turn into row-group skips, where a lexicographic sort only serves
+    * the leading column. Content-identical new version, same optimistic
+    * publish. */
+  final case class ZOrderProcedure(cat: GraftCatalog)
+      extends BoundProcedure with UnboundProcedure {
+    override def name(): String = "zorder"
+    override def description(): String =
+      "rewrite the current version z-order-clustered on two columns"
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("col_a", StringType).build(),
+      ProcedureParameter.in("col_b", StringType).build(),
+      ProcedureParameter.in("target_partitions", IntegerType)
+        .defaultValue("1").build(),
+      ProcedureParameter.in("bits", IntegerType).defaultValue("21").build())
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = cat.tableDirOf(input.getUTF8String(0).toString)
+      val v = VersionedTable.compactZOrdered(SparkSession.active, dir,
+        input.getUTF8String(1).toString, input.getUTF8String(2).toString,
+        targetPartitions = input.getInt(3), bits = input.getInt(4))
+      oneRowScan(
+        StructType(Seq(StructField("new_version", LongType, nullable = false))),
+        Array[Any](v))
     }
   }
 

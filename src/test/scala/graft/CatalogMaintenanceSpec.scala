@@ -54,6 +54,28 @@ class CatalogMaintenanceSpec extends SparkSuite {
     assert(spark.sql(s"CALL $c.system.compact('t')").head.getLong(0) == 6L)
   }
 
+  test("CALL system.zorder re-clusters the current version on two columns " +
+      "— content-identical, new version") {
+    val (c, root) = freshCatalog()
+    spark.sql(s"CREATE TABLE $c.t (id BIGINT, a BIGINT, b BIGINT) " +
+      "TBLPROPERTIES ('idCol' = 'id')")
+    spark.range(0, 1000)
+      .select(col("id"), (col("id") % 97).as("a"), (col("id") % 89).as("b"))
+      .createOrReplaceTempView("cmnt_z_src")
+    spark.sql(s"INSERT INTO $c.t SELECT id, a, b FROM cmnt_z_src")
+    val v = spark.sql(
+      s"CALL $c.system.zorder(table => 't', col_a => 'a', col_b => 'b')")
+      .head.getLong(0)
+    assert(v == 2L)
+    // content-identical (the digest gate inside compactZOrdered enforces
+    // it; re-check through the SQL surface)
+    assert(spark.sql(s"SELECT sum(id), sum(a), sum(b), count(*) FROM $c.t")
+      .head.toSeq == spark.sql(
+        s"SELECT sum(id), sum(a), sum(b), count(*) FROM $c.t VERSION AS OF 1")
+      .head.toSeq)
+    assert(VersionedTable.validateAsOf(spark, s"$root/t", 2L)._1)
+  }
+
   test("CALL errors are loud: unknown procedure, missing table") {
     val (c, _) = freshCatalog()
     val e1 = intercept[Exception] { spark.sql(s"CALL $c.system.reindex('t')") }
@@ -186,6 +208,27 @@ class CatalogMaintenanceSpec extends SparkSuite {
     // ordinary reads are unaffected (metadata stays invisible to SELECT *)
     assert(spark.sql(s"SELECT * FROM $c.t").columns.toSeq == Seq("id", "text"))
     VersionedTable.currentVersion(spark, s"$root/t") // touch root: used
+  }
+
+  test("readStream.table over a catalog table: the commit-log streaming " +
+      "source resolves through the SQL name, appends stream through") {
+    val (c, root) = freshCatalog()
+    spark.sql(s"CREATE TABLE $c.s (id BIGINT, text STRING) " +
+      "TBLPROPERTIES ('idCol' = 'id')")
+    spark.range(0, 12).select(col("id"), concat(lit("t"), col("id")).as("text"))
+      .createOrReplaceTempView("cmnt_rs_src")
+    (0 to 2).foreach { r =>
+      spark.sql(s"INSERT INTO $c.s SELECT id, text FROM cmnt_rs_src WHERE id % 3 = $r")
+    }
+    val outName = s"cmnt_rs_mem$n"
+    val q = spark.readStream.table(s"$c.s")
+      .writeStream.format("memory").queryName(outName)
+      .option("checkpointLocation", s"$root/rs-ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    assert(spark.table(outName).count() == 12L)
+    assert(spark.table(outName).select("id").collect().map(_.getLong(0)).sorted.toSeq
+      == (0L to 11L))
   }
 
   test("timestamp/date/decimal round-trip: catalog INSERT → columnar read, " +

@@ -215,6 +215,27 @@ class RowLevelDmlSpec extends SparkSuite {
     assert(VersionedTable.validateAsOf(spark, s"$root/t", 4L)._1)
   }
 
+  test("MERGE WHEN NOT MATCHED BY SOURCE: the table-sync idiom — target " +
+      "rows without a source match update or delete by their own clauses") {
+    val (c, root) = freshCatalog()
+    mkDocs(c)
+    Seq((2L, "u2"), (50L, "new50")).toDF("id", "text")
+      .createOrReplaceTempView("rdml_sync")
+    spark.sql(
+      s"""MERGE INTO $c.t AS t USING rdml_sync AS u ON t.id = u.id
+         |WHEN MATCHED THEN UPDATE SET text = u.text
+         |WHEN NOT MATCHED THEN INSERT (id, text) VALUES (u.id, u.text)
+         |WHEN NOT MATCHED BY SOURCE AND t.id >= 8 THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE AND t.id = 0 THEN UPDATE SET text = 'stale'
+         |""".stripMargin)
+    val got = spark.sql(s"SELECT id, text FROM $c.t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq(0L -> "stale", 1L -> "t1", 2L -> "u2", 3L -> "t3",
+      4L -> "t4", 5L -> "t5", 6L -> "t6", 7L -> "t7", 50L -> "new50"), got)
+    assert(VersionedTable.validateAsOf(spark, s"$root/t",
+      VersionedTable.currentVersion(spark, s"$root/t"))._1)
+  }
+
   test("MERGE duplicate source matches fail the cardinality check " +
       "(standard SQL MERGE semantics, not silent double-apply)") {
     val (c, _) = freshCatalog()
