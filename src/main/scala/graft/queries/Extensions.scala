@@ -9560,6 +9560,54 @@ object Extensions {
          |FROM $cat.t GROUP BY 1 ORDER BY slice""".stripMargin)
   }
 
+  // -------------------------------------------------------------- Q245
+  /** CHECK CONSTRAINTS through SQL (round 15 — the Delta invariants
+    * move on Spark 4's native ANSI-constraint hooks; the catalog
+    * stores, the ENGINE enforces via `CheckInvariant` on every write):
+    * the table declares a CHECK at CREATE, a violating INSERT fails
+    * ATOMICALLY (no version, no partial rows — pinned in-query against
+    * the commit log), `ALTER TABLE ADD CONSTRAINT` validates standing
+    * rows before it lands, and the released census proves exactly the
+    * valid corpus survived. A constraint that leaked a violating row,
+    * or an enforcement failure that half-committed, hash-fails. */
+  val q245 = QueryDef("q245_sql_check_constraint",
+    """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(strlen(text)) AS BIGINT) AS sum_chars,
+      |       CAST(min(strlen(text)) AS BIGINT) AS min_chars,
+      |       CAST(max(strlen(text)) AS BIGINT) AS max_chars
+      |FROM documents""") { (s, dir) =>
+    val cat = s"gq245_${java.util.UUID.randomUUID.toString.take(8)}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root",
+      graft.operators.Scratch.dir("q245") + "/cat")
+    t(s, dir, "documents").select("doc_id", "text")
+      .createOrReplaceTempView("q245_docs")
+    s.sql(s"CREATE TABLE $cat.t (doc_id BIGINT, n_chars BIGINT, " +
+      "CONSTRAINT nonneg CHECK (n_chars >= 0)) TBLPROPERTIES ('idCol' = 'doc_id')")
+    s.sql(s"INSERT INTO $cat.t SELECT doc_id, length(text) FROM q245_docs")
+    // a violating INSERT fails atomically: no version, no partial rows
+    val failed = try {
+      s.sql(s"INSERT INTO $cat.t SELECT doc_id + 5000000, -1 FROM q245_docs " +
+        "WHERE doc_id < 50")
+      false
+    } catch { case e: Exception =>
+      e.getMessage.toUpperCase.contains("CHECK") ||
+        Option(e.getCause).exists(_.getMessage.toUpperCase.contains("CHECK"))
+    }
+    require(failed, "a violating INSERT must fail the CHECK constraint")
+    val root = s.conf.get(s"spark.sql.catalog.$cat.root")
+    require(graft.sources.VersionedTable.currentVersion(s, s"$root/t") == 1L,
+      "the failed INSERT must not have committed a version")
+    // ALTER validates standing rows, then gates future writes
+    s.sql(s"ALTER TABLE $cat.t ADD CONSTRAINT bounded CHECK (n_chars < 1000000)")
+    s.sql(
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |       CAST(min(n_chars) AS BIGINT) AS min_chars,
+         |       CAST(max(n_chars) AS BIGINT) AS max_chars
+         |FROM $cat.t""".stripMargin)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -9572,5 +9620,5 @@ object Extensions {
     q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215,
     q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227,
     q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239,
-    q240, q241, q242, q243, q244)
+    q240, q241, q242, q243, q244, q245)
 }

@@ -77,6 +77,51 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
   override def name(): String = catalogName
 
+  /** CHECK constraints (round 15 — the Delta invariants move on Spark
+    * 4's native ANSI-constraint hooks): the catalog STORES and REPORTS
+    * them; the ENGINE enforces them — `ResolveTableConstraints` injects
+    * a `CheckInvariant` over every catalog write (INSERT, MERGE,
+    * UPDATE), failing the statement before a violating row can commit,
+    * and `ALTER TABLE … ADD CONSTRAINT` validates standing rows before
+    * this catalog is asked to persist. Only CHECK is accepted: PRIMARY
+    * KEY/UNIQUE/FOREIGN KEY would be unenforced metadata (the Delta
+    * position) — rejected loudly rather than recorded as a lie. */
+  override def capabilities(): java.util.Set[TableCatalogCapability] =
+    java.util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
+  private def constraintsPath(dir: HPath): HPath =
+    new HPath(dir, "_constraints.json")
+  private def readChecks(dir: HPath): Seq[(String, String)] = {
+    val p = constraintsPath(dir)
+    if (!fs.exists(p)) Nil
+    else {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(readSmall(p))
+      (0 until node.size).map(i =>
+        (node.get(i).get("name").asText, node.get(i).get("sql").asText))
+    }
+  }
+  private def writeChecks(dir: HPath, checks: Seq[(String, String)]): Unit = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val arr = m.createArrayNode()
+    checks.foreach { case (n, sql) =>
+      val o = arr.addObject(); o.put("name", n); o.put("sql", sql): Unit
+    }
+    if (fs.exists(constraintsPath(dir))) fs.delete(constraintsPath(dir), false)
+    writeSmall(constraintsPath(dir), m.writeValueAsString(arr))
+  }
+  private def asChecks(cs: Seq[org.apache.spark.sql.connector.catalog.constraints.Constraint])
+      : Seq[(String, String)] =
+    cs.map {
+      case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+        require(c.predicateSql != null && c.predicateSql.nonEmpty,
+          s"graft catalog: CHECK constraint ${c.name} carries no predicate SQL")
+        (c.name, c.predicateSql)
+      case other => sys.error(
+        s"graft catalog: only CHECK constraints are supported (enforced on " +
+          s"every write) — ${other.toDDL} would be unenforced metadata")
+    }
+
   private def pathOf(parts: Seq[String]): HPath =
     parts.foldLeft(root)((p, s) => new HPath(p, s))
   private def dirOf(ident: Identifier): HPath =
@@ -161,7 +206,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       val (schema, idCol) = declared(dir).getOrElse(
         throw new NoSuchTableException(ident))
       new GraftVersionedTable(dirStr, 0L, None, schema, Some((schema, idCol)),
-        acceptAnySchema = false)
+        acceptAnySchema = false, checks = readChecks(dir))
     } else {
       val v = VersionedTable.resolveVersion(spark, dirStr, versionAsOf, tsMillis)
       val schema = VersionedTable.readAsOf(spark, dirStr, v).schema
@@ -171,7 +216,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       }
       new GraftVersionedTable(dirStr, v,
         Some(VersionedTable.readManifest(spark, dirStr, v)), schema,
-        declared(dir), acceptAnySchema = false)
+        declared(dir), acceptAnySchema = false, checks = readChecks(dir))
     }
   }
 
@@ -201,11 +246,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     require(schema.fieldNames.contains(idCol),
       s"graft catalog: idCol '$idCol' is not a declared column")
     val dir = dirOf(ident)
+    val checks = asChecks(info.constraints().toSeq)
     fs.mkdirs(dir)
     writeSmall(new HPath(dir, "_schema.json"), schema.json)
     writeSmall(new HPath(dir, "_catalog.json"), s"""{"id_col": "$idCol"}""")
+    if (checks.nonEmpty) writeChecks(dir, checks)
     new GraftVersionedTable(dir.toString, 0L, None, schema, Some((schema, idCol)),
-      acceptAnySchema = false)
+      acceptAnySchema = false, checks = checks)
   }
 
   /** `ALTER TABLE … ADD COLUMN` (round-15 verdict task 6), lowered onto
@@ -221,6 +268,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * those genuinely require rewriting committed bytes. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    // CONSTRAINT changes arrive on their own (each ALTER … ADD/DROP
+    // CONSTRAINT is one statement); the engine has already VALIDATED
+    // standing rows for an enforced ADD before calling here
+    val conAdds = changes.collect { case c: TableChange.AddConstraint => c }
+    val conDrops = changes.collect { case d: TableChange.DropConstraint => d }
+    if (conAdds.nonEmpty || conDrops.nonEmpty) {
+      require(conAdds.size + conDrops.size == changes.size,
+        "graft catalog: constraint changes cannot mix with other ALTERs")
+      val dir = dirOf(ident)
+      var checks = readChecks(dir)
+      conAdds.foreach { a =>
+        val Seq((n, sql)) = asChecks(Seq(a.constraint()))
+        require(!checks.exists(_._1 == n),
+          s"graft catalog: constraint '$n' already exists on $ident")
+        checks :+= ((n, sql))
+      }
+      conDrops.foreach { d =>
+        if (checks.exists(_._1 == d.name)) checks = checks.filterNot(_._1 == d.name)
+        else if (!d.ifExists) sys.error(
+          s"graft catalog: no constraint '${d.name}' on $ident")
+      }
+      writeChecks(dir, checks)
+      return loadTable(ident)
+    }
     val adds = changes.collect { case a: TableChange.AddColumn => a }
     require(adds.nonEmpty && adds.size == changes.size,
       "graft catalog: ALTER TABLE supports only ADD COLUMN — type changes, " +

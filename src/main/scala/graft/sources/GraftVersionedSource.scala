@@ -229,11 +229,28 @@ object GraftVersionedSource {
 class GraftVersionedTable(path: String, version: Long,
     m: Option[VersionedTable.Manifest], tableSchema: StructType,
     declared: Option[(StructType, String)] = None,
-    acceptAnySchema: Boolean = true)
+    acceptAnySchema: Boolean = true,
+    checks: Seq[(String, String)] = Nil)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.TruncatableTable
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** CHECK constraints the catalog recorded for this table (name +
+    * predicate SQL) — reported back through Spark's constraint surface;
+    * `ResolveTableConstraints` turns each into a `CheckInvariant` over
+    * every catalog write, so enforcement is the ENGINE's, byte-exact
+    * with Delta's invariant semantics (the statement fails before a
+    * violating row can commit). Path-based loads carry none — the
+    * constraint surface is a catalog feature. */
+  override def constraints(): Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    checks.map { case (n, sql) =>
+      org.apache.spark.sql.connector.catalog.constraints.Constraint.check(n)
+        .predicateSql(sql)
+        .enforced(true)
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.constraints.Check.Builder]
+        .build(): org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }.toArray
   override def name(): String = s"graft_versioned(`$path`@v$version)"
   override def schema(): StructType = tableSchema
   // ACCEPT_ANY_SCHEMA is advertised PER SURFACE (round 15):

@@ -231,6 +231,47 @@ class CatalogMaintenanceSpec extends SparkSuite {
       == (0L to 11L))
   }
 
+  test("CHECK constraints: declared at CREATE or ALTER, engine-enforced on " +
+      "every write, droppable; non-CHECK kinds rejected loudly") {
+    val (c, _) = freshCatalog()
+    spark.sql(s"CREATE TABLE $c.t (id BIGINT, score DOUBLE, " +
+      "CONSTRAINT score_range CHECK (score >= 0 AND score <= 1)) " +
+      "TBLPROPERTIES ('idCol' = 'id')")
+    spark.sql(s"INSERT INTO $c.t VALUES (1, 0.5), (2, 0.9)")
+    // a violating INSERT fails BEFORE anything commits
+    val e1 = intercept[Exception] {
+      spark.sql(s"INSERT INTO $c.t VALUES (3, 1.5)")
+    }
+    assert(e1.getMessage.contains("score_range") ||
+      e1.getMessage.toUpperCase.contains("CHECK"), e1.getMessage)
+    assert(spark.sql(s"SELECT count(*) FROM $c.t").head.getLong(0) == 2L)
+    // …and a violating UPDATE through the row-level path fails too
+    val e2 = intercept[Exception] {
+      spark.sql(s"UPDATE $c.t SET score = 2.0 WHERE id = 1")
+    }
+    assert(e2.getMessage.contains("score_range") ||
+      e2.getMessage.toUpperCase.contains("CHECK"), e2.getMessage)
+    assert(spark.sql(s"SELECT max(score) FROM $c.t").head.getDouble(0) == 0.9)
+    // ALTER ADD CONSTRAINT validates standing rows first
+    val e3 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $c.t ADD CONSTRAINT hi CHECK (score > 0.7)")
+    }
+    assert(e3.getMessage.toUpperCase.contains("CHECK") ||
+      e3.getMessage.contains("hi"), e3.getMessage)
+    spark.sql(s"ALTER TABLE $c.t ADD CONSTRAINT ids CHECK (id > 0)")
+    intercept[Exception] { spark.sql(s"INSERT INTO $c.t VALUES (-5, 0.5)") }
+    // DROP releases the gate
+    spark.sql(s"ALTER TABLE $c.t DROP CONSTRAINT ids")
+    spark.sql(s"INSERT INTO $c.t VALUES (-5, 0.5)")
+    assert(spark.sql(s"SELECT count(*) FROM $c.t WHERE id = -5").head.getLong(0) == 1L)
+    // non-CHECK constraint kinds are refused, never silent metadata
+    val e4 = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $c.pk (id BIGINT PRIMARY KEY, v STRING) " +
+        "TBLPROPERTIES ('idCol' = 'id')")
+    }
+    assert(e4.getMessage.contains("only CHECK"), e4.getMessage)
+  }
+
   test("timestamp/date/decimal round-trip: catalog INSERT → columnar read, " +
       "streaming sink append, and the commit-log streaming READ all carry " +
       "the events-fixture shapes") {
