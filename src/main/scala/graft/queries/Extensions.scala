@@ -9608,6 +9608,51 @@ object Extensions {
          |FROM $cat.t""".stripMargin)
   }
 
+  // -------------------------------------------------------------- Q246
+  /** COLUMN DEFAULT VALUES through SQL (round 15 —
+    * `SUPPORT_COLUMN_DEFAULT_VALUE` on Spark 4's native hooks; the
+    * Delta/modern-warehouse ingestion ergonomic): the table declares
+    * defaults at CREATE, a partial-column INSERT (`INSERT INTO t
+    * (doc_id, n_chars) SELECT …`) fills them engine-side, the DEFAULT
+    * keyword resolves, and — the part a naive catalog gets wrong —
+    * defaults keep resolving AFTER v1, because the catalog overlays
+    * the declaration's field metadata onto committed-parquet schemas
+    * (footers don't carry it). The census splits default-filled from
+    * explicit rows; a default that leaked the wrong value or stopped
+    * applying post-v1 hash-fails. */
+  val q246 = QueryDef("q246_sql_column_defaults",
+    """WITH n AS (SELECT doc_id, text, lang FROM documents)
+      |SELECT 'explicit' AS slice, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |       CAST(sum(strlen(text)) AS BIGINT) AS sum_chars
+      |FROM n WHERE doc_id % 2 = 0
+      |UNION ALL
+      |SELECT 'defaulted', CAST(count(*) AS BIGINT), CAST(1 AS BIGINT),
+      |       CAST(sum(strlen(text)) AS BIGINT)
+      |FROM n WHERE doc_id % 2 = 1
+      |ORDER BY slice""") { (s, dir) =>
+    val cat = s"gq246_${java.util.UUID.randomUUID.toString.take(8)}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root",
+      graft.operators.Scratch.dir("q246") + "/cat")
+    t(s, dir, "documents").select("doc_id", "text", "lang")
+      .createOrReplaceTempView("q246_docs")
+    s.sql(s"CREATE TABLE $cat.t (doc_id BIGINT, n_chars BIGINT, " +
+      "lang STRING DEFAULT 'und') TBLPROPERTIES ('idCol' = 'doc_id')")
+    // v1: full-column insert (explicit langs)
+    s.sql(s"INSERT INTO $cat.t SELECT doc_id, length(text), lang " +
+      "FROM q246_docs WHERE doc_id % 2 = 0")
+    // v2: PARTIAL-column insert after v1 — the default must still apply
+    s.sql(s"INSERT INTO $cat.t (doc_id, n_chars) SELECT doc_id, length(text) " +
+      "FROM q246_docs WHERE doc_id % 2 = 1")
+    s.sql(
+      s"""SELECT CASE WHEN lang = 'und' THEN 'defaulted' ELSE 'explicit' END AS slice,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM $cat.t GROUP BY 1 ORDER BY slice""".stripMargin)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -9620,5 +9665,5 @@ object Extensions {
     q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215,
     q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227,
     q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239,
-    q240, q241, q242, q243, q244, q245)
+    q240, q241, q242, q243, q244, q245, q246)
 }

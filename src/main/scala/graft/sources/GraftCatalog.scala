@@ -87,7 +87,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * KEY/UNIQUE/FOREIGN KEY would be unenforced metadata (the Delta
     * position) — rejected loudly rather than recorded as a lie. */
   override def capabilities(): java.util.Set[TableCatalogCapability] =
-    java.util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+    java.util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   private def constraintsPath(dir: HPath): HPath =
     new HPath(dir, "_constraints.json")
@@ -209,14 +210,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         acceptAnySchema = false, checks = readChecks(dir))
     } else {
       val v = VersionedTable.resolveVersion(spark, dirStr, versionAsOf, tsMillis)
-      val schema = VersionedTable.readAsOf(spark, dirStr, v).schema
-      schema.fields.foreach { f =>
+      val committed = VersionedTable.readAsOf(spark, dirStr, v).schema
+      committed.fields.foreach { f =>
         require(GraftVersionedSource.supported(f.dataType),
           s"graft catalog: unsupported column type ${f.dataType.simpleString} for '${f.name}'")
       }
+      // COLUMN DEFAULTS ride in StructField METADATA, which parquet
+      // footers do not carry — overlay the CREATE TABLE declaration's
+      // field metadata (by name) onto the committed schema so an
+      // INSERT omitting defaulted columns keeps resolving after v1
+      val decl = declared(dir)
+      val schema = decl.map(_._1) match {
+        case Some(ds) => StructType(committed.fields.map { f =>
+          ds.fields.find(_.name == f.name)
+            .filter(_.metadata != org.apache.spark.sql.types.Metadata.empty)
+            .map(d => f.copy(metadata = d.metadata)).getOrElse(f)
+        })
+        case None => committed
+      }
       new GraftVersionedTable(dirStr, v,
         Some(VersionedTable.readManifest(spark, dirStr, v)), schema,
-        declared(dir), acceptAnySchema = false, checks = readChecks(dir))
+        decl, acceptAnySchema = false, checks = readChecks(dir))
     }
   }
 
@@ -307,6 +321,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       require(a.position() == null,
         s"graft catalog: ADD COLUMN ${a.fieldNames.head} with a position is " +
           "not supported — added columns append at the end of the schema")
+      require(a.defaultValue() == null,
+        s"graft catalog: ADD COLUMN ${a.fieldNames.head} with a DEFAULT is " +
+          "not supported — standing rows read an added column as NULL (the " +
+          "merge-read contract); a backfilled default would claim bytes that " +
+          "were never committed. Declare defaults at CREATE TABLE")
       require(GraftVersionedSource.supported(a.dataType),
         s"graft catalog: unsupported column type ${a.dataType.simpleString} " +
           s"for added column '${a.fieldNames.head}'")

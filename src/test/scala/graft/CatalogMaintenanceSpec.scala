@@ -272,6 +272,25 @@ class CatalogMaintenanceSpec extends SparkSuite {
     assert(e4.getMessage.contains("only CHECK"), e4.getMessage)
   }
 
+  test("column DEFAULT values: partial-column INSERTs fill declared " +
+      "defaults before AND after v1 (metadata overlay on committed loads); " +
+      "ADD COLUMN DEFAULT is refused") {
+    val (c, _) = freshCatalog()
+    spark.sql(s"CREATE TABLE $c.t (id BIGINT, lang STRING DEFAULT 'und', " +
+      "score DOUBLE DEFAULT 0.5) TBLPROPERTIES ('idCol' = 'id')")
+    spark.sql(s"INSERT INTO $c.t (id) VALUES (1)") // pre-v1: declared schema
+    spark.sql(s"INSERT INTO $c.t (id, lang) VALUES (2, 'fr')") // post-v1: overlay
+    spark.sql(s"INSERT INTO $c.t VALUES (3, DEFAULT, 0.9)")
+    val got = spark.sql(s"SELECT id, lang, score FROM $c.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, "und", 0.5), (2L, "fr", 0.5), (3L, "und", 0.9)), got)
+    // a default on an ADDED column would lie about committed bytes
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $c.t ADD COLUMN q DOUBLE DEFAULT 1.0")
+    }
+    assert(e.getMessage.contains("DEFAULT"), e.getMessage)
+  }
+
   test("timestamp/date/decimal round-trip: catalog INSERT → columnar read, " +
       "streaming sink append, and the commit-log streaming READ all carry " +
       "the events-fixture shapes") {
