@@ -9653,6 +9653,67 @@ object Extensions {
          |FROM $cat.t GROUP BY 1 ORDER BY slice""".stripMargin)
   }
 
+  // -------------------------------------------------------------- Q247
+  /** `MERGE WITH SCHEMA EVOLUTION` (round 15 —
+    * `TableCapability.AUTOMATIC_SCHEMA_EVOLUTION`; Delta's automatic
+    * mergeSchema for MERGE): the source carries a column the target
+    * lacks; the ENGINE lowers the evolution onto this catalog's
+    * `ALTER TABLE ADD COLUMN` — a zero-row evolving append, a REAL
+    * version in the history — reloads the evolved table, and runs the
+    * merge against it (composing with the partial-rewrite group
+    * filter). The released census proves the full contract: standing
+    * rows read the new column as NULL, matched rows carry the source's
+    * value, inserted rows carry theirs, and the history pins the
+    * evolution as its own commit. */
+  val q247 = QueryDef("q247_sql_merge_evolution",
+    """WITH n AS (SELECT doc_id, text FROM documents)
+      |SELECT 'merged' AS slice, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(strlen(text) + 4) AS BIGINT) AS n_chars,
+      |       CAST(sum(doc_id % 97) AS BIGINT) AS score_units
+      |FROM n WHERE doc_id % 6 = 2
+      |UNION ALL
+      |SELECT 'standing', CAST(count(*) AS BIGINT),
+      |       CAST(sum(strlen(text)) AS BIGINT), CAST(0 AS BIGINT)
+      |FROM n WHERE doc_id % 6 <> 2
+      |ORDER BY slice""") { (s, dir) =>
+    val cat = s"gq247_${java.util.UUID.randomUUID.toString.take(8)}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root",
+      graft.operators.Scratch.dir("q247") + "/cat")
+    t(s, dir, "documents").select("doc_id", "text")
+      .createOrReplaceTempView("q247_docs")
+    s.sql(s"CREATE TABLE $cat.t (doc_id BIGINT, text STRING) " +
+      "TBLPROPERTIES ('idCol' = 'doc_id')")
+    s.sql(s"INSERT INTO $cat.t SELECT doc_id, text FROM q247_docs")
+    // the source: matched rows refresh text AND carry a NEW column
+    // (integer-valued so the census sums exactly)
+    s.sql(
+      """SELECT doc_id, text || ' [e]' AS text,
+        |       CAST(doc_id % 97 AS BIGINT) AS score_units
+        |FROM q247_docs WHERE doc_id % 6 = 2""".stripMargin)
+      .createOrReplaceTempView("q247_src")
+    s.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.t AS t USING q247_src AS u
+         |ON t.doc_id = u.doc_id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *
+         |""".stripMargin)
+    val root = s.conf.get(s"spark.sql.catalog.$cat.root")
+    val hist = graft.sources.VersionedTable.history(s, s"$root/t")
+      .orderBy("version").collect()
+    // v2 = the evolution's ZERO-ROW append; v3 = the merge
+    require(hist.length == 3 && hist(1).getString(1) == "append" &&
+      hist(1).getLong(2) == hist(0).getLong(2),
+      s"the evolution must land as its own zero-row append, got " +
+        hist.map(r => (r.getString(1), r.getLong(2))).toSeq)
+    s.sql(
+      s"""SELECT CASE WHEN score_units IS NULL THEN 'standing' ELSE 'merged' END AS slice,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(length(text)) AS BIGINT) AS n_chars,
+         |       CAST(coalesce(sum(score_units), 0) AS BIGINT) AS score_units
+         |FROM $cat.t GROUP BY 1 ORDER BY slice""".stripMargin)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q24, q25, q26, q27, q28, q28b, q29, q30, q31, q32, q33, q34, q34b, q35, q36,
     q37, q38, q39, q40, q43, q44, q45, q63, q63b, q64, q65, q66, q67, q68, q69,
@@ -9665,5 +9726,5 @@ object Extensions {
     q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215,
     q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227,
     q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239,
-    q240, q241, q242, q243, q244, q245, q246)
+    q240, q241, q242, q243, q244, q245, q246, q247)
 }

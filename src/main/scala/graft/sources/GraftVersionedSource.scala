@@ -271,7 +271,11 @@ class GraftVersionedTable(path: String, version: Long,
     val base = Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
       TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
-    (if (acceptAnySchema) base + TableCapability.ACCEPT_ANY_SCHEMA else base).asJava
+    (if (acceptAnySchema) base + TableCapability.ACCEPT_ANY_SCHEMA
+    // catalog tables additionally opt into MERGE WITH SCHEMA EVOLUTION:
+    // the engine lowers the evolution onto this catalog's ALTER TABLE
+    // ADD COLUMN (the zero-row evolving append) before rewriting
+     else base + TableCapability.AUTOMATIC_SCHEMA_EVOLUTION).asJava
   }
   /** ROW-PROVENANCE METADATA COLUMNS (round 15 — the Iceberg `_file`
     * move, at this table's dir granularity): `_graft_dir` is the commit

@@ -236,6 +236,38 @@ class RowLevelDmlSpec extends SparkSuite {
       VersionedTable.currentVersion(spark, s"$root/t"))._1)
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION: the source's extra column lands as the " +
+      "catalog's zero-row evolving append, the merge re-resolves against the " +
+      "evolved table, and the whole thing composes with the partial rewrite") {
+    val (c, root) = freshCatalog()
+    mkDocs(c)
+    Seq((2L, "u2", 0.9), (50L, "new50", 0.1)).toDF("id", "text", "score")
+      .createOrReplaceTempView("rdml_evo")
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $c.t AS t USING rdml_evo AS u
+         |ON t.id = u.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *
+         |""".stripMargin)
+    val got = spark.sql(s"SELECT id, text, score FROM $c.t " +
+      "WHERE id IN (1, 2, 50) ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    assert(got == Seq((1L, "t1", None), (2L, "u2", Some(0.9)),
+      (50L, "new50", Some(0.1))), got)
+    // history: v1 corpus, v2 = the evolution's zero-row append, v3 = the
+    // merge (a replace when the group filter narrowed, else overwrite)
+    val hist = VersionedTable.history(spark, s"$root/t").orderBy("version")
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(hist.take(2) == Seq(("append", 10L), ("append", 10L)), hist)
+    assert(hist(2)._2 == 11L && (hist(2)._1 == "replace" || hist(2)._1 == "overwrite"),
+      hist)
+    assert(VersionedTable.validateAsOf(spark, s"$root/t", 3L)._1)
+    // the 2-column pre-evolution snapshot still time-travels
+    assert(spark.sql(s"SELECT * FROM $c.t VERSION AS OF 1").columns.toSeq
+      == Seq("id", "text"))
+  }
+
   test("MERGE duplicate source matches fail the cardinality check " +
       "(standard SQL MERGE semantics, not silent double-apply)") {
     val (c, _) = freshCatalog()
