@@ -201,7 +201,17 @@ object Extensions {
        |FROM pairs JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
        |WHERE floor(CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) * 10000 + 0.5) / 10000 >= 0.05
        |ORDER BY doc_a, doc_b""") { (s, dir) =>
-    Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", n = 2, theta = 0.05)
+    // r15 OPTIMIZATION (guide §3.1 — pick the join strategy deliberately):
+    // brute-capped variant, spec-asserted row-identical to the naive
+    // shared-shingle self-join the oracle spells. On this near-dup-dense
+    // corpus the naive join's candidate fanout Σ_s df(s)² is itself
+    // quadratic (the measured whale: 11.0 s fresh-JVM min-of-3 at sf0.1);
+    // the broadcast merge-pass loop does the same pair work with ZERO
+    // exchanges of exploded shingle rows (3.6 s). Past bruteDocCap the
+    // call degrades to the prefix-filtered AllPairs generator — the
+    // 100 TB shape — so this is a size-adaptive strategy pick, not a
+    // small-scale tune.
+    Dedup.ngramJaccardPairsBrute(t(s, dir, "documents"), "doc_id", "text", n = 2, theta = 0.05)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -895,14 +905,16 @@ object Extensions {
   private def clusterQuery(s: org.apache.spark.sql.SparkSession, dir: String,
       cc: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val docs = t(s, dir, "documents")
-    // prefix-filtered (AllPairs/PPJoin) pair generation — the
-    // SCALE-SAFE exact generator: candidates fan out on rare shingles
-    // only, so corpus growth never hits a broadcast limit or an
-    // unconditional n² loop (the brute variant won on the dense
-    // small-vocabulary corpus but is a small-corpus tool — its guard
-    // now degrades to this same generator; all three variants are
-    // spec-asserted equal, so the oracle is unaffected by the choice)
-    val pairs = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", n = 2, theta = 0.3)
+    // r15 OPTIMIZATION (guide §3.1): brute-capped pair generation. The
+    // guard probes the doc count and degrades to the prefix-filtered
+    // AllPairs generator past bruteDocCap, so the 100 TB path is STILL
+    // the scale-safe rare-shingle candidate join — but below the cap the
+    // broadcast merge-pass loop skips the df aggregate + df-attachment
+    // join + per-doc window + candidate join + refine entirely (all
+    // three variants spec-asserted equal; oracle unaffected). Measured
+    // fresh-JVM min-of-3 at sf0.1: q63 7.70→2.97 s, q63b 10.15→5.80 s
+    // (see OPTIMIZATION_r15.md).
+    val pairs = Dedup.ngramJaccardPairsBrute(docs, "doc_id", "text", n = 2, theta = 0.3)
     cc(pairs.select("doc_a", "doc_b"), docs.select("doc_id"))
       .select(col("doc_id"), col("cluster_id"),
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
@@ -3111,7 +3123,7 @@ object Extensions {
        |       CAST(cluster_size - 1 AS BIGINT) AS dropped
        |FROM r WHERE rn = 1 ORDER BY cluster_id""") { (s, dir) =>
     val docs = t(s, dir, "documents")
-    val pairs = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", n = 2, theta = 0.3)
+    val pairs = Dedup.ngramJaccardPairsBrute(docs, "doc_id", "text", n = 2, theta = 0.3)
     val cc = Dedup.dedupClusters(pairs.select("doc_a", "doc_b"), docs.select("doc_id"))
     cc.join(docs.select("doc_id", "n_chars"), "doc_id")
       .groupBy("cluster_id")
@@ -7665,7 +7677,7 @@ object Extensions {
          |FROM l$rounds ORDER BY doc_id""") { (s, dir) =>
       val docs = t(s, dir, "documents")
       val pairs = graft.operators.Dedup
-        .ngramJaccardPairsPrefix(docs, "doc_id", "text", n = 2, theta = 0.3)
+        .ngramJaccardPairsBrute(docs, "doc_id", "text", n = 2, theta = 0.3)
       graft.operators.Communities
         .labelPropagation(pairs.select("doc_a", "doc_b"), docs.select("doc_id"),
           rounds = rounds)
@@ -7977,7 +7989,7 @@ object Extensions {
          |ORDER BY doc_id""") { (s, dir) =>
       val docs = t(s, dir, "documents")
       val pairs = graft.operators.Dedup
-        .ngramJaccardPairsPrefix(docs, "doc_id", "text", n = 2, theta = 0.3)
+        .ngramJaccardPairsBrute(docs, "doc_id", "text", n = 2, theta = 0.3)
       graft.operators.Communities
         .kCore(pairs.select("doc_a", "doc_b"), docs.select("doc_id"),
           k = k, rounds = rounds)
@@ -8191,7 +8203,7 @@ object Extensions {
        |FROM j GROUP BY lang ORDER BY lang""") { (s, dir) =>
     val docs = t(s, dir, "documents")
     val pairs = graft.operators.Dedup
-      .ngramJaccardPairsPrefix(docs, "doc_id", "text", n = 2, theta = 0.3)
+      .ngramJaccardPairsBrute(docs, "doc_id", "text", n = 2, theta = 0.3)
     val com = graft.operators.Communities
       .labelPropagation(pairs.select("doc_a", "doc_b"), docs.select("doc_id"), rounds = 3)
     val can = com.groupBy("community").agg(min(col("node")).as("canonical"))
@@ -8282,7 +8294,7 @@ object Extensions {
          |FROM l$rounds ORDER BY doc_id""") { (s, dir) =>
       val docs = t(s, dir, "documents")
       val pairs = graft.operators.Dedup
-        .ngramJaccardPairsPrefix(docs, "doc_id", "text", n = 2, theta = 0.3)
+        .ngramJaccardPairsBrute(docs, "doc_id", "text", n = 2, theta = 0.3)
         .select(col("doc_a"), col("doc_b"),
           round(col("jacc") * 10000).cast("long").as("w4"))
       graft.operators.Communities
