@@ -34,15 +34,25 @@ object MerkleDiff {
     * NULL, '1' ++ value otherwise — so a row whose content flips
     * between NULL and '' changes its digest (a plain coalesce-to-''
     * would silently report "no difference" for that real change). */
-  def leafDigests(df: DataFrame, idCol: String, contentCols: Seq[String],
-      leaves: Int): DataFrame = {
-    require(leaves >= 1, s"need leaves >= 1, got $leaves")
+  /** The 48-bit per-row content hash the digest contract is defined
+    * over — exposed so [[graft.sources.VersionedTable]]'s fused
+    * commit-stats pass XORs EXACTLY these values (one shared
+    * definition; the digest can never drift between the two call
+    * sites). */
+  private[graft] def rowHash(idCol: String, contentCols: Seq[String]):
+      org.apache.spark.sql.Column = {
     val rowStr = concat_ws("|",
       (col(idCol).cast("string") +:
         contentCols.map(c =>
           coalesce(concat(lit("1"), col(c).cast("string")), lit("0")))): _*)
-    val rowh = conv(substring(md5(rowStr), 1, 12), 16, 10).cast("long")
-    df.select((Splits.hashBucket(col(idCol)) % leaves).as("leaf"), rowh.as("_h"))
+    conv(substring(md5(rowStr), 1, 12), 16, 10).cast("long")
+  }
+
+  def leafDigests(df: DataFrame, idCol: String, contentCols: Seq[String],
+      leaves: Int): DataFrame = {
+    require(leaves >= 1, s"need leaves >= 1, got $leaves")
+    df.select((Splits.hashBucket(col(idCol)) % leaves).as("leaf"),
+        rowHash(idCol, contentCols).as("_h"))
       .groupBy("leaf")
       .agg(count(lit(1)).as("cnt"), expr("bit_xor(_h)").as("dig"))
   }

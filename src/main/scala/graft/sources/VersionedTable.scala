@@ -456,11 +456,38 @@ object VersionedTable {
     // full re-derivation exactly (validateAsOf recomputes from complete
     // bytes on demand, so silent history corruption stays detectable —
     // the explicit-validation split Delta makes too).
-    val newDg = graft.operators.MerkleDiff
-      .leafDigests(spark.read.parquet(dataPath.toString), idCol, contentCols,
-        leaves = 1)
-      .collect().headOption.map(r => (r.getLong(1), r.getLong(2)))
-      .getOrElse((0L, 0L))
+    // FUSED COMMIT-STATS PASS (r15 optimization, guide §1.2 "remove
+    // unnecessary passes"): the digest, the id min/max, the secondary
+    // stat-col min/max and the bloom columns' distinct counts are ALL
+    // combineable aggregates over the same landed dir — they now run as
+    // ONE job over ONE read relation where they were one read per
+    // family (2 + |statCols| + |bloomCols| passes per commit; measured
+    // at sf0.1 the storage queries spend most of their time here). At
+    // 100 TB this is the commit's dominant cost: O(batch bytes) once.
+    // Every derived value is bit-identical to the per-family
+    // derivations — the digest XORs MerkleDiff.rowHash (one shared
+    // definition), try_cast keeps the non-numeric-id conservative path
+    // (null ⇒ no stats recorded), countDistinct ignores nulls exactly
+    // like the old filter(isNotNull) pre-step.
+    val F = org.apache.spark.sql.functions
+    val rowhName = "__graft_rowh"
+    val newDf0 = spark.read.parquet(dataPath.toString)
+    require(!newDf0.columns.contains(rowhName),
+      s"versioned table $tableDir: column name $rowhName is reserved")
+    val newDf = newDf0.withColumn(rowhName,
+      graft.operators.MerkleDiff.rowHash(idCol, contentCols))
+    val statAggs: Seq[org.apache.spark.sql.Column] =
+      Seq(F.count(F.lit(1)).as("_cnt"),
+        F.coalesce(F.expr(s"bit_xor($rowhName)"), F.lit(0L)).as("_dig"),
+        F.min(F.expr(s"try_cast(`$idCol` AS BIGINT)")).as("_idlo"),
+        F.max(F.expr(s"try_cast(`$idCol` AS BIGINT)")).as("_idhi")) ++
+      statCols.zipWithIndex.flatMap { case (c, i) =>
+        Seq(F.min(col(c).cast("string")).as(s"_slo$i"),
+          F.max(col(c).cast("string")).as(s"_shi$i")) } ++
+      bloomCols.zipWithIndex.map { case (c, i) =>
+        F.countDistinct(col(c).cast("string")).as(s"_bn$i") }
+    val statRow = newDf.agg(statAggs.head, statAggs.tail: _*).head()
+    val newDg: (Long, Long) = (statRow.getLong(0), statRow.getLong(1))
     val dg =
       if (mode == "replace") {
         val p = prevManifest.get
@@ -481,18 +508,9 @@ object VersionedTable {
     // range at plan time. Numeric ids only (a null min/max — non-castable
     // or empty dir — records no stats, and an unstatted dir is always
     // kept: pruning is an optimization, never the correctness carrier).
-    val newDirStats: Option[(Long, Long)] = {
-      val r = spark.read.parquet(dataPath.toString)
-        // try_cast: a NON-NUMERIC id column yields null (⇒ no stats
-        // recorded, the documented conservative path) — a plain cast
-        // under Spark 4's default ANSI mode would THROW and fail the
-        // whole commit for string-keyed tables
-        .agg(org.apache.spark.sql.functions.min(
-            org.apache.spark.sql.functions.expr(s"try_cast(`$idCol` AS BIGINT)")),
-          org.apache.spark.sql.functions.max(
-            org.apache.spark.sql.functions.expr(s"try_cast(`$idCol` AS BIGINT)"))).head()
-      if (r.isNullAt(0) || r.isNullAt(1)) None else Some((r.getLong(0), r.getLong(1)))
-    }
+    val newDirStats: Option[(Long, Long)] =
+      if (statRow.isNullAt(2) || statRow.isNullAt(3)) None
+      else Some((statRow.getLong(2), statRow.getLong(3)))
     val carried: Map[String, (Long, Long)] =
       prevManifest.map(_.dirStats).getOrElse(Map.empty)
     val allStats = carried ++ newDirStats.map(dataRel -> _)
@@ -509,17 +527,11 @@ object VersionedTable {
     // stats and [[readAsOfWhereEq]] keeps the dir — pruning stays an
     // optimization, never the correctness carrier.
     val newStrStats: Map[String, (String, String)] =
-      if (statCols.isEmpty) Map.empty
-      else {
-        val newDf = spark.read.parquet(dataPath.toString)
-        statCols.flatMap { c =>
-          val r = newDf.agg(
-            org.apache.spark.sql.functions.min(col(c).cast("string")),
-            org.apache.spark.sql.functions.max(col(c).cast("string"))).head()
-          if (r.isNullAt(0) || r.isNullAt(1)) None
-          else Some(c -> ((r.getString(0), r.getString(1))))
-        }.toMap
-      }
+      statCols.zipWithIndex.flatMap { case (c, i) =>
+        val lo = 4 + 2 * i
+        if (statRow.isNullAt(lo) || statRow.isNullAt(lo + 1)) None
+        else Some(c -> ((statRow.getString(lo), statRow.getString(lo + 1))))
+      }.toMap
     val carriedStr: Map[String, Map[String, (String, String)]] =
       prevManifest.map(_.dirStrStats).getOrElse(Map.empty)
     val allStrStats = carriedStr ++
@@ -547,39 +559,57 @@ object VersionedTable {
     val newBlooms: Map[String, (Int, String)] =
       if (bloomCols.isEmpty) Map.empty
       else {
-        val F = org.apache.spark.sql.functions
-        val newDf = spark.read.parquet(dataPath.toString)
-        bloomCols.flatMap { c =>
-          val nDistinct = newDf.filter(col(c).isNotNull)
-            .agg(F.countDistinct(col(c).cast("string"))).head().getLong(0)
-          if (nDistinct == 0L) None
-          else {
-            val m = bloomBitsFor(nDistinct)
-            val hexc = F.md5(col(c).cast("string").cast("binary"))
-            val poss = Seq(0, 7, 14, 21).map(o =>
-              (F.conv(F.substring(hexc, o + 1, 7), 16, 10)
-                .cast("long") % m).cast("int"))
-            // per-partition byte-array bitmap, OR-merged up the tree;
+        // distinct counts came from the fused stats pass above; sizing
+        // is unchanged (bloomBitsFor). ONE bitmap job for ALL bloom
+        // columns (r15): each column's bitmap occupies its own byte
+        // range of a single aggregation buffer — global bit position =
+        // column offset · 8 + local position, so the per-column bytes
+        // (and thus the manifest) are identical to the old per-column
+        // treeAggregate build; k bloom columns cost one pass, not k.
+        val bnBase = 4 + 2 * statCols.length
+        val counted: Seq[(String, Int)] = bloomCols.zipWithIndex.flatMap {
+          case (c, i) =>
+            val n = statRow.getLong(bnBase + i)
+            if (n == 0L) None else Some((c, bloomBitsFor(n)))
+        }
+        if (counted.isEmpty) Map.empty
+        else {
+          val offsets = counted.scanLeft(0) { case (off, (_, m)) => off + (m + 7) / 8 }
+          val total = offsets.last
+          // null column values: the when() without otherwise yields a
+          // null position (filtered below) — same rows as the old
+          // per-column filter(isNotNull) pre-step
+          val posCols: Seq[org.apache.spark.sql.Column] =
+            counted.zip(offsets.init).flatMap { case ((c, m), off) =>
+              val hexc = F.md5(col(c).cast("string").cast("binary"))
+              Seq(0, 7, 14, 21).map(o =>
+                F.when(col(c).isNotNull,
+                  (F.conv(F.substring(hexc, o + 1, 7), 16, 10)
+                    .cast("long") % m).cast("int") + F.lit(off * 8)))
+            }
+          val bytes = newDf0
+            .select(F.explode(F.array(posCols: _*)).as("p"))
+            .filter(col("p").isNotNull)
+            .rdd.map(_.getInt(0))
+            .treeAggregate(new Array[Byte](total))(
+              (acc, p) => {
+                acc(p >>> 3) = (acc(p >>> 3) | (1 << (p & 7))).toByte; acc
+              },
+              (a, b) => {
+                var i = 0
+                while (i < total) { a(i) = (a(i) | b(i)).toByte; i += 1 }
+                a
+              })
+          counted.zip(offsets.init).map { case ((c, m), off) =>
+            val nBytes = (m + 7) / 8
             // BitSet.valueOf uses the same little-endian-within-byte
             // layout as the (p >>> 3, 1 << (p & 7)) writes, so the
             // manifest bytes are identical to the old driver-side build
-            val nBytes = (m + 7) / 8
-            val bytes = newDf.filter(col(c).isNotNull)
-              .select(F.explode(F.array(poss: _*)).as("p"))
-              .rdd.map(_.getInt(0))
-              .treeAggregate(new Array[Byte](nBytes))(
-                (acc, p) => {
-                  acc(p >>> 3) = (acc(p >>> 3) | (1 << (p & 7))).toByte; acc
-                },
-                (a, b) => {
-                  var i = 0
-                  while (i < nBytes) { a(i) = (a(i) | b(i)).toByte; i += 1 }
-                  a
-                })
-            val bits = java.util.BitSet.valueOf(bytes)
-            Some(c -> ((m, java.util.Base64.getEncoder.encodeToString(bits.toByteArray))))
-          }
-        }.toMap
+            val bits = java.util.BitSet.valueOf(
+              java.util.Arrays.copyOfRange(bytes, off, off + nBytes))
+            c -> ((m, java.util.Base64.getEncoder.encodeToString(bits.toByteArray)))
+          }.toMap
+        }
       }
     val carriedBlooms: Map[String, Map[String, (Int, String)]] =
       prevManifest.map(_.dirBlooms).getOrElse(Map.empty)

@@ -43,6 +43,14 @@ object TimeQueries {
         sys.env.getOrElse("SPARK_GRAFT_SHJ_LOCALMAP", "67108864"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // experiment hook: SPARK_GRAFT_EXTRA_CONF="key=value;key=value" sets
+    // arbitrary session confs before timing (A/B one knob per run)
+    sys.env.getOrElse("SPARK_GRAFT_EXTRA_CONF", "").split(";")
+      .map(_.trim).filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      }
     spark.sparkContext.setLogLevel("WARN")
 
     def run(name: String): Double = {
