@@ -423,6 +423,35 @@ object Similarity {
       .select("id_a", "id_b", "cos")
   }
 
+  /** Exact ALL-PAIRS cosine ≥ theta over one whole (small) vector set —
+    * the oracle-gate leg of q79b (the recursive-CTE-replayed exact
+    * closure the k-means path is judged against). r15 optimization:
+    * spelled as [[nearDupPairs]] over a constant bucket, the equi-join
+    * hashes EVERY row to one partition and the n²/2 cosine evaluations
+    * run on one core (guide §2.5 — a single enormous key is exactly the
+    * skew AQE cannot split); here the (tiny) set broadcasts and the
+    * stream side is parallelism-rebalanced, so the same pairs evaluate
+    * across every core with zero exchanges. Identical rows by
+    * construction (same id_a < id_b, same round-4 cosine, same theta
+    * cut). Past `maxRows` it degrades to the bucket join — all-pairs at
+    * that size is the caller's (documented, oracle-mandated) problem,
+    * and the broadcast must never be the thing that OOMs first. */
+  def allPairsCosine(emb: DataFrame, idCol: String, vecCol: String,
+      theta: Double, maxRows: Long = 250000L): DataFrame = {
+    val nz = emb.filter(VectorFunctions.norm(col(vecCol)) > 0)
+      .select(col(idCol), col(vecCol))
+    val probe = nz.select(col(idCol)).limit((maxRows + 1).toInt).count()
+    if (probe > maxRows)
+      return nearDupPairs(nz.withColumn("__whole", lit(1)), idCol, vecCol,
+        "__whole", theta)
+    val a = graft.sources.Balance.cpuBound(nz)
+      .select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = nz.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    def cos = TextFunctions.round4(VectorFunctions.cosine(col("va"), col("vb")))
+    a.join(broadcast(b), col("id_a") < col("id_b") && cos >= theta)
+      .select(col("id_a"), col("id_b"), cos.as("cos"))
+  }
+
   /** Centroid-based (simplified) SILHOUETTE — the clustering-quality
     * gauge for the coarse-cluster stages ([[semanticDedup]], IVF): per
     * vector, a = cosine distance to its NEAREST centroid, b = distance

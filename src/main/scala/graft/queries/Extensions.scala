@@ -1646,8 +1646,11 @@ object Extensions {
     val km = Similarity.semanticDedupKMeans(emb, "vec_id", "embedding",
       nCentroids = 8, theta = theta)
     val nz = emb.filter(VectorFunctions.norm(col("embedding")) > 0)
-      .select(col("vec_id"), col("embedding"), lit(1).as("whole"))
-    val exactPairs = Similarity.nearDupPairs(nz, "vec_id", "embedding", "whole", theta)
+      .select(col("vec_id"), col("embedding"))
+    // r15: broadcast all-pairs (identical rows to the old constant-
+    // bucket nearDupPairs, whose single join key ran every cosine on
+    // one core — see Similarity.allPairsCosine)
+    val exactPairs = Similarity.allPairsCosine(nz, "vec_id", "embedding", theta)
     val exact = Dedup.dedupClusters(exactPairs.select("id_a", "id_b"),
         nz.select(col("vec_id").as("doc_id")))
       .select(col("doc_id").as("vec_id"), col("cluster_id").as("exact_rep"),
