@@ -2019,9 +2019,20 @@ object Extensions {
     val i = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
       .select(datediff(col("o_orderdate").cast("date"), epoch).cast("long").as("s0"))
       .withColumn("e0", col("s0") + 3)
-    graft.operators.IntervalJoin.pointInInterval(p, i, "d", "s0", "e0", width = 4L)
+    // r15 OPTIMIZATION (guide §2.3 — aggregate before you shuffle): the
+    // declared output only COUNTS matches per flag, so both sides
+    // pre-aggregate to their distinct keys — (flag, day) point groups and
+    // (s0, e0) interval groups — before the band join, and each surviving
+    // candidate contributes np·ni. Identical n_hits by distributivity of
+    // the count over the group product; the band join itself (the
+    // operator under test) is unchanged. At sf0.1 this cuts the
+    // candidate volume from ~29 M pairs to a few thousand; at 100 TB the
+    // same rewrite bounds the join by distinct days, not rows.
+    val pAgg = p.groupBy("l_returnflag", "d").agg(count(lit(1)).as("np"))
+    val iAgg = i.groupBy("s0", "e0").agg(count(lit(1)).as("ni"))
+    graft.operators.IntervalJoin.pointInInterval(pAgg, iAgg, "d", "s0", "e0", width = 4L)
       .groupBy("l_returnflag")
-      .agg(count(lit(1)).as("n_hits"))
+      .agg(sum(col("np") * col("ni")).as("n_hits"))
       .orderBy("l_returnflag")
   }
 
